@@ -1,0 +1,383 @@
+"""Sequence-regex schemas: :cat :catn :alt :altn :? :* :+ :repeat.
+
+A from-scratch backtracking matcher over Python sequences implementing the
+semantics of malli's CPS/packrat regex engine
+(/root/reference/src/malli/impl/regex.cljc:1-662; schema wiring
+src/malli/core.cljc:2404-2448, 2968-3024).  This is the designated row-level
+slow path (SURVEY.md SS2.2 "Ray note on seq-regex"); homogeneous token lists
+never come through here — they vectorize via arrow_compile.
+
+Error types mirror the reference: ``malli.core/end-of-input`` when the regex
+needed more input (impl/regex.cljc:84) and ``malli.core/input-remaining`` when
+items remain after a complete match (impl/regex.cljc:122).
+
+Parse results follow malli: :cat -> list, :catn -> Tags, :alt -> value,
+:altn -> Tag, :? -> value-or-None, :*/:+/:repeat -> list.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator
+
+from .core import (
+    INVALID, Invalid, Schema, SchemaError, Tag, Tags, _entry_ctor, _error, schema,
+)
+
+# A matcher yields (next_pos, parsed) for every way it can match items[pos:].
+Matcher = Callable[[list, int], Iterator[tuple[int, Any]]]
+
+_MAX_STEPS = 1_000_000  # backtracking safety valve
+
+
+class _Budget:
+    __slots__ = ("steps",)
+
+    def __init__(self) -> None:
+        self.steps = 0
+
+    def tick(self) -> None:
+        self.steps += 1
+        if self.steps > _MAX_STEPS:
+            raise SchemaError("seq-regex backtracking budget exceeded")
+
+
+def _item_matcher(child: Schema) -> Matcher:
+    """A non-regex schema consumes exactly one item it validates."""
+    valid = child.validator()
+    parse = child.parser()
+
+    def match(items: list, pos: int, budget: _Budget, parsing: bool):
+        budget.tick()
+        if pos < len(items):
+            if parsing:
+                p = parse(items[pos])
+                if p is not INVALID:
+                    yield pos + 1, p
+            elif valid(items[pos]):
+                yield pos + 1, None
+
+    return match
+
+
+def _compile_matcher(s: Schema) -> Matcher:
+    if isinstance(s, RegexSchema):
+        return s.matcher()
+    return _item_matcher(s)
+
+
+class RegexSchema(Schema):
+    """Base for seq-regex schema types: full-sequence validate/explain/parse."""
+
+    def matcher(self) -> Matcher:
+        m = self._cache.get("matcher")
+        if m is None:
+            m = self._matcher()
+            self._cache["matcher"] = m
+        return m
+
+    def _matcher(self) -> Matcher:
+        raise NotImplementedError
+
+    def _first_match(self, items: Any, parsing: bool) -> tuple[Any, int]:
+        """Return (parsed | INVALID, furthest_pos)."""
+        if not isinstance(items, (list, tuple)):
+            return INVALID, -1
+        items = list(items)
+        n = len(items)
+        budget = _Budget()
+        furthest = 0
+        complete_at = -1  # furthest pos where the regex itself completed
+        try:
+            for (end, parsed) in self.matcher()(items, 0, budget, parsing):
+                furthest = max(furthest, end)
+                complete_at = max(complete_at, end)
+                if end == n:
+                    return (parsed if parsing else True), n
+        except SchemaError:
+            return INVALID, furthest
+        # no full match: report how far we got (for error classification)
+        return INVALID, complete_at if complete_at >= 0 else -(furthest + 1)
+
+    def _validator(self):
+        this = self
+        return lambda x: this._first_match(x, parsing=False)[0] is not INVALID
+
+    def _explainer(self, path):
+        this = self
+
+        def explain_(x, in_, acc):
+            if not isinstance(x, (list, tuple)):
+                acc.append(_error(path, in_, this, x, "malli.core/invalid-type"))
+                return acc
+            out, reach = this._first_match(x, parsing=False)
+            if out is not INVALID:
+                return acc
+            if reach >= 0:
+                # regex completed at `reach` but input remains
+                acc.append(_error(path, in_ + [reach], this,
+                                  list(x[reach:]), "malli.core/input-remaining"))
+            else:
+                pos = -reach - 1
+                acc.append(_error(path, in_ + [pos], this,
+                                  (x[pos] if pos < len(x) else None),
+                                  "malli.core/end-of-input"))
+            return acc
+
+        return explain_
+
+    def _parser(self):
+        this = self
+        return lambda x: this._first_match(x, parsing=True)[0]
+
+    def _unparser(self):
+        this = self
+
+        def unparse_(x):
+            out = this._unparse_value(x)
+            if out is INVALID:
+                return INVALID
+            flat: list = []
+            if not _flatten_unparse(out, flat):
+                return INVALID
+            return flat
+
+        return unparse_
+
+    # each subtype turns its parse shape back into a (possibly nested) item seq
+    def _unparse_value(self, x: Any) -> Any:
+        return INVALID
+
+
+class _Splice:
+    """Marks a sub-sequence to splice into the parent during unparse."""
+
+    __slots__ = ("items",)
+
+    def __init__(self, items: list):
+        self.items = items
+
+
+def _flatten_unparse(v: Any, acc: list) -> bool:
+    if v is INVALID:
+        return False
+    if isinstance(v, _Splice):
+        for i in v.items:
+            if not _flatten_unparse(i, acc):
+                return False
+        return True
+    acc.append(v)
+    return True
+
+
+def _child_unparse(s: Schema, v: Any) -> Any:
+    """Unparse one child: regex children yield a _Splice, plain children one item."""
+    if isinstance(s, RegexSchema):
+        return s._unparse_value(v)
+    return s.unparser()(v)
+
+
+class CatSchema(RegexSchema):
+    """:cat / :catn — concatenation. impl/regex.cljc cat*/catn wiring."""
+
+    named = False
+
+    def __init__(self, type_, properties, children, options):
+        super().__init__(type_, properties, children, options)
+        self.named = type_ == "catn"
+
+    def _parts(self) -> list[tuple[Any, Schema]]:
+        if self.named:
+            return [(k, s) for (k, _, s) in self.children]
+        return [(i, s) for i, s in enumerate(self.children)]
+
+    def _matcher(self) -> Matcher:
+        parts = [(k, _compile_matcher(s), isinstance(s, RegexSchema)) for (k, s) in self._parts()]
+        named = self.named
+
+        def match(items, pos, budget, parsing):
+            def step(i, p, acc):
+                budget.tick()
+                if i == len(parts):
+                    if parsing:
+                        yield p, (Tags(dict(acc)) if named else [v for (_, v) in acc])
+                    else:
+                        yield p, None
+                    return
+                k, m, _ = parts[i]
+                for (np, pv) in m(items, p, budget, parsing):
+                    yield from step(i + 1, np, acc + [(k, pv)] if parsing else acc)
+
+            yield from step(0, pos, [])
+
+        return match
+
+    def _unparse_value(self, x):
+        parts = self._parts()
+        if self.named:
+            if not isinstance(x, Tags):
+                return INVALID
+            vals = x.values
+            out = []
+            for (k, s) in parts:
+                if k not in vals:
+                    return INVALID
+                u = _child_unparse(s, vals[k])
+                if u is INVALID:
+                    return INVALID
+                out.append(u)
+            return _Splice(out)
+        if not isinstance(x, (list, tuple)) or len(x) != len(parts):
+            return INVALID
+        out = []
+        for (k, s), v in zip(parts, x):
+            u = _child_unparse(s, v)
+            if u is INVALID:
+                return INVALID
+            out.append(u)
+        return _Splice(out)
+
+    def _form(self):
+        out: list = [self.type]
+        if self.properties:
+            out.append(dict(self.properties))
+        if self.named:
+            for (k, props, s) in self.children:
+                out.append([k, props, s.form] if props else [k, s.form])
+        else:
+            out.extend(c.form for c in self.children)
+        return out
+
+
+class AltSchema(RegexSchema):
+    """:alt / :altn — alternation."""
+
+    def __init__(self, type_, properties, children, options):
+        super().__init__(type_, properties, children, options)
+        self.named = type_ == "altn"
+
+    def _parts(self):
+        if self.named:
+            return [(k, s) for (k, _, s) in self.children]
+        return [(i, s) for i, s in enumerate(self.children)]
+
+    def _matcher(self) -> Matcher:
+        parts = [(k, _compile_matcher(s)) for (k, s) in self._parts()]
+        named = self.named
+
+        def match(items, pos, budget, parsing):
+            for k, m in parts:
+                budget.tick()
+                for (np, pv) in m(items, pos, budget, parsing):
+                    yield np, (Tag(k, pv) if (parsing and named) else pv)
+
+        return match
+
+    def _unparse_value(self, x):
+        if self.named:
+            if not isinstance(x, Tag):
+                return INVALID
+            for (k, _, s) in self.children:
+                if k == x.key:
+                    u = _child_unparse(s, x.value)
+                    return INVALID if u is INVALID else _Splice([u])
+            return INVALID
+        for s in [s for (_, s) in self._parts()]:
+            u = _child_unparse(s, x)
+            if u is not INVALID:
+                return _Splice([u])
+        return INVALID
+
+    def _form(self):
+        out: list = [self.type]
+        if self.properties:
+            out.append(dict(self.properties))
+        if self.named:
+            for (k, props, s) in self.children:
+                out.append([k, props, s.form] if props else [k, s.form])
+        else:
+            out.extend(c.form for c in self.children)
+        return out
+
+
+class RepeatSchema(RegexSchema):
+    """:? :* :+ :repeat — bounded repetition (greedy with backtracking).
+
+    Reference: impl/regex.cljc repeat/opt/plus/star combinators (:repeat uses
+    min/max registers, impl/regex.cljc:300-420).
+    """
+
+    def __init__(self, type_, properties, children, options):
+        if len(children) != 1:
+            raise SchemaError(f":{type_} expects exactly one child")
+        super().__init__(type_, properties, children, options)
+        props = properties or {}
+        if type_ == "?":
+            self.min, self.max = 0, 1
+        elif type_ == "*":
+            self.min, self.max = 0, None
+        elif type_ == "+":
+            self.min, self.max = 1, None
+        else:  # :repeat
+            self.min = props.get("min", 0)
+            self.max = props.get("max")
+
+    def _matcher(self) -> Matcher:
+        child = self.children[0]
+        cm = _compile_matcher(child)
+        mn, mx = self.min, self.max
+        is_opt = self.type == "?"
+
+        def match(items, pos, budget, parsing):
+            # greedy: try more repetitions first, backtrack to fewer
+            def step(count, p, acc):
+                budget.tick()
+                if mx is None or count < mx:
+                    for (np, pv) in cm(items, p, budget, parsing):
+                        if np == p and count >= mn:
+                            break  # zero-width guard
+                        yield from step(count + 1, np, acc + [pv] if parsing else acc)
+                if count >= mn:
+                    if parsing:
+                        if is_opt:
+                            yield p, (acc[0] if acc else None)
+                        else:
+                            yield p, list(acc)
+                    else:
+                        yield p, None
+
+            yield from step(0, pos, [])
+
+        return match
+
+    def _unparse_value(self, x):
+        child = self.children[0]
+        if self.type == "?":
+            if x is None:
+                return _Splice([])
+            u = _child_unparse(child, x)
+            return INVALID if u is INVALID else _Splice([u])
+        if not isinstance(x, (list, tuple)):
+            return INVALID
+        out = []
+        for v in x:
+            u = _child_unparse(child, v)
+            if u is INVALID:
+                return INVALID
+            out.append(u)
+        return _Splice(out)
+
+    def _form(self):
+        out: list = [self.type]
+        if self.properties:
+            out.append(dict(self.properties))
+        out.extend(c.form for c in self.children)
+        return out
+
+
+def register_into(reg: dict) -> None:
+    reg["cat"] = CatSchema
+    reg["catn"] = _entry_ctor(CatSchema)
+    reg["alt"] = AltSchema
+    reg["altn"] = _entry_ctor(AltSchema)
+    for t in ("?", "*", "+", "repeat"):
+        reg[t] = RepeatSchema

@@ -1,0 +1,417 @@
+"""Transformers — the malli.transform surface (row-level).
+
+Reimplements /root/reference/src/malli/transform.cljc semantics:
+the interceptor model ({enter, leave} per schema node, composed
+parent-around-children with identity elision — transform.cljc:14-58,
+core.cljc:598-622, README.md:3767-3790), per-schema property overrides
+``decode/<name>`` / ``encode/<name>`` (-value-transformer,
+transform.cljc:411-426), and the built-in transformers:
+
+  - string-transformer  (transform.cljc:454-458; scalar fns :60-205)
+  - json-transformer    (transform.cljc:428-452)
+  - collection-transformer (:530-537)
+  - strip-extra-keys-transformer (:460-483)
+  - key-transformer     (:485-490)
+  - default-value-transformer (:492-528)
+
+The Arrow/batch counterparts of these (pc.cast / strptime / fill_null /
+select_columns) live in malli_ray.arrow_compile; this module is the row-level
+contract they are tested against.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import uuid as _uuid
+from typing import Any, Callable, Optional
+
+from .core import DEFAULT_KEY, MapSchema, Schema
+
+__all__ = [
+    "Transformer", "transformer", "string_transformer", "json_transformer",
+    "collection_transformer", "strip_extra_keys_transformer", "key_transformer",
+    "default_value_transformer",
+]
+
+
+# --------------------------------------------------------------------------
+# scalar coercion functions (transform.cljc:60-205)
+# --------------------------------------------------------------------------
+
+
+def string_to_long(x: Any) -> Any:
+    """-string->long: parse or return unchanged (transform.cljc:60-70)."""
+    if isinstance(x, str):
+        try:
+            return int(x, 10)
+        except ValueError:
+            return x
+    return x
+
+
+def string_to_double(x: Any) -> Any:
+    if isinstance(x, str):
+        try:
+            return float(x)
+        except ValueError:
+            return x
+    return x
+
+
+def string_to_boolean(x: Any) -> Any:
+    """-string->boolean: only "true"/"false" (transform.cljc:90-93)."""
+    if x == "true":
+        return True
+    if x == "false":
+        return False
+    return x
+
+
+def string_to_keyword(x: Any) -> Any:
+    """Strip a leading ':' (keywords are strings in this engine)."""
+    if isinstance(x, str) and x.startswith(":"):
+        return x[1:]
+    return x
+
+
+def string_to_uuid(x: Any) -> Any:
+    """-string->uuid with regex guard (transform.cljc:115-124)."""
+    if isinstance(x, str):
+        try:
+            return _uuid.UUID(x)
+        except ValueError:
+            return x
+    return x
+
+
+def string_to_date(x: Any) -> Any:
+    """ISO-8601 parse (transform.cljc:138-159)."""
+    if isinstance(x, str):
+        s = x[:-1] + "+00:00" if x.endswith("Z") else x
+        try:
+            return _dt.datetime.fromisoformat(s)
+        except ValueError:
+            try:
+                return _dt.datetime.combine(_dt.date.fromisoformat(x), _dt.time(),
+                                            tzinfo=_dt.timezone.utc)
+            except ValueError:
+                return x
+    return x
+
+
+def number_to_long(x: Any) -> Any:
+    """-number->long: round integral doubles (transform.cljc:99-103)."""
+    if isinstance(x, float) and x.is_integer():
+        return int(x)
+    return x
+
+
+def number_to_double(x: Any) -> Any:
+    if isinstance(x, int) and not isinstance(x, bool):
+        return float(x)
+    return x
+
+
+def any_to_string(x: Any) -> Any:
+    if x is None:
+        return None
+    if isinstance(x, str):
+        return x
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    if isinstance(x, _dt.datetime):
+        return date_to_string(x)
+    return str(x)
+
+
+def date_to_string(x: Any) -> Any:
+    """UTC ISO-8601 with millis (transform.cljc:183-193)."""
+    if isinstance(x, _dt.datetime):
+        if x.tzinfo is not None:
+            x = x.astimezone(_dt.timezone.utc)
+        return x.strftime("%Y-%m-%dT%H:%M:%S.") + f"{x.microsecond // 1000:03d}Z"
+    return x
+
+
+def string_to_nil(x: Any) -> Any:
+    """"" -> nil (transform.cljc:171-172)."""
+    return None if x == "" else x
+
+
+# --------------------------------------------------------------------------
+# Transformer
+# --------------------------------------------------------------------------
+
+
+class Transformer:
+    """A named set of per-schema-type decoders/encoders.
+
+    ``decoders`` / ``encoders`` map schema-type -> interceptor, where an
+    interceptor is a callable (== enter) or {"enter": f, "leave": g}.
+    Reference: mt/transformer, transform.cljc:387-426.
+    """
+
+    def __init__(self, name: str | None,
+                 decoders: dict[str, Any] | None = None,
+                 encoders: dict[str, Any] | None = None,
+                 chain: list["Transformer"] | None = None):
+        self.name = name
+        self.decoders = decoders or {}
+        self.encoders = encoders or {}
+        self.chain = chain or []
+
+    def value_transformer(self, schema_: Schema, method: str, options: dict) -> Optional[Any]:
+        """Per-node transform lookup: schema properties ``<method>/<name>``
+        first, then the transformer's type map (transform.cljc:411-426)."""
+        if self.chain:
+            steps = [t.value_transformer(schema_, method, options) for t in self.chain]
+            steps = [s for s in steps if s is not None]
+            if not steps:
+                return None
+            if len(steps) == 1:
+                return steps[0]
+            return _compose_interceptors(steps)
+        if self.name:
+            override = schema_.properties.get(f"{method}/{self.name}")
+            if override is not None:
+                return _to_interceptor(override)
+        table = self.decoders if method == "decode" else self.encoders
+        t = table.get(schema_.type)
+        if t is None:
+            return None
+        if callable(t) and getattr(t, "__transformer_compile__", False):
+            return t(schema_, options)
+        return _to_interceptor(t)
+
+
+def _to_interceptor(t: Any) -> Any:
+    if isinstance(t, dict):
+        return t
+    return t
+
+
+def _compose_interceptors(steps: list) -> dict:
+    enters, leaves = [], []
+    for s in steps:
+        if isinstance(s, dict):
+            if s.get("enter"):
+                enters.append(s["enter"])
+            if s.get("leave"):
+                leaves.append(s["leave"])
+        elif callable(s):
+            enters.append(s)
+
+    def run(fs):
+        def f(x):
+            for g in fs:
+                x = g(x)
+            return x
+        return f
+
+    out: dict = {}
+    if enters:
+        out["enter"] = run(enters)
+    if leaves:
+        out["leave"] = run(list(reversed(leaves)))
+    return out
+
+
+def transformer(*ts: Transformer) -> Transformer:
+    """Compose transformers left-to-right (mt/transformer chaining)."""
+    if len(ts) == 1:
+        return ts[0]
+    return Transformer(None, chain=list(ts))
+
+
+def _compile_marker(f):
+    f.__transformer_compile__ = True
+    return f
+
+
+# --------------------------------------------------------------------------
+# built-in transformers
+# --------------------------------------------------------------------------
+
+_STRING_DECODERS: dict[str, Any] = {
+    "int": string_to_long, "integer": string_to_long,
+    "int?": string_to_long, "integer?": string_to_long,
+    "pos-int?": string_to_long, "neg-int?": string_to_long, "nat-int?": string_to_long,
+    "double": string_to_double, "float": string_to_double,
+    "double?": string_to_double, "float?": string_to_double, "number?": string_to_double,
+    "number": string_to_double,
+    "boolean": string_to_boolean, "boolean?": string_to_boolean,
+    "keyword": string_to_keyword, "keyword?": string_to_keyword,
+    "qualified-keyword": string_to_keyword,
+    "symbol": string_to_keyword, "symbol?": string_to_keyword,
+    "uuid": string_to_uuid, "uuid?": string_to_uuid,
+    "inst?": string_to_date,
+    "nil": string_to_nil, "nil?": string_to_nil,
+}
+
+_STRING_ENCODERS: dict[str, Any] = {
+    "int": any_to_string, "integer": any_to_string, "int?": any_to_string,
+    "double": any_to_string, "double?": any_to_string, "float": any_to_string,
+    "boolean": any_to_string, "boolean?": any_to_string,
+    "keyword": any_to_string, "symbol": any_to_string,
+    "uuid": any_to_string, "uuid?": any_to_string,
+    "inst?": date_to_string,
+}
+
+
+def string_transformer() -> Transformer:
+    """String -> typed values per target schema (transform.cljc:454-458)."""
+    return Transformer("string", decoders=dict(_STRING_DECODERS),
+                       encoders=dict(_STRING_ENCODERS))
+
+
+def _list_to_set(x: Any) -> Any:
+    if isinstance(x, (list, tuple)):
+        return set(x)
+    return x
+
+
+def json_transformer() -> Transformer:
+    """JSON-shaped data -> richer types (transform.cljc:428-452)."""
+    decoders = {
+        "keyword": string_to_keyword, "keyword?": string_to_keyword,
+        "qualified-keyword": string_to_keyword,
+        "symbol": string_to_keyword, "symbol?": string_to_keyword,
+        "uuid": string_to_uuid, "uuid?": string_to_uuid,
+        "inst?": string_to_date,
+        "set": _list_to_set, "set?": _list_to_set,
+        "int": number_to_long, "int?": number_to_long,
+        "double": number_to_double, "double?": number_to_double,
+    }
+    encoders = {
+        "keyword": any_to_string, "symbol": any_to_string,
+        "uuid": any_to_string, "uuid?": any_to_string,
+        "inst?": date_to_string,
+        "set": lambda x: sorted(x) if isinstance(x, (set, frozenset)) else x,
+    }
+    return Transformer("json", decoders=decoders, encoders=encoders)
+
+
+def collection_transformer() -> Transformer:
+    """Sequence/set coercions (transform.cljc:530-537)."""
+    decoders = {"set": _list_to_set, "set?": _list_to_set,
+                "vector": lambda x: list(x) if isinstance(x, (tuple, set, frozenset)) else x,
+                "sequential": lambda x: list(x) if isinstance(x, (tuple, set, frozenset)) else x}
+    return Transformer("collection", decoders=decoders, encoders={})
+
+
+@_compile_marker
+def _strip_extra_keys(schema_: Schema, _options: dict):
+    if not isinstance(schema_, MapSchema):
+        return None
+    keep = set(schema_.explicit_keys)
+    if schema_.default_entry is not None:
+        return None  # ::m/default entry owns the rest of the map
+
+    def strip(x: Any) -> Any:
+        if not isinstance(x, dict):
+            return x
+        if all(k in keep for k in x):
+            return x
+        return {k: v for k, v in x.items() if k in keep}
+
+    return {"enter": strip}
+
+
+def strip_extra_keys_transformer() -> Transformer:
+    """Drop map keys not in the schema (transform.cljc:460-483)."""
+    t = Transformer("strip-extra-keys", decoders={"map": _strip_extra_keys},
+                    encoders={"map": _strip_extra_keys})
+    return t
+
+
+def key_transformer(decode: Callable | None = None,
+                    encode: Callable | None = None) -> Transformer:
+    """Rename/transform map keys (transform.cljc:485-490, :195-201)."""
+
+    def make(f):
+        if f is None:
+            return None
+
+        @_compile_marker
+        def compile_(schema_: Schema, _options: dict):
+            if not isinstance(schema_, MapSchema):
+                return None
+
+            def tx(x: Any) -> Any:
+                if not isinstance(x, dict):
+                    return x
+                return {f(k): v for k, v in x.items()}
+
+            return {"enter": tx}
+
+        return compile_
+
+    dec, enc = make(decode), make(encode)
+    return Transformer("key", decoders={"map": dec} if dec else {},
+                       encoders={"map": enc} if enc else {})
+
+
+def default_value_transformer(key: str = "default",
+                              defaults: dict[str, Any] | None = None,
+                              add_optional_keys: bool = False) -> Transformer:
+    """Fill nil/missing values with defaults (transform.cljc:492-528).
+
+    Per-schema ``:default`` property first, then per-type ``defaults``;
+    :map fills missing keys whose entry schema has a default (optional keys
+    only when ``add_optional_keys``).
+    """
+    defaults = defaults or {}
+
+    @_compile_marker
+    def compile_(schema_: Schema, _options: dict):
+        if isinstance(schema_, MapSchema):
+            fills = []
+            for (k, props, cs) in schema_.children:
+                if k == DEFAULT_KEY:
+                    continue
+                optional = bool((props or {}).get("optional"))
+                if optional and not add_optional_keys:
+                    continue
+                if key in cs.properties:
+                    fills.append((k, cs.properties[key]))
+                elif cs.type in defaults:
+                    fills.append((k, defaults[cs.type]))
+            own = schema_.properties.get(key, _SENTINEL)
+
+            def fill(x: Any) -> Any:
+                if x is None and own is not _SENTINEL:
+                    x = own() if callable(own) else own
+                if not isinstance(x, dict):
+                    return x
+                missing = [(k, d) for (k, d) in fills if k not in x or x[k] is None]
+                if not missing:
+                    return x
+                out = dict(x)
+                for (k, d) in missing:
+                    out[k] = d() if callable(d) else d
+                return out
+
+            return {"enter": fill} if (fills or own is not _SENTINEL) else None
+
+        dflt = schema_.properties.get(key, _SENTINEL)
+        if dflt is _SENTINEL and schema_.type in defaults:
+            dflt = defaults[schema_.type]
+        if dflt is _SENTINEL:
+            return None
+
+        def fill_scalar(x: Any) -> Any:
+            if x is None:
+                return dflt() if callable(dflt) else dflt
+            return x
+
+        return {"enter": fill_scalar}
+
+    table = {t: compile_ for t in
+             ("map", "string", "int", "integer", "double", "float", "boolean",
+              "keyword", "symbol", "uuid", "enum", "maybe", "any", "number",
+              "vector", "set", "sequential", "string?", "int?", "boolean?",
+              "double?", "keyword?", "number?")}
+    return Transformer("default-value", decoders=table, encoders=table)
+
+
+_SENTINEL = object()

@@ -1,0 +1,365 @@
+"""Schema algebra — the malli.util surface (driver-side, data-free).
+
+Reimplements the semantics of /root/reference/src/malli/util.cljc over our
+Python schema trees: ``merge`` (:53-101), ``union`` (:103-112), entry editing
+(select-keys/dissoc/assoc/rename/optional/required, :238-388),
+closed/open (:128-166), subschemas & path translation (:168-207), and the lazy
+wrapper schema types :merge / :union / :select-keys (:394-418).
+
+These are pure schema-tree manipulations; they never touch data
+(SURVEY.md SS2.6).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from .core import (
+    DEFAULT_KEY, MapSchema, Schema, SchemaError, schema,
+)
+
+__all__ = [
+    "merge", "union", "select_keys", "dissoc", "assoc", "update", "rename_keys",
+    "optional_keys", "required_keys", "keys", "get", "get_in", "assoc_in",
+    "closed_schema", "open_schema", "subschemas", "equals", "find",
+    "transform_entries", "register_into",
+]
+
+
+def _as_map(s: Any, options=None) -> MapSchema:
+    sc = schema(s, options)
+    sc = _deref_all(sc)
+    if not isinstance(sc, MapSchema):
+        raise SchemaError(f"expected :map schema, got {sc.type}")
+    return sc
+
+
+def _deref_all(sc: Schema) -> Schema:
+    seen = 0
+    while True:
+        d = sc.deref()
+        if d is sc or seen > 100:
+            return sc
+        sc = d
+        seen += 1
+
+
+def _rebuild_map(template: MapSchema, entries: list, properties: dict | None = None) -> MapSchema:
+    props = properties if properties is not None else dict(template.properties)
+    return MapSchema("map", props, entries, template.options)
+
+
+def merge(s1: Any, s2: Any, options: dict | None = None) -> Schema:
+    """Deep map-schema merge, last-wins on conflicts; nested maps merge
+    recursively; optionality of the *last* entry wins.
+
+    Reference: mu/merge, src/malli/util.cljc:53-101.
+    """
+    if s1 is None:
+        return schema(s2, options)
+    if s2 is None:
+        return schema(s1, options)
+    a, b = schema(s1, options), schema(s2, options)
+    da, db = _deref_all(a), _deref_all(b)
+    if not (isinstance(da, MapSchema) and isinstance(db, MapSchema)):
+        return b  # non-map merge: last wins (util.cljc:88-90)
+    out: list = []
+    index: dict = {}
+    for (k, p, cs) in da.children:
+        index[k] = len(out)
+        out.append((k, p, cs))
+    for (k, p, cs) in db.children:
+        if k in index:
+            (k0, p0, cs0) = out[index[k]]
+            cs0d, csd = _deref_all(cs0), _deref_all(cs)
+            if isinstance(cs0d, MapSchema) and isinstance(csd, MapSchema):
+                merged_child = merge(cs0d, csd, options)
+            else:
+                merged_child = cs
+            out[index[k]] = (k, p, merged_child)
+        else:
+            index[k] = len(out)
+            out.append((k, p, cs))
+    props = dict(da.properties)
+    props.update(db.properties)
+    return _rebuild_map(da, out, props)
+
+
+def union(s1: Any, s2: Any, options: dict | None = None) -> Schema:
+    """Merge where conflicting entries become :or and optionality is or-ed.
+
+    Reference: mu/union, src/malli/util.cljc:103-112.
+    """
+    from .core import OrSchema
+    a, b = _as_map(s1, options), _as_map(s2, options)
+    out: list = []
+    index: dict = {}
+    for (k, p, cs) in a.children:
+        index[k] = len(out)
+        out.append((k, p, cs))
+    for (k, p, cs) in b.children:
+        if k in index:
+            (k0, p0, cs0) = out[index[k]]
+            optional = bool((p0 or {}).get("optional")) or bool((p or {}).get("optional"))
+            np = dict(p0 or {})
+            if optional:
+                np["optional"] = True
+            elif "optional" in np:
+                del np["optional"]
+            if equals(cs0, cs):
+                merged_child = cs0
+            else:
+                merged_child = OrSchema("or", {}, [cs0, cs], a.options)
+            out[index[k]] = (k, np or None, merged_child)
+        else:
+            index[k] = len(out)
+            out.append((k, p, cs))
+    props = dict(a.properties)
+    props.update(b.properties)
+    return _rebuild_map(a, out, props)
+
+
+def select_keys(s: Any, ks: list, options: dict | None = None) -> Schema:
+    m = _as_map(s, options)
+    ks_set = set(ks)
+    return _rebuild_map(m, [(k, p, cs) for (k, p, cs) in m.children if k in ks_set])
+
+
+def dissoc(s: Any, key: Any, options: dict | None = None) -> Schema:
+    m = _as_map(s, options)
+    return _rebuild_map(m, [(k, p, cs) for (k, p, cs) in m.children if k != key])
+
+
+def assoc(s: Any, key: Any, child: Any, options: dict | None = None,
+          entry_props: dict | None = None) -> Schema:
+    m = _as_map(s, options)
+    cs = schema(child, options or m.options)
+    out = []
+    replaced = False
+    for (k, p, c) in m.children:
+        if k == key:
+            out.append((k, entry_props if entry_props is not None else p, cs))
+            replaced = True
+        else:
+            out.append((k, p, c))
+    if not replaced:
+        out.append((key, entry_props, cs))
+    return _rebuild_map(m, out)
+
+
+def update(s: Any, key: Any, f: Callable[[Schema | None], Any],
+           options: dict | None = None) -> Schema:
+    m = _as_map(s, options)
+    current = next((cs for (k, _, cs) in m.children if k == key), None)
+    return assoc(m, key, f(current), options)
+
+
+def rename_keys(s: Any, kmap: dict, options: dict | None = None) -> Schema:
+    m = _as_map(s, options)
+    return _rebuild_map(m, [(kmap.get(k, k), p, cs) for (k, p, cs) in m.children])
+
+
+def _set_optional(s: Any, ks, value: bool, options) -> Schema:
+    m = _as_map(s, options)
+    ks_set = set(ks) if ks is not None else None
+    out = []
+    for (k, p, cs) in m.children:
+        if ks_set is None or k in ks_set:
+            np = dict(p or {})
+            if value:
+                np["optional"] = True
+            else:
+                np.pop("optional", None)
+            out.append((k, np or None, cs))
+        else:
+            out.append((k, p, cs))
+    return _rebuild_map(m, out)
+
+
+def optional_keys(s: Any, ks=None, options: dict | None = None) -> Schema:
+    return _set_optional(s, ks, True, options)
+
+
+def required_keys(s: Any, ks=None, options: dict | None = None) -> Schema:
+    return _set_optional(s, ks, False, options)
+
+
+def keys(s: Any, options: dict | None = None) -> list:
+    return [k for (k, _, _) in _as_map(s, options).children if k != DEFAULT_KEY]
+
+
+def find(s: Any, key: Any, options: dict | None = None):
+    m = _as_map(s, options)
+    return next(((k, p, cs) for (k, p, cs) in m.children if k == key), None)
+
+
+def get(s: Any, key: Any, options: dict | None = None) -> Schema | None:
+    sc = _deref_all(schema(s, options))
+    if isinstance(sc, MapSchema):
+        e = next((cs for (k, _, cs) in sc.children if k == key), None)
+        return e
+    if isinstance(key, int) and 0 <= key < len(sc.children):
+        c = sc.children[key]
+        return c if isinstance(c, Schema) else None
+    return None
+
+
+def get_in(s: Any, path: list, options: dict | None = None) -> Schema | None:
+    sc: Schema | None = schema(s, options)
+    for k in path:
+        if sc is None:
+            return None
+        sc = get(sc, k, options)
+    return sc
+
+
+def assoc_in(s: Any, path: list, child: Any, options: dict | None = None) -> Schema:
+    if not path:
+        return schema(child, options)
+    k, rest = path[0], path[1:]
+    m = _as_map(s, options)
+    if rest:
+        sub = get(m, k)
+        if sub is None:
+            raise SchemaError(f"assoc_in: missing path element {k!r}")
+        return assoc(m, k, assoc_in(sub, rest, child, options), options)
+    return assoc(m, k, child, options)
+
+
+def _set_closed(s: Any, closed: bool, options) -> Schema:
+    def walker(sc: Schema, path, walked):
+        if isinstance(sc, MapSchema):
+            props = dict(sc.properties)
+            if closed:
+                props["closed"] = True
+            else:
+                props.pop("closed", None)
+            return MapSchema("map", props, walked, sc.options)
+        return _rebuild_node(sc, walked)
+
+    return schema(s, options).walk(walker)
+
+
+def _rebuild_node(sc: Schema, walked: list) -> Schema:
+    if walked == sc.children:
+        return sc
+    new = object.__new__(type(sc))
+    new.__dict__.update(sc.__dict__)
+    new.children = walked
+    new._cache = {}
+    return new
+
+
+def closed_schema(s: Any, options: dict | None = None) -> Schema:
+    """Recursively close all :map schemas. src/malli/util.cljc:128-146."""
+    return _set_closed(s, True, options)
+
+
+def open_schema(s: Any, options: dict | None = None) -> Schema:
+    return _set_closed(s, False, options)
+
+
+def subschemas(s: Any, options: dict | None = None) -> list:
+    """All (path, schema) pairs, preorder. src/malli/util.cljc:168-187."""
+    out: list = []
+
+    def walker(sc: Schema, path, walked):
+        out.append((list(path), sc))
+        return sc
+
+    schema(s, options).walk(walker)
+    # walk is bottom-up; re-sort to preorder by path
+    out.sort(key=lambda kv: (len(kv[0]), [str(p) for p in kv[0]]))
+    return out
+
+
+def equals(s1: Any, s2: Any, options: dict | None = None) -> bool:
+    """Form equality. src/malli/util.cljc:183-187."""
+    return schema(s1, options).form == schema(s2, options).form
+
+
+def transform_entries(s: Any, f: Callable[[list], list], options: dict | None = None) -> Schema:
+    m = _as_map(s, options)
+    return _rebuild_map(m, f(list(m.children)))
+
+
+# --------------------------------------------------------------------------
+# lazy wrapper schema types :merge / :union / :select-keys
+# (mu/schemas, src/malli/util.cljc:394-418, via -proxy-schema core.cljc:2323-2380)
+# --------------------------------------------------------------------------
+
+
+class _ProxySchema(Schema):
+    """A schema type that derives a concrete schema from its children."""
+
+    def __init__(self, type_, properties, children, options):
+        super().__init__(type_, properties, children, options)
+        self._derived: Schema | None = None
+
+    def deref(self) -> Schema:
+        if self._derived is None:
+            self._derived = self._derive()
+        return self._derived
+
+    def _derive(self) -> Schema:
+        raise NotImplementedError
+
+    def _validator(self):
+        return self.deref().validator()
+
+    def _explainer(self, path):
+        return self.deref()._explainer(path)
+
+    def _parser(self):
+        return self.deref().parser()
+
+    def _unparser(self):
+        return self.deref().unparser()
+
+    def _children_transformer(self, transformer, method, options):
+        return self.deref()._transformer(transformer, method, options)
+
+
+class MergeSchema(_ProxySchema):
+    def _derive(self) -> Schema:
+        out = None
+        for c in self.children:
+            out = merge(out, c, self.options) if out is not None else c
+        return out if out is not None else schema("map", self.options)
+
+
+class UnionSchema(_ProxySchema):
+    def _derive(self) -> Schema:
+        out = None
+        for c in self.children:
+            out = union(out, c, self.options) if out is not None else c
+        return out if out is not None else schema("map", self.options)
+
+
+class SelectKeysSchema(_ProxySchema):
+    def _derive(self) -> Schema:
+        if len(self.children) != 2:
+            raise SchemaError(":select-keys expects [map-schema [keys...]]")
+        base, ks = self.children
+        return select_keys(base, ks, self.options)
+
+    def _form(self):
+        base, ks = self.children
+        out: list = [self.type]
+        if self.properties:
+            out.append(dict(self.properties))
+        out.append(base.form if isinstance(base, Schema) else base)
+        out.append(list(ks))
+        return out
+
+
+def _select_keys_ctor(type_, props, children, options):
+    if len(children) != 2:
+        raise SchemaError(":select-keys expects [map-schema [keys...]]")
+    return SelectKeysSchema(type_, props, [schema(children[0], options), list(children[1])], options)
+
+
+def register_into(reg: dict) -> None:
+    reg["merge"] = MergeSchema
+    reg["union"] = UnionSchema
+    reg["select-keys"] = _select_keys_ctor
