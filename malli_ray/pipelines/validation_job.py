@@ -1,0 +1,266 @@
+"""The flagship pipeline: fused streaming validation job with lineage/resume.
+
+Engine lifecycle (SURVEY.md SS3.3 "Engine lifecycle"):
+
+  config(schema DSL + constraints + io paths)
+    -> driver compiles spec (plain data, shipped to actors)
+    -> Dataset-level ops (validate/explain/summarize) for composition, and
+    -> run_job(): per-fragment fused pass with per-partition lineage commits
+       (checkpoint store), violations written to deterministic per-fragment
+       parquet paths (idempotent overwrite => retry/resume safe),
+       + dataset-level constraints (uniqueness groupby, drift histograms).
+
+Scale design notes (BASELINE.json north_rule):
+  - the fused pass is embarrassingly parallel (no shuffle); the driver only
+    ever merges O(partitions) metadata — never row data;
+  - uniqueness shuffles only the projected key column with a map-side
+    combiner (stages/constraints.py);
+  - drift histograms ride along in the fused column stats (zero extra pass);
+  - resume: committed partitions are skipped; outputs are overwritten by
+    deterministic name so half-written partitions self-heal.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data import Dataset
+
+from ..state.checkpoint import CheckpointStore
+from ..state.sketches import ColumnStats, HyperLogLog, TDigest, hash64
+from ..stages.validator import (
+    ExplainBatch, SummarizeBatch, ValidateBatch, ValidationSpec, merge_summaries,
+)
+from ..stages import constraints as C
+
+__all__ = ["ValidationSpec", "validate", "explain", "summarize", "run_job"]
+
+
+def _default_concurrency() -> tuple[int, int]:
+    """Actor-pool size: autoscale 1..num_cpus (validator is CPU-bound,
+    SURVEY.md SS7.3). Min of 1 so small inputs never wait on pool spin-up."""
+    try:
+        return (1, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    except Exception:
+        return (1, 8)
+
+
+def validate(ds: Dataset, spec: ValidationSpec, concurrency=None,
+             batch_size: int | None = None) -> Dataset:
+    """Append a ``valid`` boolean column (m/validate over the stream)."""
+    return ds.map_batches(ValidateBatch, fn_constructor_kwargs={"spec": spec},
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=concurrency or _default_concurrency(),
+                          batch_size=batch_size)
+
+
+def explain(ds: Dataset, spec: ValidationSpec, concurrency=None,
+            batch_size: int | None = None) -> Dataset:
+    """Violation rows dataset (m/explain over the stream)."""
+    return ds.map_batches(ExplainBatch, fn_constructor_kwargs={"spec": spec},
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=concurrency or _default_concurrency(),
+                          batch_size=batch_size)
+
+
+def summarize(ds: Dataset, spec: ValidationSpec, concurrency=None,
+              batch_size: int | None = None) -> dict:
+    """Fused validate+stats pass -> merged job report (driver merges tiny
+    per-batch partials only)."""
+    s = ds.map_batches(SummarizeBatch, fn_constructor_kwargs={"spec": spec},
+                       batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=concurrency or _default_concurrency(),
+                       batch_size=batch_size)
+    rows = s.take_all()  # O(batches) small rows
+    return merge_summaries(rows)
+
+
+# --------------------------------------------------------------------------
+# checkpointed per-fragment job
+# --------------------------------------------------------------------------
+
+
+class _ProcessFragment:
+    """Actor: one parquet fragment -> fused validate+stats+violations pass.
+
+    Reads row groups streaming (never the whole fragment at once), writes
+    violation rows to a deterministic per-fragment path, returns ONE lineage
+    row. Compiled plan is built once per actor.
+    """
+
+    def __init__(self, spec: ValidationSpec, out_dir: str,
+                 rows_per_batch: int = 65_536):
+        self.spec = spec
+        self.plan = spec.build_plan()
+        self.out_dir = out_dir
+        self.rows_per_batch = rows_per_batch
+        os.makedirs(os.path.join(out_dir, "violations"), exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_rows = {"partition_id": [], "fragment": [], "row_count": [],
+                    "n_valid": [], "violation_count": [], "stats_json": [],
+                    "hll_json": [], "tdigest_json": [], "wall_s": []}
+        for path in batch.column("path").to_pylist():
+            t0 = time.perf_counter()
+            rec = self._process(path)
+            rec["wall_s"] = time.perf_counter() - t0
+            for k in out_rows:
+                out_rows[k].append(rec[k])
+        return pa.Table.from_pydict(out_rows)
+
+    def _process(self, path: str) -> dict:
+        spec = self.spec
+        pf = pq.ParquetFile(path)
+        stats = ColumnStats()
+        hlls = {c: HyperLogLog() for c in spec.hll_columns}
+        tds = {c: TDigest() for c in spec.tdigest_columns}
+        hist_cols = frozenset(spec.hist_columns)
+        n_rows = n_valid = 0
+        violation_tables = []
+        row_offset = 0
+        for rb in pf.iter_batches(batch_size=self.rows_per_batch):
+            t = pa.Table.from_batches([rb])
+            bound = self.plan.bind(t.schema)
+            mask = bound.valid_mask(t)
+            n_rows += t.num_rows
+            n_valid += int(mask.sum())
+            if int(mask.sum()) < t.num_rows:
+                v = bound.explain_table(
+                    t, id_column=spec.id_column, row_offset=row_offset,
+                    max_violations=spec.max_violations_per_batch)
+                if v.num_rows:
+                    violation_tables.append(v)
+            stats.update_from_table(t, hist_cols)
+            for c, h in hlls.items():
+                if c in t.schema.names:
+                    h.add_hashes(hash64(t.column(c).drop_null()))
+            for c, td in tds.items():
+                if c in t.schema.names:
+                    td.add(np.asarray(
+                        t.column(c).drop_null().to_numpy(zero_copy_only=False),
+                        dtype=np.float64))
+            row_offset += t.num_rows
+
+        frag_id = os.path.splitext(os.path.basename(path))[0]
+        vio_count = 0
+        vio_path = os.path.join(self.out_dir, "violations", f"{frag_id}.parquet")
+        if violation_tables:
+            vio = pa.concat_tables(violation_tables)
+            vio_count = vio.num_rows
+            tmp = vio_path + ".tmp"
+            pq.write_table(vio, tmp)
+            os.replace(tmp, vio_path)  # deterministic overwrite => idempotent
+        elif os.path.exists(vio_path):
+            os.unlink(vio_path)
+
+        return {
+            "partition_id": frag_id, "fragment": path, "row_count": n_rows,
+            "n_valid": n_valid, "violation_count": vio_count,
+            "stats_json": stats.to_json(),
+            "hll_json": json.dumps({c: h.digest() for c, h in hlls.items()}),
+            "tdigest_json": json.dumps({c: t.digest() for c, t in tds.items()}),
+        }
+
+
+def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
+            uniqueness_key: str | None = None,
+            drift_columns: list[str] | None = None,
+            concurrency: int | None = None,
+            rows_per_batch: int = 65_536,
+            save_baseline_if_missing: bool = True) -> dict:
+    """Run (or resume) the full checkpointed validation job.
+
+    Returns the job report: verdicts, stats, sketches, constraint results,
+    drift scores. Identical verdicts on resume: partition == fragment,
+    deterministic processing, sketch merges in sorted partition order.
+    """
+    store = CheckpointStore(os.path.join(out_dir, "checkpoint"))
+    store.write_meta({"schema": spec.schema, "input_count": len(input_paths),
+                      "uniqueness_key": uniqueness_key})
+
+    by_id = {os.path.splitext(os.path.basename(p))[0]: p for p in input_paths}
+    pending = store.pending(by_id.keys())
+    skipped = len(by_id) - len(pending)
+
+    if pending:
+        paths_ds = ray.data.from_items([{"path": by_id[p]} for p in sorted(pending)])
+        lineage = paths_ds.map_batches(
+            _ProcessFragment,
+            fn_constructor_kwargs={"spec": spec, "out_dir": out_dir,
+                                   "rows_per_batch": rows_per_batch},
+            batch_size=1, batch_format="pyarrow",
+            concurrency=concurrency or _default_concurrency())
+        # stream lineage rows and commit each partition as it lands
+        for row in lineage.iter_rows():
+            store.commit_partition(row["partition_id"],
+                                   {**row, "status": "committed"})
+
+    committed = store.committed()
+    # merge in sorted partition order (checkpoint-exact determinism)
+    records = [committed[k] for k in sorted(committed.keys())]
+    report: dict[str, Any] = {
+        "n_partitions": len(records), "resumed_partitions": skipped,
+        "n_rows": sum(r["row_count"] for r in records),
+        "n_valid": sum(r["n_valid"] for r in records),
+        "n_violations": sum(r["violation_count"] for r in records),
+    }
+    stats = ColumnStats()
+    hlls: dict[str, HyperLogLog] = {}
+    tds: dict[str, TDigest] = {}
+    for r in records:
+        stats.merge(ColumnStats.from_json(r["stats_json"]))
+        for c, dig in json.loads(r["hll_json"]).items():
+            h = HyperLogLog.from_digest(dig)
+            hlls[c] = hlls[c].merge(h) if c in hlls else h
+        for c, dig in json.loads(r["tdigest_json"]).items():
+            t = TDigest.from_digest(dig)
+            tds[c] = tds[c].merge(t) if c in tds else t
+    report["stats"] = stats.stats
+    report["distinct"] = {c: h.cardinality() for c, h in hlls.items()}
+    report["quantiles"] = {c: {str(q): t.quantile(q) for q in (0.5, 0.9, 0.99)}
+                           for c, t in tds.items()}
+    report["per_partition"] = [
+        {"partition_id": r["partition_id"], "row_count": r["row_count"],
+         "violation_count": r["violation_count"],
+         "pass": r["violation_count"] == 0} for r in records]
+
+    # -- uniqueness constraint: projected-key groupby across all fragments --
+    if uniqueness_key:
+        ds = ray.data.read_parquet(input_paths, columns=[uniqueness_key])
+        dups = C.uniqueness_violations(ds, uniqueness_key)
+        dup_rows = dups.take_all()  # duplicate keys only: small by design
+        report["uniqueness"] = {
+            "key": uniqueness_key,
+            "duplicate_keys": len(dup_rows),
+            "duplicate_rows": int(sum(r["cnt"] for r in dup_rows) - len(dup_rows)),
+            "sample": [r[uniqueness_key] for r in dup_rows[:20]],
+        }
+        report["n_violations"] += report["uniqueness"]["duplicate_rows"]
+
+    # -- drift vs checkpointed baseline (histograms came fused with stats) --
+    if drift_columns:
+        current = {c: stats.stats.get(c, {}).get("hist", {}) for c in drift_columns}
+        baseline = store.read_baseline()
+        if baseline is None and save_baseline_if_missing:
+            store.write_baseline(current)
+            report["drift"] = {"baseline": "initialized"}
+        elif baseline is not None:
+            report["drift"] = {
+                c: C.drift_score(current.get(c, {}), baseline.get(c, {}))
+                for c in drift_columns}
+
+    report["pass"] = report["n_violations"] == 0
+    store.write_meta({"schema": spec.schema, "input_count": len(input_paths),
+                      "uniqueness_key": uniqueness_key,
+                      "last_report": {k: v for k, v in report.items()
+                                      if k not in ("per_partition",)}})
+    return report

@@ -1,0 +1,154 @@
+"""Dataset-level constraints: uniqueness, referential integrity, drift.
+
+malli's single-value model has no dataset constraints (SURVEY.md SS2.8); the
+north_rule adds three, designed Ray-natively:
+
+  - uniqueness(key): project the key column only (never the payload), partial
+    value-counts per batch (map-side combine), then ONE hash groupby on the
+    key — shuffle volume is O(distinct keys seen per block), not O(rows of
+    full width).  Pre-aggregation is the salt: a hot key collapses to one
+    (key, count) row per block before the shuffle.
+  - referential(column, allowed): broadcast semi-join — the small allowed
+    side ships once inside the actor spec (ray.put happens implicitly via
+    the spec object in the actor constructor), evaluated as pc.is_in per
+    batch.  No shuffle at all.
+  - drift: low-cardinality histogram groupby (combine map-side) compared
+    driver-side against a checkpointed baseline with chi-squared + KL.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+__all__ = ["uniqueness_violations", "check_referential", "histogram",
+           "drift_score", "ReferentialCheck"]
+
+
+def _local_value_counts(key: str):
+    """Per-batch (key, cnt) partial — the map-side combine before the shuffle."""
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        vc = batch.column(key).value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({key: vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    return count_batch
+
+
+def uniqueness_violations(ds: Dataset, key: str) -> Dataset:
+    """Keys appearing more than once -> (key, cnt) rows.
+
+    Exact dedup check via hash groupby on the projected key column
+    (SURVEY.md SS2.8 "uniqueness of doc_id"). Two-phase: batch-local
+    value_counts (combiner), then groupby-sum on the key.
+    """
+    projected = ds.select_columns([key])
+    partial = projected.map_batches(_local_value_counts(key), batch_format="pyarrow")
+    totals = partial.groupby(key).aggregate(Sum("cnt", alias_name="cnt"))
+    return totals.filter(expr="cnt > 1")
+
+
+def first_per_key(ds: Dataset, key: str) -> Dataset:
+    """Exact dedup: keep one row per key (smallest by sort within group)."""
+    def pick_first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+    return ds.groupby(key).map_groups(pick_first, batch_format="pyarrow")
+
+
+class ReferentialCheck:
+    """Broadcast semi-join actor: batch column membership in a small side.
+
+    The allowed set is captured in the actor constructor (shipped once per
+    actor via Ray's object store, not per batch).
+    """
+
+    def __init__(self, column: str, allowed: list, invert: bool = False):
+        self.column = column
+        self.value_set = pa.array(sorted(set(allowed)))
+        self.invert = invert
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(self.column), value_set=self.value_set)
+        mask = pc.fill_null(mask, False)
+        if self.invert:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+
+def check_referential(ds: Dataset, column: str, allowed: list,
+                      concurrency: int | None = None) -> Dataset:
+    """Rows whose ``column`` is NOT in ``allowed`` (the anti-join side ->
+    violations)."""
+    return ds.map_batches(
+        ReferentialCheck, fn_constructor_kwargs={"column": column,
+                                                 "allowed": allowed,
+                                                 "invert": True},
+        batch_format="pyarrow", concurrency=concurrency)
+
+
+def histogram(ds: Dataset, column: str) -> dict[str, int]:
+    """Low-cardinality histogram: map-side combine + tiny groupby."""
+    partial = ds.select_columns([column]).map_batches(
+        _local_value_counts(column), batch_format="pyarrow")
+    totals = partial.groupby(column).aggregate(Sum("cnt", alias_name="cnt"))
+    out: dict[str, int] = {}
+    for row in totals.iter_rows():
+        out[str(row[column])] = int(row["cnt"])
+    return out
+
+
+def drift_score(current: dict[str, float], baseline: dict[str, float],
+                epsilon: float = 1e-9) -> dict[str, float]:
+    """Chi-squared statistic + KL divergence between two histograms.
+
+    Scored driver-side over the merged (tiny) histograms, matching the
+    north_star "distribution drift on n_tok/source histograms ... chi-squared
+    and KL-divergence against a checkpointed baseline".
+    """
+    keys = sorted(set(current) | set(baseline))
+    cur_total = sum(current.values()) or 1.0
+    base_total = sum(baseline.values()) or 1.0
+    chi2 = 0.0
+    kl = 0.0
+    for k in keys:
+        p = baseline.get(k, 0) / base_total    # expected
+        q = current.get(k, 0) / cur_total      # observed
+        expected_count = p * cur_total
+        observed_count = current.get(k, 0)
+        if expected_count > 0:
+            chi2 += (observed_count - expected_count) ** 2 / expected_count
+        else:
+            chi2 += observed_count  # new category: each obs contributes 1
+        if q > 0:
+            kl += q * math.log((q + epsilon) / (p + epsilon))
+    return {"chi2": chi2, "kl": kl, "n_categories": len(keys)}
+
+
+def numeric_histogram(ds: Dataset, column: str, edges: list[float]) -> dict[str, int]:
+    """Fixed-edge numeric histogram (for n_tok drift): vectorized np.histogram
+    per batch, summed driver-side (partials are tiny arrays)."""
+    edges_arr = np.asarray(edges, dtype=np.float64)
+
+    def hist_batch(batch: pa.Table) -> pa.Table:
+        vals = batch.column(column).drop_null().to_numpy(zero_copy_only=False)
+        counts, _ = np.histogram(np.asarray(vals, dtype=np.float64), bins=edges_arr)
+        return pa.table({"bin": list(range(len(counts))),
+                         "cnt": counts.astype(np.int64)})
+
+    partial = ds.select_columns([column]).map_batches(hist_batch, batch_format="pyarrow")
+    totals = partial.groupby("bin").aggregate(Sum("cnt", alias_name="cnt"))
+    out: dict[str, int] = {}
+    for row in totals.iter_rows():
+        out[f"bin_{int(row['bin']):04d}"] = int(row["cnt"])
+    return out
