@@ -172,14 +172,11 @@ def compile_node(s: Schema, dtype: pa.DataType) -> MaskFn:
             return lambda arr: _notnull(arr) & _mask_to_np(pc.less(arr, 0), len(arr))
         if t == "zero?":
             return lambda arr: _notnull(arr) & _mask_to_np(pc.equal(arr, 0), len(arr))
-        if _is_float_type(dtype):
-            base = (lambda arr: _notnull(arr) & ~_mask_to_np(pc.is_nan(arr), len(arr))
-                    ) if pa.types.is_floating(dtype) else _notnull
-        else:
-            base = _notnull
+        # NaN is a valid double (Clojure double? accepts ##NaN); bounds
+        # comparisons reject NaN naturally (NaN >= x is false)
         if lo is None and hi is None:
-            return base
-        return lambda arr: base(arr) & _bounds_mask(arr, lo, hi, len(arr))
+            return _notnull
+        return lambda arr: _notnull(arr) & _bounds_mask(arr, lo, hi, len(arr))
 
     if t in ("boolean", "boolean?"):
         if not pa.types.is_boolean(dtype):

@@ -94,7 +94,7 @@ def check_referential(ds: Dataset, column: str, allowed: list,
         ReferentialCheck, fn_constructor_kwargs={"column": column,
                                                  "allowed": allowed,
                                                  "invert": True},
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=concurrency or (1, 8))
 
 
 def histogram(ds: Dataset, column: str) -> dict[str, int]:

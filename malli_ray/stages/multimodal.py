@@ -1,0 +1,146 @@
+"""Multimodal columns: opaque binary payloads with typed metadata.
+
+Images/audio/video ride as ``binary`` columns + metadata (format, width,
+height, ...). The decode/feature kernels themselves are STUBBED (image/audio
+libraries are not in this container — north-rule instruction), but all the
+Ray-side plumbing is real and tested: actor-pool signature, per-batch
+schema-in/schema-out contract, byte-budgeted batch sizing, deterministic
+fake decode so pipelines are end-to-end runnable.
+
+At 100 TB the payload column dominates memory: callers should use a SMALL
+``batch_size`` (bytes per batch = batch_size x mean payload size must fit the
+worker heap) — see ``suggested_batch_size``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+__all__ = ["ImageFeatureExtractor", "add_image_features",
+           "FrameSampler", "suggested_batch_size"]
+
+IMAGE_META_SCHEMA = pa.schema([
+    ("payload", pa.large_binary()),
+    ("format", pa.string()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+])
+
+
+def suggested_batch_size(mean_payload_bytes: int,
+                         heap_budget_bytes: int = 512 * 1024 * 1024) -> int:
+    """Rows per batch so payload x rows stays inside the actor heap budget."""
+    return max(1, int(heap_budget_bytes // max(1, mean_payload_bytes)))
+
+
+def _try_import_pil():
+    try:
+        from PIL import Image  # noqa: F401
+        return Image
+    except ImportError:
+        return None
+
+
+class ImageFeatureExtractor:
+    """Actor: decode + feature-extract image payloads.
+
+    Real decode path requires PIL (absent in this container): with
+    ``strict=True`` it raises NotImplementedError; the default deterministic
+    fake derives stable pseudo-features from the payload bytes so the
+    pipeline plumbing (schema, batching, actor reuse) is fully exercised.
+    """
+
+    def __init__(self, payload_column: str = "payload", strict: bool = False,
+                 resize_to: tuple[int, int] = (224, 224)):
+        self.payload_column = payload_column
+        self.resize_to = resize_to
+        self.pil = _try_import_pil()
+        if strict and self.pil is None:
+            raise NotImplementedError(
+                "image decode requires PIL, which is not available in this "
+                "environment; run with strict=False for the deterministic "
+                "fake-decode path")
+
+    def _fake_features(self, payload: bytes) -> tuple[int, int, float, float]:
+        # deterministic pseudo-decode: stable per payload byte content
+        d = hashlib.sha256(payload or b"").digest()
+        width = 64 + d[0] * 8
+        height = 64 + d[1] * 8
+        mean_luma = d[2] / 255.0
+        sharpness = d[3] / 255.0
+        return width, height, mean_luma, sharpness
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_column).to_pylist()
+        widths, heights, lumas, sharps = [], [], [], []
+        for p in payloads:
+            if self.pil is not None:
+                import io
+                try:
+                    img = self.pil.open(io.BytesIO(p))
+                    img = img.resize(self.resize_to)
+                    arr = np.asarray(img.convert("L"), dtype=np.float64)
+                    widths.append(img.width)
+                    heights.append(img.height)
+                    lumas.append(float(arr.mean()) / 255.0)
+                    gy, gx = np.gradient(arr)
+                    sharps.append(float(np.sqrt(gx ** 2 + gy ** 2).mean()) / 255.0)
+                    continue
+                except Exception:
+                    pass
+            w, h, l, s = self._fake_features(p)
+            widths.append(w)
+            heights.append(h)
+            lumas.append(l)
+            sharps.append(s)
+        batch = batch.append_column("img_width", pa.array(widths, type=pa.int32()))
+        batch = batch.append_column("img_height", pa.array(heights, type=pa.int32()))
+        batch = batch.append_column("mean_luma", pa.array(lumas, type=pa.float64()))
+        batch = batch.append_column("sharpness", pa.array(sharps, type=pa.float64()))
+        return batch
+
+
+def add_image_features(ds: Dataset, payload_column: str = "payload",
+                       batch_size: int = 64, concurrency=None) -> Dataset:
+    """Actor-pool image feature stage; small batch_size by design (payload
+    bytes dominate — see suggested_batch_size)."""
+    return ds.map_batches(
+        ImageFeatureExtractor,
+        fn_constructor_kwargs={"payload_column": payload_column},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or (1, 8))
+
+
+class FrameSampler:
+    """Video frame-sampling stub: emits (video_id, frame_index, frame_payload)
+    rows — real decoding requires a codec library (absent); the deterministic
+    fake slices the payload into pseudo-frames so downstream stages and the
+    flat-map row-multiplication semantics are real."""
+
+    def __init__(self, payload_column: str = "payload", id_column: str = "id",
+                 frames_per_video: int = 4):
+        self.payload_column = payload_column
+        self.id_column = id_column
+        self.frames_per_video = frames_per_video
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_pylist()
+        payloads = batch.column(self.payload_column).to_pylist()
+        out_id, out_idx, out_frame = [], [], []
+        for vid, p in zip(ids, payloads):
+            p = p or b""
+            step = max(1, len(p) // self.frames_per_video)
+            for fi in range(self.frames_per_video):
+                out_id.append(vid)
+                out_idx.append(fi)
+                out_frame.append(p[fi * step:(fi + 1) * step])
+        return pa.table({
+            "video_id": out_id,
+            "frame_index": pa.array(out_idx, type=pa.int32()),
+            "frame_payload": pa.array(out_frame, type=pa.large_binary())})

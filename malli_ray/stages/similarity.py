@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and an
+IVF (inverted-file) variant as the scale path.
+
+Design (north-rule "similarity search" component):
+  - brute force: the query matrix is broadcast ONCE (``ray.put`` -> actor
+    constructor arg), each batch does one numpy matmul and emits only its
+    LOCAL top-k rows per query (k x n_queries rows per batch, not n_rows),
+    then a tiny groupby-per-query keeps the global top-k.  Driver never sees
+    row data beyond the final k x q result.
+  - IVF: centroids are learned driver-side from a seeded sample (numpy
+    k-means, a few iterations), broadcast to actors; each batch assigns rows
+    to centroids and only rows in the probed cells are scored.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+__all__ = ["TopKScorer", "topk_cosine", "train_centroids", "ivf_topk"]
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _emb_matrix(batch: pa.Table, emb_column: str) -> np.ndarray:
+    col = batch.column(emb_column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # zero-copy flatten for fixed-length float lists
+    values = np.asarray(col.values, dtype=np.float64)
+    n = len(col)
+    return values.reshape(n, -1)
+
+
+class TopKScorer:
+    """Actor: broadcast query matrix held once; per-batch matmul + local top-k."""
+
+    def __init__(self, queries_ref: Any, emb_column: str, id_column: str, k: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.queries = _unit_rows(np.asarray(q, dtype=np.float64))
+        self.emb_column = emb_column
+        self.id_column = id_column
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _unit_rows(_emb_matrix(batch, self.emb_column))
+        sims = emb @ self.queries.T              # (n, q)
+        ids = batch.column(self.id_column)
+        n, q = sims.shape
+        k = min(self.k, n)
+        # local top-k per query (argpartition: O(n) per query)
+        top = np.argpartition(-sims, kth=k - 1, axis=0)[:k, :]   # (k, q)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(q):
+            idx = top[:, qi]
+            out_q.extend([qi] * k)
+            out_id.extend(ids.take(pa.array(idx)).to_pylist())
+            out_s.extend(sims[idx, qi].tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int32()),
+                         self.id_column: out_id,
+                         "score": pa.array(out_s, type=pa.float64())})
+
+
+def _global_topk(local: Dataset, id_column: str, k: int) -> Dataset:
+    def reduce_topk(group: pa.Table) -> pa.Table:
+        order = np.lexsort((
+            np.asarray(group.column(id_column).to_pylist(), dtype=object),
+            -group.column("score").to_numpy(zero_copy_only=False)))
+        return group.take(pa.array(order[:k]))
+
+    return local.groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")
+
+
+def topk_cosine(ds: Dataset, queries: np.ndarray, emb_column: str,
+                id_column: str, k: int = 10, concurrency=None) -> Dataset:
+    """Exact top-k cosine neighbors of each query row (ties broken by id)."""
+    queries_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    local = ds.map_batches(
+        TopKScorer,
+        fn_constructor_kwargs={"queries_ref": queries_ref,
+                               "emb_column": emb_column,
+                               "id_column": id_column, "k": k},
+        batch_format="pyarrow", concurrency=concurrency or (1, 8))
+    return _global_topk(local, id_column, k)
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                    seed: int = 42) -> np.ndarray:
+    """Seeded mini k-means on a driver-side sample (the IVF codebook)."""
+    rng = np.random.default_rng(seed)
+    sample = _unit_rows(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    centroids = sample[idx].copy()
+    for _ in range(iters):
+        sims = sample @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _unit_rows(centroids)
+    return centroids
+
+
+class IVFScorer:
+    """IVF probe: score only rows whose nearest centroid is in the probe set."""
+
+    def __init__(self, queries_ref, centroids_ref, emb_column: str,
+                 id_column: str, k: int, n_probe: int):
+        get = lambda r: ray.get(r) if isinstance(r, ray.ObjectRef) else r
+        self.queries = _unit_rows(np.asarray(get(queries_ref), dtype=np.float64))
+        self.centroids = np.asarray(get(centroids_ref), dtype=np.float64)
+        self.k = k
+        self.emb_column = emb_column
+        self.id_column = id_column
+        # probe cells per query: the n_probe nearest centroids
+        qsims = self.queries @ self.centroids.T
+        order = np.argsort(-qsims, axis=1)[:, :n_probe]
+        self.probe_cells = [set(row.tolist()) for row in order]
+        self.all_cells = set().union(*self.probe_cells) if len(order) else set()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _unit_rows(_emb_matrix(batch, self.emb_column))
+        assign = (emb @ self.centroids.T).argmax(axis=1)
+        keep = np.isin(assign, list(self.all_cells))
+        out_q, out_id, out_s = [], [], []
+        ids = batch.column(self.id_column)
+        if keep.any():
+            sub = emb[keep]
+            sub_ids = ids.filter(pa.array(keep))
+            sub_assign = assign[keep]
+            sims = sub @ self.queries.T
+            for qi, cells in enumerate(self.probe_cells):
+                in_cell = np.isin(sub_assign, list(cells))
+                if not in_cell.any():
+                    continue
+                scores = sims[in_cell, qi]
+                cand_ids = sub_ids.filter(pa.array(in_cell)).to_pylist()
+                k = min(self.k, len(scores))
+                top = np.argpartition(-scores, kth=k - 1)[:k]
+                out_q.extend([qi] * k)
+                out_id.extend([cand_ids[t] for t in top])
+                out_s.extend(scores[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int32()),
+                         self.id_column: out_id,
+                         "score": pa.array(out_s, type=pa.float64())})
+
+
+def ivf_topk(ds: Dataset, queries: np.ndarray, emb_column: str, id_column: str,
+             k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+             sample_size: int = 2048, concurrency=None) -> Dataset:
+    """Approximate top-k via IVF: train codebook on a seeded sample, probe
+    the ``n_probe`` nearest cells per query."""
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.asarray([r[emb_column] for r in sample_rows], dtype=np.float64)
+    centroids = train_centroids(sample, n_centroids)
+    queries_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    centroids_ref = ray.put(centroids)
+    local = ds.map_batches(
+        IVFScorer,
+        fn_constructor_kwargs={"queries_ref": queries_ref,
+                               "centroids_ref": centroids_ref,
+                               "emb_column": emb_column, "id_column": id_column,
+                               "k": k, "n_probe": n_probe},
+        batch_format="pyarrow", concurrency=concurrency or (1, 8))
+    return _global_topk(local, id_column, k)

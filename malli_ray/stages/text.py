@@ -1,0 +1,180 @@
+"""Text analysis stages: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All hot paths are vectorized pyarrow.compute string kernels
+(count_substring_regex / utf8_length); only language-ID scoring walks small
+per-language hit counts (still vectorized per language, not per row).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from ..state.sketches import hash64
+
+__all__ = ["add_token_count", "add_quality", "LangID", "add_lang_id",
+           "Fingerprinter", "add_fingerprint"]
+
+
+def add_token_count(ds: Dataset, text_column: str,
+                    out: str = "n_tokens") -> Dataset:
+    """Whitespace token count + a BPE-ish subword estimate (vectorized)."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        words = pc.count_substring_regex(batch.column(text_column), r"\S+")
+        # BPE-ish upper bound: words + punctuation marks + long-word splits
+        # (every 6 chars of a word beyond the first 6 ~ one extra token)
+        punct = pc.count_substring_regex(batch.column(text_column), r"[^\w\s]")
+        longparts = pc.count_substring_regex(batch.column(text_column), r"\w{7,}")
+        est = pc.add(pc.add(words, punct), longparts)
+        batch = batch.append_column(out, words.cast(pa.int64()))
+        return batch.append_column(out + "_bpe_est", est.cast(pa.int64()))
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+_STOPWORDS = ("the", "a", "an", "of", "to", "in", "and", "is", "it", "that")
+
+
+def add_quality(ds: Dataset, text_column: str) -> Dataset:
+    """Quality-scoring features: length, word stats, punctuation/stopword/
+    digit ratios + a composite [0,1] score (heuristics in the spirit of
+    Gopher/C4 quality filters, computed fully vectorized)."""
+    stop_re = r"(?i)\b(?:" + "|".join(_STOPWORDS) + r")\b"
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_column)
+        n_chars = pc.utf8_length(text).cast(pa.float64())
+        n_words = pc.count_substring_regex(text, r"\S+").cast(pa.float64())
+        n_punct = pc.count_substring_regex(text, r"[^\w\s]").cast(pa.float64())
+        n_stop = pc.count_substring_regex(text, stop_re).cast(pa.float64())
+        n_digit = pc.count_substring_regex(text, r"\d").cast(pa.float64())
+        safe_words = pc.max_element_wise(n_words, 1.0)
+        safe_chars = pc.max_element_wise(n_chars, 1.0)
+        mean_word_len = pc.divide(pc.subtract(n_chars, pc.subtract(n_words, 1.0)),
+                                  safe_words)
+        punct_ratio = pc.divide(n_punct, safe_chars)
+        stop_ratio = pc.divide(n_stop, safe_words)
+        digit_ratio = pc.divide(n_digit, safe_chars)
+        # composite: long enough, has stopwords, not punctuation/digit soup
+        len_ok = pc.if_else(pc.greater_equal(n_words, 10.0), 1.0, pc.divide(n_words, 10.0))
+        stop_ok = pc.min_element_wise(pc.multiply(stop_ratio, 4.0), 1.0)
+        punct_ok = pc.subtract(1.0, pc.min_element_wise(pc.multiply(punct_ratio, 4.0), 1.0))
+        digit_ok = pc.subtract(1.0, pc.min_element_wise(pc.multiply(digit_ratio, 4.0), 1.0))
+        quality = pc.multiply(pc.multiply(len_ok, pc.add(pc.multiply(stop_ok, 0.5), 0.5)),
+                              pc.multiply(pc.add(pc.multiply(punct_ok, 0.5), 0.5),
+                                          pc.add(pc.multiply(digit_ok, 0.5), 0.5)))
+        for name, arr in (("n_chars_q", n_chars), ("n_words", n_words),
+                          ("mean_word_len", mean_word_len),
+                          ("punct_ratio", punct_ratio), ("stop_ratio", stop_ratio),
+                          ("digit_ratio", digit_ratio), ("quality", quality)):
+            batch = batch.append_column(name, arr)
+        return batch
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+#: tiny per-language marker-word profiles (public common-word lists)
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is", "that", "it", "for", "with", "was"),
+    "es": ("el", "la", "de", "que", "y", "los", "las", "por", "una", "es"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "zu"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "que", "pour", "qui"),
+    "zh": ("的", "是", "了", "在", "我", "有", "他", "这", "中", "不"),
+}
+
+
+class LangID:
+    """N-gram/marker-word language heuristic (stateful: regexes compiled once
+    per actor — the 'load once, use many' actor-pool pattern)."""
+
+    def __init__(self, text_column: str, out: str = "lang_pred",
+                 default: str = "en"):
+        self.text_column = text_column
+        self.out = out
+        self.default = default
+        self.patterns = {
+            lang: r"(?i)\b(?:" + "|".join(map(re.escape, words)) + r")\b"
+            if lang != "zh" else "[" + "".join(words) + "]"
+            for lang, words in _LANG_MARKERS.items()
+        }
+        self.langs = sorted(self.patterns)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_column)
+        n = batch.num_rows
+        scores = np.zeros((n, len(self.langs)), dtype=np.float64)
+        for i, lang in enumerate(self.langs):
+            hits = pc.count_substring_regex(text, self.patterns[lang])
+            scores[:, i] = np.asarray(pc.fill_null(hits, 0).to_numpy(zero_copy_only=False),
+                                      dtype=np.float64)
+        best = scores.argmax(axis=1)
+        no_signal = scores.max(axis=1) == 0
+        preds = np.array(self.langs, dtype=object)[best]
+        preds[no_signal] = self.default
+        return batch.append_column(self.out, pa.array(preds, type=pa.string()))
+
+
+def add_lang_id(ds: Dataset, text_column: str, concurrency=None) -> Dataset:
+    return ds.map_batches(LangID, fn_constructor_kwargs={"text_column": text_column},
+                          batch_format="pyarrow", concurrency=concurrency or (1, 8))
+
+
+class Fingerprinter:
+    """Winnowed rolling-hash document fingerprint (Rabin-Karp over word
+    hashes + window minima — Schleimer et al. 2003 'winnowing')."""
+
+    def __init__(self, text_column: str, out: str = "fingerprint",
+                 ngram: int = 4, window: int = 8):
+        self.text_column = text_column
+        self.out = out
+        self.ngram = ngram
+        self.window = window
+        self.word_re = re.compile(r"\S+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        texts = batch.column(self.text_column).to_pylist()
+        words_per_doc = [(self.word_re.findall(t or "") or [""]) for t in texts]
+        flat = [w for ws in words_per_doc for w in ws]
+        h = pl.Series(flat).hash(seed=13).to_numpy().astype(np.uint64)
+        counts = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
+                             count=len(words_per_doc))
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        B = np.uint64(1099511628211)
+        out = np.empty(len(texts), dtype=np.uint64)
+        for i in range(len(texts)):
+            hw = h[offsets[i]:offsets[i + 1]]
+            n, k = len(hw), self.ngram
+            if n < k:
+                grams = np.array([hw.sum(dtype=np.uint64)], dtype=np.uint64)
+            else:
+                # rolling polynomial hash over k-grams, vectorized
+                grams = np.zeros(n - k + 1, dtype=np.uint64)
+                for j in range(k):
+                    grams = grams * B + hw[j:n - k + 1 + j]
+            # winnowing: min per sliding window, xor-combined
+            w = min(self.window, len(grams))
+            if w <= 1:
+                mins = grams
+            else:
+                from numpy.lib.stride_tricks import sliding_window_view
+                mins = sliding_window_view(grams, w).min(axis=1)
+            fp = np.uint64(0)
+            for m in np.unique(mins):
+                fp ^= m
+            out[i] = fp
+        return batch.append_column(self.out, pa.array(out, type=pa.uint64()))
+
+
+def add_fingerprint(ds: Dataset, text_column: str, concurrency=None) -> Dataset:
+    return ds.map_batches(Fingerprinter,
+                          fn_constructor_kwargs={"text_column": text_column},
+                          batch_format="pyarrow", concurrency=concurrency or (1, 8))

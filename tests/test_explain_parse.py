@@ -1,0 +1,155 @@
+"""Explain error-data exactness (path/in/type) + parse/unparse roundtrips —
+mirrors core_test.cljc:238-261 style assertions."""
+
+import malli_ray as m
+from malli_ray import Tag, Tags, INVALID
+from malli_ray.error import humanize, with_spell_checking
+
+
+def errs(schema, value):
+    e = m.explain(schema, value)
+    return [] if e is None else [
+        {"path": x["path"], "in": x["in"], "type": x.get("type"), "value": x["value"]}
+        for x in e["errors"]]
+
+
+def test_explain_nil_on_valid():
+    assert m.explain("int", 1) is None
+    assert m.explain(["map", ["x", "int"]], {"x": 1}) is None
+
+
+def test_scalar_error_shape():
+    assert errs("int", "x") == [{"path": [], "in": [], "type": None, "value": "x"}]
+
+
+def test_map_errors():
+    S = ["map", ["x", "boolean"], ["y", {"optional": True}, "int"], ["z", "string"]]
+    assert errs(S, {"x": True, "y": "bad"}) == [
+        {"path": ["y"], "in": ["y"], "type": None, "value": "bad"},
+        {"path": ["z"], "in": ["z"], "type": "malli.core/missing-key", "value": None},
+    ]
+    assert errs(S, "not-a-map") == [
+        {"path": [], "in": [], "type": "malli.core/invalid-type", "value": "not-a-map"}]
+
+
+def test_closed_map_extra_key():
+    C = ["map", {"closed": True}, ["x", "int"]]
+    assert errs(C, {"x": 1, "extra": 2}) == [
+        {"path": ["extra"], "in": ["extra"], "type": "malli.core/extra-key", "value": 2}]
+
+
+def test_nested_in_paths():
+    S = ["map", ["address", ["map", ["lonlat", ["tuple", "double", "double"]]]]]
+    out = errs(S, {"address": {"lonlat": [3.0, None]}})
+    assert out == [{"path": ["address", "lonlat", 1],
+                    "in": ["address", "lonlat", 1], "type": None, "value": None}]
+
+
+def test_vector_element_in():
+    out = errs(["vector", "int"], [1, "bad", 3])
+    assert out == [{"path": [0], "in": [1], "type": None, "value": "bad"}]
+
+
+def test_limits_error():
+    out = errs(["vector", {"min": 2}, "int"], [1])
+    assert out[0]["type"] == "malli.core/limits"
+    out = errs(["tuple", "int", "int"], [1])
+    assert out[0]["type"] == "malli.core/tuple-size"
+
+
+def test_or_drops_branch_errors_when_one_passes():
+    # core.cljc:1024-1031
+    assert m.explain(["or", "int", "string"], "ok") is None
+    out = errs(["or", "int", "string"], None)
+    assert len(out) == 2  # both branch errors reported on failure
+
+
+def test_multi_invalid_dispatch():
+    S = ["multi", {"dispatch": "t"}, ["a", ["map", ["t", "string"]]]]
+    out = errs(S, {"t": "zzz"})
+    assert out[0]["type"] == "malli.core/invalid-dispatch-value"
+
+
+def test_seq_regex_errors():
+    out = errs(["repeat", {"min": 1, "max": 2}, "int?"], [1, 2, 3])
+    assert out[0]["type"] == "malli.core/input-remaining"
+    assert out[0]["in"] == [2]
+    out = errs(["cat", "string?", "int?"], ["a"])
+    assert out[0]["type"] == "malli.core/end-of-input"
+
+
+def test_humanize_shapes():
+    S = ["map", ["x", "boolean"], ["z", "string"]]
+    h = humanize(m.explain(S, {"x": 1}))
+    assert h == {"x": ["should be a boolean"], "z": ["missing required key"]}
+    h = humanize(m.explain(["vector", "int"], [1, "a"]))
+    assert h == [None, ["should be an integer"]]
+    h = humanize(m.explain(["string", {"min": 2, "max": 4}], "a"))
+    assert h == ["should be between 2 and 4 characters"]
+    h = humanize(m.explain(["int", {"min": 1}], 0))
+    assert h == ["should be at least 1"]
+    h = humanize(m.explain(["enum", "a", "b"], "c"))
+    assert h == ["should be either 'a' or 'b'"]
+
+
+def test_custom_error_message():
+    S = ["int", {"error/message": "bad int!"}]
+    assert humanize(m.explain(S, "x")) == ["bad int!"]
+    S = ["int", {"error/message": {"en": "bad int!", "fi": "huono!"}}]
+    assert humanize(m.explain(S, "x")) == ["bad int!"]
+    assert humanize(m.explain(S, "x"), {"locale": "fi"}) == ["huono!"]
+
+
+def test_spell_checking():
+    C = ["map", {"closed": True}, ["street", "string"]]
+    e = with_spell_checking(m.explain(C, {"streetz": "x", "street": "ok"}))
+    extra = [x for x in e["errors"] if x.get("type") == "malli.core/extra-key"]
+    assert extra[0]["likely-misspelling-of"] == ["street"]
+
+
+# -- parse / unparse --------------------------------------------------------
+
+
+def test_parse_identity_for_plain():
+    assert m.parse("int", 1) == 1
+    assert m.parse("int", "x") is INVALID
+    assert m.parse(["map", ["x", "int"]], {"x": 1}) == {"x": 1}
+
+
+def test_parse_orn_tag():
+    S = ["orn", ["pos", "pos-int?"], ["neg", "neg-int?"]]
+    assert m.parse(S, 3) == Tag("pos", 3)
+    assert m.parse(S, -3) == Tag("neg", -3)
+    assert m.parse(S, 0) is INVALID
+    assert m.unparse(S, Tag("pos", 3)) == 3
+    assert m.unparse(S, Tag("zzz", 3)) is INVALID
+
+
+def test_parse_multi_tag():
+    S = ["multi", {"dispatch": "t"},
+         ["a", ["map", ["t", "string"], ["n", "int"]]]]
+    assert m.parse(S, {"t": "a", "n": 1}) == Tag("a", {"t": "a", "n": 1})
+
+
+def test_parse_seq_regex():
+    CLI = ["*", ["catn", ["prop", "string?"],
+                 ["val", ["altn", ["s", "string?"], ["b", "boolean?"]]]]]
+    v = ["-server", "foo", "-verbose", True]
+    p = m.parse(CLI, v)
+    assert p == [Tags({"prop": "-server", "val": Tag("s", "foo")}),
+                 Tags({"prop": "-verbose", "val": Tag("b", True)})]
+    assert m.unparse(CLI, p) == v
+
+
+def test_parse_cat_alt_repeat():
+    assert m.parse(["cat", "string?", "int?"], ["a", 1]) == ["a", 1]
+    assert m.parse(["*", "int?"], [1, 2]) == [1, 2]
+    assert m.parse(["?", "int?"], [1]) == 1
+    assert m.parse(["?", "int?"], []) is None
+    assert m.unparse(["?", "int?"], None) == []
+    assert m.unparse(["*", "int?"], [1, 2]) == [1, 2]
+
+
+def test_parse_and_uses_first_child():
+    S = ["and", ["orn", ["small", ["<", 10]], ["big", [">=", 10]]], "int?"]
+    assert m.parse(S, 5) == Tag("small", 5)

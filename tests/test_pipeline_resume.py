@@ -1,0 +1,120 @@
+"""E2E checkpointed job: verdicts, resume-identical, token-array equality
+invariant (SURVEY.md SS5.2.4; BASELINE.json input_hint per-row invariant)."""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from malli_ray.sources.sequences import (
+    ALLOWED_SOURCES, SEQUENCES_DSL, ensure_sequences, generate_sequences_shard,
+)
+from malli_ray.stages.validator import ValidationSpec
+
+
+@pytest.fixture(scope="module")
+def seq_dir():
+    d = "/tmp/malli_ray_sequences/pytest3k"
+    shutil.rmtree(d, ignore_errors=True)
+    ensure_sequences(d, 3000, rows_per_shard=1000)
+    return d
+
+
+def make_spec():
+    return ValidationSpec(
+        schema=SEQUENCES_DSL,
+        checks=[{"kind": "list_len_eq", "list_col": "tokens", "len_col": "n_tok",
+                 "name": "n_tok_consistency"},
+                {"kind": "in_set", "column": "source", "allowed": ALLOWED_SOURCES,
+                 "name": "referential_source"}],
+        id_column="doc_id",
+        hll_columns=["doc_id"], tdigest_columns=["n_tok"], hist_columns=["source"])
+
+
+def test_generation_deterministic():
+    a = generate_sequences_shard(0, 100, 0)
+    b = generate_sequences_shard(0, 100, 0)
+    assert a.equals(b)
+
+
+def test_run_job_and_resume(ray_session, seq_dir):
+    from malli_ray.pipelines import validation_job as vj
+
+    paths = sorted(glob.glob(seq_dir + "/*.parquet"))
+    out = "/tmp/malli_ray_job_pytest"
+    shutil.rmtree(out, ignore_errors=True)
+    spec = make_spec()
+    report = vj.run_job(paths, spec, out, uniqueness_key="doc_id",
+                        drift_columns=["source"], concurrency=2)
+    assert report["n_rows"] == 3000
+    # injected anomalies: per 1000 rows -> 1 dup, 1 mismatch, 1 bogus, .5 null
+    expected_invalid_rows = 3 + 3 + 2  # mismatch + bogus + null-source rows
+    assert report["n_rows"] - report["n_valid"] == expected_invalid_rows
+    assert report["uniqueness"]["duplicate_keys"] == 3
+    assert not report["pass"]
+    # HLL distinct close to truth (3000 - 3 dups)
+    assert abs(report["distinct"]["doc_id"] - 2997) / 2997 < 0.05
+    # per-partition lineage present and committed
+    assert report["n_partitions"] == 3
+    assert all(not p["pass"] for p in report["per_partition"])
+
+    # violations written per fragment, readable
+    vio_files = sorted(glob.glob(out + "/violations/*.parquet"))
+    assert len(vio_files) == 3
+    vio = pq.read_table(vio_files[0])
+    assert {"row_index", "id", "column", "path", "type", "message"} <= set(
+        vio.schema.names)
+
+    # -- resume: kill one partition's commit record; verdicts identical ----
+    recs = sorted(glob.glob(out + "/checkpoint/partitions/*.json"))
+    os.unlink(recs[1])
+    report2 = vj.run_job(paths, spec, out, uniqueness_key="doc_id",
+                         drift_columns=["source"], concurrency=2)
+    assert report2["resumed_partitions"] == 2
+    for key in ("n_rows", "n_valid", "n_violations", "distinct", "quantiles"):
+        assert report2[key] == report[key], key
+    assert [p["pass"] for p in report2["per_partition"]] == \
+           [p["pass"] for p in report["per_partition"]]
+    # drift now scored against the baseline from run 1 (same data -> ~0)
+    assert report2["drift"]["source"]["chi2"] < 1e-6
+
+
+def test_token_array_equality_invariant(ray_session, seq_dir):
+    """Tokens must pass through the engine byte-identical (north-rule
+    per-row invariant). Verified at the Arrow buffer level."""
+    import ray.data as rd
+    from malli_ray.pipelines import validation_job as vj
+
+    paths = sorted(glob.glob(seq_dir + "/*.parquet"))
+    ds = rd.read_parquet(paths[0])
+    spec = make_spec()
+    out = vj.validate(ds, spec, concurrency=2)
+    result = pa.Table.from_pylist(out.take_all())
+    source = pq.read_table(paths[0])
+    # row order within one fragment is preserved (single block)
+    got = result.column("tokens").combine_chunks()
+    want = source.column("tokens").combine_chunks()
+    assert got.equals(want.cast(got.type))
+    # byte-level check on the flattened values buffer
+    gv = np.asarray(got.flatten(), dtype=np.int32)
+    wv = np.asarray(want.flatten(), dtype=np.int32)
+    assert np.array_equal(gv, wv)
+
+
+def test_summarize_matches_run_job(ray_session, seq_dir):
+    import ray.data as rd
+    from malli_ray.pipelines import validation_job as vj
+
+    paths = sorted(glob.glob(seq_dir + "/*.parquet"))
+    spec = make_spec()
+    rep = vj.summarize(rd.read_parquet(paths), spec, concurrency=2)
+    assert rep["n_rows"] == 3000
+    assert rep["n_rows"] - rep["n_valid"] == 8
+    assert rep["stats"]["source"]["null_count"] == 2
+    assert rep["stats"]["n_tok"]["min"] >= 1
+    assert sum(rep["stats"]["source"]["hist"].values()) == 3000

@@ -1,0 +1,223 @@
+"""Ray Data stage tests: validator actors, constraints, dedup, similarity,
+text analysis, multimodal plumbing, distributed inference."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import malli_ray as m
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",        # exact dup of 0
+        "the quick brown fox jumps over the lazy cat today",  # near dup of 0
+        "el gato esta en la casa y el perro en el jardin",
+        "completely different content about ray data pipelines and arrow",
+        "der hund ist nicht das problem und die katze auch nicht",
+    ]
+    t = pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "source": ["web", "web", "books", "web", "code", "wiki"],
+    })
+    return rd.from_arrow(t)
+
+
+def test_validate_explain_stages(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.validator import ValidationSpec
+    from malli_ray.pipelines import validation_job as vj
+
+    t = pa.table({"doc_id": ["a", "b", ""], "n": [1, -1, 2]})
+    ds = rd.from_arrow(t)
+    spec = ValidationSpec(
+        schema=["map", ["doc_id", ["string", {"min": 1}]], ["n", ["int", {"min": 0}]]],
+        id_column="doc_id")
+    out = vj.validate(ds, spec, concurrency=2).take_all()
+    assert [r["valid"] for r in out] == [True, False, False]
+    vio = vj.explain(ds, spec, concurrency=2).take_all()
+    assert {(v["id"], v["column"]) for v in vio} == {("b", "n"), ("", "doc_id")}
+    rep = vj.summarize(ds, spec, concurrency=2)
+    assert rep["n_rows"] == 3 and rep["n_valid"] == 1 and rep["n_violations"] == 2
+
+
+def test_uniqueness_and_referential(ray_session):
+    import ray.data as rd
+    from malli_ray.stages import constraints as C
+
+    t = pa.table({"k": ["a", "b", "a", "c", "a"], "src": ["x", "y", "zz", "x", "y"]})
+    ds = rd.from_arrow(t)
+    dups = C.uniqueness_violations(ds, "k").take_all()
+    assert len(dups) == 1 and dups[0]["k"] == "a" and dups[0]["cnt"] == 3
+    bad = C.check_referential(ds, "src", ["x", "y"]).take_all()
+    assert len(bad) == 1 and bad[0]["src"] == "zz"
+    hist = C.histogram(ds, "src")
+    assert hist == {"x": 2, "y": 2, "zz": 1}
+    drift = C.drift_score({"x": 50, "y": 50}, {"x": 50, "y": 50})
+    assert drift["chi2"] < 1e-6 and abs(drift["kl"]) < 1e-6
+    drift2 = C.drift_score({"x": 90, "y": 10}, {"x": 50, "y": 50})
+    assert drift2["chi2"] > 10 and drift2["kl"] > 0.1
+
+
+def test_exact_dedup(ray_session, docs_ds):
+    from malli_ray.stages import dedup
+
+    groups = dedup.exact_dup_groups(docs_ds, "text", "doc_id").take_all()
+    assert len(groups) == 1
+    assert groups[0]["n"] == 2 and groups[0]["keep_id"] == 0
+    kept = dedup.exact_dedup_keep_first(docs_ds, "text", "doc_id").take_all()
+    assert sorted(r["doc_id"] for r in kept) == [0, 2, 3, 4, 5]
+
+
+def test_minhash_lsh(ray_session, docs_ds):
+    from malli_ray.stages import dedup
+
+    # 32 bands x 4 rows: detection prob for jaccard 0.7 is 1-(1-0.7^4)^32 ~ 1
+    pairs = dedup.minhash_lsh_candidates(
+        docs_ds, "text", "doc_id", threshold=0.4, shingle_k=2,
+        num_perm=128, bands=32).take_all()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (0, 1) in found          # exact dup pair must be found
+    assert any(p["est_jaccard"] == 1.0 for p in pairs)
+    # near-dup (0,2)/(1,2) should surface at this threshold
+    assert (0, 2) in found or (1, 2) in found
+
+
+def test_simhash(ray_session, docs_ds):
+    from malli_ray.stages import dedup
+
+    pairs = dedup.simhash_near_dups(docs_ds, "text", "doc_id",
+                                    max_hamming=10).take_all()
+    found = {(p["id_a"], p["id_b"]): p["hamming"] for p in pairs}
+    assert found.get((0, 1)) == 0   # identical text -> identical fingerprint
+
+
+def test_ngram_jaccard():
+    from malli_ray.stages.dedup import ngram_jaccard
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+    assert 0.0 < ngram_jaccard("a b c d e", "a b c d x") < 1.0
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data as rd
+    from malli_ray.stages import dedup
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((20, 16))
+    base[7] = base[3] + 0.001 * rng.standard_normal(16)   # near-dup pair (3,7)
+    t = pa.table({"vec_id": list(range(20)),
+                  "embedding": pa.array(base.tolist(), type=pa.list_(pa.float64()))})
+    pairs = dedup.embedding_near_dups(rd.from_arrow(t), "embedding", "vec_id",
+                                      threshold=0.99).take_all()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(3, 7)}
+
+
+def test_topk_cosine_vs_oracle(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.similarity import topk_cosine
+
+    rng = np.random.default_rng(1)
+    emb = rng.standard_normal((50, 8))
+    queries = emb[[5, 17]] + 0.01
+    t = pa.table({"vec_id": list(range(50)),
+                  "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float64()))})
+    got = topk_cosine(rd.from_arrow(t), queries, "embedding", "vec_id", k=3).take_all()
+    # numpy oracle
+    unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qunit = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = unit @ qunit.T
+    for qi in range(2):
+        want = set(np.argsort(-sims[:, qi])[:3].tolist())
+        have = {r["vec_id"] for r in got if r["query_id"] == qi}
+        assert have == want
+    assert {r["vec_id"] for r in got if r["query_id"] == 0} >= {5}
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.similarity import ivf_topk
+
+    rng = np.random.default_rng(2)
+    emb = rng.standard_normal((100, 8))
+    queries = emb[[10]]
+    t = pa.table({"vec_id": list(range(100)),
+                  "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float64()))})
+    got = ivf_topk(rd.from_arrow(t), queries, "embedding", "vec_id",
+                   k=5, n_centroids=8, n_probe=4).take_all()
+    # the query vector itself must be found (it lands in its own probed cell)
+    assert 10 in {r["vec_id"] for r in got}
+
+
+def test_text_stages(ray_session, docs_ds):
+    from malli_ray.stages import text as T
+
+    out = T.add_token_count(docs_ds, "text").take_all()
+    assert out[0]["n_tokens"] == 9
+    out = T.add_quality(docs_ds, "text").take_all()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in out)
+    assert out[0]["stop_ratio"] > 0   # English sentence has stopwords
+    out = T.add_lang_id(docs_ds, "text").take_all()
+    preds = {r["doc_id"]: r["lang_pred"] for r in out}
+    assert preds[0] == "en" and preds[3] == "es" and preds[5] == "de"
+    out = T.add_fingerprint(docs_ds, "text").take_all()
+    fps = {r["doc_id"]: r["fingerprint"] for r in out}
+    assert fps[0] == fps[1]           # identical text -> identical fingerprint
+    assert fps[0] != fps[4]
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.multimodal import (
+        FrameSampler, ImageFeatureExtractor, add_image_features,
+        suggested_batch_size)
+
+    payloads = [bytes([i]) * 100 for i in range(6)]
+    t = pa.table({"id": list(range(6)),
+                  "payload": pa.array(payloads, type=pa.large_binary())})
+    ds = rd.from_arrow(t)
+    out = add_image_features(ds, batch_size=2).take_all()
+    assert len(out) == 6
+    assert all(isinstance(r["img_width"], int) for r in out)
+    # deterministic fake: same payload -> same features
+    again = add_image_features(rd.from_arrow(t), batch_size=3).take_all()
+    assert [r["mean_luma"] for r in sorted(out, key=lambda r: r["id"])] == \
+           [r["mean_luma"] for r in sorted(again, key=lambda r: r["id"])]
+    frames = ds.map_batches(FrameSampler, fn_constructor_kwargs={},
+                            batch_format="pyarrow", concurrency=2).take_all()
+    assert len(frames) == 24  # 6 videos x 4 frames
+    assert suggested_batch_size(10 * 1024 * 1024) == 51
+
+
+def test_infer_dataset(ray_session):
+    import ray.data as rd
+    from malli_ray.provider import infer_dataset
+
+    t = pa.table({"a": [1, 2, None], "s": ["x", "y", "z"],
+                  "v": pa.array([[1], [2, 3], []], type=pa.list_(pa.int64()))})
+    form = infer_dataset(rd.from_arrow(t))
+    assert form == ["map", ["a", ["maybe", "int"]], ["s", "string"],
+                    ["v", ["vector", "int"]]]
+
+
+def test_decode_batch_stage(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.transform_stage import DecodeBatch, fill_defaults
+
+    t = pa.table({"x": ["true", "false", "zzz"], "y": ["1", "bad", "3"]})
+    ds = rd.from_arrow(t)
+    S = ["map", ["x", "boolean"], ["y", "int"]]
+    out = ds.map_batches(DecodeBatch, fn_constructor_kwargs={"schema": S},
+                         batch_format="pyarrow", concurrency=2).take_all()
+    assert [r["x"] for r in out] == [True, False, None]
+    assert [r["y"] for r in out] == [1, None, 3]
+    # defaults
+    S2 = ["map", ["z", ["int", {"default": 9}]]]
+    t2 = pa.table({"z": [1, None]})
+    out = rd.from_arrow(t2).map_batches(fill_defaults(S2),
+                                        batch_format="pyarrow").take_all()
+    assert [r["z"] for r in out] == [1, 9]

@@ -1,0 +1,123 @@
+"""Transformer conformance — mirrors transform_test.cljc semantics."""
+
+import datetime as dt
+import uuid
+
+import pytest
+
+import malli_ray as m
+from malli_ray.transform import (
+    collection_transformer, default_value_transformer, json_transformer,
+    key_transformer, number_to_long, string_to_boolean, string_to_date,
+    string_to_double, string_to_long, string_to_uuid, string_transformer,
+    strip_extra_keys_transformer, transformer,
+)
+
+ST = string_transformer()
+JT = json_transformer()
+
+
+def test_scalar_fns():
+    # transform_test.cljc:29+ string->long
+    assert string_to_long("1") == 1
+    assert string_to_long("abba") == "abba"      # garbage stays -> invalid later
+    assert string_to_long("1.5") == "1.5"
+    assert string_to_double("1.5") == 1.5
+    assert string_to_boolean("true") is True
+    assert string_to_boolean("false") is False
+    assert string_to_boolean("TRUE") == "TRUE"   # only exact true/false
+    assert number_to_long(2.0) == 2              # integral double rounds
+    assert number_to_long(2.5) == 2.5
+    u = string_to_uuid("550e8400-e29b-41d4-a716-446655440000")
+    assert isinstance(u, uuid.UUID)
+    assert string_to_uuid("nope") == "nope"
+    d = string_to_date("2020-01-01T12:00:00Z")
+    assert d == dt.datetime(2020, 1, 1, 12, tzinfo=dt.timezone.utc)
+
+
+def test_decode_map_string_transformer():
+    S = ["map", ["x", "boolean"], ["y", {"optional": True}, "int"], ["z", "string"]]
+    out = m.decode(S, {"x": "true", "y": "1", "z": "kikka"}, ST)
+    assert out == {"x": True, "y": 1, "z": "kikka"}
+
+
+def test_decode_failure_keeps_original():
+    out = m.decode("int", "abba", ST)
+    assert out == "abba"
+    assert not m.validate("int", out)
+
+
+def test_identity_elision():
+    # nothing to transform -> decoder is identity (README.md:3767-3790)
+    dec = m.decoder(["map", ["z", "string"]], JT)
+    x = {"z": "s"}
+    assert dec(x) is x
+
+
+def test_decode_nested():
+    S = ["map", ["a", ["map", ["n", "int"]]], ["v", ["vector", "int"]]]
+    out = m.decode(S, {"a": {"n": "5"}, "v": ["1", "2"]}, ST)
+    assert out == {"a": {"n": 5}, "v": [1, 2]}
+
+
+def test_or_transformer_first_validating_branch():
+    S = ["or", "int", "boolean"]
+    assert m.decode(S, "1", ST) == 1
+    assert m.decode(S, "true", ST) is True
+
+
+def test_json_transformer_set_and_keyword():
+    assert m.decode(["set", "int"], [1, 2], JT) == {1, 2}
+    assert m.decode("keyword", ":abba", JT) == "abba"
+    assert m.decode("int", 2.0, JT) == 2
+
+
+def test_strip_extra_keys():
+    S = ["map", ["x", "int"]]
+    assert m.decode(S, {"x": 1, "y": 2}, strip_extra_keys_transformer()) == {"x": 1}
+
+
+def test_key_transformer():
+    kt = key_transformer(decode=lambda k: k.upper())
+    assert m.decode(["map", ["X", "int"]], {"x": 1}, kt) == {"X": 1}
+
+
+def test_default_value_transformer():
+    dv = default_value_transformer()
+    S = ["map", ["x", ["int", {"default": 7}]], ["y", ["string", {"default": "d"}]]]
+    assert m.decode(S, {}, dv) == {"x": 7, "y": "d"}
+    assert m.decode(S, {"x": 1}, dv) == {"x": 1, "y": "d"}
+    # nil fill too
+    assert m.decode(S, {"x": None}, dv)["x"] == 7
+
+
+def test_transformer_chain():
+    chain = transformer(strip_extra_keys_transformer(), string_transformer())
+    S = ["map", ["x", "int"]]
+    assert m.decode(S, {"x": "1", "y": 2}, chain) == {"x": 1}
+
+
+def test_schema_property_override():
+    S = ["map", ["x", ["int", {"decode/string": lambda v: int(v) * 10}]]]
+    assert m.decode(S, {"x": "4"}, ST) == {"x": 40}
+
+
+def test_encode():
+    assert m.encode("int", 1, ST) == "1"
+    assert m.encode("boolean", True, ST) == "true"
+    S = ["map", ["x", "int"]]
+    assert m.encode(S, {"x": 5}, ST) == {"x": "5"}
+
+
+def test_coerce():
+    S = ["map", ["x", "int"]]
+    assert m.coerce(S, {"x": "5"}, ST) == {"x": 5}
+    with pytest.raises(m.SchemaError):
+        m.coerce(S, {"x": "bad"}, ST)
+    out = m.coercer(S, ST, raise_=lambda err: ("failed", err["explain"] is not None))
+    assert out({"x": "bad"}) == ("failed", True)
+
+
+def test_collection_transformer():
+    assert m.decode(["set", "int"], [1, 1, 2], collection_transformer()) == {1, 2}
+    assert m.decode(["vector", "int"], (1, 2), collection_transformer()) == [1, 2]

@@ -1,0 +1,113 @@
+"""Schema algebra (malli.util semantics) + provider inference corpus
+(mirrors util_test.cljc / provider_test.cljc:8-161)."""
+
+import malli_ray as m
+from malli_ray import util as mu
+from malli_ray.provider import provide
+
+
+def test_merge():
+    a = ["map", ["x", "int"], ["y", "string"]]
+    b = ["map", ["x", "string"], ["z", "boolean"]]
+    merged = mu.merge(a, b)
+    assert mu.keys(merged) == ["x", "y", "z"]
+    assert m.validate(merged, {"x": "now-a-string", "y": "s", "z": True})  # last wins
+
+
+def test_merge_deep():
+    a = ["map", ["n", ["map", ["a", "int"]]]]
+    b = ["map", ["n", ["map", ["b", "string"]]]]
+    merged = mu.merge(a, b)
+    assert m.validate(merged, {"n": {"a": 1, "b": "s"}})
+    assert not m.validate(merged, {"n": {"a": 1}})
+
+
+def test_union():
+    a = ["map", ["x", "int"]]
+    b = ["map", ["x", "string"]]
+    u = mu.union(a, b)
+    assert m.validate(u, {"x": 1}) and m.validate(u, {"x": "s"})
+
+
+def test_select_dissoc_rename():
+    s = ["map", ["x", "int"], ["y", "string"]]
+    assert mu.keys(mu.select_keys(s, ["x"])) == ["x"]
+    assert mu.keys(mu.dissoc(s, "x")) == ["y"]
+    r = mu.rename_keys(s, {"x": "xx"})
+    assert mu.keys(r) == ["xx", "y"]
+
+
+def test_optional_required():
+    s = ["map", ["x", "int"], ["y", "string"]]
+    opt = mu.optional_keys(s)
+    assert m.validate(opt, {})
+    req = mu.required_keys(opt)
+    assert not m.validate(req, {})
+
+
+def test_assoc_get_in():
+    s = ["map", ["x", ["map", ["y", "int"]]]]
+    assert mu.get_in(s, ["x", "y"]).type == "int"
+    s2 = mu.assoc_in(s, ["x", "z"], "string")
+    assert m.validate(s2, {"x": {"y": 1, "z": "s"}})
+
+
+def test_closed_open():
+    s = ["map", ["x", ["map", ["y", "int"]]]]
+    c = mu.closed_schema(s)
+    assert not m.validate(c, {"x": {"y": 1}, "extra": 1})
+    assert not m.validate(c, {"x": {"y": 1, "extra": 1}})
+    o = mu.open_schema(c)
+    assert m.validate(o, {"x": {"y": 1}, "extra": 1})
+
+
+def test_wrapper_types():
+    merged = ["merge", ["map", ["x", "int"]], ["map", ["y", "string"]]]
+    assert m.validate(merged, {"x": 1, "y": "s"})
+    sel = ["select-keys", ["map", ["x", "int"], ["y", "string"]], ["x"]]
+    assert m.validate(sel, {"x": 1})
+    assert mu.keys(m.deref(m.schema(sel))) == ["x"]
+
+
+def test_subschemas_equals():
+    s = ["map", ["x", "int"]]
+    subs = mu.subschemas(s)
+    assert subs[0][0] == [] and subs[0][1].type == "map"
+    assert mu.equals(s, ["map", ["x", "int"]])
+    assert not mu.equals(s, ["map", ["x", "string"]])
+
+
+# -- provider (provider_test.cljc expectations style) -----------------------
+
+
+def test_provide_scalars():
+    assert provide([1, 2, 3]) == "int"
+    assert provide([1.5]) == "double"
+    assert provide([1, 1.5]) == "double"        # numeric widening
+    assert provide(["a", "b"]) == "string"
+    assert provide([True]) == "boolean"
+    assert provide([None]) == "nil"
+    assert provide([1, None, 2]) == ["maybe", "int"]
+    assert provide([1, "a"]) == ["or", "int", "string"]
+
+
+def test_provide_maps():
+    assert provide([{"x": 1}, {"x": 2}]) == ["map", ["x", "int"]]
+    assert provide([{"x": 1}, {}]) == ["map", ["x", {"optional": True}, "int"]]
+    assert provide([{"x": 1}, None]) == ["maybe", ["map", ["x", "int"]]]
+    out = provide([{"x": {"y": "s"}}])
+    assert out == ["map", ["x", ["map", ["y", "string"]]]]
+
+
+def test_provide_collections():
+    assert provide([[1, 2], [3]]) == ["vector", "int"]
+    assert provide([{1, 2}]) == ["set", "int"]
+    assert provide([[{"x": 1}]]) == ["vector", ["map", ["x", "int"]]]
+
+
+def test_provide_roundtrip_validates():
+    samples = [{"id": "a", "n": 1, "tags": [1, 2]},
+               {"id": "b", "n": 2, "tags": []}]
+    s = provide(samples)
+    for v in samples:
+        assert m.validate(s, v)
