@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship fused validation pipeline over the synthesized
+  north-rule `sequences` table at sf0.001 (BASELINE.json input_hint) —
+  returns the violations table.
+- ``queries()``: one entry per implemented operator/pipeline (SURVEY.md SS2 +
+  the training-data ops); each callable takes ``sf_dir`` and returns a
+  Dataset / pandas DataFrame / pyarrow Table.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query
+  (identical column names); non-SQL ops (sketches, LSH, fingerprints,
+  inference) are rows-only checked.
 """
 
 from __future__ import annotations
@@ -18,27 +19,525 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# shared specs
+# ---------------------------------------------------------------------------
+
+_DOC_LANGS = ["en", "es", "de", "fr"]          # zh rows violate (by design)
+_DOC_SOURCES = [f"src{i}" for i in range(16)]  # src16-19 violate
+_DOC_MIN_CHARS = 50                            # a few short docs violate
+
+DOC_DSL = ["map",
+           ["doc_id", "int"],
+           ["text", ["string", {"min": 1}]],
+           ["lang", ["enum", *_DOC_LANGS]],
+           ["source", ["enum", *_DOC_SOURCES]],
+           ["n_chars", ["int", {"min": _DOC_MIN_CHARS}]]]
+
+_EVENT_TYPES_OK = ["click", "view", "purchase"]
+
+
+def _doc_spec():
+    from malli_ray.stages.validator import ValidationSpec
+    return ValidationSpec(schema=DOC_DSL, id_column="doc_id")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _seq_paths(sf: float):
+    from malli_ray.sources.sequences import ensure_sequences, sequences_dir_for
+    d, n = sequences_dir_for(sf)
+    return ensure_sequences(d, n)
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: fused checkpointed validation job over the sequences table
+    (sf0.001), returning the violation rows."""
+    import glob
+    import ray.data as rd
+    from malli_ray.pipelines import validation_job as vj
+    from malli_ray.sources.sequences import ALLOWED_SOURCES, SEQUENCES_DSL
+    from malli_ray.stages.validator import ValidationSpec
+
+    paths = _seq_paths(0.001)
+    spec = ValidationSpec(
+        schema=SEQUENCES_DSL,
+        checks=[{"kind": "list_len_eq", "list_col": "tokens", "len_col": "n_tok",
+                 "name": "n_tok_consistency"},
+                {"kind": "in_set", "column": "source", "allowed": ALLOWED_SOURCES,
+                 "name": "referential_source"}],
+        id_column="doc_id",
+        hll_columns=["doc_id"], tdigest_columns=["n_tok"], hist_columns=["source"])
+    ds = rd.read_parquet(paths)
+    return vj.explain(ds, spec, concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_validate_documents(sf_dir: str):
+    from malli_ray.pipelines import validation_job as vj
+    ds = _read(sf_dir, "documents")
+    out = vj.validate(ds, _doc_spec(), concurrency=(1, 4))
+    return out.select_columns(["doc_id", "valid"])
+
+
+def _q_violations_documents(sf_dir: str):
+    from malli_ray.pipelines import validation_job as vj
+    ds = _read(sf_dir, "documents")
+    vio = vj.explain(ds, _doc_spec(), concurrency=(1, 4))
+    return vio.select_columns(["id", "column"])
+
+
+def _q_verdict_by_source(sf_dir: str):
+    import pyarrow.compute as pc
+    from malli_ray.pipelines import validation_job as vj
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents")
+    v = vj.validate(ds, _doc_spec(), concurrency=(1, 4))
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return batch.append_column("valid_i", batch.column("valid").cast(pa.int64()))
+
+    v = v.map_batches(to_int, batch_format="pyarrow")
+    return (v.groupby("source")
+            .aggregate(Count(alias_name="n_rows"),
+                       Sum("valid_i", alias_name="n_valid")))
+
+
+def _q_column_stats_documents(sf_dir: str):
+    from malli_ray.pipelines import validation_job as vj
+    from malli_ray.stages.validator import ValidationSpec
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    rep = vj.summarize(ds, ValidationSpec(schema=["map"]), concurrency=(1, 4))
+    rows = []
+    for col in ("doc_id", "n_chars"):
+        s = rep["stats"][col]
+        rows.append({"column_name": col, "n": s["count"],
+                     "null_count": s["null_count"],
+                     "min_v": int(s["min"]), "max_v": int(s["max"])})
+    return pa.Table.from_pylist(rows)
+
+
+def _q_unique_violations_events(sf_dir: str):
+    from malli_ray.stages import constraints as C
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return C.uniqueness_violations(ds, "user_id")
+
+
+def _q_referential_events(sf_dir: str):
+    from malli_ray.stages import constraints as C
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    return C.check_referential(ds, "event_type", _EVENT_TYPES_OK)
+
+
+def _q_hist_source_documents(sf_dir: str):
+    from malli_ray.stages import constraints as C
+    hist = C.histogram(_read(sf_dir, "documents", columns=["source"]), "source")
+    return pa.Table.from_pylist(
+        [{"source": k, "cnt": v} for k, v in sorted(hist.items())])
+
+
+def _q_dedup_exact_documents(sf_dir: str):
+    from malli_ray.stages import dedup
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.exact_dedup_keep_first(ds, "text", "doc_id")
+
+
+def _q_token_count_documents(sf_dir: str):
+    from malli_ray.stages import text as T
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return T.add_token_count(ds, "text").select_columns(["doc_id", "n_tokens"])
+
+
+def _q_text_counts_documents(sf_dir: str):
+    import pyarrow.compute as pc
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pc.count_substring_regex(text, r"\S+").cast(pa.int64()),
+            "n_punct": pc.count_substring_regex(text, r"[^\w\s]").cast(pa.int64()),
+            "n_digit": pc.count_substring_regex(text, r"\d").cast(pa.int64()),
+        })
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+def _q_ann_topk_embeddings(sf_dir: str):
+    import pyarrow.parquet as pq
+    from malli_ray.stages.similarity import topk_cosine
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.slice(0, 3)
+    queries = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = topk_cosine(ds, queries, "embedding", "vec_id", k=5, concurrency=(1, 4))
+    return out.select_columns(["query_id", "vec_id"])
+
+
+def _q_events_daily(sf_dir: str):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def day(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(batch.column("ts"), "%Y-%m-%d"),
+                         "event_type": batch.column("event_type")})
+
+    return (ds.map_batches(day, batch_format="pyarrow")
+            .groupby(["day", "event_type"]).aggregate(Count(alias_name="n")))
+
+
+def _q_q1_lineitem(sf_dir: str):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"])
+    cutoff = pa.scalar(np.datetime64("1998-09-02T00:00:00", "us"),
+                       type=pa.timestamp("us"))
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t["l_shipdate"], cutoff)),
+        batch_format="pyarrow")
+
+    def qty_int(batch: pa.Table) -> pa.Table:
+        return batch.append_column("qty_i",
+                                   batch.column("l_quantity").cast(pa.int64()))
+
+    ds = ds.map_batches(qty_int, batch_format="pyarrow")
+    return (ds.groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("qty_i", alias_name="sum_qty"),
+                       Count(alias_name="count_order")))
+
+
+def _q_top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def _q_orders_by_nation(sf_dir: str):
+    """Broadcast join: customer (small) shipped to actors as a dict; orders
+    stream through and group by nation."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    lookup_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(),
+                                  cust.column("c_nationkey").to_pylist())))
+
+    class AttachNation:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_pylist()
+            nk = [self.lookup.get(k, -1) for k in keys]
+            return batch.append_column("n_nationkey", pa.array(nk, type=pa.int64()))
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    ds = ds.map_batches(AttachNation, fn_constructor_kwargs={"ref": lookup_ref},
+                        batch_format="pyarrow", concurrency=(1, 4))
+    return ds.groupby("n_nationkey").aggregate(Count(alias_name="order_count"))
+
+
+def _q_filter_lineitem(sf_dir: str):
+    import pyarrow.compute as pc
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    ds = ds.map_batches(lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)),
+                        batch_format="pyarrow")
+
+    def qty_i(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "l_linenumber": batch.column("l_linenumber").cast(pa.int64()),
+                         "qty": batch.column("l_quantity").cast(pa.int64())})
+
+    return ds.map_batches(qty_i, batch_format="pyarrow")
+
+
+def _q_decode_events_props(sf_dir: str):
+    import pyarrow.compute as pc
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def decode(batch: pa.Table) -> pa.Table:
+        k = pc.extract_regex(batch.column("props"), r"\"k\": (?P<k>\d+)")
+        kv = pc.struct_field(k, [0]).cast(pa.int64())
+        return pa.table({"event_id": batch.column("event_id"), "k": kv})
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+# -- rows-only (non-SQL-expressible) ops ------------------------------------
+
+
+def _q_lang_id_documents(sf_dir: str):
+    from malli_ray.stages import text as T
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return T.add_lang_id(ds, "text", concurrency=(1, 4)).select_columns(
+        ["doc_id", "lang_pred"])
+
+
+def _q_fingerprint_documents(sf_dir: str):
+    from malli_ray.stages import text as T
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = T.add_fingerprint(ds, "text", concurrency=(1, 4))
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": batch.column("fingerprint").cast(pa.string())})
+
+    return out.map_batches(to_str, batch_format="pyarrow")
+
+
+def _q_minhash_dedup_documents(sf_dir: str):
+    from malli_ray.stages import dedup
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.minhash_lsh_candidates(ds, "text", "doc_id", threshold=0.5,
+                                        concurrency=(1, 4))
+
+
+def _q_simhash_documents(sf_dir: str):
+    from malli_ray.stages import dedup
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(dedup.SimHasher,
+                         fn_constructor_kwargs={"text_column": "text"},
+                         batch_format="pyarrow", concurrency=(1, 4))
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "simhash": batch.column("simhash").cast(pa.string())})
+
+    return out.map_batches(to_str, batch_format="pyarrow")
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    from malli_ray.stages import dedup
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup.embedding_near_dups(ds, "embedding", "vec_id", threshold=0.95,
+                                     concurrency=(1, 4))
+
+
+def _q_infer_schema_documents(sf_dir: str):
+    import json
+    from malli_ray.provider import infer_dataset
+    form = infer_dataset(_read(sf_dir, "documents"))
+    return pa.table({"schema_form": [json.dumps(form)]})
+
+
+def _q_validate_sequences(sf_dir: str):
+    import ray.data as rd
+    from malli_ray.pipelines import validation_job as vj
+    from malli_ray.sources.sequences import ALLOWED_SOURCES, SEQUENCES_DSL
+    from malli_ray.stages.validator import ValidationSpec
+
+    paths = _seq_paths(_sf_of(sf_dir))
+    spec = ValidationSpec(
+        schema=SEQUENCES_DSL,
+        checks=[{"kind": "list_len_eq", "list_col": "tokens", "len_col": "n_tok",
+                 "name": "n_tok_consistency"},
+                {"kind": "in_set", "column": "source", "allowed": ALLOWED_SOURCES,
+                 "name": "referential_source"}],
+        id_column="doc_id",
+        hll_columns=["doc_id"], tdigest_columns=["n_tok"], hist_columns=["source"])
+    rep = vj.summarize(rd.read_parquet(paths), spec, concurrency=(1, 4))
+    return pa.table({
+        "n_rows": [rep["n_rows"]], "n_valid": [rep["n_valid"]],
+        "n_violations": [rep["n_violations"]],
+        "distinct_doc_id": [round(rep["distinct"]["doc_id"])],
+        "n_tok_p50": [round(rep["quantiles"]["n_tok"][0.5])],
+    })
+
+
+def _q_ivf_topk_embeddings(sf_dir: str):
+    import pyarrow.parquet as pq
+    from malli_ray.stages.similarity import ivf_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"]).slice(0, 2)
+    queries = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, queries, "embedding", "vec_id", k=5,
+                    n_centroids=8, n_probe=3, concurrency=(1, 4))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # validation engine core
+        "validate_documents": _q_validate_documents,
+        "violations_documents": _q_violations_documents,
+        "verdict_by_source": _q_verdict_by_source,
+        "column_stats_documents": _q_column_stats_documents,
+        "unique_violations_events": _q_unique_violations_events,
+        "referential_events": _q_referential_events,
+        "hist_source_documents": _q_hist_source_documents,
+        # dedup / similarity / text
+        "dedup_exact_documents": _q_dedup_exact_documents,
+        "token_count_documents": _q_token_count_documents,
+        "text_counts_documents": _q_text_counts_documents,
+        "ann_topk_embeddings": _q_ann_topk_embeddings,
+        "lang_id_documents": _q_lang_id_documents,
+        "fingerprint_documents": _q_fingerprint_documents,
+        "minhash_dedup_documents": _q_minhash_dedup_documents,
+        "simhash_documents": _q_simhash_documents,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "ivf_topk_embeddings": _q_ivf_topk_embeddings,
+        # general dataset ops (groupby/sort/limit/join/filter/decode)
+        "events_daily": _q_events_daily,
+        "q1_lineitem": _q_q1_lineitem,
+        "top_orders": _q_top_orders,
+        "orders_by_nation": _q_orders_by_nation,
+        "filter_lineitem": _q_filter_lineitem,
+        "decode_events_props": _q_decode_events_props,
+        # inference + north-rule sequences table
+        "infer_schema_documents": _q_infer_schema_documents,
+        "validate_sequences": _q_validate_sequences,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_DOC_VALID_EXPR = (
+    "(text IS NOT NULL AND length(text) >= 1 "
+    "AND lang IN ('en','es','de','fr') "
+    f"AND source IN ({', '.join(repr(s) for s in _DOC_SOURCES)}) "
+    f"AND n_chars IS NOT NULL AND n_chars >= {_DOC_MIN_CHARS} "
+    "AND doc_id IS NOT NULL)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    src_list = ", ".join(repr(s) for s in _DOC_SOURCES)
+    return {
+        "validate_documents":
+            f"SELECT doc_id, {_DOC_VALID_EXPR} AS valid FROM documents",
+        "violations_documents": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS id, 'text' AS "column"
+              FROM documents WHERE text IS NULL OR length(text) < 1
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'lang' FROM documents
+             WHERE lang IS NULL OR lang NOT IN ('en','es','de','fr')
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'source' FROM documents
+             WHERE source IS NULL OR source NOT IN ({src_list})
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'n_chars' FROM documents
+             WHERE n_chars IS NULL OR n_chars < {_DOC_MIN_CHARS}
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'doc_id' FROM documents
+             WHERE doc_id IS NULL
+        """,
+        "verdict_by_source": f"""
+            SELECT source, COUNT(*) AS n_rows,
+                   SUM(CASE WHEN {_DOC_VALID_EXPR} THEN 1 ELSE 0 END) AS n_valid
+              FROM documents GROUP BY source
+        """,
+        "column_stats_documents": """
+            SELECT 'doc_id' AS column_name, COUNT(*) AS n,
+                   SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS null_count,
+                   MIN(doc_id) AS min_v, MAX(doc_id) AS max_v FROM documents
+            UNION ALL
+            SELECT 'n_chars', COUNT(*),
+                   SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+                   MIN(n_chars), MAX(n_chars) FROM documents
+        """,
+        "unique_violations_events": """
+            SELECT user_id, COUNT(*) AS cnt FROM events
+             GROUP BY user_id HAVING COUNT(*) > 1
+        """,
+        "referential_events": """
+            SELECT event_id, event_type FROM events
+             WHERE event_type NOT IN ('click','view','purchase')
+        """,
+        "hist_source_documents":
+            "SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source",
+        "dedup_exact_documents":
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+        "token_count_documents": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens
+              FROM documents
+        """,
+        "text_counts_documents": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_words,
+                   len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                   len(regexp_extract_all(text, '\d')) AS n_digit
+              FROM documents
+        """,
+        "ann_topk_embeddings": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                         FROM embeddings WHERE vec_id < 3),
+                 scored AS (
+                   SELECT q.query_id, e.vec_id,
+                          list_cosine_similarity(q.qe, e.embedding) AS score
+                     FROM q CROSS JOIN embeddings e),
+                 ranked AS (
+                   SELECT query_id, vec_id,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, vec_id) AS rk
+                     FROM scored)
+            SELECT CAST(query_id AS INT) AS query_id, vec_id
+              FROM ranked WHERE rk <= 5
+        """,
+        "events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
+              FROM events GROUP BY 1, 2
+        """,
+        "q1_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   COUNT(*) AS count_order
+              FROM lineitem
+             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "orders_by_nation": """
+            SELECT c.c_nationkey AS n_nationkey, COUNT(*) AS order_count
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             GROUP BY c.c_nationkey
+        """,
+        "filter_lineitem": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(l_quantity AS BIGINT) AS qty
+              FROM lineitem WHERE l_quantity > 45.0
+        """,
+        "decode_events_props": r"""
+            SELECT event_id,
+                   CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+              FROM events
+        """,
+    }
