@@ -313,10 +313,73 @@ def _list_offsets(arr: pa.Array) -> tuple[np.ndarray, pa.Array]:
     return offs, arr.values
 
 
+def compile_probe(s: Schema, dtype: pa.DataType) -> Optional[Callable[[pa.Array], bool]]:
+    """A cheap whole-array pre-check: returns True iff EVERY element is
+    certainly valid — the hierarchical fast path for element checks over huge
+    flattened token arrays (one SIMD min_max beats 34M boolean kernels when,
+    as in real validation workloads, violations are rare)."""
+    t = s.type
+    mn, mx = _value_bounds(s)
+    if t in ("int", "integer", "int?", "integer?") and _is_int_type(dtype):
+        def probe(values: pa.Array) -> bool:
+            if values.null_count:
+                return False
+            if len(values) == 0:
+                return True
+            mm = pc.min_max(values)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            return (mn is None or lo >= mn) and (mx is None or hi <= mx)
+        return probe
+    if t in ("double", "float", "number", "double?", "float?", "number?") and (
+            _is_float_type(dtype) or _is_int_type(dtype)):
+        def probe(values: pa.Array) -> bool:
+            if values.null_count or len(values) == 0:
+                return values.null_count == 0
+            mm = pc.min_max(values)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is None or hi is None:
+                return False
+            return (mn is None or lo >= mn) and (mx is None or hi <= mx)
+        return probe
+    if t in ("string", "string?", "keyword", "keyword?") and _is_string_type(dtype):
+        if mn is None and mx is None or t != "string":
+            return lambda values: values.null_count == 0
+    return None
+
+
+def _numpy_elem_mask(s: Schema, dtype: pa.DataType) -> Optional[Callable]:
+    """Pure-numpy element mask for primitive bounds — avoids Arrow boolean
+    materialization round-trips on the flattened child array."""
+    t = s.type
+    mn, mx = _value_bounds(s)
+    if t in ("int", "integer", "int?", "integer?") and _is_int_type(dtype) and (
+            mn is not None or mx is not None):
+        def mask(values: pa.Array) -> np.ndarray:
+            if values.null_count == 0:
+                v = values.to_numpy(zero_copy_only=True)
+                out = np.ones(len(v), dtype=bool)
+                if mn is not None:
+                    out &= v >= mn
+                if mx is not None:
+                    out &= v <= mx
+                return out
+            v = values.to_numpy(zero_copy_only=False)
+            out = ~np.isnan(v)
+            if mn is not None:
+                out &= v >= mn
+            if mx is not None:
+                out &= v <= mx
+            return out
+        return mask
+    return None
+
+
 def _compile_list_check(s: Schema, dtype: pa.DataType, mn, mx) -> MaskFn:
     elem_schema = s.children[0]
     elem_dtype = dtype.value_type
-    elem_fn = compile_node(elem_schema, elem_dtype)
+    elem_fn = _numpy_elem_mask(elem_schema, elem_dtype) or compile_node(
+        elem_schema, elem_dtype)
+    elem_probe = compile_probe(elem_schema, elem_dtype)
     elem_trivial = elem_schema.type in ("any", "any?")
 
     def list_mask(arr: pa.Array) -> np.ndarray:
@@ -327,9 +390,14 @@ def _compile_list_check(s: Schema, dtype: pa.DataType, mn, mx) -> MaskFn:
             out = out & _bounds_mask(lengths, mn, mx, n)
         if not elem_trivial and out.any():
             offs, values = _list_offsets(arr)
+            # hierarchical fast path: whole-child probe first
+            if elem_probe is not None and elem_probe(values):
+                return out
             elem_valid = elem_fn(values)
             bad = ~elem_valid
-            cum = np.concatenate(([0], np.cumsum(bad, dtype=np.int64)))
+            cum = np.empty(len(bad) + 1, dtype=np.int64)
+            cum[0] = 0
+            np.cumsum(bad, dtype=np.int64, out=cum[1:])
             bad_per_list = cum[offs[1:]] - cum[offs[:-1]]
             out = out & (bad_per_list == 0)
         return out
@@ -489,19 +557,27 @@ class BoundPlan:
             out[k] = fn(arr)
         return out
 
-    def valid_mask(self, table: pa.Table) -> np.ndarray:
+    def evaluate(self, table: pa.Table) -> tuple[dict, list, np.ndarray]:
+        """(column_masks, check_masks, overall_mask) in ONE pass — callers
+        reuse the masks for explain so nothing is computed twice."""
         n = table.num_rows
         if self.missing_required or self.extra_columns:
-            return np.zeros(n, dtype=bool)
+            return {}, [], np.zeros(n, dtype=bool)
+        col_masks = self.column_masks(table)
+        check_masks = [check.mask(table) for check in self.plan.table_checks]
         out = np.ones(n, dtype=bool)
-        for mask in self.column_masks(table).values():
+        for mask in col_masks.values():
             out &= mask
-        for check in self.plan.table_checks:
-            out &= check.mask(table)
-        return out
+        for mask in check_masks:
+            out &= mask
+        return col_masks, check_masks, out
+
+    def valid_mask(self, table: pa.Table) -> np.ndarray:
+        return self.evaluate(table)[2]
 
     def explain_table(self, table: pa.Table, id_column: str | None = None,
-                      row_offset: int = 0, max_violations: int | None = None) -> pa.Table:
+                      row_offset: int = 0, max_violations: int | None = None,
+                      precomputed: tuple | None = None) -> pa.Table:
         """Violation rows for failing rows only (two-phase explain)."""
         n = table.num_rows
         rows: dict[str, list] = {name: [] for name in VIOLATION_SCHEMA.names}
@@ -538,12 +614,15 @@ class BoundPlan:
                 emit(i, col, [col], [col], "malli.core/extra-key", vals[i].as_py(), msg)
                 count += 1
 
+        col_masks = precomputed[0] if precomputed else None
+        check_masks = precomputed[1] if precomputed else None
+
         if count < budget:
             for (k, optional, cs, fn) in self.columns:
                 arr = table.column(k)
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
-                mask = fn(arr)
+                mask = col_masks[k] if col_masks is not None else fn(arr)
                 bad_idx = np.nonzero(~mask)[0]
                 if len(bad_idx) == 0:
                     continue
@@ -565,8 +644,9 @@ class BoundPlan:
                         count += 1
 
         if count < budget:
-            for check in self.plan.table_checks:
-                mask = check.mask(table)
+            for ci, check in enumerate(self.plan.table_checks):
+                mask = (check_masks[ci] if check_masks is not None
+                        else check.mask(table))
                 bad_idx = np.nonzero(~mask)[0]
                 for i in bad_idx:
                     if count >= budget:

@@ -56,30 +56,30 @@ def _default_concurrency() -> tuple[int, int]:
 
 def validate(ds: Dataset, spec: ValidationSpec, concurrency=None,
              batch_size: int | None = None) -> Dataset:
-    """Append a ``valid`` boolean column (m/validate over the stream)."""
-    return ds.map_batches(ValidateBatch, fn_constructor_kwargs={"spec": spec},
-                          batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=concurrency or _default_concurrency(),
-                          batch_size=batch_size)
+    """Append a ``valid`` boolean column (m/validate over the stream).
+
+    Task-based with a worker-process plan cache: compile-once-per-worker
+    without actor-pool spin-up (stages/validator.py rationale)."""
+    from ..stages.validator import make_validate_fn
+    return ds.map_batches(make_validate_fn(spec), batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
 
 
 def explain(ds: Dataset, spec: ValidationSpec, concurrency=None,
             batch_size: int | None = None) -> Dataset:
     """Violation rows dataset (m/explain over the stream)."""
-    return ds.map_batches(ExplainBatch, fn_constructor_kwargs={"spec": spec},
-                          batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=concurrency or _default_concurrency(),
-                          batch_size=batch_size)
+    from ..stages.validator import make_explain_fn
+    return ds.map_batches(make_explain_fn(spec), batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
 
 
 def summarize(ds: Dataset, spec: ValidationSpec, concurrency=None,
               batch_size: int | None = None) -> dict:
     """Fused validate+stats pass -> merged job report (driver merges tiny
     per-batch partials only)."""
-    s = ds.map_batches(SummarizeBatch, fn_constructor_kwargs={"spec": spec},
-                       batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=concurrency or _default_concurrency(),
-                       batch_size=batch_size)
+    from ..stages.validator import make_summarize_fn
+    s = ds.map_batches(make_summarize_fn(spec), batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=batch_size)
     rows = s.take_all()  # O(batches) small rows
     return merge_summaries(rows)
 
@@ -130,13 +130,16 @@ class _ProcessFragment:
         for rb in pf.iter_batches(batch_size=self.rows_per_batch):
             t = pa.Table.from_batches([rb])
             bound = self.plan.bind(t.schema)
-            mask = bound.valid_mask(t)
+            evaluated = bound.evaluate(t)
+            mask = evaluated[2]
             n_rows += t.num_rows
-            n_valid += int(mask.sum())
-            if int(mask.sum()) < t.num_rows:
+            batch_valid = int(mask.sum())
+            n_valid += batch_valid
+            if batch_valid < t.num_rows:
                 v = bound.explain_table(
                     t, id_column=spec.id_column, row_offset=row_offset,
-                    max_violations=spec.max_violations_per_batch)
+                    max_violations=spec.max_violations_per_batch,
+                    precomputed=evaluated)
                 if v.num_rows:
                     violation_tables.append(v)
             stats.update_from_table(t, hist_cols)
@@ -192,13 +195,20 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
     skipped = len(by_id) - len(pending)
 
     if pending:
+        def process_fragment(batch: pa.Table) -> pa.Table:
+            # worker-process cache: compile once per worker (see
+            # stages/validator.py task-vs-actor rationale)
+            from ..stages.validator import _WORKER_CACHE, _spec_key
+            key = _spec_key(spec, f"fragment:{out_dir}:{rows_per_batch}")
+            inst = _WORKER_CACHE.get(key)
+            if inst is None:
+                inst = _ProcessFragment(spec, out_dir, rows_per_batch)
+                _WORKER_CACHE[key] = inst
+            return inst(batch)
+
         paths_ds = ray.data.from_items([{"path": by_id[p]} for p in sorted(pending)])
-        lineage = paths_ds.map_batches(
-            _ProcessFragment,
-            fn_constructor_kwargs={"spec": spec, "out_dir": out_dir,
-                                   "rows_per_batch": rows_per_batch},
-            batch_size=1, batch_format="pyarrow",
-            concurrency=concurrency or _default_concurrency())
+        lineage = paths_ds.map_batches(process_fragment, batch_size=1,
+                                       batch_format="pyarrow")
         # stream lineage rows and commit each partition as it lands
         for row in lineage.iter_rows():
             store.commit_partition(row["partition_id"],

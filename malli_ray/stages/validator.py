@@ -120,14 +120,16 @@ class SummarizeBatch(_PlanHolder):
     def __call__(self, batch: pa.Table) -> pa.Table:
         plan, spec = self.plan, self.spec
         bound = plan.bind(batch.schema)
-        mask = bound.valid_mask(batch)
+        evaluated = bound.evaluate(batch)
+        mask = evaluated[2]
         n, n_valid = batch.num_rows, int(mask.sum())
 
         violations_json = "[]"
         n_violations = 0
         if n_valid < n:
             v = bound.explain_table(batch, id_column=spec.id_column,
-                                    max_violations=spec.max_violations_per_batch)
+                                    max_violations=spec.max_violations_per_batch,
+                                    precomputed=evaluated)
             n_violations = v.num_rows
             sample = v.slice(0, self.sample_violations)
             violations_json = json.dumps(sample.to_pylist(), default=str)
@@ -157,6 +159,50 @@ class SummarizeBatch(_PlanHolder):
             "hll_json": [json.dumps(hlls)],
             "tdigest_json": [json.dumps(tds)],
         }, schema=SUMMARY_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# task-based variants with worker-process caching
+#
+# Ray worker PROCESSES persist across tasks, so a module-level cache gives the
+# same compile-once-per-worker behavior as an actor pool without paying actor
+# spin-up per execution (actor pools are rebuilt for every dataset execution;
+# task workers are reused).  Use the actor classes above for genuinely heavy
+# state (models, large broadcasts); use these for light compiled plans.
+# --------------------------------------------------------------------------
+
+_WORKER_CACHE: dict[str, Any] = {}
+
+
+def _spec_key(spec: ValidationSpec, tag: str) -> str:
+    return tag + json.dumps(
+        {"schema": spec.schema, "checks": spec.checks, "id": spec.id_column,
+         "hll": spec.hll_columns, "td": spec.tdigest_columns,
+         "hist": spec.hist_columns, "mx": spec.max_violations_per_batch},
+        sort_keys=True, default=str)
+
+
+def _cached_stage(spec: ValidationSpec, tag: str, cls, **kw):
+    key = _spec_key(spec, tag)
+    inst = _WORKER_CACHE.get(key)
+    if inst is None:
+        inst = cls(spec, **kw)
+        _WORKER_CACHE[key] = inst
+    return inst
+
+
+def make_validate_fn(spec: ValidationSpec):
+    return lambda batch: _cached_stage(spec, "validate", ValidateBatch)(batch)
+
+
+def make_explain_fn(spec: ValidationSpec):
+    return lambda batch: _cached_stage(spec, "explain", ExplainBatch)(batch)
+
+
+def make_summarize_fn(spec: ValidationSpec, sample_violations: int = 100):
+    return lambda batch: _cached_stage(
+        spec, "summarize", SummarizeBatch,
+        sample_violations=sample_violations)(batch)
 
 
 def merge_summaries(rows: list[dict]) -> dict:

@@ -127,33 +127,24 @@ class TDigest:
         return self
 
     def _compress(self, means: np.ndarray, weights: np.ndarray):
+        """Vectorized k1-scale recompression: bucket centroids by
+        floor(k(q)) at their right cumulative-weight edge, merge buckets with
+        np.add.reduceat — no Python loop over values."""
         if len(means) == 0:
             return means, weights
         order = np.argsort(means, kind="mergesort")
         means, weights = means[order], weights[order]
         total = weights.sum()
-        out_means: list[float] = []
-        out_weights: list[float] = []
-        k_limit = self.delta
-        # scale function k1: k(q) = delta/(2pi) * asin(2q-1)
-        def k(q: float) -> float:
-            return k_limit / (2 * math.pi) * math.asin(max(-1.0, min(1.0, 2 * q - 1)))
-
-        acc_mean, acc_w = means[0], weights[0]
-        q_left = 0.0
-        for mu, w in zip(means[1:], weights[1:]):
-            q_right = q_left + (acc_w + w) / total
-            if k(q_right) - k(q_left) <= 1.0:
-                acc_mean = (acc_mean * acc_w + mu * w) / (acc_w + w)
-                acc_w += w
-            else:
-                out_means.append(acc_mean)
-                out_weights.append(acc_w)
-                q_left += acc_w / total
-                acc_mean, acc_w = mu, w
-        out_means.append(acc_mean)
-        out_weights.append(acc_w)
-        return np.array(out_means), np.array(out_weights)
+        q_right = np.cumsum(weights) / total
+        # k1 scale: k(q) = delta/(2pi) * asin(2q-1)
+        k_vals = self.delta / (2 * math.pi) * np.arcsin(
+            np.clip(2 * q_right - 1, -1.0, 1.0))
+        bucket = np.floor(k_vals)
+        seg_starts = np.concatenate(
+            ([0], np.nonzero(np.diff(bucket))[0] + 1))
+        out_w = np.add.reduceat(weights, seg_starts)
+        out_m = np.add.reduceat(weights * means, seg_starts) / out_w
+        return out_m, out_w
 
     @property
     def count(self) -> float:
