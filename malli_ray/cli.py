@@ -1,0 +1,114 @@
+"""CLI job entry: run (or resume) a checkpointed validation job.
+
+The ``ray job submit`` entry point of the engine (SURVEY.md SS7.0 cli.py):
+
+    python -m malli_ray.cli validate \
+        --input '/data/sequences/*.parquet' \
+        --schema schema.json \
+        --out /out/run1 \
+        --id-column doc_id --uniqueness-key doc_id \
+        --hll doc_id --tdigest n_tok --hist source --drift source \
+        --check list_len_eq:tokens:n_tok --allowed source:web,books
+
+Re-running the same command resumes from the checkpoint (identical verdicts).
+Owns its Ray session (guarded); library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _build_spec(args) -> "ValidationSpec":
+    from .serialize import jsonable_to_form
+    from .stages.validator import ValidationSpec
+
+    with open(args.schema) as f:
+        schema_form = jsonable_to_form(json.load(f))
+
+    checks = []
+    for c in args.check or []:
+        kind, *rest = c.split(":")
+        if kind == "list_len_eq":
+            checks.append({"kind": "list_len_eq", "list_col": rest[0],
+                           "len_col": rest[1],
+                           "name": f"{rest[1]}_consistency"})
+        elif kind in ("col_eq", "col_le", "col_ge"):
+            checks.append({"kind": kind, "left": rest[0], "right": rest[1],
+                           "name": c})
+        else:
+            raise SystemExit(f"unknown --check kind: {kind}")
+    for a in args.allowed or []:
+        col, vals = a.split(":", 1)
+        checks.append({"kind": "in_set", "column": col,
+                       "allowed": vals.split(","),
+                       "name": f"referential_{col}"})
+
+    return ValidationSpec(
+        schema=schema_form, checks=checks, id_column=args.id_column,
+        hll_columns=args.hll or [], tdigest_columns=args.tdigest or [],
+        hist_columns=args.hist or [],
+        max_violations_per_batch=args.max_violations)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="malli_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="run/resume a checkpointed validation job")
+    v.add_argument("--input", required=True,
+                   help="parquet glob or directory")
+    v.add_argument("--schema", required=True, help="schema JSON file (DSL form)")
+    v.add_argument("--out", required=True, help="output/checkpoint directory")
+    v.add_argument("--id-column")
+    v.add_argument("--uniqueness-key")
+    v.add_argument("--hll", action="append")
+    v.add_argument("--tdigest", action="append")
+    v.add_argument("--hist", action="append")
+    v.add_argument("--drift", action="append")
+    v.add_argument("--check", action="append",
+                   help="cross-column check, e.g. list_len_eq:tokens:n_tok")
+    v.add_argument("--allowed", action="append",
+                   help="referential small side, e.g. source:web,books")
+    v.add_argument("--max-violations", type=int, default=10_000)
+    v.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    v.add_argument("--rows-per-batch", type=int, default=65_536)
+
+    args = p.parse_args(argv)
+
+    if os.path.isdir(args.input):
+        paths = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    else:
+        paths = sorted(glob.glob(args.input))
+    if not paths:
+        raise SystemExit(f"no parquet files match {args.input!r}")
+
+    import ray
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    try:
+        from .pipelines.validation_job import run_job
+        spec = _build_spec(args)
+        report = run_job(paths, spec, args.out,
+                         uniqueness_key=args.uniqueness_key,
+                         drift_columns=args.drift,
+                         rows_per_batch=args.rows_per_batch)
+        print(json.dumps(report, default=str))
+        return 0 if report["pass"] else 1
+    finally:
+        if owns_ray:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

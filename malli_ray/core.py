@@ -594,11 +594,12 @@ class FnSchema(Schema):
         return _safe_pred(self.fn)
 
     def _form(self):
+        # keep the original child (source string OR callable) so that
+        # serialization can reject closures honestly (serialize.py)
         c = self.children[0]
-        src = c if isinstance(c, str) else getattr(c, "__name__", "<fn>")
         if self.properties:
-            return [self.type, dict(self.properties), src]
-        return [self.type, src]
+            return [self.type, dict(self.properties), c]
+        return [self.type, c]
 
 
 class AndSchema(Schema):
@@ -1408,6 +1409,113 @@ def _hashable(x: Any) -> bool:
         return False
 
 
+class AndnSchema(Schema):
+    """:andn — named conjuncts; parse -> Tags. src/malli/core.cljc:930-1003."""
+
+    def _validator(self):
+        vs = [s.validator() for (_, _, s) in self.children]
+        return lambda x: all(v(x) for v in vs)
+
+    def _explainer(self, path):
+        es = [s._explainer(path + [k]) for (k, _, s) in self.children]
+
+        def explain_(x, in_, acc):
+            for e in es:
+                acc = e(x, in_, acc)
+            return acc
+
+        return explain_
+
+    def _parser(self):
+        branches = [(k, s.parser()) for (k, _, s) in self.children]
+
+        def parse_(x):
+            out = {}
+            for k, p in branches:
+                v = p(x)
+                if v is INVALID:
+                    return INVALID
+                out[k] = v
+            return Tags(out)
+
+        return parse_
+
+    def _unparser(self):
+        """Unparse each conjunct; all reconstructions must agree
+        (src/malli/core.cljc:966-984)."""
+        branches = [(k, s.unparser()) for (k, _, s) in self.children]
+
+        def unparse_(x):
+            if not isinstance(x, Tags):
+                return INVALID
+            result = _MISSING
+            for k, u in branches:
+                if k not in x.values:
+                    return INVALID
+                v = u(x.values[k])
+                if v is INVALID:
+                    return INVALID
+                if result is _MISSING:
+                    result = v
+                elif result != v:
+                    return INVALID
+            return result if result is not _MISSING else INVALID
+
+        return unparse_
+
+    def _form(self):
+        out: list = [self.type]
+        if self.properties:
+            out.append(dict(self.properties))
+        for (k, props, s) in self.children:
+            out.append([k, props, s.form] if props else [k, s.form])
+        return out
+
+    def _walk_children(self, walker, path):
+        return [(k, p, s.walk(walker, path + [k])) for (k, p, s) in self.children]
+
+
+class FunctionSchema(Schema):
+    """:=> / :-> / :function — function schemas.
+
+    Validates ``callable(x)`` (malli: ifn? unless a ::function-checker option
+    provides generative checking — src/malli/core.cljc:2154-2321). With option
+    ``{"function-checker": checker}``, ``checker(schema) -> pred`` is used.
+    """
+
+    def __init__(self, type_, properties, children, options):
+        if type_ == "->":
+            # [:-> a b c] sugar == [:=> [:cat a b] c] (core.cljc:2382-2391)
+            if len(children) < 1:
+                raise SchemaError(":-> expects at least an output schema")
+            *ins, out = children
+            children = [schema(["cat", *[_child_form(c) for c in ins]], options),
+                        schema(out, options) if not isinstance(out, Schema) else out]
+            type_ = "=>"
+        super().__init__(type_, properties, children, options)
+        self.checker = (options or {}).get("function-checker")
+
+    def _validator(self):
+        if self.checker is not None:
+            return _safe_pred(self.checker(self))
+        return callable
+
+    @property
+    def input(self) -> "Schema":
+        return self.children[0]
+
+    @property
+    def output(self) -> "Schema":
+        return self.children[1]
+
+
+class FunctionSetSchema(Schema):
+    """:function — a set of :=> arities. src/malli/core.cljc:2154-2321."""
+
+    def _validator(self):
+        return callable
+
+
 class RefSchema(Schema):
     """:ref — registry deref with recursion-safe lazy resolution.
 
@@ -1588,9 +1696,36 @@ def _build_default_registry() -> dict:
         reg[t] = CollectionSchema
     reg["tuple"] = TupleSchema
     reg["multi"] = _entry_ctor(MultiSchema)
+    reg["andn"] = _entry_ctor(AndnSchema)
     reg["ref"] = RefSchema
     reg["schema"] = WrapperSchema
     reg["malli.core/schema"] = WrapperSchema
+    reg["=>"] = FunctionSchema
+    reg["->"] = FunctionSchema
+    reg["function"] = FunctionSetSchema
+
+    # experimental time schemas (src/malli/experimental/time.cljc:97-108);
+    # Python mapping: datetime/date/time/timedelta with :min/:max value bounds
+    reg["time/instant"] = _simple(
+        lambda x: isinstance(x, _dt.datetime) and x.tzinfo is not None)
+    reg["time/local-date"] = _simple(
+        lambda x: isinstance(x, _dt.date) and not isinstance(x, _dt.datetime))
+    reg["time/local-time"] = _simple(
+        lambda x: isinstance(x, _dt.time) and x.tzinfo is None)
+    reg["time/local-date-time"] = _simple(
+        lambda x: isinstance(x, _dt.datetime) and x.tzinfo is None)
+    reg["time/duration"] = _simple(lambda x: isinstance(x, _dt.timedelta))
+    reg["time/period"] = _simple(lambda x: isinstance(x, _dt.timedelta))
+    reg["time/zoned-date-time"] = _simple(
+        lambda x: isinstance(x, _dt.datetime) and x.tzinfo is not None)
+    reg["time/offset-date-time"] = _simple(
+        lambda x: isinstance(x, _dt.datetime) and x.tzinfo is not None)
+    reg["time/offset-time"] = _simple(
+        lambda x: isinstance(x, _dt.time) and x.tzinfo is not None)
+    reg["time/zone-id"] = _simple(lambda x: isinstance(x, (_dt.tzinfo, str)),
+                                  supports_bounds=False)
+    reg["time/zone-offset"] = _simple(lambda x: isinstance(x, _dt.timezone),
+                                      supports_bounds=False)
 
     return reg
 

@@ -1,0 +1,189 @@
+"""serialize (edn analog), json_schema export/import, generator roundtrip,
+lite sugar, :andn, function schemas, time schemas."""
+
+import datetime as dt
+import json
+
+import pytest
+
+import malli_ray as m
+from malli_ray import Tag, Tags, INVALID
+from malli_ray.generator import generate, sample
+from malli_ray.json_schema import parse as js_parse, transform as js_transform
+from malli_ray.lite import from_lite, optional
+from malli_ray.serialize import read_string, write_string
+
+
+def test_write_read_roundtrip():
+    forms = [
+        "int",
+        ["map", ["x", "boolean"], ["y", {"optional": True}, "int"]],
+        ["vector", {"min": 1}, ["int", {"min": 0, "max": 10}]],
+        ["enum", "a", "b"],
+        ["re", r"^\d+$"],
+        ["fn", "x > 2"],
+        ["orn", ["pos", "pos-int?"], ["neg", "neg-int?"]],
+    ]
+    for f in forms:
+        s = read_string(write_string(f))
+        assert m.form(s) == m.form(m.schema(f))
+    # over-the-wire behavior preserved
+    s = read_string(write_string(["map", ["x", ["int", {"min": 1}]]]))
+    assert m.validate(s, {"x": 2}) and not m.validate(s, {"x": 0})
+
+
+def test_serialize_rejects_closures():
+    with pytest.raises(m.SchemaError):
+        write_string(["fn", lambda x: x])
+
+
+def test_json_schema_export():
+    S = ["map", {"closed": True},
+         ["id", ["string", {"min": 1}]],
+         ["age", {"optional": True}, ["int", {"min": 0, "max": 150}]],
+         ["tags", ["set", "keyword"]],
+         ["status", ["enum", "a", "b"]],
+         ["score", ["maybe", "double"]]]
+    js = js_transform(S)
+    assert js["type"] == "object"
+    assert js["required"] == ["id", "tags", "status", "score"]
+    assert js["additionalProperties"] is False
+    assert js["properties"]["id"] == {"type": "string", "minLength": 1}
+    assert js["properties"]["age"] == {"type": "integer", "minimum": 0, "maximum": 150}
+    assert js["properties"]["tags"] == {"type": "array", "items": {"type": "string"},
+                                        "uniqueItems": True}
+    assert js["properties"]["status"] == {"enum": ["a", "b"]}
+    assert js["properties"]["score"] == {"oneOf": [{"type": "number"},
+                                                   {"type": "null"}]}
+    assert js_transform(["tuple", "int", "string"])["prefixItems"] == [
+        {"type": "integer"}, {"type": "string"}]
+    assert js_transform([">", 5]) == {"type": "number", "exclusiveMinimum": 5}
+    assert js_transform(["re", "^a+$"]) == {"type": "string", "pattern": "^a+$"}
+
+
+def test_json_schema_parse_roundtrip():
+    S = ["map", ["id", ["string", {"min": 1}]],
+         ["age", {"optional": True}, ["int", {"min": 0}]],
+         ["v", ["vector", "double"]]]
+    back = js_parse(js_transform(S))
+    assert m.validate(back, {"id": "x", "age": 3, "v": [1.0]})
+    assert not m.validate(back, {"id": "", "v": []})
+    assert not m.validate(back, {"v": []})  # id required
+
+
+def test_generator_roundtrip_property():
+    forms = [
+        "int", ["int", {"min": 5, "max": 9}], "pos-int?", "string",
+        ["string", {"min": 2, "max": 4}], "boolean", "uuid", "double",
+        ["enum", "a", "b", "c"], ["maybe", "int"],
+        ["vector", {"min": 1, "max": 3}, "int"],
+        ["set", "int"], ["tuple", "int", "string"],
+        ["map", ["x", "int"], ["y", {"optional": True}, "string"]],
+        ["map-of", "string", "int"],
+        ["or", "int", "string"],
+        ["orn", ["i", "int"], ["s", "string"]],
+        ["and", ["int", {"min": 0, "max": 100}], [">", 10]],
+        ["re", r"^[a-z]{3}\d$"],
+        ["fn", "x > 100"],
+        [">", 10], ["<=", 5], ["=", "const"],
+        ["*", "int?"], ["+", "boolean?"],
+        ["cat", "string?", "int?"],
+        ["catn", ["a", "string?"], ["b", "int?"]],
+        ["repeat", {"min": 2, "max": 4}, "int?"],
+        ["multi", {"dispatch": "t"}, ["a", ["map", ["t", ["=", "a"]]]]],
+    ]
+    for f in forms:
+        for seed in (1, 42, 777):
+            v = generate(f, seed=seed)
+            assert m.validate(f, v), (f, v)
+
+
+def test_generator_deterministic():
+    S = ["map", ["x", "int"], ["v", ["vector", "string"]]]
+    assert generate(S, seed=5) == generate(S, seed=5)
+    vals = sample(S, n=5, seed=9)
+    assert vals == sample(S, n=5, seed=9)
+    assert all(m.validate(S, v) for v in vals)
+
+
+def test_gen_properties():
+    assert generate(["int", {"gen/return": 99}]) == 99
+    assert generate(["string", {"gen/elements": ["a", "b"]}], seed=1) in ("a", "b")
+
+
+def test_lite():
+    S = from_lite({"name": "string", "age": optional("int"),
+                   "addr": {"city": "string"}})
+    assert m.validate(S, {"name": "n", "addr": {"city": "c"}})
+    assert m.validate(S, {"name": "n", "age": 3, "addr": {"city": "c"}})
+    assert not m.validate(S, {"name": "n", "addr": {}})
+
+
+def test_andn():
+    S = ["andn", ["small", ["<", 10]], ["int", "int?"]]
+    assert m.validate(S, 5) and not m.validate(S, 11) and not m.validate(S, 5.5)
+    p = m.parse(S, 5)
+    assert p == Tags({"small": 5, "int": 5})
+    assert m.unparse(S, p) == 5
+
+
+def test_function_schemas():
+    S = ["=>", ["cat", "int"], "int"]
+    assert m.validate(S, lambda x: x + 1)
+    assert not m.validate(S, 42)
+    arrow = ["->", "int", "int"]
+    sc = m.schema(arrow)
+    assert sc.type == "=>" and m.validate(arrow, abs)
+    fs = ["function", ["=>", ["cat", "int"], "int"]]
+    assert m.validate(fs, abs)
+    # generative checking via function-checker option
+    def checker(schema_):
+        out_valid = schema_.output.validator()
+        return lambda f: all(out_valid(f(i)) for i in range(5))
+    opts = {"function-checker": checker}
+    assert m.validate(S, lambda x: x * 2, opts)
+    assert not m.validate(S, lambda x: str(x), opts)
+
+
+def test_time_schemas():
+    now = dt.datetime.now(dt.timezone.utc)
+    naive = dt.datetime(2020, 1, 1, 12)
+    assert m.validate("time/instant", now) and not m.validate("time/instant", naive)
+    assert m.validate("time/local-date-time", naive)
+    assert m.validate("time/local-date", dt.date(2020, 1, 1))
+    assert not m.validate("time/local-date", naive)
+    assert m.validate("time/local-time", dt.time(10, 30))
+    assert m.validate("time/duration", dt.timedelta(seconds=5))
+    assert m.validate("time/zone-offset", dt.timezone.utc)
+    bounded = ["time/local-date", {"min": dt.date(2020, 1, 1),
+                                   "max": dt.date(2021, 1, 1)}]
+    assert m.validate(bounded, dt.date(2020, 6, 1))
+    assert not m.validate(bounded, dt.date(2019, 6, 1))
+
+
+def test_cli(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from malli_ray.cli import main
+
+    data = pa.table({"doc_id": ["a", "b", "b", ""],
+                     "n": [1, 2, -1, 3]})
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(data, inp / "part-0.parquet")
+    schema_file = tmp_path / "schema.json"
+    schema_file.write_text(json.dumps(
+        ["map", ["doc_id", ["string", {"min": 1}]], ["n", ["int", {"min": 0}]]]))
+    out = tmp_path / "out"
+    rc = main(["validate", "--input", str(inp), "--schema", str(schema_file),
+               "--out", str(out), "--id-column", "doc_id",
+               "--uniqueness-key", "doc_id", "--hist", "doc_id"])
+    assert rc == 1  # violations present
+    meta = json.loads((out / "checkpoint" / "job.json").read_text())
+    assert meta["last_report"]["n_rows"] == 4
+    assert meta["last_report"]["n_valid"] == 2
+    # resume: rerun is a no-op with identical verdicts
+    rc2 = main(["validate", "--input", str(inp), "--schema", str(schema_file),
+                "--out", str(out), "--id-column", "doc_id",
+                "--uniqueness-key", "doc_id"])
+    assert rc2 == 1
