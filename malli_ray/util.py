@@ -22,8 +22,76 @@ __all__ = [
     "merge", "union", "select_keys", "dissoc", "assoc", "update", "rename_keys",
     "optional_keys", "required_keys", "keys", "get", "get_in", "assoc_in",
     "closed_schema", "open_schema", "subschemas", "equals", "find",
-    "transform_entries", "register_into",
+    "transform_entries", "register_into", "path_to_in", "in_to_paths",
 ]
+
+
+def path_to_in(s: Any, path: list, options: dict | None = None) -> list:
+    """Schema path -> value path (mu/path->in, src/malli/util.cljc:189-199).
+
+    Drops branch/positional steps that do not index into the value
+    (:or/:and/:maybe child indexes, :orn branch names)."""
+    out: list = []
+    sc = schema(s, options)
+    for step in path:
+        sc = _deref_all(sc)
+        t = sc.type
+        if isinstance(sc, MapSchema):
+            out.append(step)
+            sc = next((cs for (k, _, cs) in sc.children if k == step), sc)
+        elif t in ("vector", "sequential", "seqable", "set", "every"):
+            out.append(step)
+            sc = sc.children[0]
+        elif t == "tuple":
+            out.append(step)
+            sc = sc.children[step]
+        elif t == "map-of":
+            # path 0 = key schema, 1 = value schema; both index by map key
+            sc = sc.children[step if isinstance(step, int) else 1]
+        elif t in ("or", "and", "maybe", "not", "schema", "malli.core/schema",
+                   "ref"):
+            cs = sc.children
+            if isinstance(step, int) and step < len(cs) and isinstance(cs[step], Schema):
+                sc = cs[step]
+        elif t in ("orn", "andn", "multi"):
+            sc = next((cs for (k, _, cs) in sc.children if k == step), sc)
+        else:
+            out.append(step)
+    return out
+
+
+def in_to_paths(s: Any, in_: list, options: dict | None = None) -> list:
+    """Value path -> all matching schema paths (mu/in->paths,
+    src/malli/util.cljc:201-207)."""
+    results: list = []
+
+    def walk_(sc: Schema, remaining: list, acc: list) -> None:
+        sc = _deref_all(sc)
+        if not remaining:
+            results.append(acc)
+            return
+        step, rest = remaining[0], remaining[1:]
+        t = sc.type
+        if isinstance(sc, MapSchema):
+            for (k, _, cs) in sc.children:
+                if k == step:
+                    walk_(cs, rest, acc + [k])
+        elif t in ("vector", "sequential", "seqable", "set", "every"):
+            walk_(sc.children[0], rest, acc + [0])
+        elif t == "tuple":
+            if isinstance(step, int) and step < len(sc.children):
+                walk_(sc.children[step], rest, acc + [step])
+        elif t in ("or", "and", "maybe"):
+            for i, cs in enumerate(sc.children):
+                walk_(cs, remaining, acc + [i])
+        elif t in ("orn", "andn", "multi"):
+            for (k, _, cs) in sc.children:
+                walk_(cs, remaining, acc + [k])
+        else:
+            return
+
+    walk_(schema(s, options), list(in_), [])
+    return results
 
 
 def _as_map(s: Any, options=None) -> MapSchema:
