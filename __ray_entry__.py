@@ -249,17 +249,25 @@ def _q_orders_by_nation(sf_dir: str):
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_nationkey"])
-    lookup_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(),
-                                  cust.column("c_nationkey").to_pylist())))
+    order_srt = np.argsort(cust.column("c_custkey").to_numpy())
+    lookup_ref = ray.put((cust.column("c_custkey").to_numpy()[order_srt],
+                          cust.column("c_nationkey").to_numpy()[order_srt]))
 
     class AttachNation:
+        """Broadcast hash-join side held once per actor; vectorized
+        searchsorted probe per batch (never a Python loop over keys)."""
+
         def __init__(self, ref):
-            self.lookup = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.keys, self.vals = (ray.get(ref)
+                                    if isinstance(ref, ray.ObjectRef) else ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_pylist()
-            nk = [self.lookup.get(k, -1) for k in keys]
-            return batch.append_column("n_nationkey", pa.array(nk, type=pa.int64()))
+            probe = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.keys, probe)
+            idx = np.clip(idx, 0, len(self.keys) - 1)
+            nk = np.where(self.keys[idx] == probe, self.vals[idx], -1)
+            return batch.append_column("n_nationkey",
+                                       pa.array(nk, type=pa.int64()))
 
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     ds = ds.map_batches(AttachNation, fn_constructor_kwargs={"ref": lookup_ref},

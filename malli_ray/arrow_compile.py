@@ -381,20 +381,34 @@ def _compile_list_check(s: Schema, dtype: pa.DataType, mn, mx) -> MaskFn:
         elem_schema, elem_dtype)
     elem_probe = compile_probe(elem_schema, elem_dtype)
     elem_trivial = elem_schema.type in ("any", "any?")
+    # :every checks only a bounded prefix (coll-check-limit 101,
+    # src/malli/core.cljc:1499-1522) — row/vector parity
+    check_limit = getattr(s, "check_limit", None)
+    # :every/:seqable accept nil (seqable? nil is true — core.cljc:1478-1494)
+    null_ok = s.type in ("every", "seqable")
 
     def list_mask(arr: pa.Array) -> np.ndarray:
         n = len(arr)
-        out = _notnull(arr)
+        out = np.ones(n, dtype=bool) if null_ok else _notnull(arr)
         if mn is not None or mx is not None:
             lengths = pc.list_value_length(arr)
             out = out & _bounds_mask(lengths, mn, mx, n)
         if not elem_trivial and out.any():
             offs, values = _list_offsets(arr)
-            # hierarchical fast path: whole-child probe first
+            # hierarchical fast path: whole-child probe first (skippable only
+            # because all-valid => bounded prefix also all-valid)
             if elem_probe is not None and elem_probe(values):
                 return out
             elem_valid = elem_fn(values)
             bad = ~elem_valid
+            if check_limit is not None:
+                # zero out badness beyond each list's first `check_limit` items
+                lengths_np = (offs[1:] - offs[:-1])
+                pos = np.arange(offs[0], offs[-1], dtype=np.int64) - np.repeat(
+                    offs[:-1], lengths_np)
+                window = bad[offs[0]:offs[-1]] & (pos < check_limit)
+                bad = np.zeros_like(bad)
+                bad[offs[0]:offs[-1]] = window
             cum = np.empty(len(bad) + 1, dtype=np.int64)
             cum[0] = 0
             np.cumsum(bad, dtype=np.int64, out=cum[1:])

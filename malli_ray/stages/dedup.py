@@ -99,26 +99,27 @@ class MinHasher:
         self.rows_per_band = num_perm // bands
 
     def signatures(self, texts: list[str]) -> np.ndarray:
-        """(n_docs, num_perm) uint64 signature matrix."""
+        """(n_docs, num_perm) uint64 signature matrix.
+
+        One (total_shingles x num_perm) universal-hash matrix for the WHOLE
+        batch, then a single segmented min (np.minimum.reduceat) per batch —
+        no per-document Python loop."""
         import polars as pl
         all_shingles: list[str] = []
-        offsets = [0]
-        for t in texts:
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
             sh = _word_shingles(t, self.shingle_k)
+            counts[i] = len(sh)
             all_shingles.extend(sh)
-            offsets.append(len(all_shingles))
-        base = pl.Series(all_shingles).hash(seed=7).to_numpy().astype(np.uint64)
-        # universal hashing: (a*h + b) mod p, vectorized (shingles x perms)
-        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
         M = np.uint64(_MERSENNE)
-        for i in range(len(texts)):
-            h = base[offsets[i]:offsets[i + 1]]
-            if len(h) == 0:
-                sigs[i, :] = M
-                continue
-            vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % M
-            sigs[i, :] = vals.min(axis=0)
-        return sigs
+        if not all_shingles:
+            return np.full((len(texts), self.num_perm), M, dtype=np.uint64)
+        base = pl.Series(all_shingles).hash(seed=7).to_numpy().astype(np.uint64)
+        vals = (base[:, None] * self.a[None, :] + self.b[None, :]) % M
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        # _word_shingles never returns an empty list, so every segment is
+        # non-empty and reduceat is well-defined
+        return np.minimum.reduceat(vals, starts, axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Emit (band, band_hash, id, sig) rows — the LSH flat-map."""
