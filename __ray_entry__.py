@@ -159,6 +159,24 @@ def _q_hist_source_documents(sf_dir: str):
         [{"source": k, "cnt": v} for k, v in sorted(hist.items())])
 
 
+def _q_hist_nchars_documents(sf_dir: str):
+    """Numeric drift histogram (fixed edges) for n_chars; empty bins dropped
+    to match SQL GROUP BY semantics."""
+    from malli_ray.stages.constraints import numeric_histogram
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    hist = numeric_histogram(ds, "n_chars", edges=list(range(0, 1100, 100)))
+    rows = [{"bin": int(k.split("_")[1]), "cnt": v}
+            for k, v in sorted(hist.items()) if v > 0]
+    return pa.Table.from_pylist(rows)
+
+
+def _q_quality_documents(sf_dir: str):
+    from malli_ray.stages import text as T
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return T.add_quality(ds, "text").select_columns(
+        ["doc_id", "n_words", "punct_ratio", "stop_ratio", "quality"])
+
+
 def _q_dedup_exact_documents(sf_dir: str):
     from malli_ray.stages import dedup
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -406,6 +424,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unique_violations_events": _q_unique_violations_events,
         "referential_events": _q_referential_events,
         "hist_source_documents": _q_hist_source_documents,
+        "hist_nchars_documents": _q_hist_nchars_documents,
+        "quality_documents": _q_quality_documents,
         # dedup / similarity / text
         "dedup_exact_documents": _q_dedup_exact_documents,
         "token_count_documents": _q_token_count_documents,
@@ -488,6 +508,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hist_source_documents":
             "SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source",
+        "hist_nchars_documents": """
+            SELECT CAST(FLOOR(n_chars / 100) AS INT) AS bin, COUNT(*) AS cnt
+              FROM documents WHERE n_chars >= 0 AND n_chars <= 1000
+             GROUP BY 1
+        """,
         "dedup_exact_documents":
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
         "token_count_documents": r"""

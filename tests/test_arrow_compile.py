@@ -110,6 +110,18 @@ def test_property_lists(xs):
         check_equiv(form, arr)
 
 
+def test_every_bounded_prefix_parity():
+    # :every checks only the first 101 elements (core.cljc:1499-1522) and
+    # accepts nil; :vector checks all and rejects nil
+    arr = pa.array([[1] * 150 + [999999], [1] * 50, None, [1, 2, 3]],
+                   type=pa.list_(pa.int64()))
+    for form in (["every", ["int", {"min": 0, "max": 1000}]],
+                 ["every", {"min": 1}, ["int", {"min": 0, "max": 1000}]],
+                 ["seqable", ["int", {"min": 0}]],
+                 ["vector", ["int", {"min": 0, "max": 1000}]]):
+        check_equiv(form, arr)
+
+
 def test_fixed_size_list_tuple():
     arr = pa.array([[1.0, 2.0], [3.0, None], None],
                    type=pa.list_(pa.float64(), 2))
