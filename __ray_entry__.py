@@ -308,6 +308,44 @@ def _q_filter_lineitem(sf_dir: str):
     return ds.map_batches(qty_i, batch_format="pyarrow")
 
 
+def _q_events_window_30m(sf_dir: str):
+    from malli_ray.stages.windows import tumbling_window
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    return tumbling_window(ds, "ts", 30, ["event_type"])
+
+
+def _q_sessions_events(sf_dir: str):
+    from malli_ray.stages.windows import sessionize
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return sessionize(ds, "user_id", "ts", gap_minutes=30)
+
+
+def _q_asof_prev_event(sf_dir: str):
+    """Self as-of join: each event paired with the same user's latest strictly
+    earlier event."""
+    import pyarrow.compute as pc
+    from malli_ray.stages.windows import asof_join
+
+    left = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    right = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def rename_r(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["prev_event_id", "user_id", "ts"])
+
+    right = right.map_batches(rename_r, batch_format="pyarrow")
+    joined = asof_join(left, right, key="user_id", left_ts="ts",
+                       right_ts="ts", right_cols=["prev_event_id"],
+                       suffix="_prev", strict=True)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "prev_event_id": batch.column("prev_event_id_prev").cast(pa.int64()),
+        })
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
 def _q_decode_events_props(sf_dir: str):
     import pyarrow.compute as pc
     ds = _read(sf_dir, "events", columns=["event_id", "props"])
@@ -439,6 +477,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_embeddings": _q_ivf_topk_embeddings,
         # general dataset ops (groupby/sort/limit/join/filter/decode)
         "events_daily": _q_events_daily,
+        "events_window_30m": _q_events_window_30m,
+        "sessions_events": _q_sessions_events,
+        "asof_prev_event": _q_asof_prev_event,
         "q1_lineitem": _q_q1_lineitem,
         "top_orders": _q_top_orders,
         "orders_by_nation": _q_orders_by_nation,
@@ -545,6 +586,35 @@ def oracle_sql() -> dict[str, str]:
         "events_daily": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
               FROM events GROUP BY 1, 2
+        """,
+        "events_window_30m": """
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window, event_type,
+                   COUNT(*) AS n
+              FROM events GROUP BY 1, 2
+        """,
+        "sessions_events": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                            OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+                FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events, MIN(ts) AS session_start
+              FROM s GROUP BY 1, 2
+        """,
+        "asof_prev_event": """
+            SELECT e.event_id,
+                   p.event_id AS prev_event_id
+              FROM events e
+              ASOF LEFT JOIN events p
+                ON e.user_id = p.user_id AND e.ts > p.ts
         """,
         "q1_lineitem": """
             SELECT l_returnflag, l_linestatus,

@@ -221,3 +221,44 @@ def test_decode_batch_stage(ray_session):
     out = rd.from_arrow(t2).map_batches(fill_defaults(S2),
                                         batch_format="pyarrow").take_all()
     assert [r["z"] for r in out] == [1, 9]
+
+
+def test_windows_and_asof(ray_session):
+    import datetime as dt
+    import ray.data as rd
+    from malli_ray.stages.windows import asof_join, sessionize, tumbling_window
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        {"user": 1, "ts": base},
+        {"user": 1, "ts": base + dt.timedelta(minutes=10)},
+        {"user": 1, "ts": base + dt.timedelta(minutes=90)},   # new session
+        {"user": 2, "ts": base + dt.timedelta(minutes=5)},
+    ]
+    t = pa.table({"user": [r["user"] for r in rows],
+                  "ts": pa.array([r["ts"] for r in rows],
+                                 type=pa.timestamp("us"))})
+    ds = rd.from_arrow(t)
+
+    w = tumbling_window(ds, "ts", 30, ["user"]).take_all()
+    got = {(r["user"], r["window"].minute): r["n"] for r in w}
+    assert got[(1, 0)] == 2 and got[(1, 30)] == 1 and got[(2, 0)] == 1
+
+    s = sessionize(ds, "user", "ts", gap_minutes=30).take_all()
+    by = {(r["user"], r["session_id"]): r["n_events"] for r in s}
+    assert by == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+    left = rd.from_arrow(pa.table({
+        "id": [10, 11], "user": [1, 1],
+        "ts": pa.array([base + dt.timedelta(minutes=15),
+                        base + dt.timedelta(minutes=1)],
+                       type=pa.timestamp("us"))}))
+    right = rd.from_arrow(pa.table({
+        "user": [1, 1],
+        "rts": pa.array([base, base + dt.timedelta(minutes=10)],
+                        type=pa.timestamp("us")),
+        "val": ["a", "b"]}))
+    j = asof_join(left, right, key="user", left_ts="ts", right_ts="rts",
+                  right_cols=["val"]).take_all()
+    got = {r["id"]: r["val_right"] for r in j}
+    assert got == {10: "b", 11: "a"}
