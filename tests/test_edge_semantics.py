@@ -1,0 +1,124 @@
+"""Edge-case semantic parity (SURVEY.md SS7.5 'hard parts') + retry
+idempotency of the fragment processor."""
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import malli_ray as m
+from malli_ray import DEFAULT_KEY, INVALID, Tag
+
+
+def test_present_nil_vs_missing_key():
+    # present-but-nil must validate the child; missing is ::missing-key
+    S = ["map", ["x", ["maybe", "int"]], ["y", "int"]]
+    assert m.validate(S, {"x": None, "y": 1})
+    assert not m.validate(S, {"y": 1})
+    e = m.explain(S, {"y": 1})
+    assert e["errors"][0]["type"] == "malli.core/missing-key"
+    S2 = ["map", ["x", "int"]]
+    assert not m.validate(S2, {"x": None})  # nil fails int
+    e2 = m.explain(S2, {"x": None})
+    assert e2["errors"][0].get("type") != "malli.core/missing-key"
+
+
+def test_closed_with_default_entry():
+    # ::m/default owns the rest of the map; closed does not double-fire
+    # (core.cljc:1290-1294 interplay)
+    S = ["map", {"closed": True}, ["x", "int"],
+         [DEFAULT_KEY, ["map-of", "string", "int"]]]
+    assert m.validate(S, {"x": 1, "extra": 2})
+    assert not m.validate(S, {"x": 1, "extra": "s"})
+
+
+def test_multi_callable_dispatch():
+    S = ["multi", {"dispatch": lambda x: "big" if x > 10 else "small"},
+         ["big", [">", 10]], ["small", ["<=", 10]]]
+    assert m.validate(S, 20) and m.validate(S, 5)
+    assert m.parse(S, 20) == Tag("big", 20)
+
+
+def test_enum_mixed_dtype_arrow():
+    from malli_ray.arrow_compile import compile_node
+    # int enum against a string column: all rows invalid, no crash
+    arr = pa.array(["a", "b"], type=pa.string())
+    fn = compile_node(m.schema(["enum", 1, 2]), arr.type)
+    assert fn(arr).tolist() == [False, False]
+    # unhashable enum children fall back to row engine
+    assert m.validate(["enum", [1, 2], [3]], [1, 2])
+
+
+def test_nested_maybe_explain_path():
+    S = ["map", ["v", ["maybe", ["vector", "int"]]]]
+    e = m.explain(S, {"v": [1, "bad"]})
+    assert e["errors"][0]["in"] == ["v", 1]
+    assert e["errors"][0]["path"] == ["v", 0, 0]
+
+
+def test_or_decode_only_when_branch_validates():
+    from malli_ray.transform import string_transformer
+    # "x" decodes by neither branch -> original kept, invalid
+    S = ["or", "int", "boolean"]
+    out = m.decode(S, "x", string_transformer())
+    assert out == "x" and not m.validate(S, out)
+
+
+def test_transformer_enter_leave_order():
+    from malli_ray.transform import Transformer
+    trace = []
+    t = Transformer("t", decoders={
+        "map": {"enter": lambda x: (trace.append("map-enter"), x)[1],
+                "leave": lambda x: (trace.append("map-leave"), x)[1]},
+        "int": lambda x: (trace.append("int"), x)[1]})
+    m.decode(["map", ["x", "int"]], {"x": 1}, t)
+    assert trace == ["map-enter", "int", "map-leave"]
+
+
+def test_every_long_tail_and_stats():
+    # :every over the sequences tokens column must not scan full lists
+    from malli_ray.arrow_compile import compile_node
+    arr = pa.array([list(range(200))], type=pa.list_(pa.int64()))
+    fn = compile_node(m.schema(["every", ["int", {"min": 0, "max": 100}]]),
+                      arr.type)
+    # elements 101..199 are out of bounds but beyond the check limit;
+    # elements 101..150 violate -> but only first 101 are checked -> valid
+    assert fn(arr).tolist() == [m.validator(
+        ["every", ["int", {"min": 0, "max": 100}]])(list(range(200)))]
+
+
+def test_fragment_retry_idempotent(ray_session, tmp_path):
+    """Simulated task retry: processing the same fragment twice produces
+    byte-identical violation files and identical lineage."""
+    from malli_ray.pipelines.validation_job import _ProcessFragment
+    from malli_ray.sources.sequences import generate_sequences_shard
+    from malli_ray.stages.validator import ValidationSpec
+    from malli_ray.sources.sequences import ALLOWED_SOURCES, SEQUENCES_DSL
+
+    frag = tmp_path / "part-00000.parquet"
+    pq.write_table(generate_sequences_shard(0, 2000, 0), frag)
+    spec = ValidationSpec(
+        schema=SEQUENCES_DSL,
+        checks=[{"kind": "in_set", "column": "source",
+                 "allowed": ALLOWED_SOURCES, "name": "ref"}],
+        id_column="doc_id", hll_columns=["doc_id"], tdigest_columns=["n_tok"])
+    out_dir = str(tmp_path / "out")
+    proc = _ProcessFragment(spec, out_dir, rows_per_batch=512)
+    r1 = proc._process(str(frag))
+    vio_path = os.path.join(out_dir, "violations", "part-00000.parquet")
+    bytes1 = open(vio_path, "rb").read()
+    r2 = proc._process(str(frag))
+    bytes2 = open(vio_path, "rb").read()
+    assert r1 == r2
+    assert bytes1 == bytes2
+
+
+def test_violation_cap_respected():
+    from malli_ray.arrow_compile import compile_table_plan
+    plan = compile_table_plan(["map", ["n", ["int", {"min": 100}]]])
+    t = pa.table({"n": list(range(50))})  # all 50 rows violate
+    v = plan.explain_table(t, max_violations=7)
+    assert v.num_rows == 7
