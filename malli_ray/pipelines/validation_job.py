@@ -187,8 +187,10 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
     deterministic processing, sketch merges in sorted partition order.
     """
     store = CheckpointStore(os.path.join(out_dir, "checkpoint"))
+    prior_meta = store.read_meta() or {}
     store.write_meta({"schema": spec.schema, "input_count": len(input_paths),
-                      "uniqueness_key": uniqueness_key})
+                      "uniqueness_key": uniqueness_key,
+                      "last_report": prior_meta.get("last_report")})
 
     by_id = {os.path.splitext(os.path.basename(p))[0]: p for p in input_paths}
     pending = store.pending(by_id.keys())
@@ -245,15 +247,23 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
 
     # -- uniqueness constraint: projected-key groupby across all fragments --
     if uniqueness_key:
-        ds = ray.data.read_parquet(input_paths, columns=[uniqueness_key])
-        dups = C.uniqueness_violations(ds, uniqueness_key)
-        dup_rows = dups.take_all()  # duplicate keys only: small by design
-        report["uniqueness"] = {
-            "key": uniqueness_key,
-            "duplicate_keys": len(dup_rows),
-            "duplicate_rows": int(sum(r["cnt"] for r in dup_rows) - len(dup_rows)),
-            "sample": [r[uniqueness_key] for r in dup_rows[:20]],
-        }
+        # resume fast-path: if nothing was reprocessed and the checkpointed
+        # result covers the same inputs, reuse it (deterministic, so valid)
+        meta = store.read_meta() or {}
+        cached = (meta.get("last_report") or {}).get("uniqueness")
+        if (not pending and cached and cached.get("key") == uniqueness_key
+                and meta.get("input_count") == len(input_paths)):
+            report["uniqueness"] = cached
+        else:
+            ds = ray.data.read_parquet(input_paths, columns=[uniqueness_key])
+            dups = C.uniqueness_violations(ds, uniqueness_key)
+            dup_rows = dups.take_all()  # duplicate keys only: small by design
+            report["uniqueness"] = {
+                "key": uniqueness_key,
+                "duplicate_keys": len(dup_rows),
+                "duplicate_rows": int(sum(r["cnt"] for r in dup_rows) - len(dup_rows)),
+                "sample": [r[uniqueness_key] for r in dup_rows[:20]],
+            }
         report["n_violations"] += report["uniqueness"]["duplicate_rows"]
 
     # -- drift vs checkpointed baseline (histograms came fused with stats) --
