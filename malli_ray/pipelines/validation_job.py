@@ -73,6 +73,39 @@ def explain(ds: Dataset, spec: ValidationSpec, concurrency=None,
                           zero_copy_batch=True, batch_size=batch_size)
 
 
+def filter_valid(ds: Dataset, spec: ValidationSpec,
+                 batch_size: int | None = None, invert: bool = False) -> Dataset:
+    """Keep only rows passing the schema (validate-as-filter)."""
+    from ..stages.validator import _cached_stage, FilterValid
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached_stage(spec, f"filter:{invert}", FilterValid,
+                             invert=invert)(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)
+
+
+def coerce(ds: Dataset, spec: ValidationSpec,
+           decode_schema: Any | None = None,
+           batch_size: int | None = None) -> tuple[Dataset, Dataset]:
+    """The m/coerce loop over a stream: decode -> validate -> route.
+
+    Returns (valid_rows, violation_rows). NOTE: Ray Data has single-output
+    operators, so consuming both datasets executes the decode twice — when
+    both sides are needed at scale, prefer run_job (which writes violations
+    as a side output in its single fused pass).
+    Reference semantics: m/coercer, src/malli/core.cljc:2750-2766.
+    """
+    if decode_schema is not None:
+        from ..stages.transform_stage import DecodeBatch
+        decoder = DecodeBatch(decode_schema)
+        ds = ds.map_batches(lambda b: decoder(b), batch_format="pyarrow",
+                            batch_size=batch_size)
+    return (filter_valid(ds, spec, batch_size=batch_size),
+            explain(ds, spec, batch_size=batch_size))
+
+
 def summarize(ds: Dataset, spec: ValidationSpec, concurrency=None,
               batch_size: int | None = None) -> dict:
     """Fused validate+stats pass -> merged job report (driver merges tiny
@@ -196,6 +229,17 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
     pending = store.pending(by_id.keys())
     skipped = len(by_id) - len(pending)
 
+    # fail-fast layout check: declared DSL layout vs the first fragment's
+    # physical schema (arrow_schema.schema_compatible); recorded, not fatal —
+    # per-row validation still produces exact violations either way
+    schema_problems: list[str] = []
+    try:
+        from ..arrow_schema import schema_compatible
+        first = pq.read_schema(input_paths[0])
+        schema_problems = schema_compatible(spec.schema, first)
+    except Exception:
+        pass
+
     if pending:
         def process_fragment(batch: pa.Table) -> pa.Table:
             # worker-process cache: compile once per worker (see
@@ -220,6 +264,7 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
     # merge in sorted partition order (checkpoint-exact determinism)
     records = [committed[k] for k in sorted(committed.keys())]
     report: dict[str, Any] = {
+        "schema_problems": schema_problems,
         "n_partitions": len(records), "resumed_partitions": skipped,
         "n_rows": sum(r["row_count"] for r in records),
         "n_valid": sum(r["n_valid"] for r in records),

@@ -55,18 +55,38 @@ def add_content_hash(ds: Dataset, column: str, out: str = "content_hash") -> Dat
     return ds.map_batches(hash_batch, batch_format="pyarrow")
 
 
+def _hash_combine(column: str, id_column: str):
+    """Map-side combine: per-batch (hash -> min id, count) before the shuffle
+    — a hot duplicated document collapses to one row per block, so the
+    groupby never sees a skewed key at full multiplicity."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        h1 = hash64(batch.column(column), seed=1)
+        h2 = hash64(batch.column(column), seed=2)
+        hx = [f"{a:016x}{b:016x}" for a, b in zip(h1.tolist(), h2.tolist())]
+        t = pa.table({"content_hash": pa.array(hx, type=pa.string()),
+                      id_column: batch.column(id_column)})
+        g = t.group_by("content_hash").aggregate(
+            [(id_column, "min"), ("content_hash", "count")])
+        return g.rename_columns(["content_hash", id_column, "cnt"])
+
+    return combine
+
+
 def exact_dup_groups(ds: Dataset, column: str, id_column: str) -> Dataset:
     """(content_hash, n, keep_id) for every group with n > 1."""
-    hashed = add_content_hash(ds, column).select_columns(["content_hash", id_column])
-    g = hashed.groupby("content_hash").aggregate(
-        Count(alias_name="n"), Min(id_column, alias_name="keep_id"))
+    partial = ds.map_batches(_hash_combine(column, id_column),
+                             batch_format="pyarrow")
+    g = partial.groupby("content_hash").aggregate(
+        Sum("cnt", alias_name="n"), Min(id_column, alias_name="keep_id"))
     return g.filter(expr="n > 1")
 
 
 def exact_dedup_keep_first(ds: Dataset, column: str, id_column: str) -> Dataset:
     """One id per distinct content (the minimum id — deterministic keep rule)."""
-    hashed = add_content_hash(ds, column).select_columns(["content_hash", id_column])
-    return (hashed.groupby("content_hash")
+    partial = ds.map_batches(_hash_combine(column, id_column),
+                             batch_format="pyarrow")
+    return (partial.groupby("content_hash")
             .aggregate(Min(id_column, alias_name=id_column))
             .select_columns([id_column]))
 
