@@ -1967,6 +1967,23 @@ def coerce(s: Any, value: Any, transformer: Any = None, options: dict | None = N
     return coercer(s, transformer, options)(value)
 
 
+#: global assert flag (the engine's *assert* analog, src/malli/core.cljc:2776)
+ASSERTS_ENABLED = True
+
+
+def assert_(s: Any, value: Any, options: dict | None = None) -> Any:
+    """m/assert: validate honoring the global assert flag; returns the value
+    or raises SchemaError with the explanation. src/malli/core.cljc:2776-2786."""
+    if not ASSERTS_ENABLED:
+        return value
+    sc = schema(s, options)
+    if sc.validator()(value):
+        return value
+    raise SchemaError("assertion failed",
+                      {"schema": sc, "value": value,
+                       "explain": explainer(sc, options)(value)})
+
+
 # -- introspection ----------------------------------------------------------
 
 

@@ -72,3 +72,27 @@ def test_describe():
         "vector of integer at least 1 items"
     assert describe(["map", ["x", {"optional": True}, "int"]]) == \
         "map of {x (optional): integer}"
+
+
+def test_dot_export():
+    from malli_ray.dot import transform as to_dot
+    dot = to_dot(["map", ["x", "boolean"], ["y", {"optional": True}, "int"],
+                  ["v", ["vector", ["enum", "a", "b"]]]])
+    assert dot.startswith("digraph schema {")
+    assert '[label="x"]' in dot
+    assert "style=dashed" in dot       # optional entry edge
+    assert "enum 'a' 'b'" in dot
+    assert dot.endswith("}")
+
+
+def test_assert():
+    import malli_ray.core as core
+    assert core.assert_("int", 5) == 5
+    import pytest as _pytest
+    with _pytest.raises(core.SchemaError):
+        core.assert_("int", "x")
+    core.ASSERTS_ENABLED = False
+    try:
+        assert core.assert_("int", "x") == "x"
+    finally:
+        core.ASSERTS_ENABLED = True
