@@ -65,8 +65,51 @@ def _compile_matcher(s: Schema) -> Matcher:
     return _item_matcher(s)
 
 
+_POS_OPS_BUDGET = 2_000_000
+
+
+def _tick(memo: dict, n: int) -> None:
+    """Complexity budget for the position engine: bounds worst-case ambiguous
+    patterns (e.g. deeply nested stars over long invalid inputs) — mirrors the
+    backtracking engine's step budget."""
+    ops = memo.get("__ops__")
+    if ops is None:
+        ops = memo["__ops__"] = [0]
+    ops[0] += n
+    if ops[0] > _POS_OPS_BUDGET:
+        raise SchemaError("seq-regex position-engine budget exceeded")
+
+
+def _item_pos_fn(child: Schema):
+    """Position-set engine leaf: consume one validating item."""
+    valid = child.validator()
+    empty = frozenset()
+
+    def pos(items: list, p: int, memo: dict, furthest: list) -> frozenset:
+        if p < len(items) and valid(items[p]):
+            if p + 1 > furthest[0]:
+                furthest[0] = p + 1
+            return frozenset((p + 1,))
+        return empty
+
+    return pos
+
+
+def _compile_pos(s: Schema):
+    if isinstance(s, RegexSchema):
+        return s.pos_fn()
+    return _item_pos_fn(s)
+
+
 class RegexSchema(Schema):
-    """Base for seq-regex schema types: full-sequence validate/explain/parse."""
+    """Base for seq-regex schema types: full-sequence validate/explain/parse.
+
+    Two engines, mirroring the reference's validator/parser split:
+      - validation uses a MEMOIZED position-set engine (poly-time, the
+        packrat idea from impl/regex.cljc's (fn,pos) memo tables);
+      - parsing uses the backtracking matcher (first full match wins),
+        budget-guarded.
+    """
 
     def matcher(self) -> Matcher:
         m = self._cache.get("matcher")
@@ -77,6 +120,24 @@ class RegexSchema(Schema):
 
     def _matcher(self) -> Matcher:
         raise NotImplementedError
+
+    # -- memoized position-set engine (validation) ------------------------
+    def pos_fn(self):
+        f = self._cache.get("pos_fn")
+        if f is None:
+            f = self._pos_fn()
+            self._cache["pos_fn"] = f
+        return f
+
+    def _pos_fn(self):
+        raise NotImplementedError
+
+    def _match_positions(self, items: list) -> tuple[frozenset, int]:
+        """(set of reachable end positions from 0, furthest position seen)."""
+        memo: dict = {}
+        furthest = [0]
+        ends = self.pos_fn()(items, 0, memo, furthest)
+        return ends, furthest[0]
 
     def _first_match(self, items: Any, parsing: bool) -> tuple[Any, int]:
         """Return (parsed | INVALID, furthest_pos)."""
@@ -100,7 +161,15 @@ class RegexSchema(Schema):
 
     def _validator(self):
         this = self
-        return lambda x: this._first_match(x, parsing=False)[0] is not INVALID
+
+        def valid(x):
+            if not isinstance(x, (list, tuple)):
+                return False
+            items = list(x)
+            ends, _ = this._match_positions(items)
+            return len(items) in ends
+
+        return valid
 
     def _explainer(self, path):
         this = self
@@ -109,15 +178,17 @@ class RegexSchema(Schema):
             if not isinstance(x, (list, tuple)):
                 acc.append(_error(path, in_, this, x, "malli.core/invalid-type"))
                 return acc
-            out, reach = this._first_match(x, parsing=False)
-            if out is not INVALID:
+            items = list(x)
+            ends, furthest = this._match_positions(items)
+            if len(items) in ends:
                 return acc
-            if reach >= 0:
-                # regex completed at `reach` but input remains
+            if ends:
+                # regex completed early but input remains
+                reach = max(ends)
                 acc.append(_error(path, in_ + [reach], this,
                                   list(x[reach:]), "malli.core/input-remaining"))
             else:
-                pos = -reach - 1
+                pos = furthest
                 acc.append(_error(path, in_ + [pos], this,
                                   (x[pos] if pos < len(x) else None),
                                   "malli.core/end-of-input"))
@@ -211,6 +282,32 @@ class CatSchema(RegexSchema):
 
         return match
 
+    def _pos_fn(self):
+        part_fns = [_compile_pos(s) for (_, s) in self._parts()]
+        me = id(self)
+
+        def pos(items, p, memo, furthest):
+            key = (me, p)
+            hit = memo.get(key)
+            if hit is not None:
+                return hit
+            memo[key] = frozenset()  # recursion guard
+            _tick(memo, 1)
+            cur = {p}
+            for pf in part_fns:
+                _tick(memo, len(cur))
+                nxt: set = set()
+                for e in cur:
+                    nxt |= pf(items, e, memo, furthest)
+                cur = nxt
+                if not cur:
+                    break
+            out = frozenset(cur)
+            memo[key] = out
+            return out
+
+        return pos
+
     def _unparse_value(self, x):
         parts = self._parts()
         if self.named:
@@ -271,6 +368,25 @@ class AltSchema(RegexSchema):
                     yield np, (Tag(k, pv) if (parsing and named) else pv)
 
         return match
+
+    def _pos_fn(self):
+        branch_fns = [_compile_pos(s) for (_, s) in self._parts()]
+        me = id(self)
+
+        def pos(items, p, memo, furthest):
+            key = (me, p)
+            hit = memo.get(key)
+            if hit is not None:
+                return hit
+            memo[key] = frozenset()
+            out: set = set()
+            for bf in branch_fns:
+                out |= bf(items, p, memo, furthest)
+            result = frozenset(out)
+            memo[key] = result
+            return result
+
+        return pos
 
     def _unparse_value(self, x):
         if self.named:
@@ -348,6 +464,49 @@ class RepeatSchema(RegexSchema):
             yield from step(0, pos, [])
 
         return match
+
+    def _pos_fn(self):
+        child_fn = _compile_pos(self.children[0])
+        mn, mx = self.min, self.max
+        me = id(self)
+
+        def pos(items, p, memo, furthest):
+            key = (me, p)
+            hit = memo.get(key)
+            if hit is not None:
+                return hit
+            memo[key] = frozenset()
+            result: set = set()
+            if mn == 0:
+                result.add(p)
+            frontier = {p}
+            seen = {p}
+            count = 0
+            limit = mx if mx is not None else len(items) - p + 2
+            saturated = len(items) - p + 1  # every position from p..n reached
+            while frontier and count < limit:
+                _tick(memo, len(frontier))
+                nxt: set = set()
+                for e in frontier:
+                    nxt |= child_fn(items, e, memo, furthest)
+                count += 1
+                if count >= mn:
+                    result |= nxt
+                    if len(result) == saturated:
+                        break  # cannot grow further (positions are monotone)
+                if nxt <= seen and count >= mn:
+                    break  # zero-width fixpoint: further reps add nothing
+                if nxt <= seen and count < mn and nxt:
+                    # zero-width reps can pad the count up to mn
+                    result |= nxt
+                    break
+                seen |= nxt
+                frontier = nxt
+            out = frozenset(result)
+            memo[key] = out
+            return out
+
+        return pos
 
     def _unparse_value(self, x):
         child = self.children[0]
