@@ -297,7 +297,15 @@ def compile_node(s: Schema, dtype: pa.DataType) -> MaskFn:
         except SchemaError:
             return _row_fallback(s)
 
-    # :fn, :multi, :map-of, :set, seq-regex, predicates w/o vector mapping ...
+    if t == "fn":
+        child = s.children[0]
+        if isinstance(child, str):
+            vectorized = _compile_fn_expr(child, dtype)
+            if vectorized is not None:
+                return vectorized
+        return _row_fallback(s)
+
+    # :multi, :map-of, :set, seq-regex, predicates w/o vector mapping ...
     return _row_fallback(s)
 
 
@@ -311,6 +319,136 @@ def _list_offsets(arr: pa.Array) -> tuple[np.ndarray, pa.Array]:
         return offs, arr.values
     offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     return offs, arr.values
+
+
+def _compile_fn_expr(src: str, dtype: pa.DataType) -> Optional[MaskFn]:
+    """Compile a restricted :fn source expression into pc kernels.
+
+    Supports the same expression subset as core.compile_fn_source, vectorized:
+    comparisons (incl. chains), arithmetic, and/or/not, ``len(x)``,
+    ``abs(x)``, ``x in (...)``.  Returns None when not expressible — the
+    caller falls back to the per-row engine (semantics identical: null /
+    error -> invalid, matching -safe-pred).
+    """
+    import ast as _ast
+
+    try:
+        tree = _ast.parse(src, mode="eval").body
+    except SyntaxError:
+        return None
+
+    def value(node, arr):
+        # -> pa.Array/ChunkedArray or python scalar
+        if isinstance(node, _ast.Name) and node.id == "x":
+            return arr
+        if isinstance(node, _ast.Constant):
+            return node.value
+        if isinstance(node, _ast.UnaryOp) and isinstance(node.op, _ast.USub):
+            v = value(node.operand, arr)
+            return pc.negate(v) if isinstance(v, (pa.Array, pa.ChunkedArray)) else -v
+        if isinstance(node, _ast.BinOp):
+            l, r = value(node.left, arr), value(node.right, arr)
+            ops = {_ast.Add: pc.add, _ast.Sub: pc.subtract, _ast.Mult: pc.multiply,
+                   _ast.Div: pc.divide, _ast.Mod: lambda a, b: pc.subtract(
+                       a, pc.multiply(_floor_div(a, b), b)),
+                   _ast.FloorDiv: _floor_div}
+            fn = ops.get(type(node.op))
+            if fn is None:
+                raise _Unsupported
+            return fn(l, r)
+        if isinstance(node, _ast.Call) and isinstance(node.func, _ast.Name):
+            if node.func.id == "len" and len(node.args) == 1:
+                v = value(node.args[0], arr)
+                if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                    raise _Unsupported
+                if _is_string_type(v.type):
+                    return pc.utf8_length(v)
+                if _is_list_type(v.type):
+                    return pc.list_value_length(v)
+                raise _Unsupported
+            if node.func.id == "abs" and len(node.args) == 1:
+                return pc.abs(value(node.args[0], arr))
+        raise _Unsupported
+
+    def mask(node, arr) -> Any:
+        if isinstance(node, _ast.BoolOp):
+            parts = [mask(v, arr) for v in node.values]
+            out = parts[0]
+            combine = pc.and_kleene if isinstance(node.op, _ast.And) else pc.or_kleene
+            for p in parts[1:]:
+                out = combine(out, p)
+            return out
+        if isinstance(node, _ast.UnaryOp) and isinstance(node.op, _ast.Not):
+            return pc.invert(mask(node.operand, arr))
+        if isinstance(node, _ast.Compare):
+            left = value(node.left, arr)
+            out = None
+            cmp_ops = {_ast.Lt: pc.less, _ast.LtE: pc.less_equal,
+                       _ast.Gt: pc.greater, _ast.GtE: pc.greater_equal,
+                       _ast.Eq: pc.equal, _ast.NotEq: pc.not_equal}
+            for op, comparator in zip(node.ops, node.comparators):
+                if isinstance(op, _ast.In):
+                    right = comparator
+                    if not isinstance(right, (_ast.Tuple, _ast.List, _ast.Set)):
+                        raise _Unsupported
+                    vals = [value(e, arr) for e in right.elts]
+                    if any(isinstance(v, (pa.Array, pa.ChunkedArray)) for v in vals):
+                        raise _Unsupported
+                    m = pc.is_in(left, value_set=pa.array(vals))
+                else:
+                    fn = cmp_ops.get(type(op))
+                    if fn is None:
+                        raise _Unsupported
+                    right_v = value(comparator, arr)
+                    m = fn(left, right_v)
+                    left = right_v
+                out = m if out is None else pc.and_kleene(out, m)
+            return out
+        raise _Unsupported
+
+    class _Unsupported(Exception):
+        pass
+
+    # dry-run compile against an empty array to reject unsupported shapes
+    probe = pa.array([], type=dtype)
+    try:
+        mask(tree, probe)
+    except _Unsupported:
+        return None
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        return None
+    except Exception:
+        return None
+
+    # Python null semantics: None==5 -> False (no raise), None>5 -> raises ->
+    # invalid.  pred(None) is a constant; kleene nulls in the kernel output
+    # are exactly the null-input rows, so fill them with that constant.
+    from .core import compile_fn_source, _safe_pred
+    null_result = bool(_safe_pred(compile_fn_source(src))(None))
+
+    def mask_fn(arr: pa.Array) -> np.ndarray:
+        try:
+            out = mask(tree, arr)
+            out = pc.fill_null(out, null_result)
+            if isinstance(out, pa.ChunkedArray):
+                out = out.combine_chunks()
+            return out.to_numpy(zero_copy_only=False).astype(bool, copy=False)
+        except Exception:
+            # runtime kernel failure -> per-row safe-pred semantics
+            return _row_fallback_arr(arr, src)
+
+    return mask_fn
+
+
+def _floor_div(a, b):
+    return pc.floor(pc.divide(a, b))
+
+
+def _row_fallback_arr(arr: pa.Array, src: str) -> np.ndarray:
+    from .core import compile_fn_source, _safe_pred
+    valid = _safe_pred(compile_fn_source(src))
+    return np.fromiter((valid(v) for v in arr.to_pylist()), dtype=bool,
+                       count=len(arr))
 
 
 def compile_probe(s: Schema, dtype: pa.DataType) -> Optional[Callable[[pa.Array], bool]]:

@@ -177,3 +177,31 @@ def test_explain_matches_row_engine_messages():
     got = {(r["row_index"], r["column"]): r["message"] for r in v.to_pylist()}
     assert got[(1, "s")] == "should be at least 2 characters"
     assert got[(0, "n")] == "should be at least 0"
+
+
+FN_INT_ARR = pa.array([1, 5, 10, None, -3, 100], type=pa.int64())
+
+
+@pytest.mark.parametrize("src", [
+    "x > 2", "x >= 2 and x < 50", "0 < x < 50", "not x == 5",
+    "x in (1, 5, 10)", "x % 2 == 0", "abs(x) > 4", "x * 2 + 1 > 10",
+    "x // 3 == 1", "x != 5", "x == 5 or x < 0",
+])
+def test_vectorized_fn_expressions(src):
+    # :fn source strings compile to pc kernels; identical to row -safe-pred
+    # semantics incl. Python null behavior (None==5 -> False, None>5 -> raise)
+    check_equiv(["fn", src], FN_INT_ARR)
+
+
+def test_vectorized_fn_strings_and_lists():
+    sarr = pa.array(["a", "hello", None, ""], type=pa.string())
+    for src in ("len(x) > 2", "len(x) == 0", "x == 'a'"):
+        check_equiv(["fn", src], sarr)
+    larr = pa.array([[1, 2], [1], None], type=pa.list_(pa.int64()))
+    from malli_ray.arrow_compile import compile_node
+    fn = compile_node(m.schema(["fn", "len(x) >= 2"]), larr.type)
+    assert fn(larr).tolist() == [True, False, False]
+
+
+def test_unsupported_fn_expr_falls_back():
+    check_equiv(["fn", "sorted([x])[0] == x"], FN_INT_ARR)
