@@ -300,14 +300,21 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
                 and meta.get("input_count") == len(input_paths)):
             report["uniqueness"] = cached
         else:
+            from ray.data.aggregate import Count as _Count, Sum as _Sum
             ds = ray.data.read_parquet(input_paths, columns=[uniqueness_key])
-            dups = C.uniqueness_violations(ds, uniqueness_key)
-            dup_rows = dups.take_all()  # duplicate keys only: small by design
+            # materialize the (small, duplicates-only) result so the three
+            # consumptions below don't re-run the shuffle; the driver itself
+            # only ever receives aggregates + a 20-row sample
+            dups = C.uniqueness_violations(ds, uniqueness_key).materialize()
+            agg = dups.aggregate(_Count(alias_name="dup_keys"),
+                                 _Sum("cnt", alias_name="dup_total"))
+            dup_keys = int(agg["dup_keys"] or 0)
+            dup_total = int(agg["dup_total"] or 0)
             report["uniqueness"] = {
                 "key": uniqueness_key,
-                "duplicate_keys": len(dup_rows),
-                "duplicate_rows": int(sum(r["cnt"] for r in dup_rows) - len(dup_rows)),
-                "sample": [r[uniqueness_key] for r in dup_rows[:20]],
+                "duplicate_keys": dup_keys,
+                "duplicate_rows": dup_total - dup_keys,
+                "sample": [r[uniqueness_key] for r in dups.limit(20).take_all()],
             }
         report["n_violations"] += report["uniqueness"]["duplicate_rows"]
 
