@@ -1967,6 +1967,56 @@ def coerce(s: Any, value: Any, transformer: Any = None, options: dict | None = N
     return coercer(s, transformer, options)(value)
 
 
+_IDENTITY_PARSE_TYPES = frozenset({
+    "any", "some", "nil", "string", "int", "integer", "float", "double",
+    "number", "boolean", "keyword", "symbol", "qualified-keyword",
+    "qualified-symbol", "uuid", "enum", "re", "fn", ">", ">=", "<", "<=",
+    "=", "not=", "not", "=>", "function",
+}) | frozenset(PREDICATES)
+
+
+def parser_info(s: Any, options: dict | None = None) -> dict:
+    """Static 'is parse identity?' analysis enabling parse elision.
+
+    Reference: ParserInfo / -parser-info, src/malli/core.cljc:99-100,
+    761-763, 1361. When {"identity": True}, ``parse`` returns the input
+    unchanged for every valid value, so a parse projection stage can be
+    skipped entirely (SURVEY.md SS2.4 Ray mapping).
+    """
+    sc = schema(s, options)
+    return {"identity": _parse_identity(sc, set())}
+
+
+def _parse_identity(sc: Schema, seen: set) -> bool:
+    if id(sc) in seen:
+        return True  # recursive refs: identity unless a tagger intervenes
+    seen = seen | {id(sc)}
+    t = sc.type
+    if t in ("orn", "multi", "andn", "catn", "altn", "cat", "alt",
+             "?", "*", "+", "repeat"):
+        return False
+    if t in _IDENTITY_PARSE_TYPES:
+        return True
+    if t in ("maybe", "vector", "sequential", "seqable", "set", "every",
+             "schema", "malli.core/schema", "not"):
+        return all(_parse_identity(c, seen) for c in sc.children
+                   if isinstance(c, Schema))
+    if t == "and":
+        return _parse_identity(sc.children[0], seen)
+    if t == "or":
+        return all(_parse_identity(c, seen) for c in sc.children)
+    if t in ("map", "map-of", "tuple"):
+        children = ([c for (_, _, c) in sc.children] if t == "map"
+                    else [c for c in sc.children if isinstance(c, Schema)])
+        return all(_parse_identity(c, seen) for c in children)
+    if t in ("ref", "merge", "union", "select-keys"):
+        try:
+            return _parse_identity(sc.deref(), seen)
+        except SchemaError:
+            return False
+    return False
+
+
 #: global assert flag (the engine's *assert* analog, src/malli/core.cljc:2776)
 ASSERTS_ENABLED = True
 

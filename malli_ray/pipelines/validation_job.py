@@ -131,12 +131,15 @@ class _ProcessFragment:
     """
 
     def __init__(self, spec: ValidationSpec, out_dir: str,
-                 rows_per_batch: int = 65_536):
+                 rows_per_batch: int = 65_536, write_valid: bool = False):
         self.spec = spec
         self.plan = spec.build_plan()
         self.out_dir = out_dir
         self.rows_per_batch = rows_per_batch
+        self.write_valid = write_valid
         os.makedirs(os.path.join(out_dir, "violations"), exist_ok=True)
+        if write_valid:
+            os.makedirs(os.path.join(out_dir, "valid"), exist_ok=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_rows = {"partition_id": [], "fragment": [], "row_count": [],
@@ -160,6 +163,14 @@ class _ProcessFragment:
         n_rows = n_valid = 0
         violation_tables = []
         row_offset = 0
+        frag_id = os.path.splitext(os.path.basename(path))[0]
+        valid_writer = None
+        valid_tmp = valid_path = None
+        if self.write_valid:
+            # routed coerce sink: valid rows stream to a per-fragment file
+            # (deterministic name + tmp/rename => retry-idempotent)
+            valid_path = os.path.join(self.out_dir, "valid", f"{frag_id}.parquet")
+            valid_tmp = valid_path + ".tmp"
         for rb in pf.iter_batches(batch_size=self.rows_per_batch):
             t = pa.Table.from_batches([rb])
             bound = self.plan.bind(t.schema)
@@ -175,6 +186,12 @@ class _ProcessFragment:
                     precomputed=evaluated)
                 if v.num_rows:
                     violation_tables.append(v)
+            if self.write_valid:
+                keep = t.filter(pa.array(mask))
+                if valid_writer is None:
+                    valid_writer = pq.ParquetWriter(valid_tmp, t.schema)
+                if keep.num_rows:
+                    valid_writer.write_table(keep)
             stats.update_from_table(t, hist_cols)
             for c, h in hlls.items():
                 if c in t.schema.names:
@@ -186,7 +203,9 @@ class _ProcessFragment:
                         dtype=np.float64))
             row_offset += t.num_rows
 
-        frag_id = os.path.splitext(os.path.basename(path))[0]
+        if valid_writer is not None:
+            valid_writer.close()
+            os.replace(valid_tmp, valid_path)
         vio_count = 0
         vio_path = os.path.join(self.out_dir, "violations", f"{frag_id}.parquet")
         if violation_tables:
@@ -212,7 +231,8 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
             drift_columns: list[str] | None = None,
             concurrency: int | None = None,
             rows_per_batch: int = 65_536,
-            save_baseline_if_missing: bool = True) -> dict:
+            save_baseline_if_missing: bool = True,
+            write_valid: bool = False) -> dict:
     """Run (or resume) the full checkpointed validation job.
 
     Returns the job report: verdicts, stats, sketches, constraint results,
@@ -245,10 +265,11 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
             # worker-process cache: compile once per worker (see
             # stages/validator.py task-vs-actor rationale)
             from ..stages.validator import _WORKER_CACHE, _spec_key
-            key = _spec_key(spec, f"fragment:{out_dir}:{rows_per_batch}")
+            key = _spec_key(spec, f"fragment:{out_dir}:{rows_per_batch}:{write_valid}")
             inst = _WORKER_CACHE.get(key)
             if inst is None:
-                inst = _ProcessFragment(spec, out_dir, rows_per_batch)
+                inst = _ProcessFragment(spec, out_dir, rows_per_batch,
+                                        write_valid=write_valid)
                 _WORKER_CACHE[key] = inst
             return inst(batch)
 

@@ -84,3 +84,42 @@ def test_filter_valid_invert(ray_session):
     bad = vj.filter_valid(rd.from_arrow(t), spec, invert=True).take_all()
     assert [r["n"] for r in good] == [1, 2]
     assert [r["n"] for r in bad] == [-1]
+
+
+def test_parser_info_identity():
+    from malli_ray.core import parser_info
+    assert parser_info(["map", ["x", "int"], ["v", ["vector", "string"]]]) == \
+        {"identity": True}
+    assert parser_info(["orn", ["a", "int"]]) == {"identity": False}
+    assert parser_info(["map", ["t", ["orn", ["a", "int"]]]]) == \
+        {"identity": False}
+    assert parser_info(["and", "int", [">", 0]]) == {"identity": True}
+    assert parser_info(["*", "int?"]) == {"identity": False}
+    assert parser_info(["maybe", ["tuple", "int", "string"]]) == \
+        {"identity": True}
+
+
+def test_run_job_write_valid(ray_session, tmp_path):
+    import glob
+    import pyarrow.parquet as pq
+    from malli_ray.pipelines.validation_job import run_job
+    from malli_ray.sources.sequences import (
+        ALLOWED_SOURCES, SEQUENCES_DSL, ensure_sequences)
+    from malli_ray.stages.validator import ValidationSpec
+
+    d = str(tmp_path / "seq")
+    paths = ensure_sequences(d, 2000, rows_per_shard=1000)
+    spec = ValidationSpec(
+        schema=SEQUENCES_DSL,
+        checks=[{"kind": "in_set", "column": "source",
+                 "allowed": ALLOWED_SOURCES, "name": "ref"}],
+        id_column="doc_id")
+    out = str(tmp_path / "out")
+    rep = run_job(paths, spec, out, write_valid=True)
+    valid_files = sorted(glob.glob(out + "/valid/*.parquet"))
+    assert len(valid_files) == 2
+    total_valid = sum(pq.read_table(f).num_rows for f in valid_files)
+    assert total_valid == rep["n_valid"]
+    # routed rows all validate (token arrays intact)
+    t = pq.read_table(valid_files[0])
+    assert t.schema.names == ["doc_id", "tokens", "n_tok", "source"]
