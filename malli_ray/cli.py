@@ -75,6 +75,8 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--allowed", action="append",
                    help="referential small side, e.g. source:web,books")
     v.add_argument("--max-violations", type=int, default=10_000)
+    v.add_argument("--write-valid", action="store_true",
+                   help="also route valid rows to <out>/valid/ (coerce sink)")
     v.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     v.add_argument("--rows-per-batch", type=int, default=65_536)
@@ -102,7 +104,8 @@ def main(argv: list[str] | None = None) -> int:
         report = run_job(paths, spec, args.out,
                          uniqueness_key=args.uniqueness_key,
                          drift_columns=args.drift,
-                         rows_per_batch=args.rows_per_batch)
+                         rows_per_batch=args.rows_per_batch,
+                         write_valid=args.write_valid)
         print(json.dumps(report, default=str))
         return 0 if report["pass"] else 1
     finally:
