@@ -1,0 +1,34 @@
+"""Ray Data stages.
+
+``cached_stage`` turns a callable CLASS into a task function with a
+worker-process instance cache: the same compile-once-per-worker invariant as
+an actor pool, without per-execution pool spin-up (worker processes persist
+across tasks and executions).  Use real actor pools (`map_batches(Cls,
+concurrency=...)`) only for genuinely heavy state — model weights, large
+broadcast tables — where you also want placement/lifetime control.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Callable
+
+_STAGE_CACHE: dict[str, Any] = {}
+
+
+def cached_stage(cls: type, **kwargs) -> Callable:
+    """A map_batches-ready function wrapping ``cls(**kwargs)`` built once per
+    worker process (keyed by class + constructor args)."""
+    import ray.cloudpickle as cp
+
+    key = (f"{cls.__module__}.{cls.__qualname__}:"
+           + hashlib.sha256(cp.dumps(sorted(kwargs.items()))).hexdigest())
+
+    def stage_fn(batch):
+        inst = _STAGE_CACHE.get(key)
+        if inst is None:
+            inst = cls(**kwargs)
+            _STAGE_CACHE[key] = inst
+        return inst(batch)
+
+    return stage_fn

@@ -90,11 +90,11 @@ def check_referential(ds: Dataset, column: str, allowed: list,
                       concurrency: int | None = None) -> Dataset:
     """Rows whose ``column`` is NOT in ``allowed`` (the anti-join side ->
     violations)."""
+    from . import cached_stage
     return ds.map_batches(
-        ReferentialCheck, fn_constructor_kwargs={"column": column,
-                                                 "allowed": allowed,
-                                                 "invert": True},
-        batch_format="pyarrow", concurrency=concurrency or (1, 8))
+        cached_stage(ReferentialCheck, column=column, allowed=allowed,
+                     invert=True),
+        batch_format="pyarrow")
 
 
 def histogram(ds: Dataset, column: str) -> dict[str, int]:

@@ -187,12 +187,11 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
     pair only in its first matching band... (pairs may appear once per band;
     final distinct via groupby on the pair key).
     """
+    from . import cached_stage
     band_ds = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"text_column": text_column, "id_column": id_column,
-                               "num_perm": num_perm, "shingle_k": shingle_k,
-                               "bands": bands},
-        batch_format="pyarrow", concurrency=concurrency or (1, 8))
+        cached_stage(MinHasher, text_column=text_column, id_column=id_column,
+                     num_perm=num_perm, shingle_k=shingle_k, bands=bands),
+        batch_format="pyarrow")
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
@@ -257,10 +256,9 @@ def simhash_near_dups(ds: Dataset, text_column: str, id_column: str,
     least one of the 4 16-bit chunks (pigeonhole), so bucketing each chunk
     finds all such pairs.
     """
-    fp_ds = ds.map_batches(SimHasher,
-                           fn_constructor_kwargs={"text_column": text_column},
-                           batch_format="pyarrow",
-                           concurrency=concurrency or (1, 8))
+    from . import cached_stage
+    fp_ds = ds.map_batches(cached_stage(SimHasher, text_column=text_column),
+                           batch_format="pyarrow")
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
         fp = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)

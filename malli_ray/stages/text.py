@@ -123,8 +123,9 @@ class LangID:
 
 
 def add_lang_id(ds: Dataset, text_column: str, concurrency=None) -> Dataset:
-    return ds.map_batches(LangID, fn_constructor_kwargs={"text_column": text_column},
-                          batch_format="pyarrow", concurrency=concurrency or (1, 8))
+    from . import cached_stage
+    return ds.map_batches(cached_stage(LangID, text_column=text_column),
+                          batch_format="pyarrow")
 
 
 class Fingerprinter:
@@ -175,6 +176,6 @@ class Fingerprinter:
 
 
 def add_fingerprint(ds: Dataset, text_column: str, concurrency=None) -> Dataset:
-    return ds.map_batches(Fingerprinter,
-                          fn_constructor_kwargs={"text_column": text_column},
-                          batch_format="pyarrow", concurrency=concurrency or (1, 8))
+    from . import cached_stage
+    return ds.map_batches(cached_stage(Fingerprinter, text_column=text_column),
+                          batch_format="pyarrow")
