@@ -287,9 +287,10 @@ def _q_orders_by_nation(sf_dir: str):
             return batch.append_column("n_nationkey",
                                        pa.array(nk, type=pa.int64()))
 
+    from malli_ray.stages import cached_stage
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    ds = ds.map_batches(AttachNation, fn_constructor_kwargs={"ref": lookup_ref},
-                        batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(cached_stage(AttachNation, ref=lookup_ref),
+                        batch_format="pyarrow")
     return ds.groupby("n_nationkey").aggregate(Count(alias_name="order_count"))
 
 
