@@ -450,7 +450,7 @@ class RepeatSchema(RegexSchema):
                 if mx is None or count < mx:
                     for (np, pv) in cm(items, p, budget, parsing):
                         if np == p and count >= mn:
-                            break  # zero-width guard
+                            continue  # zero-width guard: skip THIS match only
                         yield from step(count + 1, np, acc + [pv] if parsing else acc)
                 if count >= mn:
                     if parsing:
