@@ -774,7 +774,11 @@ class BoundPlan:
                 arr = table.column(k)
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
-                mask = col_masks[k] if col_masks is not None else fn(arr)
+                # precomputed masks may be empty when missing-required
+                # short-circuited evaluate(); recompute per column then
+                mask = col_masks.get(k) if col_masks else None
+                if mask is None:
+                    mask = fn(arr)
                 bad_idx = np.nonzero(~mask)[0]
                 if len(bad_idx) == 0:
                     continue
@@ -797,7 +801,8 @@ class BoundPlan:
 
         if count < budget:
             for ci, check in enumerate(self.plan.table_checks):
-                mask = (check_masks[ci] if check_masks is not None
+                mask = (check_masks[ci]
+                        if check_masks is not None and ci < len(check_masks)
                         else check.mask(table))
                 bad_idx = np.nonzero(~mask)[0]
                 for i in bad_idx:

@@ -122,3 +122,25 @@ def test_violation_cap_respected():
     t = pa.table({"n": list(range(50))})  # all 50 rows violate
     v = plan.explain_table(t, max_violations=7)
     assert v.num_rows == 7
+
+
+def test_missing_column_with_checks_explain(tmp_path):
+    """Regression: explain with precomputed (short-circuited) masks must not
+    crash when a required column is missing but others exist (found by the
+    CLI layout-mismatch probe)."""
+    import pyarrow.parquet as pq
+    from malli_ray.pipelines.validation_job import _ProcessFragment
+    from malli_ray.sources.sequences import generate_sequences_shard
+    from malli_ray.stages.validator import ValidationSpec
+
+    frag = tmp_path / "part-0.parquet"
+    pq.write_table(generate_sequences_shard(0, 100, 0), frag)
+    spec = ValidationSpec(
+        schema=["map", ["docid", "string"], ["n_tok", "string"]],
+        checks=[{"kind": "col_eq", "left": "n_tok", "right": "n_tok",
+                 "name": "self"}],
+        id_column="docid")
+    proc = _ProcessFragment(spec, str(tmp_path / "out"), rows_per_batch=64)
+    rec = proc._process(str(frag))
+    assert rec["n_valid"] == 0 and rec["row_count"] == 100
+    assert rec["violation_count"] > 0
