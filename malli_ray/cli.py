@@ -27,8 +27,13 @@ def _build_spec(args) -> "ValidationSpec":
     from .serialize import jsonable_to_form
     from .stages.validator import ValidationSpec
 
-    with open(args.schema) as f:
-        schema_form = jsonable_to_form(json.load(f))
+    try:
+        with open(args.schema) as f:
+            schema_form = jsonable_to_form(json.load(f))
+    except FileNotFoundError:
+        raise SystemExit(f"schema file not found: {args.schema}")
+    except json.JSONDecodeError as e:
+        raise SystemExit(f"schema file is not valid JSON: {args.schema}: {e}")
 
     checks = []
     for c in args.check or []:

@@ -262,3 +262,16 @@ def test_windows_and_asof(ray_session):
                   right_cols=["val"]).take_all()
     got = {r["id"]: r["val_right"] for r in j}
     assert got == {10: "b", 11: "a"}
+
+
+def test_uniqueness_hot_key_skew(ray_session):
+    """A pathologically hot key must not blow up the shuffle: the batch-local
+    combiner collapses it to one (key, count) row per block."""
+    import ray.data as rd
+    from malli_ray.stages import constraints as C
+
+    t = pa.table({"k": ["hot"] * 100_000 + [f"u{i}" for i in range(1000)]})
+    ds = rd.from_arrow(t).repartition(8)
+    dups = C.uniqueness_violations(ds, "k").take_all()
+    assert len(dups) == 1
+    assert dups[0]["k"] == "hot" and dups[0]["cnt"] == 100_000
