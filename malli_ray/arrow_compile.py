@@ -733,12 +733,14 @@ class BoundPlan:
         """Violation rows for failing rows only (two-phase explain)."""
         n = table.num_rows
         rows: dict[str, list] = {name: [] for name in VIOLATION_SCHEMA.names}
-        ids = table.column(id_column).to_pylist() if id_column and id_column in table.schema.names else None
+        # fetch ids lazily per failing row — never to_pylist the whole column
+        ids = (table.column(id_column) if id_column
+               and id_column in table.schema.names else None)
         budget = max_violations if max_violations is not None else float("inf")
 
         def emit(i, column, path, in_, type_, value, message):
             rows["row_index"].append(row_offset + int(i))
-            rows["id"].append(str(ids[i]) if ids is not None else None)
+            rows["id"].append(str(ids[int(i)].as_py()) if ids is not None else None)
             rows["column"].append(column)
             rows["path"].append(_path_str(path))
             rows["in"].append(_path_str(in_))

@@ -121,3 +121,19 @@ def test_coerce():
 def test_collection_transformer():
     assert m.decode(["set", "int"], [1, 1, 2], collection_transformer()) == {1, 2}
     assert m.decode(["vector", "int"], (1, 2), collection_transformer()) == [1, 2]
+
+
+def test_default_value_add_optional_keys():
+    dv = default_value_transformer(add_optional_keys=True)
+    S = ["map", ["x", {"optional": True}, ["int", {"default": 3}]],
+         ["y", ["string", {"default": "d"}]]]
+    assert m.decode(S, {}, dv) == {"x": 3, "y": "d"}
+    # without the option, optional keys stay absent
+    dv2 = default_value_transformer()
+    assert m.decode(S, {}, dv2) == {"y": "d"}
+
+
+def test_type_defaults_table():
+    dv = default_value_transformer(defaults={"int": 0, "string": ""})
+    S = ["map", ["a", "int"], ["b", "string"]]
+    assert m.decode(S, {}, dv) == {"a": 0, "b": ""}
