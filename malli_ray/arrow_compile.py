@@ -67,7 +67,9 @@ def _notnull(arr: pa.Array) -> np.ndarray:
 
 
 def _const(value: bool) -> MaskFn:
-    return lambda arr: np.full(len(arr), value, dtype=bool)
+    fn = lambda arr: np.full(len(arr), value, dtype=bool)  # noqa: E731
+    fn.__const_value__ = value  # introspectable (arrow_schema.schema_compatible)
+    return fn
 
 
 def _is_string_type(dt: pa.DataType) -> bool:
@@ -441,7 +443,11 @@ def _compile_fn_expr(src: str, dtype: pa.DataType) -> Optional[MaskFn]:
 
 
 def _floor_div(a, b):
-    return pc.floor(pc.divide(a, b))
+    # Python floor semantics: Arrow's integer divide truncates toward zero,
+    # so compute in float64 and floor (documented precision: |x| < 2^53)
+    fa = pc.cast(a, pa.float64()) if isinstance(a, (pa.Array, pa.ChunkedArray)) else float(a)
+    fb = pc.cast(b, pa.float64()) if isinstance(b, (pa.Array, pa.ChunkedArray)) else float(b)
+    return pc.floor(pc.divide(fa, fb))
 
 
 def _row_fallback_arr(arr: pa.Array, src: str) -> np.ndarray:

@@ -195,19 +195,15 @@ def schema_compatible(s: Any, arrow_schema: pa.Schema,
             continue
         actual = arrow_schema.field(k).type
         fn = compile_node(cs, actual)
-        probe = pa.array([], type=actual)
         # a compile that statically rejects everything means dtype mismatch
-        try:
-            declared = to_arrow_type(cs, options)
-            if not _types_close(declared, actual):
-                import numpy as np
-                test = fn(probe)
-                # only flag when the compiled check is the constant-False plan
-                if fn.__qualname__.startswith("_const"):
-                    problems.append(
-                        f"column {k!r}: schema expects {declared}, file has {actual}")
-        except ValueError:
-            pass
+        if getattr(fn, "__const_value__", None) is False:
+            try:
+                declared = to_arrow_type(cs, options)
+                problems.append(
+                    f"column {k!r}: schema expects {declared}, file has {actual}")
+            except ValueError:
+                problems.append(
+                    f"column {k!r}: schema type {cs.type!r} cannot match {actual}")
     if sc.closed:
         explicit = set(sc.explicit_keys)
         for n in arrow_schema.names:

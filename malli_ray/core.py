@@ -513,7 +513,9 @@ class EnumSchema(Schema):
             raise SchemaError(":enum requires at least one child")
         super().__init__(type_, properties, children, options)
         try:
-            self.value_set = set(children)
+            # type-aware membership keys: Python's 1 == True == 1.0 would let
+            # booleans/floats match int enums (Clojure = is type-strict)
+            self.value_set = {_enum_key(v) for v in children}
             self._hashable = True
         except TypeError:
             self.value_set = None
@@ -522,14 +524,21 @@ class EnumSchema(Schema):
     def _validator(self):
         if self._hashable:
             vs = self.value_set
-            return lambda x: _try_contains(vs, x)
+            return lambda x: _try_contains_key(vs, x)
         vals = self.children
-        return lambda x: any(x == v for v in vals)
+        return lambda x: any(type(x) is type(v) and x == v for v in vals)
 
 
-def _try_contains(vs: set, x: Any) -> bool:
+def _enum_key(v: Any) -> Any:
+    """Membership key distinguishing bool/int/float (1 != True != 1.0)."""
+    if isinstance(v, (bool, int, float)):
+        return (type(v).__name__, v)
+    return v
+
+
+def _try_contains_key(vs: set, x: Any) -> bool:
     try:
-        return x in vs
+        return _enum_key(x) in vs
     except TypeError:
         return False
 
@@ -655,8 +664,21 @@ class AndSchema(Schema):
         return unparse_
 
     def _children_transformer(self, transformer, method, options):
-        t = self.children[0]._transformer(transformer, method, options)
-        return t
+        # chain ALL conjuncts' transformers in order
+        # (-parent-children-transformer, src/malli/core.cljc:611-622)
+        ts = [c._transformer(transformer, method, options) for c in self.children]
+        ts = [t for t in ts if t is not None]
+        if not ts:
+            return None
+        if len(ts) == 1:
+            return ts[0]
+
+        def chained(x):
+            for t in ts:
+                x = t(x)
+            return x
+
+        return chained
 
 
 class OrSchema(Schema):
@@ -1088,6 +1110,26 @@ class MapOfSchema(Schema):
 
         return parse_
 
+    def _unparser(self):
+        ku = self.children[0].unparser()
+        vu = self.children[1].unparser()
+        limits = self.limits
+
+        def unparse_(x):
+            if not isinstance(x, dict):
+                return INVALID
+            if limits is not None and not limits(x):
+                return INVALID
+            out = {}
+            for k, v in x.items():
+                uk, uv = ku(k), vu(v)
+                if uk is INVALID or uv is INVALID:
+                    return INVALID
+                out[uk] = uv
+            return out
+
+        return unparse_
+
     def _children_transformer(self, transformer, method, options):
         kt = self.children[0]._transformer(transformer, method, options)
         vt = self.children[1]._transformer(transformer, method, options)
@@ -1193,6 +1235,26 @@ class CollectionSchema(Schema):
 
         return parse_
 
+    def _unparser(self):
+        cu = self.children[0].unparser()
+        limits = self.limits
+        is_set = self.type == "set"
+
+        def unparse_(x):
+            if not isinstance(x, (list, tuple, set, frozenset)):
+                return INVALID
+            if limits is not None and not limits(x):
+                return INVALID
+            out = []
+            for v in x:
+                u = cu(v)
+                if u is INVALID:
+                    return INVALID
+                out.append(u)
+            return set(out) if is_set else out
+
+        return unparse_
+
     def _children_transformer(self, transformer, method, options):
         t = self.children[0]._transformer(transformer, method, options)
         if t is None:
@@ -1256,6 +1318,23 @@ class TupleSchema(Schema):
             return out
 
         return parse_
+
+    def _unparser(self):
+        us = [c.unparser() for c in self.children]
+        n = len(us)
+
+        def unparse_(x):
+            if not isinstance(x, (list, tuple)) or len(x) != n:
+                return INVALID
+            out = []
+            for u, v in zip(us, x):
+                uv = u(v)
+                if uv is INVALID:
+                    return INVALID
+                out.append(uv)
+            return out
+
+        return unparse_
 
     def _children_transformer(self, transformer, method, options):
         ts = [c._transformer(transformer, method, options) for c in self.children]

@@ -115,8 +115,7 @@ MESSAGE_CATALOG: dict[tuple[str, str], Any] = {
     ("schema", "maybe"): "should be nil or satisfy the child schema",
     ("schema", "map"): "should be a map",
     ("schema", "map-of"): "should be a map",
-    ("schema", "vector"): _bounded_type_message("should be a vector",
-                                                "element") and "should be a vector",
+    ("schema", "vector"): "should be a vector",
     ("schema", "sequential"): "should be a sequence",
     ("schema", "set"): "should be a set",
     ("schema", "tuple"): "should be a tuple",
@@ -271,8 +270,6 @@ def with_spell_checking(explanation: dict | None, options: dict | None = None) -
     for e in explanation.get("errors", []):
         if e.get("type") == "malli.core/extra-key" and isinstance(e.get("schema"), Schema):
             s = e["schema"]
-            known = [str(k) for (k, _, _) in getattr(s, "children", [])
-                     if isinstance((k, _, _), tuple)] if hasattr(s, "explicit_keys") else []
             known = [str(k) for k in getattr(s, "explicit_keys", [])]
             bad = str(e["path"][-1]) if e.get("path") else ""
             best = sorted(

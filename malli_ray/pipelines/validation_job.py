@@ -282,8 +282,10 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
                                    {**row, "status": "committed"})
 
     committed = store.committed()
-    # merge in sorted partition order (checkpoint-exact determinism)
-    records = [committed[k] for k in sorted(committed.keys())]
+    # merge in sorted partition order (checkpoint-exact determinism);
+    # restrict to THIS job's inputs — stale partitions from earlier runs that
+    # shared the out_dir must not inflate the report
+    records = [committed[k] for k in sorted(committed.keys()) if k in by_id]
     report: dict[str, Any] = {
         "schema_problems": schema_problems,
         "n_partitions": len(records), "resumed_partitions": skipped,

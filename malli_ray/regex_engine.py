@@ -480,10 +480,19 @@ class RepeatSchema(RegexSchema):
             if mn == 0:
                 result.add(p)
             frontier = {p}
-            seen = {p}
             count = 0
-            limit = mx if mx is not None else len(items) - p + 2
-            saturated = len(items) - p + 1  # every position from p..n reached
+            n_rest = len(items) - p
+            # correctness bound: a path needing count >= mn reps either has a
+            # pumpable zero-width cycle (which the free-running frontier
+            # keeps alive: q stays in the frontier iff q in child(q)) or has
+            # at most n_rest+1 distinct-position reps — so iterating to
+            # mn + n_rest + 1 covers every achievable (position, count>=mn)
+            limit = mx if mx is not None else mn + n_rest + 1
+            saturated = n_rest + 1  # every position from p..n reached
+            # cycle fast-forward: if a frontier state repeats, the sequence
+            # is periodic; every position in the cycle recurs at arbitrarily
+            # large counts (hence at some count within [mn, limit])
+            state_first: dict = {}
             while frontier and count < limit:
                 _tick(memo, len(frontier))
                 nxt: set = set()
@@ -494,13 +503,26 @@ class RepeatSchema(RegexSchema):
                     result |= nxt
                     if len(result) == saturated:
                         break  # cannot grow further (positions are monotone)
-                if nxt <= seen and count >= mn:
-                    break  # zero-width fixpoint: further reps add nothing
-                if nxt <= seen and count < mn and nxt:
-                    # zero-width reps can pad the count up to mn
-                    result |= nxt
-                    break
-                seen |= nxt
+                state = frozenset(nxt)
+                prev_count = state_first.get(state)
+                if prev_count is not None:
+                    # periodic from prev_count with period (count-prev_count):
+                    # all states in the cycle repeat forever, so when mx is
+                    # unbounded (or the cycle fits below mx) their positions
+                    # are reachable at counts >= mn
+                    if mx is None:
+                        cycle_union: set = set()
+                        for s, c0 in state_first.items():
+                            if c0 >= prev_count:
+                                cycle_union |= s
+                        result |= cycle_union | nxt
+                        break
+                    if prev_count >= mn:
+                        # bounded mx: the whole cycle already ran with
+                        # count >= mn, so every recurring position is in result
+                        break
+                else:
+                    state_first[state] = count
                 frontier = nxt
             out = frozenset(result)
             memo[key] = out

@@ -329,6 +329,11 @@ def embedding_near_dups(ds: Dataset, emb_column: str, id_column: str,
             self.planes = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({
+                    "bucket": pa.array([], type=pa.int64()),
+                    "id": pa.array([], type=batch.schema.field(id_column).type),
+                    "unit": pa.array([], type=pa.list_(pa.float64()))})
             emb = np.asarray(batch.column(emb_column).to_pylist(), dtype=np.float64)
             if self.planes is None:
                 rng = np.random.default_rng(seed)

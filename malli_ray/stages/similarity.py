@@ -51,7 +51,15 @@ class TopKScorer:
         self.id_column = id_column
         self.k = k
 
+    def _empty(self, batch: pa.Table) -> pa.Table:
+        return pa.table({"query_id": pa.array([], type=pa.int32()),
+                         self.id_column: pa.array(
+                             [], type=batch.schema.field(self.id_column).type),
+                         "score": pa.array([], type=pa.float64())})
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._empty(batch)
         emb = _unit_rows(_emb_matrix(batch, self.emb_column))
         sims = emb @ self.queries.T              # (n, q)
         ids = batch.column(self.id_column)
@@ -128,6 +136,11 @@ class IVFScorer:
         self.all_cells = set().union(*self.probe_cells) if len(order) else set()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int32()),
+                             self.id_column: pa.array(
+                                 [], type=batch.schema.field(self.id_column).type),
+                             "score": pa.array([], type=pa.float64())})
         emb = _unit_rows(_emb_matrix(batch, self.emb_column))
         assign = (emb @ self.centroids.T).argmax(axis=1)
         keep = np.isin(assign, list(self.all_cells))

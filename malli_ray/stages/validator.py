@@ -178,8 +178,9 @@ def _spec_key(spec: ValidationSpec, tag: str) -> str:
     return tag + json.dumps(
         {"schema": spec.schema, "checks": spec.checks, "id": spec.id_column,
          "hll": spec.hll_columns, "td": spec.tdigest_columns,
-         "hist": spec.hist_columns, "mx": spec.max_violations_per_batch},
-        sort_keys=True, default=str)
+         "hist": spec.hist_columns, "mx": spec.max_violations_per_batch,
+         "opts": spec.options},
+        sort_keys=True, default=repr)
 
 
 def _cached_stage(spec: ValidationSpec, tag: str, cls, **kw):

@@ -144,3 +144,41 @@ def test_missing_column_with_checks_explain(tmp_path):
     rec = proc._process(str(frag))
     assert rec["n_valid"] == 0 and rec["row_count"] == 100
     assert rec["violation_count"] > 0
+
+
+def test_review_findings_regressions():
+    """Regressions for the round-1 code-review findings."""
+    from malli_ray.transform import string_transformer
+
+    # repeat min-count soundness (position engine)
+    S = ["repeat", {"min": 3}, ["alt", ["cat", "int?", "int?"], "int?"]]
+    assert not m.validate(S, [1, 1])
+    assert m.validate(S, [1, 1, 1])
+
+    # unparse inverse through tagged children in collections/tuples/map-of
+    s = ["vector", ["orn", ["n", "int"], ["s", "string"]]]
+    assert m.unparse(s, m.parse(s, [1, "a"])) == [1, "a"]
+    s = ["tuple", ["orn", ["n", "int"]], "string"]
+    assert m.unparse(s, m.parse(s, [1, "x"])) == [1, "x"]
+    s = ["map-of", "string", ["orn", ["n", "int"]]]
+    assert m.unparse(s, m.parse(s, {"a": 1})) == {"a": 1}
+
+    # :and chains every conjunct's transformer
+    assert m.decode(["and", "any", "int"], "42", string_transformer()) == 42
+
+    # enum type-strict membership (1 != True != 1.0)
+    assert not m.validate(["enum", 0, 1], True)
+    assert not m.validate(["enum", 1], 1.0)
+    assert m.validate(["enum", True], True)
+
+
+def test_vectorized_fn_floor_semantics():
+    # Arrow % and // must match Python floor semantics for negatives
+    import pyarrow as _pa
+    from malli_ray.arrow_compile import compile_node
+    arr = _pa.array([-7, -4, -1, 0, 7], type=_pa.int64())
+    for src in ("x % 2 == 1", "x // 2 == -4", "x % 3 == 2"):
+        fn = compile_node(m.schema(["fn", src]), arr.type)
+        got = fn(arr).tolist()
+        want = [m.validator(["fn", src])(v) for v in arr.to_pylist()]
+        assert got == want, (src, got, want)

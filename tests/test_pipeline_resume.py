@@ -118,3 +118,20 @@ def test_summarize_matches_run_job(ray_session, seq_dir):
     assert rep["stats"]["source"]["null_count"] == 2
     assert rep["stats"]["n_tok"]["min"] >= 1
     assert sum(rep["stats"]["source"]["hist"].values()) == 3000
+
+
+def test_run_job_ignores_stale_partitions(ray_session, seq_dir):
+    """Re-running with a SUBSET of inputs on the same out_dir must report
+    only the subset, not stale committed partitions (review finding)."""
+    import glob
+    from malli_ray.pipelines import validation_job as vj
+
+    paths = sorted(glob.glob(seq_dir + "/*.parquet"))
+    out = "/tmp/malli_ray_job_subset"
+    shutil.rmtree(out, ignore_errors=True)
+    spec = make_spec()
+    full = vj.run_job(paths, spec, out)
+    assert full["n_rows"] == 3000
+    sub = vj.run_job(paths[:1], spec, out)
+    assert sub["n_rows"] == 1000
+    assert sub["n_partitions"] == 1
