@@ -172,8 +172,13 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
              "--input-dir", input_dir],
             capture_output=True, text=True, timeout=1800,
             cwd=os.path.dirname(os.path.abspath(__file__)))
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scaling worker (num_cpus={cpus}) failed "
+                f"(rc={out.returncode}); stderr tail:\n"
+                + "\n".join(out.stderr.splitlines()[-15:]))
+        results[cpus] = json.loads(lines[-1])
     r_low, r_high = results[low]["rows_per_s"], results[high]["rows_per_s"]
     efficiency = (r_high / r_low) / (high / low)
     return {

@@ -53,10 +53,15 @@ def _build_spec(args) -> "ValidationSpec":
                        "allowed": vals.split(","),
                        "name": f"referential_{col}"})
 
+    hist = list(args.hist or [])
+    # drift needs fused histograms: auto-include drift columns
+    for c in (args.drift or []):
+        if c not in hist:
+            hist.append(c)
     return ValidationSpec(
         schema=schema_form, checks=checks, id_column=args.id_column,
         hll_columns=args.hll or [], tdigest_columns=args.tdigest or [],
-        hist_columns=args.hist or [],
+        hist_columns=hist,
         max_violations_per_batch=args.max_violations)
 
 

@@ -54,6 +54,16 @@ def _default_concurrency() -> tuple[int, int]:
         return (1, 8)
 
 
+def _concurrency_kwargs(concurrency) -> dict:
+    """Task-based stages accept an int max-parallelism; normalize (min,max)
+    tuples (an actor-pool idiom) to their max so the cap is honored."""
+    if concurrency is None:
+        return {}
+    if isinstance(concurrency, (tuple, list)):
+        concurrency = max(concurrency)
+    return {"concurrency": int(concurrency)}
+
+
 def validate(ds: Dataset, spec: ValidationSpec, concurrency=None,
              batch_size: int | None = None) -> Dataset:
     """Append a ``valid`` boolean column (m/validate over the stream).
@@ -62,7 +72,8 @@ def validate(ds: Dataset, spec: ValidationSpec, concurrency=None,
     without actor-pool spin-up (stages/validator.py rationale)."""
     from ..stages.validator import make_validate_fn
     return ds.map_batches(make_validate_fn(spec), batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=batch_size)
+                          zero_copy_batch=True, batch_size=batch_size,
+                          **_concurrency_kwargs(concurrency))
 
 
 def explain(ds: Dataset, spec: ValidationSpec, concurrency=None,
@@ -70,19 +81,17 @@ def explain(ds: Dataset, spec: ValidationSpec, concurrency=None,
     """Violation rows dataset (m/explain over the stream)."""
     from ..stages.validator import make_explain_fn
     return ds.map_batches(make_explain_fn(spec), batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=batch_size)
+                          zero_copy_batch=True, batch_size=batch_size,
+                          **_concurrency_kwargs(concurrency))
 
 
 def filter_valid(ds: Dataset, spec: ValidationSpec,
                  batch_size: int | None = None, invert: bool = False) -> Dataset:
     """Keep only rows passing the schema (validate-as-filter)."""
-    from ..stages.validator import _cached_stage, FilterValid
-
-    def fn(batch: pa.Table) -> pa.Table:
-        return _cached_stage(spec, f"filter:{invert}", FilterValid,
-                             invert=invert)(batch)
-
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+    from ..stages import cached_stage
+    from ..stages.validator import FilterValid
+    return ds.map_batches(cached_stage(FilterValid, spec=spec, invert=invert),
+                          batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
 
 
@@ -112,7 +121,8 @@ def summarize(ds: Dataset, spec: ValidationSpec, concurrency=None,
     per-batch partials only)."""
     from ..stages.validator import make_summarize_fn
     s = ds.map_batches(make_summarize_fn(spec), batch_format="pyarrow",
-                       zero_copy_batch=True, batch_size=batch_size)
+                       zero_copy_batch=True, batch_size=batch_size,
+                       **_concurrency_kwargs(concurrency))
     rows = s.take_all()  # O(batches) small rows
     return merge_summaries(rows)
 
@@ -239,14 +249,27 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
     drift scores. Identical verdicts on resume: partition == fragment,
     deterministic processing, sketch merges in sorted partition order.
     """
+    import hashlib
+
+    from ..stages.validator import _spec_key
+
     store = CheckpointStore(os.path.join(out_dir, "checkpoint"))
     prior_meta = store.read_meta() or {}
+    spec_digest = hashlib.sha256(_spec_key(spec, "").encode()).hexdigest()[:16]
+    by_id = {os.path.splitext(os.path.basename(p))[0]: p for p in input_paths}
+    inputs_digest = hashlib.sha256(
+        "\n".join(sorted(by_id.keys())).encode()).hexdigest()[:16]
     store.write_meta({"schema": spec.schema, "input_count": len(input_paths),
                       "uniqueness_key": uniqueness_key,
+                      "spec_digest": spec_digest,
                       "last_report": prior_meta.get("last_report")})
 
-    by_id = {os.path.splitext(os.path.basename(p))[0]: p for p in input_paths}
-    pending = store.pending(by_id.keys())
+    # a committed partition only counts if it was produced under THIS spec —
+    # changing the schema/checks invalidates old verdicts (review finding)
+    committed_now = store.committed()
+    valid_committed = {k for k, r in committed_now.items()
+                       if r.get("spec_digest") == spec_digest}
+    pending = [k for k in by_id if k not in valid_committed]
     skipped = len(by_id) - len(pending)
 
     # fail-fast layout check: declared DSL layout vs the first fragment's
@@ -261,31 +284,25 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
         pass
 
     if pending:
-        def process_fragment(batch: pa.Table) -> pa.Table:
-            # worker-process cache: compile once per worker (see
-            # stages/validator.py task-vs-actor rationale)
-            from ..stages.validator import _WORKER_CACHE, _spec_key
-            key = _spec_key(spec, f"fragment:{out_dir}:{rows_per_batch}:{write_valid}")
-            inst = _WORKER_CACHE.get(key)
-            if inst is None:
-                inst = _ProcessFragment(spec, out_dir, rows_per_batch,
-                                        write_valid=write_valid)
-                _WORKER_CACHE[key] = inst
-            return inst(batch)
-
+        from ..stages import cached_stage
+        process_fragment = cached_stage(
+            _ProcessFragment, spec=spec, out_dir=out_dir,
+            rows_per_batch=rows_per_batch, write_valid=write_valid)
         paths_ds = ray.data.from_items([{"path": by_id[p]} for p in sorted(pending)])
         lineage = paths_ds.map_batches(process_fragment, batch_size=1,
                                        batch_format="pyarrow")
         # stream lineage rows and commit each partition as it lands
         for row in lineage.iter_rows():
             store.commit_partition(row["partition_id"],
-                                   {**row, "status": "committed"})
+                                   {**row, "status": "committed",
+                                    "spec_digest": spec_digest})
 
     committed = store.committed()
     # merge in sorted partition order (checkpoint-exact determinism);
-    # restrict to THIS job's inputs — stale partitions from earlier runs that
-    # shared the out_dir must not inflate the report
-    records = [committed[k] for k in sorted(committed.keys()) if k in by_id]
+    # restrict to THIS job's inputs AND this spec — stale partitions from
+    # earlier runs sharing the out_dir must not inflate the report
+    records = [committed[k] for k in sorted(committed.keys())
+               if k in by_id and committed[k].get("spec_digest") == spec_digest]
     report: dict[str, Any] = {
         "schema_problems": schema_problems,
         "n_partitions": len(records), "resumed_partitions": skipped,
@@ -315,12 +332,11 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
 
     # -- uniqueness constraint: projected-key groupby across all fragments --
     if uniqueness_key:
-        # resume fast-path: if nothing was reprocessed and the checkpointed
-        # result covers the same inputs, reuse it (deterministic, so valid)
-        meta = store.read_meta() or {}
-        cached = (meta.get("last_report") or {}).get("uniqueness")
+        # resume fast-path: reuse the checkpointed result only when it was
+        # computed for EXACTLY this input set (digest of sorted partition ids)
+        cached = (prior_meta.get("last_report") or {}).get("uniqueness")
         if (not pending and cached and cached.get("key") == uniqueness_key
-                and meta.get("input_count") == len(input_paths)):
+                and cached.get("inputs_digest") == inputs_digest):
             report["uniqueness"] = cached
         else:
             from ray.data.aggregate import Count as _Count, Sum as _Sum
@@ -335,6 +351,7 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
             dup_total = int(agg["dup_total"] or 0)
             report["uniqueness"] = {
                 "key": uniqueness_key,
+                "inputs_digest": inputs_digest,
                 "duplicate_keys": dup_keys,
                 "duplicate_rows": dup_total - dup_keys,
                 "sample": [r[uniqueness_key] for r in dups.limit(20).take_all()],
@@ -343,6 +360,12 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
 
     # -- drift vs checkpointed baseline (histograms came fused with stats) --
     if drift_columns:
+        missing_hist = [c for c in drift_columns if c not in spec.hist_columns]
+        if missing_hist:
+            raise ValueError(
+                f"drift_columns {missing_hist} are not in spec.hist_columns — "
+                "their histograms were never collected; add them to "
+                "ValidationSpec(hist_columns=[...])")
         current = {c: stats.stats.get(c, {}).get("hist", {}) for c in drift_columns}
         baseline = store.read_baseline()
         if baseline is None and save_baseline_if_missing:

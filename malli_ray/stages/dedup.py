@@ -68,7 +68,11 @@ def _hash_combine(column: str, id_column: str):
                       id_column: batch.column(id_column)})
         g = t.group_by("content_hash").aggregate(
             [(id_column, "min"), ("content_hash", "count")])
-        return g.rename_columns(["content_hash", id_column, "cnt"])
+        # rename by NAME: aggregate output column order differs across
+        # pyarrow versions (key-first on >=14, key-last before)
+        mapping = {f"{id_column}_min": id_column, "content_hash_count": "cnt",
+                   "content_hash": "content_hash"}
+        return g.rename_columns([mapping[n] for n in g.schema.names])
 
     return combine
 

@@ -99,11 +99,17 @@ class DecodeBatch:
                 batch = batch.set_column(idx, name, _tolerant_cast(col, kind))
             elif kind == "int" and pa.types.is_floating(dt):
                 # number->long semantics: round integral doubles
-                # (transform.cljc:99-103); non-integral become null
+                # (transform.cljc:99-103); non-integral, non-finite, or
+                # out-of-int64-range values become null (contract: failed
+                # casts are NULL, never a task crash)
                 rounded = pc.round(col)
-                integral = pc.equal(rounded, col)
+                ok = pc.and_(pc.is_finite(col), pc.equal(rounded, col))
+                ok = pc.and_(ok, pc.and_(
+                    pc.greater_equal(col, float(-2**62)),
+                    pc.less_equal(col, float(2**62))))
                 typed_null = pa.scalar(None, type=pa.float64())
-                casted = pc.if_else(integral, rounded.cast(pa.float64()), typed_null)
+                casted = pc.if_else(pc.fill_null(ok, False),
+                                    rounded.cast(pa.float64()), typed_null)
                 idx = batch.schema.get_field_index(name)
                 batch = batch.set_column(idx, name, casted.cast(pa.int64()))
             elif kind == "float" and pa.types.is_integer(dt):

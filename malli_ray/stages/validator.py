@@ -171,10 +171,8 @@ class SummarizeBatch(_PlanHolder):
 # state (models, large broadcasts); use these for light compiled plans.
 # --------------------------------------------------------------------------
 
-_WORKER_CACHE: dict[str, Any] = {}
-
-
 def _spec_key(spec: ValidationSpec, tag: str) -> str:
+    """Canonical serialization of a spec (cache keys + checkpoint spec digests)."""
     return tag + json.dumps(
         {"schema": spec.schema, "checks": spec.checks, "id": spec.id_column,
          "hll": spec.hll_columns, "td": spec.tdigest_columns,
@@ -183,27 +181,20 @@ def _spec_key(spec: ValidationSpec, tag: str) -> str:
         sort_keys=True, default=repr)
 
 
-def _cached_stage(spec: ValidationSpec, tag: str, cls, **kw):
-    key = _spec_key(spec, tag)
-    inst = _WORKER_CACHE.get(key)
-    if inst is None:
-        inst = cls(spec, **kw)
-        _WORKER_CACHE[key] = inst
-    return inst
-
-
 def make_validate_fn(spec: ValidationSpec):
-    return lambda batch: _cached_stage(spec, "validate", ValidateBatch)(batch)
+    from . import cached_stage
+    return cached_stage(ValidateBatch, spec=spec)
 
 
 def make_explain_fn(spec: ValidationSpec):
-    return lambda batch: _cached_stage(spec, "explain", ExplainBatch)(batch)
+    from . import cached_stage
+    return cached_stage(ExplainBatch, spec=spec)
 
 
 def make_summarize_fn(spec: ValidationSpec, sample_violations: int = 100):
-    return lambda batch: _cached_stage(
-        spec, "summarize", SummarizeBatch,
-        sample_violations=sample_violations)(batch)
+    from . import cached_stage
+    return cached_stage(SummarizeBatch, spec=spec,
+                        sample_violations=sample_violations)
 
 
 def merge_summaries(rows: list[dict]) -> dict:
