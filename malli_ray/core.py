@@ -633,33 +633,55 @@ class AndSchema(Schema):
 
         return explain_
 
-    def _parser(self):
-        """Parse via first child; remaining children validate the parsed value.
+    def _transforming_child(self) -> int | None:
+        """Index of the single non-identity-parsing child (None if all are
+        simple). Reference: ->transforming-parser-idx,
+        src/malli/core.cljc:846-861 (errors on more than one)."""
+        idxs = [i for i, c in enumerate(self.children)
+                if not _parse_identity(c, set())]
+        if len(idxs) > 1:
+            raise SchemaError(
+                ":and supports at most one transforming parser child",
+                {"schema": self.form})
+        return idxs[0] if idxs else None
 
-        Reference: :and parser, src/malli/core.cljc:888-899.
+    def _parser(self):
+        """Parse children left-to-right; every child must accept; the result
+        is the transforming child's parse (or x unchanged if none).
+
+        Reference: :and -parser, src/malli/core.cljc:877-890.
         """
-        p0 = self.children[0].parser()
-        rest = [c.validator() for c in self.children[1:]]
+        pi = self._transforming_child()
+        steps = [(c.parser() if i == pi else c.validator(), i == pi)
+                 for i, c in enumerate(self.children)]
 
         def parse_(x):
-            parsed = p0(x)
-            if parsed is INVALID:
-                return INVALID
-            if all(v(x) for v in rest):
-                return parsed
-            return INVALID
+            result = x
+            for fn, transforming in steps:
+                if transforming:
+                    out = fn(x)
+                    if out is INVALID:
+                        return INVALID
+                    result = out
+                elif not fn(x):
+                    return INVALID
+            return result
 
         return parse_
 
     def _unparser(self):
-        u0 = self.children[0].unparser()
-        rest = [c.validator() for c in self.children[1:]]
+        """Unparse via the transforming child (identity if none), then the
+        remaining children validate the reconstruction.
+        Reference: :and -unparser, src/malli/core.cljc:892-906."""
+        pi = self._transforming_child()
+        unparser = self.children[pi].unparser() if pi is not None else (lambda x: x)
+        others = [c.validator() for i, c in enumerate(self.children) if i != pi]
 
-        def unparse_(x):
-            out = u0(x)
-            if out is INVALID or not all(v(out) for v in rest):
+        def unparse_(x_tagged):
+            x = unparser(x_tagged)
+            if x is INVALID or not all(v(x) for v in others):
                 return INVALID
-            return out
+            return x
 
         return unparse_
 

@@ -187,9 +187,13 @@ def error_message(error: dict, options: dict | None = None) -> str:
     """
     options = options or {}
     props = _schema_properties(error)
-    msg = _resolve(props.get("error/message"), error, options)
-    if msg is None and props.get("error/fn") is not None:
+    # :error/fn wins over :error/message when both present
+    # (error_test.cljc:21; resolution chain error.cljc:293-310)
+    msg = None
+    if props.get("error/fn") is not None:
         msg = _resolve(props["error/fn"], error, options)
+    if msg is None:
+        msg = _resolve(props.get("error/message"), error, options)
     if msg is None and error.get("type"):
         msg = _resolve(MESSAGE_CATALOG.get(("type", error["type"])), error, options)
     if msg is None:

@@ -1,0 +1,137 @@
+"""Assertions ported 1:1 from the reference test suite (semantics, not code).
+
+Sources (file:line into /root/reference):
+  - test/malli/core_test.cljc:226-312 (:and/:or/:orn contract)
+  - test/malli/error_test.cljc:12-34 (error-message resolution)
+  - src/malli/error.cljc:15-17 (min/max message shapes), :67-171 (catalog)
+"""
+
+import malli_ray as m
+from malli_ray import INVALID, Tag
+from malli_ray.error import error_message, humanize
+from malli_ray.transform import json_transformer, string_transformer
+
+SCHEMA = ["and", "int?", ["or", "pos-int?", "neg-int?"]]
+SCHEMA_N = ["and", "int?", ["orn", ["pos", "pos-int?"], ["neg", "neg-int?"]]]
+
+
+def test_and_or_validate():
+    # core_test.cljc:229-235
+    for s in (SCHEMA, SCHEMA_N):
+        assert m.validate(s, 1) is True
+        assert m.validate(s, -1) is True
+        assert m.validate(s, 0) is False
+        assert m.validate(s, "1") is False
+        assert m.validate(s, [1]) is False
+
+
+def test_and_or_explain_paths():
+    # core_test.cljc:237-249: exact :path/:in for both branches
+    assert m.explain(SCHEMA, 1) is None
+    e = m.explain(SCHEMA, 0)
+    got = [(x["path"], x["in"]) for x in e["errors"]]
+    assert got == [([1, 0], []), ([1, 1], [])]
+    e = m.explain(SCHEMA_N, 0)
+    got = [(x["path"], x["in"]) for x in e["errors"]]
+    assert got == [([1, "pos"], []), ([1, "neg"], [])]
+
+
+def test_and_orn_parse_unparse():
+    # core_test.cljc:251-260
+    assert m.parse(SCHEMA, 1) == 1
+    assert m.parse(SCHEMA, 0) is INVALID
+    assert m.unparse(SCHEMA, 1) == 1
+    assert m.unparse(SCHEMA, 0) is INVALID
+    assert m.parse(SCHEMA_N, 1) == Tag("pos", 1)
+    assert m.parse(SCHEMA_N, 0) is INVALID
+    assert m.unparse(SCHEMA_N, Tag("pos", 1)) == 1
+    assert m.unparse(SCHEMA_N, ["pos", 1]) is INVALID   # bare vector != Tag
+    assert m.unparse(SCHEMA_N, Tag("pos", 0)) is INVALID
+
+
+def test_and_decode_transformers():
+    # core_test.cljc:263-265: string decodes, json leaves strings alone
+    for s in (SCHEMA, SCHEMA_N):
+        assert m.decode(s, "1", string_transformer()) == 1
+        assert m.decode(s, "1", json_transformer()) == "1"
+
+
+def test_and_enter_leave_composition():
+    # core_test.cljc:267-277: :and node interceptor + per-child chains
+    s = ["and", {"decode/string": {"enter": lambda x: "olipa_" + x,
+                                   "leave": lambda x: x + "_avaruus"}},
+         "string?"]
+    assert m.decode(s, "kerran", string_transformer()) == "olipa_kerran_avaruus"
+    s = ["and",
+         ["string", {"decode/string": {"enter": lambda x: "1_" + x,
+                                       "leave": lambda x: x + "_2"}}],
+         ["string", {"decode/string": {"enter": lambda x: "3_" + x,
+                                       "leave": lambda x: x + "_4"}}]]
+    assert m.decode(s, "kerran", string_transformer()) == "3_1_kerran_2_4"
+
+
+def test_or_decode_first_validating_branch():
+    # core_test.cljc:278-289
+    s = ["or",
+         ["string", {"decode/string": {"enter": lambda x: "1_" + x,
+                                       "leave": lambda x: x + "_2"}}],
+         ["string", {"decode/string": {"enter": lambda x: "3_" + x,
+                                       "leave": lambda x: x + "_4"}}]]
+    assert m.decode(s, "kerran", string_transformer()) == "1_kerran_2"
+    s = ["or", "map?",
+         ["string", {"decode/string": {"enter": lambda x: "3_" + x,
+                                       "leave": lambda x: x + "_4"}}]]
+    assert m.decode(s, "kerran", string_transformer()) == "3_kerran_4"
+
+
+def test_form_roundtrip_reference_shapes():
+    # core_test.cljc:311-312
+    assert m.form(m.schema(SCHEMA)) == SCHEMA
+    assert m.form(m.schema(SCHEMA_N)) == SCHEMA_N
+    # over-the-wire (core_test.cljc:292)
+    from malli_ray.serialize import read_string, write_string
+    for s in (SCHEMA, SCHEMA_N):
+        assert m.validate(read_string(write_string(s)), 1) is True
+
+
+def test_error_message_resolution_chain():
+    # error_test.cljc:12-34
+    msg = "should be an int"
+    e = m.explain(["int?", {"error/message": msg}], "kikka")["errors"][0]
+    assert error_message(e) == msg
+    fn1 = lambda err, _o: f"should be an int, was {err['value']}"  # noqa: E731
+    e = m.explain(["int?", {"error/fn": fn1}], "kikka")["errors"][0]
+    assert error_message(e) == "should be an int, was kikka"
+    # error/fn wins over error/message when both present
+    e = m.explain(["int?", {"error/message": msg, "error/fn": fn1}],
+                  "kikka")["errors"][0]
+    assert error_message(e) == "should be an int, was kikka"
+
+
+def test_catalog_messages_match_reference():
+    # src/malli/error.cljc:67-171 (:en catalog)
+    cases = [
+        ("int?", 1.5, "should be an int"),
+        ("pos-int?", -1, "should be a positive int"),
+        ("neg-int?", 1, "should be a negative int"),
+        ("nat-int?", -1, "should be a non-negative int"),
+        ("number?", "x", "should be a number"),
+        ("integer?", "x", "should be an integer"),
+        ("boolean?", 1, "should be a boolean"),
+        ("string?", 1, "should be a string"),
+        ("keyword?", 1, "should be a keyword"),
+        ("symbol?", 1, "should be a symbol"),
+        ("uuid?", 1, "should be a uuid"),
+        ("double?", 1, "should be a double"),
+        ("pos?", -1, "should be positive"),
+        ("neg?", 1, "should be negative"),
+    ]
+    for schema, value, message in cases:
+        assert humanize(m.explain(schema, value)) == [message], schema
+
+
+def test_min_max_message_shapes():
+    # src/malli/error.cljc:15-17: "should be N" when min == max
+    assert humanize(m.explain(["int", {"min": 5, "max": 5}], 4)) is not None
+    assert humanize(m.explain(["int", {"min": 1}], 0)) == ["should be at least 1"]
+    assert humanize(m.explain(["int", {"max": 2}], 3)) == ["should be at most 2"]
