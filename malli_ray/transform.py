@@ -89,13 +89,14 @@ def string_to_date(x: Any) -> Any:
     if isinstance(x, str):
         s = x[:-1] + "+00:00" if x.endswith("Z") else x
         try:
-            return _dt.datetime.fromisoformat(s)
+            d = _dt.datetime.fromisoformat(s)
         except ValueError:
-            try:
-                return _dt.datetime.combine(_dt.date.fromisoformat(x), _dt.time(),
-                                            tzinfo=_dt.timezone.utc)
-            except ValueError:
-                return x
+            return x
+        # insts are UTC (transform.cljc:138-159): date-only / offset-less
+        # strings parse naive -> pin to UTC
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        return d
     return x
 
 
@@ -304,8 +305,21 @@ def _strip_extra_keys(schema_: Schema, _options: dict):
     if not isinstance(schema_, MapSchema):
         return None
     keep = set(schema_.explicit_keys)
-    if schema_.default_entry is not None:
-        return None  # ::m/default entry owns the rest of the map
+    default_entry = schema_.default_entry
+
+    if default_entry is not None:
+        # ::m/default defines how extra keys are stripped
+        # (transform_test.cljc:565-585): keep rest entries validating the
+        # default schema entry-wise
+        default_valid = default_entry[2].validator()
+
+        def strip_with_default(x: Any) -> Any:
+            if not isinstance(x, dict):
+                return x
+            return {k: v for k, v in x.items()
+                    if k in keep or default_valid({k: v})}
+
+        return {"leave": strip_with_default}
 
     def strip(x: Any) -> Any:
         if not isinstance(x, dict):
@@ -317,10 +331,32 @@ def _strip_extra_keys(schema_: Schema, _options: dict):
     return {"enter": strip}
 
 
+@_compile_marker
+def _strip_extra_map_of(schema_: Schema, _options: dict):
+    """:map-of strip: drop entries whose key or value does not validate
+    (transform_test.cljc:549-562). Runs at LEAVE so composed decoders (e.g.
+    string-transformer) get to coerce entries first."""
+    from .core import MapOfSchema
+    if not isinstance(schema_, MapOfSchema):
+        return None
+    kv = schema_.children[0].validator()
+    vv = schema_.children[1].validator()
+
+    def strip(x: Any) -> Any:
+        if not isinstance(x, dict):
+            return x
+        return {k: v for k, v in x.items() if kv(k) and vv(v)}
+
+    return {"leave": strip}
+
+
 def strip_extra_keys_transformer() -> Transformer:
     """Drop map keys not in the schema (transform.cljc:460-483)."""
-    t = Transformer("strip-extra-keys", decoders={"map": _strip_extra_keys},
-                    encoders={"map": _strip_extra_keys})
+    t = Transformer("strip-extra-keys",
+                    decoders={"map": _strip_extra_keys,
+                              "map-of": _strip_extra_map_of},
+                    encoders={"map": _strip_extra_keys,
+                              "map-of": _strip_extra_map_of})
     return t
 
 

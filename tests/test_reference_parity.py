@@ -135,3 +135,65 @@ def test_min_max_message_shapes():
     assert humanize(m.explain(["int", {"min": 5, "max": 5}], 4)) is not None
     assert humanize(m.explain(["int", {"min": 1}], 0)) == ["should be at least 1"]
     assert humanize(m.explain(["int", {"max": 2}], 3)) == ["should be at most 2"]
+
+
+def test_strip_extra_keys_reference_cases():
+    # transform_test.cljc:530-585
+    from malli_ray.transform import (
+        strip_extra_keys_transformer, string_transformer, transformer)
+    import malli_ray as m
+    from malli_ray import DEFAULT_KEY
+
+    st = strip_extra_keys_transformer()
+    # extra keys from :map are stripped
+    assert m.decode(["map", ["x", "int"], ["y", "int"]],
+                    {"x": 1, "y": 2, "z": 3}, st) == {"x": 1, "y": 2}
+    # extra keys from :map-of are stripped (invalid key OR value)
+    assert m.decode(["map-of", "int", "int"],
+                    {1: 1, "2": 2, 3: "3", "4": "4"}, st) == {1: 1}
+    # composing with string-transformer coerces first, then strips
+    chain = transformer(st, string_transformer())
+    assert m.decode(["map-of", "int", "int"],
+                    {1: 1, "2": 2, 3: "3", "4": "4"}, chain) == \
+        {1: 1, 2: 2, 3: 3, 4: 4}
+    # ::m/default defines how extra keys are stripped
+    value = {"x": 1, "y": 2, "z": "not-int-val", 1: 1, "2": 2, "s": "5"}
+    out = m.decode(["map", ["x", "int"], ["y", "int"],
+                    [DEFAULT_KEY, ["map-of", "int", "int"]]], value, st)
+    assert out == {"x": 1, "y": 2, 1: 1}
+    # non-map values pass through unharmed
+    assert m.decode(["map", ["foo", "string"]], "bar", st) == "bar"
+
+
+def test_scalar_fn_reference_cases():
+    # transform_test.cljc:29-97
+    from malli_ray.transform import (
+        string_to_boolean, string_to_date, string_to_double, string_to_long,
+        string_to_uuid)
+    import datetime as dt
+    import uuid as _uuid
+
+    assert string_to_long("9007199254740993") == 9007199254740993
+    assert string_to_long("abba") == "abba"
+    assert string_to_double("1") == 1.0
+    assert string_to_double(1) == 1            # non-strings untouched
+    assert string_to_double("1.0abba") == "1.0abba"
+    assert string_to_boolean("abba") == "abba"
+    # uppercase uuid accepted; incomplete rejected (stays string)
+    assert isinstance(string_to_uuid("B3C4E6B4-6304-4A52-99C3-CB50E737BB94"),
+                      _uuid.UUID)
+    assert string_to_uuid("5f60751d-9bf7-4344-97ee-48643c") == \
+        "5f60751d-9bf7-4344-97ee-48643c"
+    assert string_to_uuid("1-1-1-1-1") == "1-1-1-1-1"
+    assert isinstance(string_to_uuid("00000000-0000-0000-0000-000000000000"),
+                      _uuid.UUID)
+    # ISO-8601 variants
+    utc = dt.timezone.utc
+    assert string_to_date("2018-04-27T18:25:37Z") == \
+        dt.datetime(2018, 4, 27, 18, 25, 37, tzinfo=utc)
+    assert string_to_date("2018-04-27") == \
+        dt.datetime(2018, 4, 27, tzinfo=utc)
+    d = string_to_date("2018-04-27T08:00:00+03:00")
+    assert d.astimezone(utc) == dt.datetime(2018, 4, 27, 5, 0, 0, tzinfo=utc)
+    assert string_to_date("2018-04-27T18:25:37.123456Z").microsecond == 123456
+    assert string_to_date("abba") == "abba"
