@@ -211,12 +211,21 @@ def compile_node(s: Schema, dtype: pa.DataType) -> MaskFn:
         bound = s.children[0]
         op = {">": pc.greater, ">=": pc.greater_equal, "<": pc.less,
               "<=": pc.less_equal, "=": pc.equal, "not=": pc.not_equal}[t]
+        # null semantics mirror the row engine's Clojure behavior:
+        # ordering on nil throws -> invalid; (= nil c) -> false;
+        # (not= nil c) -> TRUE (nil differs from any constant)
+        null_result = (t == "not=")
 
         def cmp_mask(arr: pa.Array) -> np.ndarray:
             try:
-                return _notnull(arr) & _mask_to_np(op(arr, bound), len(arr))
+                m = pc.fill_null(op(arr, bound), null_result)
+                if isinstance(m, pa.ChunkedArray):
+                    m = m.combine_chunks()
+                return m.to_numpy(zero_copy_only=False).astype(bool, copy=False)
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-                return _const(False)(arr)
+                # uncomparable dtype: ordering/equality -> invalid/false for
+                # every row, but not= holds for every row (types differ)
+                return _const(null_result)(arr)
 
         return cmp_mask
 

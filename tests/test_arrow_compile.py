@@ -205,3 +205,16 @@ def test_vectorized_fn_strings_and_lists():
 
 def test_unsupported_fn_expr_falls_back():
     check_equiv(["fn", "sorted([x])[0] == x"], FN_INT_ARR)
+
+
+def test_comparator_null_semantics():
+    # (not= nil c) is TRUE in the row engine (Clojure not=); ordering and
+    # equality on nil are false — found by the arrow-vs-row soak
+    arr = pa.array([3, None, 5], type=pa.int64())
+    for form in (["not=", 3], ["=", 3], [">", 3], ["<=", 3],
+                 ["not", ["not=", 5]], ["maybe", ["not=", 0]]):
+        check_equiv(form, arr)
+    # uncomparable dtype: = -> all false, not= -> all true
+    sarr = pa.array(["a", None], type=pa.string())
+    for form in (["=", 3], ["not=", 3]):
+        check_equiv(form, sarr)
