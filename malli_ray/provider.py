@@ -38,7 +38,12 @@ def _rank(t: str) -> int:
 
 
 def _new_stats() -> dict:
-    return {"count": 0, "types": {}, "keys": {}, "item": None, "min": None, "max": None}
+    return {"count": 0, "types": {}, "keys": {}, "item": None, "min": None,
+            "max": None, "key_stats": None, "lengths": [], "sigs": [],
+            "positions": []}
+
+
+_SIG_CAP = 64  # bounded per-sample signature memory for tuple coherence
 
 
 def _value_type(v: Any) -> str:
@@ -71,16 +76,33 @@ def accumulate_value(stats: dict, v: Any) -> dict:
     t = _value_type(v)
     stats["types"][t] = stats["types"].get(t, 0) + 1
     if t == "map":
+        if stats["key_stats"] is None:
+            stats["key_stats"] = _new_stats()
         for k, kv in v.items():
             sub = stats["keys"].get(k)
             if sub is None:
                 sub = stats["keys"][k] = _new_stats()
             accumulate_value(sub, kv)
+            accumulate_value(stats["key_stats"], k)
     elif t in ("vector", "set"):
         if stats["item"] is None:
             stats["item"] = _new_stats()
         for item in v:
             accumulate_value(stats["item"], item)
+        if t == "vector":
+            # tuple-inference bookkeeping: lengths, per-sample type
+            # signatures (coherence), per-position stats
+            # (provider.cljc -sequential-schema :44-56)
+            if len(v) not in stats["lengths"]:
+                stats["lengths"].append(len(v))
+            sig = tuple(_value_type(e) for e in v)
+            if len(stats["sigs"]) < _SIG_CAP and sig not in stats["sigs"]:
+                stats["sigs"].append(sig)
+            pos = stats["positions"]
+            for i, e in enumerate(v):
+                if i >= len(pos):
+                    pos.append(_new_stats())
+                accumulate_value(pos[i], e)
     elif t in ("int", "double"):
         stats["min"] = v if stats["min"] is None else min(stats["min"], v)
         stats["max"] = v if stats["max"] is None else max(stats["max"], v)
@@ -102,14 +124,39 @@ def merge_stats(a: dict, b: dict) -> dict:
             a["item"] = b["item"]
         else:
             merge_stats(a["item"], b["item"])
+    if b.get("key_stats") is not None:
+        if a.get("key_stats") is None:
+            a["key_stats"] = b["key_stats"]
+        else:
+            merge_stats(a["key_stats"], b["key_stats"])
+    for l in b.get("lengths", []):
+        if l not in a["lengths"]:
+            a["lengths"].append(l)
+    for s in b.get("sigs", []):
+        if len(a["sigs"]) < _SIG_CAP and tuple(s) not in [tuple(x) for x in a["sigs"]]:
+            a["sigs"].append(tuple(s))
+    bpos = b.get("positions", [])
+    for i, p in enumerate(bpos):
+        if i >= len(a["positions"]):
+            a["positions"].append(p)
+        else:
+            merge_stats(a["positions"][i], p)
     for key, pick in (("min", min), ("max", max)):
         if b.get(key) is not None:
             a[key] = b[key] if a.get(key) is None else pick(a[key], b[key])
     return a
 
 
-def finalize(stats: dict) -> Any:
-    """Stats -> DSL form (provider.cljc -schema, :38-90)."""
+def finalize(stats: dict, options: dict | None = None) -> Any:
+    """Stats -> DSL form (provider.cljc -schema, :38-90).
+
+    options (provider.cljc analogs):
+      - "map-of-threshold": with >= N map samples, homogeneous key/value
+        schemas and enough distinct keys, infer [:map-of K V] (:58-66)
+      - "tuple-threshold": with >= N equal-length, signature-coherent vector
+        samples, infer [:tuple ...] (:44-56)
+    """
+    options = options or {}
     types = dict(stats["types"])
     nil_count = types.pop("nil", 0)
     if not types:
@@ -121,17 +168,28 @@ def finalize(stats: dict) -> Any:
     for t in sorted(types, key=_rank):
         if t == "map":
             total_maps = stats["types"].get("map", 0)
+            mo = _try_map_of(stats, total_maps, options)
+            if mo is not None:
+                forms.append(mo)
+                continue
             entries = []
             for k in stats["keys"]:
                 sub = stats["keys"][k]
-                child = finalize(sub)
+                child = finalize(sub, options)
                 if sub["count"] < total_maps:
                     entries.append([k, {"optional": True}, child])
                 else:
                     entries.append([k, child])
             forms.append(["map", *entries] if entries else "map")
-        elif t in ("vector", "set"):
-            item = finalize(stats["item"]) if stats["item"] is not None else "any"
+        elif t == "vector":
+            tup = _try_tuple(stats, stats["types"].get("vector", 0), options)
+            if tup is not None:
+                forms.append(tup)
+                continue
+            item = finalize(stats["item"], options) if stats["item"] is not None else "any"
+            forms.append([t, item])
+        elif t == "set":
+            item = finalize(stats["item"], options) if stats["item"] is not None else "any"
             forms.append([t, item])
         else:
             forms.append(t)
@@ -141,12 +199,44 @@ def finalize(stats: dict) -> Any:
     return form
 
 
+def _try_map_of(stats: dict, total_maps: int, options: dict) -> Any:
+    threshold = options.get("map-of-threshold")
+    if threshold is None or total_maps < threshold or not stats["keys"]:
+        return None
+    # all value schemas equal + all key schemas equal
+    vforms = {repr(finalize(sub, options)) for sub in stats["keys"].values()}
+    if len(vforms) != 1:
+        return None
+    ks = stats.get("key_stats")
+    if ks is None:
+        return None
+    # accept rule (provider.cljc -map-of-accept :58-59):
+    # distinct keys > (total key observations)^0.7
+    total_key_obs = sum(sub["count"] for sub in stats["keys"].values())
+    if len(stats["keys"]) <= total_key_obs ** 0.7:
+        return None
+    return ["map-of", finalize(ks, options),
+            finalize(next(iter(stats["keys"].values())), options)]
+
+
+def _try_tuple(stats: dict, total_vecs: int, options: dict) -> Any:
+    threshold = options.get("tuple-threshold")
+    if threshold is None or total_vecs < threshold:
+        return None
+    if len(stats.get("lengths", [])) != 1:
+        return None
+    sigs = stats.get("sigs", [])
+    if len(sigs) != 1:
+        return None  # non-coherent samples stay [:vector ...]
+    return ["tuple", *[finalize(p, options) for p in stats["positions"]]]
+
+
 def provide(values: list, options: dict | None = None) -> Any:
     """mp/provide: infer a schema form from sample values."""
     stats = _new_stats()
     for v in values:
         accumulate_value(stats, v)
-    return finalize(stats)
+    return finalize(stats, options)
 
 
 # --------------------------------------------------------------------------

@@ -111,3 +111,42 @@ def test_provide_roundtrip_validates():
     s = provide(samples)
     for v in samples:
         assert m.validate(s, v)
+
+
+def test_provide_map_of_threshold():
+    # provider_test.cljc:60-64
+    samples = [{"a": {"name": "n1"}, "b": {"name": "n2"}},
+               {"c": {"name": "n3"}, "d": {"name": "n4"}, "e": {"name": "n5"}}]
+    assert provide(samples, {"map-of-threshold": 2}) == \
+        ["map-of", "string", ["map", ["name", "string"]]]
+    # without the threshold option -> :map with optional keys
+    assert provide(samples)[0] == "map"
+
+
+def test_provide_tuple_threshold():
+    # provider_test.cljc:66-91
+    tsam = [[1, "kikka", True], [2, "kukka", False], [3, "kekka", True]]
+    assert provide(tsam, {"tuple-threshold": 3}) == \
+        ["tuple", "int", "string", "boolean"]
+    assert provide(tsam[:2], {"tuple-threshold": 4})[0] == "vector"
+    # non-coherent signatures stay a vector
+    assert provide([[1, "a", True], ["b", 2, False], [3, "c", True]],
+                   {"tuple-threshold": 3})[0] == "vector"
+
+
+def test_provide_distributed_merge_consistency():
+    # partials merged out-of-order must finalize identically
+    from malli_ray.provider import accumulate_value, finalize, merge_stats, _new_stats
+    samples = [[1, "a", True], [2, "b", False], [3, "c", True], [4, "d", False]]
+    whole = _new_stats()
+    for s in samples:
+        accumulate_value(whole, s)
+    p1, p2 = _new_stats(), _new_stats()
+    for s in samples[:2]:
+        accumulate_value(p1, s)
+    for s in samples[2:]:
+        accumulate_value(p2, s)
+    merged = merge_stats(p2, p1)
+    opts = {"tuple-threshold": 3}
+    assert finalize(merged, opts) == finalize(whole, opts) == \
+        ["tuple", "int", "string", "boolean"]
