@@ -166,19 +166,27 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
     sf = _sf_from_dir(sf_dir)
     input_dir = _replicated_input(sf)
     results = {}
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
     for cpus in (low, high):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus),
-             "--input-dir", input_dir],
-            capture_output=True, text=True, timeout=1800,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        if out.returncode != 0 or not lines:
-            raise RuntimeError(
-                f"scaling worker (num_cpus={cpus}) failed "
-                f"(rc={out.returncode}); stderr tail:\n"
-                + "\n".join(out.stderr.splitlines()[-15:]))
-        results[cpus] = json.loads(lines[-1])
+        best = None
+        for _ in range(repeats):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(cpus),
+                 "--input-dir", input_dir],
+                capture_output=True, text=True, timeout=1800,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if out.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"scaling worker (num_cpus={cpus}) failed "
+                    f"(rc={out.returncode}); stderr tail:\n"
+                    + "\n".join(out.stderr.splitlines()[-15:]))
+            r = json.loads(lines[-1])
+            # best-of-N: the box is shared/noisy; max throughput approximates
+            # unloaded capability at each level
+            if best is None or r["rows_per_s"] > best["rows_per_s"]:
+                best = r
+        results[cpus] = best
     r_low, r_high = results[low]["rows_per_s"], results[high]["rows_per_s"]
     efficiency = (r_high / r_low) / (high / low)
     return {
