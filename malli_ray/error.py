@@ -234,7 +234,10 @@ def _push_in(acc: Any, path: list, msg: str) -> Any:
 
 def humanize(explanation: dict | None, options: dict | None = None,
              resolve: Callable | None = None) -> Any:
-    """Explanation -> human message tree (error.cljc:379-395)."""
+    """Explanation -> human message tree (error.cljc:379-395).
+
+    A schema's ``error/path`` property redirects where its message lands in
+    the tree (error.cljc:218-222; error_test.cljc:263-276)."""
     if explanation is None:
         return None
     options = options or {}
@@ -242,7 +245,11 @@ def humanize(explanation: dict | None, options: dict | None = None,
     out: Any = None
     for e in explanation.get("errors", []):
         msg = resolve(e, options)
-        out = _push_in(out, list(e.get("in", [])), msg)
+        in_ = list(e.get("in", []))
+        extra = _schema_properties(e).get("error/path")
+        if extra:
+            in_ = in_ + list(extra)
+        out = _push_in(out, in_, msg)
     return out
 
 

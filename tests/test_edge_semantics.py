@@ -182,3 +182,24 @@ def test_vectorized_fn_floor_semantics():
         got = fn(arr).tolist()
         want = [m.validator(["fn", src])(v) for v in arr.to_pylist()]
         assert got == want, (src, got, want)
+
+
+def test_hll_accuracy_and_merge_determinism():
+    import numpy as np
+    from malli_ray.state.sketches import HyperLogLog
+
+    rng = np.random.default_rng(7)
+    for true_n in (1_000, 50_000, 500_000):
+        h = HyperLogLog()
+        # uniform 64-bit hashes stand in for hashed ids
+        h.add_hashes(rng.integers(0, 2**63, true_n, dtype=np.uint64).astype(np.uint64))
+        est = h.cardinality()
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+    # merge == union; digest roundtrip stable
+    a, b = HyperLogLog(), HyperLogLog()
+    xs = rng.integers(0, 2**63, 10_000, dtype=np.uint64).astype(np.uint64)
+    a.add_hashes(xs[:6000]); b.add_hashes(xs[4000:])
+    merged = HyperLogLog.from_digest(a.digest()).merge(
+        HyperLogLog.from_digest(b.digest()))
+    whole = HyperLogLog(); whole.add_hashes(xs)
+    assert merged.digest() == whole.digest()   # register-exact union

@@ -197,3 +197,15 @@ def test_scalar_fn_reference_cases():
     assert d.astimezone(utc) == dt.datetime(2018, 4, 27, 5, 0, 0, tzinfo=utc)
     assert string_to_date("2018-04-27T18:25:37.123456Z").microsecond == 123456
     assert string_to_date("abba") == "abba"
+
+
+def test_error_path_property():
+    # error_test.cljc:263-276 (#554): :error/path redirects the message
+    schema = ["and",
+              ["map", ["password", "string?"], ["password2", "string?"]],
+              ["fn", {"error/message": "passwords don't match",
+                      "error/path": ["password2"]},
+               lambda m_: m_["password"] == m_["password2"]]]
+    out = humanize(m.explain(schema, {"password": "secret",
+                                      "password2": "faarao"}))
+    assert out == {"password2": ["passwords don't match"]}
