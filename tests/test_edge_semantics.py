@@ -189,15 +189,18 @@ def test_hll_accuracy_and_merge_determinism():
     from malli_ray.state.sketches import HyperLogLog
 
     rng = np.random.default_rng(7)
+    # FULL 64-bit uniform hashes (hash64 guarantees this; biased hashes
+    # degrade HLL since the index is the top p bits)
+    def hashes(n):
+        return rng.integers(0, 2**64, n, dtype=np.uint64)
     for true_n in (1_000, 50_000, 500_000):
         h = HyperLogLog()
-        # uniform 64-bit hashes stand in for hashed ids
-        h.add_hashes(rng.integers(0, 2**63, true_n, dtype=np.uint64).astype(np.uint64))
+        h.add_hashes(hashes(true_n))
         est = h.cardinality()
         assert abs(est - true_n) / true_n < 0.05, (true_n, est)
     # merge == union; digest roundtrip stable
     a, b = HyperLogLog(), HyperLogLog()
-    xs = rng.integers(0, 2**63, 10_000, dtype=np.uint64).astype(np.uint64)
+    xs = hashes(10_000)
     a.add_hashes(xs[:6000]); b.add_hashes(xs[4000:])
     merged = HyperLogLog.from_digest(a.digest()).merge(
         HyperLogLog.from_digest(b.digest()))
