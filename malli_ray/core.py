@@ -2103,7 +2103,8 @@ def _parse_identity(sc: Schema, seen: set) -> bool:
         return all(_parse_identity(c, seen) for c in sc.children
                    if isinstance(c, Schema))
     if t == "and":
-        return _parse_identity(sc.children[0], seen)
+        # mirrors the transforming-child parser: identity iff NO child parses
+        return all(_parse_identity(c, seen) for c in sc.children)
     if t == "or":
         return all(_parse_identity(c, seen) for c in sc.children)
     if t in ("map", "map-of", "tuple"):

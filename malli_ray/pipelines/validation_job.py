@@ -45,15 +45,6 @@ from ..stages import constraints as C
 __all__ = ["ValidationSpec", "validate", "explain", "summarize", "run_job"]
 
 
-def _default_concurrency() -> tuple[int, int]:
-    """Actor-pool size: autoscale 1..num_cpus (validator is CPU-bound,
-    SURVEY.md SS7.3). Min of 1 so small inputs never wait on pool spin-up."""
-    try:
-        return (1, max(2, int(ray.cluster_resources().get("CPU", 8))))
-    except Exception:
-        return (1, 8)
-
-
 def _concurrency_kwargs(concurrency) -> dict:
     """Task-based stages accept an int max-parallelism; normalize (min,max)
     tuples (an actor-pool idiom) to their max so the cap is honored."""
@@ -253,6 +244,15 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
 
     from ..stages.validator import _spec_key
 
+    # fail-fast config checks BEFORE any fragment processing
+    if drift_columns:
+        missing_hist = [c for c in drift_columns if c not in spec.hist_columns]
+        if missing_hist:
+            raise ValueError(
+                f"drift_columns {missing_hist} are not in spec.hist_columns — "
+                "their histograms would never be collected; add them to "
+                "ValidationSpec(hist_columns=[...])")
+
     store = CheckpointStore(os.path.join(out_dir, "checkpoint"))
     prior_meta = store.read_meta() or {}
     spec_digest = hashlib.sha256(_spec_key(spec, "").encode()).hexdigest()[:16]
@@ -290,7 +290,8 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
             rows_per_batch=rows_per_batch, write_valid=write_valid)
         paths_ds = ray.data.from_items([{"path": by_id[p]} for p in sorted(pending)])
         lineage = paths_ds.map_batches(process_fragment, batch_size=1,
-                                       batch_format="pyarrow")
+                                       batch_format="pyarrow",
+                                       **_concurrency_kwargs(concurrency))
         # stream lineage rows and commit each partition as it lands
         for row in lineage.iter_rows():
             store.commit_partition(row["partition_id"],
@@ -360,12 +361,6 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
 
     # -- drift vs checkpointed baseline (histograms came fused with stats) --
     if drift_columns:
-        missing_hist = [c for c in drift_columns if c not in spec.hist_columns]
-        if missing_hist:
-            raise ValueError(
-                f"drift_columns {missing_hist} are not in spec.hist_columns — "
-                "their histograms were never collected; add them to "
-                "ValidationSpec(hist_columns=[...])")
         current = {c: stats.stats.get(c, {}).get("hist", {}) for c in drift_columns}
         baseline = store.read_baseline()
         if baseline is None and save_baseline_if_missing:

@@ -43,7 +43,8 @@ def _new_stats() -> dict:
             "positions": []}
 
 
-_SIG_CAP = 64  # bounded per-sample signature memory for tuple coherence
+_SIG_CAP = 64          # bounded per-sample signature memory for tuple coherence
+_TUPLE_WIDTH_CAP = 16  # vectors wider than this never infer as tuples
 
 
 def _value_type(v: Any) -> str:
@@ -92,17 +93,26 @@ def accumulate_value(stats: dict, v: Any) -> dict:
         if t == "vector":
             # tuple-inference bookkeeping: lengths, per-sample type
             # signatures (coherence), per-position stats
-            # (provider.cljc -sequential-schema :44-56)
+            # (provider.cljc -sequential-schema :44-56). Bounded: vectors
+            # wider than _TUPLE_WIDTH_CAP (e.g. embeddings) opt out — they
+            # are never tuples and the per-position stats would be costly.
             if len(v) not in stats["lengths"]:
                 stats["lengths"].append(len(v))
-            sig = tuple(_value_type(e) for e in v)
-            if len(stats["sigs"]) < _SIG_CAP and sig not in stats["sigs"]:
-                stats["sigs"].append(sig)
-            pos = stats["positions"]
-            for i, e in enumerate(v):
-                if i >= len(pos):
-                    pos.append(_new_stats())
-                accumulate_value(pos[i], e)
+            if len(v) <= _TUPLE_WIDTH_CAP and stats["sigs"] != ["__overflow__"]:
+                sig = tuple(_value_type(e) for e in v)
+                if sig not in stats["sigs"]:
+                    if len(stats["sigs"]) >= _SIG_CAP:
+                        stats["sigs"] = ["__overflow__"]
+                    else:
+                        stats["sigs"].append(sig)
+                if stats["sigs"] != ["__overflow__"]:
+                    pos = stats["positions"]
+                    for i, e in enumerate(v):
+                        if i >= len(pos):
+                            pos.append(_new_stats())
+                        accumulate_value(pos[i], e)
+            else:
+                stats["sigs"] = ["__overflow__"]
     elif t in ("int", "double"):
         stats["min"] = v if stats["min"] is None else min(stats["min"], v)
         stats["max"] = v if stats["max"] is None else max(stats["max"], v)
@@ -203,9 +213,12 @@ def _try_map_of(stats: dict, total_maps: int, options: dict) -> Any:
     threshold = options.get("map-of-threshold")
     if threshold is None or total_maps < threshold or not stats["keys"]:
         return None
-    # all value schemas equal + all key schemas equal
+    # all value schemas equal + all key schemas equal (provider.cljc @?ks*
+    # guard :64-67 — heterogeneous key types fall back to :map)
     vforms = {repr(finalize(sub, options)) for sub in stats["keys"].values()}
     if len(vforms) != 1:
+        return None
+    if len({_value_type(k) for k in stats["keys"]}) != 1:
         return None
     ks = stats.get("key_stats")
     if ks is None:
@@ -226,8 +239,8 @@ def _try_tuple(stats: dict, total_vecs: int, options: dict) -> Any:
     if len(stats.get("lengths", [])) != 1:
         return None
     sigs = stats.get("sigs", [])
-    if len(sigs) != 1:
-        return None  # non-coherent samples stay [:vector ...]
+    if len(sigs) != 1 or sigs == ["__overflow__"]:
+        return None  # non-coherent / too-wide samples stay [:vector ...]
     return ["tuple", *[finalize(p, options) for p in stats["positions"]]]
 
 

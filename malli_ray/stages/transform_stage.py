@@ -105,8 +105,8 @@ class DecodeBatch:
                 rounded = pc.round(col)
                 ok = pc.and_(pc.is_finite(col), pc.equal(rounded, col))
                 ok = pc.and_(ok, pc.and_(
-                    pc.greater_equal(col, float(-2**62)),
-                    pc.less_equal(col, float(2**62))))
+                    pc.greater_equal(col, float(-2**63)),
+                    pc.less(col, float(2**63))))
                 typed_null = pa.scalar(None, type=pa.float64())
                 casted = pc.if_else(pc.fill_null(ok, False),
                                     rounded.cast(pa.float64()), typed_null)

@@ -171,6 +171,25 @@ class SummarizeBatch(_PlanHolder):
 # state (models, large broadcasts); use these for light compiled plans.
 # --------------------------------------------------------------------------
 
+import hashlib as _hashlib
+import re as _re_mod
+
+
+def _canonical_default(o: Any) -> str:
+    """Process-stable serialization for non-JSON values in spec keys/digests:
+    callables hash their bytecode (repr embeds memory addresses, which would
+    defeat cross-process checkpoint resume); other reprs get addresses
+    scrubbed."""
+    if callable(o):
+        code = getattr(o, "__code__", None)
+        body = (code.co_code if code is not None else b"") + repr(
+            getattr(code, "co_consts", ())).encode()
+        return (f"fn:{getattr(o, '__module__', '')}."
+                f"{getattr(o, '__qualname__', '')}:"
+                f"{_hashlib.sha1(body).hexdigest()[:12]}")
+    return _re_mod.sub(r" at 0x[0-9a-fA-F]+", "", repr(o))
+
+
 def _spec_key(spec: ValidationSpec, tag: str) -> str:
     """Canonical serialization of a spec (cache keys + checkpoint spec digests)."""
     return tag + json.dumps(
@@ -178,7 +197,7 @@ def _spec_key(spec: ValidationSpec, tag: str) -> str:
          "hll": spec.hll_columns, "td": spec.tdigest_columns,
          "hist": spec.hist_columns, "mx": spec.max_violations_per_batch,
          "opts": spec.options},
-        sort_keys=True, default=repr)
+        sort_keys=True, default=_canonical_default)
 
 
 def make_validate_fn(spec: ValidationSpec):

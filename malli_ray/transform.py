@@ -300,8 +300,28 @@ def collection_transformer() -> Transformer:
     return Transformer("collection", decoders=decoders, encoders={})
 
 
-@_compile_marker
-def _strip_extra_keys(schema_: Schema, _options: dict):
+def _default_keep_fn(default_schema: Schema):
+    """How a ::m/default schema keeps rest entries, by schema type
+    (transform.cljc:466-471 delegates to the default schema's own strip):
+    :map-of -> entry key+value validity; :map -> key membership (recursing
+    into nested defaults); other -> entry-wise validity."""
+    from .core import MapOfSchema
+    if isinstance(default_schema, MapOfSchema):
+        kv = default_schema.children[0].validator()
+        vv = default_schema.children[1].validator()
+        return lambda k, v: kv(k) and vv(v)
+    if isinstance(default_schema, MapSchema):
+        keep = set(default_schema.explicit_keys)
+        nested = (None if default_schema.default_entry is None
+                  else _default_keep_fn(default_schema.default_entry[2]))
+        if nested is None:
+            return lambda k, v: k in keep
+        return lambda k, v: k in keep or nested(k, v)
+    valid = default_schema.validator()
+    return lambda k, v: valid({k: v})
+
+
+def _make_strip_map(schema_: Schema, stage: str):
     if not isinstance(schema_, MapSchema):
         return None
     keep = set(schema_.explicit_keys)
@@ -309,17 +329,16 @@ def _strip_extra_keys(schema_: Schema, _options: dict):
 
     if default_entry is not None:
         # ::m/default defines how extra keys are stripped
-        # (transform_test.cljc:565-585): keep rest entries validating the
-        # default schema entry-wise
-        default_valid = default_entry[2].validator()
+        # (transform_test.cljc:565-585)
+        default_keep = _default_keep_fn(default_entry[2])
 
         def strip_with_default(x: Any) -> Any:
             if not isinstance(x, dict):
                 return x
             return {k: v for k, v in x.items()
-                    if k in keep or default_valid({k: v})}
+                    if k in keep or default_keep(k, v)}
 
-        return {"leave": strip_with_default}
+        return {stage: strip_with_default}
 
     def strip(x: Any) -> Any:
         if not isinstance(x, dict):
@@ -331,11 +350,11 @@ def _strip_extra_keys(schema_: Schema, _options: dict):
     return {"enter": strip}
 
 
-@_compile_marker
-def _strip_extra_map_of(schema_: Schema, _options: dict):
+def _make_strip_map_of(schema_: Schema, stage: str):
     """:map-of strip: drop entries whose key or value does not validate
-    (transform_test.cljc:549-562). Runs at LEAVE so composed decoders (e.g.
-    string-transformer) get to coerce entries first."""
+    (transform_test.cljc:549-562). On DECODE this runs at LEAVE (composed
+    decoders coerce entries first); on ENCODE it runs at ENTER (values must
+    be stripped before they are encoded away from the schema's types)."""
     from .core import MapOfSchema
     if not isinstance(schema_, MapOfSchema):
         return None
@@ -347,17 +366,36 @@ def _strip_extra_map_of(schema_: Schema, _options: dict):
             return x
         return {k: v for k, v in x.items() if kv(k) and vv(v)}
 
-    return {"leave": strip}
+    return {stage: strip}
+
+
+@_compile_marker
+def _strip_map_decode(schema_: Schema, _options: dict):
+    return _make_strip_map(schema_, "leave")
+
+
+@_compile_marker
+def _strip_map_encode(schema_: Schema, _options: dict):
+    return _make_strip_map(schema_, "enter")
+
+
+@_compile_marker
+def _strip_map_of_decode(schema_: Schema, _options: dict):
+    return _make_strip_map_of(schema_, "leave")
+
+
+@_compile_marker
+def _strip_map_of_encode(schema_: Schema, _options: dict):
+    return _make_strip_map_of(schema_, "enter")
 
 
 def strip_extra_keys_transformer() -> Transformer:
     """Drop map keys not in the schema (transform.cljc:460-483)."""
-    t = Transformer("strip-extra-keys",
-                    decoders={"map": _strip_extra_keys,
-                              "map-of": _strip_extra_map_of},
-                    encoders={"map": _strip_extra_keys,
-                              "map-of": _strip_extra_map_of})
-    return t
+    return Transformer("strip-extra-keys",
+                       decoders={"map": _strip_map_decode,
+                                 "map-of": _strip_map_of_decode},
+                       encoders={"map": _strip_map_encode,
+                                 "map-of": _strip_map_of_encode})
 
 
 def key_transformer(decode: Callable | None = None,

@@ -209,3 +209,59 @@ def test_error_path_property():
     out = humanize(m.explain(schema, {"password": "secret",
                                       "password2": "faarao"}))
     assert out == {"password2": ["passwords don't match"]}
+
+
+def test_round3_review_regressions():
+    from malli_ray.core import parser_info
+    from malli_ray.transform import (
+        strip_extra_keys_transformer, string_transformer, transformer)
+    from malli_ray.provider import provide
+    from malli_ray import DEFAULT_KEY
+
+    # parser_info mirrors the transforming-child :and parser
+    assert parser_info(["and", "int?", ["orn", ["p", "pos-int?"]]]) == \
+        {"identity": False}
+    assert parser_info(["and", "int?", [">", 0]]) == {"identity": True}
+
+    # strip on ENCODE must not drop everything (enter-stage strip)
+    st = strip_extra_keys_transformer()
+    chain = transformer(st, string_transformer())
+    out = m.encode(["map-of", "int", "int"], {1: 1, "x": "y"}, chain)
+    assert "x" not in out and len(out) == 1
+
+    # :map ::default strips by key membership, not value validity
+    S = ["map", ["x", "int"], [DEFAULT_KEY, ["map", ["extra", "int"]]]]
+    out = m.decode(S, {"x": 1, "extra": "oops", "zzz": 2}, st)
+    assert out == {"x": 1, "extra": "oops"}
+
+    # provider: heterogeneous key types fall back to :map
+    out = provide([{1: "a", "x": "b"}, {2: "c", "y": "d"}, {3: "e", "z": "f"}],
+                  {"map-of-threshold": 2})
+    assert out[0] == "map"
+
+    # provider: wide vectors skip tuple bookkeeping but still infer :vector
+    wide = [[float(i) for i in range(64)] for _ in range(5)]
+    assert provide(wide, {"tuple-threshold": 2})[0] == "vector"
+
+    # spec digests stable across processes even with callables
+    import subprocess, sys
+    code = (
+        "from malli_ray.stages.validator import ValidationSpec, _spec_key;"
+        "s = ValidationSpec(schema=['map', ['x', ['fn', 'x > 0']]],"
+        "options={'cb': (lambda v: v)});"
+        "print(__import__('hashlib').sha256(_spec_key(s, '').encode())"
+        ".hexdigest()[:16])")
+    d1 = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                        text=True, cwd="/root/repo").stdout.strip()
+    d2 = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                        text=True, cwd="/root/repo").stdout.strip()
+    assert d1 and d1 == d2
+
+
+def test_decode_batch_int64_range():
+    import pyarrow as pa
+    from malli_ray.stages.transform_stage import DecodeBatch
+    d = DecodeBatch(["map", ["a", "int"]])
+    out = d(pa.table({"a": [5e18, 1e19, -5e18, 2.0]}))
+    assert out.column("a").to_pylist() == [5000000000000000000, None,
+                                           -5000000000000000000, 2]
