@@ -187,3 +187,48 @@ def test_cli(tmp_path, ray_session):
                 "--out", str(out), "--id-column", "doc_id",
                 "--uniqueness-key", "doc_id"])
     assert rc2 == 1
+
+
+def test_registry_variants():
+    import malli_ray as m
+    from malli_ray.core import SimpleSchema
+    from malli_ray.registry import (
+        LazyRegistry, MutableRegistry, composite_registry, fast_registry,
+        registry_of)
+
+    def even_ctor(t, p, c, o):
+        return SimpleSchema(t, p, c, o, lambda x: isinstance(x, int) and x % 2 == 0)
+
+    # composite: first match wins, layered over defaults
+    reg = registry_of(fast_registry({"even": even_ctor}))
+    assert m.validate("even", 4, {"registry": reg})
+    assert not m.validate("even", 3, {"registry": reg})
+    assert m.validate("int", 1, {"registry": reg})  # defaults still visible
+
+    # mutable: registration visible to later compiles
+    mut = MutableRegistry()
+    reg2 = registry_of(mut)
+    mut.register("odd", lambda t, p, c, o: SimpleSchema(
+        t, p, c, o, lambda x: isinstance(x, int) and x % 2 == 1))
+    assert m.validate("odd", 3, {"registry": reg2})
+    mut.deregister("odd")
+    import pytest as _pytest
+    with _pytest.raises(m.SchemaError):
+        m.schema("odd", {"registry": registry_of(MutableRegistry())})
+
+    # lazy: resolved on demand via provider, alias form allowed
+    lazy = LazyRegistry(lambda name: ["int", {"min": 0}] if name == "nat" else None)
+    reg3 = registry_of(lazy)
+    assert m.validate("nat", 5, {"registry": reg3})
+    assert not m.validate("nat", -1, {"registry": reg3})
+
+
+def test_swagger_export():
+    from malli_ray.swagger import transform as sw
+    out = sw(["map", ["x", ["maybe", "int"]], ["t", ["tuple", "int", "string"]]])
+    assert out["properties"]["x"] == {"type": "integer", "x-nullable": True}
+    t = out["properties"]["t"]
+    assert t["x-tuple"] is True and t["items"] == [{"type": "integer"},
+                                                   {"type": "string"}]
+    assert sw(["=", 5]) == {"enum": [5]}
+    assert "x-anyOf" in sw(["or", "int", "string"])
