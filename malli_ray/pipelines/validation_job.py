@@ -146,15 +146,20 @@ class _ProcessFragment:
         out_rows = {"partition_id": [], "fragment": [], "row_count": [],
                     "n_valid": [], "violation_count": [], "stats_json": [],
                     "hll_json": [], "tdigest_json": [], "wall_s": []}
-        for path in batch.column("path").to_pylist():
+        has_rg = "rg_start" in batch.schema.names
+        rows = batch.to_pylist()
+        for row in rows:
             t0 = time.perf_counter()
-            rec = self._process(path)
+            rgs = None
+            if has_rg and row.get("rg_start", -1) >= 0:
+                rgs = list(range(row["rg_start"], row["rg_end"] + 1))
+            rec = self._process(row["path"], row_groups=rgs)
             rec["wall_s"] = time.perf_counter() - t0
             for k in out_rows:
                 out_rows[k].append(rec[k])
         return pa.Table.from_pydict(out_rows)
 
-    def _process(self, path: str) -> dict:
+    def _process(self, path: str, row_groups: list | None = None) -> dict:
         spec = self.spec
         pf = pq.ParquetFile(path)
         stats = ColumnStats()
@@ -165,6 +170,12 @@ class _ProcessFragment:
         violation_tables = []
         row_offset = 0
         frag_id = os.path.splitext(os.path.basename(path))[0]
+        if row_groups is not None:
+            # row-group-range partition (finer resume granularity for
+            # many-row-group files; SURVEY.md SS4.2 partition determinism)
+            frag_id = f"{frag_id}@rg{row_groups[0]}-{row_groups[-1]}"
+            row_offset = sum(pf.metadata.row_group(i).num_rows
+                             for i in range(row_groups[0]))
         valid_writer = None
         valid_tmp = valid_path = None
         if self.write_valid:
@@ -172,7 +183,8 @@ class _ProcessFragment:
             # (deterministic name + tmp/rename => retry-idempotent)
             valid_path = os.path.join(self.out_dir, "valid", f"{frag_id}.parquet")
             valid_tmp = valid_path + ".tmp"
-        for rb in pf.iter_batches(batch_size=self.rows_per_batch):
+        for rb in pf.iter_batches(batch_size=self.rows_per_batch,
+                                  row_groups=row_groups):
             t = pa.Table.from_batches([rb])
             bound = self.plan.bind(t.schema)
             evaluated = bound.evaluate(t)
@@ -233,7 +245,8 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
             concurrency: int | None = None,
             rows_per_batch: int = 65_536,
             save_baseline_if_missing: bool = True,
-            write_valid: bool = False) -> dict:
+            write_valid: bool = False,
+            rowgroups_per_partition: int | None = None) -> dict:
     """Run (or resume) the full checkpointed validation job.
 
     Returns the job report: verdicts, stats, sketches, constraint results,
@@ -256,7 +269,19 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
     store = CheckpointStore(os.path.join(out_dir, "checkpoint"))
     prior_meta = store.read_meta() or {}
     spec_digest = hashlib.sha256(_spec_key(spec, "").encode()).hexdigest()[:16]
-    by_id = {os.path.splitext(os.path.basename(p))[0]: p for p in input_paths}
+    # partition plan: one partition per file, or per row-group range when
+    # rowgroups_per_partition is set (finer resume units for huge files)
+    by_id: dict[str, dict] = {}
+    for p in input_paths:
+        base = os.path.splitext(os.path.basename(p))[0]
+        if rowgroups_per_partition is None:
+            by_id[base] = {"path": p, "rg_start": -1, "rg_end": -1}
+        else:
+            n_rg = pq.ParquetFile(p).metadata.num_row_groups
+            for start in range(0, n_rg, rowgroups_per_partition):
+                end = min(start + rowgroups_per_partition, n_rg) - 1
+                by_id[f"{base}@rg{start}-{end}"] = {
+                    "path": p, "rg_start": start, "rg_end": end}
     inputs_digest = hashlib.sha256(
         "\n".join(sorted(by_id.keys())).encode()).hexdigest()[:16]
     store.write_meta({"schema": spec.schema, "input_count": len(input_paths),
@@ -288,7 +313,7 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
         process_fragment = cached_stage(
             _ProcessFragment, spec=spec, out_dir=out_dir,
             rows_per_batch=rows_per_batch, write_valid=write_valid)
-        paths_ds = ray.data.from_items([{"path": by_id[p]} for p in sorted(pending)])
+        paths_ds = ray.data.from_items([by_id[p] for p in sorted(pending)])
         lineage = paths_ds.map_batches(process_fragment, batch_size=1,
                                        batch_format="pyarrow",
                                        **_concurrency_kwargs(concurrency))

@@ -135,3 +135,34 @@ def test_run_job_ignores_stale_partitions(ray_session, seq_dir):
     sub = vj.run_job(paths[:1], spec, out)
     assert sub["n_rows"] == 1000
     assert sub["n_partitions"] == 1
+
+
+def test_row_group_partitions(ray_session, tmp_path):
+    """rowgroups_per_partition: finer resume units; verdicts identical to
+    file-level partitioning."""
+    from malli_ray.pipelines import validation_job as vj
+    from malli_ray.sources.sequences import generate_sequences_shard
+
+    # one file, 8 row groups of 250 rows
+    frag = tmp_path / "big-00000.parquet"
+    pq.write_table(generate_sequences_shard(0, 2000, 0), frag,
+                   row_group_size=250)
+    spec = make_spec()
+    out_a = str(tmp_path / "out_file")
+    ra = vj.run_job([str(frag)], spec, out_a)
+    out_b = str(tmp_path / "out_rg")
+    rb = vj.run_job([str(frag)], spec, out_b, rowgroups_per_partition=2)
+    assert rb["n_partitions"] == 4
+    for key in ("n_rows", "n_valid", "n_violations"):
+        assert ra[key] == rb[key], key
+    # t-digest approximations differ slightly across partitionings
+    for q, va in ra["quantiles"]["n_tok"].items():
+        vb = rb["quantiles"]["n_tok"][q]
+        assert abs(va - vb) / va < 0.05, (q, va, vb)
+    # resume one row-group partition only
+    recs = sorted(glob.glob(out_b + "/checkpoint/partitions/*.json"))
+    os.unlink(recs[2])
+    rb2 = vj.run_job([str(frag)], spec, out_b, rowgroups_per_partition=2)
+    assert rb2["resumed_partitions"] == 3
+    assert rb2["n_rows"] == rb["n_rows"]
+    assert rb2["n_violations"] == rb["n_violations"]
