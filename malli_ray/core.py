@@ -844,6 +844,19 @@ class NotSchema(Schema):
         v = self.children[0].validator()
         return lambda x: not v(x)
 
+    def _explainer(self, path):
+        """Error path points into the child position (core_test.cljc:440-457:
+        [:not pos?] explain -> :path [0], schema = the :not schema)."""
+        valid = self.validator()
+        this = self
+
+        def explain_(x, in_, acc):
+            if not valid(x):
+                acc.append(_error(path + [0], in_, this, x))
+            return acc
+
+        return explain_
+
 
 class MaybeSchema(Schema):
     """:maybe — nil or child. src/malli/core.cljc:1819-1868."""

@@ -265,3 +265,26 @@ def test_decode_batch_int64_range():
     out = d(pa.table({"a": [5e18, 1e19, -5e18, 2.0]}))
     assert out.column("a").to_pylist() == [5000000000000000000, None,
                                            -5000000000000000000, 2]
+
+
+def test_not_schema_reference_cases():
+    # core_test.cljc:418-480
+    s1 = ["not", "pos?"]
+    s2 = ["not", "empty?"]
+    assert m.validate(s1, -1) and m.explain(s1, -1) is None
+    assert m.parse(s1, -1) == -1
+    assert m.validate(s1, 0)
+    assert m.validate(s2, "string") and not m.validate(s2, "")
+    e = m.explain(s1, 1)
+    assert [(x["path"], x["in"]) for x in e["errors"]] == [([0], [])]
+    assert m.parse(s1, 1) is INVALID
+    # as part of a complex schema: paths nest under the entry key
+    schema = ["map", ["a", "int?"], ["b", ["not", "empty?"]],
+              ["c", ["map", ["d", ["not", ["fn", "x == 'test'"]]]]],
+              ["e", ["not", ["<", 10]]]]
+    assert m.validate(schema, {"a": 1, "b": "Test", "c": {"d": "Malli"}, "e": 10})
+    e = m.explain(schema, {"a": 1, "b": "", "c": {"d": "Malli"}, "e": 10})
+    assert [(x["path"], x["in"]) for x in e["errors"]] == [(["b", 0], ["b"])]
+    e = m.explain(schema, {"a": 1, "b": "x", "c": {"d": "test"}, "e": 10})
+    assert [(x["path"], x["in"]) for x in e["errors"]] == \
+        [(["c", "d", 0], ["c", "d"])]
