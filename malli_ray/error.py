@@ -186,6 +186,8 @@ def error_message(error: dict, options: dict | None = None) -> str:
     "unknown error".
     """
     options = options or {}
+    if error.get("message"):
+        return error["message"]  # pre-resolved (e.g. with_spell_checking)
     props = _schema_properties(error)
     # :error/fn wins over :error/message when both present
     # (error_test.cljc:21; resolution chain error.cljc:293-310)
@@ -269,10 +271,12 @@ def _levenshtein(a: str, b: str) -> int:
 
 
 def with_spell_checking(explanation: dict | None, options: dict | None = None) -> dict | None:
-    """Annotate extra-key errors with likely-intended keys (error.cljc:250-281).
+    """Rewrite likely-misspelled extra keys (error.cljc:250-281, 344-377).
 
-    Returns a new explanation whose ``malli.core/extra-key`` errors carry
-    ``likely-misspelling-of`` when a known key is within edit distance 2.
+    ``malli.core/extra-key`` errors whose key is within edit distance 2 of a
+    known key become ``malli.error/misspelled-key`` errors carrying
+    ``likely-misspelling-of`` and a "should be spelled ..." message
+    (error_test.cljc:37-60 shape).
     """
     if explanation is None:
         return None
@@ -286,8 +290,12 @@ def with_spell_checking(explanation: dict | None, options: dict | None = None) -
             best = sorted(
                 ((k, _levenshtein(bad, k)) for k in known), key=lambda kv: kv[1])
             if best and best[0][1] <= 2:
+                likely = [b for (b, d) in best if d == best[0][1]]
                 e = dict(e)
-                e["likely-misspelling-of"] = [b for (b, d) in best if d == best[0][1]]
+                e["type"] = "malli.error/misspelled-key"
+                e["likely-misspelling-of"] = likely
+                e["message"] = "should be spelled " + " or ".join(
+                    repr(k) for k in likely)
         errors.append(e)
     out["errors"] = errors
     return out

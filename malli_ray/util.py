@@ -23,6 +23,7 @@ __all__ = [
     "optional_keys", "required_keys", "keys", "get", "get_in", "assoc_in",
     "closed_schema", "open_schema", "subschemas", "equals", "find",
     "transform_entries", "register_into", "path_to_in", "in_to_paths",
+    "update_properties",
 ]
 
 
@@ -349,6 +350,23 @@ def equals(s1: Any, s2: Any, options: dict | None = None) -> bool:
 def transform_entries(s: Any, f: Callable[[list], list], options: dict | None = None) -> Schema:
     m = _as_map(s, options)
     return _rebuild_map(m, f(list(m.children)))
+
+
+def update_properties(s: Any, f: Callable[[dict], dict],
+                      options: dict | None = None) -> Schema:
+    """mu/update-properties: rebuild the schema with f(properties)
+    (src/malli/util.cljc:114-126)."""
+    sc = schema(s, options)
+    new_props = f(dict(sc.properties)) or {}
+    form = sc.form
+    if isinstance(form, list):
+        rest = form[1:]
+        if rest and (isinstance(rest[0], dict) or rest[0] is None):
+            rest = rest[1:]
+        new_form = [form[0]] + ([new_props] if new_props else []) + rest
+    else:
+        new_form = [form, new_props] if new_props else form
+    return schema(new_form, sc.options)
 
 
 # --------------------------------------------------------------------------

@@ -101,10 +101,13 @@ def test_custom_error_message():
 
 
 def test_spell_checking():
+    # error_test.cljc:37-60 shape: misspelled-key type + spelled message
     C = ["map", {"closed": True}, ["street", "string"]]
     e = with_spell_checking(m.explain(C, {"streetz": "x", "street": "ok"}))
-    extra = [x for x in e["errors"] if x.get("type") == "malli.core/extra-key"]
-    assert extra[0]["likely-misspelling-of"] == ["street"]
+    mis = [x for x in e["errors"] if x.get("type") == "malli.error/misspelled-key"]
+    assert mis[0]["likely-misspelling-of"] == ["street"]
+    assert mis[0]["message"] == "should be spelled 'street'"
+    assert humanize(e) == {"streetz": ["should be spelled 'street'"]}
 
 
 # -- parse / unparse --------------------------------------------------------

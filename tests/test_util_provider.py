@@ -150,3 +150,13 @@ def test_provide_distributed_merge_consistency():
     opts = {"tuple-threshold": 3}
     assert finalize(merged, opts) == finalize(whole, opts) == \
         ["tuple", "int", "string", "boolean"]
+
+
+def test_update_properties():
+    s = mu.update_properties(["int", {"min": 1}], lambda p: {**p, "max": 5})
+    assert m.validate(s, 3) and not m.validate(s, 6) and not m.validate(s, 0)
+    s2 = mu.update_properties(["map", ["x", "int"]],
+                              lambda p: {**p, "closed": True})
+    assert not m.validate(s2, {"x": 1, "y": 2})
+    s3 = mu.update_properties(["int", {"min": 1}], lambda p: {})
+    assert m.validate(s3, 0)
