@@ -275,3 +275,41 @@ def test_uniqueness_hot_key_skew(ray_session):
     dups = C.uniqueness_violations(ds, "k").take_all()
     assert len(dups) == 1
     assert dups[0]["k"] == "hot" and dups[0]["cnt"] == 100_000
+
+
+def test_pipeline_matches_row_engine_fuzz(ray_session):
+    """Distributed summarize/explain must agree exactly with the row engine
+    on random tables (counts of valid rows AND of violation rows)."""
+    import random
+    import ray.data as rd
+    from malli_ray.pipelines import validation_job as vj
+    from malli_ray.stages.validator import ValidationSpec
+
+    rng = random.Random(11)
+    schema = ["map",
+              ["id", ["string", {"min": 1}]],
+              ["n", ["int", {"min": -20, "max": 20}]],
+              ["tag", ["enum", "a", "b", "c"]],
+              ["v", ["vector", {"min": 1}, ["int", {"max": 15}]]]]
+    spec = ValidationSpec(schema=schema, id_column="id")
+    for trial in range(4):
+        n = rng.randint(50, 200)
+        t = pa.table({
+            "id": pa.array([f"id{i}" if rng.random() > .05 else None
+                            for i in range(n)]),
+            "n": pa.array([None if rng.random() < .15 else rng.randint(-50, 50)
+                           for _ in range(n)], type=pa.int64()),
+            "tag": pa.array([rng.choice(["a", "b", "zz", None])
+                             for _ in range(n)]),
+            "v": pa.array([None if rng.random() < .1 else
+                           [rng.randint(0, 20) for _ in range(rng.randint(0, 5))]
+                           for _ in range(n)], type=pa.list_(pa.int64())),
+        })
+        expected_valid = sum(1 for row in t.to_pylist() if m.validate(schema, row))
+        rep = vj.summarize(rd.from_arrow(t).repartition(3), spec)
+        assert (rep["n_rows"], rep["n_valid"]) == (n, expected_valid)
+        vio = vj.explain(rd.from_arrow(t).repartition(3), spec).count()
+        expected_vio = sum(len(m.explain(schema, row)["errors"])
+                           for row in t.to_pylist()
+                           if not m.validate(schema, row))
+        assert vio == expected_vio
