@@ -1941,13 +1941,15 @@ def schema(form: Any, options: dict | None = None) -> Schema:
         props: dict = {}
         if rest and (isinstance(rest[0], dict) or rest[0] is None):
             props = rest.pop(0) or {}
-        # local registry in properties (src/malli/core.cljc:344-348)
+        # local registry in properties (src/malli/core.cljc:344-348);
+        # ChainMap layering preserves lazy/mutable base-registry semantics
+        # (a dict copy would snapshot only already-cached names)
         if "registry" in props:
+            import collections as _collections
             local = props["registry"]
-            merged = dict(options["registry"])
-            merged.update(local)
             options = dict(options)
-            options["registry"] = merged
+            options["registry"] = _collections.ChainMap(
+                dict(local), options["registry"])
         return _make(type_, props, rest, options)
 
     raise SchemaError(f"invalid schema form: {form!r}")

@@ -48,7 +48,7 @@ def transform(s: Any, options: dict | None = None) -> str:
                     continue
                 child = walk_(cs)
                 style = ' style=dashed' if (p or {}).get("optional") else ""
-                key = "…" if k == DEFAULT_KEY else str(k)
+                key = "…" if k == DEFAULT_KEY else str(k).replace('"', "'")
                 lines.append(f'  {nid} -> {child} [label="{key}"{style}];')
         else:
             for c in node.children:

@@ -104,6 +104,10 @@ def _gen(sc: Schema, rng, size: int, depth: int) -> Any:
             except TypeError:
                 pass
             guard += 1
+        if len(out) < mn:
+            raise SchemaError(
+                f"cannot generate {mn}+ distinct keys for {sc.form!r} "
+                "(key domain too small)")
         return out
     if isinstance(sc, CollectionSchema):
         mn, mx = _count_bounds(props, max(2, size // 2))
@@ -316,15 +320,12 @@ def _gen_regex_string(pattern: str, rng) -> str:
 
 
 def _shallow_default(sc: Schema) -> Any:
+    """Depth-capped fallback: a VALID simple value or a clear error — never a
+    silently-invalid placeholder (roundtrip contract: generated => valid)."""
     valid = sc.validator()
-    for cand in (None, 0, "", [], {}, False):
+    for cand in (None, 0, 1, "", "x", [], {}, set(), False, True, 0.5):
         if valid(cand):
             return cand
-    t = sc.type
-    if t in ("map",):
-        return {}
-    if t in ("vector", "sequential", "every"):
-        return []
-    if t == "set":
-        return set()
-    return 0
+    raise SchemaError(
+        f"generation depth limit reached with no valid shallow value for "
+        f"{sc.form!r}")

@@ -46,13 +46,14 @@ def instrument(fn_schema: Any, f: Callable | None = None, *,
 
     def wrap(func: Callable) -> Callable:
         @functools.wraps(func)
-        def wrapped(*args):
-            if not in_valid(list(args)):
+        def wrapped(*args, **kwargs):
+            all_args = list(args) + list(kwargs.values())
+            if not in_valid(all_args):
                 from .core import explain
-                rep("input", {"args": list(args),
-                              "explain": explain(in_schema, list(args)),
-                              "humanized": humanize(explain(in_schema, list(args)))})
-            out = func(*args)
+                rep("input", {"args": all_args,
+                              "explain": explain(in_schema, all_args),
+                              "humanized": humanize(explain(in_schema, all_args))})
+            out = func(*args, **kwargs)
             if not out_valid(out):
                 from .core import explain
                 rep("output", {"value": out,

@@ -174,8 +174,10 @@ def parse(node: dict | bool, options: dict | None = None) -> Any:
     if "oneOf" in node:
         subs = node["oneOf"]
         if len(subs) == 2 and {"type": "null"} in subs:
-            other = next(s for s in subs if s != {"type": "null"})
-            return ["maybe", parse(other)]
+            others = [s for s in subs if s != {"type": "null"}]
+            if not others:
+                return "nil"  # oneOf of nulls (e.g. [:maybe :nil])
+            return ["maybe", parse(others[0])]
         return ["or", *[parse(n) for n in subs]]
     if "not" in node:
         return ["not", parse(node["not"])]
@@ -192,20 +194,24 @@ def parse(node: dict | bool, options: dict | None = None) -> Any:
         if "maxLength" in node:
             props["max"] = node["maxLength"]
         return ["string", props] if props else "string"
-    if t == "integer":
+    if t in ("integer", "number"):
+        base = "int" if t == "integer" else "double"
         props = {}
         if "minimum" in node:
             props["min"] = node["minimum"]
         if "maximum" in node:
             props["max"] = node["maximum"]
-        return ["int", props] if props else "int"
-    if t == "number":
-        props = {}
-        if "minimum" in node:
-            props["min"] = node["minimum"]
-        if "maximum" in node:
-            props["max"] = node["maximum"]
-        return ["double", props] if props else "double"
+        form = [base, props] if props else base
+        # exclusive bounds -> :and with comparators (transform emits these
+        # for pos?/neg?/:>/:<)
+        conj = []
+        if "exclusiveMinimum" in node:
+            conj.append([">", node["exclusiveMinimum"]])
+        if "exclusiveMaximum" in node:
+            conj.append(["<", node["exclusiveMaximum"]])
+        if conj:
+            return ["and", form, *conj]
+        return form
     if t == "boolean":
         return "boolean"
     if t == "null":

@@ -84,10 +84,10 @@ class ImageFeatureExtractor:
                 import io
                 try:
                     img = self.pil.open(io.BytesIO(p))
+                    widths.append(img.width)     # ORIGINAL dims, pre-resize
+                    heights.append(img.height)
                     img = img.resize(self.resize_to)
                     arr = np.asarray(img.convert("L"), dtype=np.float64)
-                    widths.append(img.width)
-                    heights.append(img.height)
                     lumas.append(float(arr.mean()) / 255.0)
                     gy, gx = np.gradient(arr)
                     sharps.append(float(np.sqrt(gx ** 2 + gy ** 2).mean()) / 255.0)

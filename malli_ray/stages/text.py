@@ -122,10 +122,18 @@ class LangID:
         return batch.append_column(self.out, pa.array(preds, type=pa.string()))
 
 
+def _conc(concurrency) -> dict:
+    if concurrency is None:
+        return {}
+    if isinstance(concurrency, (tuple, list)):
+        concurrency = max(concurrency)
+    return {"concurrency": int(concurrency)}
+
+
 def add_lang_id(ds: Dataset, text_column: str, concurrency=None) -> Dataset:
     from . import cached_stage
     return ds.map_batches(cached_stage(LangID, text_column=text_column),
-                          batch_format="pyarrow")
+                          batch_format="pyarrow", **_conc(concurrency))
 
 
 class Fingerprinter:
@@ -141,11 +149,10 @@ class Fingerprinter:
         self.word_re = re.compile(r"\S+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import polars as pl
         texts = batch.column(self.text_column).to_pylist()
         words_per_doc = [(self.word_re.findall(t or "") or [""]) for t in texts]
         flat = [w for ws in words_per_doc for w in ws]
-        h = pl.Series(flat).hash(seed=13).to_numpy().astype(np.uint64)
+        h = hash64(flat, seed=13)
         counts = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
                              count=len(words_per_doc))
         offsets = np.concatenate(([0], np.cumsum(counts)))
@@ -178,4 +185,4 @@ class Fingerprinter:
 def add_fingerprint(ds: Dataset, text_column: str, concurrency=None) -> Dataset:
     from . import cached_stage
     return ds.map_batches(cached_stage(Fingerprinter, text_column=text_column),
-                          batch_format="pyarrow")
+                          batch_format="pyarrow", **_conc(concurrency))

@@ -206,3 +206,38 @@ def test_hll_accuracy_and_merge_determinism():
         HyperLogLog.from_digest(b.digest()))
     whole = HyperLogLog(); whole.add_hashes(xs)
     assert merged.digest() == whole.digest()   # register-exact union
+
+
+def test_round4_review_regressions():
+    import pytest as _pytest
+    from malli_ray.generator import generate
+    from malli_ray.instrument import instrument
+    from malli_ray.json_schema import parse as js_parse, transform as js_transform
+    from malli_ray.registry import LazyRegistry, registry_of
+    from malli_ray.dot import transform as to_dot
+
+    # instrument passes kwargs through
+    @instrument(["=>", ["cat", "int", "int"], "int"])
+    def add(x, y):
+        return x + y
+    assert add(1, y=2) == 3
+
+    # generator raises (never returns invalid) for unsatisfiable map-of
+    with _pytest.raises(m.SchemaError):
+        generate(["map-of", {"min": 3}, "boolean", "int"])
+
+    # lazy registry works under a local {"registry": ...} subtree
+    lazy = LazyRegistry(lambda name: "int" if name == "Remote" else None)
+    reg = registry_of(lazy)
+    S = ["map", {"registry": {"Local": "string"}},
+         ["a", "Remote"], ["b", "Local"]]
+    assert m.validate(S, {"a": 1, "b": "x"}, {"registry": reg})
+
+    # json-schema parse honors exclusive bounds; maybe-nil doesn't crash
+    back = js_parse(js_transform([">", 5]))
+    assert m.validate(back, 6) and not m.validate(back, 5)
+    assert js_parse(js_transform(["maybe", "nil"])) == "nil"
+
+    # dot escapes quotes in edge labels
+    dot = to_dot(["map", ['say "hi"', "int"]])
+    assert '"say "hi""' not in dot
