@@ -230,8 +230,22 @@ def compile_node(s: Schema, dtype: pa.DataType) -> MaskFn:
         return cmp_mask
 
     if t == "enum":
+        # type-strict membership like the row engine (_enum_key): an int
+        # enum must not match float/bool columns via arrow casting
+        children = list(s.children)
+        if _is_int_type(dtype):
+            children = [c for c in children
+                        if type(c) is int]
+        elif _is_float_type(dtype):
+            children = [c for c in children if type(c) is float]
+        elif pa.types.is_boolean(dtype):
+            children = [c for c in children if type(c) is bool]
+        elif _is_string_type(dtype):
+            children = [c for c in children if isinstance(c, str)]
+        if not children:
+            return _const(False)
         try:
-            value_set = pa.array(list(s.children))
+            value_set = pa.array(children)
         except (pa.ArrowInvalid, pa.ArrowTypeError):
             return _row_fallback(s)
 
@@ -628,13 +642,14 @@ def _compile_struct_map(s: MapSchema, dtype: pa.DataType) -> MaskFn:
         return _const(False)
 
     def struct_mask(arr: pa.Array) -> np.ndarray:
+        # Arrow structs always materialize every field, so to_pylist() (and
+        # hence the row engine) sees optional fields as PRESENT with None —
+        # which must then satisfy the child schema. No optional-null escape
+        # here, for exact row-path parity.
         out = _notnull(arr)
         for idx, optional, fn in checks:
             field = pc.struct_field(arr, [idx])
-            fmask = fn(field)
-            if optional:
-                fmask = fmask | ~_notnull(field)
-            out = out & fmask
+            out = out & fn(field)
         return out
 
     return struct_mask
@@ -755,7 +770,8 @@ class BoundPlan:
 
         def emit(i, column, path, in_, type_, value, message):
             rows["row_index"].append(row_offset + int(i))
-            rows["id"].append(str(ids[int(i)].as_py()) if ids is not None else None)
+            raw_id = ids[int(i)].as_py() if ids is not None else None
+            rows["id"].append(str(raw_id) if raw_id is not None else None)
             rows["column"].append(column)
             rows["path"].append(_path_str(path))
             rows["in"].append(_path_str(in_))

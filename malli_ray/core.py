@@ -983,6 +983,10 @@ class MapSchema(Schema):
             optional = bool((props or {}).get("optional"))
             entries.append((k, optional, s.parser()))
         valid_shape = self.validator()
+        explicit = set(self.explicit_keys)
+        # ::m/default rest-entries parse THROUGH the default schema
+        # (core.cljc:1257-1263), not just validate
+        default_p = self.default_entry[2].parser() if self.default_entry else None
 
         def parse_(x):
             if not isinstance(x, dict):
@@ -998,8 +1002,15 @@ class MapSchema(Schema):
                 if parsed is INVALID:
                     return INVALID
                 out[k] = parsed
-            if not valid_shape(x):
-                # closed / default-entry violations not covered above
+            if default_p is not None:
+                rest = {k: v for k, v in x.items() if k not in explicit}
+                parsed_rest = default_p(rest)
+                if parsed_rest is INVALID:
+                    return INVALID
+                if isinstance(parsed_rest, dict):
+                    out.update(parsed_rest)
+            elif not valid_shape(x):
+                # closed-map violations not covered above
                 return INVALID
             return out
 
@@ -1012,6 +1023,10 @@ class MapSchema(Schema):
                 continue
             optional = bool((props or {}).get("optional"))
             entries.append((k, optional, s.unparser()))
+
+        explicit = set(self.explicit_keys)
+        default_u = (self.default_entry[2].unparser()
+                     if self.default_entry else None)
 
         def unparse_(x):
             if not isinstance(x, dict):
@@ -1027,6 +1042,13 @@ class MapSchema(Schema):
                 if un is INVALID:
                     return INVALID
                 out[k] = un
+            if default_u is not None:
+                rest = {k: v for k, v in x.items() if k not in explicit}
+                un_rest = default_u(rest)
+                if un_rest is INVALID:
+                    return INVALID
+                if isinstance(un_rest, dict):
+                    out.update(un_rest)
             return out
 
         return unparse_
@@ -1693,6 +1715,19 @@ class RefSchema(Schema):
 
         return parse_
 
+    def _unparser(self):
+        this = self
+        memo: dict[str, Callable] = {}
+
+        def unparse_(x):
+            u = memo.get("u")
+            if u is None:
+                u = this.deref().unparser()
+                memo["u"] = u
+            return u(x)
+
+        return unparse_
+
     def _children_transformer(self, transformer, method, options):
         this = self
         memo: dict[str, Any] = {}
@@ -1969,7 +2004,12 @@ def _make(type_: str, props: dict, children: list, options: dict) -> Schema:
             raise SchemaError(f"registry schema {type_!r} takes no props/children here")
         return ctor
     if isinstance(ctor, (list, str)) and not callable(ctor):
-        # registry alias: name -> form
+        # registry alias: name -> form; like Schema-instance entries, vector
+        # application with props/children is rejected (silently dropping the
+        # props would compile a looser schema than declared)
+        if props or children:
+            raise SchemaError(
+                f"registry alias {type_!r} takes no props/children here")
         return schema(ctor, options)
     if isinstance(ctor, type) and issubclass(ctor, Schema):
         if type_ in _ENTRY_TYPES:

@@ -45,9 +45,24 @@ def instrument(fn_schema: Any, f: Callable | None = None, *,
     rep = report or default_report
 
     def wrap(func: Callable) -> Callable:
+        import inspect
+        try:
+            sig = inspect.signature(func)
+        except (TypeError, ValueError):
+            sig = None
+
         @functools.wraps(func)
         def wrapped(*args, **kwargs):
-            all_args = list(args) + list(kwargs.values())
+            # bind to the declared parameter order so out-of-order kwargs
+            # line up with the :cat positions
+            if sig is not None and kwargs:
+                try:
+                    bound = sig.bind(*args, **kwargs)
+                    all_args = list(bound.arguments.values())
+                except TypeError:
+                    all_args = list(args) + list(kwargs.values())
+            else:
+                all_args = list(args) + list(kwargs.values())
             if not in_valid(all_args):
                 from .core import explain
                 rep("input", {"args": all_args,

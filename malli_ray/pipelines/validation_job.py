@@ -153,13 +153,15 @@ class _ProcessFragment:
             rgs = None
             if has_rg and row.get("rg_start", -1) >= 0:
                 rgs = list(range(row["rg_start"], row["rg_end"] + 1))
-            rec = self._process(row["path"], row_groups=rgs)
+            rec = self._process(row["path"], row_groups=rgs,
+                                partition_id=row.get("partition_id"))
             rec["wall_s"] = time.perf_counter() - t0
             for k in out_rows:
                 out_rows[k].append(rec[k])
         return pa.Table.from_pydict(out_rows)
 
-    def _process(self, path: str, row_groups: list | None = None) -> dict:
+    def _process(self, path: str, row_groups: list | None = None,
+                 partition_id: str | None = None) -> dict:
         spec = self.spec
         pf = pq.ParquetFile(path)
         stats = ColumnStats()
@@ -169,11 +171,12 @@ class _ProcessFragment:
         n_rows = n_valid = 0
         violation_tables = []
         row_offset = 0
-        frag_id = os.path.splitext(os.path.basename(path))[0]
+        frag_id = partition_id or os.path.splitext(os.path.basename(path))[0]
         if row_groups is not None:
             # row-group-range partition (finer resume granularity for
             # many-row-group files; SURVEY.md SS4.2 partition determinism)
-            frag_id = f"{frag_id}@rg{row_groups[0]}-{row_groups[-1]}"
+            if partition_id is None:
+                frag_id = f"{frag_id}@rg{row_groups[0]}-{row_groups[-1]}"
             row_offset = sum(pf.metadata.row_group(i).num_rows
                              for i in range(row_groups[0]))
         valid_writer = None
@@ -270,18 +273,28 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
     prior_meta = store.read_meta() or {}
     spec_digest = hashlib.sha256(_spec_key(spec, "").encode()).hexdigest()[:16]
     # partition plan: one partition per file, or per row-group range when
-    # rowgroups_per_partition is set (finer resume units for huge files)
+    # rowgroups_per_partition is set (finer resume units for huge files).
+    # Partition ids must be unique: duplicate basenames across directories
+    # get a short path-hash suffix (else one file would shadow the other)
+    base_counts: dict[str, int] = {}
+    for p in input_paths:
+        b = os.path.splitext(os.path.basename(p))[0]
+        base_counts[b] = base_counts.get(b, 0) + 1
     by_id: dict[str, dict] = {}
     for p in input_paths:
         base = os.path.splitext(os.path.basename(p))[0]
+        if base_counts[base] > 1:
+            base = base + "-" + hashlib.sha1(p.encode()).hexdigest()[:8]
         if rowgroups_per_partition is None:
-            by_id[base] = {"path": p, "rg_start": -1, "rg_end": -1}
+            by_id[base] = {"path": p, "rg_start": -1, "rg_end": -1,
+                           "partition_id": base}
         else:
             n_rg = pq.ParquetFile(p).metadata.num_row_groups
             for start in range(0, n_rg, rowgroups_per_partition):
                 end = min(start + rowgroups_per_partition, n_rg) - 1
-                by_id[f"{base}@rg{start}-{end}"] = {
-                    "path": p, "rg_start": start, "rg_end": end}
+                pid = f"{base}@rg{start}-{end}"
+                by_id[pid] = {"path": p, "rg_start": start, "rg_end": end,
+                              "partition_id": pid}
     inputs_digest = hashlib.sha256(
         "\n".join(sorted(by_id.keys())).encode()).hexdigest()[:16]
     store.write_meta({"schema": spec.schema, "input_count": len(input_paths),

@@ -340,7 +340,7 @@ def _accumulate_column(stats: dict, col) -> None:
     merge_stats(stats, wrapper["keys"]["_"])
 
 
-def infer_dataset(ds, concurrency=None) -> Any:
+def infer_dataset(ds, concurrency=None, options: dict | None = None) -> Any:
     """Distributed inference: per-batch partials -> driver merge -> finalize.
 
     Returns the inferred DSL form for rows-as-maps of the dataset.
@@ -353,9 +353,11 @@ def infer_dataset(ds, concurrency=None) -> Any:
         accumulate_table(st, batch)
         return pa.table({"stats_json": [json.dumps(st, default=str)]})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    from .stages import concurrency_kwargs
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           **concurrency_kwargs(concurrency)).take_all()
     merged = _new_stats()
     for p in parts:
         merge_stats(merged, json.loads(p["stats_json"]))
     # rows are maps: unwrap the top-level map stats
-    return finalize(merged)
+    return finalize(merged, options)

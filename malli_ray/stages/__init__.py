@@ -32,3 +32,13 @@ def cached_stage(cls: type, **kwargs) -> Callable:
         return inst(batch)
 
     return stage_fn
+
+
+def concurrency_kwargs(concurrency) -> dict:
+    """Normalize a concurrency cap for task-based map_batches: ints pass
+    through; (min,max) actor-pool tuples use their max."""
+    if concurrency is None:
+        return {}
+    if isinstance(concurrency, (tuple, list)):
+        concurrency = max(concurrency)
+    return {"concurrency": int(concurrency)}

@@ -90,11 +90,11 @@ def check_referential(ds: Dataset, column: str, allowed: list,
                       concurrency: int | None = None) -> Dataset:
     """Rows whose ``column`` is NOT in ``allowed`` (the anti-join side ->
     violations)."""
-    from . import cached_stage
+    from . import cached_stage, concurrency_kwargs
     return ds.map_batches(
         cached_stage(ReferentialCheck, column=column, allowed=allowed,
                      invert=True),
-        batch_format="pyarrow")
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 
 def histogram(ds: Dataset, column: str) -> dict[str, int]:

@@ -191,11 +191,11 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
     pair only in its first matching band... (pairs may appear once per band;
     final distinct via groupby on the pair key).
     """
-    from . import cached_stage
+    from . import cached_stage, concurrency_kwargs
     band_ds = ds.map_batches(
         cached_stage(MinHasher, text_column=text_column, id_column=id_column,
                      num_perm=num_perm, shingle_k=shingle_k, bands=bands),
-        batch_format="pyarrow")
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
@@ -260,9 +260,10 @@ def simhash_near_dups(ds: Dataset, text_column: str, id_column: str,
     least one of the 4 16-bit chunks (pigeonhole), so bucketing each chunk
     finds all such pairs.
     """
-    from . import cached_stage
+    from . import cached_stage, concurrency_kwargs
     fp_ds = ds.map_batches(cached_stage(SimHasher, text_column=text_column),
-                           batch_format="pyarrow")
+                           batch_format="pyarrow",
+                           **concurrency_kwargs(concurrency))
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
         fp = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)

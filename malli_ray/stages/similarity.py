@@ -92,11 +92,11 @@ def topk_cosine(ds: Dataset, queries: np.ndarray, emb_column: str,
                 id_column: str, k: int = 10, concurrency=None) -> Dataset:
     """Exact top-k cosine neighbors of each query row (ties broken by id)."""
     queries_ref = ray.put(np.asarray(queries, dtype=np.float64))
-    from . import cached_stage
+    from . import cached_stage, concurrency_kwargs
     local = ds.map_batches(
         cached_stage(TopKScorer, queries_ref=queries_ref, emb_column=emb_column,
                      id_column=id_column, k=k),
-        batch_format="pyarrow")
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
     return _global_topk(local, id_column, k)
 
 
@@ -177,10 +177,10 @@ def ivf_topk(ds: Dataset, queries: np.ndarray, emb_column: str, id_column: str,
     centroids = train_centroids(sample, n_centroids)
     queries_ref = ray.put(np.asarray(queries, dtype=np.float64))
     centroids_ref = ray.put(centroids)
-    from . import cached_stage
+    from . import cached_stage, concurrency_kwargs
     local = ds.map_batches(
         cached_stage(IVFScorer, queries_ref=queries_ref,
                      centroids_ref=centroids_ref, emb_column=emb_column,
                      id_column=id_column, k=k, n_probe=n_probe),
-        batch_format="pyarrow")
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
     return _global_topk(local, id_column, k)

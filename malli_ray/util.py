@@ -312,11 +312,17 @@ def _set_closed(s: Any, closed: bool, options) -> Schema:
 def _rebuild_node(sc: Schema, walked: list) -> Schema:
     if walked == sc.children:
         return sc
-    new = object.__new__(type(sc))
-    new.__dict__.update(sc.__dict__)
-    new.children = walked
-    new._cache = {}
-    return new
+    # re-run the real constructor so derived fields (MultiSchema.branches,
+    # MapSchema.explicit_keys, ...) are rebuilt from the new children —
+    # a __dict__ copy would leave them pointing at the OLD child schemas
+    try:
+        return type(sc)(sc.type, sc.properties, walked, sc.options)
+    except Exception:
+        new = object.__new__(type(sc))
+        new.__dict__.update(sc.__dict__)
+        new.children = walked
+        new._cache = {}
+        return new
 
 
 def closed_schema(s: Any, options: dict | None = None) -> Schema:

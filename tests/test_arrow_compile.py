@@ -135,8 +135,17 @@ def test_struct_map():
                    type=t)
     fn = compile_node(m.schema(["map", ["street", "string"], ["zip", "int"]]), t)
     assert fn(arr).tolist() == [True, False, False]
+    # Arrow structs materialize every field, so to_pylist presents optional
+    # fields as present-with-None — which must satisfy the child schema
+    # (row-engine parity); use [:maybe ...] for nullable struct fields
     fn = compile_node(
         m.schema(["map", ["street", {"optional": True}, "string"], ["zip", "int"]]), t)
+    got = fn(arr).tolist()
+    want = [m.validator(["map", ["street", {"optional": True}, "string"],
+                         ["zip", "int"]])(v) for v in arr.to_pylist()]
+    assert got == want == [True, False, False]
+    fn = compile_node(
+        m.schema(["map", ["street", ["maybe", "string"]], ["zip", "int"]]), t)
     assert fn(arr).tolist() == [True, True, False]
 
 

@@ -241,3 +241,62 @@ def test_round4_review_regressions():
     # dot escapes quotes in edge labels
     dot = to_dot(["map", ['say "hi"', "int"]])
     assert '"say "hi""' not in dot
+
+
+def test_round5_review_regressions(tmp_path, ray_session):
+    import pyarrow as _pa
+    from malli_ray import util as mu
+    from malli_ray.arrow_compile import compile_node
+    from malli_ray import Tag, INVALID
+    import pytest as _pytest
+
+    # enum arrow path is type-strict like the row engine
+    fn = compile_node(m.schema(["enum", 1, 2]), _pa.float64())
+    assert fn(_pa.array([1.0, 2.0])).tolist() == [False, False]
+    fn = compile_node(m.schema(["enum", 1, 0]), _pa.bool_())
+    assert fn(_pa.array([True, False])).tolist() == [False, False]
+
+    # closed_schema reaches :multi branches
+    c = mu.closed_schema(["multi", {"dispatch": "type"},
+                          ["a", ["map", ["type", "string"], ["x", "int"]]]])
+    assert m.validate(c, {"type": "a", "x": 1})
+    assert not m.validate(c, {"type": "a", "x": 1, "zzz": 9})
+
+    # :ref unparser derefs
+    opts = {"registry": {**m.default_registry(), "A": ["orn", ["i", "int"]]}}
+    S = m.schema(["ref", "A"], opts)
+    assert S.unparser()(Tag("i", 1)) == 1
+
+    # registry alias with props raises instead of silently dropping them
+    reg = {**m.default_registry(), "MyInt": "int"}
+    with _pytest.raises(m.SchemaError):
+        m.schema(["MyInt", {"min": 10}], {"registry": reg})
+    assert m.validate("MyInt", 5, {"registry": reg})
+
+    # ::m/default entries parse THROUGH the default schema
+    S = ["map", ["a", "int"],
+         [m.DEFAULT_KEY, ["map-of", "string", ["orn", ["s", "string"]]]]]
+    p = m.parse(S, {"a": 1, "x": "v"})
+    assert p == {"a": 1, "x": Tag("s", "v")}
+    assert m.unparse(S, p) == {"a": 1, "x": "v"}
+
+    # instrument binds kwargs by declaration order
+    from malli_ray.instrument import instrument
+
+    @instrument(["=>", ["cat", "int", "string"], "any"])
+    def f(x, y):
+        return (x, y)
+    assert f(y="s", x=1) == (1, "s")
+
+    # duplicate basenames across dirs both get validated
+    import pyarrow.parquet as _pq
+    from malli_ray.pipelines.validation_job import run_job
+    from malli_ray.stages.validator import ValidationSpec
+    d1 = tmp_path / "a"; d2 = tmp_path / "b"
+    d1.mkdir(); d2.mkdir()
+    _pq.write_table(_pa.table({"n": [1, 2]}), d1 / "part-0.parquet")
+    _pq.write_table(_pa.table({"n": [3, -4]}), d2 / "part-0.parquet")
+    spec = ValidationSpec(schema=["map", ["n", ["int", {"min": 0}]]])
+    rep = run_job([str(d1 / "part-0.parquet"), str(d2 / "part-0.parquet")],
+                  spec, str(tmp_path / "out"))
+    assert rep["n_rows"] == 4 and rep["n_valid"] == 3
