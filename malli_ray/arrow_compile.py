@@ -231,11 +231,12 @@ def compile_node(s: Schema, dtype: pa.DataType) -> MaskFn:
 
     if t == "enum":
         # type-strict membership like the row engine (_enum_key): an int
-        # enum must not match float/bool columns via arrow casting
-        children = list(s.children)
+        # enum must not match float/bool columns via arrow casting; a nil
+        # member makes null rows valid
+        null_ok = any(c is None for c in s.children)
+        children = [c for c in s.children if c is not None]
         if _is_int_type(dtype):
-            children = [c for c in children
-                        if type(c) is int]
+            children = [c for c in children if type(c) is int]
         elif _is_float_type(dtype):
             children = [c for c in children if type(c) is float]
         elif pa.types.is_boolean(dtype):
@@ -243,6 +244,8 @@ def compile_node(s: Schema, dtype: pa.DataType) -> MaskFn:
         elif _is_string_type(dtype):
             children = [c for c in children if isinstance(c, str)]
         if not children:
+            if null_ok:
+                return lambda arr: ~_notnull(arr)
             return _const(False)
         try:
             value_set = pa.array(children)
@@ -251,7 +254,11 @@ def compile_node(s: Schema, dtype: pa.DataType) -> MaskFn:
 
         def enum_mask(arr: pa.Array) -> np.ndarray:
             try:
-                return _mask_to_np(pc.is_in(arr, value_set=value_set), len(arr)) & _notnull(arr)
+                out = _mask_to_np(pc.is_in(arr, value_set=value_set),
+                                  len(arr)) & _notnull(arr)
+                if null_ok:
+                    out |= ~_notnull(arr)
+                return out
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
                 return _const(False)(arr)
 
@@ -622,6 +629,11 @@ def _compile_struct_positional(s: Schema, dtype: pa.DataType) -> MaskFn:
 
 
 def _compile_struct_map(s: MapSchema, dtype: pa.DataType) -> MaskFn:
+    if s.default_entry is not None:
+        # ::m/default over struct rest-fields: no sound static mapping
+        # (field set is closed but the default schema sees a sub-map) ->
+        # row fallback for exact parity
+        return _row_fallback(s)
     field_names = {dtype.field(i).name: i for i in range(dtype.num_fields)}
     checks = []
     for (k, props, cs) in s.children:
@@ -725,9 +737,30 @@ class BoundPlan:
                 continue
             dtype = arrow_schema.field(k).type
             self.columns.append((k, optional, cs, compile_node(cs, dtype)))
-        self.extra_columns: list[str] = []
-        if plan.schema.closed:
-            explicit = set(plan.schema.explicit_keys)
+        explicit = set(plan.schema.explicit_keys)
+        # ::m/default entry: rest columns are validated by the default schema
+        # (row-engine parity — never silently skipped)
+        if plan.schema.default_entry is not None:
+            default_schema = plan.schema.default_entry[2]
+            rest_cols = [n for n in arrow_schema.names if n not in explicit]
+            from .core import MapOfSchema as _MapOf
+            if isinstance(default_schema, _MapOf):
+                key_valid = default_schema.children[0].validator()
+                val_schema = default_schema.children[1]
+                for n in rest_cols:
+                    dtype = arrow_schema.field(n).type
+                    if not key_valid(n):
+                        self.columns.append((n, False, default_schema,
+                                             _const(False)))
+                    else:
+                        self.columns.append((n, False, val_schema,
+                                             compile_node(val_schema, dtype)))
+            elif rest_cols:
+                # non-map-of default: per-row dict validation of the rest map
+                self._rest_fallback = (list(rest_cols),
+                                       default_schema.validator())
+        self.extra_columns = []
+        if plan.schema.closed and plan.schema.default_entry is None:
             self.extra_columns = [n for n in arrow_schema.names if n not in explicit]
 
     def column_masks(self, table: pa.Table) -> dict[str, np.ndarray]:
@@ -752,6 +785,12 @@ class BoundPlan:
             out &= mask
         for mask in check_masks:
             out &= mask
+        rest = getattr(self, "_rest_fallback", None)
+        if rest is not None:
+            cols, valid_rest = rest
+            sub = table.select(cols)
+            out &= np.fromiter((valid_rest(r) for r in sub.to_pylist()),
+                               dtype=bool, count=n)
         return col_masks, check_masks, out
 
     def valid_mask(self, table: pa.Table) -> np.ndarray:

@@ -991,7 +991,12 @@ class MapSchema(Schema):
         def parse_(x):
             if not isinstance(x, dict):
                 return INVALID
-            out = dict(x)
+            if default_p is not None:
+                # rest entries are REPLACED by the default schema's parse
+                # (select-keys explicit + parsed rest, core.cljc:1260-1263)
+                out = {k: v for k, v in x.items() if k in explicit}
+            else:
+                out = dict(x)
             for (k, optional, p) in entries:
                 val = x.get(k, _MISSING)
                 if val is _MISSING:
@@ -1031,7 +1036,10 @@ class MapSchema(Schema):
         def unparse_(x):
             if not isinstance(x, dict):
                 return INVALID
-            out = dict(x)
+            if default_u is not None:
+                out = {k: v for k, v in x.items() if k in explicit}
+            else:
+                out = dict(x)
             for (k, optional, u) in entries:
                 val = x.get(k, _MISSING)
                 if val is _MISSING:

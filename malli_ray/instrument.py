@@ -58,7 +58,15 @@ def instrument(fn_schema: Any, f: Callable | None = None, *,
             if sig is not None and kwargs:
                 try:
                     bound = sig.bind(*args, **kwargs)
-                    all_args = list(bound.arguments.values())
+                    all_args = []
+                    for name, val in bound.arguments.items():
+                        kind = sig.parameters[name].kind
+                        if kind is inspect.Parameter.VAR_POSITIONAL:
+                            all_args.extend(val)       # *args flatten
+                        elif kind is inspect.Parameter.VAR_KEYWORD:
+                            all_args.extend(val.values())  # **kwargs flatten
+                        else:
+                            all_args.append(val)
                 except TypeError:
                     all_args = list(args) + list(kwargs.values())
             else:

@@ -45,14 +45,7 @@ from ..stages import constraints as C
 __all__ = ["ValidationSpec", "validate", "explain", "summarize", "run_job"]
 
 
-def _concurrency_kwargs(concurrency) -> dict:
-    """Task-based stages accept an int max-parallelism; normalize (min,max)
-    tuples (an actor-pool idiom) to their max so the cap is honored."""
-    if concurrency is None:
-        return {}
-    if isinstance(concurrency, (tuple, list)):
-        concurrency = max(concurrency)
-    return {"concurrency": int(concurrency)}
+from ..stages import concurrency_kwargs as _concurrency_kwargs
 
 
 def validate(ds: Dataset, spec: ValidationSpec, concurrency=None,

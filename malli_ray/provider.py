@@ -142,9 +142,19 @@ def merge_stats(a: dict, b: dict) -> dict:
     for l in b.get("lengths", []):
         if l not in a["lengths"]:
             a["lengths"].append(l)
-    for s in b.get("sigs", []):
-        if len(a["sigs"]) < _SIG_CAP and tuple(s) not in [tuple(x) for x in a["sigs"]]:
-            a["sigs"].append(tuple(s))
+    b_sigs = b.get("sigs", [])
+    if b_sigs == ["__overflow__"] or a["sigs"] == ["__overflow__"]:
+        a["sigs"] = ["__overflow__"]
+    else:
+        existing = {tuple(x) for x in a["sigs"]}
+        for s in b_sigs:
+            ts = tuple(s)
+            if ts not in existing:
+                if len(a["sigs"]) >= _SIG_CAP:
+                    a["sigs"] = ["__overflow__"]
+                    break
+                a["sigs"].append(ts)
+                existing.add(ts)
     bpos = b.get("positions", [])
     for i, p in enumerate(bpos):
         if i >= len(a["positions"]):

@@ -122,12 +122,7 @@ class LangID:
         return batch.append_column(self.out, pa.array(preds, type=pa.string()))
 
 
-def _conc(concurrency) -> dict:
-    if concurrency is None:
-        return {}
-    if isinstance(concurrency, (tuple, list)):
-        concurrency = max(concurrency)
-    return {"concurrency": int(concurrency)}
+from . import concurrency_kwargs as _conc
 
 
 def add_lang_id(ds: Dataset, text_column: str, concurrency=None) -> Dataset:

@@ -300,3 +300,55 @@ def test_round5_review_regressions(tmp_path, ray_session):
     rep = run_job([str(d1 / "part-0.parquet"), str(d2 / "part-0.parquet")],
                   spec, str(tmp_path / "out"))
     assert rep["n_rows"] == 4 and rep["n_valid"] == 3
+
+
+def test_round6_review_regressions():
+    import pyarrow as _pa
+    from malli_ray import Tag
+    from malli_ray.arrow_compile import compile_table_plan, compile_node
+    from malli_ray.provider import finalize, merge_stats, _new_stats, accumulate_value
+    import json as _json
+
+    # default-entry parse replaces rest keys (no stale raw keys)
+    S = ["map", ["a", "int"],
+         [m.DEFAULT_KEY, ["map-of", ["orn", ["s", "string"]], "int"]]]
+    p = m.parse(S, {"a": 1, "x": 2})
+    assert p == {"a": 1, Tag("s", "x"): 2}
+    assert m.unparse(S, p) == {"a": 1, "x": 2}
+
+    # vectorized map validates ::default rest columns (soundness)
+    plan = compile_table_plan(
+        ["map", ["a", "int"], [m.DEFAULT_KEY, ["map-of", "string", "string"]]])
+    t = _pa.table({"a": [1, 2], "b": [5, 6]})
+    got = plan.valid_mask(t).tolist()
+    want = [m.validator(plan.schema)(r) for r in t.to_pylist()]
+    assert got == want == [False, False]
+    t2 = _pa.table({"a": [1], "b": ["ok"]})
+    assert plan.valid_mask(t2).tolist() == [True]
+
+    # provider overflow sentinel survives a JSON-round-tripped merge
+    wide = [[float(i) for i in range(30)]] * 3
+    part = _new_stats()
+    for v in wide:
+        accumulate_value(part, v)
+    rt = _json.loads(_json.dumps(part))
+    merged = merge_stats(_new_stats(), rt)
+    assert finalize(merged, {"tuple-threshold": 2})[0] == "vector"
+
+    # enum with a nil member accepts nulls on the Arrow path; note
+    # ["enum", None, ...] parses None as the (nil) PROPERTIES slot exactly
+    # like malli, so the nil member needs explicit {} props
+    arr = _pa.array(["a", None, "b"], type=_pa.string())
+    form = ["enum", {}, None, "a"]
+    fn = compile_node(m.schema(form), arr.type)
+    got = fn(arr).tolist()
+    want = [m.validator(form)(v) for v in arr.to_pylist()]
+    assert got == want == [True, True, False]
+
+    # instrument flattens *args/**kwargs
+    from malli_ray.instrument import instrument
+
+    @instrument(["=>", ["cat", "int", "int", "boolean"], "any"])
+    def f(*args, flag=False):
+        return (args, flag)
+    assert f(1, 2, flag=True) == ((1, 2), True)
