@@ -288,3 +288,31 @@ def test_not_schema_reference_cases():
     e = m.explain(schema, {"a": 1, "b": "x", "c": {"d": "test"}, "e": 10})
     assert [(x["path"], x["in"]) for x in e["errors"]] == \
         [(["c", "d", 0], ["c", "d"])]
+
+
+def test_recursive_cons_cell():
+    # core_test.cljc:646-679: recursion through a local registry + :ref
+    ConsCell = ["schema",
+                {"registry": {"cons": ["maybe", ["tuple", "int?", ["ref", "cons"]]]}},
+                "cons"]
+    assert m.validate(ConsCell, [1, None]) is True
+    assert m.validate(ConsCell, [1, [2, None]]) is True
+    assert m.validate(ConsCell, [1, [2]]) is False
+    assert m.explain(ConsCell, [1, [2, None]]) is None
+    e = m.explain(ConsCell, [1, [2]])
+    assert e["errors"][0]["in"] == [1]
+    assert e["errors"][0]["type"] == "malli.core/tuple-size"
+    # over-the-wire round trip
+    from malli_ray.serialize import read_string, write_string
+    assert m.validate(read_string(write_string(ConsCell)), [1, [2, None]])
+
+
+def test_mutual_recursion_ping_pong():
+    # core_test.cljc:698-714
+    registry = {"ping": ["maybe", ["tuple", ["=", "ping"], ["ref", "pong"]]],
+                "pong": ["maybe", ["tuple", ["=", "pong"], ["ref", "ping"]]]}
+    S = ["schema", {"registry": registry}, "ping"]
+    assert m.validate(S, ["ping", ["pong", None]])
+    assert m.validate(S, ["ping", ["pong", ["ping", None]]])
+    assert not m.validate(S, ["ping", ["ping", None]])
+    assert not m.validate(S, ["pong", None])
