@@ -316,3 +316,35 @@ def test_mutual_recursion_ping_pong():
     assert m.validate(S, ["ping", ["pong", ["ping", None]]])
     assert not m.validate(S, ["ping", ["ping", None]])
     assert not m.validate(S, ["pong", None])
+
+
+def test_map_of_reference_cases():
+    # core_test.cljc:1309-1360 (keywords are strings here; int keys used for
+    # the key/value type contrast)
+    S = ["map-of", "string?", "int?"]
+    assert m.validate(S, {"age": 18}) is True
+    assert m.validate(S, {1: "18"}) is False
+    assert m.validate(S, 1) is False
+    assert m.validate(["map-of", {"min": 2}, "string?", "int?"], {"a": 1}) is False
+    # explain: key errors at path [0], value errors at path [1], in [key]
+    e = m.explain(S, {1: "18"})
+    got = [(x["path"], x["in"]) for x in e["errors"]]
+    assert got == [([0], [1]), ([1], [1])]
+    # parse/unparse
+    assert m.parse(S, {"age": 18}) == {"age": 18}
+    assert m.parse(S, {1: "18"}) is INVALID
+    assert m.unparse(S, {"age": 18}) == {"age": 18}
+    assert m.unparse(S, 1) is INVALID
+    # decode coerces BOTH keys and values through the child schemas
+    out = m.decode(["map-of", "int?", "pos-int?"], {"1": "1"},
+                   string_transformer())
+    assert out == {1: 1}
+    # node-level enter/leave composes around child transforms
+    # (enter inc x -> child enter +2 -> child leave *3 -> leave *2)
+    S2 = ["map-of",
+          {"decode/string": {
+              "enter": lambda d: {**d, "x": d["x"] + 1},
+              "leave": lambda d: {**d, "x": d["x"] * 2}}},
+          "string?", ["int?", {"decode/string": {
+              "enter": lambda v: v + 2, "leave": lambda v: v * 3}}]]
+    assert m.decode(S2, {"x": 1}, string_transformer()) == {"x": 24}
