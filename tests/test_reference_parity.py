@@ -348,3 +348,35 @@ def test_map_of_reference_cases():
           "string?", ["int?", {"decode/string": {
               "enter": lambda v: v + 2, "leave": lambda v: v * 3}}]]
     assert m.decode(S2, {"x": 1}, string_transformer()) == {"x": 24}
+
+
+def test_multi_reference_cases():
+    # core_test.cljc:1102-1140 (keywords -> strings)
+    schema = ["multi", {"dispatch": "type"},
+              ["sized", ["map", ["type", "keyword?"], ["size", "int?"]]],
+              ["human", ["map", ["type", "keyword?"], ["name", "string?"],
+                         ["address", ["map", ["country", "keyword?"]]]]]]
+    assert m.validate(schema, {"type": "sized", "size": 10}) is True
+    assert m.validate(schema, {"type": "human", "name": "inkeri",
+                               "address": {"country": "PO"}}) is True
+    assert m.validate(schema, {"type": "sized", "size": "size"}) is False
+    assert m.validate(schema, {"type": "human", "namez": "inkeri"}) is False
+    assert m.validate(schema, {"type": "worm"}) is False
+    assert m.validate(schema, []) is False
+    assert m.validate(schema, "xxx") is False
+    # node-level decode property on the :multi schema itself
+    s2 = ["multi", {"dispatch": "type",
+                    "decode/string": lambda x: {**x, "type": x["type"].lower()}
+                    if isinstance(x, dict) and isinstance(x.get("type"), str) else x},
+          ["sized", ["map", ["type", "keyword?"], ["size", "int?"]]]]
+    out = m.decode(s2, {"type": "SIZED", "size": "10"}, string_transformer())
+    assert out == {"type": "sized", "size": 10}
+    assert m.validate(s2, out)
+    # ::m/default branch IS transformed (core_test.cljc:2795-2803)
+    from malli_ray.transform import key_transformer
+    kt = key_transformer(encode=lambda k: k.upper())
+    s3 = ["multi", {"dispatch": "foo"},
+          ["bar", ["map", ["foo", "keyword?"]]],
+          [m.DEFAULT_KEY, ["map", ["foo", "keyword?"]]]]
+    assert m.encode(s3, {"foo": "bar"}, kt) == {"FOO": "bar"}
+    assert m.encode(s3, {"foo": "baz"}, kt) == {"FOO": "baz"}
