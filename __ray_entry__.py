@@ -86,7 +86,7 @@ def entry() -> Any:
         id_column="doc_id",
         hll_columns=["doc_id"], tdigest_columns=["n_tok"], hist_columns=["source"])
     ds = rd.read_parquet(paths)
-    return vj.explain(ds, spec, concurrency=(1, 4))
+    return vj.explain(ds, spec)
 
 
 # ---------------------------------------------------------------------------
@@ -97,14 +97,14 @@ def entry() -> Any:
 def _q_validate_documents(sf_dir: str):
     from malli_ray.pipelines import validation_job as vj
     ds = _read(sf_dir, "documents")
-    out = vj.validate(ds, _doc_spec(), concurrency=(1, 4))
+    out = vj.validate(ds, _doc_spec())
     return out.select_columns(["doc_id", "valid"])
 
 
 def _q_violations_documents(sf_dir: str):
     from malli_ray.pipelines import validation_job as vj
     ds = _read(sf_dir, "documents")
-    vio = vj.explain(ds, _doc_spec(), concurrency=(1, 4))
+    vio = vj.explain(ds, _doc_spec())
     return vio.select_columns(["id", "column"])
 
 
@@ -114,7 +114,7 @@ def _q_verdict_by_source(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "documents")
-    v = vj.validate(ds, _doc_spec(), concurrency=(1, 4))
+    v = vj.validate(ds, _doc_spec())
 
     def to_int(batch: pa.Table) -> pa.Table:
         return batch.append_column("valid_i", batch.column("valid").cast(pa.int64()))
@@ -130,7 +130,7 @@ def _q_column_stats_documents(sf_dir: str):
     from malli_ray.stages.validator import ValidationSpec
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    rep = vj.summarize(ds, ValidationSpec(schema=["map"]), concurrency=(1, 4))
+    rep = vj.summarize(ds, ValidationSpec(schema=["map"]))
     rows = []
     for col in ("doc_id", "n_chars"):
         s = rep["stats"][col]
@@ -213,7 +213,7 @@ def _q_ann_topk_embeddings(sf_dir: str):
     qt = qt.slice(0, 3)
     queries = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = topk_cosine(ds, queries, "embedding", "vec_id", k=5, concurrency=(1, 4))
+    out = topk_cosine(ds, queries, "embedding", "vec_id", k=5)
     return out.select_columns(["query_id", "vec_id"])
 
 
@@ -365,14 +365,14 @@ def _q_decode_events_props(sf_dir: str):
 def _q_lang_id_documents(sf_dir: str):
     from malli_ray.stages import text as T
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return T.add_lang_id(ds, "text", concurrency=(1, 4)).select_columns(
+    return T.add_lang_id(ds, "text").select_columns(
         ["doc_id", "lang_pred"])
 
 
 def _q_fingerprint_documents(sf_dir: str):
     from malli_ray.stages import text as T
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = T.add_fingerprint(ds, "text", concurrency=(1, 4))
+    out = T.add_fingerprint(ds, "text")
 
     def to_str(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -386,15 +386,15 @@ def _q_minhash_dedup_documents(sf_dir: str):
     from malli_ray.stages import dedup
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup.minhash_lsh_candidates(ds, "text", "doc_id", threshold=0.5,
-                                        concurrency=(1, 4))
+                                        )
 
 
 def _q_simhash_documents(sf_dir: str):
     from malli_ray.stages import dedup
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(dedup.SimHasher,
-                         fn_constructor_kwargs={"text_column": "text"},
-                         batch_format="pyarrow", concurrency=(1, 4))
+    from malli_ray.stages import cached_stage
+    out = ds.map_batches(cached_stage(dedup.SimHasher, text_column="text"),
+                         batch_format="pyarrow")
 
     def to_str(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch.column("doc_id"),
@@ -407,7 +407,7 @@ def _q_embedding_near_dups(sf_dir: str):
     from malli_ray.stages import dedup
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return dedup.embedding_near_dups(ds, "embedding", "vec_id", threshold=0.95,
-                                     concurrency=(1, 4))
+                                     )
 
 
 def _q_infer_schema_documents(sf_dir: str):
@@ -432,7 +432,7 @@ def _q_validate_sequences(sf_dir: str):
                  "name": "referential_source"}],
         id_column="doc_id",
         hll_columns=["doc_id"], tdigest_columns=["n_tok"], hist_columns=["source"])
-    rep = vj.summarize(rd.read_parquet(paths), spec, concurrency=(1, 4))
+    rep = vj.summarize(rd.read_parquet(paths), spec)
     return pa.table({
         "n_rows": [rep["n_rows"]], "n_valid": [rep["n_valid"]],
         "n_violations": [rep["n_violations"]],
@@ -450,7 +450,7 @@ def _q_ivf_topk_embeddings(sf_dir: str):
     queries = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ivf_topk(ds, queries, "embedding", "vec_id", k=5,
-                    n_centroids=8, n_probe=3, concurrency=(1, 4))
+                    n_centroids=8, n_probe=3)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -528,16 +528,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "verdict_by_source": f"""
             SELECT source, COUNT(*) AS n_rows,
-                   SUM(CASE WHEN {_DOC_VALID_EXPR} THEN 1 ELSE 0 END) AS n_valid
+                   CAST(SUM(CASE WHEN {_DOC_VALID_EXPR} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_valid
               FROM documents GROUP BY source
         """,
         "column_stats_documents": """
             SELECT 'doc_id' AS column_name, COUNT(*) AS n,
-                   SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS null_count,
+                   CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS null_count,
                    MIN(doc_id) AS min_v, MAX(doc_id) AS max_v FROM documents
             UNION ALL
             SELECT 'n_chars', COUNT(*),
-                   SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
                    MIN(n_chars), MAX(n_chars) FROM documents
         """,
         "unique_violations_events": """
@@ -619,7 +622,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_lineitem": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                    COUNT(*) AS count_order
               FROM lineitem
              WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -169,10 +169,17 @@ class IVFScorer:
 
 def ivf_topk(ds: Dataset, queries: np.ndarray, emb_column: str, id_column: str,
              k: int = 10, n_centroids: int = 16, n_probe: int = 4,
-             sample_size: int = 2048, concurrency=None) -> Dataset:
-    """Approximate top-k via IVF: train codebook on a seeded sample, probe
-    the ``n_probe`` nearest cells per query."""
-    sample_rows = ds.limit(sample_size).take_all()
+             sample_size: int = 2048, seed: int = 42,
+             concurrency=None) -> Dataset:
+    """Approximate top-k via IVF: train codebook on a SEEDED RANDOM sample
+    (``ds.random_sample`` — a limit() sample would take the first rows in
+    storage order, which is biased/skewed for ordered inputs), probe the
+    ``n_probe`` nearest cells per query."""
+    n_total = ds.count()  # parquet metadata fast path — no full scan
+    frac = 1.0 if n_total <= sample_size else min(
+        1.0, (sample_size * 1.25) / n_total)
+    sample_rows = (ds.random_sample(frac, seed=seed)
+                   .limit(sample_size).take_all())
     sample = np.asarray([r[emb_column] for r in sample_rows], dtype=np.float64)
     centroids = train_centroids(sample, n_centroids)
     queries_ref = ray.put(np.asarray(queries, dtype=np.float64))

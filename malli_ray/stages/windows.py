@@ -8,11 +8,15 @@ SURVEY.md SS2.12) and Ray Data lacks natively — implemented as compositions of
     then a grouped aggregate on (window, keys) — ONE shuffle on low-cardinality
     composite keys.
   - sessionize: hash groupby on the entity key; per-group vectorized gap
-    detection (sort + diff + cumsum). Partitioning assumption: one entity's
-    events fit in one group (true when per-entity volume << node memory;
-    salt by time-range for pathological entities).
-  - asof_join: both sides tagged and unioned to a common schema, ONE hash
-    shuffle on the join key, per-group np.searchsorted probe (sorted merge).
+    detection (sort + diff + boundary scan), Arrow-native groups.
+    Partitioning assumption: one entity's events fit in one group (true when
+    per-entity volume << node memory; salt by time-range for pathological
+    entities).
+  - asof_join: both sides tagged and unioned to an explicit COMMON Arrow
+    schema (typed nulls on the absent side — no pandas upcast), ONE hash
+    shuffle on the join key, per-group np.searchsorted probe (sorted merge);
+    matched right values are attached with pc.take on null-masked indices so
+    every output column keeps its exact input Arrow type.
     Partitioning assumption: per-key group fits in memory; at 10^12 rows
     pre-bucket by (key, coarse time bucket) and run per-bucket.
 """
@@ -22,7 +26,6 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -57,22 +60,26 @@ def sessionize(ds: Dataset, key: str, ts_col: str, gap_minutes: int,
     """
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        ts = g[ts_col].to_numpy()
-        new_session = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
-            new_session[1:] = (np.diff(ts) > gap).astype(np.int64)
-        sid = np.cumsum(new_session)
-        g = g.assign(**{session_col: sid})
-        out = g.groupby(session_col, sort=True).agg(
-            n_events=(ts_col, "size"), session_start=(ts_col, "min"))
-        out = out.reset_index()
-        out.insert(0, key, g[key].iloc[0])
-        return out
+    def per_key(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(ts_col, "ascending")])
+        ts = g.column(ts_col).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        new_session = np.ones(n, dtype=bool)
+        if n > 1:
+            new_session[1:] = np.diff(ts) > gap
+        starts = np.flatnonzero(new_session)
+        counts = np.diff(np.append(starts, n)).astype(np.int64)
+        k = len(starts)
+        take_starts = pa.array(starts, type=pa.int64())
+        return pa.table({
+            key: pc.take(g.column(key), take_starts),
+            session_col: pa.array(np.arange(1, k + 1, dtype=np.int64)),
+            "n_events": pa.array(counts),
+            "session_start": pc.take(g.column(ts_col), take_starts),
+        })
 
     projected = ds.select_columns([key, ts_col])
-    return projected.groupby(key).map_groups(per_key, batch_format="pandas")
+    return projected.groupby(key).map_groups(per_key, batch_format="pyarrow")
 
 
 def asof_join(left: Dataset, right: Dataset, key: str,
@@ -87,46 +94,68 @@ def asof_join(left: Dataset, right: Dataset, key: str,
     """
     right_renamed = {c: (c + suffix if c != key else c) for c in
                      [key, right_ts, *right_cols]}
+    rts = right_renamed[right_ts]
+    rvals = [right_renamed[c] for c in right_cols]
 
-    def prep_right(batch: pa.Table) -> pa.Table:
-        cols = [key, right_ts, *right_cols]
-        t = batch.select(cols)
-        t = t.rename_columns([right_renamed[c] for c in cols])
-        return t.append_column("__side__", pa.array([1] * t.num_rows,
-                                                    type=pa.int8()))
+    # Explicit common union schema: left columns + renamed right columns +
+    # side tag.  Each side fills the other's columns with TYPED nulls so the
+    # union never null-fills/upcasts (Arrow int64-with-nulls stays int64).
+    l_schema: pa.Schema = left.schema().base_schema
+    r_schema: pa.Schema = right.schema().base_schema
+    left_names = list(l_schema.names)
+    r_types = {right_renamed[c]: r_schema.field(c).type
+               for c in [right_ts, *right_cols]}
 
     def prep_left(batch: pa.Table) -> pa.Table:
-        return batch.append_column("__side__", pa.array([0] * batch.num_rows,
-                                                        type=pa.int8()))
+        cols = {c: batch.column(c) for c in left_names}
+        for c in (rts, *rvals):
+            cols[c] = pa.nulls(batch.num_rows, type=r_types[c])
+        cols["__side__"] = pa.array(
+            np.zeros(batch.num_rows, dtype=np.int8), type=pa.int8())
+        return pa.table(cols)
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in left_names:
+            if c == key:
+                cols[c] = batch.column(key)
+            else:
+                cols[c] = pa.nulls(batch.num_rows, type=l_schema.field(c).type)
+        cols[rts] = batch.column(right_ts)
+        for c in right_cols:
+            cols[right_renamed[c]] = batch.column(c)
+        cols["__side__"] = pa.array(
+            np.ones(batch.num_rows, dtype=np.int8), type=pa.int8())
+        return pa.table(cols)
 
     l_tagged = left.map_batches(prep_left, batch_format="pyarrow")
     r_tagged = right.map_batches(prep_right, batch_format="pyarrow")
     unioned = l_tagged.union(r_tagged)
-    rts = right_renamed[right_ts]
-    rvals = [right_renamed[c] for c in right_cols]
+    out_left = [c for c in left_names]
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        lrows = g[g["__side__"] == 0].drop(columns=["__side__", rts, *rvals],
-                                           errors="ignore")
-        rrows = g[g["__side__"] == 1]
-        if len(rrows) == 0 or len(lrows) == 0:
-            out = lrows.copy()
-            out[rts] = pd.NaT
+    def per_key(g: pa.Table) -> pa.Table:
+        side = g.column("__side__")
+        lrows = g.filter(pc.equal(side, 0))
+        rrows = g.filter(pc.equal(side, 1))
+        cols = {c: lrows.column(c) for c in out_left}
+        if rrows.num_rows == 0 or lrows.num_rows == 0:
+            cols[rts] = pa.nulls(lrows.num_rows, type=r_types[rts])
             for c in rvals:
-                out[c] = None
-            return out
-        rrows = rrows.sort_values([rts, *rvals], kind="mergesort")
-        r_times = rrows[rts].to_numpy()
-        l_times = lrows[left_ts].to_numpy()
-        side = "left" if strict else "right"
-        idx = np.searchsorted(r_times, l_times, side=side) - 1
-        matched = idx >= 0
-        out = lrows.copy()
-        safe_idx = np.clip(idx, 0, len(rrows) - 1)
-        out[rts] = np.where(matched, r_times[safe_idx], np.datetime64("NaT"))
+                cols[c] = pa.nulls(lrows.num_rows, type=r_types[c])
+            return pa.table(cols)
+        rrows = rrows.sort_by([(rts, "ascending"),
+                               *[(c, "ascending") for c in rvals]])
+        r_times = rrows.column(rts).to_numpy(zero_copy_only=False)
+        l_times = lrows.column(left_ts).to_numpy(zero_copy_only=False)
+        probe_side = "left" if strict else "right"
+        idx = np.searchsorted(r_times, l_times, side=probe_side) - 1
+        # null-masked take: unmatched rows get typed nulls, matched rows the
+        # right value with its original Arrow type (no float upcast)
+        take_idx = pa.array(np.clip(idx, 0, rrows.num_rows - 1),
+                            type=pa.int64(), mask=(idx < 0))
+        cols[rts] = pc.take(rrows.column(rts), take_idx)
         for c in rvals:
-            vals = rrows[c].to_numpy()[safe_idx]
-            out[c] = pd.Series(vals, index=out.index).where(pd.Series(matched, index=out.index))
-        return out
+            cols[c] = pc.take(rrows.column(c), take_idx)
+        return pa.table(cols)
 
-    return unioned.groupby(key).map_groups(per_key, batch_format="pandas")
+    return unioned.groupby(key).map_groups(per_key, batch_format="pyarrow")
