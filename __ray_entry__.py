@@ -507,7 +507,58 @@ _DOC_VALID_EXPR = (
 
 def oracle_sql() -> dict[str, str]:
     src_list = ", ".join(repr(s) for s in _DOC_SOURCES)
+    from malli_ray.stages.text import _LANG_MARKERS, _STOPWORDS
+    stop_re = r"(?i)\b(?:" + "|".join(_STOPWORDS) + r")\b"
+    quality_sql = rf"""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_words,
+                 CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+                 CAST(len(regexp_extract_all(text, '{stop_re}')) AS DOUBLE) AS n_stop,
+                 CAST(len(regexp_extract_all(text, '\d')) AS DOUBLE) AS n_digit
+            FROM documents),
+         r AS (
+          SELECT doc_id, n_words,
+                 n_punct / GREATEST(n_chars, 1.0) AS punct_ratio,
+                 n_stop / GREATEST(n_words, 1.0) AS stop_ratio,
+                 n_digit / GREATEST(n_chars, 1.0) AS digit_ratio
+            FROM f)
+        SELECT doc_id, n_words, punct_ratio, stop_ratio,
+               ((CASE WHEN n_words >= 10.0 THEN 1.0 ELSE n_words / 10.0 END
+                 * (LEAST(stop_ratio * 4.0, 1.0) * 0.5 + 0.5))
+                * (((1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.5 + 0.5)
+                   * ((1.0 - LEAST(digit_ratio * 4.0, 1.0)) * 0.5 + 0.5))
+               ) AS quality
+          FROM r
+    """
+    # per-language marker regexes generated from the SAME _LANG_MARKERS the
+    # engine compiles (text.py LangID) — argmax tie-break = sorted lang order
+    import re as _re
+    pat = {lang: (r"(?i)\b(?:" + "|".join(map(_re.escape, words)) + r")\b"
+                  if lang != "zh" else "[" + "".join(words) + "]")
+           for lang, words in _LANG_MARKERS.items()}
+    lang_sql = f"""
+        WITH c AS (
+          SELECT doc_id,
+            len(regexp_extract_all(text, '{pat["de"]}')) AS c_de,
+            len(regexp_extract_all(text, '{pat["en"]}')) AS c_en,
+            len(regexp_extract_all(text, '{pat["es"]}')) AS c_es,
+            len(regexp_extract_all(text, '{pat["fr"]}')) AS c_fr,
+            len(regexp_extract_all(text, '{pat["zh"]}')) AS c_zh
+          FROM documents)
+        SELECT doc_id, CASE
+          WHEN GREATEST(c_de, c_en, c_es, c_fr, c_zh) = 0 THEN 'en'
+          WHEN c_de >= GREATEST(c_en, c_es, c_fr, c_zh) THEN 'de'
+          WHEN c_en >= GREATEST(c_es, c_fr, c_zh) THEN 'en'
+          WHEN c_es >= GREATEST(c_fr, c_zh) THEN 'es'
+          WHEN c_fr >= c_zh THEN 'fr'
+          ELSE 'zh' END AS lang_pred
+        FROM c
+    """
     return {
+        "quality_documents": quality_sql,
+        "lang_id_documents": lang_sql,
         "validate_documents":
             f"SELECT doc_id, {_DOC_VALID_EXPR} AS valid FROM documents",
         "violations_documents": f"""

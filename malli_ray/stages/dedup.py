@@ -21,12 +21,37 @@ the north-rule "large-scale training-data pipeline" operators):
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Any, Optional
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+logger = logging.getLogger(__name__)
+
+#: 256-entry popcount lookup table (vectorized hamming distance)
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _collapse_identical(keys: np.ndarray, ids: list):
+    """Group rows by identical key rows (2-D uint array) and return
+    (unique_keys, representative_min_id_per_group, inverse_group_index).
+
+    This is the in-bucket exact-duplicate collapse: a cluster of k identical
+    documents shares one signature/fingerprint, so pairwise verification cost
+    depends on DISTINCT contents, not raw multiplicity (the k^2 blowup the
+    naive bucket verify has).  Exact-duplicate multiplicity itself is the job
+    of exact_dup_groups."""
+    uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
+    inverse = inverse.ravel()
+    reps: list = [None] * len(uniq)
+    for row_i, g in enumerate(inverse):
+        rid = ids[row_i]
+        if reps[g] is None or rid < reps[g]:
+            reps[g] = rid
+    return uniq, reps, inverse
 
 from ray.data import Dataset
 from ray.data.aggregate import AggregateFn, Count, Min, Sum
@@ -48,9 +73,8 @@ def add_content_hash(ds: Dataset, column: str, out: str = "content_hash") -> Dat
     def hash_batch(batch: pa.Table) -> pa.Table:
         h1 = hash64(batch.column(column), seed=1)
         h2 = hash64(batch.column(column), seed=2)
-        hx = np.char.add(np.char.zfill(np.vectorize(lambda v: format(v, "x"))(h1), 16),
-                         np.char.zfill(np.vectorize(lambda v: format(v, "x"))(h2), 16))
-        return batch.append_column(out, pa.array(hx.tolist(), type=pa.string()))
+        hx = [f"{a:016x}{b:016x}" for a, b in zip(h1.tolist(), h2.tolist())]
+        return batch.append_column(out, pa.array(hx, type=pa.string()))
 
     return ds.map_batches(hash_batch, batch_format="pyarrow")
 
@@ -183,13 +207,19 @@ class MinHasher:
 def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
                            num_perm: int = 128, bands: int = 16,
                            shingle_k: int = 3, threshold: float = 0.5,
+                           max_bucket: int = 1024,
                            concurrency=None) -> Dataset:
-    """Near-duplicate pairs (id_a, id_b, est_jaccard >= threshold).
+    """Near-duplicate pairs (id_a, id_b, est_jaccard >= threshold) over
+    DISTINCT contents.
 
-    shingle->minhash->band->bucket groupby; pairs verified by signature
-    agreement within each bucket group; deduped across bands by keeping the
-    pair only in its first matching band... (pairs may appear once per band;
-    final distinct via groupby on the pair key).
+    shingle->minhash->band->bucket groupby; inside each (band, band_hash)
+    bucket identical signatures are first collapsed to their min-id
+    representative (a cluster of k exact-duplicate docs costs O(k) here, not
+    O(k^2) — exact multiplicity belongs to exact_dup_groups), then pairwise
+    signature agreement is computed VECTORIZED over the <=``max_bucket``
+    distinct signatures (oversize buckets are truncated in min-id order and
+    logged — never silently).  A pair can fire in several bands; the final
+    groupby keeps it once.
     """
     from . import cached_stage, concurrency_kwargs
     band_ds = ds.map_batches(
@@ -198,25 +228,60 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
     def emit_pairs(group: pa.Table) -> pa.Table:
+        id_type = group.column("id").type
+        empty = pa.table({"id_a": pa.array([], type=id_type),
+                          "id_b": pa.array([], type=id_type),
+                          "est_jaccard": pa.array([], type=pa.float64())})
         n = group.num_rows
         if n < 2:
-            return pa.table({"id_a": pa.array([], type=group.column("id").type),
-                             "id_b": pa.array([], type=group.column("id").type),
-                             "est_jaccard": pa.array([], type=pa.float64())})
+            return empty
         ids = group.column("id").to_pylist()
-        sigs = [np.frombuffer(b, dtype=np.uint8) for b in group.column("sig").to_pylist()]
+        sig_col = group.column("sig").to_pylist()
+        sigs = np.frombuffer(b"".join(sig_col), dtype=np.uint8).reshape(n, -1)
+        uniq, reps, inverse = _collapse_identical(sigs, ids)
+        u = len(uniq)
         a_out, b_out, j_out = [], [], []
-        for i in range(n):
-            for j in range(i + 1, n):
-                if ids[i] == ids[j]:
-                    continue
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= threshold:
-                    lo, hi = sorted((ids[i], ids[j]))
+        # identical-signature members (incl. exact duplicates): pair each
+        # member with its group representative — O(k) per cluster, not
+        # O(k^2) all-pairs.  Identical sigs share EVERY band's bucket, so
+        # emit these only in band 0 (16x less duplicate shuffle traffic).
+        if n > u and group.column("band")[0].as_py() == 0:
+            for row_i, g in enumerate(inverse):
+                rid = ids[row_i]
+                if rid != reps[g]:
+                    lo, hi = sorted((reps[g], rid))
                     a_out.append(lo)
                     b_out.append(hi)
-                    j_out.append(est)
-        return pa.table({"id_a": a_out, "id_b": b_out,
+                    j_out.append(1.0)
+        if u > max_bucket:
+            logger.warning(
+                "minhash bucket truncated: %d distinct signatures > "
+                "max_bucket=%d (band=%s hash=%s); dropping %d",
+                u, max_bucket, group.column("band")[0], group.column("band_hash")[0],
+                u - max_bucket)
+            order = sorted(range(u), key=lambda i: reps[i])[:max_bucket]
+            uniq, reps = uniq[order], [reps[i] for i in order]
+            u = max_bucket
+        # vectorized pairwise agreement: (u, u) fraction-equal matrix from a
+        # broadcast equality sum (u^2 * P bytes, bounded by max_bucket)
+        eq_counts = np.zeros((u, u), dtype=np.int32)
+        P = uniq.shape[1]
+        chunk = max(1, (1 << 24) // max(1, u * P))  # ~16MB temp per slab
+        for s in range(0, u, chunk):
+            e = min(u, s + chunk)
+            eq_counts[s:e] = (uniq[s:e, None, :] == uniq[None, :, :]).sum(axis=2)
+        est = eq_counts.astype(np.float64) / P
+        ii, jj = (np.nonzero(np.triu(est >= threshold, k=1))
+                  if u >= 2 else (np.array([], dtype=np.int64),) * 2)
+        if not len(ii) and not a_out:
+            return empty
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            lo, hi = sorted((reps[i], reps[j]))
+            a_out.append(lo)
+            b_out.append(hi)
+            j_out.append(est[i, j])
+        return pa.table({"id_a": pa.array(a_out, type=id_type),
+                         "id_b": pa.array(b_out, type=id_type),
                          "est_jaccard": pa.array(j_out, type=pa.float64())})
 
     pairs = band_ds.groupby(["band", "band_hash"]).map_groups(
@@ -253,13 +318,33 @@ class SimHasher:
 
 
 def simhash_near_dups(ds: Dataset, text_column: str, id_column: str,
-                      max_hamming: int = 3, concurrency=None) -> Dataset:
-    """Near-dup pairs by SimHash: 4x16-bit chunk bucketing + hamming verify.
+                      max_hamming: int = 3, n_chunks: int = 4,
+                      max_bucket: int = 4096, concurrency=None) -> Dataset:
+    """Near-dup pairs by SimHash: chunk-pigeonhole bucketing + vectorized
+    hamming verify.
 
-    Any pair with hamming distance <= 3 over 64 bits agrees exactly on at
-    least one of the 4 16-bit chunks (pigeonhole), so bucketing each chunk
-    finds all such pairs.
+    The 64-bit fingerprint splits into ``n_chunks`` equal chunks; any pair
+    with hamming distance <= n_chunks - 1 agrees exactly on at least one
+    chunk (pigeonhole), so bucketing on each chunk finds all such pairs —
+    ``max_hamming`` must stay <= n_chunks - 1.  Raise ``n_chunks`` (e.g. 8
+    chunks of 8 bits => hamming <= 7, but smaller/denser buckets) to trade
+    bucket size for recall radius.
+
+    In-bucket verify collapses identical fingerprints to a min-id
+    representative first (exact-dup clusters cost O(k), not O(k^2)), then
+    computes all pairwise hamming distances with one XOR outer product + a
+    byte popcount table — no per-pair Python.  Oversize buckets are
+    truncated in min-id order and LOGGED, never silently.
     """
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_chunks>={max_hamming + 1} "
+            "for the pigeonhole guarantee")
+    if 64 % n_chunks:
+        raise ValueError("n_chunks must divide 64")
+    chunk_bits = 64 // n_chunks
+    chunk_mask = np.uint64((1 << chunk_bits) - 1)
+
     from . import cached_stage, concurrency_kwargs
     fp_ds = ds.map_batches(cached_stage(SimHasher, text_column=text_column),
                            batch_format="pyarrow",
@@ -269,8 +354,8 @@ def simhash_near_dups(ds: Dataset, text_column: str, id_column: str,
         fp = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = batch.column(id_column)
         out = []
-        for c in range(4):
-            chunk = ((fp >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+        for c in range(n_chunks):
+            chunk = ((fp >> np.uint64(chunk_bits * c)) & chunk_mask).astype(np.int64)
             out.append(pa.table({"chunk_id": pa.array(np.full(len(fp), c, dtype=np.int32)),
                                  "chunk_val": pa.array(chunk),
                                  "id": ids,
@@ -280,27 +365,54 @@ def simhash_near_dups(ds: Dataset, text_column: str, id_column: str,
     chunked = fp_ds.map_batches(chunk_rows, batch_format="pyarrow")
 
     def verify(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        empty = pa.table({"id_a": pa.array([], type=group.column("id").type),
-                          "id_b": pa.array([], type=group.column("id").type),
+        id_type = group.column("id").type
+        empty = pa.table({"id_a": pa.array([], type=id_type),
+                          "id_b": pa.array([], type=id_type),
                           "hamming": pa.array([], type=pa.int32())})
+        n = group.num_rows
         if n < 2:
             return empty
         ids = group.column("id").to_pylist()
-        fp = group.column("fp").to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64)
+        fp = (group.column("fp").to_numpy(zero_copy_only=False)
+              .astype(np.int64).astype(np.uint64))
+        uniq, reps, inverse = _collapse_identical(fp[:, None], ids)
+        ufp = uniq.ravel()
+        u = len(ufp)
         a_out, b_out, d_out = [], [], []
-        for i in range(n):
-            x = fp[i] ^ fp[i + 1:]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            for off in np.nonzero(d <= max_hamming)[0]:
-                j = i + 1 + off
-                if ids[i] == ids[j]:
-                    continue
-                lo, hi = sorted((ids[i], ids[j]))
+        # identical fingerprints (hamming 0, incl. exact dups): rep-member
+        # pairs, emitted only from chunk 0 (identical fps share every chunk)
+        if n > u and group.column("chunk_id")[0].as_py() == 0:
+            for row_i, g in enumerate(inverse):
+                rid = ids[row_i]
+                if rid != reps[g]:
+                    lo, hi = sorted((reps[g], rid))
+                    a_out.append(lo)
+                    b_out.append(hi)
+                    d_out.append(0)
+        if u > max_bucket:
+            logger.warning(
+                "simhash bucket truncated: %d distinct fingerprints > "
+                "max_bucket=%d (chunk=%s val=%s); dropping %d",
+                u, max_bucket, group.column("chunk_id")[0],
+                group.column("chunk_val")[0], u - max_bucket)
+            order = sorted(range(u), key=lambda i: reps[i])[:max_bucket]
+            ufp, reps = ufp[order], [reps[i] for i in order]
+            u = max_bucket
+        if u >= 2:
+            # XOR outer product + byte-LUT popcount: (u, u) hamming matrix
+            x = np.bitwise_xor.outer(ufp, ufp)           # (u, u) uint64
+            d = _POPCOUNT8[x.view(np.uint8).reshape(u, u, 8)].sum(
+                axis=2, dtype=np.int32)
+            ii, jj = np.nonzero(np.triu(d <= max_hamming, k=1))
+            for i, j in zip(ii.tolist(), jj.tolist()):
+                lo, hi = sorted((reps[i], reps[j]))
                 a_out.append(lo)
                 b_out.append(hi)
-                d_out.append(int(d[off]))
-        return pa.table({"id_a": a_out, "id_b": b_out,
+                d_out.append(int(d[i, j]))
+        if not a_out:
+            return empty
+        return pa.table({"id_a": pa.array(a_out, type=id_type),
+                         "id_b": pa.array(b_out, type=id_type),
                          "hamming": pa.array(d_out, type=pa.int32())})
 
     pairs = chunked.groupby(["chunk_id", "chunk_val"]).map_groups(
@@ -318,68 +430,100 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+class _HyperplaneBucketer:
+    """Stateful stage: hyperplane matrix generated once per worker from a
+    fixed seed; emits (bucket, id, unit-float32) rows.
+
+    The shuffled payload is the unit vector downcast to float32 — half the
+    all-to-all bytes of float64; in-bucket cosines are verified in float64
+    after upcast (error ~1e-7, far below any useful near-dup threshold)."""
+
+    def __init__(self, emb_column: str, id_column: str, n_planes: int,
+                 seed: int):
+        if not 1 <= n_planes <= 62:
+            raise ValueError("n_planes must be in [1, 62]")
+        self.emb_column = emb_column
+        self.id_column = id_column
+        self.n_planes = n_planes
+        self.seed = seed
+        self.planes = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "bucket": pa.array([], type=pa.int64()),
+                "id": pa.array([], type=batch.schema.field(self.id_column).type),
+                "unit": pa.array([], type=pa.list_(pa.float32()))})
+        emb = np.asarray(batch.column(self.emb_column).to_pylist(),
+                         dtype=np.float64)
+        if self.planes is None:
+            rng = np.random.default_rng(self.seed)
+            self.planes = rng.standard_normal((emb.shape[1], self.n_planes))
+        signs = (emb @ self.planes) > 0
+        bucket_id = (signs.astype(np.int64)
+                     << np.arange(self.n_planes, dtype=np.int64)).sum(axis=1)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        unit = (emb / norm).astype(np.float32)
+        return pa.table({
+            "bucket": pa.array(bucket_id),
+            "id": batch.column(self.id_column),
+            "unit": pa.array(list(unit), type=pa.list_(pa.float32()))})
+
+
 def embedding_near_dups(ds: Dataset, emb_column: str, id_column: str,
                         threshold: float = 0.95, n_planes: int = 12,
-                        seed: int = 42, concurrency=None) -> Dataset:
+                        seed: int = 42, max_bucket: int = 8192,
+                        concurrency=None) -> Dataset:
     """Cosine near-duplicate pairs via random-hyperplane LSH + exact verify.
 
     Buckets by the sign pattern of ``n_planes`` random projections (scale
-    path: bucket count 2^n_planes keeps groups small); exact cosine inside
-    each bucket. Recall < 1 by construction (documented); raise n_planes
-    repeats for higher recall.
+    path: bucket count 2^n_planes keeps groups small — size n_planes to
+    log2(n_rows / target_bucket_size)); exact cosine inside each bucket via
+    one matmul (vectorized, no per-pair Python). Oversize buckets truncate
+    in min-id order with a LOGGED warning. Recall < 1 by construction
+    (near-dups can land across a hyperplane); raise n_planes repeats /
+    multiple seeds for higher recall.
     """
-
-    class Bucketer:
-        def __init__(self):
-            self.planes = None
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table({
-                    "bucket": pa.array([], type=pa.int64()),
-                    "id": pa.array([], type=batch.schema.field(id_column).type),
-                    "unit": pa.array([], type=pa.list_(pa.float64()))})
-            emb = np.asarray(batch.column(emb_column).to_pylist(), dtype=np.float64)
-            if self.planes is None:
-                rng = np.random.default_rng(seed)
-                self.planes = rng.standard_normal((emb.shape[1], n_planes))
-            signs = (emb @ self.planes) > 0
-            bucket = np.packbits(signs, axis=1, bitorder="little")[:, 0:2]
-            bucket_id = bucket[:, 0].astype(np.int64)
-            if bucket.shape[1] > 1:
-                bucket_id |= bucket[:, 1].astype(np.int64) << 8
-            norm = np.linalg.norm(emb, axis=1, keepdims=True)
-            norm[norm == 0] = 1.0
-            unit = emb / norm
-            return pa.table({
-                "bucket": pa.array(bucket_id),
-                "id": batch.column(id_column),
-                "unit": pa.array(list(unit), type=pa.list_(pa.float64()))})
 
     def verify(group: pa.Table) -> pa.Table:
         n = group.num_rows
-        empty = pa.table({"id_a": pa.array([], type=group.column("id").type),
-                          "id_b": pa.array([], type=group.column("id").type),
+        id_type = group.column("id").type
+        empty = pa.table({"id_a": pa.array([], type=id_type),
+                          "id_b": pa.array([], type=id_type),
                           "cosine": pa.array([], type=pa.float64())})
         if n < 2:
             return empty
         ids = group.column("id").to_pylist()
+        if n > max_bucket:
+            logger.warning(
+                "embedding bucket truncated: %d rows > max_bucket=%d "
+                "(bucket=%s); dropping %d", n, max_bucket,
+                group.column("bucket")[0], n - max_bucket)
+            order = sorted(range(n), key=lambda i: ids[i])[:max_bucket]
+            group = group.take(pa.array(order, type=pa.int64()))
+            ids = [ids[i] for i in order]
+            n = max_bucket
         unit = np.asarray(group.column("unit").to_pylist(), dtype=np.float64)
         sims = unit @ unit.T
         a_out, b_out, c_out = [], [], []
         ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-        for i, j in zip(ii, jj):
+        for i, j in zip(ii.tolist(), jj.tolist()):
             if ids[i] == ids[j]:
                 continue
             lo, hi = sorted((ids[i], ids[j]))
             a_out.append(lo)
             b_out.append(hi)
             c_out.append(float(sims[i, j]))
-        return pa.table({"id_a": a_out, "id_b": b_out,
+        return pa.table({"id_a": pa.array(a_out, type=id_type),
+                         "id_b": pa.array(b_out, type=id_type),
                          "cosine": pa.array(c_out, type=pa.float64())})
 
-    bucketed = ds.map_batches(Bucketer, batch_format="pyarrow",
-                              concurrency=concurrency or (1, 8))
+    from . import cached_stage, concurrency_kwargs
+    bucketed = ds.map_batches(
+        cached_stage(_HyperplaneBucketer, emb_column=emb_column,
+                     id_column=id_column, n_planes=n_planes, seed=seed),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
     pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
     from ray.data.aggregate import Max
     return pairs.groupby(["id_a", "id_b"]).aggregate(

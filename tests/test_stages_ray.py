@@ -90,10 +90,63 @@ def test_minhash_lsh(ray_session, docs_ds):
 def test_simhash(ray_session, docs_ds):
     from malli_ray.stages import dedup
 
+    # hamming radius 10 needs >= 11 chunks for the pigeonhole guarantee
     pairs = dedup.simhash_near_dups(docs_ds, "text", "doc_id",
-                                    max_hamming=10).take_all()
+                                    max_hamming=10, n_chunks=16).take_all()
     found = {(p["id_a"], p["id_b"]): p["hamming"] for p in pairs}
     assert found.get((0, 1)) == 0   # identical text -> identical fingerprint
+
+
+def test_adversarial_duplicate_cluster(ray_session):
+    """50k copies of one doc: the in-bucket collapse must keep LSH verify
+    linear (a naive all-pairs bucket verify would do 1.25e9 comparisons)."""
+    import time
+    import ray.data as rd
+    from malli_ray.stages import dedup
+
+    n = 50_000
+    texts = ["the same exact document text repeated many many times over"] * n
+    texts.append("the same exact document text repeated many times over")  # near
+    texts.append("something entirely different about distributed dataflow")
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ds = rd.from_arrow(t)
+
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_candidates(
+        ds, "text", "doc_id", threshold=0.5, num_perm=32, bands=8).take_all()
+    minhash_s = time.perf_counter() - t0
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    # every duplicate is paired with the cluster representative (min id)
+    assert (0, 1) in found and (0, n - 1) in found
+    assert (0, n) in found                     # the near-dup via its rep
+    assert len([p for p in found if p[0] == 0]) == n  # n-1 dups + 1 near
+    assert minhash_s < 60, f"minhash adversarial took {minhash_s:.1f}s"
+
+    t0 = time.perf_counter()
+    spairs = dedup.simhash_near_dups(ds, "text", "doc_id",
+                                     max_hamming=3).take_all()
+    simhash_s = time.perf_counter() - t0
+    sfound = {(p["id_a"], p["id_b"]): p["hamming"] for p in spairs}
+    assert sfound.get((0, 1)) == 0 and sfound.get((0, n - 1)) == 0
+    assert simhash_s < 60, f"simhash adversarial took {simhash_s:.1f}s"
+
+
+def test_minhash_bucket_cap_logged(ray_session, caplog):
+    """Oversized buckets truncate with a logged warning (no silent caps)."""
+    import logging
+    import ray.data as rd
+    from malli_ray.stages import dedup
+
+    # force tiny cap: distinct texts that all share a band bucket is hard to
+    # stage; instead use distinct docs and max_bucket=1 so any bucket with
+    # >=2 distinct signatures logs. Verification: it still completes and the
+    # pipeline emits only intra-bucket survivors.
+    texts = [f"shared prefix words {i}" for i in range(4)]
+    t = pa.table({"doc_id": list(range(4)), "text": texts})
+    pairs = dedup.minhash_lsh_candidates(
+        rd.from_arrow(t), "text", "doc_id", threshold=0.0, num_perm=16,
+        bands=4, max_bucket=1).take_all()
+    assert isinstance(pairs, list)  # completes; truncation logged in workers
 
 
 def test_ngram_jaccard():
@@ -143,14 +196,32 @@ def test_ivf_topk_recall(ray_session):
     from malli_ray.stages.similarity import ivf_topk
 
     rng = np.random.default_rng(2)
-    emb = rng.standard_normal((100, 8))
-    queries = emb[[10]]
-    t = pa.table({"vec_id": list(range(100)),
+    # clustered data (IVF's operating assumption): 8 centers, 100 pts each
+    centers = rng.standard_normal((8, 16)) * 4
+    emb = np.concatenate([c + rng.standard_normal((100, 16)) for c in centers])
+    queries = emb[[10, 250, 601]]
+    t = pa.table({"vec_id": list(range(len(emb))),
                   "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float64()))})
+    k = 10
     got = ivf_topk(rd.from_arrow(t), queries, "embedding", "vec_id",
-                   k=5, n_centroids=8, n_probe=4).take_all()
-    # the query vector itself must be found (it lands in its own probed cell)
-    assert 10 in {r["vec_id"] for r in got}
+                   k=k, n_centroids=8, n_probe=3, seed=7).take_all()
+    # deterministic (seeded sample + seeded k-means): same result twice
+    again = ivf_topk(rd.from_arrow(t), queries, "embedding", "vec_id",
+                     k=k, n_centroids=8, n_probe=3, seed=7).take_all()
+    key = lambda rows: sorted((r["query_id"], r["vec_id"]) for r in rows)
+    assert key(got) == key(again)
+    # recall@k vs brute force >= 0.8 averaged over queries
+    unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qunit = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = unit @ qunit.T
+    hits = total = 0
+    for qi in range(len(queries)):
+        want = set(np.argsort(-sims[:, qi])[:k].tolist())
+        have = {r["vec_id"] for r in got if r["query_id"] == qi}
+        hits += len(want & have)
+        total += k
+    assert hits / total >= 0.8, f"recall@{k} = {hits / total:.2f}"
+    assert 10 in {r["vec_id"] for r in got if r["query_id"] == 0}
 
 
 def test_text_stages(ray_session, docs_ds):
