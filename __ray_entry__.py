@@ -347,6 +347,34 @@ def _q_asof_prev_event(sf_dir: str):
     return joined.map_batches(project, batch_format="pyarrow")
 
 
+#: orn over the events.value double column — branch tags in first-match-wins
+#: parse order (m/parse + Tag, src/malli/core.cljc:2684-2714, 164-183)
+EVENTS_VALUE_ORN = ["orn",
+                    ["neg", ["<", 0.0]],
+                    ["small", ["<=", 10.0]],
+                    ["large", "double"]]
+
+
+def _q_parse_events_orn(sf_dir: str):
+    """Vectorized batch parse projection: Tag branch per row as a struct
+    column, projected to (event_id, branch, parsed_value)."""
+    import pyarrow.compute as pc
+    from malli_ray.stages.parse_stage import parse_projection
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    parsed = parse_projection(ds, EVENTS_VALUE_ORN, "value", out="parsed")
+
+    def project(batch: pa.Table) -> pa.Table:
+        p = batch.column("parsed")
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        return pa.table({"event_id": batch.column("event_id"),
+                         "branch": pc.struct_field(p, "tag"),
+                         "parsed_value": pc.struct_field(p, "value")})
+
+    return parsed.map_batches(project, batch_format="pyarrow")
+
+
 def _q_decode_events_props(sf_dir: str):
     import pyarrow.compute as pc
     ds = _read(sf_dir, "events", columns=["event_id", "props"])
@@ -481,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_30m": _q_events_window_30m,
         "sessions_events": _q_sessions_events,
         "asof_prev_event": _q_asof_prev_event,
+        "parse_events_orn": _q_parse_events_orn,
         "q1_lineitem": _q_q1_lineitem,
         "top_orders": _q_top_orders,
         "orders_by_nation": _q_orders_by_nation,
@@ -670,6 +699,15 @@ def oracle_sql() -> dict[str, str]:
               FROM events e
               ASOF LEFT JOIN events p
                 ON e.user_id = p.user_id AND e.ts > p.ts
+        """,
+        "parse_events_orn": """
+            SELECT event_id,
+                   CASE WHEN value IS NULL THEN NULL
+                        WHEN value < 0.0 THEN 'neg'
+                        WHEN value <= 10.0 THEN 'small'
+                        ELSE 'large' END AS branch,
+                   value AS parsed_value
+              FROM events
         """,
         "q1_lineitem": """
             SELECT l_returnflag, l_linestatus,

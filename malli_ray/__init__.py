@@ -11,8 +11,9 @@ Pipelines: ``malli_ray.pipelines`` (checkpointed validation job).
 from .core import (  # noqa: F401
     DEFAULT_KEY, INVALID, Invalid, Schema, SchemaError, Tag, Tags,
     ast, children, coerce, coercer, decode, decoder, default_registry, deref,
-    encode, encoder, entries, explain, explainer, form, from_ast, parse, parser,
-    properties, register_type, schema, schema_type, unparse, unparser,
+    encode, encoder, entries, explain, explainer, form, from_ast,
+    old_parse_format, parse, parser, parser_info, properties, register_type,
+    schema, schema_type, tag, tags, unparse, unparser,
     validate, validator, walk,
 )
 from .error import error_message, humanize  # noqa: F401

@@ -35,6 +35,7 @@ __all__ = [
     "Invalid", "INVALID", "Tag", "Tags", "SchemaError", "Schema",
     "schema", "validate", "validator", "explain", "explainer",
     "parse", "parser", "unparse", "unparser",
+    "tag", "tags", "old_parse_format", "parser_info",
     "decode", "decoder", "encode", "encoder", "coerce", "coercer",
     "form", "properties", "children", "entries", "schema_type", "walk",
     "default_registry", "register_type", "ast", "from_ast", "deref",
@@ -2080,6 +2081,41 @@ def unparser(s: Any, options: dict | None = None) -> Callable[[Any], Any]:
 
 def unparse(s: Any, value: Any, options: dict | None = None) -> Any:
     return schema(s, options).unparser()(value)
+
+
+def tag(key: Any, value: Any) -> Tag:
+    """Construct a parse Tag (m/tag, src/malli/core.cljc:168-171)."""
+    return Tag(key, value)
+
+
+def tags(values: dict) -> Tags:
+    """Construct parse Tags (m/tags, src/malli/core.cljc:176-179)."""
+    return Tags(values)
+
+
+def old_parse_format(parsed: Any) -> Any:
+    """Transform the new parsing format to the old one by replacing Tag and
+    Tags objects with their content (postwalk).
+
+    Reference: m/old-parse-format, src/malli/core.cljc:185-195 —
+    Tag(k, v) -> [k, v]; Tags({...}) -> {...}.
+    """
+    def walk_(x: Any) -> Any:
+        if isinstance(x, Tag):
+            return [walk_(x.key), walk_(x.value)]
+        if isinstance(x, Tags):
+            return {walk_(k): walk_(v) for k, v in x.values.items()}
+        if isinstance(x, dict):
+            return {walk_(k): walk_(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [walk_(v) for v in x]
+        if isinstance(x, tuple):
+            return tuple(walk_(v) for v in x)
+        if isinstance(x, (set, frozenset)):
+            return type(x)(walk_(v) for v in x)
+        return x
+
+    return walk_(parsed)
 
 
 def decoder(s: Any, transformer: Any, options: dict | None = None) -> Callable[[Any], Any]:

@@ -1,12 +1,16 @@
 """Deterministic value generation from schemas (the malli.generator surface).
 
 Seeded, dependency-free reimplementation of the semantics of
-/root/reference/src/malli/generator.cljc (:19-90+): every schema type gets a
-generator honoring :min/:max and the :gen/* property overrides
-(:gen/elements, :gen/return, :gen/fmap is out of scope — documented), and the
+/root/reference/src/malli/generator.cljc (:19-90, 451-483): every schema type
+gets a generator honoring :min/:max plus the :gen/* property hooks with the
+reference's -create ordering — :gen/return > :gen/elements > :gen/schema >
+default, wrapped by :gen/fmap (callable or restricted source string);
+:gen/min/:gen/max refine :min/:max (fail when looser); recursive refs halve
+the size budget per deref (linear, not exponential, value sizes). The
 roundtrip property ``validate(s, generate(s)) == True`` is the test contract
 (generator_test.cljc style). Used to build synthetic FIXTURES (SURVEY.md
-SS2.13 'generators from schemas' row).
+SS2.13 'generators from schemas' row). :gen/gen (a raw test.check generator)
+has no Python counterpart — use :gen/schema or :gen/fmap instead.
 """
 
 from __future__ import annotations
@@ -44,9 +48,22 @@ def sample(s: Any, n: int = 10, seed: int = 42, size: int = 10,
     return [_gen(sc, rng, size, depth=0) for _ in range(n)]
 
 
+def _gen_min_max(props: dict, lo, hi):
+    """-min-max (generator.cljc:77-84): :gen/min|:gen/max refine :min|:max
+    and must not loosen them (fail loudly otherwise)."""
+    mn, mx = props.get("min"), props.get("max")
+    gmn, gmx = props.get("gen/min"), props.get("gen/max")
+    if mn is not None and gmn is not None and gmn < mn:
+        raise SchemaError(f"invalid :gen/min {gmn} < :min {mn}")
+    if mx is not None and gmx is not None and gmx > mx:
+        raise SchemaError(f"invalid :gen/max {gmx} > :max {mx}")
+    out_mn = gmn if gmn is not None else (mn if mn is not None else lo)
+    out_mx = gmx if gmx is not None else (mx if mx is not None else hi)
+    return out_mn, out_mx
+
+
 def _bounded_int(rng, props: dict, lo=-1000, hi=1000) -> int:
-    mn = props.get("min", props.get("gen/min", lo))
-    mx = props.get("max", props.get("gen/max", hi))
+    mn, mx = _gen_min_max(props, lo, hi)
     if mn > mx:
         raise SchemaError(f"unsatisfiable int bounds {mn} > {mx}")
     return int(rng.integers(mn, mx + 1))
@@ -57,21 +74,50 @@ def _string_of(rng, length: int) -> str:
 
 
 def _count_bounds(props: dict, size: int) -> tuple[int, int]:
-    mn = props.get("min", 0)
-    mx = props.get("max", max(mn, min(size, mn + size)))
+    mn, mx = _gen_min_max(props, 0, None)
+    if mx is None:
+        mx = max(mn, min(size, mn + size))
     return mn, max(mn, mx)
 
 
 _MAX_DEPTH = 8
 
 
+def _resolve_gen_fn(f: Any) -> Any:
+    """:gen/fmap value -> callable: a Python callable, or a restricted
+    source string (same contract as :fn children; reference evals through
+    sci, src/malli/core.cljc:2897-2916)."""
+    if callable(f):
+        return f
+    if isinstance(f, str):
+        from .core import compile_fn_source
+        return compile_fn_source(f)
+    raise SchemaError(":gen/fmap must be callable or a source string")
+
+
 def _gen(sc: Schema, rng, size: int, depth: int) -> Any:
+    """-create ordering (generator.cljc:451-483): :gen/return >
+    :gen/elements > :gen/schema > the schema's own generator; :gen/fmap
+    wraps whichever was chosen."""
     props = sc.properties or {}
+    fmap = props.get("gen/fmap")
     if "gen/return" in props:
-        return props["gen/return"]
-    if "gen/elements" in props:
+        out = props["gen/return"]
+    elif "gen/elements" in props:
         els = props["gen/elements"]
-        return els[int(rng.integers(0, len(els)))]
+        out = els[int(rng.integers(0, len(els)))]
+    elif "gen/schema" in props:
+        out = _gen(to_schema(props["gen/schema"], sc.options), rng, size,
+                   depth + 1)
+    else:
+        out = _gen_base(sc, rng, size, depth)
+    if fmap is not None:
+        out = _resolve_gen_fn(fmap)(out)
+    return out
+
+
+def _gen_base(sc: Schema, rng, size: int, depth: int) -> Any:
+    props = sc.properties or {}
     if depth > _MAX_DEPTH:
         return _shallow_default(sc)
 
@@ -145,7 +191,11 @@ def _gen(sc: Schema, rng, size: int, depth: int) -> Any:
                 return cand
         raise SchemaError(f"cannot generate for :fn schema")
     if isinstance(sc, WrapperSchema):
-        return _gen(sc.deref(), rng, size, depth + 1)
+        # recursive-ref sizing (generator.cljc "Approach for recursive
+        # generators"): halve the size budget on every deref so recursive
+        # schemas produce LINEARLY sized values, not exponential trees;
+        # depth cap + _shallow_default terminate the recursion.
+        return _gen(sc.deref(), rng, max(0, size // 2), depth + 1)
     if isinstance(sc, (CatSchema, AltSchema, RepeatSchema)):
         return _gen_seq_regex(sc, rng, size, depth)
 
@@ -160,7 +210,7 @@ def _gen(sc: Schema, rng, size: int, depth: int) -> Any:
         c = sc.children[int(rng.integers(0, len(sc.children)))]
         return _gen(c, rng, size, depth + 1)
     if t == "ref":
-        return _gen(sc.deref(), rng, size, depth + 1)
+        return _gen(sc.deref(), rng, max(0, size // 2), depth + 1)
 
     return _gen_simple(sc, t, props, rng, size)
 

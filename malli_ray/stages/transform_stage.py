@@ -15,19 +15,30 @@ default-value-transformer via pc.fill_null / constant columns (:492-528).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Callable
 
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..core import DEFAULT_KEY, MapSchema, Schema, schema as to_schema
 
-__all__ = ["DecodeBatch", "strip_extra_columns", "fill_defaults"]
+__all__ = ["DecodeBatch", "strip_extra_columns", "fill_defaults",
+           "batch_kernel"]
 
 _INT_TYPES = {"int", "integer", "int?", "integer?", "pos-int?", "neg-int?", "nat-int?"}
 _FLOAT_TYPES = {"double", "float", "double?", "float?", "number", "number?"}
 _BOOL_TYPES = {"boolean", "boolean?"}
 _TS_TYPES = {"inst?", "time/instant"}
+_DECIMAL_TYPES = {"decimal?"}
+
+
+def batch_kernel(fn: Callable) -> Callable:
+    """Mark a ``decode/<name>`` override as a BATCH kernel: it receives the
+    whole pyarrow Array/ChunkedArray and must return one (the vectorized
+    contract).  Unmarked callables are applied row-by-row over to_pylist —
+    correct but the designated slow path."""
+    fn.__malli_batch_kernel__ = True
+    return fn
 
 
 def _target_kind(s: Schema) -> str | None:
@@ -40,6 +51,8 @@ def _target_kind(s: Schema) -> str | None:
         return "bool"
     if t in _TS_TYPES:
         return "timestamp"
+    if t in _DECIMAL_TYPES:
+        return "decimal"
     if t == "maybe":
         return _target_kind(s.children[0])
     if t in ("and", "or"):
@@ -50,45 +63,115 @@ def _target_kind(s: Schema) -> str | None:
     return None
 
 
+#: chrono patterns mirroring the reference's +string->date-format+
+#: (transform.cljc:138-159): yyyy-MM-dd['T'HH:mm:ss][.fraction][offset],
+#: offset-less strings default to UTC.  Trailing 'Z' normalizes to +00:00.
+_DATE_TZ_FORMATS = ["%Y-%m-%dT%H:%M:%S%.f%z"]
+_DATE_NAIVE_FORMATS = ["%Y-%m-%dT%H:%M:%S%.f", "%Y-%m-%d"]
+
+
+def _string_to_datetime_cascade(arr: pa.Array):
+    """Vectorized multi-format ISO-8601 parse -> timestamp[us, UTC]; each
+    format is one polars kernel pass, coalesced in order."""
+    import polars as pl
+    s = pl.from_arrow(arr).str.replace(r"Z$", "+00:00")
+    parts = []
+    for f in _DATE_TZ_FORMATS:
+        parts.append(s.str.to_datetime(format=f, strict=False,
+                                       time_unit="us", time_zone="UTC"))
+    for f in _DATE_NAIVE_FORMATS:
+        parts.append(s.str.to_datetime(format=f, strict=False, time_unit="us")
+                     .dt.replace_time_zone("UTC"))
+    df = pl.DataFrame({f"c{i}": p for i, p in enumerate(parts)})
+    out = df.select(pl.coalesce([f"c{i}" for i in range(len(parts))]))
+    return out.to_series().to_arrow()
+
+
+def _string_to_decimal(arr: pa.Array):
+    """-string->decimal (transform.cljc -string->decimal): tolerant parse to
+    decimal128(38, 18); unparseable / out-of-precision values become null."""
+    import decimal
+    t = pa.decimal128(38, 18)
+    out = []
+    for v in arr.to_pylist():
+        d = None
+        if v is not None:
+            try:
+                d = decimal.Decimal(v)
+                pa.array([d], type=t)  # precision/scale fit probe
+            except (decimal.InvalidOperation, pa.ArrowInvalid, OverflowError):
+                d = None
+        out.append(d)
+    return pa.array(out, type=t)
+
+
 def _tolerant_cast(arr: pa.ChunkedArray | pa.Array, kind: str):
     """String column -> typed column; unparseable values become null."""
     import polars as pl
 
+    a = arr if isinstance(arr, pa.Array) else arr.combine_chunks()
     if kind == "bool":
-        a = arr if isinstance(arr, pa.Array) else arr.combine_chunks()
         t = pc.equal(a, "true")
         f = pc.equal(a, "false")
         return pc.if_else(t, pa.scalar(True),
                           pc.if_else(f, pa.scalar(False), pa.scalar(None, pa.bool_())))
-    s = pl.from_arrow(arr if isinstance(arr, pa.Array) else arr.combine_chunks())
+    if kind == "timestamp":
+        return _string_to_datetime_cascade(a)
+    if kind == "decimal":
+        return _string_to_decimal(a)
+    s = pl.from_arrow(a)
     if kind == "int":
         out = s.cast(pl.Int64, strict=False)
     elif kind == "float":
         out = s.cast(pl.Float64, strict=False)
-    elif kind == "timestamp":
-        out = s.str.to_datetime(strict=False, time_unit="us")
     else:
         return arr
     return out.to_arrow()
 
 
 class DecodeBatch:
-    """Actor-pool decode stage: compile the column cast plan once per actor."""
+    """Actor-pool decode stage: compile the column cast plan once per actor.
 
-    def __init__(self, schema: Any, options: dict | None = None):
+    ``name`` is the transformer name; a ``decode/<name>`` property on an
+    entry or its child schema overrides the built-in cast for that column
+    (the batch counterpart of -value-transformer property lookup,
+    transform.cljc:411-426).  Overrides marked with ``batch_kernel`` get the
+    Arrow array; plain callables are row-mapped.
+    """
+
+    def __init__(self, schema: Any, options: dict | None = None,
+                 name: str = "string"):
         s = to_schema(schema, options)
         s = s if isinstance(s, MapSchema) else s.deref()
         if not isinstance(s, MapSchema):
             raise ValueError("DecodeBatch requires a :map schema")
         self.targets: dict[str, str] = {}
+        self.overrides: dict[str, Callable] = {}
+        prop = f"decode/{name}"
         for (k, props, cs) in s.children:
             if k == DEFAULT_KEY:
+                continue
+            override = (props or {}).get(prop) or cs.properties.get(prop)
+            if callable(override):
+                self.overrides[k] = override
                 continue
             kind = _target_kind(cs)
             if kind:
                 self.targets[k] = kind
 
+    def _apply_override(self, col, fn: Callable):
+        a = col if isinstance(col, pa.Array) else col.combine_chunks()
+        if getattr(fn, "__malli_batch_kernel__", False):
+            return fn(a)
+        return pa.array([None if v is None else fn(v) for v in a.to_pylist()])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        for name, fn in self.overrides.items():
+            if name not in batch.schema.names:
+                continue
+            idx = batch.schema.get_field_index(name)
+            batch = batch.set_column(
+                idx, name, self._apply_override(batch.column(name), fn))
         for name, kind in self.targets.items():
             if name not in batch.schema.names:
                 continue

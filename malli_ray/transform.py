@@ -100,6 +100,18 @@ def string_to_date(x: Any) -> Any:
     return x
 
 
+def string_to_decimal(x: Any) -> Any:
+    """-string->decimal (transform.cljc -string->decimal): tolerant
+    BigDecimal-style parse; failures return the input unchanged."""
+    if isinstance(x, str):
+        import decimal
+        try:
+            return decimal.Decimal(x)
+        except decimal.InvalidOperation:
+            return x
+    return x
+
+
 def number_to_long(x: Any) -> Any:
     """-number->long: round integral doubles (transform.cljc:99-103)."""
     if isinstance(x, float) and x.is_integer():
@@ -247,6 +259,7 @@ _STRING_DECODERS: dict[str, Any] = {
     "uuid": string_to_uuid, "uuid?": string_to_uuid,
     "inst?": string_to_date,
     "nil": string_to_nil, "nil?": string_to_nil,
+    "decimal?": string_to_decimal,
 }
 
 _STRING_ENCODERS: dict[str, Any] = {
@@ -256,6 +269,7 @@ _STRING_ENCODERS: dict[str, Any] = {
     "keyword": any_to_string, "symbol": any_to_string,
     "uuid": any_to_string, "uuid?": any_to_string,
     "inst?": date_to_string,
+    "decimal?": any_to_string,
 }
 
 

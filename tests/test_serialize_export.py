@@ -111,6 +111,90 @@ def test_gen_properties():
     assert generate(["string", {"gen/elements": ["a", "b"]}], seed=1) in ("a", "b")
 
 
+def test_gen_fmap_schema_minmax():
+    import pytest
+    from malli_ray.core import SchemaError
+
+    # :gen/fmap wraps the chosen generator (-create, generator.cljc:451-483)
+    assert generate(["string", {"gen/fmap": lambda s: s.upper(),
+                                "gen/elements": ["kikka"]}]) == "KIKKA"
+    # fmap over the default generator; restricted source strings work too
+    assert generate(["int", {"gen/fmap": "x * 0 + 7"}]) == 7
+    # fmap composes with gen/return
+    assert generate(["int", {"gen/return": 3, "gen/fmap": lambda v: v + 1}]) == 4
+    # :gen/schema generates from the alternate schema
+    v = generate(["string", {"gen/schema": ["int", {"min": 1, "max": 3}]}],
+                 seed=11)
+    assert v in (1, 2, 3)
+    # :gen/min/:gen/max refine :min/:max...
+    for seed in (1, 2, 3, 4):
+        n = generate(["int", {"min": 0, "gen/min": 5, "max": 100,
+                              "gen/max": 7}], seed=seed)
+        assert 5 <= n <= 7
+        vec = generate(["vector", {"gen/min": 2, "gen/max": 3}, "int"],
+                       seed=seed)
+        assert 2 <= len(vec) <= 3
+    # ...and looser hints fail loudly (-min-max, generator.cljc:77-84)
+    with pytest.raises(SchemaError):
+        generate(["int", {"min": 5, "gen/min": 1}])
+    with pytest.raises(SchemaError):
+        generate(["int", {"max": 5, "gen/max": 9}])
+
+
+def test_gen_recursive_ref_sized():
+    """Recursive refs halve the size budget per deref: generated trees stay
+    small/linear and always validate (ConsCell-style schema)."""
+    CONS = ["schema", {"registry": {
+        "ConsCell": ["maybe", ["tuple", "int", ["ref", "ConsCell"]]]}},
+        "ConsCell"]
+
+    def depth(v):
+        d = 0
+        while v is not None:
+            d += 1
+            v = v[1]
+        return d
+
+    for seed in range(20):
+        v = generate(CONS, seed=seed, size=10)
+        assert m.validate(CONS, v), v
+        assert depth(v) <= 12
+
+
+def test_old_parse_format():
+    """Tag -> [k v], Tags -> plain map, postwalked (m/old-parse-format,
+    src/malli/core.cljc:185-195)."""
+    S = ["orn", ["pos", ["int", {"min": 0}]], ["neg", "int"]]
+    assert m.old_parse_format(m.parse(S, 5)) == ["pos", 5]
+    S2 = ["catn", ["a", "string?"], ["b", "int?"]]
+    assert m.old_parse_format(m.parse(S2, ["x", 1])) == {"a": "x", "b": 1}
+    nested = m.parse(["vector", S], [1, -2])
+    assert m.old_parse_format(nested) == [["pos", 1], ["neg", -2]]
+    assert m.old_parse_format({"k": m.tag("a", m.tags({"b": 1}))}) == \
+        {"k": ["a", {"b": 1}]}
+    assert m.old_parse_format(7) == 7
+
+
+def test_plantuml_export():
+    from malli_ray import plantuml
+
+    ORDER = ["schema", {"registry": {
+        "Country": ["map", ["name", ["enum", "FI", "PO"]],
+                    ["neighbors", ["vector", ["ref", "Country"]]]],
+        "Order": ["map", ["country", ["ref", "Country"]]]}},
+        "Order"]
+    out = plantuml.transform(ORDER)
+    assert out.startswith("@startuml") and out.endswith("@enduml")
+    assert "entity Country {" in out and "entity Order {" in out
+    assert "Order o-- Country" in out and "Country o-- Country" in out
+    assert "entity Schema" not in out   # root is a pointer into the registry
+    # anonymous schema gets a single Schema entity
+    out2 = plantuml.transform(["map", ["x", "int"]])
+    assert "entity Schema {" in out2 and "x 'int'" in out2
+    # deterministic
+    assert plantuml.transform(ORDER) == out
+
+
 def test_lite():
     S = from_lite({"name": "string", "age": optional("int"),
                    "addr": {"city": "string"}})

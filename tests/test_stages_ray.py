@@ -224,6 +224,60 @@ def test_ivf_topk_recall(ray_session):
     assert 10 in {r["vec_id"] for r in got if r["query_id"] == 0}
 
 
+def test_parse_projection_vectorized_orn(ray_session):
+    """Vectorized :orn parse: first-match-wins branch tags as a struct
+    column, ::m/invalid -> null struct, identical to the row engine."""
+    import ray.data as rd
+    from malli_ray.stages.parse_stage import parse_projection, unparse_projection
+
+    ORN = ["orn", ["neg", ["<", 0.0]], ["small", ["<=", 10.0]], ["big", "double"]]
+    vals = [-5.0, 0.0, 10.0, 10.5, None, 3.14]
+    t = pa.table({"i": list(range(len(vals))), "value": vals})
+    out = parse_projection(rd.from_arrow(t), ORN, "value").take_all()
+    got = [(r["parsed"] or {}).get("tag") for r in out]
+    assert got == ["neg", "small", "small", "big", None, "small"]
+    # row-engine equivalence (m/parse contract)
+    sc = m.schema(ORN)
+    for r in out:
+        want = m.parse(sc, r["value"])
+        if r["parsed"] is None:
+            assert want is m.INVALID
+        else:
+            assert want.key == r["parsed"]["tag"]
+            assert want.value == r["parsed"]["value"]
+    # unparse roundtrip restores the original column
+    ds2 = parse_projection(rd.from_arrow(t), ORN, "value")
+    back = unparse_projection(ds2, ORN, "parsed", out="value2").take_all()
+    assert [r["value2"] for r in back] == vals
+
+
+def test_parse_projection_row_fallback_multi(ray_session):
+    """:multi (keyword dispatch) goes through the row-fallback parser and
+    still emits Tag -> {tag, value} structs."""
+    import ray.data as rd
+    from malli_ray.stages.parse_stage import ParseBatch, parse_projection
+
+    MULTI = ["multi", {"dispatch": "kind"},
+             ["a", ["map", ["kind", "string"], ["x", "int"]]],
+             ["b", ["map", ["kind", "string"], ["y", "string"]]]]
+    rows = [{"kind": "a", "x": 1}, {"kind": "b", "y": "hi"}, {"kind": "c"}]
+    t = pa.table({"i": [0, 1, 2], "obj": pa.array(rows)})
+    out = parse_projection(rd.from_arrow(t), MULTI, "obj").take_all()
+    assert out[0]["parsed"]["tag"] == "a"
+    assert out[1]["parsed"]["tag"] == "b"
+    assert out[2]["parsed"] is None  # no branch, no default -> invalid
+
+
+def test_parse_projection_identity_elision(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.parse_stage import parse_projection
+
+    t = pa.table({"value": [1.0, 2.0]})
+    ds = rd.from_arrow(t)
+    assert parse_projection(ds, "double", "value") is ds
+    assert parse_projection(ds, ["map", ["value", "double"]], "value") is ds
+
+
 def test_text_stages(ray_session, docs_ds):
     from malli_ray.stages import text as T
 
@@ -292,6 +346,66 @@ def test_decode_batch_stage(ray_session):
     out = rd.from_arrow(t2).map_batches(fill_defaults(S2),
                                         batch_format="pyarrow").take_all()
     assert [r["z"] for r in out] == [1, 9]
+
+
+def test_decode_batch_dates_decimal_overrides(ray_session):
+    """Batch decode breadth: multi-format ISO dates, decimal, and per-schema
+    decode/<name> overrides (batch-kernel and row-callable)."""
+    import datetime as dt
+    import decimal
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from malli_ray.stages.transform_stage import DecodeBatch, batch_kernel
+
+    t = pa.table({
+        "ts": ["2020-01-01", "2020-01-01T10:20:30", "2020-01-01T10:20:30.123456",
+               "2020-01-01T10:20:30Z", "2020-01-01T10:20:30.5+02:00", "nope", None],
+        "amount": ["1.50", "-0.125", "garbage", None, "2", "1e3", "99"],
+    })
+    S = ["map", ["ts", "inst?"], ["amount", "decimal?"]]
+    out = rd.from_arrow(t).map_batches(
+        DecodeBatch, fn_constructor_kwargs={"schema": S},
+        batch_format="pyarrow", concurrency=1).take_all()
+    utc = dt.timezone.utc
+    want_ts = [dt.datetime(2020, 1, 1, tzinfo=utc),
+               dt.datetime(2020, 1, 1, 10, 20, 30, tzinfo=utc),
+               dt.datetime(2020, 1, 1, 10, 20, 30, 123456, tzinfo=utc),
+               dt.datetime(2020, 1, 1, 10, 20, 30, tzinfo=utc),
+               dt.datetime(2020, 1, 1, 8, 20, 30, 500000, tzinfo=utc),
+               None, None]
+    assert [r["ts"] for r in out] == want_ts
+    amounts = [r["amount"] for r in out]
+    assert amounts[0] == decimal.Decimal("1.50")
+    assert amounts[1] == decimal.Decimal("-0.125")
+    assert amounts[2] is None and amounts[3] is None
+    assert amounts[4] == decimal.Decimal(2)
+    assert amounts[5] == decimal.Decimal(1000)
+
+    # decode/string override: batch kernel beats the built-in cast
+    @batch_kernel
+    def double_it(arr):
+        return pc.multiply(arr.cast(pa.int64()), 2)
+
+    S2 = ["map", ["x", ["int", {"decode/string": double_it}]],
+                 ["y", ["int", {"decode/string": lambda v: int(v) + 100}]]]
+    t2 = pa.table({"x": ["1", "2"], "y": ["5", "6"]})
+    out2 = rd.from_arrow(t2).map_batches(
+        DecodeBatch, fn_constructor_kwargs={"schema": S2},
+        batch_format="pyarrow", concurrency=1).take_all()
+    assert [r["x"] for r in out2] == [2, 4]
+    assert [r["y"] for r in out2] == [105, 106]
+
+
+def test_string_to_decimal_row_path():
+    import decimal
+    from malli_ray.transform import string_to_decimal, string_transformer
+
+    assert string_to_decimal("1.5") == decimal.Decimal("1.5")
+    assert string_to_decimal("bad") == "bad"      # tolerant: unchanged
+    assert string_to_decimal(7) == 7
+    out = m.decode(["map", ["d", "decimal?"]], {"d": "2.25"},
+                   string_transformer())
+    assert out == {"d": decimal.Decimal("2.25")}
 
 
 def test_windows_and_asof(ray_session):
