@@ -417,6 +417,49 @@ def _q_minhash_dedup_documents(sf_dir: str):
                                         )
 
 
+def _q_near_dup_pairs_exact(sf_dir: str):
+    """MinHash LSH candidates -> EXACT word-3-gram Jaccard verify >= 0.5.
+
+    High-recall LSH setting (r=2, b=64: miss prob <= 0.75^64 ~ 1e-8 at
+    j=0.5) with a low candidate threshold, then the exact ngram_jaccard
+    verifier — so the result equals the brute-force SQL oracle.  The
+    pair-verify side fetches texts from a broadcast dict (small table at
+    oracle scale; at 100 TB this becomes a shuffle join on id).  The default
+    near-dup pipeline (minhash_dedup_documents) keeps the scale-friendly
+    r=8/b=16 banding.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from malli_ray.stages import cached_stage, dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = dedup.minhash_lsh_candidates(ds, "text", "doc_id", threshold=0.2,
+                                         num_perm=128, bands=64)
+    tt = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(tt.column("doc_id").to_pylist(),
+                                 tt.column("text").to_pylist())))
+
+    class VerifyExact:
+        def __init__(self, ref):
+            self.texts = (ray.get(ref)
+                          if isinstance(ref, ray.ObjectRef) else ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("id_a").to_pylist()
+            b = batch.column("id_b").to_pylist()
+            j = [dedup.ngram_jaccard(self.texts[x], self.texts[y], 3)
+                 for x, y in zip(a, b)]
+            t = pa.table({"id_a": batch.column("id_a"),
+                          "id_b": batch.column("id_b"),
+                          "jaccard": pa.array(j, type=pa.float64())})
+            return t.filter(pc.greater_equal(t.column("jaccard"), 0.5))
+
+    return cands.map_batches(cached_stage(VerifyExact, ref=texts_ref),
+                             batch_format="pyarrow")
+
+
 def _q_simhash_documents(sf_dir: str):
     from malli_ray.stages import dedup
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -501,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_documents": _q_lang_id_documents,
         "fingerprint_documents": _q_fingerprint_documents,
         "minhash_dedup_documents": _q_minhash_dedup_documents,
+        "near_dup_pairs_exact": _q_near_dup_pairs_exact,
         "simhash_documents": _q_simhash_documents,
         "embedding_near_dups": _q_embedding_near_dups,
         "ivf_topk_embeddings": _q_ivf_topk_embeddings,
@@ -699,6 +743,23 @@ def oracle_sql() -> dict[str, str]:
               FROM events e
               ASOF LEFT JOIN events p
                 ON e.user_id = p.user_id AND e.ts > p.ts
+        """,
+        "near_dup_pairs_exact": r"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words
+                         FROM documents),
+             g AS (SELECT doc_id,
+                     CASE WHEN len(words) = 0 THEN ['']
+                          WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                          ELSE list_transform(range(1, len(words) - 1),
+                                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                     END AS grams
+                   FROM w),
+             s AS (SELECT doc_id, list_distinct(grams) AS gs FROM g)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+             WHERE 3 * len(list_intersect(a.gs, b.gs)) >= len(a.gs) + len(b.gs)
         """,
         "parse_events_orn": """
             SELECT event_id,

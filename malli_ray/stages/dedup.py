@@ -208,6 +208,8 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
                            num_perm: int = 128, bands: int = 16,
                            shingle_k: int = 3, threshold: float = 0.5,
                            max_bucket: int = 1024,
+                           intra_closure_cap: int = 256,
+                           cross_closure_cap: int = 1024,
                            concurrency=None) -> Dataset:
     """Near-duplicate pairs (id_a, id_b, est_jaccard >= threshold) over
     DISTINCT contents.
@@ -240,19 +242,43 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
         sigs = np.frombuffer(b"".join(sig_col), dtype=np.uint8).reshape(n, -1)
         uniq, reps, inverse = _collapse_identical(sigs, ids)
         u = len(uniq)
+        members: list[list] = [[] for _ in range(u)]
+        for row_i, g in enumerate(inverse):
+            members[g].append(ids[row_i])
         a_out, b_out, j_out = [], [], []
-        # identical-signature members (incl. exact duplicates): pair each
-        # member with its group representative — O(k) per cluster, not
-        # O(k^2) all-pairs.  Identical sigs share EVERY band's bucket, so
-        # emit these only in band 0 (16x less duplicate shuffle traffic).
+
+        def emit(x, y, est):
+            if x == y:
+                return
+            lo, hi = sorted((x, y))
+            a_out.append(lo)
+            b_out.append(hi)
+            j_out.append(est)
+
+        # identical-signature members (incl. exact duplicates): full pairwise
+        # closure while the cluster is small; adversarial clusters fall back
+        # to O(k) rep-member pairs with a LOGGED closure truncation.
+        # Identical sigs share EVERY band's bucket, so emit only in band 0
+        # (bands x less duplicate shuffle traffic).
         if n > u and group.column("band")[0].as_py() == 0:
-            for row_i, g in enumerate(inverse):
-                rid = ids[row_i]
-                if rid != reps[g]:
-                    lo, hi = sorted((reps[g], rid))
-                    a_out.append(lo)
-                    b_out.append(hi)
-                    j_out.append(1.0)
+            for g in range(u):
+                mem = members[g]
+                k = len(mem)
+                if k < 2:
+                    continue
+                if k <= intra_closure_cap:
+                    for i in range(k):
+                        for j in range(i + 1, k):
+                            emit(mem[i], mem[j], 1.0)
+                else:
+                    logger.warning(
+                        "minhash identical-sig cluster of %d members > "
+                        "closure cap %d: emitting rep-member pairs only "
+                        "(%d of %d pairs)", k, intra_closure_cap, k - 1,
+                        k * (k - 1) // 2)
+                    rep = reps[g]
+                    for rid in mem:
+                        emit(rep, rid, 1.0)
         if u > max_bucket:
             logger.warning(
                 "minhash bucket truncated: %d distinct signatures > "
@@ -260,7 +286,9 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
                 u, max_bucket, group.column("band")[0], group.column("band_hash")[0],
                 u - max_bucket)
             order = sorted(range(u), key=lambda i: reps[i])[:max_bucket]
-            uniq, reps = uniq[order], [reps[i] for i in order]
+            uniq = uniq[order]
+            reps = [reps[i] for i in order]
+            members = [members[i] for i in order]
             u = max_bucket
         # vectorized pairwise agreement: (u, u) fraction-equal matrix from a
         # broadcast equality sum (u^2 * P bytes, bounded by max_bucket)
@@ -276,10 +304,21 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
         if not len(ii) and not a_out:
             return empty
         for i, j in zip(ii.tolist(), jj.tolist()):
-            lo, hi = sorted((reps[i], reps[j]))
-            a_out.append(lo)
-            b_out.append(hi)
-            j_out.append(est[i, j])
+            e = float(est[i, j])
+            mi, mj = members[i], members[j]
+            # cross-group expansion: every member of an identical-sig group
+            # shares its signature, so each member pair is a candidate; cap
+            # the cross product with a LOGGED rep-only fallback
+            if len(mi) * len(mj) <= cross_closure_cap:
+                for x in mi:
+                    for y in mj:
+                        emit(x, y, e)
+            else:
+                logger.warning(
+                    "minhash cross-group expansion %dx%d > cap %d: "
+                    "emitting representative pair only",
+                    len(mi), len(mj), cross_closure_cap)
+                emit(reps[i], reps[j], e)
         return pa.table({"id_a": pa.array(a_out, type=id_type),
                          "id_b": pa.array(b_out, type=id_type),
                          "est_jaccard": pa.array(j_out, type=pa.float64())})
@@ -319,7 +358,8 @@ class SimHasher:
 
 def simhash_near_dups(ds: Dataset, text_column: str, id_column: str,
                       max_hamming: int = 3, n_chunks: int = 4,
-                      max_bucket: int = 4096, concurrency=None) -> Dataset:
+                      max_bucket: int = 4096, closure_cap: int = 256,
+                      concurrency=None) -> Dataset:
     """Near-dup pairs by SimHash: chunk-pigeonhole bucketing + vectorized
     hamming verify.
 
@@ -378,17 +418,38 @@ def simhash_near_dups(ds: Dataset, text_column: str, id_column: str,
         uniq, reps, inverse = _collapse_identical(fp[:, None], ids)
         ufp = uniq.ravel()
         u = len(ufp)
+        members: list[list] = [[] for _ in range(u)]
+        for row_i, g in enumerate(inverse):
+            members[g].append(ids[row_i])
         a_out, b_out, d_out = [], [], []
-        # identical fingerprints (hamming 0, incl. exact dups): rep-member
-        # pairs, emitted only from chunk 0 (identical fps share every chunk)
+
+        def emit(x, y, dist):
+            if x == y:
+                return
+            lo, hi = sorted((x, y))
+            a_out.append(lo)
+            b_out.append(hi)
+            d_out.append(dist)
+
+        # identical fingerprints (hamming 0, incl. exact dups): full pairwise
+        # closure for small clusters, rep-member pairs (LOGGED) otherwise;
+        # emitted only from chunk 0 (identical fps share every chunk)
         if n > u and group.column("chunk_id")[0].as_py() == 0:
-            for row_i, g in enumerate(inverse):
-                rid = ids[row_i]
-                if rid != reps[g]:
-                    lo, hi = sorted((reps[g], rid))
-                    a_out.append(lo)
-                    b_out.append(hi)
-                    d_out.append(0)
+            for g in range(u):
+                mem = members[g]
+                k = len(mem)
+                if k < 2:
+                    continue
+                if k <= closure_cap:
+                    for i in range(k):
+                        for j in range(i + 1, k):
+                            emit(mem[i], mem[j], 0)
+                else:
+                    logger.warning(
+                        "simhash identical-fp cluster of %d members > "
+                        "closure cap %d: rep-member pairs only", k, closure_cap)
+                    for rid in mem:
+                        emit(reps[g], rid, 0)
         if u > max_bucket:
             logger.warning(
                 "simhash bucket truncated: %d distinct fingerprints > "
@@ -396,7 +457,9 @@ def simhash_near_dups(ds: Dataset, text_column: str, id_column: str,
                 u, max_bucket, group.column("chunk_id")[0],
                 group.column("chunk_val")[0], u - max_bucket)
             order = sorted(range(u), key=lambda i: reps[i])[:max_bucket]
-            ufp, reps = ufp[order], [reps[i] for i in order]
+            ufp = ufp[order]
+            reps = [reps[i] for i in order]
+            members = [members[i] for i in order]
             u = max_bucket
         if u >= 2:
             # XOR outer product + byte-LUT popcount: (u, u) hamming matrix
@@ -405,10 +468,17 @@ def simhash_near_dups(ds: Dataset, text_column: str, id_column: str,
                 axis=2, dtype=np.int32)
             ii, jj = np.nonzero(np.triu(d <= max_hamming, k=1))
             for i, j in zip(ii.tolist(), jj.tolist()):
-                lo, hi = sorted((reps[i], reps[j]))
-                a_out.append(lo)
-                b_out.append(hi)
-                d_out.append(int(d[i, j]))
+                mi, mj = members[i], members[j]
+                if len(mi) * len(mj) <= closure_cap:
+                    for x_ in mi:
+                        for y_ in mj:
+                            emit(x_, y_, int(d[i, j]))
+                else:
+                    logger.warning(
+                        "simhash cross-group expansion %dx%d > cap %d: "
+                        "representative pair only", len(mi), len(mj),
+                        closure_cap)
+                    emit(reps[i], reps[j], int(d[i, j]))
         if not a_out:
             return empty
         return pa.table({"id_a": pa.array(a_out, type=id_type),
