@@ -355,6 +355,59 @@ EVENTS_VALUE_ORN = ["orn",
                     ["large", "double"]]
 
 
+def _q_join_priority_qty(sf_dir: str):
+    """Big-big hash join (lineitem x orders) -> group by order priority."""
+    from malli_ray.stages.joins import hash_join
+    from ray.data.aggregate import Count, Sum
+    import pyarrow.compute as pc
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def qty_i(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "qty_i": batch.column("l_quantity").cast(pa.int64())})
+
+    li = li.map_batches(qty_i, batch_format="pyarrow")
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    return (joined.groupby("o_orderpriority")
+            .aggregate(Sum("qty_i", alias_name="total_qty"),
+                       Count(alias_name="n_items")))
+
+
+def _q_customers_without_orders(sf_dir: str):
+    """Anti-join: customers with no high-value (>400k) order."""
+    import pyarrow.compute as pc
+    from malli_ray.stages.joins import anti_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0))
+                   .select(["o_custkey"]),
+        batch_format="pyarrow")
+    return anti_join(cust, big, on="c_custkey", right_on="o_custkey")
+
+
+def _q_vocab_top_words(sf_dir: str):
+    """Corpus vocabulary: top-100 words by frequency (map-side combined)."""
+    from malli_ray.stages.text import top_words
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return top_words(ds, "text", k=100)
+
+
+def _q_stratified_sample_documents(sf_dir: str):
+    """Deterministic stratified head: first 3 doc_ids per source."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def first_k(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("doc_id", "ascending")])
+        return g.slice(0, 3)
+
+    return ds.groupby("source").map_groups(first_k, batch_format="pyarrow")
+
+
 def _q_parse_events_orn(sf_dir: str):
     """Vectorized batch parse projection: Tag branch per row as a struct
     column, projected to (event_id, branch, parsed_value)."""
@@ -555,6 +608,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_prev_event": _q_asof_prev_event,
         "parse_events_orn": _q_parse_events_orn,
         "q1_lineitem": _q_q1_lineitem,
+        "join_priority_qty": _q_join_priority_qty,
+        "customers_without_orders": _q_customers_without_orders,
+        "vocab_top_words": _q_vocab_top_words,
+        "stratified_sample_documents": _q_stratified_sample_documents,
         "top_orders": _q_top_orders,
         "orders_by_nation": _q_orders_by_nation,
         "filter_lineitem": _q_filter_lineitem,
@@ -777,6 +834,34 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
              WHERE l_shipdate <= TIMESTAMP '1998-09-02'
              GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_priority_qty": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+                   COUNT(*) AS n_items
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             GROUP BY o_orderpriority
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer
+             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                      WHERE o_totalprice > 400000.0)
+        """,
+        "vocab_top_words": r"""
+            SELECT word, COUNT(*) AS cnt
+              FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+                      FROM documents)
+             GROUP BY word
+             ORDER BY cnt DESC, word
+             LIMIT 100
+        """,
+        "stratified_sample_documents": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rk
+                FROM documents)
+             WHERE rk <= 3
         """,
         "top_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

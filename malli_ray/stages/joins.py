@@ -1,0 +1,130 @@
+"""Join operators: broadcast (small side) and hash-shuffle (big-big).
+
+The reference has no joins (malli validates one value at a time, SURVEY.md
+SS2.8); these are the engine's dataset-level lookup primitives, designed
+Ray-Data-first:
+
+  - ``broadcast_join``: the small side is ``ray.put`` ONCE and probed
+    vectorized (np.searchsorted on a sorted key array) inside every
+    ``map_batches`` task — zero shuffle, the right plan whenever one side
+    fits in worker memory (dimension tables, allow-lists, vocab maps).
+  - ``hash_join``: thin policy wrapper over Ray Data's native
+    ``Dataset.join`` (hash-partitioned shuffle join) with ``num_partitions``
+    defaulted from the cluster size — both sides move, use only when both
+    sides are genuinely large.
+  - ``semi_join`` / ``anti_join``: membership filters via the native join's
+    left_semi / left_anti types (or broadcast for small filter sides —
+    see stages/constraints.check_referential for the broadcast variant).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+__all__ = ["broadcast_join", "hash_join", "semi_join", "anti_join"]
+
+
+class _BroadcastProbe:
+    """Stateful stage: the broadcast (sorted-key) lookup held once per
+    worker; vectorized searchsorted probe per batch."""
+
+    def __init__(self, ref, probe_key: str, out_cols: list[str],
+                 how: str):
+        import ray
+        keys, values = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.keys = keys            # sorted 1-D numpy key array
+        # Arrow arrays built once per worker (pc.take target)
+        self.values = {c: pa.array(v) for c, v in values.items()}
+        self.probe_key = probe_key
+        self.out_cols = out_cols
+        self.how = how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        probe = batch.column(self.probe_key).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(self.keys, probe)
+        idx_c = np.clip(idx, 0, len(self.keys) - 1)
+        matched = (self.keys[idx_c] == probe) if len(self.keys) else \
+            np.zeros(len(probe), dtype=bool)
+        if self.how == "inner":
+            batch = batch.filter(pa.array(matched))
+            idx_c = idx_c[matched]
+            matched = None
+        take = pa.array(idx_c, type=pa.int64(),
+                        mask=(None if matched is None else ~matched))
+        for col in self.out_cols:
+            batch = batch.append_column(col, pc.take(self.values[col], take))
+        return batch
+
+
+def broadcast_join(ds: Dataset, small: pa.Table, key: str,
+                   value_cols: list[str], probe_key: str | None = None,
+                   how: str = "left", concurrency=None) -> Dataset:
+    """Attach ``value_cols`` from a SMALL table to every row of ``ds``.
+
+    The small side ships to the object store once (``ray.put``) as sorted
+    numpy arrays; each batch probes it with one vectorized searchsorted —
+    never a shuffle, never a Python loop over keys. ``how``: "left" keeps
+    unmatched rows with null values, "inner" drops them.  Duplicate keys on
+    the small side keep the LAST occurrence (deterministic after sort).
+    """
+    import ray
+    from . import cached_stage, concurrency_kwargs
+    if how not in ("left", "inner"):
+        raise ValueError("broadcast_join: how must be 'left' or 'inner'")
+    probe_key = probe_key or key
+    keys = small.column(key).to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    values = {c: small.column(c).to_numpy(zero_copy_only=False)[order]
+              for c in value_cols}
+    ref = ray.put((keys[order], values))
+    return ds.map_batches(
+        cached_stage(_BroadcastProbe, ref=ref, probe_key=probe_key,
+                     out_cols=value_cols, how=how),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
+def _default_partitions() -> int:
+    import ray
+    try:
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 16
+
+
+def hash_join(left: Dataset, right: Dataset, on, right_on=None,
+              join_type: str = "inner",
+              num_partitions: int | None = None, **kwargs) -> Dataset:
+    """Big-big equi-join: Ray Data's native hash-partitioned shuffle join.
+
+    Both sides shuffle (all-to-all) — project to the needed columns FIRST
+    and prefer ``broadcast_join`` whenever one side is small. Partition
+    count defaults to the cluster CPU count (each partition joins
+    independently; more partitions = smaller per-worker memory).
+    """
+    if isinstance(on, str):
+        on = (on,)
+    if isinstance(right_on, str):
+        right_on = (right_on,)
+    return left.join(right, join_type=join_type,
+                     num_partitions=num_partitions or _default_partitions(),
+                     on=tuple(on), right_on=right_on, **kwargs)
+
+
+def semi_join(left: Dataset, right: Dataset, on, right_on=None,
+              num_partitions: int | None = None) -> Dataset:
+    """Rows of ``left`` whose key appears in ``right`` (no right columns)."""
+    return hash_join(left, right, on, right_on, join_type="left_semi",
+                     num_partitions=num_partitions)
+
+
+def anti_join(left: Dataset, right: Dataset, on, right_on=None,
+              num_partitions: int | None = None) -> Dataset:
+    """Rows of ``left`` whose key does NOT appear in ``right``."""
+    return hash_join(left, right, on, right_on, join_type="left_anti",
+                     num_partitions=num_partitions)

@@ -20,7 +20,7 @@ from ray.data import Dataset
 from ..state.sketches import hash64
 
 __all__ = ["add_token_count", "add_quality", "LangID", "add_lang_id",
-           "Fingerprinter", "add_fingerprint"]
+           "Fingerprinter", "add_fingerprint", "word_counts", "top_words"]
 
 
 def add_token_count(ds: Dataset, text_column: str,
@@ -129,6 +129,43 @@ def add_lang_id(ds: Dataset, text_column: str, concurrency=None) -> Dataset:
     from . import cached_stage
     return ds.map_batches(cached_stage(LangID, text_column=text_column),
                           batch_format="pyarrow", **_conc(concurrency))
+
+
+def word_counts(ds: Dataset, text_column: str,
+                lowercase: bool = False) -> Dataset:
+    """Corpus word-frequency table (word, cnt) — the vocabulary builder.
+
+    Map-side combine: each batch tokenizes vectorized (polars extract_all +
+    explode) and pre-aggregates its own counts, so the groupby shuffles one
+    row per DISTINCT word per block, never one per token (the same
+    hot-key-safe shape as dedup's exact_dup_groups)."""
+    from ray.data.aggregate import Sum
+
+    def batch_counts(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        s = pl.from_arrow(batch.column(text_column).combine_chunks()
+                          if isinstance(batch.column(text_column), pa.ChunkedArray)
+                          else batch.column(text_column))
+        if lowercase:
+            s = s.str.to_lowercase()
+        words = s.str.extract_all(r"\S+").explode().drop_nulls()
+        if len(words) == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        vc = words.value_counts()  # columns: [word-ish name, "count"]
+        name = vc.columns[0]
+        return pa.table({"word": vc[name].to_arrow().cast(pa.string()),
+                         "cnt": vc["count"].to_arrow().cast(pa.int64())})
+
+    partial = ds.map_batches(batch_counts, batch_format="pyarrow")
+    return partial.groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def top_words(ds: Dataset, text_column: str, k: int = 100,
+              lowercase: bool = False) -> Dataset:
+    """Top-k vocabulary by frequency (ties broken by word — deterministic)."""
+    counts = word_counts(ds, text_column, lowercase=lowercase)
+    return counts.sort(["cnt", "word"], descending=[True, False]).limit(k)
 
 
 class Fingerprinter:

@@ -449,6 +449,45 @@ def test_windows_and_asof(ray_session):
     assert got == {10: "b", 11: "a"}
 
 
+def test_joins(ray_session):
+    """broadcast_join (left/inner), hash_join, semi/anti joins."""
+    import ray.data as rd
+    from malli_ray.stages.joins import (
+        anti_join, broadcast_join, hash_join, semi_join)
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3, 4], "x": ["a", "b", "c", "d"]}))
+    small = pa.table({"k": [1, 3, 5], "v": [10, 30, 50], "w": ["p", "q", "r"]})
+
+    out = sorted(broadcast_join(left, small, "k", ["v", "w"]).take_all(),
+                 key=lambda r: r["k"])
+    assert [r["v"] for r in out] == [10, None, 30, None]
+    assert [r["w"] for r in out] == ["p", None, "q", None]
+    inner = sorted(broadcast_join(left, small, "k", ["v"], how="inner").take_all(),
+                   key=lambda r: r["k"])
+    assert [(r["k"], r["v"]) for r in inner] == [(1, 10), (3, 30)]
+
+    right = rd.from_arrow(pa.table({"rk": [1, 3, 3], "y": [100, 300, 301]}))
+    hj = sorted(hash_join(left, right, on="k", right_on="rk").take_all(),
+                key=lambda r: (r["k"], r["y"]))
+    assert [(r["k"], r["y"]) for r in hj] == [(1, 100), (3, 300), (3, 301)]
+    sj = sorted(r["k"] for r in semi_join(left, right, "k", "rk").take_all())
+    assert sj == [1, 3]
+    aj = sorted(r["k"] for r in anti_join(left, right, "k", "rk").take_all())
+    assert aj == [2, 4]
+
+
+def test_word_counts_top_words(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.text import top_words, word_counts
+
+    t = pa.table({"text": ["a b b", "b c", None, ""]})
+    ds = rd.from_arrow(t)
+    counts = {r["word"]: r["cnt"] for r in word_counts(ds, "text").take_all()}
+    assert counts == {"a": 1, "b": 3, "c": 1}
+    top = top_words(ds, "text", k=2).take_all()
+    assert [(r["word"], r["cnt"]) for r in top] == [("b", 3), ("a", 1)]
+
+
 def test_uniqueness_hot_key_skew(ray_session):
     """A pathologically hot key must not blow up the shuffle: the batch-local
     combiner collapses it to one (key, count) row per block."""
