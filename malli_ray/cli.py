@@ -87,6 +87,9 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--max-violations", type=int, default=10_000)
     v.add_argument("--write-valid", action="store_true",
                    help="also route valid rows to <out>/valid/ (coerce sink)")
+    v.add_argument("--strict-layout", action="store_true",
+                   help="fail fast (exit 2) when the declared :map layout is "
+                        "incompatible with the input's physical schema")
     v.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     v.add_argument("--rows-per-batch", type=int, default=65_536)
@@ -109,13 +112,18 @@ def main(argv: list[str] | None = None) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     try:
-        from .pipelines.validation_job import run_job
+        from .pipelines.validation_job import SchemaLayoutError, run_job
         spec = _build_spec(args)
-        report = run_job(paths, spec, args.out,
-                         uniqueness_key=args.uniqueness_key,
-                         drift_columns=args.drift,
-                         rows_per_batch=args.rows_per_batch,
-                         write_valid=args.write_valid)
+        try:
+            report = run_job(paths, spec, args.out,
+                             uniqueness_key=args.uniqueness_key,
+                             drift_columns=args.drift,
+                             rows_per_batch=args.rows_per_batch,
+                             write_valid=args.write_valid,
+                             strict_layout=args.strict_layout)
+        except SchemaLayoutError as e:
+            print(json.dumps({"pass": False, "layout_error": e.problems}))
+            return 2
         print(json.dumps(report, default=str))
         return 0 if report["pass"] else 1
     finally:

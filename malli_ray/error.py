@@ -14,7 +14,8 @@ from typing import Any, Callable, Optional
 
 from .core import Schema
 
-__all__ = ["error_message", "humanize", "with_spell_checking", "MESSAGE_CATALOG"]
+__all__ = ["error_message", "humanize", "with_spell_checking", "error_value",
+           "resolve_root_error", "MESSAGE_CATALOG"]
 
 DEFAULT_LOCALE = "en"
 
@@ -243,16 +244,217 @@ def humanize(explanation: dict | None, options: dict | None = None,
     if explanation is None:
         return None
     options = options or {}
-    resolve = resolve or error_message
+    resolve = resolve or options.get("resolve") or error_message
     out: Any = None
     for e in explanation.get("errors", []):
-        msg = resolve(e, options)
-        in_ = list(e.get("in", []))
-        extra = _schema_properties(e).get("error/path")
-        if extra:
-            in_ = in_ + list(extra)
+        if getattr(resolve, "__takes_explanation__", False):
+            in_, msg = resolve(explanation, e, options)
+            in_ = list(in_)
+        else:
+            msg = resolve(e, options)
+            in_ = list(e.get("in", []))
+            extra = _schema_properties(e).get("error/path")
+            if extra:
+                in_ = in_ + list(extra)
         out = _push_in(out, in_, msg)
     return out
+
+
+def _explicit_message(s: "Schema", error: dict, options: dict) -> str | None:
+    """A message defined ON the schema (props / type-properties
+    :error/message|:error/fn) — never the catalog."""
+    for props in (s.properties or {}, getattr(s, "type_properties", None) or {}):
+        err = {**error, "schema": s}
+        msg = _resolve(props.get("error/fn"), err, options)
+        if msg is None:
+            msg = _resolve(props.get("error/message"), err, options)
+        if msg is not None:
+            return msg
+    return None
+
+
+def resolve_root_error(explanation: dict, error: dict,
+                       options: dict | None = None):
+    """me/-resolve-root-error analog (error.cljc:315-329): walk the error's
+    schema path from the ROOT down; the first schema or map entry that
+    defines an EXPLICIT :error/message / :error/fn supplies the message and
+    the tree position; otherwise the error's own message at its own path.
+
+    Pass as ``humanize(e, resolve=resolve_root_error)``.
+    """
+    from . import util as mu
+    options = dict(options or {})
+    root = explanation.get("schema")
+    path = list(error.get("path", []))
+    has_in = bool(error.get("in"))
+
+    def in_of(prefix: list) -> list:
+        if not has_in:
+            return []
+        try:
+            return list(mu.path_to_in(root, prefix))
+        except Exception:
+            return list(error.get("in", []))
+
+    if isinstance(root, Schema):
+        for cut in range(len(path) + 1):
+            prefix = path[:cut]
+            try:
+                sub = mu.get_in(root, prefix)
+            except Exception:
+                sub = None
+            if isinstance(sub, Schema):
+                msg = _explicit_message(sub, error, options)
+                if msg is not None:
+                    return in_of(prefix), msg
+                if cut < len(path):
+                    key = path[cut]
+                    try:
+                        found = mu.find(sub, key)
+                    except Exception:
+                        found = None
+                    if found is not None:
+                        _k, eprops, child = found
+                        if eprops:
+                            merged = dict(child.properties or {})
+                            merged.update(eprops)
+                            proxy = _PropsProxy(child, merged)
+                            msg = _explicit_message(proxy, error, options)
+                            if msg is not None:
+                                return in_of(prefix + [key]), msg
+    return list(error.get("in", [])), error_message(error, options)
+
+
+resolve_root_error.__takes_explanation__ = True
+
+
+class _PropsProxy:
+    """A schema view with overridden properties (entry props merged over the
+    child schema — mu/update-properties in -resolve-root-error)."""
+
+    def __init__(self, schema: "Schema", props: dict):
+        self._schema = schema
+        self.properties = props
+        self.type_properties = getattr(schema, "type_properties", None)
+
+    def __getattr__(self, name):
+        return getattr(self._schema, name)
+
+
+# -- error-value (the parts of the value that are in error) -----------------
+
+_NOTHING = object()
+
+
+def _ev_get(x: Any, k: Any) -> Any:
+    if isinstance(x, dict):
+        return x.get(k)
+    if isinstance(x, (set, frozenset)):
+        return k if k in x else None
+    if isinstance(x, (list, tuple)):
+        return x[k] if isinstance(k, int) and 0 <= k < len(x) else None
+    return None
+
+
+def _ev_empty_like(v: Any) -> Any:
+    if isinstance(v, dict):
+        return {}
+    if isinstance(v, (set, frozenset)):
+        return set()
+    if isinstance(v, (list, tuple)):
+        return []
+    return {}
+
+
+def _ev_push(x: Any, k: Any, v: Any, fill: Any) -> Any:
+    """-push (error.cljc:189-198): assoc into map/set/sequence, padding
+    sequences with ``fill`` up to index ``k``."""
+    if isinstance(x, (set, frozenset)):
+        out = set(x)
+        out.add(v)
+        return out
+    if isinstance(x, list):
+        out = list(x)
+        if isinstance(k, int):
+            while len(out) <= k:
+                out.append(fill)
+            out[k] = v
+            return out
+        return out + [v]
+    out = dict(x) if isinstance(x, dict) else {}
+    out[k] = v
+    return out
+
+
+def _ev_replace_in(a: Any, v: Any, path: list, e: Any, fill: Any) -> Any:
+    """-replace-in (error.cljc:228-230): build (or extend) the error-only
+    skeleton of ``v`` along ``path``, placing ``e`` at the leaf."""
+    if not path:
+        return e
+    aa = a if a is not None else _ev_empty_like(v)
+    p, rest = path[0], path[1:]
+    if isinstance(aa, (set, frozenset)):
+        aa = set(aa)
+        aa.discard(p)
+    return _ev_push(aa, p,
+                    _ev_replace_in(_ev_get(a, p), _ev_get(v, p), rest, e, fill),
+                    fill)
+
+
+def _ev_masked(mask: Any, x: Any, y: Any) -> Any:
+    """-masked (error.cljc:239-245): fill the valid parts of ``x`` (the
+    original value) absent from the error skeleton ``y`` with ``mask``."""
+    nested = isinstance(x, dict) and (isinstance(y, dict) or y is None)
+    if nested:
+        acc = dict(y) if isinstance(y, dict) else {}
+        for k, v in x.items():
+            if isinstance(y, dict) and k in y:
+                acc[k] = _ev_masked(mask, v, y[k])
+            else:
+                acc[k] = mask
+        return acc
+    if isinstance(x, (set, frozenset)):
+        out = set(y) if isinstance(y, (set, frozenset)) else set()
+        if len(x) != len(out):
+            out.add(mask)
+        return out
+    if isinstance(x, (list, tuple)) and isinstance(y, list):
+        out = list(y)
+        while len(out) < len(x):
+            out.append(mask)
+        return out
+    return y
+
+
+def error_value(explanation: dict | None, options: dict | None = None) -> Any:
+    """The parts of the value that are in error (me/error-value,
+    error.cljc:232-247, 397-408).
+
+    Options (snake_case analogs of the ``::me/*`` keys):
+      - ``mask_valid_values``: value to mask valid parts with
+      - ``keep_valid_values``: keep valid values (overrides mask)
+      - ``accept_error``: predicate on error maps (default: everything
+        except ``malli.core/missing-key``)
+      - ``wrap_error``: fn error-map -> painted value (default: its value)
+    """
+    if explanation is None:
+        return None
+    options = options or {}
+    mask = options.get("mask_valid_values", _NOTHING)
+    accept = options.get(
+        "accept_error",
+        lambda e: e.get("type") != "malli.core/missing-key")
+    wrap = options.get("wrap_error", lambda e: e.get("value"))
+    value = explanation.get("value")
+    fill = None if mask is _NOTHING else mask
+    acc = value if options.get("keep_valid_values") else None
+    for e in explanation.get("errors", []):
+        if accept(e):
+            acc = _ev_replace_in(acc, value, list(e.get("in", [])), wrap(e),
+                                 fill)
+    if mask is not _NOTHING:
+        acc = _ev_masked(mask, value, acc)
+    return acc
 
 
 # -- spell checking ---------------------------------------------------------

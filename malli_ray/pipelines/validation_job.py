@@ -42,7 +42,16 @@ from ..stages.validator import (
 )
 from ..stages import constraints as C
 
-__all__ = ["ValidationSpec", "validate", "explain", "summarize", "run_job"]
+__all__ = ["ValidationSpec", "validate", "explain", "summarize", "run_job",
+           "SchemaLayoutError"]
+
+
+class SchemaLayoutError(ValueError):
+    """strict_layout fail-fast: declared :map layout vs physical schema."""
+
+    def __init__(self, message: str, problems: list[str]):
+        super().__init__(message)
+        self.problems = problems
 
 
 from ..stages import concurrency_kwargs as _concurrency_kwargs
@@ -242,12 +251,18 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
             rows_per_batch: int = 65_536,
             save_baseline_if_missing: bool = True,
             write_valid: bool = False,
-            rowgroups_per_partition: int | None = None) -> dict:
+            rowgroups_per_partition: int | None = None,
+            strict_layout: bool = False) -> dict:
     """Run (or resume) the full checkpointed validation job.
 
     Returns the job report: verdicts, stats, sketches, constraint results,
     drift scores. Identical verdicts on resume: partition == fragment,
     deterministic processing, sketch merges in sorted partition order.
+
+    ``strict_layout=True`` turns the declared-DSL-vs-physical-schema diff
+    (arrow_schema.schema_compatible) into a FAIL-FAST error before any
+    fragment is processed — for jobs where a layout drift (renamed/retyped
+    column) should abort rather than surface as per-row violations.
     """
     import hashlib
 
@@ -313,6 +328,11 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
         schema_problems = schema_compatible(spec.schema, first)
     except Exception:
         pass
+    if strict_layout and schema_problems:
+        raise SchemaLayoutError(
+            f"input layout incompatible with declared schema "
+            f"({len(schema_problems)} problem(s)): "
+            + "; ".join(schema_problems), schema_problems)
 
     if pending:
         from ..stages import cached_stage

@@ -23,7 +23,8 @@ import pyarrow as pa
 from ray.data import Dataset
 
 __all__ = ["ImageFeatureExtractor", "add_image_features",
-           "FrameSampler", "suggested_batch_size"]
+           "FrameSampler", "AudioFrameFeatures", "audio_frame_features",
+           "suggested_batch_size"]
 
 IMAGE_META_SCHEMA = pa.schema([
     ("payload", pa.large_binary()),
@@ -115,6 +116,94 @@ def add_image_features(ds: Dataset, payload_column: str = "payload",
         fn_constructor_kwargs={"payload_column": payload_column},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency or (1, 8))
+
+
+class AudioFrameFeatures:
+    """Windowed audio features over RAW PCM payloads — a REAL kernel.
+
+    Raw 16-bit little-endian mono PCM needs no codec library, so unlike the
+    image path this stage computes genuine per-window features: RMS energy
+    and zero-crossing rate per ``frame_ms`` window at ``hop_ms`` stride
+    (numpy sliding windows — vectorized per payload, no per-sample Python).
+    Compressed formats (mp3/ogg/flac) would need a codec that is absent in
+    this container: payloads whose ``format`` metadata is not ``pcm16`` /
+    ``raw`` raise NotImplementedError in strict mode, or emit zero frames
+    otherwise (documented stub boundary).
+
+    Flat-map semantics: one input row -> one row per window
+    (id, frame_index, t_start_s, rms, zcr).
+    """
+
+    RAW_FORMATS = ("pcm16", "raw", None, "")
+
+    def __init__(self, payload_column: str = "payload", id_column: str = "id",
+                 format_column: str | None = None, sample_rate: int = 16000,
+                 frame_ms: int = 25, hop_ms: int = 10, strict: bool = False):
+        self.payload_column = payload_column
+        self.id_column = id_column
+        self.format_column = format_column
+        self.sample_rate = sample_rate
+        self.frame = max(1, sample_rate * frame_ms // 1000)
+        self.hop = max(1, sample_rate * hop_ms // 1000)
+        self.strict = strict
+
+    def _features(self, pcm: np.ndarray):
+        from numpy.lib.stride_tricks import sliding_window_view
+        if len(pcm) < self.frame:
+            pcm = np.pad(pcm, (0, self.frame - len(pcm)))
+        wins = sliding_window_view(pcm, self.frame)[::self.hop]
+        x = wins.astype(np.float64) / 32768.0
+        rms = np.sqrt((x * x).mean(axis=1))
+        zcr = (np.diff(np.signbit(wins), axis=1) != 0).mean(axis=1)
+        return rms, zcr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_pylist()
+        payloads = batch.column(self.payload_column).to_pylist()
+        formats = (batch.column(self.format_column).to_pylist()
+                   if self.format_column and
+                   self.format_column in batch.schema.names
+                   else [None] * len(ids))
+        out_id, out_idx, out_t, out_rms, out_zcr = [], [], [], [], []
+        for rid, p, fmt in zip(ids, payloads, formats):
+            if fmt not in self.RAW_FORMATS:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"audio format {fmt!r} needs a codec library that is "
+                        "not available in this environment (raw pcm16 only)")
+                continue
+            p = p or b""
+            pcm = np.frombuffer(p[:len(p) - (len(p) % 2)], dtype="<i2")
+            if len(pcm) == 0:
+                continue
+            rms, zcr = self._features(pcm)
+            n = len(rms)
+            out_id.extend([rid] * n)
+            out_idx.extend(range(n))
+            out_t.extend((np.arange(n) * self.hop / self.sample_rate).tolist())
+            out_rms.extend(rms.tolist())
+            out_zcr.extend(zcr.tolist())
+        return pa.table({
+            "audio_id": out_id,
+            "frame_index": pa.array(out_idx, type=pa.int32()),
+            "t_start_s": pa.array(out_t, type=pa.float64()),
+            "rms": pa.array(out_rms, type=pa.float64()),
+            "zcr": pa.array(out_zcr, type=pa.float64())})
+
+
+def audio_frame_features(ds: Dataset, payload_column: str = "payload",
+                         id_column: str = "id",
+                         format_column: str | None = None,
+                         batch_size: int = 64, concurrency=None,
+                         **kwargs) -> Dataset:
+    """Actor-pool audio windowing stage (small batches: payloads dominate)."""
+    from . import cached_stage, concurrency_kwargs
+    return ds.map_batches(
+        cached_stage(AudioFrameFeatures, payload_column=payload_column,
+                     id_column=id_column, format_column=format_column,
+                     **kwargs),
+        batch_format="pyarrow", batch_size=batch_size,
+        **concurrency_kwargs(concurrency))
 
 
 class FrameSampler:

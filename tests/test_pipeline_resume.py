@@ -137,6 +137,25 @@ def test_run_job_ignores_stale_partitions(ray_session, seq_dir):
     assert sub["n_partitions"] == 1
 
 
+def test_strict_layout_fail_fast(ray_session, seq_dir, tmp_path):
+    """strict_layout=True aborts BEFORE processing when the physical schema
+    can't satisfy the declared :map layout; default mode records problems."""
+    from malli_ray.pipelines.validation_job import SchemaLayoutError, run_job
+
+    paths = sorted(glob.glob(os.path.join(seq_dir, "*.parquet")))
+    bad_spec = ValidationSpec(
+        schema=["map", ["doc_id", "string"], ["no_such_column", "int"]],
+        id_column="doc_id")
+    with pytest.raises(SchemaLayoutError) as ei:
+        run_job(paths, bad_spec, str(tmp_path / "strict"), strict_layout=True)
+    assert ei.value.problems and any("no_such_column" in p
+                                     for p in ei.value.problems)
+    assert not os.path.exists(str(tmp_path / "strict" / "violations"))
+    # non-strict: same spec runs, problems recorded in the report
+    rep = run_job(paths, bad_spec, str(tmp_path / "lenient"))
+    assert rep["schema_problems"]
+
+
 def test_row_group_partitions(ray_session, tmp_path):
     """rowgroups_per_partition: finer resume units; verdicts identical to
     file-level partitioning."""

@@ -290,6 +290,89 @@ def test_not_schema_reference_cases():
         [(["c", "d", 0], ["c", "d"])]
 
 
+def test_resolve_root_error_reference_cases():
+    """me/-resolve-root-error (error.cljc:315-329; error_test
+    'error-definion-lookup-test'): the explicit message nearest the ROOT
+    wins and relocates the humanized message."""
+    from malli_ray.error import humanize, resolve_root_error
+
+    h = lambda s, v: humanize(m.explain(s, v), resolve=resolve_root_error)
+    assert h(["map", ["foo", "int"]], {"foo": "1"}) == \
+        {"foo": ["should be an integer"]}
+    assert h(["map", ["foo", {"error/message": "entry-failure"}, "int"]],
+             {"foo": "1"}) == {"foo": ["entry-failure"]}
+    # root-level message overrides the entry message (nearest root wins)
+    assert h(["map", {"error/message": "map-failure"},
+              ["foo", {"error/message": "entry-failure"}, "int"]],
+             {"foo": "1"}) == ["map-failure"]
+    # entry :error/fn sees the child schema's own properties (merged)
+    fn = lambda err, _o: err["schema"].properties.get("reason")
+    assert h(["map", ["foo", {"error/fn": fn}, ["int", {"reason": "failure"}]]],
+             {"foo": "1"}) == {"foo": ["failure"]}
+    # enum #553: no explicit ancestor message -> the error's own message
+    assert h(["map", ["a", ["enum", "a", "b"]]], {"a": None}) == \
+        {"a": ["should be either 'a' or 'b'"]}
+    # non-map ancestors don't break the walk (find over non-maps);
+    # divergence: we keep the error at its true index (reference collapses
+    # to the path-derived position)
+    assert h(["sequential", ["and", "int"]], [1, "2"]) == \
+        [None, ["should be an integer"]]
+
+
+def test_error_value_reference_cases():
+    """me/error-value semantics (error.cljc:232-247, 397-408;
+    error_test.cljc 'error-value' block): default missing-key suppression,
+    accept-error override, mask-valid-values, wrap-error painting,
+    keep-valid-values."""
+    from malli_ray.error import error_value
+
+    Address = ["map", {"closed": True},
+               ["id", "string"],
+               ["numbers", ["vector", "int"]],
+               ["address", ["map",
+                            ["street", "string"],
+                            ["city", "string"],
+                            ["zip", "int"],
+                            ["lonlat", ["tuple", "double", "double"]]]]]
+    address = {"id": "Lillan", "EXTRA": "KEY",
+               "numbers": [1, "2", 3, 4, "5", 6, 7],
+               "address": {"street": "Ahlmanintie 29", "zip": 33100,
+                           "lonlat": [61.4858322, "23.7832851,17"]}}
+    e = m.explain(Address, address)
+
+    # defaults: error-only skeleton, missing keys suppressed
+    assert error_value(e) == {
+        "EXTRA": "KEY",
+        "numbers": [None, "2", None, None, "5"],
+        "address": {"lonlat": [None, "23.7832851,17"]}}
+    # accept everything: the missing city appears
+    got = error_value(e, {"accept_error": lambda _e: True})
+    assert got["address"]["city"] is None and "city" in got["address"]
+    # masked valid values (error_test 'masked valid values' shape)
+    assert error_value(e, {"mask_valid_values": "..."}) == {
+        "id": "...",
+        "EXTRA": "KEY",
+        "numbers": ["...", "2", "...", "...", "5", "...", "..."],
+        "address": {"street": "...", "zip": "...",
+                    "lonlat": ["...", "23.7832851,17"]}}
+    # custom painting of errors
+    painted = error_value(e, {"wrap_error":
+                              lambda err: {"value": err.get("value"),
+                                           "type": err.get("type")}})
+    assert painted["EXTRA"] == {"value": "KEY", "type": "malli.core/extra-key"}
+    assert painted["numbers"][1] == {"value": "2", "type": None}
+    # keeping valid values
+    kept = error_value(e, {"wrap_error": lambda err: {"value": err.get("value")},
+                           "keep_valid_values": True})
+    assert kept["id"] == "Lillan" and kept["numbers"][0] == 1
+    assert kept["numbers"][1] == {"value": "2"}
+    # sets: failing elements surface; mask marks hidden valid members
+    es = m.explain(["set", "int"], {1, "a"})
+    assert error_value(es) == {"a"}
+    assert error_value(es, {"mask_valid_values": "..."}) == {"a", "..."}
+    assert error_value(None) is None
+
+
 def test_recursive_cons_cell():
     # core_test.cljc:646-679: recursion through a local registry + :ref
     ConsCell = ["schema",

@@ -318,6 +318,42 @@ def test_multimodal_plumbing(ray_session):
     assert suggested_batch_size(10 * 1024 * 1024) == 51
 
 
+def test_audio_frame_features(ray_session):
+    """Real windowed audio features over raw PCM (no codec needed): RMS/ZCR
+    per 25ms window vs a numpy oracle; non-raw formats skip (or raise in
+    strict mode)."""
+    import ray.data as rd
+    from malli_ray.stages.multimodal import (
+        AudioFrameFeatures, audio_frame_features)
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr          # 1s of audio
+    sine = (np.sin(2 * np.pi * 440 * t) * 0.5 * 32767).astype("<i2")
+    silence = np.zeros(sr // 2, dtype="<i2")
+    tbl = pa.table({
+        "id": [1, 2, 3],
+        "payload": [sine.tobytes(), silence.tobytes(), b"\x00" * 100],
+        "format": ["pcm16", "raw", "mp3"],
+    })
+    out = audio_frame_features(rd.from_arrow(tbl), "payload", "id",
+                               format_column="format").take_all()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["audio_id"], []).append(r)
+    # 1s at 10ms hop, 25ms window -> (16000-400)//160+1 = 98 windows
+    assert len(by_id[1]) == 98
+    # sine at ~0.5 amplitude: rms ~= 0.5/sqrt(2); zcr ~= 2*440/16000
+    assert abs(by_id[1][0]["rms"] - 0.5 / np.sqrt(2)) < 0.02
+    assert abs(by_id[1][0]["zcr"] - 2 * 440 / sr) < 0.02
+    assert all(abs(r["rms"]) < 1e-9 for r in by_id[2])   # silence
+    assert 3 not in by_id                                # mp3 skipped
+    # strict mode: compressed format raises (documented stub boundary)
+    strict = AudioFrameFeatures("payload", "id", format_column="format",
+                                strict=True)
+    with pytest.raises(NotImplementedError):
+        strict(tbl)
+
+
 def test_infer_dataset(ray_session):
     import ray.data as rd
     from malli_ray.provider import infer_dataset
