@@ -23,7 +23,8 @@ __all__ = [
     "optional_keys", "required_keys", "keys", "get", "get_in", "assoc_in",
     "closed_schema", "open_schema", "subschemas", "equals", "find",
     "transform_entries", "register_into", "path_to_in", "in_to_paths",
-    "update_properties",
+    "update_properties", "find_first", "distinct_by",
+    "update_entry_properties", "update_in", "data_explainer", "explain_data",
 ]
 
 
@@ -332,6 +333,82 @@ def closed_schema(s: Any, options: dict | None = None) -> Schema:
 
 def open_schema(s: Any, options: dict | None = None) -> Schema:
     return _set_closed(s, False, options)
+
+
+def find_first(s: Any, f: Callable, options: dict | None = None):
+    """Prewalk; return the first non-None ``f(schema, path, options)``
+    (mu/find-first, util.cljc:37-52)."""
+    for (path, sub) in subschemas(s, options):
+        out = f(sub, path, options)
+        if out is not None:
+            return out
+    return None
+
+
+def distinct_by(f: Callable, coll) -> list:
+    """Distinct by ``f(x)``, first occurrence wins (util.cljc:183-188)."""
+    seen = set()
+    out = []
+    for x in coll:
+        v = f(x)
+        if v not in seen:
+            seen.add(v)
+            out.append(x)
+    return out
+
+
+def update_entry_properties(s: Any, key: Any, f: Callable[[dict], dict],
+                            options: dict | None = None) -> Schema:
+    """Update the ENTRY properties of map entry ``key``
+    (mu/update-entry-properties, util.cljc:120-127)."""
+    m = _as_map(s, options)
+    found = find(m, key, options)
+    if found is None:
+        raise SchemaError(f"no entry {key!r} in {m.form!r}")
+    entries = []
+    for (k, p, cs) in m.children:
+        if k == key:
+            p = f(dict(p or {}))
+            entries.append((k, p or None, cs))
+        else:
+            entries.append((k, p, cs))
+    return _rebuild_map(m, entries, m.properties)
+
+
+def update_in(s: Any, path: list, f: Callable, options: dict | None = None) -> Schema:
+    """Like assoc_in but transforms the existing child with ``f``
+    (mu/update-in, util.cljc:379-389)."""
+    if not path:
+        return schema(f(schema(s, options)), options)
+    cur = get_in(s, path, options)
+    return assoc_in(s, path, f(cur), options)
+
+
+def _form_of(x: Any) -> Any:
+    return x.form if isinstance(x, Schema) else x
+
+
+def data_explainer(s: Any, options: dict | None = None) -> Callable[[Any], Any]:
+    """Like m/explainer but output is PURE data: Schema objects replaced by
+    their forms — serializable errors (mu/data-explainer, util.cljc:209-223)."""
+    from .core import explainer as m_explainer
+    exp = m_explainer(s, options)
+
+    def data_explain(value):
+        e = exp(value)
+        if e is None:
+            return None
+        return {"schema": _form_of(e["schema"]), "value": e["value"],
+                "errors": [{**err, "schema": _form_of(err.get("schema"))}
+                           for err in e["errors"]]}
+
+    return data_explain
+
+
+def explain_data(s: Any, value: Any, options: dict | None = None):
+    """m/explain with serializable (form-only) output
+    (mu/explain-data, util.cljc:224-236)."""
+    return data_explainer(s, options)(value)
 
 
 def subschemas(s: Any, options: dict | None = None) -> list:

@@ -160,3 +160,49 @@ def test_update_properties():
     assert not m.validate(s2, {"x": 1, "y": 2})
     s3 = mu.update_properties(["int", {"min": 1}], lambda p: {})
     assert m.validate(s3, 0)
+
+
+def test_find_first_distinct_by():
+    # mu/find-first (util.cljc:37-52): prewalk, first non-None wins
+    S = ["map", ["a", "int"], ["b", ["vector", ["string", {"tag": "hit"}]]]]
+    hit = mu.find_first(S, lambda sc, path, _o:
+                        (list(path), sc.type)
+                        if (sc.properties or {}).get("tag") == "hit" else None)
+    assert hit == (["b", 0], "string")
+    assert mu.find_first(S, lambda *_: None) is None
+    # mu/distinct-by (util.cljc:183-188): first occurrence wins
+    assert mu.distinct_by(lambda x: x % 3, [1, 4, 2, 7, 3]) == [1, 2, 3]
+
+
+def test_update_entry_properties():
+    # mu/update-entry-properties (util.cljc:120-127)
+    S = ["map", ["x", "int"], ["y", "string"]]
+    s2 = mu.update_entry_properties(S, "x", lambda p: {**p, "optional": True})
+    assert m.validate(s2, {"y": "s"})            # x is now optional
+    assert not m.validate(s2, {"x": 1})          # y still required
+    import pytest
+    with pytest.raises(Exception):
+        mu.update_entry_properties(S, "nope", lambda p: p)
+
+
+def test_update_in():
+    # mu/update-in (util.cljc:379-389)
+    S = ["map", ["addr", ["map", ["zip", "int"]]]]
+    s2 = mu.update_in(S, ["addr", "zip"], lambda _sc: "string")
+    assert m.validate(s2, {"addr": {"zip": "00100"}})
+    assert not m.validate(s2, {"addr": {"zip": 100}})
+
+
+def test_explain_data_serializable():
+    # mu/explain-data (util.cljc:209-236): forms, not Schema objects
+    import json
+    S = ["map", ["x", "int"]]
+    e = mu.explain_data(S, {"x": "nope"})
+    assert e["schema"] == ["map", ["x", "int"]]
+    assert all(not isinstance(err.get("schema"), m.Schema)
+               for err in e["errors"])
+    json.dumps(e)  # fully serializable
+    assert mu.explain_data(S, {"x": 1}) is None
+    # reusable compiled form
+    de = mu.data_explainer(S)
+    assert de({"x": 1}) is None and de({"x": "no"})["errors"]
