@@ -160,7 +160,32 @@ MESSAGE_CATALOG: dict[tuple[str, str], Any] = {
     ("schema", "ifn?"): "should be an ifn",
     ("schema", "char?"): "should be a char",
     ("schema", "empty?"): "should be empty",
+    ("schema", "any?"): "should be any",
+    ("schema", "any"): "should be any",
+    ("schema", "nil"): "should be nil",
 }
+
+
+def _not_message(error: dict, options: dict) -> str | None:
+    """:not humanization (error.cljc:21-42, 123-124): resolve the CHILD's
+    message and flip its "should "/"should not " prefix."""
+    s = error.get("schema")
+    child = s.children[0] if isinstance(s, Schema) and s.children else None
+    if child is None:
+        return None
+    inner_err = {k: v for k, v in error.items() if k != "message"}
+    inner_err["schema"] = child
+    inner = error_message(inner_err, {**options, "unknown": False})
+    if not isinstance(inner, str):
+        return None
+    if inner.startswith("should not "):
+        return "should " + inner[len("should not "):]
+    if inner.startswith("should "):
+        return "should not " + inner[len("should "):]
+    return None
+
+
+MESSAGE_CATALOG[("schema", "not")] = _not_message
 
 _UNKNOWN = "unknown error"
 
@@ -203,6 +228,8 @@ def error_message(error: dict, options: dict | None = None) -> str:
         s = error.get("schema")
         if isinstance(s, Schema):
             msg = _resolve(MESSAGE_CATALOG.get(("schema", s.type)), error, options)
+    if msg is None and not options.get("unknown", True):
+        return None
     return msg if msg is not None else _UNKNOWN
 
 

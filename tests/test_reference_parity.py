@@ -290,6 +290,30 @@ def test_not_schema_reference_cases():
         [(["c", "d", 0], ["c", "d"])]
 
 
+def test_not_humanize_negation():
+    """:not humanizes by flipping the child's should/should-not prefix
+    (error.cljc:21-42, 123-124; error_test not-humanize-test)."""
+    h = lambda s, v: m.humanize(m.explain(s, v))
+    assert h(["not", "int?"], 1) == ["should not be an int"]
+    assert h(["not", "integer?"], 1) == ["should not be an integer"]
+    assert h(["not", "pos-int?"], 1) == ["should not be a positive int"]
+    assert h(["not", "neg-int?"], -1) == ["should not be a negative int"]
+    assert h(["not", "nat-int?"], 1) == ["should not be a non-negative int"]
+    assert h(["not", "pos?"], 1) == ["should not be positive"]
+    assert h(["not", "boolean?"], True) == ["should not be a boolean"]
+    assert h(["not", "string?"], "") == ["should not be a string"]
+    assert h(["not", "map?"], {}) == ["should not be a map"]
+    assert h(["not", "nil?"], None) == ["should not be nil"]
+    assert h(["not", "true?"], True) == ["should not be true"]
+    assert h(["not", "zero?"], 0) == ["should not be zero"]
+    assert h(["not", "any?"], True) == ["should not be any"]
+    # double negation flips back
+    assert h(["not", ["not", "int"]], "x") == ["should be an integer"]
+    # nested placement
+    assert h(["map", ["x", ["not", "string"]]], {"x": "s"}) == \
+        {"x": ["should not be a string"]}
+
+
 def test_resolve_root_error_reference_cases():
     """me/-resolve-root-error (error.cljc:315-329; error_test
     'error-definion-lookup-test'): the explicit message nearest the ROOT
