@@ -754,20 +754,44 @@ class OrSchema(Schema):
         return unparse_
 
     def _transformer(self, transformer, method, options):
-        this_t = transformer.value_transformer(self, method, options) if transformer else None
-        branch_ts = [c._transformer(transformer, method, options) for c in self.children]
-        branch_vs = [c.validator() for c in self.children]
-        if all(t is None for t in branch_ts):
-            return _intercepting(this_t, None)
+        return _or_transformer(self, transformer, method, options,
+                               list(self.children))
 
+
+def _or_transformer(this: "Schema", transformer, method: str, options,
+                    child_schemas: list) -> Optional[Callable]:
+    """-or-transformer (src/malli/core.cljc:651-670), shared by :or and
+    :orn (which applies it over its entry children, core.cljc:1097).
+
+    decode: first branch whose DECODED value validates wins; when none
+    validates, the FIRST branch's decoded value is kept (reference acc
+    semantics). encode: first branch whose validator accepts the raw value
+    supplies the encoder; otherwise the value passes through unchanged.
+    """
+    this_t = transformer.value_transformer(this, method, options) if transformer else None
+    branch_ts = [c._transformer(transformer, method, options) for c in child_schemas]
+    branch_vs = [c.validator() for c in child_schemas]
+    if all(t is None for t in branch_ts):
+        return _intercepting(this_t, None)
+
+    if method == "decode":
         def try_branches(x):
+            first = _MISSING
             for t, v in zip(branch_ts, branch_vs):
                 out = x if t is None else t(x)
                 if v(out):
                     return out
+                if first is _MISSING:
+                    first = out
+            return x if first is _MISSING else first
+    else:
+        def try_branches(x):
+            for t, v in zip(branch_ts, branch_vs):
+                if v(x):
+                    return x if t is None else t(x)
             return x
 
-        return _intercepting(this_t, try_branches)
+    return _intercepting(this_t, try_branches)
 
 
 class OrnSchema(Schema):
@@ -815,6 +839,12 @@ class OrnSchema(Schema):
             return us[x.key](x.value)
 
         return unparse_
+
+    def _transformer(self, transformer, method, options):
+        # :orn transforms like :or over its entry children
+        # (src/malli/core.cljc:1097 -> -or-transformer)
+        return _or_transformer(self, transformer, method, options,
+                               [s for (_, _, s) in self.children])
 
     def _form(self):
         out: list = [self.type]

@@ -225,8 +225,13 @@ def _gen_simple(sc: Schema, t: str, props: dict, rng, size: int) -> Any:
     if t == "nat-int?":
         return _bounded_int(rng, props, 0, 1000)
     if t in ("double", "float", "double?", "float?", "number", "number?"):
-        mn = props.get("min", -1000.0)
-        mx = props.get("max", 1000.0)
+        # :gen/infinite? / :gen/NaN? opt-ins (generator.cljc:86-88 inf-nan;
+        # defaults exclude both, like gen-double's double-default)
+        if props.get("gen/infinite?") and rng.random() < 0.15:
+            return math.inf if rng.random() < 0.5 else -math.inf
+        if props.get("gen/NaN?") and rng.random() < 0.15:
+            return math.nan
+        mn, mx = _gen_min_max(props, -1000.0, 1000.0)
         v = float(rng.uniform(mn, mx))
         return v if t not in ("double?", "float?") else v + 0.0
     if t == "pos?":

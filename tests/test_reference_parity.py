@@ -290,6 +290,24 @@ def test_not_schema_reference_cases():
         [(["c", "d", 0], ["c", "d"])]
 
 
+def test_or_orn_transformer_reference_semantics():
+    """-or-transformer (core.cljc:651-670) applies to BOTH :or and :orn
+    (core.cljc:1035, 1097): decode = first branch whose decoded value
+    validates (falling back to the first decode), encode = first branch
+    whose validator accepts the raw value."""
+    from malli_ray.transform import string_transformer
+    st = string_transformer()
+    assert m.decode(["or", "int", "boolean"], "true", st) is True
+    assert m.decode(["or", "int", "boolean"], "7", st) == 7
+    assert m.decode(["orn", ["i", "int"], ["b", "boolean"]], "true", st) is True
+    assert m.decode(["orn", ["i", "int"], ["b", "boolean"]], "7", st) == 7
+    # no branch validates: the first branch's decode result is kept
+    assert m.decode(["or", "int", "boolean"], "zzz", st) == "zzz"
+    # encode picks the branch that accepts the raw value
+    assert m.encode(["or", "int", "string"], 7, st) == "7"
+    assert m.encode(["orn", ["i", "int"], ["s", "string"]], 7, st) == "7"
+
+
 def test_not_humanize_negation():
     """:not humanizes by flipping the child's should/should-not prefix
     (error.cljc:21-42, 123-124; error_test not-humanize-test)."""

@@ -141,6 +141,22 @@ def test_gen_fmap_schema_minmax():
         generate(["int", {"max": 5, "gen/max": 9}])
 
 
+def test_gen_double_inf_nan():
+    import math
+    # defaults never produce inf/NaN
+    vals = sample("double", n=200, seed=3)
+    assert all(math.isfinite(v) for v in vals)
+    # opted in, they appear (and still validate: double? accepts them)
+    inf_vals = sample(["double", {"gen/infinite?": True}], n=200, seed=3)
+    assert any(math.isinf(v) for v in inf_vals)
+    nan_vals = sample(["double", {"gen/NaN?": True}], n=200, seed=4)
+    assert any(math.isnan(v) for v in nan_vals)
+    # :gen/min/:gen/max refine double bounds too
+    bounded = sample(["double", {"min": 0.0, "gen/min": 5.0, "max": 10.0}],
+                     n=50, seed=5)
+    assert all(5.0 <= v <= 10.0 for v in bounded)
+
+
 def test_gen_recursive_ref_sized():
     """Recursive refs halve the size budget per deref: generated trees stay
     small/linear and always validate (ConsCell-style schema)."""
