@@ -10,11 +10,13 @@ Pipelines: ``malli_ray.pipelines`` (checkpointed validation job).
 
 from .core import (  # noqa: F401
     DEFAULT_KEY, INVALID, Invalid, Schema, SchemaError, Tag, Tags,
-    ast, children, coerce, coercer, decode, decoder, default_registry, deref,
-    encode, encoder, entries, explain, explainer, form, from_ast,
-    old_parse_format, parse, parser, parser_info, properties, register_type,
-    schema, schema_type, tag, tags, unparse, unparser,
-    validate, validator, walk,
+    ast, children, coerce, coercer, decode, decoder, default_registry,
+    default_schema, deref, deref_all, deref_recursive,
+    encode, encoder, entries, explain, explainer, explicit_keys, form,
+    from_ast, into_schema, is_schema, old_parse_format, options, parse,
+    parser, parser_info, properties, register_type,
+    schema, schema_type, schema_walker, tag, tags, type_properties,
+    unparse, unparser, validate, validator, walk,
 )
 from .error import error_message, humanize  # noqa: F401
 

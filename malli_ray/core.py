@@ -36,6 +36,9 @@ __all__ = [
     "schema", "validate", "validator", "explain", "explainer",
     "parse", "parser", "unparse", "unparser",
     "tag", "tags", "old_parse_format", "parser_info",
+    "is_schema", "into_schema", "type_properties", "options",
+    "deref_all", "deref_recursive", "explicit_keys", "default_schema",
+    "schema_walker",
     "decode", "decoder", "encode", "encoder", "coerce", "coercer",
     "form", "properties", "children", "entries", "schema_type", "walk",
     "default_registry", "register_type", "ast", "from_ast", "deref",
@@ -2111,6 +2114,104 @@ def unparser(s: Any, options: dict | None = None) -> Callable[[Any], Any]:
 
 def unparse(s: Any, value: Any, options: dict | None = None) -> Any:
     return schema(s, options).unparser()(value)
+
+
+def is_schema(x: Any) -> bool:
+    """m/schema? (src/malli/core.cljc:2560-2563)."""
+    return isinstance(x, Schema)
+
+
+def into_schema(type_: Any, properties: dict | None, children: list,
+                options: dict | None = None) -> Schema:
+    """m/into-schema: explicit (type, props, children) -> Schema
+    (src/malli/core.cljc:2540-2558)."""
+    form: list = [type_]
+    if properties:
+        form.append(dict(properties))
+    form.extend(children)
+    return schema(form, options)
+
+
+def type_properties(s: Any, options: dict | None = None) -> dict:
+    """m/type-properties: properties contributed by the schema TYPE itself
+    (src/malli/core.cljc:2534-2539). Built-in types contribute none in this
+    engine; custom types registered with ``type_properties`` surface them."""
+    sc = schema(s, options)
+    return dict(getattr(sc, "type_properties", None) or {})
+
+
+def options(s: Any) -> dict | None:
+    """m/options (src/malli/core.cljc:2612-2616)."""
+    return schema(s).options
+
+
+def deref_all(s: Any, options: dict | None = None) -> Schema:
+    """Deref top-level wrapper/ref schemas recursively
+    (m/deref-all, src/malli/core.cljc:2843-2849)."""
+    sc = schema(s, options)
+    seen = 0
+    while hasattr(sc, "deref") and sc.type in (
+            "ref", "schema", "malli.core/schema", "merge", "union",
+            "select-keys") and seen < 100:
+        nxt = sc.deref()
+        if nxt is sc:
+            break
+        sc = nxt
+        seen += 1
+    return sc
+
+
+def deref_recursive(s: Any, options: dict | None = None) -> Schema:
+    """Derefs all schemas at ALL levels; does not walk over :ref
+    (m/deref-recursive, src/malli/core.cljc:2851-2863)."""
+    sc = deref_all(schema(s, options))
+
+    def walk_(node: Schema) -> Schema:
+        if node.type == "ref":
+            return node  # recursion boundary
+        if hasattr(node, "deref") and node.type in (
+                "schema", "malli.core/schema", "merge", "union", "select-keys"):
+            return walk_(deref_all(node))
+        new_children = []
+        changed = False
+        for c in node.children:
+            if isinstance(c, Schema):
+                w = walk_(c)
+                changed = changed or (w is not c)
+                new_children.append(w)
+            elif (isinstance(c, tuple) and len(c) == 3
+                  and isinstance(c[2], Schema)):
+                w = walk_(c[2])
+                changed = changed or (w is not c[2])
+                new_children.append((c[0], c[1], w))
+            else:
+                new_children.append(c)
+        if not changed:
+            return node
+        return type(node)(node.type, node.properties, new_children,
+                          node.options)
+
+    return walk_(sc)
+
+
+def explicit_keys(s: Any, options: dict | None = None) -> list:
+    """m/explicit-keys: map entry keys excluding ::m/default
+    (src/malli/core.cljc 'explicit-keys')."""
+    sc = deref_all(schema(s, options))
+    return list(getattr(sc, "explicit_keys", []) or [])
+
+
+def default_schema(s: Any, options: dict | None = None) -> Optional[Schema]:
+    """m/default-schema: the ::m/default entry's schema, if any."""
+    sc = deref_all(schema(s, options))
+    e = getattr(sc, "default_entry", None)
+    return e[2] if e else None
+
+
+def schema_walker(f: Callable[[Schema], Any]) -> Callable:
+    """m/schema-walker (src/malli/core.cljc:2922-2924): lift a
+    schema->schema fn into the ``walk`` visitor signature."""
+    return lambda sc, _path, _walked: f(sc)
 
 
 def tag(key: Any, value: Any) -> Tag:

@@ -205,3 +205,40 @@ def test_custom_type_registration():
     reg["user-id"] = ctor
     assert m.validate("user-id", "u-1", {"registry": reg})
     assert not m.validate("user-id", "x", {"registry": reg})
+
+
+def test_core_api_wrappers():
+    """m/schema? into-schema type-properties options deref-all
+    deref-recursive explicit-keys default-schema schema-walker
+    (src/malli/core.cljc:2534-2639, 2843-2863)."""
+    import malli_ray as m
+
+    s = m.schema(["map", ["x", "int"]])
+    assert m.is_schema(s) and not m.is_schema(["map"])
+    s2 = m.into_schema("map", {"closed": True}, [["x", "int"]])
+    assert m.validate(s2, {"x": 1}) and not m.validate(s2, {"x": 1, "y": 2})
+    assert m.type_properties("int") == {}
+    assert m.options(s) is None or isinstance(m.options(s), dict)
+
+    W = ["schema", {"registry": {"X": ["int", {"min": 1}]}}, "X"]
+    assert m.deref_all(W).type == "int"
+
+    D = ["schema", {"registry": {"Pair": ["tuple", "int", "int"]}},
+         ["map", ["p", "Pair"]]]
+    dr = m.deref_recursive(D)
+    assert dr.form == ["map", ["p", ["tuple", "int", "int"]]]
+    # :ref is the recursion boundary — never loops
+    CONS = ["schema", {"registry": {
+        "ConsCell": ["maybe", ["tuple", "int", ["ref", "ConsCell"]]]}},
+        "ConsCell"]
+    assert m.validate(m.deref_recursive(CONS), [1, [2, None]])
+
+    assert m.explicit_keys(["map", ["a", "int"], ["b", "int"]]) == ["a", "b"]
+    ds = m.default_schema(["map", ["malli.core/default",
+                                   ["map-of", "string", "int"]]])
+    assert ds is not None and ds.type == "map-of"
+    assert m.default_schema(["map", ["a", "int"]]) is None
+
+    seen = []
+    m.walk(s, m.schema_walker(lambda sc: seen.append(sc.type) or sc))
+    assert seen == ["int", "map"]
