@@ -843,17 +843,23 @@ class BoundPlan:
 
         if count < budget:
             for (k, optional, cs, fn) in self.columns:
-                arr = table.column(k)
-                if isinstance(arr, pa.ChunkedArray):
-                    arr = arr.combine_chunks()
                 # precomputed masks may be empty when missing-required
-                # short-circuited evaluate(); recompute per column then
+                # short-circuited evaluate(); recompute per column then.
+                # NEVER materialize (combine_chunks) a column whose mask is
+                # already clean — for wide token-list columns that copy
+                # costs more than the whole vectorized pass.
+                arr = None
                 mask = col_masks.get(k) if col_masks else None
                 if mask is None:
+                    arr = table.column(k)
+                    if isinstance(arr, pa.ChunkedArray):
+                        arr = arr.combine_chunks()
                     mask = fn(arr)
                 bad_idx = np.nonzero(~mask)[0]
                 if len(bad_idx) == 0:
                     continue
+                if arr is None:
+                    arr = table.column(k)  # chunked row access is fine here
                 explainer = cs._explainer([k])
                 for i in bad_idx:
                     if count >= budget:
