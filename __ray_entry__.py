@@ -397,6 +397,19 @@ def _q_vocab_top_words(sf_dir: str):
     return top_words(ds, "text", k=100)
 
 
+def _q_tokenize_documents(sf_dir: str):
+    """Two-phase tokenizer: learn the top-100 vocab (one corpus groupby),
+    broadcast it, flat-map every doc to (doc_id, pos, token_id) rows
+    (rank 1..100; out-of-vocab words -> 0)."""
+    from malli_ray.stages.text import tokenize_with_vocab, top_words
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab_rows = top_words(_read(sf_dir, "documents", columns=["text"]),
+                           "text", k=100).take_all()
+    vocab = {r["word"]: i + 1 for i, r in enumerate(vocab_rows)}
+    return tokenize_with_vocab(docs, "text", "doc_id", vocab)
+
+
 def _q_stratified_sample_documents(sf_dir: str):
     """Deterministic stratified head: first 3 doc_ids per source."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
@@ -611,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_priority_qty": _q_join_priority_qty,
         "customers_without_orders": _q_customers_without_orders,
         "vocab_top_words": _q_vocab_top_words,
+        "tokenize_documents": _q_tokenize_documents,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "top_orders": _q_top_orders,
         "orders_by_nation": _q_orders_by_nation,
@@ -854,6 +868,25 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY word
              ORDER BY cnt DESC, word
              LIMIT 100
+        """,
+        "tokenize_documents": r"""
+            WITH v AS (
+              SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS vid
+                FROM (SELECT word, COUNT(*) AS cnt
+                        FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+                                FROM documents)
+                       GROUP BY word
+                       ORDER BY cnt DESC, word
+                       LIMIT 100)
+            ),
+            w AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS word,
+                     generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos
+                FROM documents)
+            SELECT w.doc_id, CAST(w.pos AS BIGINT) AS pos,
+                   CAST(COALESCE(v.vid, 0) AS BIGINT) AS token_id
+              FROM w LEFT JOIN v USING (word)
         """,
         "stratified_sample_documents": """
             SELECT doc_id, source FROM (

@@ -20,7 +20,8 @@ from ray.data import Dataset
 from ..state.sketches import hash64
 
 __all__ = ["add_token_count", "add_quality", "LangID", "add_lang_id",
-           "Fingerprinter", "add_fingerprint", "word_counts", "top_words"]
+           "Fingerprinter", "add_fingerprint", "word_counts", "top_words",
+           "VocabTokenizer", "tokenize_with_vocab"]
 
 
 def add_token_count(ds: Dataset, text_column: str,
@@ -166,6 +167,66 @@ def top_words(ds: Dataset, text_column: str, k: int = 100,
     """Top-k vocabulary by frequency (ties broken by word — deterministic)."""
     counts = word_counts(ds, text_column, lowercase=lowercase)
     return counts.sort(["cnt", "word"], descending=[True, False]).limit(k)
+
+
+class VocabTokenizer:
+    """Stateful stage: broadcast word->id vocabulary held once per worker;
+    per batch, vectorized split + explode + dict mapping (polars
+    replace_strict) — text rows flat-map to (id, pos, token_id) rows.
+
+    The two-phase learn-then-apply shape of a real training-data tokenizer:
+    build the vocab with ``top_words`` (one groupby over the corpus),
+    ``ray.put`` it once, stream the corpus through this stage.  ``pos`` is
+    1-based (matches SQL generate_subscripts).
+    """
+
+    def __init__(self, vocab_ref, text_column: str, id_column: str,
+                 unk_id: int = 0):
+        import ray
+        vocab = (ray.get(vocab_ref)
+                 if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref)
+        self.vocab = dict(vocab)
+        self.text_column = text_column
+        self.id_column = id_column
+        self.unk_id = unk_id
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        ids = batch.column(self.id_column)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        text = batch.column(self.text_column)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pl.from_arrow(text).fill_null("").str.extract_all(r"\S+")
+        counts = words.list.len().to_numpy().astype(np.int64)
+        flat = words.explode().drop_nulls()
+        token_ids = flat.replace_strict(
+            self.vocab, default=self.unk_id, return_dtype=pl.Int64).to_numpy()
+        # repeat doc ids per word; per-doc 1-based positions, vectorized
+        total = int(counts.sum())
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offsets, counts) + 1
+        import pyarrow.compute as pc
+        return pa.table({
+            self.id_column: pc.take(ids, pa.array(doc_idx, type=pa.int64())),
+            "pos": pa.array(pos),
+            "token_id": pa.array(token_ids, type=pa.int64())})
+
+
+def tokenize_with_vocab(ds: Dataset, text_column: str, id_column: str,
+                        vocab: dict, unk_id: int = 0,
+                        concurrency=None) -> Dataset:
+    """Apply a learned word->id vocabulary over the corpus (broadcast once,
+    flat-map to token rows)."""
+    import ray
+    from . import cached_stage, concurrency_kwargs
+    ref = ray.put(dict(vocab))
+    return ds.map_batches(
+        cached_stage(VocabTokenizer, vocab_ref=ref, text_column=text_column,
+                     id_column=id_column, unk_id=unk_id),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 
 class Fingerprinter:

@@ -524,6 +524,18 @@ def test_word_counts_top_words(ray_session):
     assert [(r["word"], r["cnt"]) for r in top] == [("b", 3), ("a", 1)]
 
 
+def test_vocab_tokenizer(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.text import tokenize_with_vocab
+
+    t = pa.table({"doc_id": [10, 20], "text": ["a b zzz a", None]})
+    vocab = {"a": 1, "b": 2}
+    out = tokenize_with_vocab(rd.from_arrow(t), "text", "doc_id",
+                              vocab).take_all()
+    rows = sorted((r["doc_id"], r["pos"], r["token_id"]) for r in out)
+    assert rows == [(10, 1, 1), (10, 2, 2), (10, 3, 0), (10, 4, 1)]
+
+
 def test_uniqueness_hot_key_skew(ray_session):
     """A pathologically hot key must not blow up the shuffle: the batch-local
     combiner collapses it to one (key, count) row per block."""
