@@ -46,19 +46,38 @@ class _BroadcastProbe:
         self.how = how
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        probe = batch.column(self.probe_key).to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(self.keys, probe)
-        idx_c = np.clip(idx, 0, len(self.keys) - 1)
-        matched = (self.keys[idx_c] == probe) if len(self.keys) else \
-            np.zeros(len(probe), dtype=bool)
+        col = batch.column(self.probe_key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # nulls never match; fill them with a real key value BEFORE the
+        # numpy conversion so (a) object arrays contain no None (searchsorted
+        # would raise) and (b) nullable int64 columns don't degrade to
+        # float64 (precision loss corrupts 2^53+ ids)
+        null_mask = np.zeros(len(col), dtype=bool)
+        if col.null_count:
+            null_mask = np.asarray(col.is_null())
+            if len(self.keys):
+                fill = (self.keys[0].item() if hasattr(self.keys[0], "item")
+                        else self.keys[0])
+                col = pc.fill_null(col, fill)
+        probe = col.to_numpy(zero_copy_only=False)
+        if len(self.keys):
+            # side='right' - 1 => LAST occurrence among duplicate keys wins
+            idx = np.searchsorted(self.keys, probe, side="right") - 1
+            idx_c = np.clip(idx, 0, len(self.keys) - 1)
+            matched = (self.keys[idx_c] == probe) & ~null_mask
+        else:
+            idx_c = np.zeros(len(probe), dtype=np.int64)
+            matched = np.zeros(len(probe), dtype=bool)
         if self.how == "inner":
             batch = batch.filter(pa.array(matched))
             idx_c = idx_c[matched]
             matched = None
         take = pa.array(idx_c, type=pa.int64(),
                         mask=(None if matched is None else ~matched))
-        for col in self.out_cols:
-            batch = batch.append_column(col, pc.take(self.values[col], take))
+        for col_name in self.out_cols:
+            batch = batch.append_column(col_name,
+                                        pc.take(self.values[col_name], take))
         return batch
 
 

@@ -183,8 +183,12 @@ class AudioFrameFeatures:
             out_t.extend((np.arange(n) * self.hop / self.sample_rate).tolist())
             out_rms.extend(rms.tolist())
             out_zcr.extend(zcr.tolist())
+        # typed audio_id even when every payload was skipped/empty — a
+        # null-typed empty column would break concat with row-producing
+        # blocks downstream
+        id_type = batch.schema.field(self.id_column).type
         return pa.table({
-            "audio_id": out_id,
+            "audio_id": pa.array(out_id, type=id_type),
             "frame_index": pa.array(out_idx, type=pa.int32()),
             "t_start_s": pa.array(out_t, type=pa.float64()),
             "rms": pa.array(out_rms, type=pa.float64()),

@@ -134,6 +134,19 @@ class UnparseBatch:
             isinstance(self.sc, OrnSchema)
             and all(_parse_identity(s, set()) for (_, _, s) in self.sc.children))
         self._row_unparser = None
+        # ParseBatch stores tags stringified (one Arrow string column);
+        # recover the ORIGINAL branch keys (ints, etc.) for Tag
+        # reconstruction — unparse of Tag('1', v) against branch key 1
+        # would be ::invalid
+        self._tag_keys: dict = {}
+        branch_keys = []
+        if isinstance(self.sc, OrnSchema):
+            branch_keys = [k for (k, _, _) in self.sc.children]
+        else:
+            branches = getattr(self.sc, "branches", None)
+            if isinstance(branches, dict):
+                branch_keys = list(branches.keys())
+        self._tag_keys = {str(k): k for k in branch_keys}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.identity:
@@ -157,8 +170,11 @@ class UnparseBatch:
             if row is None:
                 out_vals.append(None)
                 continue
-            v = (Tag(row["tag"], row["value"]) if row.get("tag") is not None
-                 else row["value"])
+            t = row.get("tag")
+            if t is not None:
+                v = Tag(self._tag_keys.get(t, t), row["value"])
+            else:
+                v = row["value"]
             u = self._row_unparser(v)
             out_vals.append(None if u is INVALID else u)
         return batch.append_column(self.out, pa.array(out_vals))

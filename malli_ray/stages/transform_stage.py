@@ -92,17 +92,40 @@ def _string_to_decimal(arr: pa.Array):
     decimal128(38, 18); unparseable / out-of-precision values become null."""
     import decimal
     t = pa.decimal128(38, 18)
+
+    def fits(d: decimal.Decimal) -> bool:
+        # decimal128(38, 18) holds d iff rescaling to 18 fractional digits
+        # is exact-or-representable and total digits <= 38, i.e. the
+        # integer part needs <= 20 digits (adjusted() is the exponent of
+        # the most significant digit)
+        return d.is_finite() and d.adjusted() < 20
+
     out = []
     for v in arr.to_pylist():
         d = None
         if v is not None:
             try:
                 d = decimal.Decimal(v)
-                pa.array([d], type=t)  # precision/scale fit probe
-            except (decimal.InvalidOperation, pa.ArrowInvalid, OverflowError):
+                if not fits(d):
+                    d = None
+            except decimal.InvalidOperation:
                 d = None
         out.append(d)
-    return pa.array(out, type=t)
+    try:
+        return pa.array(out, type=t)
+    except (pa.ArrowInvalid, OverflowError):
+        # rare fallback: some value passed the digit check but Arrow still
+        # rejects it (e.g. sub-1e-18 fractions needing rounding) — probe
+        # individually, nulling only the offenders
+        safe = []
+        for d in out:
+            if d is not None:
+                try:
+                    pa.array([d], type=t)
+                except (pa.ArrowInvalid, OverflowError, decimal.InvalidOperation):
+                    d = None
+            safe.append(d)
+        return pa.array(safe, type=t)
 
 
 def _tolerant_cast(arr: pa.ChunkedArray | pa.Array, kind: str):

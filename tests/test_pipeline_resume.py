@@ -154,6 +154,13 @@ def test_strict_layout_fail_fast(ray_session, seq_dir, tmp_path):
     # non-strict: same spec runs, problems recorded in the report
     rep = run_job(paths, bad_spec, str(tmp_path / "lenient"))
     assert rep["schema_problems"]
+    # strict + unverifiable layout (unreadable first file) must ABORT too,
+    # never silently degrade to a full run (review regression)
+    bad_file = tmp_path / "garbage.parquet"
+    bad_file.write_bytes(b"not a parquet file")
+    with pytest.raises(SchemaLayoutError):
+        run_job([str(bad_file)], bad_spec, str(tmp_path / "strict2"),
+                strict_layout=True)
 
 
 def test_row_group_partitions(ray_session, tmp_path):

@@ -512,6 +512,68 @@ def test_joins(ray_session):
     assert aj == [2, 4]
 
 
+def test_broadcast_join_nulls_dups_bigints(ray_session):
+    """Review regressions: null probe keys never match (and never crash),
+    duplicate small-side keys keep the LAST occurrence, and nullable int64
+    keys don't round-trip through float64 (2^53+1 stays exact)."""
+    import ray.data as rd
+    from malli_ray.stages.joins import broadcast_join
+
+    big = 2 ** 53 + 1
+    left = rd.from_arrow(pa.table({"k": pa.array([1, None, big, 2 ** 53],
+                                                 type=pa.int64())}))
+    small = pa.table({"k": pa.array([1, 1, big], type=pa.int64()),
+                      "v": [10, 11, 99]})
+    out = broadcast_join(left, small, "k", ["v"]).take_all()
+    by_k = {r["k"]: r["v"] for r in out}
+    assert by_k[1] == 11          # duplicate key: LAST occurrence wins
+    assert by_k[None] is None     # null probe: unmatched, no crash
+    assert by_k[big] == 99        # exact 64-bit match
+    assert by_k[2 ** 53] is None  # neighbor of big must NOT match
+    # string keys with nulls
+    left2 = rd.from_arrow(pa.table({"k": ["a", None, "z"]}))
+    small2 = pa.table({"k": ["a"], "v": [1]})
+    out2 = {r["k"]: r["v"] for r in
+            broadcast_join(left2, small2, "k", ["v"]).take_all()}
+    assert out2 == {"a": 1, None: None, "z": None}
+
+
+def test_parse_unparse_multi_int_keys(ray_session):
+    """Review regression: stringified struct tags must map back to the
+    ORIGINAL branch keys on unparse (int dispatch values)."""
+    import ray.data as rd
+    from malli_ray.stages.parse_stage import parse_projection, unparse_projection
+
+    MULTI = ["multi", {"dispatch": "kind"},
+             [1, ["map", ["kind", "int"], ["x", "int"]]],
+             [2, ["map", ["kind", "int"], ["y", "string"]]]]
+    rows = [{"kind": 1, "x": 5}, {"kind": 2, "y": "hi"}]
+    t = pa.table({"i": [0, 1], "obj": pa.array(rows)})
+    parsed = parse_projection(rd.from_arrow(t), MULTI, "obj")
+    back = unparse_projection(parsed, MULTI, "parsed", out="obj2").take_all()
+    assert back[0]["obj2"]["x"] == 5          # not silently null
+    assert back[1]["obj2"]["y"] == "hi"
+
+
+def test_audio_all_skipped_batch_schema(ray_session):
+    """Review regression: an all-skipped audio batch keeps a TYPED audio_id
+    column so blocks concat with row-producing batches."""
+    import ray.data as rd
+    from malli_ray.stages.multimodal import audio_frame_features
+
+    sr = 16000
+    pcm = (np.zeros(sr // 4)).astype("<i2").tobytes()
+    t = pa.table({"id": [1, 2, 3],
+                  "payload": [b"x", b"y", pcm],
+                  "format": ["mp3", "ogg", "pcm16"]})
+    # force tiny batches so one batch is all-skipped
+    out = audio_frame_features(rd.from_arrow(t).repartition(3), "payload",
+                               "id", format_column="format",
+                               batch_size=1).take_all()
+    assert all(isinstance(r["audio_id"], int) for r in out)
+    assert {r["audio_id"] for r in out} == {3}
+
+
 def test_word_counts_top_words(ray_session):
     import ray.data as rd
     from malli_ray.stages.text import top_words, word_counts
