@@ -611,6 +611,99 @@ def test_uniqueness_hot_key_skew(ray_session):
     assert dups[0]["k"] == "hot" and dups[0]["cnt"] == 100_000
 
 
+def test_parse_projection_matches_row_engine_fuzz(ray_session):
+    """Vectorized :orn parse projection must agree with m.parse row-by-row
+    over random schemas x random columns (both first-match order and the
+    ::invalid null-struct encoding), and unparse must roundtrip."""
+    import random
+    import ray.data as rd
+    from malli_ray.stages.parse_stage import parse_projection, unparse_projection
+
+    rng = random.Random(7)
+    branch_pool = [
+        ("neg", ["<", 0.0]), ("small", ["<=", 10.0]), ("mid", ["<", 100.0]),
+        ("exact", ["=", 42.0]), ("dbl", "double"),
+        ("bounded", ["double", {"min": -5.0, "max": 5.0}]),
+    ]
+    for trial in range(6):
+        k = rng.randint(2, 4)
+        branches = rng.sample(branch_pool, k)
+        ORN = ["orn", *[[name, s] for (name, s) in branches]]
+        n = rng.randint(30, 120)
+        vals = [None if rng.random() < .1 else
+                round(rng.uniform(-200, 200), 3) for _ in range(n)]
+        # sprinkle exact 42s so ["=",42.0] branches fire
+        for _ in range(5):
+            vals[rng.randrange(n)] = 42.0
+        t = pa.table({"i": list(range(n)),
+                      "value": pa.array(vals, type=pa.float64())})
+        out = parse_projection(rd.from_arrow(t), ORN, "value").take_all()
+        out.sort(key=lambda r: r["i"])
+        sc = m.schema(ORN)
+        for r in out:
+            want = m.parse(sc, r["value"])
+            if want is m.INVALID:
+                assert r["parsed"] is None, (trial, r)
+            else:
+                assert r["parsed"] is not None, (trial, r, want)
+                assert r["parsed"]["tag"] == str(want.key), (trial, r, want)
+                assert r["parsed"]["value"] == want.value
+        back = unparse_projection(
+            parse_projection(rd.from_arrow(t), ORN, "value"),
+            ORN, "parsed", out="v2").take_all()
+        back.sort(key=lambda r: r["i"])
+        for r in back:
+            want = m.parse(sc, r["value"])
+            assert r["v2"] == (None if want is m.INVALID else r["value"])
+
+
+def test_decode_batch_matches_row_engine_fuzz(ray_session):
+    """Batch decode (DecodeBatch) must agree with the row-level
+    string-transformer decode on random stringly tables."""
+    import random
+    import ray.data as rd
+    from malli_ray.stages.transform_stage import DecodeBatch
+    from malli_ray.transform import string_transformer
+
+    rng = random.Random(13)
+    S = ["map", ["a", "int"], ["b", "double"], ["c", "boolean"],
+         ["d", "inst?"]]
+    st = string_transformer()
+    for trial in range(4):
+        n = rng.randint(20, 80)
+        def cell(kind):
+            r = rng.random()
+            if r < .1:
+                return None
+            if r < .25:
+                return "garbage!"
+            if kind == "a":
+                return str(rng.randint(-999, 999))
+            if kind == "b":
+                return f"{rng.uniform(-10, 10):.4f}"
+            if kind == "c":
+                return rng.choice(["true", "false"])
+            return rng.choice(["2021-03-04", "2021-03-04T05:06:07",
+                               "2021-03-04T05:06:07Z"])
+        t = pa.table({k: pa.array([cell(k) for _ in range(n)])
+                      for k in ("a", "b", "c", "d")})
+        out = rd.from_arrow(t).map_batches(
+            DecodeBatch, fn_constructor_kwargs={"schema": S},
+            batch_format="pyarrow", concurrency=1).take_all()
+        src = t.to_pylist()
+        for i, got in enumerate(out):
+            want = m.decode(S, src[i], st)
+            for k in ("a", "b", "c", "d"):
+                w = want[k]
+                g = got[k]
+                # batch contract: failed casts become typed NULLs while the
+                # row path keeps the unparsed string (documented divergence)
+                if isinstance(w, str) or w is None:
+                    assert g is None, (trial, i, k, g, w)
+                else:
+                    assert g == w, (trial, i, k, g, w)
+
+
 def test_pipeline_matches_row_engine_fuzz(ray_session):
     """Distributed summarize/explain must agree exactly with the row engine
     on random tables (counts of valid rows AND of violation rows)."""
