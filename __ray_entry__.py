@@ -315,6 +315,15 @@ def _q_events_window_30m(sf_dir: str):
     return tumbling_window(ds, "ts", 30, ["event_type"])
 
 
+def _q_events_hopping(sf_dir: str):
+    """Hopping window: 30-minute windows every 15 minutes (each event in 2
+    overlapping windows)."""
+    from malli_ray.stages.windows import hopping_window
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    return hopping_window(ds, "ts", size_minutes=30, hop_minutes=15,
+                          key_cols=["event_type"])
+
+
 def _q_sessions_events(sf_dir: str):
     from malli_ray.stages.windows import sessionize
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
@@ -617,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # general dataset ops (groupby/sort/limit/join/filter/decode)
         "events_daily": _q_events_daily,
         "events_window_30m": _q_events_window_30m,
+        "events_hopping_30m_15m": _q_events_hopping,
         "sessions_events": _q_sessions_events,
         "asof_prev_event": _q_asof_prev_event,
         "parse_events_orn": _q_parse_events_orn,
@@ -790,6 +800,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window, event_type,
                    COUNT(*) AS n
               FROM events GROUP BY 1, 2
+        """,
+        "events_hopping_30m_15m": """
+            SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+                     - j * INTERVAL 15 MINUTE AS window,
+                   event_type, COUNT(*) AS n
+              FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j) u
+             GROUP BY 1, 2
         """,
         "sessions_events": """
             WITH g AS (

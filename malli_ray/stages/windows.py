@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count
 
-__all__ = ["tumbling_window", "sessionize", "asof_join"]
+__all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join"]
 
 
 def tumbling_window(ds: Dataset, ts_col: str, minutes: int,
@@ -48,6 +48,51 @@ def tumbling_window(ds: Dataset, ts_col: str, minutes: int,
     bucketed = ds.map_batches(bucket, batch_format="pyarrow")
     aggs = aggs or [Count(alias_name="n")]
     return bucketed.groupby([window_col, *key_cols]).aggregate(*aggs)
+
+
+def hopping_window(ds: Dataset, ts_col: str, size_minutes: int,
+                   hop_minutes: int, key_cols: list[str],
+                   aggs: list | None = None,
+                   window_col: str = "window") -> Dataset:
+    """Hopping (sliding) window aggregate: windows of ``size_minutes`` every
+    ``hop_minutes`` — each event flat-maps into size/hop overlapping
+    windows (vectorized repeat + arithmetic, no per-row Python), then ONE
+    grouped aggregate on (window_start, keys).
+
+    ``size_minutes`` must be a multiple of ``hop_minutes`` (the standard
+    hopping-window constraint; each event belongs to exactly size/hop
+    windows).  Window label = the window's START timestamp.
+    """
+    if size_minutes % hop_minutes:
+        raise ValueError("size_minutes must be a multiple of hop_minutes")
+    k = size_minutes // hop_minutes
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        unit = ts.type.unit
+        scale = {"s": 1, "ms": 1_000, "us": 1_000_000,
+                 "ns": 1_000_000_000}[unit]
+        hop_t = np.int64(hop_minutes * 60 * scale)
+        raw = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # last hop-aligned window start <= ts, then k starts backwards
+        base = (raw // hop_t) * hop_t
+        n = len(raw)
+        starts = (np.repeat(base, k)
+                  - np.tile(np.arange(k, dtype=np.int64) * hop_t, n))
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        out = {window_col: pa.array(starts).cast(pa.timestamp(unit))}
+        for c in key_cols:
+            col = batch.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out[c] = pc.take(col, idx)
+        return pa.table(out)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    aggs = aggs or [Count(alias_name="n")]
+    return exploded.groupby([window_col, *key_cols]).aggregate(*aggs)
 
 
 def sessionize(ds: Dataset, key: str, ts_col: str, gap_minutes: int,

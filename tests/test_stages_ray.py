@@ -384,6 +384,31 @@ def test_decode_batch_stage(ray_session):
     assert [r["z"] for r in out] == [1, 9]
 
 
+def test_hopping_window(ray_session):
+    """Each event lands in exactly size/hop overlapping windows; counts
+    match a hand-computed expectation."""
+    import datetime as dt
+    import ray.data as rd
+    import pytest
+    from malli_ray.stages.windows import hopping_window
+
+    base = dt.datetime(2022, 1, 1, 10, 0, 0)
+    rows = [(base + dt.timedelta(minutes=m), "a") for m in (0, 10, 20, 40)]
+    t = pa.table({"ts": pa.array([r[0] for r in rows],
+                                 type=pa.timestamp("us")),
+                  "event_type": [r[1] for r in rows]})
+    out = hopping_window(rd.from_arrow(t), "ts", size_minutes=30,
+                         hop_minutes=15, key_cols=["event_type"]).take_all()
+    got = {(r["window"].strftime("%H:%M"), r["event_type"]): r["n"]
+           for r in out}
+    # 10:00 event -> windows 09:45, 10:00; 10:10 -> 09:45, 10:00;
+    # 10:20 -> 10:00, 10:15; 10:40 -> 10:15, 10:30
+    assert got == {("09:45", "a"): 2, ("10:00", "a"): 3,
+                   ("10:15", "a"): 2, ("10:30", "a"): 1}
+    with pytest.raises(ValueError):
+        hopping_window(rd.from_arrow(t), "ts", 25, 10, ["event_type"])
+
+
 def test_decode_batch_dates_decimal_overrides(ray_session):
     """Batch decode breadth: multi-format ISO dates, decimal, and per-schema
     decode/<name> overrides (batch-kernel and row-callable)."""
