@@ -315,6 +315,27 @@ def _q_events_window_30m(sf_dir: str):
     return tumbling_window(ds, "ts", 30, ["event_type"])
 
 
+def _q_median_value_by_type(sf_dir: str):
+    """Per-group EXACT quantiles via groupby + map_groups (sort-based,
+    deterministic — unlike float sums, safe for value-hash comparison).
+    The t-digest sketch path (validate_sequences) is the at-scale
+    approximation; this is the exact small-group counterpart."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def quantiles(group: pa.Table) -> pa.Table:
+        v = group.column("value").drop_null().to_numpy(zero_copy_only=False)
+        v = np.sort(v)
+        q = (np.quantile(v, [0.5, 0.9], method="linear")
+             if len(v) else np.array([None, None]))
+        return pa.table({
+            "event_type": [group.column("event_type")[0].as_py()],
+            "p50": pa.array([q[0]], type=pa.float64()),
+            "p90": pa.array([q[1]], type=pa.float64())})
+
+    return ds.groupby("event_type").map_groups(quantiles,
+                                               batch_format="pyarrow")
+
+
 def _q_events_hopping(sf_dir: str):
     """Hopping window: 30-minute windows every 15 minutes (each event in 2
     overlapping windows)."""
@@ -627,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": _q_events_daily,
         "events_window_30m": _q_events_window_30m,
         "events_hopping_30m_15m": _q_events_hopping,
+        "median_value_by_type": _q_median_value_by_type,
         "sessions_events": _q_sessions_events,
         "asof_prev_event": _q_asof_prev_event,
         "parse_events_orn": _q_parse_events_orn,
@@ -800,6 +822,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window, event_type,
                    COUNT(*) AS n
               FROM events GROUP BY 1, 2
+        """,
+        "median_value_by_type": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90
+              FROM events GROUP BY event_type
         """,
         "events_hopping_30m_15m": """
             SELECT time_bucket(INTERVAL 15 MINUTE, ts)
