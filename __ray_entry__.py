@@ -530,8 +530,13 @@ def _q_near_dup_pairs_exact(sf_dir: str):
     from malli_ray.stages import cached_stage, dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata, no scan
+    # hash_buckets is a PER-BAND modulus: total groups ~ bands x buckets;
+    # target ~50 band-rows per group => buckets ~ n_docs / 50
+    buckets = max(16, min(65536, n_docs // 50))
     cands = dedup.minhash_lsh_candidates(ds, "text", "doc_id", threshold=0.2,
-                                         num_perm=128, bands=64)
+                                         num_perm=128, bands=64,
+                                         hash_buckets=buckets)
     tt = pq.read_table(f"{sf_dir}/documents.parquet",
                        columns=["doc_id", "text"])
     texts_ref = ray.put(dict(zip(tt.column("doc_id").to_pylist(),

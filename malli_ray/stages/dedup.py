@@ -217,6 +217,7 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
                            max_bucket: int = 1024,
                            intra_closure_cap: int = 256,
                            cross_closure_cap: int = 1024,
+                           hash_buckets: int | None = None,
                            concurrency=None) -> Dataset:
     """Near-duplicate pairs (id_a, id_b, est_jaccard >= threshold) over
     DISTINCT contents.
@@ -229,12 +230,27 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
     distinct signatures (oversize buckets are truncated in min-id order and
     logged — never silently).  A pair can fire in several bands; the final
     groupby keeps it once.
+
+    ``hash_buckets``: when set, band hashes fold modulo this count so the
+    shuffle produces at most bands x hash_buckets GROUPS instead of one
+    micro-group per distinct band hash — per-group task overhead dominates
+    wall time for high-band configs (e.g. the r=2/b=64 exactness setting).
+    Folded bucket-sharing pairs still face the same ``threshold`` signature
+    filter, so folding can only ADD candidates (recall never drops); size
+    it ~ n_docs x bands / target_rows_per_group.
     """
     from . import cached_stage, concurrency_kwargs
     band_ds = ds.map_batches(
         cached_stage(MinHasher, text_column=text_column, id_column=id_column,
                      num_perm=num_perm, shingle_k=shingle_k, bands=bands),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
+    if hash_buckets:
+        def fold(batch: pa.Table) -> pa.Table:
+            h = batch.column("band_hash").to_numpy(zero_copy_only=False)
+            folded = pa.array(h % np.int64(hash_buckets))
+            return batch.set_column(
+                batch.schema.get_field_index("band_hash"), "band_hash", folded)
+        band_ds = band_ds.map_batches(fold, batch_format="pyarrow")
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         id_type = group.column("id").type
