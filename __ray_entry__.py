@@ -532,11 +532,15 @@ def _q_near_dup_pairs_exact(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = ds.count()  # parquet metadata, no scan
     # hash_buckets is a PER-BAND modulus: total groups ~ bands x buckets;
-    # target ~50 band-rows per group => buckets ~ n_docs / 50
+    # target ~50 band-rows per group => buckets ~ n_docs / 50.  max_bucket
+    # must stay above the expected folded group size (n_docs / buckets,
+    # ~50 here) or truncation would void the exactness guarantee — 8192
+    # leaves ~160x headroom for skewed buckets.
     buckets = max(16, min(65536, n_docs // 50))
     cands = dedup.minhash_lsh_candidates(ds, "text", "doc_id", threshold=0.2,
                                          num_perm=128, bands=64,
-                                         hash_buckets=buckets)
+                                         hash_buckets=buckets,
+                                         max_bucket=8192)
     tt = pq.read_table(f"{sf_dir}/documents.parquet",
                        columns=["doc_id", "text"])
     texts_ref = ray.put(dict(zip(tt.column("doc_id").to_pylist(),

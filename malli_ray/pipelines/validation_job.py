@@ -322,29 +322,22 @@ def run_job(input_paths: list[str], spec: ValidationSpec, out_dir: str,
     # physical schema (arrow_schema.schema_compatible); recorded, not fatal —
     # per-row validation still produces exact violations either way
     schema_problems: list[str] = []
-    if strict_layout:
-        # the user asked for fail-fast: a layout check that itself fails
-        # must ABORT, not silently degrade to a full run
+    try:
         from ..arrow_schema import schema_compatible
-        try:
-            first = pq.read_schema(input_paths[0])
-            schema_problems = schema_compatible(spec.schema, first)
-        except Exception as e:
+        first = pq.read_schema(input_paths[0])
+        schema_problems = schema_compatible(spec.schema, first)
+    except Exception as e:
+        if strict_layout:
+            # fail-fast was requested: a layout check that itself fails
+            # must ABORT, not silently degrade to a full run
             raise SchemaLayoutError(
                 f"strict_layout: could not verify input layout against the "
                 f"declared schema ({e})", [str(e)]) from e
-        if schema_problems:
-            raise SchemaLayoutError(
-                f"input layout incompatible with declared schema "
-                f"({len(schema_problems)} problem(s)): "
-                + "; ".join(schema_problems), schema_problems)
-    else:
-        try:
-            from ..arrow_schema import schema_compatible
-            first = pq.read_schema(input_paths[0])
-            schema_problems = schema_compatible(spec.schema, first)
-        except Exception:
-            pass
+    if strict_layout and schema_problems:
+        raise SchemaLayoutError(
+            f"input layout incompatible with declared schema "
+            f"({len(schema_problems)} problem(s)): "
+            + "; ".join(schema_problems), schema_problems)
 
     if pending:
         from ..stages import cached_stage

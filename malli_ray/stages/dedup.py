@@ -236,8 +236,11 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
     micro-group per distinct band hash — per-group task overhead dominates
     wall time for high-band configs (e.g. the r=2/b=64 exactness setting).
     Folded bucket-sharing pairs still face the same ``threshold`` signature
-    filter, so folding can only ADD candidates (recall never drops); size
-    it ~ n_docs x bands / target_rows_per_group.
+    filter, so folding adds candidates rather than losing them — PROVIDED
+    folded groups stay under ``max_bucket`` (expected group size is
+    n_docs / hash_buckets; size hash_buckets ~ n_docs / 50 and keep
+    max_bucket comfortably above that ratio, or oversize groups truncate
+    with a logged warning and pairs can be lost).
     """
     from . import cached_stage, concurrency_kwargs
     band_ds = ds.map_batches(

@@ -97,6 +97,11 @@ def broadcast_join(ds: Dataset, small: pa.Table, key: str,
     if how not in ("left", "inner"):
         raise ValueError("broadcast_join: how must be 'left' or 'inner'")
     probe_key = probe_key or key
+    # drop build-side null keys up front: they can never match a probe, and
+    # leaving them in would crash object-key sorts / degrade int64 keys to
+    # float64 (precision corruption for 2^53+ ids)
+    if small.column(key).null_count:
+        small = small.filter(pc.is_valid(small.column(key)))
     keys = small.column(key).to_numpy(zero_copy_only=False)
     order = np.argsort(keys, kind="stable")
     values = {c: small.column(c).to_numpy(zero_copy_only=False)[order]

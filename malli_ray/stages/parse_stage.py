@@ -147,6 +147,14 @@ class UnparseBatch:
             if isinstance(branches, dict):
                 branch_keys = list(branches.keys())
         self._tag_keys = {str(k): k for k in branch_keys}
+        if len(self._tag_keys) != len(branch_keys):
+            # e.g. branch keys 1 (int) and "1" (string): the stringified
+            # struct tag is ambiguous — fail LOUDLY instead of unparsing one
+            # branch's rows to null
+            raise ValueError(
+                "UnparseBatch: branch keys stringify ambiguously "
+                f"({branch_keys!r}); batch unparse cannot recover the "
+                "original keys — use the row engine for this schema")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.identity:

@@ -69,26 +69,22 @@ def hopping_window(ds: Dataset, ts_col: str, size_minutes: int,
 
     def explode(batch: pa.Table) -> pa.Table:
         ts = batch.column(ts_col)
-        if isinstance(ts, pa.ChunkedArray):
-            ts = ts.combine_chunks()
-        unit = ts.type.unit
+        # pure pc kernels: nulls propagate into a null window group (same as
+        # SQL time_bucket(NULL)), timezone-aware timestamps floor in local
+        # time and KEEP their tz — identical semantics to tumbling_window
+        base = pc.floor_temporal(ts, multiple=hop_minutes, unit="minute")
+        unit = base.type.unit
         scale = {"s": 1, "ms": 1_000, "us": 1_000_000,
                  "ns": 1_000_000_000}[unit]
-        hop_t = np.int64(hop_minutes * 60 * scale)
-        raw = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        # last hop-aligned window start <= ts, then k starts backwards
-        base = (raw // hop_t) * hop_t
-        n = len(raw)
-        starts = (np.repeat(base, k)
-                  - np.tile(np.arange(k, dtype=np.int64) * hop_t, n))
-        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
-        out = {window_col: pa.array(starts).cast(pa.timestamp(unit))}
-        for c in key_cols:
-            col = batch.column(c)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            out[c] = pc.take(col, idx)
-        return pa.table(out)
+        parts = []
+        for j in range(k):
+            delta = pa.scalar(j * hop_minutes * 60 * scale,
+                              type=pa.duration(unit))
+            w = pc.subtract(base, delta)
+            # full batch rides along, so arbitrary aggs over value columns
+            # work (the k-fold payload duplication is inherent to hopping)
+            parts.append(batch.append_column(window_col, w))
+        return pa.concat_tables(parts)
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     aggs = aggs or [Count(alias_name="n")]

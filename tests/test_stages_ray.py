@@ -407,6 +407,17 @@ def test_hopping_window(ray_session):
                    ("10:15", "a"): 2, ("10:30", "a"): 1}
     with pytest.raises(ValueError):
         hopping_window(rd.from_arrow(t), "ts", 25, 10, ["event_type"])
+    # nulls propagate into a null window group (SQL time_bucket(NULL)
+    # parity) instead of crashing; value-column aggregates work
+    from ray.data.aggregate import Sum
+    t2 = pa.table({"ts": pa.array([base, None], type=pa.timestamp("us")),
+                   "event_type": ["a", "a"],
+                   "value": [2.0, 5.0]})
+    out2 = hopping_window(rd.from_arrow(t2), "ts", 30, 15, ["event_type"],
+                          aggs=[Sum("value", alias_name="total")]).take_all()
+    got2 = {r["window"]: r["total"] for r in out2}
+    assert got2[None] == 10.0            # null event in both (null) windows
+    assert sum(v for k, v in got2.items() if k is not None) == 4.0
 
 
 def test_decode_batch_dates_decimal_overrides(ray_session):
@@ -555,12 +566,18 @@ def test_broadcast_join_nulls_dups_bigints(ray_session):
     assert by_k[None] is None     # null probe: unmatched, no crash
     assert by_k[big] == 99        # exact 64-bit match
     assert by_k[2 ** 53] is None  # neighbor of big must NOT match
-    # string keys with nulls
+    # string keys with nulls — on BOTH sides (build-side nulls dropped)
     left2 = rd.from_arrow(pa.table({"k": ["a", None, "z"]}))
-    small2 = pa.table({"k": ["a"], "v": [1]})
+    small2 = pa.table({"k": ["a", None], "v": [1, 99]})
     out2 = {r["k"]: r["v"] for r in
             broadcast_join(left2, small2, "k", ["v"]).take_all()}
     assert out2 == {"a": 1, None: None, "z": None}
+    # build-side null alongside big ints must not degrade keys to float64
+    small3 = pa.table({"k": pa.array([1, None, big], type=pa.int64()),
+                       "v": [10, 0, 99]})
+    out3 = {r["k"]: r["v"] for r in
+            broadcast_join(left, small3, "k", ["v"]).take_all()}
+    assert out3[big] == 99 and out3[2 ** 53] is None
 
 
 def test_parse_unparse_multi_int_keys(ray_session):
