@@ -23,7 +23,28 @@ from typing import Any
 import numpy as np
 
 __all__ = ["provide", "accumulate_value", "accumulate_table", "merge_stats",
-           "finalize", "infer_dataset"]
+           "finalize", "infer_dataset", "Hinted", "hinted"]
+
+
+class Hinted:
+    """Explicit value hint wrapper (mp/-hinted, provider.cljc:10-12 — the
+    reference's non-metadata hint path). Hints: "enum" (scalar -> [:enum
+    values]), "map-of", "tuple"."""
+
+    __slots__ = ("value", "hint")
+
+    def __init__(self, value: Any, hint: str):
+        self.value = value
+        self.hint = hint
+
+
+def hinted(value: Any, hint: str) -> Hinted:
+    return Hinted(value, hint)
+
+
+#: bounded distinct-value tracking for scalars (:enum hints + value-decoders
+#: need the full distinct set; past the cap both features disable)
+_VALUES_CAP = 256
 
 #: type preference for :or ordering (provider.cljc:5-6 analogue)
 _PREFERENCE = ["map", "vector", "set", "tuple", "int", "double", "boolean",
@@ -40,7 +61,7 @@ def _rank(t: str) -> int:
 def _new_stats() -> dict:
     return {"count": 0, "types": {}, "keys": {}, "item": None, "min": None,
             "max": None, "key_stats": None, "lengths": [], "sigs": [],
-            "positions": []}
+            "positions": [], "hints": [], "values": {}}
 
 
 _SIG_CAP = 64          # bounded per-sample signature memory for tuple coherence
@@ -73,9 +94,22 @@ def _value_type(v: Any) -> str:
 
 def accumulate_value(stats: dict, v: Any) -> dict:
     """One reduction step (provider.cljc:14-36)."""
+    if isinstance(v, Hinted):
+        if v.hint not in stats["hints"]:
+            stats["hints"].append(v.hint)
+        v = v.value
     stats["count"] += 1
     t = _value_type(v)
     stats["types"][t] = stats["types"].get(t, 0) + 1
+    if t not in ("map", "vector", "set", "nil"):
+        vals = stats["values"]
+        if vals is not None:
+            try:
+                vals[v] = vals.get(v, 0) + 1
+                if len(vals) > _VALUES_CAP:
+                    stats["values"] = None  # overflow: disable enum/decoders
+            except TypeError:
+                pass  # unhashable scalar-ish value: skip tracking
     if t == "map":
         if stats["key_stats"] is None:
             stats["key_stats"] = _new_stats()
@@ -164,6 +198,18 @@ def merge_stats(a: dict, b: dict) -> dict:
     for key, pick in (("min", min), ("max", max)):
         if b.get(key) is not None:
             a[key] = b[key] if a.get(key) is None else pick(a[key], b[key])
+    for h in b.get("hints", []):
+        if h not in a["hints"]:
+            a["hints"].append(h)
+    bv = b.get("values", {})
+    if bv is None or a.get("values") is None:
+        a["values"] = None
+    else:
+        av = a["values"]
+        for v, n in bv.items():
+            av[v] = av.get(v, 0) + n
+        if len(av) > _VALUES_CAP:
+            a["values"] = None
     return a
 
 
@@ -175,12 +221,23 @@ def finalize(stats: dict, options: dict | None = None) -> Any:
         schemas and enough distinct keys, infer [:map-of K V] (:58-66)
       - "tuple-threshold": with >= N equal-length, signature-coherent vector
         samples, infer [:tuple ...] (:44-56)
+      - "value-decoders": {scalar-form: {target-form: fn}} — when EVERY
+        distinct observed value changes under fn, the scalar form upgrades
+        to the target (mp/::value-decoders, provider.cljc:70-81)
+      - value hints via ``hinted(x, "enum"|"map-of"|"tuple")``
+        (provider.cljc:10-12, 38-40, 50, 66)
     """
     options = options or {}
     types = dict(stats["types"])
     nil_count = types.pop("nil", 0)
     if not types:
         return "nil" if nil_count else "any"
+    hints = stats.get("hints") or []
+    # :enum hint: the distinct observed values ARE the schema
+    # (provider.cljc -value-schema :38-40)
+    if (hints == ["enum"] and stats.get("values")
+            and not any(t in types for t in ("map", "vector", "set"))):
+        return ["enum", *stats["values"].keys()]
     # int subsumed by double when both present (numeric widening)
     if "int" in types and "double" in types:
         types["double"] += types.pop("int")
@@ -188,6 +245,16 @@ def finalize(stats: dict, options: dict | None = None) -> Any:
     for t in sorted(types, key=_rank):
         if t == "map":
             total_maps = stats["types"].get("map", 0)
+            if "map-of" in hints and stats["keys"]:
+                # forced :map-of (provider.cljc :66): union value schema
+                merged = _new_stats()
+                for sub in stats["keys"].values():
+                    merge_stats(merged, sub)
+                forms.append(["map-of",
+                              finalize(stats["key_stats"], options)
+                              if stats.get("key_stats") else "any",
+                              finalize(merged, options)])
+                continue
             mo = _try_map_of(stats, total_maps, options)
             if mo is not None:
                 forms.append(mo)
@@ -202,7 +269,18 @@ def finalize(stats: dict, options: dict | None = None) -> Any:
                     entries.append([k, child])
             forms.append(["map", *entries] if entries else "map")
         elif t == "vector":
-            tup = _try_tuple(stats, stats["types"].get("vector", 0), options)
+            if "tuple" in hints:
+                # hinted tuple (provider.cljc :50): equal lengths suffice —
+                # heterogeneous positions union per position; length
+                # mismatch falls back to a vector
+                tup = None
+                if (len(stats.get("lengths", [])) == 1
+                        and stats.get("positions")
+                        and stats.get("sigs") != ["__overflow__"]):
+                    tup = ["tuple", *[finalize(p, options)
+                                      for p in stats["positions"]]]
+            else:
+                tup = _try_tuple(stats, stats["types"].get("vector", 0), options)
             if tup is not None:
                 forms.append(tup)
                 continue
@@ -212,11 +290,34 @@ def finalize(stats: dict, options: dict | None = None) -> Any:
             item = finalize(stats["item"], options) if stats["item"] is not None else "any"
             forms.append([t, item])
         else:
-            forms.append(t)
+            forms.append(_apply_value_decoders(t, stats, options))
     form = forms[0] if len(forms) == 1 else ["or", *forms]
     if nil_count:
         form = ["maybe", form]
     return form
+
+
+def _apply_value_decoders(t: str, stats: dict, options: dict) -> str:
+    """mp/::value-decoders (-decoded, provider.cljc:70-81): upgrade a scalar
+    form when EVERY distinct observed value changes under a decoder fn; the
+    first target (in dict order) whose decoder changes all values wins.
+    Disabled past the distinct-values cap (can't prove 'all')."""
+    decoders = (options or {}).get("value-decoders") or {}
+    vp = decoders.get(t)
+    vals = stats.get("values")
+    if not vp or not vals:
+        return t
+    # only values of THIS scalar type vote (mixed-type stats split per type)
+    vs = [v for v in vals if _value_type(v) == t]
+    if not vs:
+        return t
+    for target, fn in vp.items():
+        try:
+            if all(fn(v) != v for v in vs):
+                return target
+        except Exception:
+            continue
+    return t
 
 
 def _try_map_of(stats: dict, total_maps: int, options: dict) -> Any:

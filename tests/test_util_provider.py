@@ -206,3 +206,92 @@ def test_explain_data_serializable():
     # reusable compiled form
     de = mu.data_explainer(S)
     assert de({"x": 1}) is None and de({"x": "no"})["errors"]
+
+
+def test_provide_hints_and_value_decoders():
+    """mp/-hinted value hints + ::value-decoders (provider.cljc:10-12,
+    38-40, 50, 66, 70-81; provider_test.cljc expectations)."""
+    import datetime as dt
+    import uuid as uuidlib
+    from malli_ray.provider import hinted
+    from malli_ray.transform import string_to_date, string_to_uuid
+
+    # :enum hint — distinct observed values become the schema
+    assert provide([{"name": "Tommi", "gender": hinted("male", "enum")},
+                    {"name": hinted("Tiina", "string"), "gender": "female"}]) == \
+        ["map", ["name", "string"], ["gender", ["enum", "male", "female"]]]
+
+    # :map-of hint forces map-of regardless of thresholds
+    assert provide([hinted({"a": {"b": 1, "c": 2},
+                            "b": {"b": 2, "c": 1},
+                            "c": {"b": 3}}, "map-of")]) == \
+        ["map-of", "string", ["map", ["b", "int"], ["c", {"optional": True}, "int"]]]
+
+    # :tuple hint — homogeneous samples
+    assert provide([hinted([1, "kikka", True], "tuple"),
+                    [2, "kukka", True]]) == ["tuple", "int", "string", "boolean"]
+    # heterogeneous positions union per position (reference collapses to
+    # :some; we keep the precise :or — documented divergence)
+    out = provide([hinted([1, "kikka", True], "tuple"), [2, "kukka", "true"]])
+    assert out[:3] == ["tuple", "int", "string"]
+    assert out[3] == ["or", "boolean", "string"]
+    # invalid hinted tuple (length mismatch) -> vector
+    assert provide([hinted([1, "kikka", True], "tuple"),
+                    [2, "kukka", True, "invalid tuple"]])[0] == "vector"
+
+    # value-decoders: strings that ALL parse as uuids upgrade to :uuid
+    u1 = "caa71a26-5fe1-11ec-bf63-0242ac130002"
+    u2 = "8aadbf5e-5fe3-11ec-bf63-0242ac130002"
+    assert provide([{"id": u1}, {"id": u2}]) == ["map", ["id", "string"]]
+    dec = {"string": {"uuid": string_to_uuid}}
+    assert provide([{"id": u1}, {"id": u2}],
+                   {"value-decoders": dec}) == ["map", ["id", "uuid"]]
+    # a non-uuid string vetoes the upgrade
+    assert provide([{"id": u1}, {"id": "nope"}],
+                   {"value-decoders": dec}) == ["map", ["id", "string"]]
+    # decoders apply to map-of KEYS too (provider_test value-decoders case)
+    u3 = "15511020-5fee-11ec-bf63-0242ac130002"
+    got = provide([{u1: {"id": u1}}, {u2: {"id": u2}}, {u3: {"id": u3}}],
+                  {"value-decoders": dec, "map-of-threshold": 3})
+    assert got == ["map-of", "uuid", ["map", ["id", "uuid"]]]
+    # inst? decoder
+    got2 = provide([{"1901-03-02T22:20:11.000Z": "123"},
+                    {"1902-04-03T22:20:11.000Z": "234"},
+                    {"1904-06-05T22:20:11.000Z": "456"}],
+                   {"value-decoders": {"string": {"inst?": string_to_date}},
+                    "map-of-threshold": 3})
+    assert got2 == ["map-of", "inst?", "string"]
+
+
+def test_provide_reference_expectations_corpus():
+    """Python-expressible rows of provider_test.cljc:8-161 expectations."""
+    import datetime as dt
+    import uuid as uuidlib
+
+    cases = [
+        ("int", [1, 2, 3]),
+        ("uuid", [uuidlib.uuid4()]),
+        ("any", []),
+        (["vector", "string"], [["kikka"], ["kukka", "kakka"]]),
+        (["set", "string"], [{"a", "b"}, {"c"}]),
+        (["vector", ["vector", ["set", "int"]]], [[[ {1} ]]]),
+        (["vector", "any"], [[]]),
+        (["maybe", "int"], [1, None, 2, 3]),
+        (["maybe", ["map", ["x", "int"]]], [{"x": 1}, None]),
+        (["maybe", ["or", ["map", ["x", "int"]], "string"]],
+         [{"x": 1}, None, "1"]),
+        (["map", ["a", ["map", ["b", "int"], ["c", "int"]]],
+                 ["b", ["map", ["b", "int"], ["c", "int"]]],
+                 ["c", ["map", ["b", "int"]]],
+                 ["d", "nil"]],
+         [{"a": {"b": 1, "c": 2}, "b": {"b": 2, "c": 1},
+           "c": {"b": 3}, "d": None}]),
+        # too few samples for :map-of stays :map
+        (["map", ["1", ["map", ["name", "string"]]],
+                 ["2", ["map", ["name", "string"]]]],
+         [{"1": {"name": "1"}, "2": {"name": "2"}}]),
+        (["inst?"], None),  # placeholder, replaced below
+    ]
+    cases[-1] = ("inst?", [dt.datetime.now()])
+    for want, samples in cases:
+        assert provide(samples) == want, (want, samples, provide(samples))
