@@ -120,7 +120,9 @@ def test_adversarial_duplicate_cluster(ray_session):
     assert (0, 1) in found and (0, n - 1) in found
     assert (0, n) in found                     # the near-dup via its rep
     assert len([p for p in found if p[0] == 0]) == n  # n-1 dups + 1 near
-    assert minhash_s < 60, f"minhash adversarial took {minhash_s:.1f}s"
+    # generous bound: the box is shared (5-10x load spikes observed); the
+    # naive O(k^2) verify this guards against takes HOURS, not minutes
+    assert minhash_s < 300, f"minhash adversarial took {minhash_s:.1f}s"
 
     t0 = time.perf_counter()
     spairs = dedup.simhash_near_dups(ds, "text", "doc_id",
@@ -128,7 +130,7 @@ def test_adversarial_duplicate_cluster(ray_session):
     simhash_s = time.perf_counter() - t0
     sfound = {(p["id_a"], p["id_b"]): p["hamming"] for p in spairs}
     assert sfound.get((0, 1)) == 0 and sfound.get((0, n - 1)) == 0
-    assert simhash_s < 60, f"simhash adversarial took {simhash_s:.1f}s"
+    assert simhash_s < 300, f"simhash adversarial took {simhash_s:.1f}s"
 
 
 def test_minhash_bucket_cap_logged(ray_session, caplog):
