@@ -565,6 +565,47 @@ def _q_near_dup_pairs_exact(sf_dir: str):
                              batch_format="pyarrow")
 
 
+def _q_near_dup_pairs_simhash(sf_dir: str):
+    """SimHash-bucketed candidates -> EXACT word-3-gram Jaccard >= 0.5.
+
+    High-recall setting: 16 chunks of 4 bits give the pigeonhole guarantee
+    up to hamming 15 (j>=0.5 near-dups sit well inside that radius for
+    64-bit simhashes), then the exact ngram_jaccard verifier makes the
+    result equal to the same brute-force SQL oracle as
+    near_dup_pairs_exact (verified row-identical at sf0.01).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from malli_ray.stages import cached_stage, dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = dedup.simhash_near_dups(ds, "text", "doc_id",
+                                    max_hamming=15, n_chunks=16)
+    tt = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(tt.column("doc_id").to_pylist(),
+                                 tt.column("text").to_pylist())))
+
+    class VerifyExact:
+        def __init__(self, ref):
+            self.texts = (ray.get(ref)
+                          if isinstance(ref, ray.ObjectRef) else ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("id_a").to_pylist()
+            b = batch.column("id_b").to_pylist()
+            j = [dedup.ngram_jaccard(self.texts[x], self.texts[y], 3)
+                 for x, y in zip(a, b)]
+            t = pa.table({"id_a": batch.column("id_a"),
+                          "id_b": batch.column("id_b"),
+                          "jaccard": pa.array(j, type=pa.float64())})
+            return t.filter(pc.greater_equal(t.column("jaccard"), 0.5))
+
+    return cands.map_batches(cached_stage(VerifyExact, ref=texts_ref),
+                             batch_format="pyarrow")
+
+
 def _q_simhash_documents(sf_dir: str):
     from malli_ray.stages import dedup
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -650,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _q_fingerprint_documents,
         "minhash_dedup_documents": _q_minhash_dedup_documents,
         "near_dup_pairs_exact": _q_near_dup_pairs_exact,
+        "near_dup_pairs_simhash": _q_near_dup_pairs_simhash,
         "simhash_documents": _q_simhash_documents,
         "embedding_near_dups": _q_embedding_near_dups,
         "ivf_topk_embeddings": _q_ivf_topk_embeddings,
@@ -692,6 +734,26 @@ _DOC_VALID_EXPR = (
 
 def oracle_sql() -> dict[str, str]:
     src_list = ", ".join(repr(s) for s in _DOC_SOURCES)
+    # brute-force exact near-dup pairs: shared by BOTH LSH-candidate
+    # pipelines (minhash and simhash) — each uses a high-recall bucketing
+    # plus the exact ngram_jaccard verifier, so both equal this oracle
+    near_dup_exact_sql = r"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words
+                         FROM documents),
+             g AS (SELECT doc_id,
+                     CASE WHEN len(words) = 0 THEN ['']
+                          WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                          ELSE list_transform(range(1, len(words) - 1),
+                                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                     END AS grams
+                   FROM w),
+             s AS (SELECT doc_id, list_distinct(grams) AS gs FROM g)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+             WHERE 3 * len(list_intersect(a.gs, b.gs)) >= len(a.gs) + len(b.gs)
+        """
     from malli_ray.stages.text import _LANG_MARKERS, _STOPWORDS
     stop_re = r"(?i)\b(?:" + "|".join(_STOPWORDS) + r")\b"
     quality_sql = rf"""
@@ -869,23 +931,8 @@ def oracle_sql() -> dict[str, str]:
               ASOF LEFT JOIN events p
                 ON e.user_id = p.user_id AND e.ts > p.ts
         """,
-        "near_dup_pairs_exact": r"""
-            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words
-                         FROM documents),
-             g AS (SELECT doc_id,
-                     CASE WHEN len(words) = 0 THEN ['']
-                          WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
-                          ELSE list_transform(range(1, len(words) - 1),
-                                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-                     END AS grams
-                   FROM w),
-             s AS (SELECT doc_id, list_distinct(grams) AS gs FROM g)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
-              FROM s a JOIN s b ON a.doc_id < b.doc_id
-             WHERE 3 * len(list_intersect(a.gs, b.gs)) >= len(a.gs) + len(b.gs)
-        """,
+        "near_dup_pairs_exact": near_dup_exact_sql,
+        "near_dup_pairs_simhash": near_dup_exact_sql,
         "parse_events_orn": """
             SELECT event_id,
                    CASE WHEN value IS NULL THEN NULL
