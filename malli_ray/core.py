@@ -2041,18 +2041,29 @@ def _make(type_: str, props: dict, children: list, options: dict) -> Schema:
     ctor = _registry_get(registry, type_)
     if ctor is None:
         raise SchemaError(f"unknown schema type: {type_!r}", {"type": type_})
-    if isinstance(ctor, Schema):
-        if props or children:
-            raise SchemaError(f"registry schema {type_!r} takes no props/children here")
-        return ctor
-    if isinstance(ctor, (list, str)) and not callable(ctor):
-        # registry alias: name -> form; like Schema-instance entries, vector
-        # application with props/children is rejected (silently dropping the
-        # props would compile a looser schema than declared)
-        if props or children:
+    if isinstance(ctor, Schema) or (isinstance(ctor, (list, str))
+                                    and not callable(ctor)):
+        # registry alias (name -> form) or pre-compiled Schema entry.
+        # Children are rejected (the target's children are fixed), but
+        # vector application WITH PROPERTIES re-binds the expanded schema's
+        # top-node properties — [::derived-str {:error/message "bar"}]
+        # semantics (reference issue-451, core_test.cljc:3088-3110)
+        if children:
             raise SchemaError(
-                f"registry alias {type_!r} takes no props/children here")
-        return schema(ctor, options)
+                f"registry alias {type_!r} takes no children here")
+        target = ctor if isinstance(ctor, Schema) else schema(ctor, options)
+        if props:
+            # rebuild from the expanded FORM with merged top-node properties
+            # (schema subclasses have varying ctor signatures)
+            f = target.form
+            if isinstance(f, list) and len(f) > 1 and isinstance(f[1], dict):
+                new_form = [f[0], {**f[1], **props}, *f[2:]]
+            elif isinstance(f, list):
+                new_form = [f[0], dict(props), *f[1:]]
+            else:
+                new_form = [f, dict(props)]
+            return schema(new_form, options)
+        return target
     if isinstance(ctor, type) and issubclass(ctor, Schema):
         if type_ in _ENTRY_TYPES:
             return _entry_ctor(ctor)(type_, props, children, options)

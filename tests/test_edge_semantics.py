@@ -267,11 +267,16 @@ def test_round5_review_regressions(tmp_path, ray_session):
     S = m.schema(["ref", "A"], opts)
     assert S.unparser()(Tag("i", 1)) == 1
 
-    # registry alias with props raises instead of silently dropping them
+    # registry alias with props APPLIES them to the expanded schema
+    # (updated to reference issue-451 semantics: the props re-bind the
+    # target's top node, never silently dropped)
     reg = {**m.default_registry(), "MyInt": "int"}
-    with _pytest.raises(m.SchemaError):
-        m.schema(["MyInt", {"min": 10}], {"registry": reg})
+    bounded = m.schema(["MyInt", {"min": 10}], {"registry": reg})
+    assert m.validate(bounded, 12) and not m.validate(bounded, 5)
     assert m.validate("MyInt", 5, {"registry": reg})
+    # children on an alias are still rejected
+    with _pytest.raises(m.SchemaError):
+        m.schema(["MyInt", "int"], {"registry": reg})
 
     # ::m/default entries parse THROUGH the default schema
     S = ["map", ["a", "int"],

@@ -290,6 +290,59 @@ def test_not_schema_reference_cases():
         [(["c", "d", 0], ["c", "d"])]
 
 
+def test_registry_alias_with_properties_issue_451():
+    """[::alias {props}] re-binds the expanded schema's top-node properties
+    (reference issue-451, core_test.cljc:3088-3110): derived-ref chains with
+    per-alias :error/message, and bounds props through an alias."""
+    from malli_ray.core import default_registry
+    from malli_ray.registry import composite_registry
+
+    opts = {"registry": composite_registry(
+        {"derived": "string", "derived2": "derived",
+         "derived3": ["derived", {"error/message": "bar"}],
+         "derived4": ["derived2", {"error/message": "baz"}]},
+        default_registry())}
+    assert m.validate("derived2", "x", opts)
+    assert m.validate("derived3", "y", opts)
+    assert m.validate("derived4", "z", opts)
+    assert m.humanize(m.explain("derived3", 1, opts)) == ["bar"]
+    assert m.humanize(m.explain("derived4", 1, opts)) == ["baz"]
+    # schema-property registry, alias applied with bounds props
+    one = ["map", {"registry": {"my-string-like": "string"}},
+           ["entry", ["my-string-like", {"min": 2}]]]
+    assert m.validate(one, {"entry": "ab"})
+    assert not m.validate(one, {"entry": "a"})
+    # children on an alias are still rejected (target children are fixed)
+    import pytest
+    with pytest.raises(m.SchemaError):
+        m.schema(["my-alias", "int"],
+                 {"registry": composite_registry({"my-alias": ["vector", "int"]},
+                                                 default_registry())})
+
+
+def test_issue_regressions_925_937_unparse_confusion():
+    """core_test issue-925 (catn order), issue-937 (single-child nested
+    altn), unparse-confusion #1150/#1153 (parse->unparse roundtrips when a
+    sibling branch could match the parsed shape)."""
+    sc = ["catn", *[[c, "int"] for c in "abcdefghi"]]
+    inp = list(range(1, 10))
+    assert m.unparse(sc, m.parse(sc, inp)) == inp
+
+    s = ["*", ["altn", ["a", ["=", "a"]]]]
+    assert m.validate(s, ["a"]) and m.explain(s, ["a"]) is None
+    p = m.parse(s, ["a"])
+    assert p == [m.tag("a", "a")]
+    assert m.unparse(s, p) == ["a"]
+
+    s1 = ["or", ["tuple", "string", "keyword"], ["orn", ["any", "keyword"]]]
+    assert m.unparse(s1, m.parse(s1, "k")) == "k"
+    s2 = ["or", ["map", ["key", "string"], ["value", "keyword"]],
+          ["orn", ["any", "keyword"]]]
+    assert m.unparse(s2, m.parse(s2, "k")) == "k"
+    s3 = ["or", ["map", ["s", "string"]], ["catn", ["s", "string"]]]
+    assert m.unparse(s3, m.parse(s3, ["k"])) == ["k"]
+
+
 def test_or_orn_transformer_reference_semantics():
     """-or-transformer (core.cljc:651-670) applies to BOTH :or and :orn
     (core.cljc:1035, 1097): decode = first branch whose decoded value
