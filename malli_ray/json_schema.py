@@ -128,6 +128,24 @@ def _accept(sc: Schema) -> dict:
             node["required"] = required
         if sc.closed:
             node["additionalProperties"] = False
+        if sc.default_entry is not None:
+            # ::m/default rest-of-map: transform it and MERGE (reference
+            # accept :map, json_schema.cljc:109-124): its properties /
+            # required / additionalProperties fold into the object; other
+            # keys (e.g. a json-schema/default) survive unless overridden
+            d = _accept(sc.default_entry[2])
+            merged = {**{k: v for k, v in d.items()
+                         if k not in ("properties", "required",
+                                      "additionalProperties", "type")},
+                      **node}
+            if "additionalProperties" in d:
+                merged["additionalProperties"] = d["additionalProperties"]
+            if "properties" in d:
+                merged["properties"] = {**properties, **d["properties"]}
+            if "required" in d:
+                merged["required"] = list(dict.fromkeys(
+                    [*merged.get("required", []), *d["required"]]))
+            node = merged
         return done(node)
 
     if isinstance(sc, MapOfSchema):

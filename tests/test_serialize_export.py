@@ -332,3 +332,55 @@ def test_swagger_export():
                                                    {"type": "string"}]
     assert sw(["=", 5]) == {"enum": [5]}
     assert "x-anyOf" in sw(["or", "int", "string"])
+
+
+def test_json_schema_reference_expectations():
+    """json_schema_test.cljc expectations (Python-expressible subset),
+    incl. the ::m/default merge semantics (json_schema.cljc:109-124)."""
+    from malli_ray.json_schema import transform
+
+    cases = [
+        ("pos-int?", {"type": "integer", "minimum": 1}),
+        ("pos?", {"type": "number", "exclusiveMinimum": 0}),
+        ("float?", {"type": "number"}),
+        ([">", 6], {"type": "number", "exclusiveMinimum": 6}),
+        ([">=", 6], {"type": "number", "minimum": 6}),
+        (["<", 6], {"type": "number", "exclusiveMaximum": 6}),
+        (["<=", 6], {"type": "number", "maximum": 6}),
+        (["=", "x"], {"const": "x"}),
+        (["not", "string?"], {"not": {"type": "string"}}),
+        (["and", "int?", "pos-int?"],
+         {"allOf": [{"type": "integer"}, {"type": "integer", "minimum": 1}]}),
+        (["or", "int?", "string?"],
+         {"anyOf": [{"type": "integer"}, {"type": "string"}]}),
+        (["orn", ["i", "int?"], ["s", "string?"]],
+         {"anyOf": [{"type": "integer"}, {"type": "string"}]}),
+        (["map", ["a", "string?"], ["b", {"optional": True}, "string?"],
+          ["c", {"optional": False}, "string?"]],
+         {"type": "object",
+          "properties": {"a": {"type": "string"}, "b": {"type": "string"},
+                         "c": {"type": "string"}},
+          "required": ["a", "c"]}),
+        # ::m/default map-of -> additionalProperties
+        (["map", ["x", "int"], ["malli.core/default", ["map-of", "int", "int"]]],
+         {"type": "object", "properties": {"x": {"type": "integer"}},
+          "required": ["x"], "additionalProperties": {"type": "integer"}}),
+        # nested ::m/default maps merge properties/required upward
+        (["map", ["x", "int"],
+          ["malli.core/default", ["map", ["y", "int"],
+            ["malli.core/default", ["map", ["z", "int"],
+              ["malli.core/default", ["map-of", "int", "int"]]]]]]],
+         {"type": "object",
+          "properties": {"x": {"type": "integer"}, "y": {"type": "integer"},
+                         "z": {"type": "integer"}},
+          "required": ["x", "y", "z"],
+          "additionalProperties": {"type": "integer"}}),
+    ]
+    for s, want in cases:
+        assert transform(s) == want, (s, transform(s), want)
+    # json-schema/default property on a ::m/default fn entry survives
+    got = transform(["map", ["x", "int"],
+                     ["malli.core/default",
+                      ["fn", {"json-schema/default": {"x": 1}},
+                       "isinstance(x, dict)"]]])
+    assert got["default"] == {"x": 1} and got["required"] == ["x"]
