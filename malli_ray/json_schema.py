@@ -56,9 +56,24 @@ _COUNT_KEYS = {"string": ("minLength", "maxLength"),
                "map-of": ("minProperties", "maxProperties")}
 
 
+#: $ref context stack (one frame per top-level transform call): recursive
+#: :ref schemas emit {"$ref": "#/definitions/<name>"} and register their
+#: definition once — cycles break on the in-progress marker
+#: (reference $ref handling, json_schema_test.cljc:247-335)
+_REF_CTX: list = []
+
+
 def transform(s: Any, options: dict | None = None) -> dict:
     """Schema/form -> JSON-Schema dict."""
-    return _accept(to_schema(s, options))
+    ctx: dict = {"defs": {}}
+    _REF_CTX.append(ctx)
+    try:
+        node = _accept(to_schema(s, options))
+    finally:
+        _REF_CTX.pop()
+    if ctx["defs"]:
+        node = {**node, "definitions": ctx["defs"]}
+    return node
 
 
 def _bounds(node: dict, sc: Schema, lo_key: str, hi_key: str) -> dict:
@@ -170,6 +185,15 @@ def _accept(sc: Schema) -> dict:
         return done({"oneOf": [_accept(s) for s in sc.branches.values()]
                      + ([_accept(sc.default_branch)] if sc.default_branch else [])})
 
+    if t == "ref" and sc.children:
+        name = str(sc.children[0])
+        if _REF_CTX:
+            ctx = _REF_CTX[-1]
+            if name not in ctx["defs"]:
+                ctx["defs"][name] = None  # in-progress marker breaks cycles
+                ctx["defs"][name] = _accept(sc.deref())
+            return done({"$ref": f"#/definitions/{name}"})
+
     deref = sc.deref()
     if deref is not sc:
         return done(_accept(deref))
@@ -182,6 +206,12 @@ def parse(node: dict | bool, options: dict | None = None) -> Any:
         return "any"
     if node is False:
         return ["not", "any"]
+    if isinstance(node, dict) and node.get("definitions"):
+        registry = {name: parse(d) for name, d in node["definitions"].items()}
+        inner = parse({k: v for k, v in node.items() if k != "definitions"})
+        return ["schema", {"registry": registry}, inner]
+    if isinstance(node, dict) and "$ref" in node:
+        return ["ref", node["$ref"].rsplit("/", 1)[-1]]
     if "enum" in node:
         return ["enum", *node["enum"]]
     if "const" in node:

@@ -384,3 +384,28 @@ def test_json_schema_reference_expectations():
                       ["fn", {"json-schema/default": {"x": 1}},
                        "isinstance(x, dict)"]]])
     assert got["default"] == {"x": 1} and got["required"] == ["x"]
+
+
+def test_json_schema_recursive_refs():
+    """Recursive :ref schemas export as $ref + definitions and roundtrip
+    (reference json_schema_test.cljc:247-335); previously a RecursionError."""
+    CONS = ["schema", {"registry": {
+        "ConsCell": ["maybe", ["tuple", "int", ["ref", "ConsCell"]]]}},
+        "ConsCell"]
+    js = js_transform(CONS)
+    assert js["definitions"]["ConsCell"]["oneOf"]
+    assert {"$ref": "#/definitions/ConsCell"} in \
+        js["definitions"]["ConsCell"]["oneOf"][0]["prefixItems"]
+    back = js_parse(js)
+    assert m.validate(back, [1, [2, None]])
+    assert not m.validate(back, [1, [2, "x"]])
+    # mutual recursion
+    PP = ["schema", {"registry": {
+        "Ping": ["maybe", ["tuple", ["=", "ping"], ["ref", "Pong"]]],
+        "Pong": ["maybe", ["tuple", ["=", "pong"], ["ref", "Ping"]]]}},
+        "Ping"]
+    js2 = js_transform(PP)
+    assert sorted(js2["definitions"]) == ["Ping", "Pong"]
+    assert m.validate(js_parse(js2), ["ping", ["pong", None]])
+    # non-recursive schemas unaffected (no definitions key)
+    assert "definitions" not in js_transform(["map", ["x", "int"]])
