@@ -102,7 +102,21 @@ def _desc(sc: Schema) -> str:
         return f"value {word} {sc.children[0]!r}"
     if t in ("?", "*", "+", "repeat", "cat", "catn", "alt", "altn"):
         return f"sequence matching {sc.form!r}"
+    if t == "ref" and sc.children:
+        # recursive references describe by NAME, once — cycles terminate
+        name = str(sc.children[0])
+        if name in _REF_STACK:
+            return name
+        _REF_STACK.append(name)
+        try:
+            return f"{name} (= {_desc(sc.deref())})"
+        finally:
+            _REF_STACK.pop()
     d = sc.deref()
     if d is not sc:
         return _desc(d)
     return str(sc.form)
+
+
+#: in-progress :ref names (cycle guard for recursive schemas)
+_REF_STACK: list = []

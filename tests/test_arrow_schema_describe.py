@@ -96,3 +96,19 @@ def test_assert():
         assert core.assert_("int", "x") == "x"
     finally:
         core.ASSERTS_ENABLED = True
+
+
+def test_describe_recursive_refs():
+    """Recursive :ref schemas describe by name with one expansion
+    (previously RecursionError)."""
+    from malli_ray.describe import describe
+
+    CONS = ["schema", {"registry": {
+        "ConsCell": ["maybe", ["tuple", "int", ["ref", "ConsCell"]]]}},
+        "ConsCell"]
+    out = describe(CONS)
+    assert "ConsCell" in out and "nullable tuple" in out
+    PP = ["schema", {"registry": {
+        "Ping": ["maybe", ["tuple", ["=", "ping"], ["ref", "Pong"]]],
+        "Pong": ["maybe", ["tuple", ["=", "pong"], ["ref", "Ping"]]]}}, "Ping"]
+    assert "Pong" in describe(PP)
