@@ -99,10 +99,27 @@ def to_arrow_type(s: Any, options: dict | None = None) -> pa.DataType:
                 return to_arrow_type(c, options)
             except (KeyError, ValueError):
                 continue
+    if t == "ref" and sc.children:
+        # Arrow's type system is non-recursive: fail with a CLEAR error
+        # instead of blowing the stack on ConsCell-style schemas
+        name = str(sc.children[0])
+        if name in _REF_STACK:
+            raise ValueError(
+                f"recursive schema (ref cycle through {name!r}) has no "
+                "Arrow layout — flatten or bound the recursion first")
+        _REF_STACK.append(name)
+        try:
+            return to_arrow_type(sc.deref(), options)
+        finally:
+            _REF_STACK.pop()
     d = sc.deref()
     if d is not sc:
         return to_arrow_type(d, options)
     raise ValueError(f"no Arrow mapping for schema type {t!r}")
+
+
+#: in-progress :ref names (recursion detection)
+_REF_STACK: list = []
 
 
 def _nullable(cs: Schema, entry_props: dict | None) -> bool:

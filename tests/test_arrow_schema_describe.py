@@ -112,3 +112,21 @@ def test_describe_recursive_refs():
         "Ping": ["maybe", ["tuple", ["=", "ping"], ["ref", "Pong"]]],
         "Pong": ["maybe", ["tuple", ["=", "pong"], ["ref", "Ping"]]]}}, "Ping"]
     assert "Pong" in describe(PP)
+
+
+def test_arrow_schema_recursive_ref_clear_error():
+    """Arrow types are non-recursive: ref cycles raise a clear ValueError
+    instead of RecursionError; non-recursive refs still convert."""
+    import pytest
+    from malli_ray.arrow_schema import to_arrow_schema
+
+    REC = ["map", {"registry": {
+        "Tree": ["maybe", ["map", ["v", "int"],
+                           ["kids", ["vector", ["ref", "Tree"]]]]]}},
+        ["id", "int"], ["tree", "Tree"]]
+    with pytest.raises(ValueError, match="recursive schema"):
+        to_arrow_schema(REC)
+    OK = ["map", {"registry": {"Point": ["map", ["x", "int"], ["y", "int"]]}},
+          ["p", ["ref", "Point"]]]
+    s = to_arrow_schema(OK)
+    assert str(s.field("p").type).startswith("struct")
