@@ -119,7 +119,10 @@ def exact_dedup_keep_first(ds: Dataset, column: str, id_column: str) -> Dataset:
             .select_columns([id_column]))
 
 
-_WORD_RE = re.compile(r"\S+")
+# RE2-compatible "non-space": RE2 (pyarrow/DuckDB) \s is ASCII-only while
+# Python re / rust-regex \s is unicode — the explicit class keeps shingles
+# consistent with the SQL oracles on NBSP/EM-space text
+_WORD_RE = re.compile(r"[^\t\n\f\r ]+")
 
 
 def _word_shingles(text: str, k: int) -> list[str]:

@@ -149,7 +149,9 @@ def word_counts(ds: Dataset, text_column: str,
                           else batch.column(text_column))
         if lowercase:
             s = s.str.to_lowercase()
-        words = s.str.extract_all(r"\S+").explode().drop_nulls()
+        # explicit ASCII non-space class: rust-regex \S is unicode-aware,
+        # RE2 (the SQL oracle + pc kernels) is not — match RE2
+        words = s.str.extract_all(r"[^\t\n\f\r ]+").explode().drop_nulls()
         if len(words) == 0:
             return pa.table({"word": pa.array([], type=pa.string()),
                              "cnt": pa.array([], type=pa.int64())})
@@ -198,7 +200,7 @@ class VocabTokenizer:
         text = batch.column(self.text_column)
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        words = pl.from_arrow(text).fill_null("").str.extract_all(r"\S+")
+        words = pl.from_arrow(text).fill_null("").str.extract_all(r"[^\t\n\f\r ]+")
         counts = words.list.len().to_numpy().astype(np.int64)
         flat = words.explode().drop_nulls()
         token_ids = flat.replace_strict(
@@ -239,7 +241,7 @@ class Fingerprinter:
         self.out = out
         self.ngram = ngram
         self.window = window
-        self.word_re = re.compile(r"\S+")
+        self.word_re = re.compile(r"[^\t\n\f\r ]+")  # RE2-compatible ASCII \S
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_column).to_pylist()
