@@ -144,9 +144,12 @@ def _tolerant_cast(arr: pa.ChunkedArray | pa.Array, kind: str):
         return _string_to_decimal(a)
     s = pl.from_arrow(a)
     if kind == "int":
+        # Long/parseLong semantics: surrounding whitespace rejects
         out = s.cast(pl.Int64, strict=False)
     elif kind == "float":
-        out = s.cast(pl.Float64, strict=False)
+        # Double/parseDouble semantics: surrounding whitespace is tolerated
+        # (matches the row path; polars cast alone would reject it)
+        out = s.str.strip_chars().cast(pl.Float64, strict=False)
     else:
         return arr
     return out.to_arrow()

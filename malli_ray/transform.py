@@ -40,8 +40,14 @@ __all__ = [
 
 
 def string_to_long(x: Any) -> Any:
-    """-string->long: parse or return unchanged (transform.cljc:60-70)."""
+    """-string->long: parse or return unchanged (transform.cljc:60-70).
+
+    Surrounding whitespace rejects (Long/parseLong semantics — Python's
+    int() would silently strip it, diverging from the reference AND from
+    the batch decode path)."""
     if isinstance(x, str):
+        if x != x.strip():
+            return x
         try:
             return int(x, 10)
         except ValueError:

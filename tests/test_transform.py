@@ -137,3 +137,14 @@ def test_type_defaults_table():
     dv = default_value_transformer(defaults={"int": 0, "string": ""})
     S = ["map", ["a", "int"], ["b", "string"]]
     assert m.decode(S, {}, dv) == {"a": 0, "b": ""}
+
+
+def test_string_number_whitespace_reference_semantics():
+    """Long/parseLong rejects surrounding whitespace; Double/parseDouble
+    tolerates it — row AND batch paths agree (transform.cljc:60-91)."""
+    from malli_ray.transform import string_to_long, string_to_double
+
+    assert string_to_long("  7  ") == "  7  "   # unchanged (reject)
+    assert string_to_long("7") == 7
+    assert string_to_long("+7") == 7
+    assert string_to_double(" 1.5 ") == 1.5     # tolerated
