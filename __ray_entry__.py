@@ -513,6 +513,43 @@ def _q_minhash_dedup_documents(sf_dir: str):
                                         )
 
 
+class _ExactJaccardVerify:
+    """Shared pair verifier: exact word-3-gram Jaccard >= threshold, texts
+    fetched from a broadcast dict (small table at oracle scale; at 100 TB
+    this becomes a shuffle join on id)."""
+
+    def __init__(self, ref, threshold: float = 0.5):
+        import ray
+        self.texts = (ray.get(ref)
+                      if isinstance(ref, ray.ObjectRef) else ref)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from malli_ray.stages import dedup
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        j = [dedup.ngram_jaccard(self.texts[x], self.texts[y], 3)
+             for x, y in zip(a, b)]
+        t = pa.table({"id_a": batch.column("id_a"),
+                      "id_b": batch.column("id_b"),
+                      "jaccard": pa.array(j, type=pa.float64())})
+        return t.filter(pc.greater_equal(t.column("jaccard"), self.threshold))
+
+
+def _exact_jaccard_verify(cands, sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+    from malli_ray.stages import cached_stage
+    tt = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(tt.column("doc_id").to_pylist(),
+                                 tt.column("text").to_pylist())))
+    return cands.map_batches(cached_stage(_ExactJaccardVerify, ref=texts_ref),
+                             batch_format="pyarrow")
+
+
+
 def _q_near_dup_pairs_exact(sf_dir: str):
     """MinHash LSH candidates -> EXACT word-3-gram Jaccard verify >= 0.5.
 
@@ -524,10 +561,7 @@ def _q_near_dup_pairs_exact(sf_dir: str):
     near-dup pipeline (minhash_dedup_documents) keeps the scale-friendly
     r=8/b=16 banding.
     """
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    import ray
-    from malli_ray.stages import cached_stage, dedup
+    from malli_ray.stages import dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = ds.count()  # parquet metadata, no scan
@@ -541,69 +575,25 @@ def _q_near_dup_pairs_exact(sf_dir: str):
                                          num_perm=128, bands=64,
                                          hash_buckets=buckets,
                                          max_bucket=8192)
-    tt = pq.read_table(f"{sf_dir}/documents.parquet",
-                       columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(tt.column("doc_id").to_pylist(),
-                                 tt.column("text").to_pylist())))
-
-    class VerifyExact:
-        def __init__(self, ref):
-            self.texts = (ray.get(ref)
-                          if isinstance(ref, ray.ObjectRef) else ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch.column("id_a").to_pylist()
-            b = batch.column("id_b").to_pylist()
-            j = [dedup.ngram_jaccard(self.texts[x], self.texts[y], 3)
-                 for x, y in zip(a, b)]
-            t = pa.table({"id_a": batch.column("id_a"),
-                          "id_b": batch.column("id_b"),
-                          "jaccard": pa.array(j, type=pa.float64())})
-            return t.filter(pc.greater_equal(t.column("jaccard"), 0.5))
-
-    return cands.map_batches(cached_stage(VerifyExact, ref=texts_ref),
-                             batch_format="pyarrow")
+    return _exact_jaccard_verify(cands, sf_dir)
 
 
 def _q_near_dup_pairs_simhash(sf_dir: str):
     """SimHash-bucketed candidates -> EXACT word-3-gram Jaccard >= 0.5.
 
-    High-recall setting: 16 chunks of 4 bits give the pigeonhole guarantee
-    up to hamming 15 (j>=0.5 near-dups sit well inside that radius for
-    64-bit simhashes), then the exact ngram_jaccard verifier makes the
-    result equal to the same brute-force SQL oracle as
-    near_dup_pairs_exact (verified row-identical at sf0.01).
+    ROWS-ONLY (no SQL oracle): simhash hamming distance does NOT bound
+    Jaccard — borderline near-dups (j just above 0.5) can exceed any fixed
+    hamming radius, so unlike near_dup_pairs_exact (whose minhash banding
+    has a provable ~1e-8 miss bound at j=0.5) this pipeline's recall is
+    only empirical (high for j near 1, e.g. all 25 sf0.01 pairs at j>=0.9).
+    Precision IS exact: every emitted pair passed the exact verifier.
     """
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    import ray
-    from malli_ray.stages import cached_stage, dedup
+    from malli_ray.stages import dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     cands = dedup.simhash_near_dups(ds, "text", "doc_id",
                                     max_hamming=15, n_chunks=16)
-    tt = pq.read_table(f"{sf_dir}/documents.parquet",
-                       columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(tt.column("doc_id").to_pylist(),
-                                 tt.column("text").to_pylist())))
-
-    class VerifyExact:
-        def __init__(self, ref):
-            self.texts = (ray.get(ref)
-                          if isinstance(ref, ray.ObjectRef) else ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch.column("id_a").to_pylist()
-            b = batch.column("id_b").to_pylist()
-            j = [dedup.ngram_jaccard(self.texts[x], self.texts[y], 3)
-                 for x, y in zip(a, b)]
-            t = pa.table({"id_a": batch.column("id_a"),
-                          "id_b": batch.column("id_b"),
-                          "jaccard": pa.array(j, type=pa.float64())})
-            return t.filter(pc.greater_equal(t.column("jaccard"), 0.5))
-
-    return cands.map_batches(cached_stage(VerifyExact, ref=texts_ref),
-                             batch_format="pyarrow")
+    return _exact_jaccard_verify(cands, sf_dir)
 
 
 def _q_simhash_documents(sf_dir: str):
@@ -932,7 +922,6 @@ def oracle_sql() -> dict[str, str]:
                 ON e.user_id = p.user_id AND e.ts > p.ts
         """,
         "near_dup_pairs_exact": near_dup_exact_sql,
-        "near_dup_pairs_simhash": near_dup_exact_sql,
         "parse_events_orn": """
             SELECT event_id,
                    CASE WHEN value IS NULL THEN NULL

@@ -97,6 +97,9 @@ def to_arrow_type(s: Any, options: dict | None = None) -> pa.DataType:
         for c in children:
             try:
                 return to_arrow_type(c, options)
+            except RecursiveSchemaError:
+                raise  # a recursive branch must fail LOUDLY, not fall
+                       # through to a sibling branch's (wrong) layout
             except (KeyError, ValueError):
                 continue
     if t == "ref" and sc.children:
@@ -104,7 +107,7 @@ def to_arrow_type(s: Any, options: dict | None = None) -> pa.DataType:
         # instead of blowing the stack on ConsCell-style schemas
         name = str(sc.children[0])
         if name in _REF_STACK:
-            raise ValueError(
+            raise RecursiveSchemaError(
                 f"recursive schema (ref cycle through {name!r}) has no "
                 "Arrow layout — flatten or bound the recursion first")
         _REF_STACK.append(name)
@@ -118,8 +121,39 @@ def to_arrow_type(s: Any, options: dict | None = None) -> pa.DataType:
     raise ValueError(f"no Arrow mapping for schema type {t!r}")
 
 
+class RecursiveSchemaError(ValueError):
+    """Ref cycle reached the Arrow type mapper (Arrow types are
+    non-recursive); never caught by union-branch fallbacks."""
+
+
 #: in-progress :ref names (recursion detection)
-_REF_STACK: list = []
+import threading as _threading
+
+_TLS = _threading.local()
+
+
+class _TLStack:
+    """Thread-local list facade (append/pop/in) — module-level state must
+    not leak across threads in threaded map_batches actors."""
+
+    def append(self, x):
+        self._stack().append(x)
+
+    def pop(self):
+        return self._stack().pop()
+
+    def __contains__(self, x):
+        return x in self._stack()
+
+    @staticmethod
+    def _stack() -> list:
+        s = getattr(_TLS, "stack", None)
+        if s is None:
+            s = _TLS.stack = []
+        return s
+
+
+_REF_STACK = _TLStack()
 
 
 def _nullable(cs: Schema, entry_props: dict | None) -> bool:

@@ -2054,14 +2054,17 @@ def _make(type_: str, props: dict, children: list, options: dict) -> Schema:
         target = ctor if isinstance(ctor, Schema) else schema(ctor, options)
         if props:
             # rebuild from the expanded FORM with merged top-node properties
-            # (schema subclasses have varying ctor signatures)
+            # (schema subclasses have varying ctor signatures).  Whether
+            # form[1] is a props dict is decided by target.properties — a
+            # dict VALUE child (e.g. [:= {...}] / [:enum {...} ...]) must
+            # NOT be mistaken for properties
             f = target.form
-            if isinstance(f, list) and len(f) > 1 and isinstance(f[1], dict):
+            if isinstance(f, str):
+                new_form: list = [f, dict(props)]
+            elif target.properties:
                 new_form = [f[0], {**f[1], **props}, *f[2:]]
-            elif isinstance(f, list):
-                new_form = [f[0], dict(props), *f[1:]]
             else:
-                new_form = [f, dict(props)]
+                new_form = [f[0], dict(props), *f[1:]]
             return schema(new_form, options)
         return target
     if isinstance(ctor, type) and issubclass(ctor, Schema):

@@ -119,4 +119,30 @@ def _desc(sc: Schema) -> str:
 
 
 #: in-progress :ref names (cycle guard for recursive schemas)
-_REF_STACK: list = []
+import threading as _threading
+
+_TLS = _threading.local()
+
+
+class _TLStack:
+    """Thread-local list facade (append/pop/in) — module-level state must
+    not leak across threads in threaded map_batches actors."""
+
+    def append(self, x):
+        self._stack().append(x)
+
+    def pop(self):
+        return self._stack().pop()
+
+    def __contains__(self, x):
+        return x in self._stack()
+
+    @staticmethod
+    def _stack() -> list:
+        s = getattr(_TLS, "stack", None)
+        if s is None:
+            s = _TLS.stack = []
+        return s
+
+
+_REF_STACK = _TLStack()

@@ -56,11 +56,38 @@ _COUNT_KEYS = {"string": ("minLength", "maxLength"),
                "map-of": ("minProperties", "maxProperties")}
 
 
-#: $ref context stack (one frame per top-level transform call): recursive
-#: :ref schemas emit {"$ref": "#/definitions/<name>"} and register their
-#: definition once — cycles break on the in-progress marker
+#: $ref context stack (one frame per top-level transform call, THREAD-LOCAL
+#: — map_batches UDFs may run in threaded actors): recursive :ref schemas
+#: emit {"$ref": "#/definitions/<name>"} and register their definition once;
+#: cycles break on the in-progress marker
 #: (reference $ref handling, json_schema_test.cljc:247-335)
-_REF_CTX: list = []
+import threading as _threading
+
+_TLS = _threading.local()
+
+
+class _RefCtx:
+    def append(self, x):
+        self._stack().append(x)
+
+    def pop(self):
+        return self._stack().pop()
+
+    def __bool__(self):
+        return bool(self._stack())
+
+    def __getitem__(self, i):
+        return self._stack()[i]
+
+    @staticmethod
+    def _stack() -> list:
+        s = getattr(_TLS, "stack", None)
+        if s is None:
+            s = _TLS.stack = []
+        return s
+
+
+_REF_CTX = _RefCtx()
 
 
 def transform(s: Any, options: dict | None = None) -> dict:
@@ -189,10 +216,17 @@ def _accept(sc: Schema) -> dict:
         name = str(sc.children[0])
         if _REF_CTX:
             ctx = _REF_CTX[-1]
-            if name not in ctx["defs"]:
-                ctx["defs"][name] = None  # in-progress marker breaks cycles
-                ctx["defs"][name] = _accept(sc.deref())
-            return done({"$ref": f"#/definitions/{name}"})
+            # disambiguate same-named refs whose TARGETS differ (two local
+            # registries can both define "X"): key variants by target form
+            variants = ctx.setdefault("by_name", {}).setdefault(name, {})
+            target_key = repr(sc.deref().form)
+            def_key = variants.get(target_key)
+            if def_key is None:
+                def_key = name if not variants else f"{name}.{len(variants) + 1}"
+                variants[target_key] = def_key
+                ctx["defs"][def_key] = None  # in-progress marker breaks cycles
+                ctx["defs"][def_key] = _accept(sc.deref())
+            return done({"$ref": f"#/definitions/{def_key}"})
 
     deref = sc.deref()
     if deref is not sc:

@@ -46,7 +46,9 @@ def string_to_long(x: Any) -> Any:
     int() would silently strip it, diverging from the reference AND from
     the batch decode path)."""
     if isinstance(x, str):
-        if x != x.strip():
+        if x != x.strip() or "_" in x:
+            # parseLong rejects whitespace and Python's underscore digit
+            # separators ("1_0"); the batch path (polars cast) agrees
             return x
         try:
             return int(x, 10)
@@ -56,7 +58,11 @@ def string_to_long(x: Any) -> Any:
 
 
 def string_to_double(x: Any) -> Any:
+    """-string->double: parse or return unchanged (Double/parseDouble
+    tolerates surrounding whitespace but not underscore separators)."""
     if isinstance(x, str):
+        if "_" in x:
+            return x
         try:
             return float(x)
         except ValueError:

@@ -558,3 +558,65 @@ def test_multi_reference_cases():
           [m.DEFAULT_KEY, ["map", ["foo", "keyword?"]]]]
     assert m.encode(s3, {"foo": "bar"}, kt) == {"FOO": "bar"}
     assert m.encode(s3, {"foo": "baz"}, kt) == {"FOO": "baz"}
+
+
+def test_third_review_regressions():
+    """Fixes from the third review pass."""
+    import pytest
+    import malli_ray as m
+    from malli_ray.core import default_registry
+
+    # (2) recursive branch under :or fails LOUDLY in the Arrow mapper —
+    # never falls through to a sibling branch's wrong layout
+    from malli_ray.arrow_schema import RecursiveSchemaError, to_arrow_schema
+    REC_UNION = ["map", {"registry": {
+        "Tree": ["or", ["tuple", "int", ["ref", "Tree"]], "int"]}},
+        ["t", "Tree"]]
+    with pytest.raises(RecursiveSchemaError):
+        to_arrow_schema(REC_UNION)
+
+    # (3) alias props with dict VALUE children (:= / :enum) — the dict
+    # child must not be mistaken for properties
+    reg = {**default_registry(), "C": ["=", None, {"a": 1}],
+           "E": ["enum", None, {"a": 1}, "x"]}
+    opts = {"registry": reg}
+    s = m.schema(["C", {"error/message": "bad"}], opts)
+    assert m.validate(s, {"a": 1}) and not m.validate(s, {"a": 2})
+    assert m.humanize(m.explain(s, 5, opts)) == ["bad"]
+    s3 = m.schema(["E", {"error/message": "nope"}], opts)
+    assert m.validate(s3, {"a": 1}) and m.validate(s3, "x")
+    assert not m.validate(s3, "y")
+
+    # (4) same-named refs with different targets get distinct definitions
+    from malli_ray.json_schema import parse as js_parse, transform as js_transform
+    two = ["tuple",
+           ["schema", {"registry": {"X": "int"}}, ["ref", "X"]],
+           ["schema", {"registry": {"X": "string"}}, ["ref", "X"]]]
+    js = js_transform(two)
+    assert sorted(js["definitions"]) == ["X", "X.2"]
+    back = js_parse(js)
+    assert m.validate(back, [1, "a"]) and not m.validate(back, ["a", 1])
+
+    # (6) underscore digit separators reject (parseLong/parseDouble parity
+    # with the batch path)
+    from malli_ray.transform import string_to_double, string_to_long
+    assert string_to_long("1_0") == "1_0"
+    assert string_to_double("1_5.5") == "1_5.5"
+    assert string_to_long("10") == 10
+
+    # (8) transform/describe/arrow refs are thread-safe (thread-local state)
+    import threading
+    CONS = ["schema", {"registry": {
+        "C": ["maybe", ["tuple", "int", ["ref", "C"]]]}}, "C"]
+    errs = []
+
+    def work():
+        for _ in range(20):
+            out = js_transform(CONS)
+            if "definitions" not in out or "C" not in out["definitions"]:
+                errs.append(out)
+
+    ts = [threading.Thread(target=work) for _ in range(6)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
