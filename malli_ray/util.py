@@ -119,20 +119,75 @@ def _rebuild_map(template: MapSchema, entries: list, properties: dict | None = N
     return MapSchema("map", props, entries, template.options)
 
 
-def merge(s1: Any, s2: Any, options: dict | None = None) -> Schema:
-    """Deep map-schema merge, last-wins on conflicts; nested maps merge
-    recursively; optionality of the *last* entry wins.
+def _merge_entry(p1, cs1, p2, cs2, options) -> tuple:
+    """-entry (util.cljc:25-28): entry props MERGE, required of the LAST
+    entry wins, child schemas merge recursively."""
+    required2 = not bool((p2 or {}).get("optional"))
+    p = {**(p1 or {}), **(p2 or {})}
+    p["optional"] = not required2
+    if p.get("optional") is False:
+        p.pop("optional")
+    return (p or None, merge(cs1, cs2, options))
 
-    Reference: mu/merge, src/malli/util.cljc:53-101.
+
+def merge(s1: Any, s2: Any, options: dict | None = None) -> Schema:
+    """mu/merge (src/malli/util.cljc:53-101):
+
+    - nil on either side: the other wins;
+    - two :map schemas: keys and values merge deeply; entry properties
+      merge; required-ness of the LAST entry wins;
+    - :and schemas: the FIRST child joins the merge, the remaining
+      conjuncts are kept as-is (props merged);
+    - :multi distributes: merging into/from a :multi merges each branch;
+    - anything else: last wins.
     """
     if s1 is None:
         return schema(s2, options)
     if s2 is None:
         return schema(s1, options)
-    a, b = schema(s1, options), schema(s2, options)
-    da, db = _deref_all(a), _deref_all(b)
-    if not (isinstance(da, MapSchema) and isinstance(db, MapSchema)):
-        return b  # non-map merge: last wins (util.cljc:88-90)
+    from .core import MultiSchema
+    da = _deref_all(schema(s1, options))
+    db = _deref_all(schema(s2, options))
+
+    def multi_distribute(multi: MultiSchema, other, right: bool) -> Schema:
+        entries = []
+        for (k, p, cs) in multi.children:
+            merged = merge(cs, other, options) if right else \
+                merge(other, cs, options)
+            entries.append([k, p, merged.form] if p else [k, merged.form])
+        form: list = ["multi", dict(multi.properties or {}), *entries]
+        return schema(form, options)
+
+    # distributivity over :multi (util.cljc:85-87)
+    if isinstance(da, MultiSchema):
+        return multi_distribute(da, db, right=True)
+    if isinstance(db, MultiSchema):
+        return multi_distribute(db, da, right=False)
+
+    ta = "map" if isinstance(da, MapSchema) else da.type
+    tb = "map" if isinstance(db, MapSchema) else db.type
+    if ta not in ("map", "and") or tb not in ("map", "and"):
+        return db  # merge-default: last wins (util.cljc:88-90)
+
+    if ta == "and" or tb == "and":
+        # join (util.cljc:79-80): merge the first children, keep the rest
+        def tear(t, s):
+            if t == "map":
+                return None, [s]
+            return (s.properties or None), list(s.children)
+
+        p1, cs1 = tear(ta, da)
+        p2, cs2 = tear(tb, db)
+        head = merge(cs1[0], cs2[0], options)
+        props = {**(p1 or {}), **(p2 or {})}
+        form: list = ["and"]
+        if props:
+            form.append(props)
+        form.append(head.form)
+        form.extend(c.form for c in cs1[1:])
+        form.extend(c.form for c in cs2[1:])
+        return schema(form, options)
+
     out: list = []
     index: dict = {}
     for (k, p, cs) in da.children:
@@ -141,12 +196,11 @@ def merge(s1: Any, s2: Any, options: dict | None = None) -> Schema:
     for (k, p, cs) in db.children:
         if k in index:
             (k0, p0, cs0) = out[index[k]]
-            cs0d, csd = _deref_all(cs0), _deref_all(cs)
-            if isinstance(cs0d, MapSchema) and isinstance(csd, MapSchema):
-                merged_child = merge(cs0d, csd, options)
+            if k == DEFAULT_KEY:
+                out[index[k]] = (k, p, cs)  # ::m/default: last wins
             else:
-                merged_child = cs
-            out[index[k]] = (k, p, merged_child)
+                mp, mc = _merge_entry(p0, cs0, p, cs, options)
+                out[index[k]] = (k, mp, mc)
         else:
             index[k] = len(out)
             out.append((k, p, cs))

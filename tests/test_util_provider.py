@@ -295,3 +295,57 @@ def test_provide_reference_expectations_corpus():
     cases[-1] = ("inst?", [dt.datetime.now()])
     for want, samples in cases:
         assert provide(samples) == want, (want, samples, provide(samples))
+
+
+def test_merge_reference_cases():
+    """mu/merge reference semantics (util.cljc:53-101; util_test merge-test):
+    entry-property merge, :and head-join, :multi distribution."""
+    cases = [
+        ("int?", "pos-int?", "pos-int?"),
+        ("int?", None, "int?"),
+        (None, "pos-int?", "pos-int?"),
+        # optionality of the LAST entry wins; entry props merge
+        (["map", ["x", {"optional": False}, "int?"]],
+         ["map", ["x", {"optional": True}, "pos-int?"]],
+         ["map", ["x", {"optional": True}, "pos-int?"]]),
+        # deep nested merge with entry-property union
+        (["map", {"title": "parameters"},
+          ["parameters", ["map",
+            ["query-params", {"title": "query1", "description": "first"},
+             ["map", ["x", "int?"]]]]]],
+         ["map", {"description": "description"},
+          ["parameters", ["map",
+            ["query-params", {"title": "query2", "summary": "second"},
+             ["map", ["x", "string?"], ["y", "int?"]]],
+            ["body-params", ["map", ["z", "int?"]]]]]],
+         ["map", {"title": "parameters", "description": "description"},
+          ["parameters", ["map",
+            ["query-params", {"title": "query2", "description": "first",
+                              "summary": "second"},
+             ["map", ["x", "string?"], ["y", "int?"]]],
+            ["body-params", ["map", ["z", "int?"]]]]]]),
+        # nested :schema wrappers deref before merging
+        (["schema", ["schema", ["map", ["x", "int?"]]]],
+         ["schema", ["schema", ["schema", ["map", ["y", "int?"]]]]],
+         ["map", ["x", "int?"], ["y", "int?"]]),
+        # :and head-merge: first child joins, rest kept, props merged
+        (["map", {"title": "x", "x": True}, ["x", "int"]],
+         ["and", {"and": "y", "y": False},
+          ["map", {"title": "y", "y": True}, ["y", "int"]], "map?"],
+         ["and", {"and": "y", "y": False},
+          ["map", {"title": "y", "x": True, "y": True},
+           ["x", "int"], ["y", "int"]], "map?"]),
+    ]
+    for a, b, want in cases:
+        got = mu.merge(a, b)
+        assert mu.equals(got, want), (m.form(got), want)
+    # :multi distributes on both sides
+    M = ["multi", {"dispatch": "type"},
+         ["a", ["map", ["type", "string"], ["x", "int"]]],
+         ["b", ["map", ["type", "string"], ["y", "int"]]]]
+    EXTRA = ["map", ["z", "int"]]
+    right = mu.merge(M, EXTRA)
+    assert m.validate(right, {"type": "a", "x": 1, "z": 2})
+    assert not m.validate(right, {"type": "a", "x": 1})  # z now required
+    left = mu.merge(EXTRA, M)
+    assert m.validate(left, {"type": "b", "y": 1, "z": 2})
