@@ -119,28 +119,40 @@ def _rebuild_map(template: MapSchema, entries: list, properties: dict | None = N
     return MapSchema("map", props, entries, template.options)
 
 
-def _merge_entry(p1, cs1, p2, cs2, options) -> tuple:
-    """-entry (util.cljc:25-28): entry props MERGE, required of the LAST
-    entry wins, child schemas merge recursively."""
-    required2 = not bool((p2 or {}).get("optional"))
+def _merge_entry(p1, cs1, p2, cs2, options, merge_default,
+                 merge_required) -> tuple:
+    """-entry (util.cljc:25-28): entry props MERGE, required-ness resolved
+    by ``merge_required`` (merge: last wins; union: both), child schemas
+    merge recursively."""
+    mr = merge_required or (lambda a, b: b)
+    r1 = not bool((p1 or {}).get("optional"))
+    r2 = not bool((p2 or {}).get("optional"))
     p = {**(p1 or {}), **(p2 or {})}
-    p["optional"] = not required2
+    p["optional"] = not mr(r1, r2)
     if p.get("optional") is False:
         p.pop("optional")
-    return (p or None, merge(cs1, cs2, options))
+    return (p or None,
+            merge(cs1, cs2, options, merge_default=merge_default,
+                  merge_required=merge_required))
 
 
-def merge(s1: Any, s2: Any, options: dict | None = None) -> Schema:
+def merge(s1: Any, s2: Any, options: dict | None = None, *,
+          merge_default=None, merge_required=None) -> Schema:
     """mu/merge (src/malli/util.cljc:53-101):
 
     - nil on either side: the other wins;
     - two :map schemas: keys and values merge deeply; entry properties
-      merge; required-ness of the LAST entry wins;
+      merge; required-ness resolved by ``merge_required`` (default: the
+      LAST entry wins);
     - :and schemas: the FIRST child joins the merge, the remaining
       conjuncts are kept as-is (props merged);
-    - :multi distributes: merging into/from a :multi merges each branch;
-    - anything else: last wins.
+    - :multi distributes (only when no custom hooks are given, matching the
+      reference's can-distribute? guard);
+    - anything else: ``merge_default`` (default: last wins).
     """
+    can_distribute = merge_default is None and merge_required is None
+    md = merge_default or (lambda a, b, _o: b)
+    mr = merge_required or (lambda r1, r2: r2)
     if s1 is None:
         return schema(s2, options)
     if s2 is None:
@@ -149,25 +161,29 @@ def merge(s1: Any, s2: Any, options: dict | None = None) -> Schema:
     da = _deref_all(schema(s1, options))
     db = _deref_all(schema(s2, options))
 
-    def multi_distribute(multi: MultiSchema, other, right: bool) -> Schema:
-        entries = []
-        for (k, p, cs) in multi.children:
-            merged = merge(cs, other, options) if right else \
-                merge(other, cs, options)
-            entries.append([k, p, merged.form] if p else [k, merged.form])
-        form: list = ["multi", dict(multi.properties or {}), *entries]
-        return schema(form, options)
+    def recur(a, b):
+        return merge(a, b, options, merge_default=merge_default,
+                     merge_required=merge_required)
 
-    # distributivity over :multi (util.cljc:85-87)
-    if isinstance(da, MultiSchema):
-        return multi_distribute(da, db, right=True)
-    if isinstance(db, MultiSchema):
-        return multi_distribute(db, da, right=False)
+    if can_distribute:
+        def multi_distribute(multi: MultiSchema, other, right: bool) -> Schema:
+            entries = []
+            for (k, p, cs) in multi.children:
+                merged = recur(cs, other) if right else recur(other, cs)
+                entries.append([k, p, merged.form] if p else [k, merged.form])
+            form: list = ["multi", dict(multi.properties or {}), *entries]
+            return schema(form, options)
+
+        # distributivity over :multi (util.cljc:85-87)
+        if isinstance(da, MultiSchema):
+            return multi_distribute(da, db, right=True)
+        if isinstance(db, MultiSchema):
+            return multi_distribute(db, da, right=False)
 
     ta = "map" if isinstance(da, MapSchema) else da.type
     tb = "map" if isinstance(db, MapSchema) else db.type
     if ta not in ("map", "and") or tb not in ("map", "and"):
-        return db  # merge-default: last wins (util.cljc:88-90)
+        return md(da, db, options)  # merge-default (util.cljc:88-90)
 
     if ta == "and" or tb == "and":
         # join (util.cljc:79-80): merge the first children, keep the rest
@@ -178,7 +194,7 @@ def merge(s1: Any, s2: Any, options: dict | None = None) -> Schema:
 
         p1, cs1 = tear(ta, da)
         p2, cs2 = tear(tb, db)
-        head = merge(cs1[0], cs2[0], options)
+        head = recur(cs1[0], cs2[0])
         props = {**(p1 or {}), **(p2 or {})}
         form: list = ["and"]
         if props:
@@ -199,7 +215,8 @@ def merge(s1: Any, s2: Any, options: dict | None = None) -> Schema:
             if k == DEFAULT_KEY:
                 out[index[k]] = (k, p, cs)  # ::m/default: last wins
             else:
-                mp, mc = _merge_entry(p0, cs0, p, cs, options)
+                mp, mc = _merge_entry(p0, cs0, p, cs, options,
+                                      merge_default, merge_required)
                 out[index[k]] = (k, mp, mc)
         else:
             index[k] = len(out)
@@ -210,37 +227,17 @@ def merge(s1: Any, s2: Any, options: dict | None = None) -> Schema:
 
 
 def union(s1: Any, s2: Any, options: dict | None = None) -> Schema:
-    """Merge where conflicting entries become :or and optionality is or-ed.
+    """mu/union (src/malli/util.cljc:103-112): merge with
+    merge-default = [:or s1 s2] unless equal, and merge-required = AND
+    (an entry is required only if required on BOTH sides)."""
 
-    Reference: mu/union, src/malli/util.cljc:103-112.
-    """
-    from .core import OrSchema
-    a, b = _as_map(s1, options), _as_map(s2, options)
-    out: list = []
-    index: dict = {}
-    for (k, p, cs) in a.children:
-        index[k] = len(out)
-        out.append((k, p, cs))
-    for (k, p, cs) in b.children:
-        if k in index:
-            (k0, p0, cs0) = out[index[k]]
-            optional = bool((p0 or {}).get("optional")) or bool((p or {}).get("optional"))
-            np = dict(p0 or {})
-            if optional:
-                np["optional"] = True
-            elif "optional" in np:
-                del np["optional"]
-            if equals(cs0, cs):
-                merged_child = cs0
-            else:
-                merged_child = OrSchema("or", {}, [cs0, cs], a.options)
-            out[index[k]] = (k, np or None, merged_child)
-        else:
-            index[k] = len(out)
-            out.append((k, p, cs))
-    props = dict(a.properties)
-    props.update(b.properties)
-    return _rebuild_map(a, out, props)
+    def or_unless_equal(a: Schema, b: Schema, _o):
+        if equals(a, b):
+            return a
+        return schema(["or", a.form, b.form], options)
+
+    return merge(s1, s2, options, merge_default=or_unless_equal,
+                 merge_required=lambda r1, r2: r1 and r2)
 
 
 def select_keys(s: Any, ks: list, options: dict | None = None) -> Schema:

@@ -29,6 +29,36 @@ def test_union():
     assert m.validate(u, {"x": 1}) and m.validate(u, {"x": "s"})
 
 
+def test_union_reference_semantics():
+    # equal children stay as-is (no [:or x x]) — util.cljc:110
+    u = mu.union(["map", ["x", "int"]], ["map", ["x", "int"]])
+    assert u.form == ["map", ["x", "int"]]
+    # conflicting children become :or of both
+    u = mu.union(["map", ["x", "int"]], ["map", ["x", "string"]])
+    assert mu.get(u, "x").type == "or"
+    # required-ness is AND-ed: optional on either side => optional
+    u = mu.union(["map", ["x", {"optional": True}, "int"]],
+                 ["map", ["x", "int"]])
+    assert m.validate(u, {})
+    u = mu.union(["map", ["x", "int"]],
+                 ["map", ["x", {"optional": True}, "int"]])
+    assert m.validate(u, {})
+    # required on BOTH sides stays required
+    u = mu.union(["map", ["x", "int"]], ["map", ["x", "int"]])
+    assert not m.validate(u, {})
+    # top-level non-map conflict also goes through merge-default
+    u = mu.union("int", "string")
+    assert m.validate(u, 1) and m.validate(u, "s")
+    assert mu.union("int", "int").type == "int"
+    # merge with custom hooks disables :multi distribution
+    # (can-distribute? guard, util.cljc:74-76) — :multi falls to default
+    multi = ["multi", {"dispatch": "type"},
+             ["a", ["map", ["type", ["=", "a"]]]]]
+    out = mu.merge(multi, ["map", ["x", "int"]],
+                   merge_default=lambda a, b, _o: b)
+    assert out.type == "map"
+
+
 def test_select_dissoc_rename():
     s = ["map", ["x", "int"], ["y", "string"]]
     assert mu.keys(mu.select_keys(s, ["x"])) == ["x"]
