@@ -1686,12 +1686,31 @@ class FunctionSchema(Schema):
     def output(self) -> "Schema":
         return self.children[1]
 
+    def function_info(self) -> dict:
+        """-function-info (src/malli/core.cljc:2211-2218): arity bounds from
+        the input seqex's static min/max; arity is the fixed count when
+        min == max, else "varargs"."""
+        from .regex_engine import regex_min_max
+        mn, mx = regex_min_max(self.input, nested=False)
+        info = {"min": mn, "arity": mn if mn == mx else "varargs",
+                "input": self.input, "output": self.output}
+        if mx is not None:
+            info["max"] = mx
+        return info
+
+    def arities(self) -> list["FunctionSchema"]:
+        return [self]
+
 
 class FunctionSetSchema(Schema):
     """:function — a set of :=> arities. src/malli/core.cljc:2154-2321."""
 
     def _validator(self):
         return callable
+
+    def arities(self) -> list["FunctionSchema"]:
+        """-function-schema-arities: the :=> children."""
+        return [c for c in self.children if isinstance(c, FunctionSchema)]
 
 
 class RefSchema(Schema):

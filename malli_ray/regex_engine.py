@@ -562,3 +562,52 @@ def register_into(reg: dict) -> None:
     reg["altn"] = _entry_ctor(AltSchema)
     for t in ("?", "*", "+", "repeat"):
         reg[t] = RepeatSchema
+
+
+def regex_min_max(s: Schema, nested: bool = False) -> tuple[int, int | None]:
+    """(min, max) sequence length a seqex schema can match; max None means
+    unbounded. Reference: -regex-min-max (src/malli/core.cljc:87,154,
+    297-303, 2968-3024); non-regex schemas count as one item ({:min 1
+    :max 1}, core.cljc:154); :ref fails (::potentially-recursive-seqex,
+    core.cljc:2055)."""
+    from .core import RefSchema, WrapperSchema
+
+    if isinstance(s, RefSchema):
+        raise SchemaError("potentially recursive seqex: :ref inside a "
+                          "sequence regex has no static min/max")
+    if isinstance(s, WrapperSchema):
+        # [:schema X] nested inside an outer regex counts as ONE item
+        # (core.cljc:2147-2150); at top level it is transparent
+        if nested:
+            return (1, 1)
+        return regex_min_max(s.deref(), nested)
+    if isinstance(s, RepeatSchema):
+        cmin, cmax = regex_min_max(s.children[0], True)
+        t = s.type
+        if t == "+":
+            return (cmin, None)          # {:min child-min}
+        if t == "*":
+            return (0, None)
+        if t == "?":
+            return (0, cmax)
+        # :repeat — property bounds scale the child bounds (-re-min-max *)
+        pmin = (s.properties or {}).get("min", 0)
+        pmax = (s.properties or {}).get("max")
+        mx = pmax * cmax if (pmax is not None and cmax is not None) else None
+        return (pmin * cmin, mx)
+    if isinstance(s, CatSchema):
+        mn, mx = 0, 0
+        for (_, child) in s._parts():
+            cmin, cmax = regex_min_max(child, True)
+            mn += cmin
+            mx = mx + cmax if (mx is not None and cmax is not None) else None
+        return (mn, mx)
+    if isinstance(s, AltSchema):
+        mn: int | None = None
+        mx = 0
+        for (_, child) in s._parts():
+            cmin, cmax = regex_min_max(child, True)
+            mn = cmin if mn is None else min(mn, cmin)
+            mx = max(mx, cmax) if (mx is not None and cmax is not None) else None
+        return (mn or 0, mx)
+    return (1, 1)

@@ -409,3 +409,133 @@ def test_json_schema_recursive_refs():
     assert m.validate(js_parse(js2), ["ping", ["pong", None]])
     # non-recursive schemas unaffected (no definitions key)
     assert "definitions" not in js_transform(["map", ["x", "int"]])
+
+
+# -- clj-kondo export (mirrors test/malli/clj_kondo_test.cljc) -------------
+
+def test_clj_kondo_transform_golden():
+    """Golden outputs from clj_kondo_test.cljc:88-105 (keywords are plain
+    strings in the Python DSL, so keyword enums render as :string)."""
+    from malli_ray import clj_kondo as ck
+
+    s = ["map", {"registry": {"id": "string?", "price": "double?"}},
+         ["id", "id"],
+         ["price", {"optional": True}, "price"],
+         ["name", "string?"],
+         ["description", ["maybe", "string?"]],
+         ["tags", {"optional": True}, ["set", "qualified-keyword?"]],
+         ["select-keys", ["maybe", ["select-keys",
+                                    ["map", ["x", "int?"], ["y", "int?"]],
+                                    ["x"]]]],
+         ["xyz", "any"],
+         ["xyz2", ["maybe", "any"]],
+         ["xyz3", ["maybe", "int"]],
+         ["tuple-of-ints", ["maybe", ["tuple", "int", "int"]]],
+         ["nested", ["merge", ["map", ["nid", "id"]],
+                     ["map", ["nprice", "price"]]]],
+         ["string-type-enum", ["maybe", ["enum", "b", "c"]]],
+         ["any-type-enum", ["enum", 1, "b"]],
+         ["z", ["vector", ["map-of", "int?", "int?"]]]]
+    assert ck.transform(s) == {
+        "op": "keys",
+        "opt": {"price": "double", "tags": "set"},
+        "req": {"id": "string", "name": "string",
+                "description": "nilable/string",
+                "select-keys": {"op": "keys", "req": {"x": "int"},
+                                "nilable": True},
+                "xyz": "any", "xyz2": "any", "xyz3": "nilable/int",
+                "tuple-of-ints": "nilable/seqable",
+                "nested": {"op": "keys",
+                           "req": {"nid": "string", "nprice": "double"}},
+                "string-type-enum": "nilable/string",
+                "any-type-enum": "any",
+                "z": "vector"}}
+
+
+def test_clj_kondo_function_arities():
+    """kikka / siren cases (clj_kondo_test.cljc:33-53, 106-125): fixed and
+    varargs arities, :-> sugar, :op :rest tails."""
+    from malli_ray import clj_kondo as ck
+
+    kikka = ["function",
+             ["=>", ["cat", "int"], ["int", {"min": 0}]],
+             ["=>", ["cat", "int", "int", ["*", "int"]], "int"]]
+    rows = ck.from_fn({"ns": "my.ns", "name": "kikka", "schema": kikka})
+    assert [(r["arity"], r["args"], r["ret"]) for r in rows] == [
+        (1, ["int"], "int"),
+        ("varargs", ["int", "int", {"op": "rest", "spec": "int"}], "int")]
+    assert rows[1]["min-arity"] == 2
+
+    # :-> sugar desugars to the same arity info
+    kikka2 = ["->", "int", ["int", {"min": 0}]]
+    (row,) = ck.from_fn({"ns": "my.ns", "name": "kikka2", "schema": kikka2})
+    assert (row["arity"], row["args"], row["ret"]) == (1, ["int"], "int")
+
+    (row,) = ck.from_fn({"ns": "my.ns", "name": "siren",
+                         "schema": ["=>", ["cat", "ifn?", "coll?"], "map?"]})
+    assert (row["args"], row["ret"]) == (["ifn", "coll"], "map")
+
+    # issue-1922: seqex INSIDE a :map value is :seqable, not :rest
+    (row,) = ck.from_fn({"ns": "n", "name": "f",
+                         "schema": ["=>", ["cat", ["map", ["keys", ["+", "keyword"]]]],
+                                    "nil"]})
+    assert row["args"] == [{"op": "keys", "req": {"keys": "seqable"}}]
+
+    # issue-836: :fn schemas are :any on both sides
+    (row,) = ck.from_fn({"ns": "n", "name": "g",
+                         "schema": ["=>", ["cat", "int?", ["fn", "lambda x: True"], "int?"],
+                                    ["fn", "lambda x: True"]]})
+    assert row["args"] == ["int", "any", "int"] and row["ret"] == "any"
+
+
+def test_clj_kondo_linter_config_and_edn(tmp_path):
+    from malli_ray import clj_kondo as ck
+
+    ck.register_function_schema("app.core", "plus",
+                                ["=>", ["cat", "int", "int"], "int"])
+    try:
+        rows = ck.collect("app.core")
+        cfg = ck.linter_config(rows)
+        ns = cfg["linters"]["type-mismatch"]["namespaces"]
+        assert ns["app.core"]["plus"]["arities"][2] == {
+            "args": ["int", "int"], "ret": "int"}
+        edn = ck.write_string(cfg)
+        # symbols bare, keywords prefixed, int arity key stays an int
+        assert "app.core {plus" in edn
+        assert ":args [:int :int]" in edn and "{2 {" in edn
+        path = ck.save(cfg, str(tmp_path))
+        assert path.endswith("config.edn")
+        assert open(path).read().strip() == edn
+    finally:
+        ck._FUNCTION_SCHEMAS.clear()
+
+
+def test_regex_min_max():
+    """-regex-min-max parity (core.cljc:297-303, 2968-3024)."""
+    import pytest
+    from malli_ray import core
+    from malli_ray.regex_engine import regex_min_max
+
+    cases = [
+        (["cat", "int", "int"], (2, 2)),
+        (["cat"], (0, 0)),
+        (["cat", "int", ["*", "string"]], (1, None)),
+        (["cat", "int", ["?", "int"]], (1, 2)),
+        (["alt", "int", ["cat", "int", "int"]], (1, 2)),
+        (["alt", "int", ["*", "int"]], (0, None)),
+        (["repeat", {"min": 2, "max": 3}, ["cat", "int", "int"]], (4, 6)),
+        (["repeat", {"min": 2}, "int"], (2, None)),
+        (["+", "int"], (1, None)),
+        (["?", ["+", "int"]], (0, None)),
+        ("int", (1, 1)),
+        (["schema", ["cat", "int", "int"]], (2, 2)),
+        # [:schema X] nested in an outer regex counts as one item
+        (["cat", ["schema", ["cat", "int", "int"]]], (1, 1)),
+    ]
+    for form, want in cases:
+        assert regex_min_max(core.schema(form)) == want, form
+
+    with pytest.raises(core.SchemaError):
+        regex_min_max(core.schema(
+            ["cat", ["ref", "X"]],
+            {"registry": {**core.default_registry(), "X": "int"}}))
