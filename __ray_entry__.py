@@ -189,6 +189,33 @@ def _q_token_count_documents(sf_dir: str):
     return T.add_token_count(ds, "text").select_columns(["doc_id", "n_tokens"])
 
 
+def _q_redact_documents(sf_dir: str):
+    """PII-scrub stage demo: the corpus is synthetic word salad, so the
+    demo patterns redact a word + digit runs; the stage takes arbitrary
+    RE2 patterns (text.PII_PATTERNS is the real default set)."""
+    from malli_ray.stages import text as T
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = T.redact(ds, "text", patterns=(r"\bcustomer\b", r"\d+"),
+                   replacement="[X]", out="text_redacted")
+    return out.select_columns(["doc_id", "text_redacted"])
+
+
+def _q_contamination_documents(sf_dir: str):
+    """Benchmark decontamination: probes = 40-char prefixes of three fixed
+    docs, broadcast once; one vectorized literal scan per probe per batch."""
+    import pyarrow.parquet as pq
+    from malli_ray.stages import text as T
+    probe_ids = [0, 1, 2]
+    tt = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"],
+                       filters=[("doc_id", "in", probe_ids)])
+    lookup = dict(zip(tt.column("doc_id").to_pylist(),
+                      tt.column("text").to_pylist()))
+    probes = [(i, lookup[i][:40]) for i in probe_ids]
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return T.contamination_pairs(ds, "text", "doc_id", probes)
+
+
 def _q_text_counts_documents(sf_dir: str):
     import pyarrow.compute as pc
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -675,6 +702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup / similarity / text
         "dedup_exact_documents": _q_dedup_exact_documents,
         "token_count_documents": _q_token_count_documents,
+        "redact_documents": _q_redact_documents,
+        "contamination_documents": _q_contamination_documents,
         "text_counts_documents": _q_text_counts_documents,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "lang_id_documents": _q_lang_id_documents,
@@ -852,6 +881,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(regexp_extract_all(text, '\S+')) AS n_tokens
               FROM documents
+        """,
+        "redact_documents": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text, '\bcustomer\b', '[X]', 'g'),
+                                  '\d+', '[X]', 'g') AS text_redacted
+              FROM documents
+        """,
+        "contamination_documents": """
+            WITH probes AS (SELECT doc_id AS probe_id, substr(text, 1, 40) AS p
+                              FROM documents WHERE doc_id IN (0, 1, 2))
+            SELECT d.doc_id, pr.probe_id
+              FROM documents d JOIN probes pr ON position(pr.p IN d.text) > 0
         """,
         "text_counts_documents": r"""
             SELECT doc_id,

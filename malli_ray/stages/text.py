@@ -21,7 +21,8 @@ from ..state.sketches import hash64
 
 __all__ = ["add_token_count", "add_quality", "LangID", "add_lang_id",
            "Fingerprinter", "add_fingerprint", "word_counts", "top_words",
-           "VocabTokenizer", "tokenize_with_vocab"]
+           "VocabTokenizer", "tokenize_with_vocab",
+           "PII_PATTERNS", "Redactor", "redact", "contamination_pairs"]
 
 
 def add_token_count(ds: Dataset, text_column: str,
@@ -281,3 +282,108 @@ def add_fingerprint(ds: Dataset, text_column: str, concurrency=None) -> Dataset:
     from . import cached_stage
     return ds.map_batches(cached_stage(Fingerprinter, text_column=text_column),
                           batch_format="pyarrow", **_conc(concurrency))
+
+
+# -- PII / pattern redaction -------------------------------------------------
+
+#: default scrub patterns (RE2 — same dialect in pyarrow and DuckDB):
+#: emails, international-ish phone numbers, IPv4 addresses.
+PII_PATTERNS = (
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    r"\+?\d[\d\-\(\) ]{7,}\d",
+    r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+)
+
+
+class Redactor:
+    """Vectorized regex redaction (PII scrub for training corpora).
+
+    A chain of ``pc.replace_substring_regex`` kernels — one pass per
+    pattern, zero Python per row. Patterns are fixed at construction
+    (compile-once per actor; the malli analog is a :re-driven
+    ``:decode/redact`` transformer, src/malli/transform.cljc:411-426)."""
+
+    def __init__(self, text_column: str, patterns=PII_PATTERNS,
+                 replacement: str = "[REDACTED]", out: str | None = None):
+        self.text_column = text_column
+        self.patterns = tuple(patterns)
+        self.replacement = replacement
+        self.out = out or text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_column)
+        if pa.types.is_null(col.type):  # an all-null block types as null
+            col = col.cast(pa.string())
+        for pat in self.patterns:
+            col = pc.replace_substring_regex(col, pat, self.replacement)
+        if self.out == self.text_column:
+            return batch.set_column(
+                batch.schema.get_field_index(self.text_column),
+                self.text_column, col)
+        return batch.append_column(self.out, col)
+
+
+def redact(ds: Dataset, text_column: str, patterns=PII_PATTERNS,
+           replacement: str = "[REDACTED]", out: str | None = None,
+           concurrency=None) -> Dataset:
+    from . import cached_stage
+    return ds.map_batches(
+        cached_stage(Redactor, text_column=text_column, patterns=patterns,
+                     replacement=replacement, out=out),
+        batch_format="pyarrow", **_conc(concurrency))
+
+
+# -- benchmark decontamination ----------------------------------------------
+
+class _ContaminationScan:
+    """Flag documents containing any broadcast probe string (benchmark
+    decontamination). One vectorized ``pc.match_substring`` literal scan per
+    probe per batch — right for O(10-100) probes; a large benchmark suite
+    should compile the probes into one Aho-Corasick automaton per actor
+    instead (same stage signature, different __call__)."""
+
+    def __init__(self, id_column: str, text_column: str, probes_ref):
+        import ray
+        probes = (ray.get(probes_ref)
+                  if isinstance(probes_ref, ray.ObjectRef) else probes_ref)
+        self.id_column = id_column
+        self.text_column = text_column
+        self.probes = list(probes)  # [(probe_id, literal_string), ...]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_column)
+        if pa.types.is_null(text.type):  # an all-null block types as null
+            text = text.cast(pa.string())
+        ids = batch.column(self.id_column)
+        id_chunks, probe_chunks = [], []
+        for probe_id, probe in self.probes:
+            mask = pc.match_substring(text, probe)
+            hit = ids.filter(mask)
+            if len(hit):
+                id_chunks.append(hit)
+                probe_chunks.append(pa.array([probe_id] * len(hit)))
+        if not id_chunks:
+            return pa.table({self.id_column: pa.array([], type=ids.type),
+                             "probe_id": pa.array(
+                                 [], type=pa.array(
+                                     [p for p, _ in self.probes[:1]] or [0]).type)})
+        return pa.table({self.id_column: pa.concat_arrays(
+                             [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                              else c for c in id_chunks]),
+                         "probe_id": pa.concat_arrays(probe_chunks)})
+
+
+def contamination_pairs(ds: Dataset, text_column: str, id_column: str,
+                        probes, concurrency=None) -> Dataset:
+    """(doc id, probe_id) for every document containing a probe literal.
+
+    ``probes``: [(probe_id, literal_string), ...] — broadcast ONCE via
+    ray.put and read per actor (never re-shipped per batch). The scan side
+    streams; no shuffle at all."""
+    import ray
+    from . import cached_stage
+    probes_ref = ray.put(list(probes))
+    return ds.map_batches(
+        cached_stage(_ContaminationScan, id_column=id_column,
+                     text_column=text_column, probes_ref=probes_ref),
+        batch_format="pyarrow", **_conc(concurrency))

@@ -297,6 +297,48 @@ def test_text_stages(ray_session, docs_ds):
     assert fps[0] != fps[4]
 
 
+def test_redact_pii(ray_session):
+    import ray.data as rd
+    from malli_ray.stages import text as T
+
+    ds = rd.from_items([
+        {"doc_id": 0, "text": "mail me at jane.doe+x@example.co.uk today"},
+        {"doc_id": 1, "text": "call +1 (555) 123-4567 or 192.168.0.1"},
+        {"doc_id": 2, "text": "nothing sensitive here"},
+        {"doc_id": 3, "text": None},
+    ])
+    got = {r["doc_id"]: r["text"]
+           for r in T.redact(ds, "text").take_all()}
+    assert got[0] == "mail me at [REDACTED] today"
+    assert got[1] == "call [REDACTED] or [REDACTED]"
+    assert got[2] == "nothing sensitive here"
+    assert got[3] is None             # nulls pass through
+    # out= keeps the original column
+    rows = T.redact(ds, "text", out="clean").take_all()
+    assert {"text", "clean"} <= set(rows[0].keys())
+
+
+def test_contamination_pairs(ray_session):
+    import ray.data as rd
+    from malli_ray.stages import text as T
+
+    ds = rd.from_items([
+        {"doc_id": 10, "text": "the quick brown fox jumps"},
+        {"doc_id": 11, "text": "xx the quick brown fox jumps yy"},
+        {"doc_id": 12, "text": "totally different"},
+    ])
+    pairs = T.contamination_pairs(ds, "text", "doc_id",
+                                  [(1, "quick brown fox"),
+                                   (2, "no such probe")]).take_all()
+    got = sorted((r["doc_id"], r["probe_id"]) for r in pairs)
+    assert got == [(10, 1), (11, 1)]
+    # no hits at all -> empty, schema intact
+    none = T.contamination_pairs(ds, "text", "doc_id",
+                                 [(9, "zzz-absent")])
+    assert none.count() == 0
+    assert set(none.schema().names) == {"doc_id", "probe_id"}
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
     from malli_ray.stages.multimodal import (
