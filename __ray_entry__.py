@@ -200,6 +200,12 @@ def _q_redact_documents(sf_dir: str):
     return out.select_columns(["doc_id", "text_redacted"])
 
 
+def _q_repetition_documents(sf_dir: str):
+    from malli_ray.stages import text as T
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return T.add_repetition(ds, "text").select_columns(["doc_id", "rep_ratio"])
+
+
 def _q_contamination_documents(sf_dir: str):
     """Benchmark decontamination: probes = 40-char prefixes of three fixed
     docs, broadcast once; one vectorized literal scan per probe per batch."""
@@ -703,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": _q_dedup_exact_documents,
         "token_count_documents": _q_token_count_documents,
         "redact_documents": _q_redact_documents,
+        "repetition_documents": _q_repetition_documents,
         "contamination_documents": _q_contamination_documents,
         "text_counts_documents": _q_text_counts_documents,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
@@ -886,6 +893,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    regexp_replace(regexp_replace(text, '\bcustomer\b', '[X]', 'g'),
                                   '\d+', '[X]', 'g') AS text_redacted
+              FROM documents
+        """,
+        "repetition_documents": r"""
+            SELECT doc_id,
+                   CASE WHEN len(regexp_extract_all(text, '[^\t\n\f\r ]+')) = 0
+                        THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(
+                                 regexp_extract_all(text, '[^\t\n\f\r ]+'))) AS DOUBLE)
+                               / len(regexp_extract_all(text, '[^\t\n\f\r ]+'))
+                   END AS rep_ratio
               FROM documents
         """,
         "contamination_documents": """

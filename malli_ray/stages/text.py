@@ -22,7 +22,8 @@ from ..state.sketches import hash64
 __all__ = ["add_token_count", "add_quality", "LangID", "add_lang_id",
            "Fingerprinter", "add_fingerprint", "word_counts", "top_words",
            "VocabTokenizer", "tokenize_with_vocab",
-           "PII_PATTERNS", "Redactor", "redact", "contamination_pairs"]
+           "PII_PATTERNS", "Redactor", "redact", "contamination_pairs",
+           "add_repetition"]
 
 
 def add_token_count(ds: Dataset, text_column: str,
@@ -387,3 +388,29 @@ def contamination_pairs(ds: Dataset, text_column: str, id_column: str,
         cached_stage(_ContaminationScan, id_column=id_column,
                      text_column=text_column, probes_ref=probes_ref),
         batch_format="pyarrow", **_conc(concurrency))
+
+
+def add_repetition(ds: Dataset, text_column: str, out: str = "rep_ratio",
+                   concurrency=None) -> Dataset:
+    """Repetition / boilerplate signal: 1 - distinct_words / words per doc
+    (a Gopher-style duplicated-token-fraction quality filter). Vectorized:
+    polars extract_all + list.n_unique over the zero-copy Arrow column —
+    no Python per row. Empty text scores 0.0; null text stays null.
+
+    The ASCII non-space word class matches the engine-wide RE2 convention
+    (see word_counts) so the SQL oracle tokenizes identically."""
+
+    def rep(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        words = pl.from_arrow(col).str.extract_all(r"[^\t\n\f\r ]+")
+        n = words.list.len().cast(pl.Float64)
+        d = words.list.n_unique().cast(pl.Float64)
+        ratio = (1.0 - d / n).fill_nan(0.0)  # 0/0 (empty text) -> 0.0
+        return batch.append_column(out, ratio.to_arrow().cast(pa.float64()))
+
+    return ds.map_batches(rep, batch_format="pyarrow", **_conc(concurrency))

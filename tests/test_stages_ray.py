@@ -318,6 +318,24 @@ def test_redact_pii(ray_session):
     assert {"text", "clean"} <= set(rows[0].keys())
 
 
+def test_add_repetition(ray_session):
+    import ray.data as rd
+    from malli_ray.stages import text as T
+
+    ds = rd.from_items([
+        {"doc_id": 0, "text": "a b a c"},      # 4 words, 3 distinct
+        {"doc_id": 1, "text": "x x x"},        # 3 words, 1 distinct
+        {"doc_id": 2, "text": ""},             # empty -> 0.0
+        {"doc_id": 3, "text": "all unique words"},
+    ])
+    got = {r["doc_id"]: r["rep_ratio"]
+           for r in T.add_repetition(ds, "text").take_all()}
+    assert got[0] == pytest.approx(0.25)
+    assert got[1] == pytest.approx(2 / 3)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
 def test_contamination_pairs(ray_session):
     import ray.data as rd
     from malli_ray.stages import text as T
