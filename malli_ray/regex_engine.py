@@ -576,9 +576,11 @@ def regex_min_max(s: Schema, nested: bool = False) -> tuple[int, int | None]:
         raise SchemaError("potentially recursive seqex: :ref inside a "
                           "sequence regex has no static min/max")
     if isinstance(s, WrapperSchema):
-        # [:schema X] nested inside an outer regex counts as ONE item
-        # (core.cljc:2147-2150); at top level it is transparent
-        if nested:
+        # [:schema X] nested inside an outer regex counts as ONE item;
+        # the internal ::m/schema wrapper stays transparent even nested
+        # (core.cljc:2147-2150 — `(and nested? (not internal))`)
+        internal = s.type == "malli.core/schema"
+        if nested and not internal:
             return (1, 1)
         return regex_min_max(s.deref(), nested)
     if isinstance(s, RepeatSchema):

@@ -65,3 +65,83 @@ def test_in_to_paths():
     assert ["addr", "lonlat", 0] in paths
     paths = in_to_paths(SCHEMA, ["v", 0])
     assert ["v", 0] in [p[:2] for p in paths] or any(p[:2] == ["v", 0] for p in paths)
+
+
+def test_instrument_arity_single(ray_session=None):
+    """Wrong arg count on a single :=> reports 'arity' BEFORE input
+    (core_test.cljc:2836-2849 ::m/invalid-arity)."""
+    @instrument(["=>", ["cat", "int"], ["int", {"max": 6}]])
+    def pow2(x):
+        return x * x
+
+    assert pow2(2) == 4
+    with pytest.raises(m.SchemaError):
+        pow2(4, 2)  # noqa: E501  — arity 2 against a 1-arity schema
+
+
+def test_instrument_multi_arity_dispatch():
+    """:function dispatch by arg count with reports collected
+    (core_test.cljc:2851-2869)."""
+    events = []
+
+    def f(x, y=None):
+        return x * x if y is None else x * y
+
+    pow2 = instrument(["function",
+                       ["=>", ["cat", "int"], ["int", {"max": 6}]],
+                       ["=>", ["cat", "int", "int"], ["int", {"max": 6}]]],
+                      f, report=lambda kind, data: events.append(kind))
+    assert pow2(2) == 4 and events == []
+    assert pow2(4) == 16
+    assert events == ["output"]; events.clear()
+    assert pow2(5, 0.1) == 0.5
+    assert events == ["input", "output"]; events.clear()
+    # no matching arity and no varargs
+    pow2(1, 2, 3)
+    assert events == ["arity"]
+
+
+def test_instrument_varargs_fallback():
+    """varargs arity catches counts >= its min (core_test.cljc:2305-2308)."""
+    events = []
+
+    def f(x, *rest):
+        return x
+
+    g = instrument(["function",
+                    ["=>", ["cat", "int"], "int"],
+                    ["=>", ["cat", "int", "int", ["*", "int"]], "int"]],
+                   f, report=lambda kind, data: events.append(kind))
+    assert g(1) == 1 and g(1, 2) == 1 and g(1, 2, 3, 4) == 1
+    assert events == []
+
+
+def test_instrument_seqex_arity_bounds():
+    """Sequence-schema input: [:cat :int [:schema [:cat kw :int]]
+    [:? [:cat :int :int]]] has min 2 / max 4 (core_test.cljc:2871-2898)."""
+    events = []
+
+    def f(x, *rest):
+        return x
+
+    fun = instrument(
+        ["=>", ["cat", "int", ["schema", ["cat", "keyword", "int"]],
+                ["?", ["cat", "int", "int"]]],
+         ["int", {"max": 6}]],
+        f, report=lambda kind, data: events.append(kind))
+    assert fun(1, ["x", 3]) == 1 and events == []
+    assert fun(1, ["x", 3], 4, 5) == 1 and events == []
+    fun(16, ["x", 3])
+    assert events == ["output"]; events.clear()
+    # between min and max arity but invalid seqex split
+    fun(16, ["x", 3], 4)
+    assert events == ["input", "output"]; events.clear()
+    # over max arity: arity AND input both fire
+    fun(1, ["x", 3], 4, 5, 6)
+    assert events == ["arity", "input"]; events.clear()
+    # under min arity
+    fun(1)
+    assert events == ["arity", "input"]; events.clear()
+    # invalid sub-sequence inside the [:schema ...] item
+    fun(1, [2, 3], 4, 5)
+    assert events == ["input"]

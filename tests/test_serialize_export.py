@@ -516,21 +516,46 @@ def test_regex_min_max():
     from malli_ray import core
     from malli_ray.regex_engine import regex_min_max
 
+    MS = "malli.core/schema"
+    # the reference's own table, core_test.cljc:2448-2483 (-regex-min-max-
+    # size-test), minus the :registry-sugar entry forms our DSL spells
+    # explicitly
     cases = [
-        (["cat", "int", "int"], (2, 2)),
+        ("int?", (1, 1)),
         (["cat"], (0, 0)),
-        (["cat", "int", ["*", "string"]], (1, None)),
-        (["cat", "int", ["?", "int"]], (1, 2)),
-        (["alt", "int", ["cat", "int", "int"]], (1, 2)),
-        (["alt", "int", ["*", "int"]], (0, None)),
-        (["repeat", {"min": 2, "max": 3}, ["cat", "int", "int"]], (4, 6)),
-        (["repeat", {"min": 2}, "int"], (2, None)),
-        (["+", "int"], (1, None)),
-        (["?", ["+", "int"]], (0, None)),
-        ("int", (1, 1)),
-        (["schema", ["cat", "int", "int"]], (2, 2)),
-        # [:schema X] nested in an outer regex counts as one item
-        (["cat", ["schema", ["cat", "int", "int"]]], (1, 1)),
+        (["cat", "int?"], (1, 1)),
+        (["cat", "int?", ["cat"]], (1, 1)),
+        (["cat", "int?", ["cat", "string?", "int?"]], (3, 3)),
+        (["schema", ["cat", "int?", ["cat", "string?", "int?"]]], (3, 3)),
+        ([MS, ["cat", "int?", ["cat", "string?", "int?"]]], (3, 3)),
+        (["cat", "int?", ["schema", ["cat", "string?", "int?"]]], (2, 2)),
+        (["cat", "int?", [MS, ["cat", "string?", "int?"]]], (3, 3)),
+        (["cat", "int?", ["schema", ["catn", ["s", "string?"], ["i", "int?"]]]], (2, 2)),
+        (["catn"], (0, 0)),
+        (["catn", ["n", "int?"]], (1, 1)),
+        (["catn", ["n", "int?"], ["named", ["cat"]]], (1, 1)),
+        (["catn", ["n", "int?"], ["named", ["cat", "string?", "int?"]]], (3, 3)),
+        (["alt", "int?"], (1, 1)),
+        (["alt", "int?", ["cat"]], (0, 1)),
+        (["altn", ["n", "int?"]], (1, 1)),
+        (["altn", ["n", "int?"], ["empty", ["cat"]]], (0, 1)),
+        (["*", "int?"], (0, None)),
+        (["?", "int?"], (0, 1)),
+        (["?", ["cat", "int?", "int?"]], (0, 2)),
+        (["?", ["schema", ["cat", "int?", "int?"]]], (0, 1)),
+        (["?", [MS, ["cat", "int?", "int?"]]], (0, 2)),
+        (["+", ["cat", "string?", "int?"]], (2, None)),
+        (["+", ["schema", ["cat", "string?", "int?"]]], (1, None)),
+        (["+", [MS, ["cat", "string?", "int?"]]], (2, None)),
+        (["+", ["?", "int?"]], (0, None)),
+        (["repeat", {"min": 5, "max": 15}, ["cat", "string?", "int?"]], (10, 30)),
+        (["repeat", {"min": 5, "max": 15}, ["*", "int?"]], (0, None)),
+        (["cat", {"registry": {"named": ["cat", "string?", "int?"]}}, "named"],
+         (2, 2)),
+        (["cat", {"registry": {"named": ["cat", "string?", "int?"]}},
+          ["repeat", {"min": 5, "max": 15}, "named"]], (10, 30)),
+        (["cat", {"registry": {"named": ["cat", "string?", "int?"]}},
+          ["repeat", {"min": 5, "max": 15}, ["schema", "named"]]], (5, 15)),
     ]
     for form, want in cases:
         assert regex_min_max(core.schema(form)) == want, form
