@@ -1243,12 +1243,22 @@ class MapOfSchema(Schema):
         return transform_
 
 
+def _is_lazy_iterable(x) -> bool:
+    """Non-countable iterable (generator/iterator) — the Python analog of a
+    Clojure lazy seq (NOT -safely-countable?, core.cljc:1463-1476)."""
+    from collections.abc import Iterable
+    return (isinstance(x, Iterable) and not hasattr(x, "__len__")
+            and not isinstance(x, (str, bytes)))
+
+
 _COLL_PREDS = {
     "vector": lambda x: isinstance(x, (list, tuple)),
     "sequential": lambda x: isinstance(x, (list, tuple, range)),
-    "seqable": lambda x: isinstance(x, (list, tuple, set, frozenset, range, dict)) or x is None,
+    "seqable": lambda x: (isinstance(x, (list, tuple, set, frozenset, range, dict))
+                          or x is None or _is_lazy_iterable(x)),
     "set": lambda x: isinstance(x, (set, frozenset)),
-    "every": lambda x: isinstance(x, (list, tuple, set, frozenset, range)) or x is None,
+    "every": lambda x: (isinstance(x, (list, tuple, set, frozenset, range))
+                        or x is None or _is_lazy_iterable(x)),
 }
 
 
@@ -1265,8 +1275,20 @@ class CollectionSchema(Schema):
         super().__init__(type_, properties, children, options)
         self.coll_pred = _COLL_PREDS[type_]
         self.limits = _min_max_validator(properties or {}, count_based=True)
-        self.check_limit = (properties or {}).get(
-            "malli.core/coll-check-limit", 101 if type_ == "every" else None)
+        # :every is BOUNDED: countable colls validate fully, lazy iterables
+        # only their first `bounded` items — bounded = max(max+1, min,
+        # coll-check-limit) (core.cljc:745-751, 1499-1522). The limit comes
+        # from the ::m/coll-check-limit OPTION (or schema property).
+        if type_ == "every":
+            ccl = (properties or {}).get("malli.core/coll-check-limit")
+            if ccl is None:
+                ccl = (options or {}).get("malli.core/coll-check-limit", 101)
+            props = properties or {}
+            mx = props.get("max")
+            self.bounded = max((mx + 1) if mx is not None else 0,
+                               props.get("min") or 0, ccl)
+        else:
+            self.bounded = None
 
     def _iter(self, x):
         if isinstance(x, dict):
@@ -1275,38 +1297,49 @@ class CollectionSchema(Schema):
             return []
         return x
 
+    def _take(self, x):
+        """Items to check + count for limit checks. Lazy iterables are
+        materialized (fully for unbounded schemas — seqable traverses
+        everything; first `bounded` for :every). NOTE: this consumes a
+        one-shot Python generator — pass a list to keep the value."""
+        items = self._iter(x)
+        if not hasattr(items, "__len__"):
+            if self.bounded is not None:
+                from itertools import islice
+                return list(islice(items, self.bounded))
+            return list(items)
+        return items
+
     def _validator(self):
         cv = self.children[0].validator()
-        coll_pred, limits, check_limit = self.coll_pred, self.limits, self.check_limit
-        iter_ = self._iter
+        coll_pred, limits = self.coll_pred, self.limits
+        take = self._take
 
         def valid(x):
             if not coll_pred(x):
                 return False
-            if limits is not None and not limits(x):
+            items = take(x)
+            if limits is not None and not limits(items):
                 return False
-            items = iter_(x)
-            if check_limit is not None:
-                items = list(items)[:check_limit]
             return all(cv(v) for v in items)
 
         return valid
 
     def _explainer(self, path):
         ce = self.children[0]._explainer(path + [0])
-        coll_pred, limits, check_limit = self.coll_pred, self.limits, self.check_limit
-        iter_, this = self._iter, self
+        coll_pred, limits = self.coll_pred, self.limits
+        take, this = self._take, self
 
         def explain_(x, in_, acc):
             if not coll_pred(x):
                 acc.append(_error(path, in_, this, x, "malli.core/invalid-type"))
                 return acc
-            if limits is not None and not limits(x):
+            items = take(x)
+            if limits is not None and not limits(items):
                 acc.append(_error(path, in_, this, x, "malli.core/limits"))
                 return acc
-            items = list(iter_(x))
-            if check_limit is not None:
-                items = items[:check_limit]
+            if not isinstance(items, (list, tuple)):
+                items = list(items)
             for i, v in enumerate(items):
                 acc = ce(v, in_ + [i], acc)
             return acc
@@ -1314,6 +1347,12 @@ class CollectionSchema(Schema):
         return explain_
 
     def _parser(self):
+        # bounded :every parses by VALIDATING the checked prefix and
+        # returning the value unchanged (core.cljc:1530-1531 ->parser with
+        # -validator + identity)
+        if self.bounded is not None:
+            valid = self._validator()
+            return lambda x: x if valid(x) else INVALID
         cp = self.children[0].parser()
         valid_shape = self.coll_pred
         limits = self.limits
@@ -1322,10 +1361,13 @@ class CollectionSchema(Schema):
         def parse_(x):
             if not valid_shape(x):
                 return INVALID
-            if limits is not None and not limits(x):
+            items = self._iter(x)
+            if not hasattr(items, "__len__"):
+                items = list(items)  # lazy seqable: materialize to count
+            if limits is not None and not limits(items):
                 return INVALID
             out = []
-            for v in self._iter(x):
+            for v in items:
                 p = cp(v)
                 if p is INVALID:
                     return INVALID
@@ -1335,6 +1377,9 @@ class CollectionSchema(Schema):
         return parse_
 
     def _unparser(self):
+        if self.bounded is not None:
+            valid = self._validator()
+            return lambda x: x if valid(x) else INVALID
         cu = self.children[0].unparser()
         limits = self.limits
         is_set = self.type == "set"

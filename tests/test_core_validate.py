@@ -125,9 +125,11 @@ def test_collections():
     assert m.validate(["vector", {"min": 1, "max": 2}, "int"], [1])
     assert not m.validate(["vector", {"min": 1}, "int"], [])
     assert not m.validate(["vector", {"max": 2}, "int"], [1, 2, 3])
-    # :every checks only a bounded prefix (core.cljc:1499-1522)
+    # :every checks only a bounded prefix of LAZY iterables; countable
+    # collections validate fully (core.cljc:1499-1522, -safely-countable?)
     data = [1] * 150 + ["bad"]
-    assert m.validate(["every", "int"], data)
+    assert m.validate(["every", "int"], iter(data))
+    assert not m.validate(["every", "int"], data)
     assert not m.validate(["vector", "int"], data)
 
 
@@ -242,3 +244,56 @@ def test_core_api_wrappers():
     seen = []
     m.walk(s, m.schema_walker(lambda sc: seen.append(sc.type) or sc))
     assert seen == ["int", "map"]
+
+
+def test_every_bounded_prefix_reference():
+    """every-schema-test (core_test.cljc:3511-3570): countable collections
+    validate fully; lazy iterables (the Python analog of uncounted seqs)
+    validate only the first max(max+1, min, coll-check-limit=101) items."""
+    def lazy(seq):
+        return (v for v in seq)
+
+    bad_tail = list(range(1000)) + [None]
+
+    assert m.validate(["every", "int"], None)
+    assert m.validate(["every", "int"], {1, 2, 3})
+    assert m.validate(["every", "int"], [1, 2, 3])
+    assert not m.validate(["every", "int"], {1, None, 3})
+    # countable: EVERYTHING is validated
+    assert not m.validate(["every", "int"], bad_tail)
+    # lazy: only the first 101 items are checked -> the bad tail is unseen
+    assert m.validate(["every", "int"], lazy(bad_tail))
+    # a larger coll-check-limit option reaches the tail
+    assert not m.validate(["every", "int"], lazy(bad_tail),
+                          {"malli.core/coll-check-limit": 1002})
+    # min/max push `bounded` out far enough to see the tail
+    assert m.validate(["every", {"min": 1000}, "int"], lazy(bad_tail))
+    assert not m.validate(["every", {"min": 1001}, "int"], lazy(bad_tail))
+    assert not m.validate(["every", {"min": 1001}, "int"], bad_tail)
+    assert m.validate(["every", {"max": 1000}, "int"], list(range(1000)))
+    assert not m.validate(["every", {"max": 1000}, "int"], list(range(1001)))
+    assert not m.validate(["every", {"max": 1001}, "int"], lazy(bad_tail))
+    # explain mirrors the same bounds
+    assert m.explain(["every", "int"], lazy(bad_tail)) is None
+    exp = m.explain(["every", {"min": 1001}, "int"], lazy(bad_tail))
+    assert exp is not None and exp["errors"][0]["in"] == [1000]
+    # bounded parse: value passes through unchanged (identity semantics)
+    good = list(range(10))
+    assert m.parse(["every", "int"], good) is good
+    assert m.parse(["every", "int"], bad_tail) is m.INVALID
+    assert m.parse(["every", "int"], lazy(bad_tail)) is not m.INVALID
+
+
+def test_seqable_lazy_reference():
+    """seqable-schema-test (core_test.cljc:3482-3509): seqable accepts lazy
+    iterables and traverses them FULLY (no prefix bound)."""
+    def lazy(seq):
+        return (v for v in seq)
+
+    bad_tail = list(range(1000)) + [None]
+    assert m.validate(["seqable", "int"], None)
+    assert m.validate(["seqable", "int"], lazy(range(1000)))
+    assert not m.validate(["seqable", "int"], lazy(bad_tail))
+    assert not m.validate(["seqable", {"min": 1000}, "int"], lazy(bad_tail))
+    assert m.parse(["seqable", "int"], lazy(range(5))) == [0, 1, 2, 3, 4]
+    assert m.parse(["seqable", {"min": 6}, "int"], lazy(range(5))) is m.INVALID
