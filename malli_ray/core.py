@@ -2372,8 +2372,12 @@ def coercer(s: Any, transformer: Any = None, options: dict | None = None,
     return coerce_
 
 
-def coerce(s: Any, value: Any, transformer: Any = None, options: dict | None = None) -> Any:
-    return coercer(s, transformer, options)(value)
+def coerce(s: Any, value: Any, transformer: Any = None,
+           options: dict | None = None, respond: Callable | None = None,
+           raise_: Callable | None = None) -> Any:
+    """m/coerce — CPS arity takes respond/raise callbacks
+    (src/malli/core.cljc:2768-2774, coerce-test core_test.cljc:3192-3208)."""
+    return coercer(s, transformer, options, respond=respond, raise_=raise_)(value)
 
 
 _IDENTITY_PARSE_TYPES = frozenset({

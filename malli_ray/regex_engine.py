@@ -539,6 +539,10 @@ class RepeatSchema(RegexSchema):
             return INVALID if u is INVALID else _Splice([u])
         if not isinstance(x, (list, tuple)):
             return INVALID
+        # repetition count must satisfy the bounds (repeat-unparse-test,
+        # core_test.cljc:3071-3086: out-of-bounds parse shapes are invalid)
+        if len(x) < self.min or (self.max is not None and len(x) > self.max):
+            return INVALID
         out = []
         for v in x:
             u = _child_unparse(child, v)

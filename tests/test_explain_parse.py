@@ -156,3 +156,73 @@ def test_parse_cat_alt_repeat():
 def test_parse_and_uses_first_child():
     S = ["and", ["orn", ["small", ["<", 10]], ["big", [">=", 10]]], "int?"]
     assert m.parse(S, 5) == Tag("small", 5)
+
+
+def test_cat_catn_unparse_reference():
+    """cat-catn-unparse-test, core_test.cljc:3045-3049."""
+    from malli_ray.core import INVALID, tags
+    assert m.unparse(["cat", "string?", "int?", "string?"],
+                     ["1", 2, "3"]) == ["1", 2, "3"]
+    assert m.unparse(["cat", "string?", "int?", "string?"], [1, 2, 3]) is INVALID
+    catn = ["catn", ["a", "string?"], ["b", "int?"], ["c", "string?"]]
+    assert m.unparse(catn, tags({"a": "1", "b": 2, "c": "3"})) == ["1", 2, "3"]
+    assert m.unparse(catn, tags({"a": 1, "b": 2, "c": 3})) is INVALID
+
+
+def test_repeat_unparse_reference():
+    """repeat-unparse-test, core_test.cljc:3071-3086 — unparse enforces the
+    repetition bounds."""
+    from malli_ray.core import INVALID
+    R = ["repeat", {"min": 1, "max": 2}, ["cat", "int", "int"]]
+    assert m.validate(R, [1, 2, 3, 4])
+    assert m.parse(R, [1, 2, 3, 4]) == [[1, 2], [3, 4]]
+    assert m.unparse(R, [[1, 2], [3, 4]]) == [1, 2, 3, 4]
+    assert m.unparse(["repeat", {"min": 1, "max": 1}, ["cat", "int", "int"]],
+                     [[1, 2], [3, 4]]) is INVALID
+    assert m.unparse(["repeat", {"max": 1}, ["cat", "int", "int"]],
+                     [[1, 2], [3, 4]]) is INVALID
+    assert m.unparse(["repeat", {"min": 3}, ["cat", "int", "int"]],
+                     [[1, 2], [3, 4]]) is INVALID
+    assert m.parse(["repeat", ["*", "int"]], [1, 2, 3, 4]) == [[1, 2, 3, 4]]
+    assert m.unparse(["repeat", ["*", "int"]], [[1, 2, 3, 4]]) == [1, 2, 3, 4]
+    assert m.parse(["*", ["repeat", "int"]], [1, 2, 3, 4]) == [[1, 2, 3, 4]]
+    assert m.unparse(["*", ["repeat", "int"]], [[1, 2, 3, 4]]) == [1, 2, 3, 4]
+    assert m.parse(["repeat", ["repeat", "int"]], [1, None, 3, 4]) is INVALID
+    assert m.unparse(["repeat", ["repeat", "int"]], [[1, None, 3, 4]]) is INVALID
+    assert m.unparse(["+", "int"], []) is INVALID
+    assert m.unparse(["*", "int"], []) == []
+
+
+def test_coerce_cps_reference():
+    """coerce CPS arity (coerce-test, core_test.cljc:3192-3208)."""
+    result = {}
+    m.coerce(["map", ["x", "int"]], {"x": 1},
+             respond=lambda v: result.setdefault("respond", v),
+             raise_=lambda e: result.setdefault("raise", e))
+    assert result == {"respond": {"x": 1}}
+    result = {}
+    m.coerce(["map", ["x", "int"]], {"x": "1"},
+             respond=lambda v: result.setdefault("respond", v),
+             raise_=lambda e: result.setdefault("raise", e))
+    err = result["raise"]
+    assert err["value"] == {"x": "1"}
+    assert err["explain"]["errors"][0]["in"] == ["x"]
+    assert err["explain"]["errors"][0]["path"] == ["x"]
+
+
+def test_extra_entries_default_map_reference():
+    """extra-entries-in-map-test, core_test.cljc:3210-3244 — explain paths
+    route extra keys through [::m/default 0/1]."""
+    S = ["map", ["x", "boolean"], ["y", {"optional": True}, "int"],
+         ["malli.core/default", ["map-of", "int", "int"]]]
+    assert m.validate(S, {"x": True, "y": 1})
+    assert m.validate(S, {"x": True, "y": 1, 123: 123, 456: 456})
+    assert not m.validate(S, {"x": True, "y": 1, 42: 42, 123: "123", "456": 456})
+    assert not m.validate(S, "not-a-map")
+    exp = m.explain(S, {"y": "invalid", "123": "123"})
+    got = [(e["path"], e["in"], e.get("type")) for e in exp["errors"]]
+    assert got == [
+        (["x"], ["x"], "malli.core/missing-key"),
+        (["y"], ["y"], None),
+        (["malli.core/default", 0], ["123"], None),
+        (["malli.core/default", 1], ["123"], None)]
