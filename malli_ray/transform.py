@@ -25,7 +25,7 @@ import datetime as _dt
 import uuid as _uuid
 from typing import Any, Callable, Optional
 
-from .core import DEFAULT_KEY, MapSchema, Schema
+from .core import DEFAULT_KEY, MapSchema, Schema, SchemaError
 
 __all__ = [
     "Transformer", "transformer", "string_transformer", "json_transformer",
@@ -179,15 +179,22 @@ class Transformer:
     def __init__(self, name: str | None,
                  decoders: dict[str, Any] | None = None,
                  encoders: dict[str, Any] | None = None,
-                 chain: list["Transformer"] | None = None):
+                 chain: list["Transformer"] | None = None,
+                 default_decoder: Any = None,
+                 default_encoder: Any = None):
         self.name = name
         self.decoders = decoders or {}
         self.encoders = encoders or {}
         self.chain = chain or []
+        self.default_decoder = default_decoder
+        self.default_encoder = default_encoder
 
     def value_transformer(self, schema_: Schema, method: str, options: dict) -> Optional[Any]:
-        """Per-node transform lookup: schema properties ``<method>/<name>``
-        first, then the transformer's type map (transform.cljc:411-426)."""
+        """Per-node transform lookup, in the reference's resolution order
+        (transform.cljc:411-426): FULL property form ``{:decode {name t}}``
+        first (it masks the compact key), then compact ``<method>/<name>``,
+        then the same pair from type-properties, then the transformer's
+        type map, then the default."""
         if self.chain:
             steps = [t.value_transformer(schema_, method, options) for t in self.chain]
             steps = [s for s in steps if s is not None]
@@ -196,22 +203,52 @@ class Transformer:
             if len(steps) == 1:
                 return steps[0]
             return _compose_interceptors(steps)
-        if self.name:
-            override = schema_.properties.get(f"{method}/{self.name}")
-            if override is not None:
-                return _to_interceptor(override)
+
+        def from_props(props: dict | None) -> Any:
+            if not props or not self.name:
+                return None
+            full = props.get(method)
+            if isinstance(full, dict) and self.name in full:
+                return full[self.name]
+            return props.get(f"{method}/{self.name}")
+
+        override = from_props(schema_.properties)
+        if override is None:
+            override = from_props(getattr(schema_, "type_properties", None))
+        if override is not None:
+            return _to_interceptor(override, schema_, options)
         table = self.decoders if method == "decode" else self.encoders
         t = table.get(schema_.type)
+        if t is None:
+            t = (self.default_decoder if method == "decode"
+                 else self.default_encoder)
         if t is None:
             return None
         if callable(t) and getattr(t, "__transformer_compile__", False):
             return t(schema_, options)
-        return _to_interceptor(t)
+        return _to_interceptor(t, schema_, options)
 
 
-def _to_interceptor(t: Any) -> Any:
-    if isinstance(t, dict):
-        return t
+#: -interceptor compile recursion guard (transform.cljc:14, 26-29)
+MAX_COMPILE_DEPTH = 10
+
+
+def _to_interceptor(t: Any, schema_: Any = None, options: dict | None = None,
+                    _depth: int = 0) -> Any:
+    """-interceptor (transform.cljc:16-43): fn == enter; a map with
+    "compile" is invoked with (schema, options) and the result merged over
+    the remaining keys, depth-guarded."""
+    if isinstance(t, dict) and "compile" in t:
+        if _depth >= MAX_COMPILE_DEPTH:
+            raise SchemaError("too deep transformer compilation", t)
+        compiled = t["compile"](schema_, options)
+        if compiled is None:
+            return None
+        inner = _to_interceptor(compiled, schema_, options, _depth + 1)
+        if callable(inner):
+            inner = {"enter": inner}
+        rest = {k: v for k, v in t.items() if k != "compile"}
+        return {**rest, **(inner or {})}
     return t
 
 
@@ -241,11 +278,23 @@ def _compose_interceptors(steps: list) -> dict:
     return out
 
 
-def transformer(*ts: Transformer) -> Transformer:
-    """Compose transformers left-to-right (mt/transformer chaining)."""
-    if len(ts) == 1:
-        return ts[0]
-    return Transformer(None, chain=list(ts))
+def transformer(*ts) -> Transformer:
+    """Compose transformers left-to-right (mt/transformer chaining,
+    transform.cljc:387-406). Accepts Transformer objects or transformer
+    MAPS ``{"name": ..., "decoders": ..., "encoders": ...,
+    "default-decoder": ..., "default-encoder": ...}``."""
+    def to_t(t):
+        if isinstance(t, dict):
+            return Transformer(t.get("name"), t.get("decoders"),
+                               t.get("encoders"),
+                               default_decoder=t.get("default-decoder"),
+                               default_encoder=t.get("default-encoder"))
+        return t
+
+    norm = [to_t(t) for t in ts if t is not None]
+    if len(norm) == 1:
+        return norm[0]
+    return Transformer(None, chain=norm)
 
 
 def _compile_marker(f):

@@ -148,3 +148,95 @@ def test_string_number_whitespace_reference_semantics():
     assert string_to_long("7") == 7
     assert string_to_long("+7") == 7
     assert string_to_double(" 1.5 ") == 1.5     # tolerated
+
+
+def test_schema_hinted_transformation_reference():
+    """schema-hinted-transformation (transform_test.cljc:824-878): compact
+    vs full property forms, full form masks compact, named chain steps."""
+    from malli_ray.transform import json_transformer, string_transformer, transformer
+
+    up, low = str.upper, str.lower
+    s1 = ["string?", {"decode/string": up, "encode/string": low}]
+    s2 = ["string?", {"decode": {"string": up}, "encode": {"string": low}}]
+    for s in (s1, s2):
+        assert m.decode(s, "KiKkA", string_transformer()) == "KIKKA"
+        assert m.encode(s, "KiKkA", string_transformer()) == "kikka"
+        # undefined transformer name: untouched
+        assert m.decode(s, "KiKkA", json_transformer()) == "KiKkA"
+        assert m.encode(s, "KiKkA", json_transformer()) == "KiKkA"
+
+    # full override masks the compact key (transform_test.cljc:872-878)
+    t = transformer({"name": "kikka"})
+    s3 = ["string", {"encode": {"kikka": {"leave": up}},
+                     "encode/kikka": {"enter": lambda s: "masked" + s},
+                     "decode": {"kikka": {"enter": low}},
+                     "decode/kikka": {"enter": lambda s: "masked" + s}}]
+    assert m.decode(s3, "KUKKA", t) == "kukka"
+    assert m.encode(s3, "kukka", t) == "KUKKA"
+
+    # named chain steps with per-name property hooks (:851-861)
+    tr = transformer({"name": "before"}, string_transformer(),
+                     {"decoders": {"int?": lambda x: x + 1}},
+                     {"name": "after"})
+    out = m.decode(["int?", {"decode/before": {"leave": lambda x: x + 1},
+                             "decode/after": lambda x: x * 2}], "10", tr)
+    assert out == 23
+
+
+def test_transformation_targets_reference():
+    """transformation-targets (transform_test.cljc:929-949) — property
+    transformations apply at every schema type (keywords are strings in
+    the Python DSL)."""
+    from malli_ray.transform import string_transformer
+
+    up = str.upper
+    P1 = {"decode/string": up}
+    PS = {"decode/string": lambda xs: [up(x) for x in xs]}
+    PM = {"decode/string": lambda d: {k: up(v) for k, v in d.items()}}
+    cases = [
+        (["keyword?", P1], "kikka", "KIKKA"),
+        (["and", P1, "keyword?"], "kikka", "KIKKA"),
+        (["or", P1, "int?", "keyword?"], "kikka", "KIKKA"),
+        (["map", PM, ["x", "keyword?"]],
+         {"x": "kikka", "y": "kukka"}, {"x": "KIKKA", "y": "KUKKA"}),
+        (["map-of", PM, "string?", "keyword?"], {"x": "kikka"}, {"x": "KIKKA"}),
+        (["tuple", PS, "keyword?", "int?"], ["kikka", "1"], ["KIKKA", 1]),
+        (["enum", P1, "S", "M", "L"], "s", "S"),
+        (["re", P1, ".*"], "kikka", "KIKKA"),
+        (["fn", P1, lambda x: isinstance(x, str)], "kikka", "KIKKA"),
+        (["maybe", P1, "keyword?"], "kikka", "KIKKA"),
+        (["vector", PS, "keyword?"], ["kikka"], ["KIKKA"]),
+        (["sequential", PS, "keyword?"], ["kikka"], ["KIKKA"]),
+        (["set", PS, "keyword?"], {"kikka"}, {"KIKKA"}),
+    ]
+    for s, v, want in cases:
+        assert m.decode(s, v, string_transformer()) == want, s
+
+
+def test_options_in_transformation_reference():
+    """options-in-transformation (transform_test.cljc:951-956): a
+    {"compile": f} property interceptor sees the decode-call options."""
+    from malli_ray.transform import string_transformer, transformer
+
+    def compile_inc(schema_, options):
+        inc = (options or {}).get("increment") or 0
+        return lambda x: x + inc
+
+    S = ["and", "int?", ["any?", {"decode/string": {"compile": compile_inc}}]]
+    tr = transformer(string_transformer())
+    assert m.decode(S, "0", tr) == 0
+    assert m.decode(S, "0", tr, options={"increment": 1}) == 1
+    assert m.decode(S, "0", tr, options={"increment": 1000}) == 1000
+
+
+def test_compile_interceptor_depth_guard():
+    """*max-compile-depth* (transform.cljc:14, 26-29)."""
+    import pytest
+    from malli_ray.transform import string_transformer
+
+    def self_compiling(schema_, options):
+        return {"compile": self_compiling}
+
+    S = ["any?", {"decode/string": {"compile": self_compiling}}]
+    with pytest.raises(m.SchemaError):
+        m.decode(S, 1, string_transformer())
