@@ -326,7 +326,8 @@ _STRING_DECODERS: dict[str, Any] = {
 _STRING_ENCODERS: dict[str, Any] = {
     "int": any_to_string, "integer": any_to_string, "int?": any_to_string,
     "double": any_to_string, "double?": any_to_string, "float": any_to_string,
-    "boolean": any_to_string, "boolean?": any_to_string,
+    # :boolean deliberately NOT string-encoded (transform.cljc:371, the
+    # commented-out `;:boolean -any->string`)
     "keyword": any_to_string, "symbol": any_to_string,
     "uuid": any_to_string, "uuid?": any_to_string,
     "inst?": date_to_string,
@@ -334,10 +335,42 @@ _STRING_ENCODERS: dict[str, Any] = {
 }
 
 
+def _infer_child_type(children) -> str | None:
+    """m/-infer (core.cljc:243-245): the common literal type of children
+    (string before int before double; keywords/symbols are strings here)."""
+    vals = [c for c in children]
+    if not vals:
+        return None
+    if all(isinstance(c, str) for c in vals):
+        return "string"
+    if all(isinstance(c, int) and not isinstance(c, bool) for c in vals):
+        return "int"
+    if all(isinstance(c, float) for c in vals):
+        return "double"
+    return None
+
+
+def _add_child_compilers(table: dict) -> dict:
+    """-add-child-compilers (transform.cljc:241-247): :enum and := code
+    their literal children via the inferred child type's coder."""
+    @_compile_marker
+    def compile_(schema_: Schema, options: dict):
+        t = _infer_child_type(schema_.children)
+        coder = table.get(t) if t else None
+        if coder is None:
+            return None
+        if callable(coder) and getattr(coder, "__transformer_compile__", False):
+            return coder(schema_, options)
+        return coder
+
+    return {**table, "enum": compile_, "=": compile_}
+
+
 def string_transformer() -> Transformer:
     """String -> typed values per target schema (transform.cljc:454-458)."""
-    return Transformer("string", decoders=dict(_STRING_DECODERS),
-                       encoders=dict(_STRING_ENCODERS))
+    return Transformer("string",
+                       decoders=_add_child_compilers(dict(_STRING_DECODERS)),
+                       encoders=_add_child_compilers(dict(_STRING_ENCODERS)))
 
 
 def _list_to_set(x: Any) -> Any:
@@ -364,7 +397,8 @@ def json_transformer() -> Transformer:
         "inst?": date_to_string,
         "set": lambda x: sorted(x) if isinstance(x, (set, frozenset)) else x,
     }
-    return Transformer("json", decoders=decoders, encoders=encoders)
+    return Transformer("json", decoders=_add_child_compilers(decoders),
+                       encoders=_add_child_compilers(encoders))
 
 
 def collection_transformer() -> Transformer:
@@ -502,65 +536,82 @@ def key_transformer(decode: Callable | None = None,
 
 def default_value_transformer(key: str = "default",
                               defaults: dict[str, Any] | None = None,
-                              add_optional_keys: bool = False) -> Transformer:
+                              add_optional_keys: bool = False,
+                              default_fn: Callable | None = None) -> Transformer:
     """Fill nil/missing values with defaults (transform.cljc:492-528).
 
-    Per-schema ``:default`` property first, then per-type ``defaults``;
-    :map fills missing keys whose entry schema has a default (optional keys
-    only when ``add_optional_keys``).
+    Reference shape: ``set-default`` runs as the DEFAULT decoder/encoder at
+    EVERY schema node (so ``[:tuple {:default [1 2]} ...]`` and
+    ``[:and {:default false} ...]`` fill on nil), and ``add-defaults`` runs
+    at :map nodes filling MISSING entries. Default sources, in order:
+    ``<key>/fn`` property (a zero-arg callable), the ``<key>`` property
+    (schema or entry properties), then the per-type ``defaults`` table
+    (value, or callable of the schema). ``default_fn(schema, v)`` post-
+    processes every produced default; optional entries fill only with
+    ``add_optional_keys``.
     """
     defaults = defaults or {}
+    dfn = default_fn or (lambda _schema, x: x)
+
+    def get_default(schema_: Schema | None, more_props: dict | None):
+        """-> zero-arg producer or None (transform.cljc:495-501)."""
+        for props in ((schema_.properties if schema_ is not None else None),
+                      more_props):
+            f = (props or {}).get(f"{key}/fn")
+            if f is not None:
+                return f
+        for props in ((schema_.properties if schema_ is not None else None),
+                      more_props):
+            if props is not None and key in props:
+                v = props[key]
+                return lambda: v
+        if schema_ is not None and schema_.type in defaults:
+            d = defaults[schema_.type]
+            return (lambda: d(schema_)) if callable(d) else (lambda: d)
+        return None
 
     @_compile_marker
-    def compile_(schema_: Schema, _options: dict):
-        if isinstance(schema_, MapSchema):
-            fills = []
-            for (k, props, cs) in schema_.children:
-                if k == DEFAULT_KEY:
-                    continue
-                optional = bool((props or {}).get("optional"))
-                if optional and not add_optional_keys:
-                    continue
-                if key in cs.properties:
-                    fills.append((k, cs.properties[key]))
-                elif cs.type in defaults:
-                    fills.append((k, defaults[cs.type]))
-            own = schema_.properties.get(key, _SENTINEL)
+    def set_default(schema_: Schema, _options: dict):
+        f = get_default(schema_, None)
+        if f is None:
+            return None
+        return lambda x: dfn(schema_, f()) if x is None else x
 
-            def fill(x: Any) -> Any:
-                if x is None and own is not _SENTINEL:
-                    x = own() if callable(own) else own
-                if not isinstance(x, dict):
-                    return x
-                missing = [(k, d) for (k, d) in fills if k not in x or x[k] is None]
-                if not missing:
-                    return x
-                out = dict(x)
-                for (k, d) in missing:
-                    out[k] = d() if callable(d) else d
-                return out
-
-            return {"enter": fill} if (fills or own is not _SENTINEL) else None
-
-        dflt = schema_.properties.get(key, _SENTINEL)
-        if dflt is _SENTINEL and schema_.type in defaults:
-            dflt = defaults[schema_.type]
-        if dflt is _SENTINEL:
+    @_compile_marker
+    def add_defaults(schema_: Schema, _options: dict):
+        fills = {}
+        for (k, props, cs) in schema_.children:
+            if k == DEFAULT_KEY:
+                continue
+            if (props or {}).get("optional") and not add_optional_keys:
+                continue
+            f = get_default(cs, props)
+            if f is None and hasattr(cs, "deref"):
+                try:
+                    f = get_default(cs.deref(), props)
+                except Exception:
+                    f = None
+            if f is not None:
+                fills[k] = f
+        if not fills:
             return None
 
-        def fill_scalar(x: Any) -> Any:
-            if x is None:
-                return dflt() if callable(dflt) else dflt
-            return x
+        def fill(x: Any) -> Any:
+            if not isinstance(x, dict):
+                return x
+            out = None
+            for k, f in fills.items():
+                if k not in x:
+                    if out is None:
+                        out = dict(x)
+                    out[k] = dfn(schema_, f())
+            return x if out is None else out
 
-        return {"enter": fill_scalar}
+        return fill
 
-    table = {t: compile_ for t in
-             ("map", "string", "int", "integer", "double", "float", "boolean",
-              "keyword", "symbol", "uuid", "enum", "maybe", "any", "number",
-              "vector", "set", "sequential", "string?", "int?", "boolean?",
-              "double?", "keyword?", "number?")}
-    return Transformer("default-value", decoders=table, encoders=table)
+    return transformer(
+        {"default-decoder": set_default, "default-encoder": set_default},
+        {"decoders": {"map": add_defaults}, "encoders": {"map": add_defaults}})
 
 
 _SENTINEL = object()

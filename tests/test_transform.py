@@ -104,7 +104,10 @@ def test_schema_property_override():
 
 def test_encode():
     assert m.encode("int", 1, ST) == "1"
-    assert m.encode("boolean", True, ST) == "true"
+    # booleans stay booleans on string-encode (transform.cljc:371 has
+    # `;:boolean -any->string` commented out; default-transformer test
+    # expects {:f true :g false} through the string chain)
+    assert m.encode("boolean", True, ST) is True
     S = ["map", ["x", "int"]]
     assert m.encode(S, {"x": 5}, ST) == {"x": "5"}
 
@@ -240,3 +243,58 @@ def test_compile_interceptor_depth_guard():
     S = ["any?", {"decode/string": {"compile": self_compiling}}]
     with pytest.raises(m.SchemaError):
         m.decode(S, 1, string_transformer())
+
+
+def test_default_transformer_reference():
+    """default-transformer (transform_test.cljc:958-1010): nil collections,
+    nested defaults, default false, optional keys, default/fn, default_fn."""
+    dv = default_value_transformer
+    for s, want in [
+        (["vector", {"default": [1, 2, 3]}, "int?"], [1, 2, 3]),
+        (["map", {"default": {"x": 10}}, ["x", "int?"]], {"x": 10}),
+        (["tuple", {"default": [1, 2]}, "int?", "int?"], [1, 2]),
+        (["map-of", {"default": {1: 1}}, "int?", "int?"], {1: 1}),
+    ]:
+        assert m.decode(s, None, dv()) == want, s
+
+    nested = ["map", {"default": {}},
+              ["a", {"default": 1}, "int?"],
+              ["b", ["vector", {"default": [1, 2, 3]}, "int?"]],
+              ["c", ["map", {"default": {}},
+                     ["x", ["int?", {"default": 42}]],
+                     ["y", "int?"]]],
+              ["d", ["map", ["x", ["int?", {"default": 42}]], ["y", "int?"]]],
+              ["e", "int?"],
+              ["f", ["boolean?", {"default": True}]],
+              ["g", ["boolean?", {"default": False}]]]
+    assert m.encode(nested, None, dv()) == \
+        {"a": 1, "b": [1, 2, 3], "c": {"x": 42}, "f": True, "g": False}
+    # booleans survive the string chain un-stringified
+    assert m.encode(nested, None, transformer(dv(), string_transformer())) == \
+        {"a": "1", "b": ["1", "2", "3"], "c": {"x": "42"}, "f": True, "g": False}
+
+    assert m.decode(["and", {"default": False}, "boolean?"], None, dv()) is False
+    S = ["map", ["x", "int"], ["y", {"optional": True, "default": 0}, "int"]]
+    assert m.decode(S, {"x": 5}, dv()) == {"x": 5}
+    assert m.decode(S, {"x": 5}, dv(add_optional_keys=True)) == {"x": 5, "y": 0}
+    assert m.decode(["int", {"default/fn": lambda: 9}], None, dv()) == 9
+    assert m.decode(["int", {"default": 5}], None,
+                    dv(default_fn=lambda s, x: x * 2)) == 10
+
+
+def test_child_inference_reference():
+    """child-inference tests (transform_test.cljc:1142-1231): :enum/:= code
+    literal children via the inferred child type."""
+    st, jt = string_transformer(), json_transformer()
+    assert m.decode(["enum", 1, 2], "1", st) == 1
+    assert m.decode(["enum", 1.1, 2.2], "1.1", st) == 1.1
+    assert m.encode(["enum", 1, 2], 1, st) == "1"
+    assert m.decode(["=", 1], "1", st) == 1
+    assert m.encode(["=", 1.1], 1.1, st) == "1.1"
+    # json decodes numbers but NOT stringified numbers
+    assert m.decode(["enum", 1, 2], "1", jt) == "1"
+    assert m.decode(["enum", 1, 2], 1, jt) == 1
+    # string children: identity
+    assert m.decode(["enum", "a", "b"], "a", st) == "a"
+    # mixed types: no inference, untouched
+    assert m.decode(["enum", 1, "a"], "1", st) == "1"
