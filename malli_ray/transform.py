@@ -379,9 +379,33 @@ def _list_to_set(x: Any) -> Any:
     return x
 
 
+@_compile_marker
+def _decode_map_of_keys(schema_: Schema, _options: dict):
+    """:map-of JSON keys decode via the STRING decoders for the key schema,
+    kept only when the decoded key validates (transform.cljc:436-443,
+    map-of-key-decoders default = -string-decoders)."""
+    key_schema = schema_.children[0] if schema_.children else None
+    coder = _STRING_DECODERS.get(key_schema.type) if key_schema is not None else None
+    if coder is None:
+        return None
+    valid = key_schema.validator()
+
+    def tx(x: Any) -> Any:
+        if not isinstance(x, dict):
+            return x
+        out = {}
+        for k, v in x.items():
+            k2 = coder(k) if isinstance(k, str) else k
+            out[k2 if valid(k2) else k] = v
+        return out
+
+    return {"enter": tx}
+
+
 def json_transformer() -> Transformer:
     """JSON-shaped data -> richer types (transform.cljc:428-452)."""
     decoders = {
+        "map-of": _decode_map_of_keys,
         "keyword": string_to_keyword, "keyword?": string_to_keyword,
         "qualified-keyword": string_to_keyword,
         "symbol": string_to_keyword, "symbol?": string_to_keyword,
@@ -402,11 +426,15 @@ def json_transformer() -> Transformer:
 
 
 def collection_transformer() -> Transformer:
-    """Sequence/set coercions (transform.cljc:530-537)."""
-    decoders = {"set": _list_to_set, "set?": _list_to_set,
-                "vector": lambda x: list(x) if isinstance(x, (tuple, set, frozenset)) else x,
-                "sequential": lambda x: list(x) if isinstance(x, (tuple, set, frozenset)) else x}
-    return Transformer("collection", decoders=decoders, encoders={})
+    """Sequence/set coercions, same coders for decode AND encode
+    (transform.cljc:530-537)."""
+    def to_list(x: Any) -> Any:
+        return list(x) if isinstance(x, (tuple, set, frozenset)) else x
+
+    coders = {"set": _list_to_set, "set?": _list_to_set,
+              "vector": to_list, "sequential": to_list, "tuple": to_list}
+    return Transformer("collection", decoders=dict(coders),
+                       encoders=dict(coders))
 
 
 def _default_keep_fn(default_schema: Schema):

@@ -298,3 +298,45 @@ def test_child_inference_reference():
     assert m.decode(["enum", "a", "b"], "a", st) == "a"
     # mixed types: no inference, untouched
     assert m.decode(["enum", 1, "a"], "1", st) == "1"
+
+
+def test_map_of_json_keys_reference():
+    """map-of-json-keys-transform (transform_test.cljc:1092-1113): JSON
+    :map-of keys decode via the string decoders for the key schema; only
+    decoded keys that validate are replaced."""
+    import uuid as _uuid
+
+    S = ["map-of", "int?", "uuid?"]
+    data = {"0": "2ac307dc-4ec8-4046-9b7e-57716b7ecfd2",
+            "1": "820e5003-6fff-480b-9e2b-ec3cdc5d2f78"}
+    assert m.decode(S, data, JT) == {
+        0: _uuid.UUID("2ac307dc-4ec8-4046-9b7e-57716b7ecfd2"),
+        1: _uuid.UUID("820e5003-6fff-480b-9e2b-ec3cdc5d2f78")}
+    # invalid keys stay as-is
+    assert m.decode(["map-of", "int?", "string?"],
+                    {"x": "a", "2": "b"}, JT) == {"x": "a", 2: "b"}
+
+
+def test_collection_transform_reference():
+    """collection-transform-test (transform_test.cljc:446-466)."""
+    ct = collection_transformer()
+    assert m.decode(["set", "int?"], [1, 2, 3], ct) == {1, 2, 3}
+    assert sorted(m.decode(["vector", "int?"], {1, 2, 3}, ct)) == [1, 2, 3]
+    assert m.decode(["tuple", "int?", "int?", "int?"], (1, 2, 3), ct) == [1, 2, 3]
+    # encode uses the same coders
+    assert m.encode(["set", "int?"], [1, 2, 3], ct) == {1, 2, 3}
+    # strings are not collections; bad input does not raise
+    assert m.encode(["set", "int?"], "123", ct) == "123"
+    assert m.encode(["set", "string?"], 2, ct) == 2
+    # transformers may change the top-level type on :leave
+    assert m.encode(["vector", {"encode/string": {"leave": lambda v: ",".join(v)}},
+                     "string?"], ["a", "b", "c"], ST) == "a,b,c"
+
+
+def test_regression_480_reference():
+    """regression-480 (transform_test.cljc:1123-1129): partial map encode/
+    decode roundtrips."""
+    import uuid as _uuid
+    val = {"b": _uuid.UUID("f5a54a8f-7d78-4495-9138-e810885d1cdb")}
+    S = ["map", ["a", "int"], ["b", "uuid"]]
+    assert m.decode(S, m.encode(S, val, ST), ST) == val
