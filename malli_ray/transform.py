@@ -536,30 +536,32 @@ def strip_extra_keys_transformer() -> Transformer:
 
 
 def key_transformer(decode: Callable | None = None,
-                    encode: Callable | None = None) -> Transformer:
-    """Rename/transform map keys (transform.cljc:485-490, :195-201)."""
+                    encode: Callable | None = None,
+                    types=("map",)) -> Transformer:
+    """Rename/transform map keys (transform.cljc:485-490, :195-201).
 
-    def make(f):
+    decode runs on :enter (before entry decoding), encode on :leave
+    (after entry encoding) — so e.g. strip-extra-keys in the same chain
+    sees the schema's own keys. ``types`` is the set of schema types to
+    apply at, or "default" for every type."""
+
+    def make(f, stage):
         if f is None:
             return None
 
-        @_compile_marker
-        def compile_(schema_: Schema, _options: dict):
-            if not isinstance(schema_, MapSchema):
-                return None
+        def tx(x: Any) -> Any:
+            if not isinstance(x, dict):
+                return x
+            return {f(k): v for k, v in x.items()}
 
-            def tx(x: Any) -> Any:
-                if not isinstance(x, dict):
-                    return x
-                return {f(k): v for k, v in x.items()}
+        return {stage: tx}
 
-            return {"enter": tx}
-
-        return compile_
-
-    dec, enc = make(decode), make(encode)
-    return Transformer("key", decoders={"map": dec} if dec else {},
-                       encoders={"map": enc} if enc else {})
+    dec, enc = make(decode, "enter"), make(encode, "leave")
+    if types == "default":
+        return Transformer("key", default_decoder=dec, default_encoder=enc)
+    return Transformer("key",
+                       decoders={t: dec for t in types} if dec else {},
+                       encoders={t: enc for t in types} if enc else {})
 
 
 def default_value_transformer(key: str = "default",

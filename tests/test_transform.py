@@ -340,3 +340,81 @@ def test_regression_480_reference():
     val = {"b": _uuid.UUID("f5a54a8f-7d78-4495-9138-e810885d1cdb")}
     S = ["map", ["a", "int"], ["b", "uuid"]]
     assert m.decode(S, m.encode(S, val, ST), ST) == val
+
+
+def test_composing_transformers_reference():
+    """composing-transformers (transform_test.cljc:468-539): strict-json
+    chain, key-transformer chains (decode on :enter, encode on :leave so
+    strip sees schema keys), strip tolerates non-map values."""
+    strict = transformer(None, strip_extra_keys_transformer(), json_transformer())
+    assert m.decode(["map", ["x", "keyword?"]],
+                    {"x": "kikka", "y": "kukka"}, strict) == {"x": "kikka"}
+    assert m.encode(["map", ["x", "keyword?"]],
+                    {"x": "kikka", "y": "kukka"}, strict) == {"x": "kikka"}
+    assert m.encode(["map", ["x", ["map", ["a", ["map", ["b", ["map"]]]]]]],
+                    {"x": {"a": {"b": {}, "c": {}}}, "additional": 1},
+                    strict) == {"x": {"a": {"b": {}}}}
+
+    kt = transformer(
+        key_transformer(decode=lambda k: k[4:], encode=lambda k: "key_" + k),
+        string_transformer(),
+        strip_extra_keys_transformer())
+    S = ["map", ["x", "int?"], ["y", "string?"],
+         ["z", {"optional": True}, "boolean?"]]
+    assert m.decode(S, {"key_x": "18", "key_y": "john", "key_a": "doe"},
+                    kt) == {"x": 18, "y": "john"}
+    assert m.encode(S, {"x": 18, "y": "john", "a": "doe"},
+                    kt) == {"key_x": "18", "key_y": "john"}
+
+    assert m.decode(["map", {"decode/string": lambda s: {"foo": s}},
+                     ["foo", "string"]], "bar",
+                    transformer(strip_extra_keys_transformer(),
+                                string_transformer())) == {"foo": "bar"}
+
+
+def test_interceptor_call_order_reference():
+    """interceptor-style-transformers (transform_test.cljc:699-783): parent
+    :enter wraps children, :leave runs after them, depth-first."""
+    calls = []
+
+    def rec(n):
+        return {"enter": lambda x: (calls.append(("enter", n)), x)[1],
+                "leave": lambda x: (calls.append(("leave", n)), x)[1]}
+
+    tr = transformer({"name": "order",
+                      "decoders": {"map": rec("map"), "map-of": rec("map-of"),
+                                   "vector": rec("vector"), "multi": rec("multi"),
+                                   "tuple": rec("tuple"),
+                                   "int?": rec("int"), "string?": rec("string")}})
+    cases = [
+        (["map", ["foo", "int?"], ["bar", "string?"]], {"foo": 5, "bar": "wee"},
+         [("enter", "map"), ("enter", "int"), ("leave", "int"),
+          ("enter", "string"), ("leave", "string"), ("leave", "map")]),
+        (["map-of", "int?", "string?"], {5: "foo"},
+         [("enter", "map-of"), ("enter", "int"), ("leave", "int"),
+          ("enter", "string"), ("leave", "string"), ("leave", "map-of")]),
+        (["vector", "int?"], [5, 6],
+         [("enter", "vector"), ("enter", "int"), ("leave", "int"),
+          ("enter", "int"), ("leave", "int"), ("leave", "vector")]),
+        (["tuple", "string?", "int?"], ["Foo", 5],
+         [("enter", "tuple"), ("enter", "string"), ("leave", "string"),
+          ("enter", "int"), ("leave", "int"), ("leave", "tuple")]),
+        (["multi", {"dispatch": "kind"},
+          ["person", ["map", ["name", "string?"]]],
+          ["food", ["map", ["weight", "int?"]]]],
+         {"kind": "food", "weight": 42},
+         [("enter", "multi"), ("enter", "map"), ("enter", "int"),
+          ("leave", "int"), ("leave", "map"), ("leave", "multi")]),
+    ]
+    for s, v, want in cases:
+        calls.clear()
+        m.decode(s, v, tr)
+        assert calls == want, (s, calls)
+
+    # map :enter/:leave around per-entry encoders
+    tf = transformer({"name": "custom",
+                      "encoders": {"map": {"enter": lambda d: {**d, "x": d["x"] + 1},
+                                           "leave": lambda d: {**d, "y": d["y"] + "!"}},
+                                   "keyword?": lambda k: k}})
+    assert m.encode(["map", ["x", "int?"], ["y", "keyword?"]],
+                    {"x": 5, "y": "foo"}, tf) == {"x": 6, "y": "foo!"}
