@@ -1507,9 +1507,11 @@ class MultiSchema(Schema):
             raise SchemaError(":multi requires :dispatch property")
         if callable(dispatch):
             self.dispatch = dispatch
+            self.dispatch_key = None
         else:
             key = dispatch
             self.dispatch = lambda x: x.get(key) if isinstance(x, dict) else None
+            self.dispatch_key = key
         self.branches = {k: s for (k, _, s) in children if k != DEFAULT_KEY}
         self.default_branch = next((s for (k, _, s) in children if k == DEFAULT_KEY), None)
 
@@ -1553,7 +1555,15 @@ class MultiSchema(Schema):
             if e is None:
                 e = default_e
             if e is None:
-                acc.append(_error(path, in_, this, x, "malli.core/invalid-dispatch-value"))
+                # map-key dispatch on a map value: the error lands AT the
+                # dispatch key (core.cljc:1913-1914)
+                if this.dispatch_key is not None and isinstance(x, dict):
+                    acc.append(_error(path + [this.dispatch_key],
+                                      in_ + [this.dispatch_key], this, x,
+                                      "malli.core/invalid-dispatch-value"))
+                else:
+                    acc.append(_error(path, in_, this, x,
+                                      "malli.core/invalid-dispatch-value"))
                 return acc
             return e(x, in_, acc)
 

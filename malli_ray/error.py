@@ -233,33 +233,44 @@ def error_message(error: dict, options: dict | None = None) -> str:
     return msg if msg is not None else _UNKNOWN
 
 
+def _is_error_leaf(a: Any) -> bool:
+    """-error? — a non-empty vector of message strings (error.cljc:196)."""
+    return isinstance(a, list) and bool(a) and all(isinstance(x, str) for x in a)
+
+
 def _push_in(acc: Any, path: list, msg: str) -> Any:
     """Build the message tree mirroring the value shape (error.cljc:200-215).
 
     Leaves are lists of messages; map steps become dicts; index steps become
-    None-padded lists.
-    """
-    if not path:
-        if acc is None:
-            return [msg]
-        if isinstance(acc, list) and all(isinstance(m, str) for m in acc):
-            acc.append(msg)
+    None-padded lists. An existing error leaf blocks deeper pushes
+    ("error present, let's not go deeper"); a rootless error landing on a
+    map accumulator goes under ``malli/error``; on a non-empty indexed
+    accumulator it is dropped (child value errors win)."""
+    if path:
+        head, rest = path[0], path[1:]
+        if _is_error_leaf(acc):
             return acc
-        return acc  # conflicting shapes: keep first (malli merges shallowly)
-    head, rest = path[0], path[1:]
-    if isinstance(head, int):
-        if not isinstance(acc, list) or (acc and all(isinstance(m, str) for m in acc)):
-            acc = [] if acc is None else acc
+        if isinstance(head, int):
             if not isinstance(acc, list):
                 acc = []
-        while len(acc) <= head:
-            acc.append(None)
-        acc[head] = _push_in(acc[head], rest, msg)
+            while len(acc) <= head:
+                acc.append(None)
+            acc[head] = _push_in(acc[head], rest, msg)
+            return acc
+        if not isinstance(acc, dict):
+            acc = {}
+        acc[head] = _push_in(acc.get(head), rest, msg)
         return acc
-    if not isinstance(acc, dict):
-        acc = {}
-    acc[head] = _push_in(acc.get(head), rest, msg)
-    return acc
+    if acc is None:
+        return [msg]
+    if isinstance(acc, dict):
+        return _push_in(acc, ["malli/error"], msg)
+    if _is_error_leaf(acc):
+        acc.append(msg)
+        return acc
+    if isinstance(acc, list) and acc:
+        return acc
+    return [msg]
 
 
 def humanize(explanation: dict | None, options: dict | None = None,
@@ -499,32 +510,85 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
-def with_spell_checking(explanation: dict | None, options: dict | None = None) -> dict | None:
-    """Rewrite likely-misspelled extra keys (error.cljc:250-281, 344-377).
+def _length_threshold(n: int) -> int:
+    """-length->threshold (error.cljc:250-251)."""
+    for lim, t in ((2, 0), (5, 1), (6, 2), (11, 3), (20, 4)):
+        if n <= lim:
+            return t
+    return int(0.2 * n)
 
-    ``malli.core/extra-key`` errors whose key is within edit distance 2 of a
-    known key become ``malli.error/misspelled-key`` errors carrying
-    ``likely-misspelling-of`` and a "should be spelled ..." message
-    (error_test.cljc:37-60 shape).
+
+def _similar_key(bad: Any, cand: Any) -> int | None:
+    """-similar-key (error.cljc:267-270): edit distance within the
+    length-scaled threshold."""
+    a, b = str(bad), str(cand)
+    d = _levenshtein(a, b)
+    return d if d <= _length_threshold(min(len(a), len(b))) else None
+
+
+def _get_in(value: Any, path: list) -> Any:
+    for p in path:
+        if isinstance(value, dict):
+            value = value.get(p)
+        elif isinstance(value, (list, tuple)) and isinstance(p, int) and p < len(value):
+            value = value[p]
+        else:
+            return None
+    return value
+
+
+def with_spell_checking(explanation: dict | None, options: dict | None = None) -> dict | None:
+    """Rewrite likely-misspelled keys and :multi dispatch values
+    (error.cljc:250-281, 344-377).
+
+    ``malli.core/extra-key`` errors similar to a known (absent) entry key
+    become ``malli.error/misspelled-key``; ``malli.core/invalid-dispatch-
+    value`` with a map-key dispatch becomes ``malli.error/misspelled-value``
+    ("did you mean ..."). ``likely-misspelling-of`` holds FULL paths; the
+    corresponding ``missing-key`` errors are stripped unless
+    ``keep-likely-misspelled-of`` is set (error_test.cljc:36-104 shapes).
     """
     if explanation is None:
         return None
-    out = dict(explanation)
+    keep = bool((options or {}).get("keep-likely-misspelled-of"))
+    likely_paths: set = set()
     errors = []
     for e in explanation.get("errors", []):
-        if e.get("type") == "malli.core/extra-key" and isinstance(e.get("schema"), Schema):
-            s = e["schema"]
-            known = [str(k) for k in getattr(s, "explicit_keys", [])]
-            bad = str(e["path"][-1]) if e.get("path") else ""
-            best = sorted(
-                ((k, _levenshtein(bad, k)) for k in known), key=lambda kv: kv[1])
-            if best and best[0][1] <= 2:
-                likely = [b for (b, d) in best if d == best[0][1]]
+        s = e.get("schema")
+        t = e.get("type")
+        found = None  # (error-type, bad-key, known, present)
+        if t == "malli.core/extra-key" and isinstance(s, Schema):
+            value = _get_in(explanation.get("value"), list(e.get("path", []))[:-1])
+            present = set(value.keys()) if isinstance(value, dict) else set()
+            known = list(getattr(s, "explicit_keys", None) or
+                         [k for (k, _, _) in s.children])
+            bad = e["path"][-1] if e.get("path") else ""
+            found = ("malli.error/misspelled-key", bad, known, present,
+                     "should be spelled ")
+        elif (t == "malli.core/invalid-dispatch-value" and isinstance(s, Schema)
+              and getattr(s, "dispatch_key", None) is not None):
+            value = _get_in(explanation.get("value"), list(e.get("path", []))[:-1])
+            bad = value.get(s.dispatch_key) if isinstance(value, dict) else None
+            known = list(getattr(s, "branches", {}).keys())
+            found = ("malli.error/misspelled-value", bad, known, {bad},
+                     "did you mean ")
+        if found is not None:
+            err_type, bad, known, present, prefix = found
+            sims = sorted(
+                ((d, k) for k in known if k not in present
+                 for d in [_similar_key(bad, k)] if d is not None))
+            if sims:
+                likely = [list(e.get("path", []))[:-1] + [k] for (_, k) in sims]
+                likely_paths.update(tuple(p) for p in likely)
                 e = dict(e)
-                e["type"] = "malli.error/misspelled-key"
+                e["type"] = err_type
                 e["likely-misspelling-of"] = likely
-                e["message"] = "should be spelled " + " or ".join(
-                    repr(k) for k in likely)
+                e["message"] = prefix + " or ".join(repr(p[-1]) for p in likely)
         errors.append(e)
+    if not keep:
+        errors = [e for e in errors
+                  if not (e.get("type") == "malli.core/missing-key"
+                          and tuple(e.get("path", [])) in likely_paths)]
+    out = dict(explanation)
     out["errors"] = errors
     return out

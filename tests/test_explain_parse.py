@@ -101,13 +101,55 @@ def test_custom_error_message():
 
 
 def test_spell_checking():
-    # error_test.cljc:37-60 shape: misspelled-key type + spelled message
-    C = ["map", {"closed": True}, ["street", "string"]]
-    e = with_spell_checking(m.explain(C, {"streetz": "x", "street": "ok"}))
+    # error_test.cljc:37-60 shape: misspelled-key type + spelled message;
+    # likely-misspelling-of holds FULL paths
+    C = ["map", {"closed": True}, ["street", "string"], ["other", "string"]]
+    e = with_spell_checking(m.explain(C, {"streetz": "x", "other": "ok"}))
     mis = [x for x in e["errors"] if x.get("type") == "malli.error/misspelled-key"]
-    assert mis[0]["likely-misspelling-of"] == ["street"]
+    assert mis[0]["likely-misspelling-of"] == [["street"]]
     assert mis[0]["message"] == "should be spelled 'street'"
     assert humanize(e) == {"streetz": ["should be spelled 'street'"]}
+    # a candidate already present in the value is NOT a misspelling
+    # (error.cljc:271-273 `-likely-misspelled` removes present keys)
+    e2 = with_spell_checking(m.explain(C, {"streetz": "x", "street": "ok",
+                                           "other": "ok"}))
+    assert [x.get("type") for x in e2["errors"]] == ["malli.core/extra-key"]
+
+
+def test_spell_checking_reference_shapes():
+    """error_test.cljc:36-104: nested paths, missing-key stripping with
+    keep-likely-misspelled-of, and :multi dispatch 'did you mean'."""
+    from malli_ray import util as mu
+
+    S = mu.closed_schema(["map", ["address", ["map", ["street1", "string?"],
+                                              ["street2", "string?"]]]])
+    exp = m.explain(S, {"address": {"streetz": "123"}})
+    # default: missing-key errors for the likely targets are stripped
+    e = with_spell_checking(exp)
+    assert [(x["path"], x["type"]) for x in e["errors"]] == \
+        [(["address", "streetz"], "malli.error/misspelled-key")]
+    mis = e["errors"][0]
+    assert mis["likely-misspelling-of"] == \
+        [["address", "street1"], ["address", "street2"]]
+    assert mis["message"] == "should be spelled 'street1' or 'street2'"
+    # keep-likely-misspelled-of keeps them
+    e2 = with_spell_checking(exp, {"keep-likely-misspelled-of": True})
+    assert [x["type"] for x in e2["errors"]] == \
+        ["malli.core/missing-key", "malli.core/missing-key",
+         "malli.error/misspelled-key"]
+
+    MS = ["multi", {"dispatch": "type"},
+          ["plus", ["map", ["value", "int?"]]],
+          ["minus", ["map", ["value", "int?"]]]]
+    assert humanize(with_spell_checking(m.explain(MS, {"type": "minuz"}))) == \
+        {"type": ["did you mean 'minus'"]}
+    # without spell-checking: plain dispatch error AT the dispatch key
+    assert humanize(m.explain(MS, {"type": "minuz"})) == \
+        {"type": ["invalid dispatch value"]}
+    # non-map value: error at root
+    assert humanize(m.explain(["multi", {"dispatch": "x"},
+                               ["y", ["map", ["x", "keyword"]]]], [])) == \
+        ["invalid dispatch value"]
 
 
 # -- parse / unparse --------------------------------------------------------

@@ -620,3 +620,40 @@ def test_third_review_regressions():
     [t.start() for t in ts]
     [t.join() for t in ts]
     assert not errs
+
+
+def test_composing_with_and_humanize_reference():
+    """composing-with-and-test (error_test.cljc:248-320): map-level :fn
+    errors land under malli/error; indexed child errors win over extra
+    top-level ones; on scalars all errors collect."""
+    from malli_ray.error import humanize
+
+    S = ["and", ["map", ["x", "int?"], ["y", "int?"], ["z", "int?"]],
+         ["fn", {"error/message": "(> x y)"}, lambda d: d["x"] > d["y"]]]
+    assert humanize(m.explain(S, {"x": 1, "y": 2, "z": "1"})) == \
+        {"z": ["should be an int"], "malli/error": ["(> x y)"]}
+
+    S2 = ["and", ["map", ["password", "string?"], ["password2", "string?"]],
+          ["fn", {"error/message": "passwords don't match",
+                  "error/path": ["password2"]},
+           lambda d: d["password"] == d["password2"]]]
+    assert humanize(m.explain(S2, {"password": "secret",
+                                   "password2": "faarao"})) == \
+        {"password2": ["passwords don't match"]}
+
+    S3 = ["and", ["vector", "int?"],
+          ["fn", {"error/message": "error1"}, lambda v: v[0] > 0],
+          ["fn", {"error/message": "error2"}, lambda v: v[0] > 0]]
+    assert humanize(m.explain(S3, [-2, "1"])) == [None, ["should be an int"]]
+    assert humanize(m.explain(S3, [-2, 1])) == ["error1", "error2"]
+
+    S4 = ["and",
+          ["fn", {"error/message": "should be >= 1"},
+           lambda x: not isinstance(x, int) or x >= 1],
+          "int?",
+          ["fn", {"error/message": "should be >= 2"},
+           lambda x: not isinstance(x, int) or x >= 2]]
+    assert humanize(m.explain(S4, 0)) == ["should be >= 1", "should be >= 2"]
+    assert humanize(m.explain(S4, "kikka")) == ["should be an int"]
+    assert humanize(m.explain(S4, 1)) == ["should be >= 2"]
+    assert humanize(m.explain(S4, 2)) is None
