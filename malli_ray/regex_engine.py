@@ -81,7 +81,10 @@ def _tick(memo: dict, n: int) -> None:
 
 
 def _item_pos_fn(child: Schema):
-    """Position-set engine leaf: consume one validating item."""
+    """Position-set engine leaf: consume one validating item. In explain
+    mode (memo carries "__fails__") failed attempts are recorded as
+    (pos, kind, child) — the analog of the reference driver's fail!
+    (impl/regex.cljc:75-84, 603-609)."""
     valid = child.validator()
     empty = frozenset()
 
@@ -90,6 +93,9 @@ def _item_pos_fn(child: Schema):
             if p + 1 > furthest[0]:
                 furthest[0] = p + 1
             return frozenset((p + 1,))
+        fails = memo.get("__fails__")
+        if fails is not None:
+            fails.append((p, "eoi" if p >= len(items) else "item", child))
         return empty
 
     return pos
@@ -132,12 +138,16 @@ class RegexSchema(Schema):
     def _pos_fn(self):
         raise NotImplementedError
 
-    def _match_positions(self, items: list) -> tuple[frozenset, int]:
-        """(set of reachable end positions from 0, furthest position seen)."""
+    def _match_positions(self, items: list, collect: bool = False
+                         ) -> tuple[frozenset, int, list]:
+        """(reachable end positions from 0, furthest position seen, and —
+        when ``collect`` — the recorded item failures for explain)."""
         memo: dict = {}
+        if collect:
+            memo["__fails__"] = []
         furthest = [0]
         ends = self.pos_fn()(items, 0, memo, furthest)
-        return ends, furthest[0]
+        return ends, furthest[0], memo.get("__fails__") or []
 
     def _first_match(self, items: Any, parsing: bool) -> tuple[Any, int]:
         """Return (parsed | INVALID, furthest_pos)."""
@@ -166,7 +176,7 @@ class RegexSchema(Schema):
             if not isinstance(x, (list, tuple)):
                 return False
             items = list(x)
-            ends, _ = this._match_positions(items)
+            ends, _, _ = this._match_positions(items)
             return len(items) in ends
 
         return valid
@@ -179,22 +189,60 @@ class RegexSchema(Schema):
                 acc.append(_error(path, in_, this, x, "malli.core/invalid-type"))
                 return acc
             items = list(x)
-            ends, furthest = this._match_positions(items)
+            ends, furthest, fails = this._match_positions(items, collect=True)
             if len(items) in ends:
                 return acc
+            # reference driver semantics (impl/regex.cljc:603-625): keep ALL
+            # errors recorded at the MAXIMUM failure position — failed item
+            # attempts (the child's own errors), end-of-input when an item
+            # ran past the input, and input-remaining when an alternative
+            # completed early.
+            cands: list = list(fails)
             if ends:
-                # regex completed early but input remains
                 reach = max(ends)
-                acc.append(_error(path, in_ + [reach], this,
-                                  list(x[reach:]), "malli.core/input-remaining"))
-            else:
-                pos = furthest
-                acc.append(_error(path, in_ + [pos], this,
-                                  (x[pos] if pos < len(x) else None),
+                cands.append((reach, "rest", None))
+            if not cands:
+                acc.append(_error(path, in_ + [furthest], this,
+                                  (x[furthest] if furthest < len(x) else None),
                                   "malli.core/end-of-input"))
+                return acc
+            top = max(p for (p, _, _) in cands)
+            for (p, kind, child) in cands:
+                if p != top:
+                    continue
+                if kind == "item":
+                    cpath = this._child_path(child, path) or path
+                    acc = child._explainer(cpath)(items[p], in_ + [p], acc)
+                elif kind == "eoi":
+                    cpath = this._child_path(child, path) or path
+                    acc.append(_error(cpath, in_ + [p], child, None,
+                                      "malli.core/end-of-input"))
+                else:
+                    acc.append(_error(path, in_ + [p], this,
+                                      list(x[p:]), "malli.core/input-remaining"))
             return acc
 
         return explain_
+
+    def _child_path(self, target: Schema, path: list) -> list | None:
+        """Schema path of ``target`` within this regex subtree (identity
+        search; explain-only)."""
+        def parts_of(s: "RegexSchema"):
+            if isinstance(s, (CatSchema, AltSchema)):
+                return s._parts()
+            return [(0, s.children[0])]
+
+        def search(s, p):
+            for (k, c) in parts_of(s):
+                if c is target:
+                    return p + [k]
+                if isinstance(c, RegexSchema):
+                    found = search(c, p + [k])
+                    if found is not None:
+                        return found
+            return None
+
+        return search(self, list(path))
 
     def _parser(self):
         this = self
@@ -297,7 +345,7 @@ class CatSchema(RegexSchema):
             for pf in part_fns:
                 _tick(memo, len(cur))
                 nxt: set = set()
-                for e in cur:
+                for e in sorted(cur):
                     nxt |= pf(items, e, memo, furthest)
                 cur = nxt
                 if not cur:
@@ -496,7 +544,7 @@ class RepeatSchema(RegexSchema):
             while frontier and count < limit:
                 _tick(memo, len(frontier))
                 nxt: set = set()
-                for e in frontier:
+                for e in sorted(frontier):
                     nxt |= child_fn(items, e, memo, furthest)
                 count += 1
                 if count >= mn:

@@ -268,3 +268,20 @@ def test_extra_entries_default_map_reference():
         (["y"], ["y"], None),
         (["malli.core/default", 0], ["123"], None),
         (["malli.core/default", 1], ["123"], None)]
+
+
+def test_sequence_errors_reference():
+    """sequence-test (error_test.cljc:534-548): ALL errors at the furthest
+    failure position — child attempt errors + input-remaining."""
+    assert humanize(m.explain(["cat", "int?", "int?"], [1])) == \
+        [None, ["end of input"]]
+    assert humanize(m.explain(["cat", "int?", "int?"], [1, 2, 3])) == \
+        [None, None, ["input remaining"]]
+    assert humanize(m.explain(["cat", "int?", "int?", ["?", "int?"],
+                               ["?", "string?"]], [1, 2, None])) == \
+        [None, None, ["should be an int", "should be a string",
+                      "input remaining"]]
+    # end-of-input errors carry the failing CHILD's schema path
+    exp = m.explain(["cat", "int?", "string?"], [1])
+    assert [(e["path"], e["in"], e["type"]) for e in exp["errors"]] == \
+        [([1], [1], "malli.core/end-of-input")]
