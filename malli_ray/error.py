@@ -147,22 +147,37 @@ MESSAGE_CATALOG: dict[tuple[str, str], Any] = {
     ("schema", "map?"): "should be a map",
     ("schema", "vector?"): "should be a vector",
     ("schema", "set?"): "should be a set",
-    ("schema", "coll?"): "should be a collection",
+    ("schema", "coll?"): "should be a coll",
     ("schema", "seqable?"): "should be seqable",
     ("schema", "sequential?"): "should be sequential",
     ("schema", "double?"): "should be a double",
     ("schema", "float?"): "should be a float",
-    ("schema", "inst?"): "should be an instant",
+    ("schema", "inst?"): "should be an inst",
     ("schema", "bytes?"): "should be bytes",
     ("schema", "true?"): "should be true",
     ("schema", "false?"): "should be false",
-    ("schema", "fn?"): "should be a function",
+    ("schema", "fn?"): "should be a fn",
     ("schema", "ifn?"): "should be an ifn",
     ("schema", "char?"): "should be a char",
     ("schema", "empty?"): "should be empty",
     ("schema", "any?"): "should be any",
     ("schema", "any"): "should be any",
     ("schema", "nil"): "should be nil",
+    ("schema", "ident?"): "should be an ident",
+    ("schema", "simple-ident?"): "should be a simple ident",
+    ("schema", "qualified-ident?"): "should be a qualified ident",
+    ("schema", "simple-keyword?"): "should be a simple keyword",
+    ("schema", "qualified-keyword?"): "should be a qualified keyword",
+    ("schema", "simple-symbol?"): "should be a simple symbol",
+    ("schema", "qualified-symbol?"): "should be a qualified symbol",
+    ("schema", "uri?"): "should be a uri",
+    ("schema", "decimal?"): "should be a decimal",
+    ("schema", "indexed?"): "should be indexed",
+    ("schema", "list?"): "should be a list",
+    ("schema", "seq?"): "should be a seq",
+    ("schema", "rational?"): "should be a rational",
+    ("schema", "associative?"): "should be associative",
+    ("schema", "ratio?"): "should be a ratio",
 }
 
 

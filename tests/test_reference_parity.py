@@ -657,3 +657,70 @@ def test_composing_with_and_humanize_reference():
     assert humanize(m.explain(S4, "kikka")) == ["should be an int"]
     assert humanize(m.explain(S4, 1)) == ["should be >= 2"]
     assert humanize(m.explain(S4, 2)) is None
+
+
+def test_predicate_message_catalog_matches_reference():
+    """Every predicate message in the reference catalog (error.cljc:68-117)
+    resolves identically here — generated from the reference source."""
+    import re
+    from malli_ray.error import error_message
+
+    ref = open("/root/reference/src/malli/error.cljc").read()
+    entries = re.findall(
+        r"'([a-z?><=\-]+\??)\s+\{:error/message \{:en \"([^\"]+)\"", ref)
+    assert len(entries) >= 40
+    for name, want in entries:
+        exp = m.explain(name, object())
+        if exp is None:     # e.g. any?/some? accept anything
+            continue
+        assert error_message(exp["errors"][0], {}) == want, name
+
+
+def test_robust_humanize_form_reference():
+    """robust-humanize-form (error_test.cljc:670-712): shape-aware error
+    accumulation across :and / maps / tuples."""
+    from malli_ray.error import humanize
+
+    f = lambda s: ["fn", {"error/message": s}, lambda _: False]
+    cases = [
+        ("any", "x", None),
+        (["and", "any", "any"], "x", None),
+        (["and", f("1"), "any"], "x", ["1"]),
+        (["and", f("1"), f("1"), "any"], "x", ["1", "1"]),
+        (["and", f("1"), f("2")], {"a": 1}, ["1", "2"]),
+        (["map", ["x", ["and", ["map", ["y", "any"]], "seq?"]]], 123,
+         ["invalid type"]),
+        (["map", ["x", ["and", ["map", ["y", "any"]], "seq?"]]], {},
+         {"x": ["missing required key"]}),
+        (["map", ["x", ["and", ["map", ["y", "any"]], "seq?"]]], {"x": 123},
+         {"x": ["invalid type", "should be a seq"]}),
+        (["map", ["x", ["and", ["map", ["y", "any"]], "seq?", f("kosh")]]],
+         {"x": {}},
+         {"x": {"y": ["missing required key"],
+                "malli/error": ["should be a seq", "kosh"]}}),
+        (["map", ["x", ["and", "seq?", ["map", ["y", "any"]]]]], {"x": 123},
+         {"x": ["should be a seq", "invalid type"]}),
+        (["map", ["x", ["and", "seq?", ["map", ["y", "any"]]]]], {"x": {}},
+         {"x": ["should be a seq"]}),
+        (["map", ["x", ["tuple", "int", "int", "int"]]], {"x": []},
+         {"x": ["invalid tuple size 0, expected 3"]}),
+        (["map", ["x", ["tuple", "int", "int", "int"]]], {"x": [1, "2", "3"]},
+         {"x": [None, ["should be an integer"], ["should be an integer"]]}),
+        (["map", ["x", ["tuple", "int", ["and", "int", f("fails")], "int"]]],
+         {"x": [1, "2", "3"]},
+         {"x": [None, ["should be an integer", "fails"],
+                ["should be an integer"]]}),
+        (["and", ["sequential", "int"], f("1"), f("2")], [1, "2"],
+         [None, ["should be an integer"]]),
+        (["and", ["sequential", "int"], f("1"), f("2")], [1, 2], ["1", "2"]),
+    ]
+    for s, v, want in cases:
+        assert humanize(m.explain(s, v)) == want, s
+
+
+def test_multi_humanize_428():
+    """multi-humanize-test-428: empty :multi under a map entry."""
+    from malli_ray.error import humanize
+    assert humanize(m.explain(["map", ["user", ["multi", {"dispatch": "type"}]]],
+                              {"user": None})) == \
+        {"user": ["invalid dispatch value"]}
