@@ -200,6 +200,15 @@ def _q_redact_documents(sf_dir: str):
     return out.select_columns(["doc_id", "text_redacted"])
 
 
+def _q_pack_blocks_documents(sf_dir: str):
+    """Training-shard packing: chunk documents into ~4000-char blocks per
+    source (one groupby shuffle + vectorized per-group cumsum; SQL window
+    oracle)."""
+    from malli_ray.stages import packing
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return packing.chunk_blocks(ds, "source", "doc_id", "n_chars", cap=4000)
+
+
 def _q_repetition_documents(sf_dir: str):
     from malli_ray.stages import text as T
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -710,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_documents": _q_token_count_documents,
         "redact_documents": _q_redact_documents,
         "repetition_documents": _q_repetition_documents,
+        "pack_blocks_documents": _q_pack_blocks_documents,
         "contamination_documents": _q_contamination_documents,
         "text_counts_documents": _q_text_counts_documents,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
@@ -893,6 +903,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    regexp_replace(regexp_replace(text, '\bcustomer\b', '[X]', 'g'),
                                   '\d+', '[X]', 'g') AS text_redacted
+              FROM documents
+        """,
+        "pack_blocks_documents": """
+            SELECT source, doc_id, n_chars,
+                   CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source
+                                                  ORDER BY doc_id) - n_chars)
+                              / 4000) AS BIGINT) AS block_id
               FROM documents
         """,
         "repetition_documents": r"""

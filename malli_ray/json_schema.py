@@ -36,6 +36,8 @@ _SIMPLE_MAP = {
     "double": {"type": "number"}, "double?": {"type": "number"},
     "float": {"type": "number"}, "float?": {"type": "number"},
     "number": {"type": "number"}, "number?": {"type": "number"},
+    "rational?": {"type": "number"}, "ratio?": {"type": "number"},
+    "decimal?": {"type": "number"},
     "pos?": {"type": "number", "exclusiveMinimum": 0},
     "neg?": {"type": "number", "exclusiveMaximum": 0},
     "boolean": {"type": "boolean"}, "boolean?": {"type": "boolean"},
@@ -90,12 +92,14 @@ class _RefCtx:
 _REF_CTX = _RefCtx()
 
 
-def transform(s: Any, options: dict | None = None) -> dict:
-    """Schema/form -> JSON-Schema dict."""
+def transform(s: Any, options: dict | None = None, accept=None) -> dict:
+    """Schema/form -> JSON-Schema dict. ``accept`` overrides the per-node
+    transformer (the ::json-schema/transform hook swagger threads through,
+    swagger.cljc:96-101)."""
     ctx: dict = {"defs": {}}
     _REF_CTX.append(ctx)
     try:
-        node = _accept(to_schema(s, options))
+        node = (accept or _accept)(to_schema(s, options))
     finally:
         _REF_CTX.pop()
     if ctx["defs"]:
@@ -112,7 +116,8 @@ def _bounds(node: dict, sc: Schema, lo_key: str, hi_key: str) -> dict:
     return node
 
 
-def _accept(sc: Schema) -> dict:
+def _accept(sc: Schema, rec=None) -> dict:
+    rec = rec or _accept
     t = sc.type
     props = sc.properties or {}
     extra = {k[12:]: v for k, v in props.items()
@@ -142,19 +147,25 @@ def _accept(sc: Schema) -> dict:
         return done({"const": sc.children[0]})
 
     if isinstance(sc, EnumSchema):
-        return done({"enum": list(sc.children)})
+        # merge the inferred child type (json_schema.cljc:160 uses m/-infer)
+        from .transform import _infer_child_type
+        inferred = {"string": {"type": "string"},
+                    "int": {"type": "integer"},
+                    "double": {"type": "number"}}.get(
+                        _infer_child_type(sc.children) or "", {})
+        return done({**inferred, "enum": list(sc.children)})
     if isinstance(sc, ReSchema):
         return done({"type": "string", "pattern": sc.pattern.pattern})
     if isinstance(sc, MaybeSchema):
-        return done({"oneOf": [_accept(sc.children[0]), {"type": "null"}]})
+        return done({"oneOf": [rec(sc.children[0]), {"type": "null"}]})
     if t == "and":
-        return done({"allOf": [_accept(c) for c in sc.children]})
+        return done({"allOf": [rec(c) for c in sc.children]})
     if t == "or":
-        return done({"anyOf": [_accept(c) for c in sc.children]})
+        return done({"anyOf": [rec(c) for c in sc.children]})
     if isinstance(sc, OrnSchema):
-        return done({"anyOf": [_accept(c) for (_, _, c) in sc.children]})
+        return done({"anyOf": [rec(c) for (_, _, c) in sc.children]})
     if t == "not":
-        return done({"not": _accept(sc.children[0])})
+        return done({"not": rec(sc.children[0])})
 
     if isinstance(sc, MapSchema):
         properties = {}
@@ -162,7 +173,7 @@ def _accept(sc: Schema) -> dict:
         for (k, p, cs) in sc.children:
             if k == DEFAULT_KEY:
                 continue
-            properties[str(k)] = _accept(cs)
+            properties[str(k)] = rec(cs)
             if not (p or {}).get("optional"):
                 required.append(str(k))
         node: dict = {"type": "object", "properties": properties}
@@ -175,7 +186,7 @@ def _accept(sc: Schema) -> dict:
             # accept :map, json_schema.cljc:109-124): its properties /
             # required / additionalProperties fold into the object; other
             # keys (e.g. a json-schema/default) survive unless overridden
-            d = _accept(sc.default_entry[2])
+            d = rec(sc.default_entry[2])
             merged = {**{k: v for k, v in d.items()
                          if k not in ("properties", "required",
                                       "additionalProperties", "type")},
@@ -191,26 +202,27 @@ def _accept(sc: Schema) -> dict:
         return done(node)
 
     if isinstance(sc, MapOfSchema):
-        node = {"type": "object", "additionalProperties": _accept(sc.children[1])}
+        node = {"type": "object", "additionalProperties": rec(sc.children[1])}
         _bounds(node, sc, "minProperties", "maxProperties")
         return done(node)
 
     if isinstance(sc, CollectionSchema):
-        node = {"type": "array", "items": _accept(sc.children[0])}
+        node = {"type": "array", "items": rec(sc.children[0])}
         if t == "set":
             node["uniqueItems"] = True
         _bounds(node, sc, "minItems", "maxItems")
         return done(node)
 
     if isinstance(sc, TupleSchema):
+        # items:false already bounds the size; the reference emits no
+        # minItems/maxItems (json_schema_test.cljc:106-108)
         return done({"type": "array",
-                     "prefixItems": [_accept(c) for c in sc.children],
-                     "items": False,
-                     "minItems": len(sc.children), "maxItems": len(sc.children)})
+                     "prefixItems": [rec(c) for c in sc.children],
+                     "items": False})
 
     if isinstance(sc, MultiSchema):
-        return done({"oneOf": [_accept(s) for s in sc.branches.values()]
-                     + ([_accept(sc.default_branch)] if sc.default_branch else [])})
+        return done({"oneOf": [rec(s) for s in sc.branches.values()]
+                     + ([rec(sc.default_branch)] if sc.default_branch else [])})
 
     if t == "ref" and sc.children:
         name = str(sc.children[0])
@@ -225,12 +237,12 @@ def _accept(sc: Schema) -> dict:
                 def_key = name if not variants else f"{name}.{len(variants) + 1}"
                 variants[target_key] = def_key
                 ctx["defs"][def_key] = None  # in-progress marker breaks cycles
-                ctx["defs"][def_key] = _accept(sc.deref())
+                ctx["defs"][def_key] = rec(sc.deref())
             return done({"$ref": f"#/definitions/{def_key}"})
 
     deref = sc.deref()
     if deref is not sc:
-        return done(_accept(deref))
+        return done(rec(deref))
     return done({})  # :fn / seq-regex etc -> unconstrained (json_schema.cljc default)
 
 

@@ -52,7 +52,7 @@ def test_json_schema_export():
     assert js["properties"]["age"] == {"type": "integer", "minimum": 0, "maximum": 150}
     assert js["properties"]["tags"] == {"type": "array", "items": {"type": "string"},
                                         "uniqueItems": True}
-    assert js["properties"]["status"] == {"enum": ["a", "b"]}
+    assert js["properties"]["status"] == {"type": "string", "enum": ["a", "b"]}
     assert js["properties"]["score"] == {"oneOf": [{"type": "number"},
                                                    {"type": "null"}]}
     assert js_transform(["tuple", "int", "string"])["prefixItems"] == [
@@ -326,10 +326,12 @@ def test_registry_variants():
 def test_swagger_export():
     from malli_ray.swagger import transform as sw
     out = sw(["map", ["x", ["maybe", "int"]], ["t", ["tuple", "int", "string"]]])
-    assert out["properties"]["x"] == {"type": "integer", "x-nullable": True}
+    assert out["properties"]["x"] == {"type": "integer", "format": "int64",
+                                      "x-nullable": True}
     t = out["properties"]["t"]
-    assert t["x-tuple"] is True and t["items"] == [{"type": "integer"},
-                                                   {"type": "string"}]
+    assert t == {"type": "array", "items": {},
+                 "x-items": [{"type": "integer", "format": "int64"},
+                             {"type": "string"}]}
     assert sw(["=", 5]) == {"enum": [5]}
     assert "x-anyOf" in sw(["or", "int", "string"])
 
@@ -564,3 +566,134 @@ def test_regex_min_max():
         regex_min_max(core.schema(
             ["cat", ["ref", "X"]],
             {"registry": {**core.default_registry(), "X": "int"}}))
+
+
+def test_json_schema_reference_expectations():
+    """json_schema_test.cljc:22-146 expectations table (Python-expressible
+    slice; keywords/symbols are strings in this DSL)."""
+    cases = [
+        ("pos-int?", {"type": "integer", "minimum": 1}),
+        ("pos?", {"type": "number", "exclusiveMinimum": 0}),
+        ("float?", {"type": "number"}),
+        ([">", 6], {"type": "number", "exclusiveMinimum": 6}),
+        ([">=", 6], {"type": "number", "minimum": 6}),
+        (["<", 6], {"type": "number", "exclusiveMaximum": 6}),
+        (["<=", 6], {"type": "number", "maximum": 6}),
+        (["=", "x"], {"const": "x"}),
+        (["not", "string?"], {"not": {"type": "string"}}),
+        (["and", "int?", "pos-int?"],
+         {"allOf": [{"type": "integer"}, {"type": "integer", "minimum": 1}]}),
+        (["or", "int?", "string?"],
+         {"anyOf": [{"type": "integer"}, {"type": "string"}]}),
+        (["orn", ["i", "int?"], ["s", "string?"]],
+         {"anyOf": [{"type": "integer"}, {"type": "string"}]}),
+        (["map", ["a", "string?"], ["b", {"optional": True}, "string?"],
+          ["c", {"optional": False}, "string?"]],
+         {"type": "object",
+          "properties": {"a": {"type": "string"}, "b": {"type": "string"},
+                         "c": {"type": "string"}},
+          "required": ["a", "c"]}),
+        (["map", ["x", "int"], ["malli.core/default", ["map-of", "int", "int"]]],
+         {"type": "object", "properties": {"x": {"type": "integer"}},
+          "required": ["x"], "additionalProperties": {"type": "integer"}}),
+        (["map-of", "string?", "string?"],
+         {"type": "object", "additionalProperties": {"type": "string"}}),
+        (["vector", "string?"], {"type": "array", "items": {"type": "string"}}),
+        (["sequential", "string?"], {"type": "array", "items": {"type": "string"}}),
+        (["set", "string?"],
+         {"type": "array", "items": {"type": "string"}, "uniqueItems": True}),
+        (["enum", 1, 2, "3"], {"enum": [1, 2, "3"]}),
+        (["enum", 1, 2, 3], {"type": "integer", "enum": [1, 2, 3]}),
+        (["enum", 1.1, 2.2, 3.3], {"type": "number", "enum": [1.1, 2.2, 3.3]}),
+        (["enum", "kikka", "kukka"], {"type": "string", "enum": ["kikka", "kukka"]}),
+        (["maybe", "string?"], {"oneOf": [{"type": "string"}, {"type": "null"}]}),
+        (["tuple", "string?", "string?"],
+         {"type": "array", "prefixItems": [{"type": "string"},
+                                           {"type": "string"}], "items": False}),
+        (["re", "^[a-z]+$"], {"type": "string", "pattern": "^[a-z]+$"}),
+        ("any", {}),
+        ("some", {}),
+        ("nil", {"type": "null"}),
+        (["string", {"min": 1, "max": 4}],
+         {"type": "string", "minLength": 1, "maxLength": 4}),
+        (["int", {"min": 1, "max": 4}],
+         {"type": "integer", "minimum": 1, "maximum": 4}),
+        (["double", {"min": 1, "max": 4}],
+         {"type": "number", "minimum": 1, "maximum": 4}),
+        ("keyword", {"type": "string"}),
+        ("qualified-keyword", {"type": "string"}),
+        ("symbol", {"type": "string"}),
+        ("uuid", {"type": "string", "format": "uuid"}),
+        (["=>", ["cat"], "int?"], {}),
+        ("ifn?", {}),
+        ("integer?", {"type": "integer"}),
+        ("rational?", {"type": "number"}),
+    ]
+    for s, want in cases:
+        assert js_transform(s) == want, s
+
+
+def test_swagger_reference_expectations():
+    """swagger_test.cljc:8-134 expectations (Python-expressible slice):
+    number formats, x-allOf/x-anyOf over a non-null base, x-nullable,
+    x-not, x-items tuples, :swagger property overrides."""
+    import pytest
+    from malli_ray.swagger import transform as sw
+
+    cases = [
+        ("pos-int?", {"type": "integer", "format": "int64", "minimum": 1}),
+        ("float?", {"type": "number", "format": "float"}),
+        ([">", 6], {"type": "number", "exclusiveMinimum": 6}),
+        ([">=", 6], {"type": "number", "minimum": 6}),
+        (["<", 6], {"type": "number", "exclusiveMaximum": 6}),
+        (["<=", 6], {"type": "number", "maximum": 6}),
+        (["not", "string?"], {"x-not": {"type": "string"}}),
+        (["and", "int?", "pos-int?"],
+         {"type": "integer", "format": "int64",
+          "x-allOf": [{"type": "integer", "format": "int64"},
+                      {"type": "integer", "format": "int64", "minimum": 1}]}),
+        (["or", "int?", "string?"],
+         {"type": "integer", "format": "int64",
+          "x-anyOf": [{"type": "integer", "format": "int64"},
+                      {"type": "string"}]}),
+        (["or", "nil", "int?"],
+         {"type": "integer", "format": "int64",
+          "x-anyOf": [{"type": "null"},
+                      {"type": "integer", "format": "int64"}]}),
+        (["multi", {"dispatch": "whatever"}, ["a", "int?"], ["b", "nil"]],
+         {"type": "integer", "format": "int64",
+          "x-anyOf": [{"type": "integer", "format": "int64"},
+                      {"type": "null"}]}),
+        (["map-of", "string?", "string?"],
+         {"type": "object", "additionalProperties": {"type": "string"}}),
+        (["vector", "string?"], {"type": "array", "items": {"type": "string"}}),
+        (["set", "string?"],
+         {"type": "array", "items": {"type": "string"}, "uniqueItems": True}),
+        (["enum", 1, 2, "3"], {"enum": [1, 2, "3"]}),
+        (["enum", 1, 2, 3], {"type": "integer", "enum": [1, 2, 3]}),
+        (["maybe", "string?"], {"type": "string", "x-nullable": True}),
+        (["tuple", "string?", "string?"],
+         {"type": "array", "items": {},
+          "x-items": [{"type": "string"}, {"type": "string"}]}),
+        (["string", {"min": 1, "max": 4}],
+         {"type": "string", "minLength": 1, "maxLength": 4}),
+        (["int", {"min": 1, "max": 4}],
+         {"type": "integer", "format": "int64", "minimum": 1, "maximum": 4}),
+        (["double", {"min": 1, "max": 4}],
+         {"type": "number", "format": "double", "minimum": 1, "maximum": 4}),
+        ("keyword", {"type": "string"}),
+        ("uuid", {"type": "string", "format": "uuid"}),
+        ("integer?", {"type": "integer", "format": "int32"}),
+        ("ratio?", {"type": "number"}),
+        # full/prefixed property overrides (swagger_test "full override")
+        (["string", {"swagger": {"type": "file"}}], {"type": "file"}),
+        (["string", {"swagger/format": "byte"}],
+         {"type": "string", "format": "byte"}),
+    ]
+    for s, want in cases:
+        assert sw(s) == want, s
+    # top-level null has no non-null base
+    with pytest.raises(m.SchemaError):
+        sw("nil")
+    with pytest.raises(m.SchemaError):
+        sw(["and", "nil"])

@@ -844,3 +844,34 @@ def test_pipeline_matches_row_engine_fuzz(ray_session):
                            for row in t.to_pylist()
                            if not m.validate(schema, row))
         assert vio == expected_vio
+
+
+def test_sequence_packing(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from malli_ray.stages import packing
+
+    # greedy block ids: pure-function oracle
+    assert list(packing.greedy_block_ids(np.array([3, 3, 3, 3]), 6)) == \
+        [0, 0, 1, 1]
+    assert list(packing.greedy_block_ids(np.array([5, 2, 9, 1]), 6)) == \
+        [0, 1, 2, 3]          # 9 > cap gets its own block
+    assert list(packing.greedy_block_ids(np.array([7]), 6)) == [0]
+    assert list(packing.greedy_block_ids(np.array([], dtype=np.int64), 6)) == []
+
+    rows = [{"g": "a", "id": i, "n": n}
+            for i, n in enumerate([3, 3, 3, 3, 5, 2])] + \
+           [{"g": "b", "id": 10, "n": 9}]
+    ds = rd.from_items(rows)
+
+    packed = packing.pack_greedy(ds, "g", "id", "n", cap=6).take_all()
+    got = {(r["g"], r["id"]): r["block_id"] for r in packed}
+    # greedy: [3,3|3,3|5|2] — 5+2 would overflow the 6 cap
+    assert got == {("a", 0): 0, ("a", 1): 0, ("a", 2): 1, ("a", 3): 1,
+                   ("a", 4): 2, ("a", 5): 3, ("b", 10): 0}
+
+    chunked = packing.chunk_blocks(ds, "g", "id", "n", cap=6).take_all()
+    got = {(r["g"], r["id"]): r["block_id"] for r in chunked}
+    # non-resetting: cum_before // cap
+    assert got == {("a", 0): 0, ("a", 1): 0, ("a", 2): 1, ("a", 3): 1,
+                   ("a", 4): 2, ("a", 5): 2, ("b", 10): 0}
