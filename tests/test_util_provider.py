@@ -379,3 +379,107 @@ def test_merge_reference_cases():
     assert not m.validate(right, {"type": "a", "x": 1})  # z now required
     left = mu.merge(EXTRA, M)
     assert m.validate(left, {"type": "b", "y": 1, "z": 2})
+
+
+def test_merge_reference_table():
+    """The full mu/merge table from util_test.cljc:38-122."""
+    cases = [
+        ("int?", "int?", "int?"),
+        ("int?", "pos-int?", "pos-int?"),
+        ("int?", None, "int?"),
+        (None, "pos-int?", "pos-int?"),
+        (["map", ["x", "int?"]], ["map", ["x", {"optional": True}, "pos-int?"]],
+         ["map", ["x", {"optional": True}, "pos-int?"]]),
+        (["map", ["x", {"optional": True}, "int?"]], ["map", ["x", "pos-int?"]],
+         ["map", ["x", "pos-int?"]]),
+        (["map", {"title": "parameters"},
+          ["parameters", ["map", ["query-params",
+                                  {"title": "query1", "description": "first"},
+                                  ["map", ["x", "int?"]]]]]],
+         ["map", {"description": "description"},
+          ["parameters", ["map",
+                          ["query-params", {"title": "query2", "summary": "second"},
+                           ["map", ["x", "string?"], ["y", "int?"]]],
+                          ["body-params", ["map", ["z", "int?"]]]]]],
+         ["map", {"title": "parameters", "description": "description"},
+          ["parameters", ["map",
+                          ["query-params",
+                           {"title": "query2", "description": "first",
+                            "summary": "second"},
+                           ["map", ["x", "string?"], ["y", "int?"]]],
+                          ["body-params", ["map", ["z", "int?"]]]]]]),
+        (["schema", ["schema", ["map", ["x", "int?"]]]],
+         ["schema", ["schema", ["schema", ["map", ["y", "int?"]]]]],
+         ["map", ["x", "int?"], ["y", "int?"]]),
+        (["map", {"title": "x", "x": True}, ["x", "int"]],
+         ["map", {"title": "y", "y": True}, ["y", "int"]],
+         ["map", {"title": "y", "x": True, "y": True},
+          ["x", "int"], ["y", "int"]]),
+        (["map", {"title": "x", "x": True}, ["x", "int"]],
+         ["and", {"and": "y", "y": False},
+          ["map", {"title": "y", "y": True}, ["y", "int"]], "map?"],
+         ["and", {"and": "y", "y": False},
+          ["map", {"title": "y", "x": True, "y": True},
+           ["x", "int"], ["y", "int"]], "map?"]),
+        (["and", {"and": "x", "x": False},
+          ["map", {"title": "x", "x": True}, ["x", "int"]], "map?"],
+         ["map", {"title": "y", "y": True}, ["y", "int"]],
+         ["and", {"and": "x", "x": False},
+          ["map", {"title": "y", "x": True, "y": True},
+           ["x", "int"], ["y", "int"]], "map?"]),
+        (["and", {"and": "x", "x": False},
+          ["map", {"title": "x", "x": True}, ["x", "int"]], "map?"],
+         ["and", {"and": "y", "y": False},
+          ["map", {"title": "y", "y": True}, ["y", "int"]], "map?"],
+         ["and", {"and": "y", "x": False, "y": False},
+          ["map", {"title": "y", "x": True, "y": True},
+           ["x", "int"], ["y", "int"]], "map?", "map?"]),
+        (["and", {"and": "x"},
+          ["map", {"title": "x", "x": True}, ["x", "int"]], "map?"],
+         "map?", "map?"),
+        (["and", "boolean?", "int?"], ["and", "map?"],
+         ["and", "map?", "int?"]),
+    ]
+    for s1, s2, want in cases:
+        assert mu.equals(mu.merge(s1, s2), want), (s1, s2)
+
+
+def test_union_reference_table():
+    """The full mu/union table from util_test.cljc:123-170."""
+    cases = [
+        ("int?", "int?", "int?"),
+        ("int?", "pos-int?", ["or", "int?", "pos-int?"]),
+        ("int?", None, "int?"),
+        (None, "pos-int?", "pos-int?"),
+        (["map", ["x", "int?"]],
+         ["map", ["x", {"optional": True}, "pos-int?"]],
+         ["map", ["x", {"optional": True}, ["or", "int?", "pos-int?"]]]),
+        (["map", ["x", {"optional": True}, "int?"]],
+         ["map", ["x", {"optional": True}, "pos-int?"]],
+         ["map", ["x", {"optional": True}, ["or", "int?", "pos-int?"]]]),
+        (["map", ["x", {"optional": False}, "int?"]],
+         ["map", ["x", {"optional": True}, "pos-int?"]],
+         ["map", ["x", {"optional": True}, ["or", "int?", "pos-int?"]]]),
+        (["map", {"title": "parameters"},
+          ["parameters", ["map", ["query-params",
+                                  {"title": "query1", "description": "first"},
+                                  ["map", ["x", "int?"]]]]]],
+         ["map", {"description": "description"},
+          ["parameters", ["map",
+                          ["query-params", {"title": "query2", "summary": "second"},
+                           ["map", ["x", "string?"], ["y", "int?"]]],
+                          ["body-params", ["map", ["z", "int?"]]]]]],
+         ["map", {"title": "parameters", "description": "description"},
+          ["parameters", ["map",
+                          ["query-params",
+                           {"title": "query2", "description": "first",
+                            "summary": "second"},
+                           ["map", ["x", ["or", "int?", "string?"]],
+                            ["y", "int?"]]],
+                          ["body-params", ["map", ["z", "int?"]]]]]]),
+        (["schema", ["schema", ["map", ["x", "int?"]]]],
+         ["schema", ["schema", ["schema", ["map", ["y", "int?"]]]]],
+         ["map", ["x", "int?"], ["y", "int?"]]),
+    ]
+    for s1, s2, want in cases:
+        assert mu.equals(mu.union(s1, s2), want), (s1, s2)
