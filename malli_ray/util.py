@@ -253,26 +253,59 @@ def dissoc(s: Any, key: Any, options: dict | None = None) -> Schema:
 
 def assoc(s: Any, key: Any, child: Any, options: dict | None = None,
           entry_props: dict | None = None) -> Schema:
-    m = _as_map(s, options)
-    cs = schema(child, options or m.options)
-    out = []
-    replaced = False
-    for (k, p, c) in m.children:
-        if k == key:
-            out.append((k, entry_props if entry_props is not None else p, cs))
-            replaced = True
-        else:
-            out.append((k, p, c))
-    if not replaced:
-        out.append((key, entry_props, cs))
-    return _rebuild_map(m, out)
+    """LensSchema -set: entry schemas replace/append the entry; other
+    schemas set the positional child (util.cljc:300-330 via m/-set)."""
+    sc = _deref_all(schema(s, options))
+    cs = schema(child, options or sc.options)
+    if isinstance(sc, MapSchema):
+        out = []
+        replaced = False
+        for (k, p, c) in sc.children:
+            if k == key:
+                out.append((k, entry_props if entry_props is not None else p, cs))
+                replaced = True
+            else:
+                out.append((k, p, c))
+        if not replaced:
+            out.append((key, entry_props, cs))
+        return _rebuild_map(sc, out)
+    if _entry_children(sc):
+        out2 = []
+        replaced = False
+        for (k, p, c) in sc.children:
+            if k == key:
+                out2.append([k, entry_props if entry_props is not None else p, cs.form])
+                replaced = True
+            else:
+                out2.append([k, p, c.form if isinstance(c, Schema) else c])
+        if not replaced:
+            out2.append([key, entry_props, cs.form])
+        form: list = [sc.type]
+        if sc.properties:
+            form.append(dict(sc.properties))
+        form.extend([e[0], e[2]] if not e[1] else e for e in out2)
+        return schema(form, sc.options)
+    # positional set
+    if not isinstance(key, int) or key < 0 or key > len(sc.children):
+        raise SchemaError(f"cannot assoc key {key!r} into {sc.type}")
+    kids = [c.form if isinstance(c, Schema) else c for c in sc.children]
+    if key == len(kids):
+        kids.append(cs.form)
+    else:
+        kids[key] = cs.form
+    form = [sc.type]
+    if sc.properties:
+        form.append(dict(sc.properties))
+    form.extend(kids)
+    return schema(form, sc.options)
 
 
 def update(s: Any, key: Any, f: Callable[[Schema | None], Any],
            options: dict | None = None) -> Schema:
-    m = _as_map(s, options)
-    current = next((cs for (k, _, cs) in m.children if k == key), None)
-    return assoc(m, key, f(current), options)
+    """mu/update (util.cljc:332-340): f over -get, result -set back."""
+    sc = _deref_all(schema(s, options))
+    current = get(sc, key, options)
+    return assoc(sc, key, f(current), options)
 
 
 def rename_keys(s: Any, kmap: dict, options: dict | None = None) -> Schema:
@@ -314,14 +347,37 @@ def find(s: Any, key: Any, options: dict | None = None):
     return next(((k, p, cs) for (k, p, cs) in m.children if k == key), None)
 
 
-def get(s: Any, key: Any, options: dict | None = None) -> Schema | None:
-    sc = _deref_all(schema(s, options))
-    if isinstance(sc, MapSchema):
-        e = next((cs for (k, _, cs) in sc.children if k == key), None)
-        return e
+def _entry_children(sc: Schema) -> bool:
+    cs = getattr(sc, "children", [])
+    return bool(cs) and all(isinstance(c, (tuple, list)) and len(c) == 3
+                            for c in cs)
+
+
+def get(s: Any, key: Any, options: dict | None = None) -> Any:
+    """LensSchema -get (util.cljc:246-253; basic-lens-schema-test):
+    entry schemas look up by key; collections return the single child for
+    ANY index; other schemas index positionally (literal children — :enum
+    values, :re patterns — are returned as-is); :ref returns its key."""
+    from .core import CollectionSchema, RefSchema, WrapperSchema
+    sc = schema(s, options)
+    if isinstance(sc, RefSchema):
+        # mu/get on :ref at 0 returns a pointer: form is the ref key,
+        # getting 0 again reaches the target (util_test.cljc:443-451)
+        if key != 0:
+            return None
+        w = WrapperSchema("malli.core/schema", {}, [sc.deref()], sc.options)
+        w._cache["form"] = sc.key
+        return w
+    # proxies (:merge/:union/:select-keys) deref; :schema wrappers do NOT —
+    # their -get returns the wrapped child positionally
+    while sc.type in ("merge", "union", "select-keys"):
+        sc = sc.deref()
+    if isinstance(sc, MapSchema) or _entry_children(sc):
+        return next((cs for (k, _, cs) in sc.children if k == key), None)
+    if isinstance(sc, CollectionSchema):
+        return sc.children[0]
     if isinstance(key, int) and 0 <= key < len(sc.children):
-        c = sc.children[key]
-        return c if isinstance(c, Schema) else None
+        return sc.children[key]
     return None
 
 
@@ -340,9 +396,12 @@ def assoc_in(s: Any, path: list, child: Any, options: dict | None = None) -> Sch
     k, rest = path[0], path[1:]
     m = _as_map(s, options)
     if rest:
+        # missing intermediate entries default to :map (util.cljc:375-377
+        # `(get schema k (m/schema :map ...))` — test-874 builds nested maps
+        # into an empty [:map])
         sub = get(m, k)
         if sub is None:
-            raise SchemaError(f"assoc_in: missing path element {k!r}")
+            sub = schema(["map"], options)
         return assoc(m, k, assoc_in(sub, rest, child, options), options)
     return assoc(m, k, child, options)
 
@@ -410,20 +469,32 @@ def distinct_by(f: Callable, coll) -> list:
 
 def update_entry_properties(s: Any, key: Any, f: Callable[[dict], dict],
                             options: dict | None = None) -> Schema:
-    """Update the ENTRY properties of map entry ``key``
-    (mu/update-entry-properties, util.cljc:120-127)."""
-    m = _as_map(s, options)
-    found = find(m, key, options)
-    if found is None:
-        raise SchemaError(f"no entry {key!r} in {m.form!r}")
+    """Update the ENTRY properties of entry ``key`` on ANY entry schema
+    (:map, :orn, :multi, ... — mu/update-entry-properties,
+    util.cljc:120-127; orn case util_test.cljc:1090-1095)."""
+    sc = _deref_all(schema(s, options))
+    children = getattr(sc, "children", [])
+    if not children or not all(isinstance(c, (tuple, list)) and len(c) == 3
+                               for c in children):
+        raise SchemaError(f"no entry {key!r} in {sc.form!r} (malli.util/no-entry)")
+    if not any(k == key for (k, _, _) in children):
+        raise SchemaError(f"no entry {key!r} in {sc.form!r} (malli.util/no-entry)")
     entries = []
-    for (k, p, cs) in m.children:
+    for (k, p, cs) in children:
         if k == key:
             p = f(dict(p or {}))
             entries.append((k, p or None, cs))
         else:
             entries.append((k, p, cs))
-    return _rebuild_map(m, entries, m.properties)
+    if isinstance(sc, MapSchema):
+        return _rebuild_map(sc, entries, sc.properties)
+    form: list = [sc.type]
+    if sc.properties:
+        form.append(dict(sc.properties))
+    for (k, p, cs) in entries:
+        cf = cs.form if isinstance(cs, Schema) else cs
+        form.append([k, p, cf] if p else [k, cf])
+    return schema(form, sc.options)
 
 
 def update_in(s: Any, path: list, f: Callable, options: dict | None = None) -> Schema:
@@ -541,6 +612,13 @@ class _ProxySchema(Schema):
 
 
 class MergeSchema(_ProxySchema):
+    def __init__(self, type_, properties, children, options):
+        if not children:
+            # -reducing requires >= 1 child (::m/child-error,
+            # util_test.cljc:1128-1139)
+            raise SchemaError(f":{type_} expects at least one child")
+        super().__init__(type_, properties, children, options)
+
     def _derive(self) -> Schema:
         out = None
         for c in self.children:
@@ -548,7 +626,7 @@ class MergeSchema(_ProxySchema):
         return out if out is not None else schema("map", self.options)
 
 
-class UnionSchema(_ProxySchema):
+class UnionSchema(MergeSchema):
     def _derive(self) -> Schema:
         out = None
         for c in self.children:

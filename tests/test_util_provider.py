@@ -483,3 +483,103 @@ def test_union_reference_table():
     ]
     for s1, s2, want in cases:
         assert mu.equals(mu.union(s1, s2), want), (s1, s2)
+
+
+def test_lens_get_reference_table():
+    """basic-lens-schema-test get cases (util_test.cljc:281-340)."""
+    assert mu.get("int?", 0) is None
+    assert mu.get(["re", "kikka"], 0) is not None
+    assert mu.get(["re", "kikka"], 1) is None
+    assert mu.get(["string", {"min": 1}], 0) is None
+    assert mu.get(["enum", "A", "B"], 0) == "A"
+    assert mu.get(["enum", "A", "B"], 2) is None
+    assert mu.get(["map", ["x", "int?"]], "x").type == "int?"
+    assert mu.get(["map", ["x", "int?"]], "y") is None
+    assert mu.get(["map", ["x", {"optional": True}, "int?"]], "x").type == "int?"
+    # collections return the child for ANY index
+    for t in ("vector", "set", "sequential"):
+        assert mu.get([t, "int?"], 0).type == "int?"
+        assert mu.get([t, "int?"], 1).type == "int?"
+    assert mu.get(["or", "false?", "int?"], 1).type == "int?"
+    assert mu.get(["or", "false?", "int?"], 2) is None
+    assert mu.get(["and", "false?", "int?"], 1).type == "int?"
+    assert mu.get(["tuple", "false?", "int?"], 1).type == "int?"
+    assert mu.get(["tuple", "false?", "int?"], 2) is None
+    assert mu.get(["map-of", "false?", "int?"], 1).type == "int?"
+    # :ref exposes a pointer whose form is its key at index 0
+    assert mu.get(["ref", {"registry": {"a": "int?"}}, "a"], 0).form == "a"
+
+
+def test_assoc_in_creates_missing_maps_874():
+    """test-874 (util_test.cljc:1071-1079): assoc-in defaults missing
+    intermediate entries to :map."""
+    out = mu.closed_schema(
+        mu.assoc_in(mu.assoc_in(["map"], ["foo", "bar"], "int"),
+                    ["foo", "baz"], "int"))
+    assert out.form == ["map", {"closed": True},
+                        ["foo", ["map", {"closed": True},
+                                 ["bar", "int"], ["baz", "int"]]]]
+
+
+def test_update_entry_properties_reference():
+    """update-entry-properties-test (util_test.cljc:1081-1108): works on
+    :map AND :orn entries, composes with mu/update on a vector child, and
+    raises no-entry on schemas without entries."""
+    import pytest
+
+    assert mu.update_entry_properties(
+        ["map", ["me", {"a": 1}, "int"]], "me",
+        lambda p: {**p, "b": 1}).form == \
+        ["map", ["me", {"a": 1, "b": 1}, "int"]]
+    assert mu.update_entry_properties(
+        ["orn", ["me", {"a": 1}, "int"]], "me",
+        lambda p: {**p, "b": 1}).form == \
+        ["orn", ["me", {"a": 1, "b": 1}, "int"]]
+    v = mu.update(["vector", ["orn", ["me", {"a": 1}, "int"]]], 0,
+                  lambda sc: mu.update_entry_properties(
+                      sc, "me", lambda p: {**p, "b": 1}))
+    assert v.form == ["vector", ["orn", ["me", {"a": 1, "b": 1}, "int"]]]
+    with pytest.raises(m.SchemaError):
+        mu.update_entry_properties("map", "invalid", lambda p: p)
+
+
+def test_reducing_applying_reference():
+    """-reducing/-applying (util_test.cljc:1110-1151): nested :merge/:union
+    deref to the base; zero children raise; defaults flow through :merge."""
+    import pytest
+    from malli_ray.transform import default_value_transformer
+
+    assert m.deref_all(m.schema(["merge", ["merge", "map"]])).type == "map"
+    assert m.deref_all(m.schema(["union", ["union", "map"]])).type == "map"
+    with pytest.raises(m.SchemaError):
+        m.schema("merge")
+    with pytest.raises(m.SchemaError):
+        m.schema("union")
+    got = m.decode(
+        ["merge",
+         ["map", ["name", ["string", {"default": "kikka"}]]],
+         ["map", ["description", {"optional": True},
+                  ["string", {"default": "kikka"}]]]],
+        {}, default_value_transformer(add_optional_keys=True))
+    assert got == {"name": "kikka", "description": "kikka"}
+
+
+def test_get_in_reference_table():
+    """get-in-test (util_test.cljc:417-451): deep drilling through
+    collections/tuples/:maybe/:schema wrappers, :multi branches, :ref
+    pointers."""
+    deep = ["map", ["x", ["vector", ["set", ["sequential",
+            ["tuple", "int?",
+             ["map", ["y", ["maybe",
+                            ["schema", ["malli.core/schema", "boolean?"]]]]]]]]]]]
+    assert mu.get_in(deep, ["x", 0, 0, 0, 1, "y", 0, 0, 0]).type == "boolean?"
+    assert mu.get_in(["multi", {"dispatch": "x"},
+                      [True, ["map", ["x", "boolean"]]],
+                      [False, ["map", ["x", "boolean"], ["y", "boolean"]]]],
+                     [False]).form == \
+        ["map", ["x", "boolean"], ["y", "boolean"]]
+    assert mu.get_in(["maybe", ["tuple", "int?", "boolean?"]], []).form == \
+        ["maybe", ["tuple", "int?", "boolean?"]]
+    r = ["ref", {"registry": {"a": "int?", "b": "string?"}}, "a"]
+    assert mu.get_in(r, [0]).form == "a"        # the pointer keeps the key
+    assert mu.get_in(r, [0, 0]).type == "int?"  # ...and derefs one deeper
