@@ -29,6 +29,7 @@ import fractions as _fractions
 import math
 import re as _re
 import uuid as _uuid
+from collections.abc import Hashable
 from typing import Any, Callable, Optional
 
 __all__ = [
@@ -2013,16 +2014,33 @@ def _entry_ctor(cls):
             if isinstance(c, tuple) and len(c) == 3 and isinstance(c[2], Schema):
                 entries.append(c)
                 continue
-            if not isinstance(c, (list, tuple)) or len(c) < 2:
+            # NAKED KEYS (core.cljc:496-586, parse-entries-test): a bare
+            # string key, [key] or [key props] resolves the key itself in
+            # the registry
+            if isinstance(c, str):
+                entries.append((c, None, schema(c, options)))
+                continue
+            if not isinstance(c, (list, tuple)) or len(c) < 1:
                 raise SchemaError(f"invalid {type_} entry: {c!r}")
             key = c[0]
-            if len(c) == 2:
+            if len(c) == 1:
+                props, child_form = None, key
+            elif len(c) == 2 and isinstance(c[1], dict):
+                props, child_form = c[1], key
+            elif len(c) == 2:
                 props, child_form = None, c[1]
             elif len(c) == 3 and (isinstance(c[1], dict) or c[1] is None):
                 props, child_form = c[1], c[2]
             else:
                 raise SchemaError(f"invalid {type_} entry: {c!r}")
             entries.append((key, props, schema(child_form, options)))
+        # duplicate keys are a schema error (parse-entries-test)
+        seen: set = set()
+        for (k, _, _) in entries:
+            if isinstance(k, Hashable):
+                if k in seen:
+                    raise SchemaError(f"duplicate {type_} entry key: {k!r}")
+                seen.add(k)
         return cls(type_, properties, entries, options)
 
     return ctor

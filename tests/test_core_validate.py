@@ -297,3 +297,24 @@ def test_seqable_lazy_reference():
     assert not m.validate(["seqable", {"min": 1000}, "int"], lazy(bad_tail))
     assert m.parse(["seqable", "int"], lazy(range(5))) == [0, 1, 2, 3, 4]
     assert m.parse(["seqable", {"min": 6}, "int"], lazy(range(5))) is m.INVALID
+
+
+def test_naked_keys_and_duplicate_entries():
+    """parse-entries-test (core_test.cljc:47-106): naked keys resolve the
+    key itself in the registry (bare key, [key], [key props]); duplicate
+    and malformed entries raise."""
+    import pytest
+
+    reg = {"x": "int?", "y": "int?"}
+    S = ["map", {"registry": reg}, "x", ["y", {"optional": True}],
+         ["z", "boolean?"]]
+    assert m.validate(S, {"x": 1, "z": True})
+    assert m.validate(S, {"x": 1, "y": 2, "z": True})
+    assert not m.validate(S, {"x": "no", "z": True})
+    assert not m.validate(S, {"z": True})            # naked x is required
+    with pytest.raises(m.SchemaError):
+        m.schema(["map", ["x", "int?"], ["x", "boolean?"]])   # duplicate
+    with pytest.raises(m.SchemaError):
+        m.schema(["map", ["x"]])                      # unresolvable naked key
+    with pytest.raises(m.SchemaError):
+        m.schema(["map", ["x", "boolean?"], ["y"]])
