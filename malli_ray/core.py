@@ -405,15 +405,41 @@ class Schema:
         return self
 
     def ast(self) -> dict:
-        """Lossless AST map (``m/ast``, src/malli/core.cljc:2865-2892)."""
+        """Lossless AST map in the reference's keyed shape (``m/ast``,
+        src/malli/core.cljc:690-719, 2865-2892): single schema child ->
+        ``child``; entry children -> ``keys`` with ``order``; one literal
+        child -> ``value``; several literals -> ``values``; a local
+        ``registry`` property lifts to a top-level map of ASTs."""
         node: dict[str, Any] = {"type": self.type}
-        if self.properties:
-            node["properties"] = dict(self.properties)
-        cs = []
-        for c in self.children:
-            cs.append(c.ast() if isinstance(c, Schema) else {"value": c})
-        if cs:
-            node["children"] = cs
+        cs = self.children
+        if cs and all(isinstance(c, tuple) and len(c) == 3 for c in cs):
+            keys: dict = {}
+            for i, (k, p, s) in enumerate(cs):
+                entry: dict = {"order": i, "value": s.ast()}
+                if p:
+                    entry["properties"] = dict(p)
+                keys[k] = entry
+            node["keys"] = keys
+        elif len(cs) == 1 and isinstance(cs[0], Schema):
+            node["child"] = cs[0].ast()
+        elif cs and all(isinstance(c, Schema) for c in cs):
+            node["children"] = [c.ast() for c in cs]
+        elif len(cs) == 1:
+            node["value"] = cs[0]
+        elif cs:
+            node["values"] = list(cs)
+        return self._finish_ast(node)
+
+    def _finish_ast(self, node: dict) -> dict:
+        props = dict(self.properties) if self.properties else None
+        if props and "registry" in props:
+            reg = props.pop("registry")
+            node["registry"] = {
+                k: (v.ast() if isinstance(v, Schema)
+                    else schema(v, self.options).ast())
+                for k, v in reg.items()}
+        if props:
+            node["properties"] = props
         return node
 
     def __repr__(self) -> str:
@@ -861,17 +887,6 @@ class OrnSchema(Schema):
     def _walk_children(self, walker, path):
         return [(k, p, s.walk(walker, path + [k])) for (k, p, s) in self.children]
 
-    def ast(self):
-        node: dict[str, Any] = {"type": self.type}
-        if self.properties:
-            node["properties"] = dict(self.properties)
-        node["keys"] = {
-            k: ({"properties": p, "value": s.ast()} if p else {"value": s.ast()})
-            for (k, p, s) in self.children
-        }
-        return node
-
-
 class NotSchema(Schema):
     """:not — complement. src/malli/core.cljc:1116-1160."""
 
@@ -1134,22 +1149,17 @@ class MapSchema(Schema):
     def entries(self):
         return list(self.children)
 
-    def ast(self):
-        node: dict[str, Any] = {"type": self.type}
-        if self.properties:
-            node["properties"] = dict(self.properties)
-        node["keys"] = {
-            k: ({"properties": p, "value": s.ast()} if p else {"value": s.ast()})
-            for (k, p, s) in self.children
-        }
-        return node
-
-
 class MapOfSchema(Schema):
     """:map-of — homogeneous key/value schemas + size limits.
 
     Reference: src/malli/core.cljc:1365-1459.
     """
+
+    def ast(self) -> dict:
+        # {:type :map-of, :key ast, :value ast} (core.cljc:1403-1404)
+        return self._finish_ast({"type": self.type,
+                                 "key": self.children[0].ast(),
+                                 "value": self.children[1].ast()})
 
     def __init__(self, type_, properties, children, options):
         if len(children) != 2:
@@ -2521,15 +2531,44 @@ def from_ast(node: dict, options: dict | None = None) -> Schema:
 
 def _ast_to_form(node: dict) -> Any:
     type_ = node["type"]
-    props = node.get("properties")
+    props = dict(node.get("properties") or {})
+    if "registry" in node:
+        props["registry"] = {k: _ast_to_form(v)
+                             for k, v in node["registry"].items()}
     if "keys" in node:
         out: list = [type_]
         if props:
             out.append(props)
-        for k, v in node["keys"].items():
+        entries = sorted(node["keys"].items(),
+                         key=lambda kv: kv[1].get("order", 0))
+        for k, v in entries:
             child = _ast_to_form(v["value"])
             p = v.get("properties")
             out.append([k, p, child] if p else [k, child])
+        return out
+    if "key" in node and "value" in node:  # :map-of
+        out = [type_]
+        if props:
+            out.append(props)
+        out.extend([_ast_to_form(node["key"]), _ast_to_form(node["value"])])
+        return out
+    if "child" in node:
+        out = [type_]
+        if props:
+            out.append(props)
+        out.append(_ast_to_form(node["child"]))
+        return out
+    if "value" in node:
+        out = [type_]
+        if props:
+            out.append(props)
+        out.append(node["value"])
+        return out
+    if "values" in node:
+        out = [type_]
+        if props:
+            out.append(props)
+        out.extend(node["values"])
         return out
     children_ = node.get("children")
     if children_ is None and not props:

@@ -697,3 +697,45 @@ def test_swagger_reference_expectations():
         sw("nil")
     with pytest.raises(m.SchemaError):
         sw(["and", "nil"])
+
+
+def test_ast_reference_shape():
+    """ast-test (core_test.cljc:2949-3009): reference AST shape — child /
+    keys+order / value / values / key+value, top-level registry of ASTs."""
+    H = ["ref", {"registry": {
+        "ConsCell": ["maybe", ["tuple", "int", ["ref", "ConsCell"]]]}},
+        "ConsCell"]
+    assert m.ast(H) == {
+        "type": "ref", "value": "ConsCell",
+        "registry": {"ConsCell": {
+            "type": "maybe",
+            "child": {"type": "tuple",
+                      "children": [{"type": "int"},
+                                   {"type": "ref", "value": "ConsCell"}]}}}}
+    back = m.from_ast(m.ast(H))
+    assert m.validate(back, [1, [2, None]])
+    assert not m.validate(back, [1, [2, "x"]])
+
+    S = ["map", ["x", "boolean?"], ["y", {"optional": True}, "int?"]]
+    assert m.ast(S) == {
+        "type": "map",
+        "keys": {"x": {"order": 0, "value": {"type": "boolean?"}},
+                 "y": {"order": 1, "value": {"type": "int?"},
+                       "properties": {"optional": True}}}}
+    assert m.ast(["map-of", "int?", "string?"]) == {
+        "type": "map-of", "key": {"type": "int?"}, "value": {"type": "string?"}}
+    assert m.ast(["enum", 1, 2]) == {"type": "enum", "values": [1, 2]}
+    assert m.ast([">", 6]) == {"type": ">", "value": 6}
+    assert m.ast(["int", {"min": 1, "max": 4}]) == \
+        {"type": "int", "properties": {"min": 1, "max": 4}}
+    # order survives a JSON trip even for adversarial key orderings
+    import json
+    a = m.ast(["map", ["b", "int"], ["a", "int"]])
+    back2 = m.from_ast(json.loads(json.dumps(a)))
+    from malli_ray import util as mu
+    assert mu.keys(back2) == ["b", "a"]
+    for f in (["vector", {"min": 1}, "int"], ["tuple", "int", "string"],
+              ["orn", ["a", "int"], ["b", "string"]],
+              ["catn", ["x", "int?"], ["y", "string?"]],
+              ["multi", {"dispatch": "t"}, ["a", ["map", ["t", ["=", "a"]]]]]):
+        assert m.form(m.from_ast(m.ast(f))) == m.form(m.schema(f)), f
