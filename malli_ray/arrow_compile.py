@@ -555,9 +555,9 @@ def _compile_list_check(s: Schema, dtype: pa.DataType, mn, mx) -> MaskFn:
         elem_schema, elem_dtype)
     elem_probe = compile_probe(elem_schema, elem_dtype)
     elem_trivial = elem_schema.type in ("any", "any?")
-    # :every checks only a bounded prefix (coll-check-limit 101,
-    # src/malli/core.cljc:1499-1522) — row/vector parity
-    check_limit = getattr(s, "check_limit", None)
+    # NOTE: :every's bounded-prefix check applies only to LAZY iterables in
+    # the row engine (core.cljc -safely-countable?); Arrow arrays are always
+    # countable, so the vector path validates every element — full parity.
     # :every/:seqable accept nil (seqable? nil is true — core.cljc:1478-1494)
     null_ok = s.type in ("every", "seqable")
 
@@ -575,14 +575,6 @@ def _compile_list_check(s: Schema, dtype: pa.DataType, mn, mx) -> MaskFn:
                 return out
             elem_valid = elem_fn(values)
             bad = ~elem_valid
-            if check_limit is not None:
-                # zero out badness beyond each list's first `check_limit` items
-                lengths_np = (offs[1:] - offs[:-1])
-                pos = np.arange(offs[0], offs[-1], dtype=np.int64) - np.repeat(
-                    offs[:-1], lengths_np)
-                window = bad[offs[0]:offs[-1]] & (pos < check_limit)
-                bad = np.zeros_like(bad)
-                bad[offs[0]:offs[-1]] = window
             cum = np.empty(len(bad) + 1, dtype=np.int64)
             cum[0] = 0
             np.cumsum(bad, dtype=np.int64, out=cum[1:])

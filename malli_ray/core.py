@@ -412,7 +412,8 @@ class Schema:
         ``registry`` property lifts to a top-level map of ASTs."""
         node: dict[str, Any] = {"type": self.type}
         cs = self.children
-        if cs and all(isinstance(c, tuple) and len(c) == 3 for c in cs):
+        if cs and all(isinstance(c, tuple) and len(c) == 3
+                      and isinstance(c[2], Schema) for c in cs):
             keys: dict = {}
             for i, (k, p, s) in enumerate(cs):
                 entry: dict = {"order": i, "value": s.ast()}

@@ -265,7 +265,10 @@ def _push_in(acc: Any, path: list, msg: str) -> Any:
         head, rest = path[0], path[1:]
         if _is_error_leaf(acc):
             return acc
-        if isinstance(head, int):
+        # an int head indexes a LIST accumulator, but assocs as a plain key
+        # into an existing dict one (the reference accumulator is built from
+        # the VALUE's shape — a map value keeps map semantics for int keys)
+        if isinstance(head, int) and not isinstance(acc, dict):
             if not isinstance(acc, list):
                 acc = []
             while len(acc) <= head:

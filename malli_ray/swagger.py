@@ -43,8 +43,11 @@ def _base(children: list[dict]) -> dict:
 
 def _done(sc: Schema, node: dict) -> dict:
     props = sc.properties or {}
+    # full overrides, :swagger before :json-schema (swagger.cljc:75-76)
     if "swagger" in props:
         return props["swagger"]
+    if "json-schema" in props:
+        return props["json-schema"]
     if props.get("title"):
         node = {**node, "title": props["title"]}
     if props.get("description"):

@@ -644,4 +644,3 @@ def default_value_transformer(key: str = "default",
         {"decoders": {"map": add_defaults}, "encoders": {"map": add_defaults}})
 
 
-_SENTINEL = object()

@@ -211,13 +211,12 @@ def merge(s1: Any, s2: Any, options: dict | None = None, *,
         out.append((k, p, cs))
     for (k, p, cs) in db.children:
         if k in index:
+            # every duplicate key — INCLUDING ::m/default — goes through
+            # -entry, so child schemas merge recursively (util.cljc:92-101)
             (k0, p0, cs0) = out[index[k]]
-            if k == DEFAULT_KEY:
-                out[index[k]] = (k, p, cs)  # ::m/default: last wins
-            else:
-                mp, mc = _merge_entry(p0, cs0, p, cs, options,
-                                      merge_default, merge_required)
-                out[index[k]] = (k, mp, mc)
+            mp, mc = _merge_entry(p0, cs0, p, cs, options,
+                                  merge_default, merge_required)
+            out[index[k]] = (k, mp, mc)
         else:
             index[k] = len(out)
             out.append((k, p, cs))

@@ -724,3 +724,28 @@ def test_multi_humanize_428():
     assert humanize(m.explain(["map", ["user", ["multi", {"dispatch": "type"}]]],
                               {"user": None})) == \
         {"user": ["invalid dispatch value"]}
+
+
+def test_review_fixes_round2_close():
+    """Regression tests for the round-2-close review findings."""
+    from malli_ray import util as mu
+    from malli_ray.error import humanize
+    from malli_ray.swagger import transform as sw
+
+    # 1: ast() on literal tuple children (no entry misclassification)
+    assert m.ast(["enum", (1, 2, 3)]) == {"type": "enum", "value": (1, 2, 3)}
+    assert m.ast(["=", (1, 2, 3)]) == {"type": "=", "value": (1, 2, 3)}
+
+    # 2: int error keys assoc into a dict accumulator (value is a map)
+    got = humanize(m.explain(["or", ["map", ["x", "int"]],
+                              ["map-of", "int", "int"]], {0: "a"}))
+    assert got == {"x": ["missing required key"], 0: ["should be an integer"]}
+
+    # 3: duplicate ::m/default entries merge RECURSIVELY (util.cljc:92-101)
+    merged = mu.merge(["map", [m.DEFAULT_KEY, ["map", ["x", "int"]]]],
+                      ["map", [m.DEFAULT_KEY, ["map", ["y", "int"]]]])
+    assert merged.form == \
+        ["map", ["malli.core/default", ["map", ["x", "int"], ["y", "int"]]]]
+
+    # 4: bare json-schema property override honored by swagger
+    assert sw(["int", {"json-schema": {"type": "custom"}}]) == {"type": "custom"}
