@@ -293,8 +293,15 @@ def _emit_regex(sc: Schema, rng, size: int, depth: int, out: list) -> None:
         k, s = parts[int(rng.integers(0, len(parts)))]
         _emit_child(s, rng, size, depth, out)
     elif isinstance(sc, RepeatSchema):
-        mn = sc.min
-        mx = sc.max if sc.max is not None else mn + max(1, size // 2)
+        # :min/:max and :gen/min/:gen/max properties bound the generated
+        # repetition count on :+/:*/:repeat too (min-max-test,
+        # generator_test.cljc:299-346); the structural minimum (1 for :+)
+        # still applies
+        pmn, pmx = _gen_min_max(sc.properties or {}, None, None)
+        mn = max(sc.min, pmn) if pmn is not None else sc.min
+        mx = pmx if pmx is not None else sc.max
+        if mx is None:
+            mx = mn + max(1, size // 2)
         n = int(rng.integers(mn, mx + 1))
         for _ in range(n):
             _emit_child(sc.children[0], rng, size, depth, out)

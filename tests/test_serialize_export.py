@@ -739,3 +739,22 @@ def test_ast_reference_shape():
               ["catn", ["x", "int?"], ["y", "string?"]],
               ["multi", {"dispatch": "t"}, ["a", ["map", ["t", ["=", "a"]]]]]):
         assert m.form(m.from_ast(m.ast(f))) == m.form(m.schema(f)), f
+
+
+def test_gen_seqex_min_max_reference():
+    """min-max-test (generator_test.cljc:299-346): :min/:max and
+    :gen/min/:gen/max bound generated :+/:*/:repeat lengths; :+ keeps its
+    structural minimum of 1."""
+    for s in [["+", {"min": 10, "max": 20}, "int"],
+              ["*", {"min": 10, "max": 20}, "int"],
+              ["+", {"gen/min": 10, "gen/max": 20}, "int"],
+              ["*", {"gen/min": 10, "max": 20}, "int"],
+              ["repeat", {"min": 10, "max": 20}, "int"],
+              ["vector", {"min": 10, "max": 20}, "int?"],
+              ["set", {"min": 10, "max": 20}, "int?"],
+              ["string", {"min": 10, "max": 20}],
+              ["vector", {"min": 1, "gen/min": 10, "max": 100, "gen/max": 20},
+               "int?"]]:
+        vals = sample(s, n=50, seed=3)
+        assert all(10 <= len(v) <= 20 for v in vals), s
+    assert all(len(v) >= 1 for v in sample(["+", "int"], n=50, seed=1))
