@@ -758,3 +758,17 @@ def test_gen_seqex_min_max_reference():
         vals = sample(s, n=50, seed=3)
         assert all(10 <= len(v) <= 20 for v in vals), s
     assert all(len(v) >= 1 for v in sample(["+", "int"], n=50, seed=1))
+
+
+def test_infinite_generator_reference():
+    """infinite-generator-test (generator_test.cljc:712-724): :never-
+    equivalent recursive schemas throw; [:maybe :never] generates nil."""
+    with pytest.raises(Exception):
+        generate(["schema", {"registry": {"a": ["ref", "a"]}},
+                  ["ref", "a"]], seed=1)
+    with pytest.raises(Exception):
+        generate(["schema", {"registry": {"a": ["tuple", ["ref", "a"]]}},
+                  ["ref", "a"]], seed=1)
+    vals = sample(["schema", {"registry": {"a": ["maybe", ["ref", "a"]]}},
+                   ["ref", "a"]], n=30, seed=2)
+    assert all(v is None for v in vals)
