@@ -583,3 +583,48 @@ def test_get_in_reference_table():
     r = ["ref", {"registry": {"a": "int?", "b": "string?"}}, "a"]
     assert mu.get_in(r, [0]).form == "a"        # the pointer keeps the key
     assert mu.get_in(r, [0, 0]).type == "int?"  # ...and derefs one deeper
+
+
+def test_distributive_multi_reference():
+    """distributive_test.cljc: :merge distributes over :multi (right and
+    left, through :schema wrappers, chained, multi x multi nesting) and
+    parse works through the derived tree."""
+    from malli_ray.core import Tag
+
+    def dist(s):
+        return m.form(m.deref(m.schema(s)))
+
+    M_Y = ["multi", {"dispatch": "y"},
+           [1, ["map", ["y", ["=", 1]]]],
+           [2, ["map", ["y", ["=", 2]]]]]
+    assert dist(["merge", ["map", ["x", "int"]], M_Y]) == \
+        ["multi", {"dispatch": "y"},
+         [1, ["map", ["x", "int"], ["y", ["=", 1]]]],
+         [2, ["map", ["x", "int"], ["y", ["=", 2]]]]]
+    # through a :schema wrapper
+    assert dist(["merge", ["map", ["x", "int"]], ["schema", M_Y]]) == \
+        dist(["merge", ["map", ["x", "int"]], M_Y])
+    # left-distributive
+    assert dist(["merge", M_Y, ["map", ["x", "int"]]]) == \
+        ["multi", {"dispatch": "y"},
+         [1, ["map", ["y", ["=", 1]], ["x", "int"]]],
+         [2, ["map", ["y", ["=", 2]], ["x", "int"]]]]
+    # chained merges associate
+    assert dist(["merge", M_Y, ["map", ["x", "int"]], ["map", ["z", "int"]]]) == \
+        dist(["merge", ["merge", M_Y, ["map", ["x", "int"]]],
+              ["map", ["z", "int"]]])
+    # multi x multi with different dispatch nests and merges leaves
+    M_Z = ["multi", {"dispatch": "z"},
+           [3, ["map", ["z", ["=", 3]]]],
+           [4, ["map", ["z", ["=", 4]]]]]
+    assert dist(["merge", M_Y, M_Z]) == \
+        ["multi", {"dispatch": "y"},
+         [1, ["multi", {"dispatch": "z"},
+              [3, ["map", ["y", ["=", 1]], ["z", ["=", 3]]]],
+              [4, ["map", ["y", ["=", 1]], ["z", ["=", 4]]]]]],
+         [2, ["multi", {"dispatch": "z"},
+              [3, ["map", ["y", ["=", 2]], ["z", ["=", 3]]]],
+              [4, ["map", ["y", ["=", 2]], ["z", ["=", 4]]]]]]]
+    # parse through the derived tree (parse-distributive-multi-test)
+    assert m.parse(["merge", M_Y, M_Z], {"y": 1, "z": 3}) == \
+        Tag(1, Tag(3, {"y": 1, "z": 3}))
