@@ -2449,7 +2449,12 @@ def _parse_identity(sc: Schema, seen: set) -> bool:
         return False
     if t in _IDENTITY_PARSE_TYPES:
         return True
-    if t in ("maybe", "vector", "sequential", "seqable", "set", "every",
+    if t == "every":
+        # bounded :every parses by VALIDATING and returning the value
+        # unchanged regardless of the child (simple-parser-templates,
+        # parser_test.cljc:48-53; core.cljc ->parser simple when bounded)
+        return True
+    if t in ("maybe", "vector", "sequential", "seqable", "set",
              "schema", "malli.core/schema", "not"):
         return all(_parse_identity(c, seen) for c in sc.children
                    if isinstance(c, Schema))

@@ -285,3 +285,31 @@ def test_sequence_errors_reference():
     exp = m.explain(["cat", "int?", "string?"], [1])
     assert [(e["path"], e["in"], e["type"]) for e in exp["errors"]] == \
         [([1], [1], "malli.core/end-of-input")]
+
+
+def test_parser_info_templates_reference():
+    """parser_test.cljc:20-66 template rules: containers inherit
+    simple-parser-ness from the hole; :every/:->/:function are always
+    simple; :orn/:multi/:andn/seqex always transform."""
+    def simple(s):
+        return bool(m.parser_info(s).get("identity"))
+
+    SIMPLE, XFORM = "int", ["orn", ["a", "int"]]
+    inheriting = [
+        lambda H: H, lambda H: ["maybe", H], lambda H: ["schema", H],
+        lambda H: ["tuple", H], lambda H: ["tuple", H, "any"],
+        lambda H: ["vector", H], lambda H: ["set", H],
+        lambda H: ["map", ["foo", H]],
+        lambda H: ["map", ["foo", {"optional": True}, H]],
+        lambda H: ["and", H], lambda H: ["and", H, "any"],
+        lambda H: ["or", H, "any"],
+        lambda H: ["map-of", H, "any"], lambda H: ["map-of", "any", H],
+    ]
+    for t in inheriting:
+        assert simple(t(SIMPLE)), t(SIMPLE)
+        assert not simple(t(XFORM)), t(XFORM)
+    assert simple(["every", XFORM])           # bounded parse == validate
+    for s in [["orn", ["a", SIMPLE]], ["andn", ["a", SIMPLE]],
+              ["catn", ["a", "int?"]], ["cat", "int?"],
+              ["multi", {"dispatch": "t"}, ["a", ["map", ["t", ["=", "a"]]]]]]:
+        assert not simple(s), s
