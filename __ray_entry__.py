@@ -209,6 +209,21 @@ def _q_pack_blocks_documents(sf_dir: str):
     return packing.chunk_blocks(ds, "source", "doc_id", "n_chars", cap=4000)
 
 
+def _q_corpus_prep_documents(sf_dir: str):
+    """Composed corpus-prep flagship: exact dedup (keep min id) -> Gopher
+    repetition filter (< 0.6) -> pack into 4000-char blocks per source.
+    Three stages, two shuffles (dedup groupby + packing groupby) plus one
+    semi-join; payload columns never enter a shuffle."""
+    from malli_ray.stages import dedup, joins, packing, text as T
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "source", "n_chars"])
+    kept = dedup.exact_dedup_keep_first(ds, "text", "doc_id")
+    d = joins.semi_join(ds, kept, on="doc_id")
+    d = T.add_repetition(d, "text")
+    d = d.filter(expr="rep_ratio < 0.6")
+    return packing.chunk_blocks(d, "source", "doc_id", "n_chars", cap=4000)
+
+
 def _q_repetition_documents(sf_dir: str):
     from malli_ray.stages import text as T
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -719,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_documents": _q_token_count_documents,
         "redact_documents": _q_redact_documents,
         "repetition_documents": _q_repetition_documents,
+        "corpus_prep_documents": _q_corpus_prep_documents,
         "pack_blocks_documents": _q_pack_blocks_documents,
         "contamination_documents": _q_contamination_documents,
         "text_counts_documents": _q_text_counts_documents,
@@ -904,6 +920,25 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(regexp_replace(text, '\bcustomer\b', '[X]', 'g'),
                                   '\d+', '[X]', 'g') AS text_redacted
               FROM documents
+        """,
+        "corpus_prep_documents": r"""
+            WITH kept AS (SELECT MIN(doc_id) AS doc_id
+                            FROM documents GROUP BY text),
+                 d AS (SELECT doc.doc_id, doc.source, doc.n_chars, doc.text
+                         FROM documents doc
+                         JOIN kept ON doc.doc_id = kept.doc_id),
+                 f AS (SELECT doc_id, source, n_chars FROM d
+                        WHERE CASE WHEN len(regexp_extract_all(text, '[^\t\n\f\r ]+')) = 0
+                                   THEN 0.0
+                                   ELSE 1.0 - CAST(len(list_distinct(
+                                            regexp_extract_all(text, '[^\t\n\f\r ]+'))) AS DOUBLE)
+                                          / len(regexp_extract_all(text, '[^\t\n\f\r ]+'))
+                              END < 0.6)
+            SELECT source, doc_id, n_chars,
+                   CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source
+                                                  ORDER BY doc_id) - n_chars)
+                              / 4000) AS BIGINT) AS block_id
+              FROM f
         """,
         "pack_blocks_documents": """
             SELECT source, doc_id, n_chars,
