@@ -62,6 +62,7 @@ __all__ = [
     "add_content_hash", "exact_dup_groups", "exact_dedup_keep_first",
     "MinHasher", "minhash_lsh_candidates", "SimHasher", "simhash_near_dups",
     "ngram_jaccard", "embedding_near_dups",
+    "cluster_pairs", "dedup_by_clusters",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -627,3 +628,79 @@ def embedding_near_dups(ds: Dataset, emb_column: str, id_column: str,
     from ray.data.aggregate import Max
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Max("cosine", alias_name="cosine"))
+
+
+def cluster_pairs(pairs: "Dataset | pa.Table") -> pa.Table:
+    """Near-dup pair list -> (id, cluster_id) via union-find (cluster_id =
+    the cluster's minimum member id). Completes the dedup story: candidate
+    pairs -> transitive clusters -> keep one representative per cluster.
+
+    Driver-side by design: the PAIRS table is the small output of the
+    LSH/verify pipelines (bounded by the caps there), orders of magnitude
+    smaller than the corpus — O(pairs α(pairs)) union-find on the driver is
+    the standard shape (the corpus itself never materializes). For
+    pathological pair volumes, run in rounds: cluster each pairs partition,
+    then union the per-partition (id, cluster_id) maps the same way."""
+    if not isinstance(pairs, pa.Table):
+        pairs = pa.concat_tables(
+            [b for b in pairs.iter_batches(batch_format="pyarrow")]) \
+            if hasattr(pairs, "iter_batches") else pairs
+    a = pairs.column("id_a").to_pylist()
+    b = pairs.column("id_b").to_pylist()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:      # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if _lt(rx, ry) else (ry, rx)
+            parent[hi] = lo               # union by MIN id -> deterministic
+    members = sorted({*a, *b}, key=_sort_key)
+    id_type = pairs.column("id_a").type
+    return pa.table({"id": pa.array(members, type=id_type),
+                     "cluster_id": pa.array([find(x) for x in members],
+                                            type=id_type)})
+
+
+def _lt(x, y):
+    try:
+        return x < y
+    except TypeError:
+        return str(x) < str(y)
+
+
+def _sort_key(x):
+    return (0, x) if isinstance(x, (int, float)) else (1, str(x))
+
+
+def dedup_by_clusters(ds: Dataset, id_column: str,
+                      clusters: pa.Table) -> Dataset:
+    """Drop every non-representative cluster member (keep id == cluster_id
+    rows and all unclustered rows). The small clusters table broadcasts
+    once via ray.put; the corpus streams."""
+    import ray
+    from . import cached_stage
+
+    drop = clusters.filter(
+        pa.compute.invert(pa.compute.equal(clusters.column("id"),
+                                           clusters.column("cluster_id"))))
+    drop_ref = ray.put(set(drop.column("id").to_pylist()))
+
+    class _DropMembers:
+        def __init__(self, ref):
+            self.drop = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_column).to_pylist()
+            mask = pa.array([i not in self.drop for i in ids])
+            return batch.filter(mask)
+
+    return ds.map_batches(cached_stage(_DropMembers, ref=drop_ref),
+                          batch_format="pyarrow")

@@ -875,3 +875,28 @@ def test_sequence_packing(ray_session):
     # non-resetting: cum_before // cap
     assert got == {("a", 0): 0, ("a", 1): 0, ("a", 2): 1, ("a", 3): 1,
                    ("a", 4): 2, ("a", 5): 2, ("b", 10): 0}
+
+
+def test_cluster_pairs_and_dedup_by_clusters(ray_session):
+    import ray.data as rd
+    from malli_ray.stages import dedup
+
+    # union-find over a pair list: {1,2,3,7} and {5,6} clusters
+    t = pa.table({"id_a": [1, 2, 5, 7], "id_b": [2, 3, 6, 1]})
+    out = dedup.cluster_pairs(t)
+    assert out.to_pydict() == {"id": [1, 2, 3, 5, 6, 7],
+                               "cluster_id": [1, 1, 1, 5, 5, 1]}
+    # chain order independence (reversed pair order, late union)
+    t2 = pa.table({"id_a": [7, 5, 2, 1], "id_b": [1, 6, 3, 2]})
+    assert dedup.cluster_pairs(t2).to_pydict() == out.to_pydict()
+
+    # end-to-end: near-dup pairs -> clusters -> keep representatives
+    texts = ["the quick brown fox jumps over the lazy dog"] * 3 + \
+            ["totally different content entirely"]
+    ds = rd.from_items([{"doc_id": i, "text": s} for i, s in enumerate(texts)])
+    pairs_ds = dedup.minhash_lsh_candidates(ds, "text", "doc_id",
+                                            threshold=0.5, num_perm=32,
+                                            bands=8)
+    clusters = dedup.cluster_pairs(pairs_ds)
+    kept = dedup.dedup_by_clusters(ds, "doc_id", clusters).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [0, 3]
