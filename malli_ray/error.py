@@ -57,10 +57,19 @@ def _enum_message(error: dict, _opts: dict) -> str:
     return "should be either " + ", ".join(vals[:-1]) + f" or {vals[-1]}"
 
 
-def _comparator_message(template: str):
-    def fn(error: dict, _opts: dict) -> str:
+def _comparator_message(template: str, complement: str | None = None):
+    """Comparator messages; under negation the message FORWARDS to the
+    complement comparator ("not >" reads "at most", error.cljc:145-168)."""
+    def fn(error: dict, opts: dict) -> str:
         cs = _schema_children(error)
-        return template.format(cs[0] if cs else "?")
+        child = cs[0] if cs else "?"
+        negated = error.get("negated")
+        if callable(negated) and complement is not None:
+            comp_err = {k: v for k, v in error.items() if k != "negated"}
+            from .core import schema as _schema
+            comp_err["schema"] = _schema([complement, child])
+            return negated(error_message(comp_err, opts))
+        return template.format(child)
 
     return fn
 
@@ -80,6 +89,22 @@ def _bounded_type_message(noun: str, unit: str):
     return fn
 
 
+def _limits_message(error: dict) -> str:
+    """::m/limits (error.cljc:47-52): min==max -> exact, value too short ->
+    at-least, else at-most."""
+    props = _schema_properties(error)
+    mn, mx = props.get("min"), props.get("max")
+    try:
+        n = len(error.get("value") or [])
+    except TypeError:
+        n = 0
+    if mn is not None and mn == mx:
+        return f"should have {mn} elements"
+    if mn is not None and n < mn:
+        return f"should have at least {mn} elements"
+    return f"should have at most {mx} elements"
+
+
 #: (scope, key) -> str | fn(error, opts).  Scope "type" = error :type keyword,
 #: scope "schema" = schema type.  Port of error.cljc:44-172 (:en locale).
 MESSAGE_CATALOG: dict[tuple[str, str], Any] = {
@@ -91,7 +116,7 @@ MESSAGE_CATALOG: dict[tuple[str, str], Any] = {
     ("type", "malli.core/input-remaining"): "input remaining",
     ("type", "malli.core/tuple-size"): lambda e, o: (
         f"invalid tuple size {len(e.get('value') or [])}, expected {len(_schema_children(e))}"),
-    ("type", "malli.core/limits"): _fmt_bounds("element"),
+    ("type", "malli.core/limits"): lambda e, _o: _limits_message(e),
 
     ("schema", "any"): "should be any",
     ("schema", "nil"): "should be nil",
@@ -120,12 +145,15 @@ MESSAGE_CATALOG: dict[tuple[str, str], Any] = {
     ("schema", "sequential"): "should be a sequence",
     ("schema", "set"): "should be a set",
     ("schema", "tuple"): "should be a tuple",
-    ("schema", ">"): _comparator_message("should be larger than {}"),
-    ("schema", ">="): _comparator_message("should be at least {}"),
-    ("schema", "<"): _comparator_message("should be smaller than {}"),
-    ("schema", "<="): _comparator_message("should be at most {}"),
-    ("schema", "="): _comparator_message("should be equal to {}"),
-    ("schema", "not="): _comparator_message("should not be equal to {}"),
+    ("schema", ">"): _comparator_message("should be larger than {}", "<="),
+    ("schema", ">="): _comparator_message("should be at least {}", "<"),
+    ("schema", "<"): _comparator_message("should be smaller than {}", ">="),
+    ("schema", "<="): _comparator_message("should be at most {}", ">"),
+    # := / :not= use -pr-str of the literal (error.cljc:169-172)
+    ("schema", "="): lambda e, _o: "should be " + repr(
+        (_schema_children(e) or ["?"])[0]),
+    ("schema", "not="): lambda e, _o: "should not be " + repr(
+        (_schema_children(e) or ["?"])[0]),
 
     # predicate schemas (error.cljc:95-170 has the full table; common ones here)
     ("schema", "string?"): "should be a string",
@@ -181,18 +209,36 @@ MESSAGE_CATALOG: dict[tuple[str, str], Any] = {
 }
 
 
+_NEGATED_MARK = "\x00negated\x00"
+
+
 def _not_message(error: dict, options: dict) -> str | None:
     """:not humanization (error.cljc:21-42, 123-124): resolve the CHILD's
-    message and flip its "should "/"should not " prefix."""
+    message with a ``negated`` marker callable — a negation-aware child
+    message (comparator complements, custom :error/fn negation) returns
+    through the marker as-is; otherwise the "should "/"should not " prefix
+    flips. Double negation unwraps (outer :not passes the original error's
+    ``negated`` through)."""
     s = error.get("schema")
     child = s.children[0] if isinstance(s, Schema) and s.children else None
     if child is None:
         return None
+    outer_negated = error.get("negated")
+    if callable(outer_negated):
+        # [:not [:not X]]: cancel out — resolve X without negation
+        inner_err = {k: v for k, v in error.items()
+                     if k not in ("message", "negated")}
+        inner_err["schema"] = child
+        return outer_negated(error_message(inner_err, options))
     inner_err = {k: v for k, v in error.items() if k != "message"}
     inner_err["schema"] = child
+    inner_err["negated"] = lambda msg: (
+        _NEGATED_MARK + msg if isinstance(msg, str) else msg)
     inner = error_message(inner_err, {**options, "unknown": False})
     if not isinstance(inner, str):
         return None
+    if inner.startswith(_NEGATED_MARK):
+        return inner[len(_NEGATED_MARK):]
     if inner.startswith("should not "):
         return "should " + inner[len("should not "):]
     if inner.startswith("should "):

@@ -313,3 +313,81 @@ def test_parser_info_templates_reference():
               ["catn", ["a", "int?"]], ["cat", "int?"],
               ["multi", {"dispatch": "t"}, ["a", ["map", ["t", ["=", "a"]]]]]]:
         assert not simple(s), s
+
+
+def test_limits_humanize_reference():
+    """limits (error_test.cljc:646-668): value-aware collection-count
+    messages — exact when min==max, at-least when too short, else at-most."""
+    got = humanize(m.explain(
+        ["map",
+         ["a", ["vector", "int?"]],
+         ["b", ["vector", {"min": 2}, "int?"]],
+         ["c", ["vector", {"max": 5}, "int?"]],
+         ["d", ["vector", ["vector", {"min": 2, "max": 5}, "int?"]]],
+         ["e", ["vector", {"min": 2, "max": 5}, "int?"]],
+         ["f", ["vector", {"min": 5, "max": 5}, "int?"]]],
+        {"a": ["123"], "b": [1], "c": [1, 2, 3, 4, 5, 6],
+         "d": [[1], [1, 2, 3, 4, 5, 6, 7]], "e": [1.2], "f": [1, 2, 3, 4]}))
+    assert got == {
+        "a": [["should be an int"]],
+        "b": ["should have at least 2 elements"],
+        "c": ["should have at most 5 elements"],
+        "d": [["should have at least 2 elements"],
+              ["should have at most 5 elements"]],
+        "e": ["should have at least 2 elements"],
+        "f": ["should have 5 elements"]}
+
+
+def test_nested_not_humanize_reference():
+    """nested-not-humanize-test (error_test.cljc:894-925): negation flips
+    or FORWARDS to the comparator complement, double negation unwraps."""
+    h = lambda s, v: humanize(m.explain(s, v))
+    cases = [
+        ((["=", 1], None), ["should be 1"]),
+        ((["not", ["=", 1]], 1), ["should not be 1"]),
+        ((["not", ["not", ["=", 1]]], None), ["should be 1"]),
+        ((["not", ["not", ["not", ["=", 1]]]], 1), ["should not be 1"]),
+        ((["not", ["not", ["not", ["not", ["=", 1]]]]], None), ["should be 1"]),
+        (([">", 1], 0), ["should be larger than 1"]),
+        ((["not", [">", 1]], 2), ["should be at most 1"]),
+        ((["not", ["not", [">", 1]]], 0), ["should be larger than 1"]),
+        ((["not", ["not", ["not", [">", 1]]]], 2), ["should be at most 1"]),
+        (([">=", 1], 0), ["should be at least 1"]),
+        ((["not", [">=", 1]], 2), ["should be smaller than 1"]),
+        ((["<", 1], 2), ["should be smaller than 1"]),
+        ((["not", ["<", 1]], 0), ["should be at least 1"]),
+        ((["<=", 1], 2), ["should be at most 1"]),
+        ((["not", ["<=", 1]], 0), ["should be larger than 1"]),
+    ]
+    for (s_v, want) in cases:
+        assert h(*s_v) == want, s_v[0]
+
+
+def test_custom_negating_reference():
+    """custom-negating-test (error_test.cljc:926-945): :error/fn sees the
+    ``negated`` marker; calling it disables the implicit prefix flip."""
+    h = lambda s, v: humanize(m.explain(s, v))
+    f3 = ["fn", {"error/message": {"en": "should be a multiple of 3"}},
+          lambda x: x % 3 == 0]
+    assert h(f3, 2) == ["should be a multiple of 3"]
+    assert h(["not", f3], 3) == ["should not be a multiple of 3"]
+    neg_fn = ["fn", {"error/fn": {"en": lambda e, _o:
+                                  "should not be a multiple of 3 negated=" +
+                                  str(bool(e.get("negated"))).lower()}},
+              lambda x: x % 3 != 0]
+    assert h(neg_fn, 0) == ["should not be a multiple of 3 negated=false"]
+    neg_fn2 = ["not", ["fn", {"error/fn": {"en": lambda e, _o:
+                              "should not be a multiple of 3 negating=" +
+                              str(bool(e.get("negated"))).lower()}},
+                       lambda x: x % 3 != 0]]
+    assert h(neg_fn2, 1) == ["should be a multiple of 3 negating=true"]
+
+    def explicit(e, _o):
+        n = e.get("negated")
+        if n:
+            return n("should not avoid being a multiple of 3")
+        return "should not be a multiple of 3"
+
+    assert h(["not", ["fn", {"error/fn": {"en": explicit}},
+              lambda x: x % 3 != 0]], 1) == \
+        ["should not avoid being a multiple of 3"]
