@@ -74,16 +74,34 @@ def _comparator_message(template: str, complement: str | None = None):
     return fn
 
 
-def _bounded_type_message(noun: str, unit: str):
-    """Type schemas with :min/:max — bounds message when bounded, noun otherwise."""
-    bounds = _fmt_bounds(unit)
+def _bounded_type_message(noun: str, unit: str, measure=None):
+    """Type schemas with :min/:max — VALUE-AWARE bound selection
+    (error.cljc:127-139 :string fn / :9-18 -pred-min-max-error-fn): wrong
+    type -> noun; min == max -> exact; measure below min (negated: at or
+    above min) -> at-least; else at-most. Never a 'between' message."""
+
+    def plural(n):
+        if not unit:
+            return ""
+        return f" {unit}" if n == 1 else f" {unit}s"
 
     def fn(error: dict, opts: dict) -> str:
         props = _schema_properties(error)
         value = error.get("value")
         type_ok = opts.get("__value_type_ok__")
-        if ("min" in props or "max" in props) and type_ok and type_ok(value):
-            return bounds(error, opts)
+        if not (type_ok and type_ok(value)):
+            return noun
+        mn, mx = props.get("min"), props.get("max")
+        if mn is None and mx is None:
+            return noun
+        x = measure(value) if measure else value
+        negated = callable(error.get("negated"))
+        if mn is not None and mn == mx:
+            return f"should be {mn}{plural(mn)}"
+        if mn is not None and ((x >= mn) if negated else (x < mn)):
+            return f"should be at least {mn}{plural(mn)}"
+        if mx is not None:
+            return f"should be at most {mx}{plural(mx)}"
         return noun
 
     return fn
@@ -121,7 +139,8 @@ MESSAGE_CATALOG: dict[tuple[str, str], Any] = {
     ("schema", "any"): "should be any",
     ("schema", "nil"): "should be nil",
     ("schema", "string"): lambda e, o: _bounded_type_message(
-        "should be a string", "character")(e, {**o, "__value_type_ok__": lambda v: isinstance(v, str)}),
+        "should be a string", "character", measure=len)(
+            e, {**o, "__value_type_ok__": lambda v: isinstance(v, str)}),
     ("schema", "int"): lambda e, o: _bounded_type_message(
         "should be an integer", "")(e, {**o, "__value_type_ok__":
                                         lambda v: isinstance(v, int) and not isinstance(v, bool)}),
@@ -139,6 +158,9 @@ MESSAGE_CATALOG: dict[tuple[str, str], Any] = {
     ("schema", "re"): "should match regex",
     ("schema", "fn"): "should apply function",
     ("schema", "maybe"): "should be nil or satisfy the child schema",
+    ("schema", "=>"): "should be a valid function",
+    ("schema", "->"): "should be a valid function",
+    ("schema", "function"): "should be a valid function",
     ("schema", "map"): "should be a map",
     ("schema", "map-of"): "should be a map",
     ("schema", "vector"): "should be a vector",

@@ -84,8 +84,10 @@ def test_humanize_shapes():
     assert h == {"x": ["should be a boolean"], "z": ["missing required key"]}
     h = humanize(m.explain(["vector", "int"], [1, "a"]))
     assert h == [None, ["should be an integer"]]
+    # value-aware bound selection (error.cljc:127-139): too short reads
+    # at-least, never "between"
     h = humanize(m.explain(["string", {"min": 2, "max": 4}], "a"))
-    assert h == ["should be between 2 and 4 characters"]
+    assert h == ["should be at least 2 characters"]
     h = humanize(m.explain(["int", {"min": 1}], 0))
     assert h == ["should be at least 1"]
     h = humanize(m.explain(["enum", "a", "b"], "c"))
@@ -391,3 +393,50 @@ def test_custom_negating_reference():
     assert h(["not", ["fn", {"error/fn": {"en": explicit}},
               lambda x: x % 3 != 0]], 1) == \
         ["should not avoid being a multiple of 3"]
+
+
+def test_not_humanize_table_reference():
+    """not-humanize-test (error_test.cljc:811-893, Python-expressible
+    slice): every negated message."""
+    h = lambda s, v: humanize(m.explain(s, v))
+    cases = [
+        (["not", "any?"], True, ["should not be any"]),
+        (["not", "number?"], 1, ["should not be a number"]),
+        (["not", "int?"], 1, ["should not be an int"]),
+        (["not", "pos-int?"], 1, ["should not be a positive int"]),
+        (["not", "string?"], "", ["should not be a string"]),
+        (["not", "map?"], {}, ["should not be a map"]),
+        (["not", "nil?"], None, ["should not be nil"]),
+        (["not", "zero?"], 0, ["should not be zero"]),
+        (["not", "empty?"], [], ["should not be empty"]),
+        (["not", ["re", ""]], "", ["should not match regex"]),
+        (["not", "ifn?"], len, ["should not be an ifn"]),
+        (["not", "fn?"], len, ["should not be a fn"]),
+        (["not", ["enum", 1]], 1, ["should not be 1"]),
+        (["not", ["enum", 1, 2, 3]], 1, ["should not be either 1, 2 or 3"]),
+        (["not", "any"], 1, ["should not be any"]),
+        (["not", "string"], "a", ["should not be a string"]),
+        (["not", ["string", {"min": 1}]], "a",
+         ["should not be at least 1 character"]),
+        (["not", ["string", {"max": 1}]], "a",
+         ["should not be at most 1 character"]),
+        (["not", ["string", {"min": 1, "max": 1}]], "a",
+         ["should not be 1 character"]),
+        (["not", "int"], 1, ["should not be an integer"]),
+        (["not", ["int", {"min": 1}]], 1, ["should not be at least 1"]),
+        (["not", ["int", {"max": 1}]], 1, ["should not be at most 1"]),
+        (["not", ["int", {"min": 1, "max": 1}]], 1, ["should not be 1"]),
+        (["not", ["double", {"min": 1.5}]], 1.5,
+         ["should not be at least 1.5"]),
+        (["not", ["=>", ["cat"], "any"]], len,
+         ["should not be a valid function"]),
+        (["not", ["=", 1]], 1, ["should not be 1"]),
+        (["not", ["not=", 1]], None, ["should be 1"]),
+    ]
+    for s, v, want in cases:
+        assert h(s, v) == want, s
+    # value-aware bounds on the POSITIVE side too (string-test shapes)
+    assert h(["string", {"min": 2, "max": 4}], "abcde") == \
+        ["should be at most 4 characters"]
+    assert h(["string", {"min": 1, "max": 1}], "ab") == \
+        ["should be 1 character"]
