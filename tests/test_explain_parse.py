@@ -440,3 +440,44 @@ def test_not_humanize_table_reference():
         ["should be at most 4 characters"]
     assert h(["string", {"min": 1, "max": 1}], "ab") == \
         ["should be 1 character"]
+
+
+def test_string_int_double_humanize_tables_reference():
+    """string-test / int-test / double-test (error_test.cljc:321-398)."""
+    got = humanize(m.explain(
+        ["map", ["a", "string"], ["b", ["string", {"min": 1}]],
+         ["c", ["string", {"max": 4}]],
+         ["d", ["vector", ["string", {"min": 1, "max": 4}]]],
+         ["e", ["string", {"min": 1, "max": 4}]],
+         ["f", ["string", {"min": 4, "max": 4}]],
+         ["g", ["string", {"max": 1}]],
+         ["h", ["string", {"min": 1, "max": 1}]]],
+        {"a": 123, "b": "", "c": "invalid", "d": ["", "12345"],
+         "e": 123, "f": "invalid", "g": "ab", "h": ""}))
+    assert got == {
+        "a": ["should be a string"], "b": ["should be at least 1 character"],
+        "c": ["should be at most 4 characters"],
+        "d": [["should be at least 1 character"],
+              ["should be at most 4 characters"]],
+        "e": ["should be a string"], "f": ["should be 4 characters"],
+        "g": ["should be at most 1 character"], "h": ["should be 1 character"]}
+    got = humanize(m.explain(
+        ["map", ["a", "int"], ["b", ["int", {"min": 1}]],
+         ["c", ["int", {"max": 4}]],
+         ["d", ["vector", ["int", {"min": 1, "max": 4}]]],
+         ["e", ["int", {"min": 1, "max": 4}]],
+         ["f", ["int", {"min": 4, "max": 4}]]],
+        {"a": "123", "b": 0, "c": 5, "d": [0, 5], "e": "123", "f": 5}))
+    assert got == {
+        "a": ["should be an integer"], "b": ["should be at least 1"],
+        "c": ["should be at most 4"],
+        "d": [["should be at least 1"], ["should be at most 4"]],
+        "e": ["should be an integer"], "f": ["should be 4"]}
+    got = humanize(m.explain(
+        ["map", ["a", "double"], ["b", ["double", {"min": 1}]],
+         ["e", ["double", {"min": 1, "max": 4}]],
+         ["f", ["double", {"min": 4, "max": 4}]]],
+        {"a": "123", "b": 0.0, "e": "123", "f": 5.0}))
+    assert got == {
+        "a": ["should be a double"], "b": ["should be at least 1"],
+        "e": ["should be a double"], "f": ["should be 4"]}
