@@ -156,7 +156,8 @@ MESSAGE_CATALOG: dict[tuple[str, str], Any] = {
     ("schema", "uuid"): "should be a uuid",
     ("schema", "enum"): _enum_message,
     ("schema", "re"): "should match regex",
-    ("schema", "fn"): "should apply function",
+    # :fn has NO catalog message in the reference -> "unknown error"
+    # (humanize-throws-test-1271)
     ("schema", "maybe"): "should be nil or satisfy the child schema",
     ("schema", "=>"): "should be a valid function",
     ("schema", "->"): "should be a valid function",
@@ -316,47 +317,84 @@ def error_message(error: dict, options: dict | None = None) -> str:
     return msg if msg is not None else _UNKNOWN
 
 
+class _Errs(list):
+    """Error leaf — the metadata-tagged message vector (-error/-error?,
+    error.cljc:182-183). A list SUBCLASS so a value that happens to be a
+    list of strings is never mistaken for one; compares equal to plain
+    lists for callers."""
+
+
 def _is_error_leaf(a: Any) -> bool:
-    """-error? — a non-empty vector of message strings (error.cljc:196)."""
-    return isinstance(a, list) and bool(a) and all(isinstance(x, str) for x in a)
+    return isinstance(a, _Errs)
 
 
-def _push_in(acc: Any, path: list, msg: str) -> Any:
-    """Build the message tree mirroring the value shape (error.cljc:200-215).
+def _acc_get(x: Any, k: Any) -> Any:
+    if isinstance(x, dict):
+        return x.get(k)
+    if isinstance(x, (list, tuple)) and isinstance(k, int) \
+            and not isinstance(k, bool) and 0 <= k < len(x):
+        return x[k]
+    return None
 
-    Leaves are lists of messages; map steps become dicts; index steps become
-    None-padded lists. An existing error leaf blocks deeper pushes
-    ("error present, let's not go deeper"); a rootless error landing on a
-    map accumulator goes under ``malli/error``; on a non-empty indexed
-    accumulator it is dropped (child value errors win)."""
+
+def _val_get(v: Any, k: Any) -> Any:
+    """-get (error.cljc:185): map lookup, or positional for sequentials."""
+    if isinstance(v, dict):
+        return v.get(k)
+    if isinstance(v, (list, tuple)) and isinstance(k, int) \
+            and not isinstance(k, bool) and 0 <= k < len(v):
+        return v[k]
+    return None
+
+
+def _push(x: Any, k: Any, v: Any) -> Any:
+    """-push (error.cljc:188-197): pad-and-set for non-negative ints on
+    sequential accumulators, assoc for maps (or nil -> a fresh map); a
+    non-indexable key on a vector degrades to the literal
+    ``["invalid type"]`` (humanize-throws-test-1271)."""
+    if isinstance(x, list) and not isinstance(x, _Errs):
+        if isinstance(k, int) and not isinstance(k, bool) and k >= 0:
+            while len(x) <= k:
+                x.append(None)
+            x[k] = v
+            return x
+        return ["invalid type"]
+    if x is None:
+        return {k: v}
+    if isinstance(x, dict):
+        x[k] = v
+        return x
+    return ["invalid type"]
+
+
+def _push_in(acc: Any, value: Any, path: list, msg: str) -> Any:
+    """Build the message tree mirroring the VALUE's shape (-push-in,
+    error.cljc:200-215): the accumulator at each level is seeded from the
+    value there (sequential -> list, map -> dict, else nil), an existing
+    error leaf blocks deeper pushes, a rootless error on a map accumulator
+    goes under ``malli/error``, and on a non-empty indexed accumulator it
+    is dropped (child value errors win)."""
+    aprime = acc
+    if aprime is None:
+        if isinstance(value, (list, tuple, set, frozenset)):
+            aprime = []
+        elif isinstance(value, dict):
+            aprime = {}
     if path:
         head, rest = path[0], path[1:]
-        if _is_error_leaf(acc):
+        if _is_error_leaf(aprime):
             return acc
-        # an int head indexes a LIST accumulator, but assocs as a plain key
-        # into an existing dict one (the reference accumulator is built from
-        # the VALUE's shape — a map value keeps map semantics for int keys)
-        if isinstance(head, int) and not isinstance(acc, dict):
-            if not isinstance(acc, list):
-                acc = []
-            while len(acc) <= head:
-                acc.append(None)
-            acc[head] = _push_in(acc[head], rest, msg)
-            return acc
-        if not isinstance(acc, dict):
-            acc = {}
-        acc[head] = _push_in(acc.get(head), rest, msg)
-        return acc
-    if acc is None:
-        return [msg]
-    if isinstance(acc, dict):
-        return _push_in(acc, ["malli/error"], msg)
-    if _is_error_leaf(acc):
-        acc.append(msg)
-        return acc
-    if isinstance(acc, list) and acc:
-        return acc
-    return [msg]
+        inner = _push_in(_acc_get(aprime, head), _val_get(value, head),
+                         rest, msg)
+        return _push(aprime, head, inner)
+    if isinstance(acc, dict):  # map? of the ORIGINAL accumulator
+        return _push_in(acc, value, ["malli/error"], msg)
+    if _is_error_leaf(aprime):
+        aprime.append(msg)
+        return aprime
+    if isinstance(aprime, list) and aprime:
+        return aprime
+    return _Errs([msg])
 
 
 def humanize(explanation: dict | None, options: dict | None = None,
@@ -380,7 +418,7 @@ def humanize(explanation: dict | None, options: dict | None = None,
             extra = _schema_properties(e).get("error/path")
             if extra:
                 in_ = in_ + list(extra)
-        out = _push_in(out, in_, msg)
+        out = _push_in(out, explanation.get("value"), in_, msg)
     return out
 
 

@@ -481,3 +481,29 @@ def test_string_int_double_humanize_tables_reference():
     assert got == {
         "a": ["should be a double"], "b": ["should be at least 1"],
         "e": ["should be a double"], "f": ["should be 4"]}
+
+
+def test_humanize_throws_1271_reference():
+    """humanize-throws-test-1271 (error_test.cljc:947-957): error/path
+    landing spots follow the VALUE's shape; a non-indexable key on a
+    sequential accumulator degrades to ["invalid type"]; :fn has no
+    catalog message."""
+    h = lambda s, v: humanize(m.explain(s, v))
+    fn = lambda d: isinstance(d, dict) and isinstance(d.get("foo"), int)
+    cases = [
+        (["fn", {"error/path": ["foo"]}, fn], {"foo": None},
+         {"foo": ["unknown error"]}),
+        (["fn", {"error/path": ["foo"]}, fn], {}, {"foo": ["unknown error"]}),
+        (["fn", {"error/path": [5]}, fn], {}, {5: ["unknown error"]}),
+        (["fn", {"error/path": [5]}, fn], [],
+         [None, None, None, None, None, ["unknown error"]]),
+        (["fn", {"error/path": [-1]}, fn], {}, {-1: ["unknown error"]}),
+        (["fn", {"error/path": [-1]}, fn], [], ["invalid type"]),
+        (["fn", fn], [], ["unknown error"]),
+        (["map"], [], ["invalid type"]),
+        (["vector", ["map"]], [[]], [["invalid type"]]),
+        (["vector", ["fn", {"error/path": [-1]}, fn]], [[]],
+         [["invalid type"]]),
+    ]
+    for s, v, want in cases:
+        assert h(s, v) == want, (s, v)
