@@ -507,3 +507,51 @@ def test_humanize_throws_1271_reference():
     ]
     for s, v, want in cases:
         assert h(s, v) == want, (s, v)
+
+
+def test_humanize_table_reference():
+    """humanize-test (error_test.cljc:105-181) — the canonical shapes."""
+    h = lambda s, v: humanize(m.explain(s, v))
+    assert h("int?", 1) is None
+    assert h("int?", "1") == ["should be an int"]
+    assert h(["vector", ["vector", "int?"]], [[1, 2], [2, 2], [3, "4"]]) == \
+        [None, None, [None, ["should be an int"]]]
+    assert h(["set", "int?"], [1]) == ["invalid type"]
+    assert h(["vector", ["map", ["x", ["vector", "int?"]]]],
+             [{"x": [1, 2, 3]}, {"x": [1, "2", "3"]}, {"x": {"w"}}]) == \
+        [None, {"x": [None, ["should be an int"], ["should be an int"]]},
+         {"x": ["invalid type"]}]
+    assert h(["map", ["data", ["vector", ["map", ["x", ["vector", "int?"]]]]]],
+             {"data": [{"x": ["1", 2, "3"]}, {"x": ["1", 2, "3"]},
+                       {"x": [1]}, {"x": ["1"]}, {"x": [1]}]}) == \
+        {"data": [{"x": [["should be an int"], None, ["should be an int"]]},
+                  {"x": [["should be an int"], None, ["should be an int"]]},
+                  None, {"x": [["should be an int"]]}]}
+    assert h(["map", {"closed": True}, ["x", "int?"]],
+             {"x": 1, "extra": "key"}) == {"extra": ["disallowed key"]}
+    assert h(["map", ["person", ["and", ["map", ["name", "string?"]],
+                                 "seq?"]]], {"person": {}}) == \
+        {"person": {"malli/error": ["should be a seq"],
+                    "name": ["missing required key"]}}
+    assert h(["map", ["person", "seq?"]], {"person": {}}) == \
+        {"person": ["should be a seq"]}
+    # hand-built explanations (schema forms, duplicate errors preserved)
+    assert humanize({"value": {},
+                     "errors": [{"in": ["x"], "schema": ["map", ["x", "int?"]],
+                                 "type": "malli.core/missing-key"},
+                                {"in": ["x"], "schema": ["map", ["x", "int?"]],
+                                 "type": "malli.core/missing-key"}]}) == \
+        {"x": ["missing required key", "missing required key"]}
+    # customization + locale (error_test.cljc:182-220)
+    S = ["map", ["a", "int?"],
+         ["c", ["pos-int?", {"error/message": "STAY POSITIVE",
+                             "error/fn": {"fi": lambda e, o: "POSITIIVINEN"}}]],
+         ["d", ["map", ["f", ["int?", {"error/message":
+                                       {"en": "SHOULD BE ZIP",
+                                        "fi": "PITÄISI OLLA NUMERO"}}]]]]]
+    v = {"a": "invalid", "c": "invalid", "d": {"f": "invalid"}}
+    assert h(S, v) == {"a": ["should be an int"], "c": ["STAY POSITIVE"],
+                       "d": {"f": ["SHOULD BE ZIP"]}}
+    assert humanize(m.explain(S, v), {"locale": "fi"}) == \
+        {"a": ["should be an int"], "c": ["POSITIIVINEN"],
+         "d": {"f": ["PITÄISI OLLA NUMERO"]}}
