@@ -1686,25 +1686,28 @@ class AndnSchema(Schema):
         return parse_
 
     def _unparser(self):
-        """Unparse each conjunct; all reconstructions must agree
-        (src/malli/core.cljc:966-984)."""
-        branches = [(k, s.unparser()) for (k, _, s) in self.children]
+        """Only the LEFT-MOST conjunct present in the tags is unparsed; the
+        remaining values are ignored and the result re-validates against the
+        other conjuncts (src/malli/core.cljc:966-984 — to modify one
+        conjunct's value, remove all others). Unknown keys invalidate."""
+        ks = [k for (k, _, _) in self.children]
+        unparsers = {k: s.unparser() for (k, _, s) in self.children}
+        validators = {k: s.validator() for (k, _, s) in self.children}
 
         def unparse_(x):
-            if not isinstance(x, Tags):
+            if not isinstance(x, Tags) or not x.values:
                 return INVALID
-            result = _MISSING
-            for k, u in branches:
-                if k not in x.values:
-                    return INVALID
-                v = u(x.values[k])
-                if v is INVALID:
-                    return INVALID
-                if result is _MISSING:
-                    result = v
-                elif result != v:
-                    return INVALID
-            return result if result is not _MISSING else INVALID
+            if any(k not in validators for k in x.values):
+                return INVALID
+            k = next((k for k in ks if k in x.values), None)
+            if k is None:
+                return INVALID
+            v = unparsers[k](x.values[k])
+            if v is INVALID:
+                return INVALID
+            if all(other == k or validators[other](v) for other in ks):
+                return v
+            return INVALID
 
         return unparse_
 

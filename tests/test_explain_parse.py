@@ -555,3 +555,24 @@ def test_humanize_table_reference():
     assert humanize(m.explain(S, v), {"locale": "fi"}) == \
         {"a": ["should be an int"], "c": ["POSITIIVINEN"],
          "d": {"f": ["PITÄISI OLLA NUMERO"]}}
+
+
+def test_andn_unparse_leftmost_reference():
+    """andn-test (core_test.cljc:3602-3631): unparse uses the LEFT-MOST
+    conjunct present in the tags; the result re-validates against the rest;
+    unknown or empty tags are invalid."""
+    from malli_ray.core import INVALID, Tag, Tags
+    s = ["andn", ["o", ["orn", ["left", "int"], ["right", "int"]]],
+         ["f", ["fn", lambda x: isinstance(x, (int, float))]]]
+    p = m.parse(s, 1)
+    assert p == Tags({"o": Tag("left", 1), "f": 1})
+    assert m.unparse(s, p) == 1
+    assert m.unparse(s, Tags({"o": Tag("left", 2), "f": 1})) == 2
+    assert m.unparse(s, Tags({"o": Tag("left", 1), "f": 2})) == 1
+    assert m.unparse(s, Tags({"f": 2})) == 2
+    assert m.unparse(s, Tags({})) is INVALID
+    assert m.unparse(s, Tags({"zzz": 1})) is INVALID
+    # explain error path/in (core_test.cljc:3602-3612)
+    exp = m.explain(["andn", ["m", "map?"], ["v", ["vector", "any"]]], {})
+    assert [(e["path"], e["in"], e["type"]) for e in exp["errors"]] == \
+        [(["v"], [], "malli.core/invalid-type")]
