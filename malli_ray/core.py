@@ -1265,7 +1265,10 @@ def _is_lazy_iterable(x) -> bool:
 
 _COLL_PREDS = {
     "vector": lambda x: isinstance(x, (list, tuple)),
-    "sequential": lambda x: isinstance(x, (list, tuple, range)),
+    # eductions/generators are sequential? in the reference
+    # (eduction-test, core_test.cljc:3594-3600)
+    "sequential": lambda x: (isinstance(x, (list, tuple, range))
+                             or _is_lazy_iterable(x)),
     "seqable": lambda x: (isinstance(x, (list, tuple, set, frozenset, range, dict))
                           or x is None or _is_lazy_iterable(x)),
     "set": lambda x: isinstance(x, (set, frozenset)),

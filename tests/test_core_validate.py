@@ -318,3 +318,21 @@ def test_naked_keys_and_duplicate_entries():
         m.schema(["map", ["x"]])                      # unresolvable naked key
     with pytest.raises(m.SchemaError):
         m.schema(["map", ["x", "boolean?"], ["y"]])
+
+
+def test_sequential_lazy_eduction_analog():
+    """eduction-test (core_test.cljc:3594-3600): :sequential accepts lazy
+    iterables (the Python analog of eductions) and counts them fully."""
+    assert m.validate(["sequential", {"min": 0}, "int"],
+                      (x for x in range(10)))
+    assert m.validate(["sequential", {"max": 0}, "int"], iter([]))
+    assert not m.validate(["sequential", {"max": 0}, "int"], iter([1]))
+    assert not m.validate(["sequential", {"min": 11}, "int"],
+                          (x for x in range(10)))
+    assert m.explain(["sequential", {"min": 9}, "int"],
+                     (x for x in range(10))) is None
+    # a Schema object is not a valid schema TYPE (catch-infinitely-
+    # expanding-schema, core_test.cljc:3587-3592)
+    import pytest
+    with pytest.raises(m.SchemaError):
+        m.schema([m.schema("any")])
