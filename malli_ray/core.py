@@ -1257,7 +1257,12 @@ class MapOfSchema(Schema):
 
 def _is_lazy_iterable(x) -> bool:
     """Non-countable iterable (generator/iterator) — the Python analog of a
-    Clojure lazy seq (NOT -safely-countable?, core.cljc:1463-1476)."""
+    Clojure lazy seq (NOT -safely-countable?, core.cljc:1463-1476).
+
+    CAVEAT (documented divergence): Clojure lazy seqs/eductions re-iterate;
+    Python generators are ONE-SHOT and are CONSUMED by validation. A later
+    explain/validate on the same exhausted iterator sees an empty sequence —
+    snapshot with list(...) first when a value is needed more than once."""
     from collections.abc import Iterable
     return (isinstance(x, Iterable) and not hasattr(x, "__len__")
             and not isinstance(x, (str, bytes)))
@@ -1692,7 +1697,10 @@ class AndnSchema(Schema):
         """Only the LEFT-MOST conjunct present in the tags is unparsed; the
         remaining values are ignored and the result re-validates against the
         other conjuncts (src/malli/core.cljc:966-984 — to modify one
-        conjunct's value, remove all others). Unknown keys invalidate."""
+        conjunct's value, remove all others). Unknown keys invalidate.
+        DELIBERATE divergence: the reference's `((validators k) x)` re-runs
+        the chosen key's own validator for every conjunct (a slip); we
+        validate against each OTHER conjunct as its comment intends."""
         ks = [k for (k, _, _) in self.children]
         unparsers = {k: s.unparser() for (k, _, s) in self.children}
         validators = {k: s.validator() for (k, _, s) in self.children}

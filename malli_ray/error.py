@@ -20,26 +20,6 @@ __all__ = ["error_message", "humanize", "with_spell_checking", "error_value",
 DEFAULT_LOCALE = "en"
 
 
-def _fmt_bounds(unit: str):
-    def fn(error: dict, _opts: dict) -> str:
-        props = _schema_properties(error)
-        mn, mx = props.get("min"), props.get("max")
-        u = f" {unit}" if unit else ""
-
-        def plural(n):
-            if not unit:
-                return ""
-            return f" {unit}" if n == 1 else f" {unit}s"
-
-        if mn is not None and mx is not None:
-            return f"should be between {mn} and {mx}{plural(mx)}"
-        if mn is not None:
-            return f"should be at least {mn}{plural(mn)}"
-        return f"should be at most {mx}{plural(mx)}"
-
-    return fn
-
-
 def _schema_properties(error: dict) -> dict:
     s = error.get("schema")
     return s.properties if isinstance(s, Schema) else {}
@@ -69,6 +49,9 @@ def _comparator_message(template: str, complement: str | None = None):
             from .core import schema as _schema
             comp_err["schema"] = _schema([complement, child])
             return negated(error_message(comp_err, opts))
+        v = error.get("value")
+        if not (isinstance(v, (int, float)) and not isinstance(v, bool)):
+            return "should be a number"  # (number? value) guard
         return template.format(child)
 
     return fn
@@ -120,7 +103,9 @@ def _limits_message(error: dict) -> str:
         return f"should have {mn} elements"
     if mn is not None and n < mn:
         return f"should have at least {mn} elements"
-    return f"should have at most {mx} elements"
+    if mx is not None:
+        return f"should have at most {mx} elements"
+    return None  # reference cond falls through -> "unknown error"
 
 
 #: (scope, key) -> str | fn(error, opts).  Scope "type" = error :type keyword,

@@ -302,6 +302,9 @@ def _emit_regex(sc: Schema, rng, size: int, depth: int, out: list) -> None:
         mx = pmx if pmx is not None else sc.max
         if mx is None:
             mx = mn + max(1, size // 2)
+        if mn > mx:
+            raise SchemaError(
+                f"unsatisfiable repetition bounds {mn} > {mx} for {sc.form!r}")
         n = int(rng.integers(mn, mx + 1))
         for _ in range(n):
             _emit_child(sc.children[0], rng, size, depth, out)

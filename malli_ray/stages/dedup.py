@@ -642,9 +642,12 @@ def cluster_pairs(pairs: "Dataset | pa.Table") -> pa.Table:
     pathological pair volumes, run in rounds: cluster each pairs partition,
     then union the per-partition (id, cluster_id) maps the same way."""
     if not isinstance(pairs, pa.Table):
-        pairs = pa.concat_tables(
-            [b for b in pairs.iter_batches(batch_format="pyarrow")]) \
-            if hasattr(pairs, "iter_batches") else pairs
+        batches = list(pairs.iter_batches(batch_format="pyarrow")) \
+            if hasattr(pairs, "iter_batches") else []
+        if not batches:  # no near-duplicates: empty clusters table
+            return pa.table({"id": pa.array([], type=pa.int64()),
+                             "cluster_id": pa.array([], type=pa.int64())})
+        pairs = pa.concat_tables(batches)
     a = pairs.column("id_a").to_pylist()
     b = pairs.column("id_b").to_pylist()
     parent: dict = {}
@@ -695,12 +698,15 @@ def dedup_by_clusters(ds: Dataset, id_column: str,
 
     class _DropMembers:
         def __init__(self, ref):
-            self.drop = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            drop_ids = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.drop = list(drop_ids)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_column).to_pylist()
-            mask = pa.array([i not in self.drop for i in ids])
-            return batch.filter(mask)
+            # vectorized anti-membership (the constraints.py is_in pattern)
+            mask = pa.compute.invert(pa.compute.is_in(
+                batch.column(id_column),
+                value_set=pa.array(list(self.drop))))
+            return batch.filter(pa.compute.fill_null(mask, True))
 
     return ds.map_batches(cached_stage(_DropMembers, ref=drop_ref),
                           batch_format="pyarrow")

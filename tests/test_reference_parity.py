@@ -749,3 +749,31 @@ def test_review_fixes_round2_close():
 
     # 4: bare json-schema property override honored by swagger
     assert sw(["int", {"json-schema": {"type": "custom"}}]) == {"type": "custom"}
+
+
+def test_review_fixes_round2_close_b():
+    """Second review pass over the round-2-close diff: comparator number?
+    guard, limits None-max fallthrough, unsatisfiable repeat gen bounds,
+    one-shot iterator caveat."""
+    import pytest
+    from malli_ray.error import humanize
+    from malli_ray.generator import generate
+
+    # comparators on non-numbers read "should be a number" (error.cljc:145+)
+    assert humanize(m.explain([">", 1], "abc")) == ["should be a number"]
+    assert humanize(m.explain(["<=", 1], None)) == ["should be a number"]
+    assert humanize(m.explain([">", 1], 0)) == ["should be larger than 1"]
+    # limits with max unset and count >= min: no "at most None" nonsense
+    out = humanize({"value": [1, 2],
+                    "errors": [{"schema": m.schema(["vector", {"min": 1}, "any"]),
+                                "type": "malli.core/limits", "value": [1, 2],
+                                "in": [], "path": []}]})
+    assert "None" not in str(out)
+    # unsatisfiable repetition bounds raise SchemaError, not a numpy error
+    with pytest.raises(m.SchemaError):
+        generate(["+", {"gen/max": 0}, "int"], seed=1)
+    with pytest.raises(m.SchemaError):
+        generate(["repeat", {"min": 5, "gen/max": 3}, "int"], seed=1)
+    # one-shot iterators are consumed by validation (documented divergence)
+    gen = (x for x in [1, "a"])
+    assert not m.validate(["sequential", "int"], gen)

@@ -900,3 +900,19 @@ def test_cluster_pairs_and_dedup_by_clusters(ray_session):
     clusters = dedup.cluster_pairs(pairs_ds)
     kept = dedup.dedup_by_clusters(ds, "doc_id", clusters).take_all()
     assert sorted(r["doc_id"] for r in kept) == [0, 3]
+
+
+def test_cluster_pairs_empty_dataset(ray_session):
+    """No near-duplicates: cluster_pairs returns an empty clusters table
+    and dedup_by_clusters keeps everything (review regression)."""
+    import ray.data as rd
+    from malli_ray.stages import dedup
+
+    ds = rd.from_items([{"doc_id": i, "text": f"unique text {i} here"}
+                        for i in range(4)])
+    pairs = dedup.minhash_lsh_candidates(ds, "text", "doc_id",
+                                         threshold=0.9, num_perm=16, bands=4)
+    clusters = dedup.cluster_pairs(pairs)
+    assert clusters.num_rows == 0
+    kept = dedup.dedup_by_clusters(ds, "doc_id", clusters).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [0, 1, 2, 3]
