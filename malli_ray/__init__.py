@@ -10,7 +10,7 @@ Pipelines: ``malli_ray.pipelines`` (checkpointed validation job).
 
 from .core import (  # noqa: F401
     DEFAULT_KEY, INVALID, Invalid, Schema, SchemaError, Tag, Tags,
-    ast, children, coerce, coercer, decode, decoder, default_registry,
+    assert_, ast, children, coerce, coercer, decode, decoder, default_registry,
     default_schema, deref, deref_all, deref_recursive,
     encode, encoder, entries, explain, explainer, explicit_keys, form,
     from_ast, into_schema, is_schema, old_parse_format, options, parse,

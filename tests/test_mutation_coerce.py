@@ -123,3 +123,21 @@ def test_run_job_write_valid(ray_session, tmp_path):
     # routed rows all validate (token arrays intact)
     t = pq.read_table(valid_files[0])
     assert t.schema.names == ["doc_id", "tokens", "n_tok", "source"]
+
+
+def test_assert_reference():
+    """assert_test.cljc: m/assert raises on invalid values and invalid
+    schemas, passes valid values through unchanged (top-level export)."""
+    import pytest
+
+    for s, v in [("int", "42"), ("int?", "42"), ("string?", 42),
+                 ("int?", None), (["map", ["a", "int?"]], {"a": "42"})]:
+        with pytest.raises(Exception):
+            m.assert_(s, v)
+    with pytest.raises(Exception):
+        m.assert_("totally-invalid-schema", 42)
+    assert m.assert_("int", 42) == 42
+    assert m.assert_("int?", 42) == 42
+    assert m.assert_("string?", "42") == "42"
+    assert m.assert_("any?", None) is None
+    assert m.assert_(["map", ["a", "int?"]], {"a": 42}) == {"a": 42}
