@@ -130,6 +130,8 @@ def test_assert_reference():
     schemas, passes valid values through unchanged (top-level export)."""
     import pytest
 
+    import malli_ray as m
+
     for s, v in [("int", "42"), ("int?", "42"), ("string?", 42),
                  ("int?", None), (["map", ["a", "int?"]], {"a": "42"})]:
         with pytest.raises(Exception):
