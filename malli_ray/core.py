@@ -2013,7 +2013,8 @@ def _build_default_registry() -> dict:
         lambda x: isinstance(x, _dt.datetime) and x.tzinfo is not None)
     reg["time/offset-time"] = _simple(
         lambda x: isinstance(x, _dt.time) and x.tzinfo is not None)
-    reg["time/zone-id"] = _simple(lambda x: isinstance(x, (_dt.tzinfo, str)),
+    # a zone ID is a tzinfo OBJECT, not its string name (time_test.cljc:34)
+    reg["time/zone-id"] = _simple(lambda x: isinstance(x, _dt.tzinfo),
                                   supports_bounds=False)
     reg["time/zone-offset"] = _simple(lambda x: isinstance(x, _dt.timezone),
                                       supports_bounds=False)

@@ -772,3 +772,34 @@ def test_infinite_generator_reference():
     vals = sample(["schema", {"registry": {"a": ["maybe", ["ref", "a"]]}},
                    ["ref", "a"]], n=30, seed=2)
     assert all(v is None for v in vals)
+
+
+def test_time_schemas_reference_table():
+    """experimental/time_test.cljc basic-types + min-max (Python datetime
+    analogs; zone ids are tzinfo OBJECTS, never their string names)."""
+    tz = dt.timezone.utc
+    ok = [("time/duration", dt.timedelta(milliseconds=10)),
+          ("time/local-date", dt.date(2020, 1, 1)),
+          ("time/local-time", dt.time(12, 0)),
+          ("time/offset-time", dt.time(12, 0, tzinfo=tz)),
+          ("time/local-date-time", dt.datetime(2020, 1, 1, 12)),
+          ("time/instant", dt.datetime(2022, 12, 18, 12, tzinfo=tz)),
+          ("time/zoned-date-time", dt.datetime(2022, 12, 18, 12, tzinfo=tz)),
+          ("time/offset-date-time", dt.datetime(2022, 12, 18, 12, tzinfo=tz)),
+          ("time/zone-id", tz),
+          ("time/zone-offset", dt.timezone(dt.timedelta(hours=-6)))]
+    for t, v in ok:
+        assert m.validate(t, v), t
+        assert not m.validate(t, "2020-01-01"), t
+    # bounds compare the values themselves
+    S = ["time/duration", {"min": dt.timedelta(milliseconds=9),
+                           "max": dt.timedelta(milliseconds=10)}]
+    assert m.validate(S, dt.timedelta(milliseconds=10))
+    assert not m.validate(S, dt.timedelta(milliseconds=12))
+    S2 = ["time/local-date", {"min": dt.date(2020, 1, 1)}]
+    assert m.validate(S2, dt.date(2020, 6, 1))
+    assert not m.validate(S2, dt.date(2019, 6, 1))
+    # offset-less values are not instants; naive values are not zoned
+    assert not m.validate("time/instant", dt.datetime(2022, 1, 1))
+    assert not m.validate("time/local-date-time",
+                          dt.datetime(2022, 1, 1, tzinfo=tz))
