@@ -570,68 +570,102 @@ def _q_minhash_dedup_documents(sf_dir: str):
                                         )
 
 
-class _ExactJaccardVerify:
-    """Shared pair verifier: exact word-3-gram Jaccard >= threshold, texts
-    fetched from a broadcast dict (small table at oracle scale; at 100 TB
-    this becomes a shuffle join on id)."""
+def _exact_jaccard_verify(cands, sf_dir: str, threshold: float = 0.5):
+    """Exact word-3-gram Jaccard verify over candidate pairs — scale-safe.
 
-    def __init__(self, ref, threshold: float = 0.5):
-        import ray
-        self.texts = (ray.get(ref)
-                      if isinstance(ref, ray.ObjectRef) else ref)
-        self.threshold = threshold
+    The candidate PAIRS table is small by construction (bounded by the LSH
+    caps), so: materialize it, fetch ONLY the participant texts by streaming
+    the corpus through a broadcast ``is_in`` filter (one pass, no shuffle,
+    output bounded by 2x|pairs| — the corpus itself is never broadcast),
+    then attach text_a/text_b with two ``broadcast_join`` passes and verify
+    each pair with the exact ``ngram_jaccard``.  For pathological pair
+    volumes that outgrow driver memory, swap the two broadcast joins for
+    ``stages.joins.hash_join`` — same plan shape, both sides shuffle.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from malli_ray.stages import cached_stage, dedup
+    from malli_ray.stages.constraints import ReferentialCheck
+    from malli_ray.stages.joins import broadcast_join
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        from malli_ray.stages import dedup
-        a = batch.column("id_a").to_pylist()
-        b = batch.column("id_b").to_pylist()
-        j = [dedup.ngram_jaccard(self.texts[x], self.texts[y], 3)
-             for x, y in zip(a, b)]
+    cand_batches = list(cands.iter_batches(batch_format="pyarrow"))
+    if cand_batches:
+        # distinct (id_a, id_b) driver-side: the pairs table is small, so
+        # this replaces the candidate stage's dedup shuffle (dedupe=False)
+        pairs_tbl = (pa.concat_tables(cand_batches)
+                     .select(["id_a", "id_b"])
+                     .group_by(["id_a", "id_b"]).aggregate([]))
+    else:
+        pairs_tbl = pa.table({"id_a": pa.array([], type=pa.string()),
+                              "id_b": pa.array([], type=pa.string())})
+    ids: set = set(pairs_tbl.column("id_a").to_pylist())
+    ids.update(pairs_tbl.column("id_b").to_pylist())
+    if not ids:
+        id_type = pairs_tbl.schema.field("id_a").type
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], type=id_type),
+            "id_b": pa.array([], type=id_type),
+            "jaccard": pa.array([], type=pa.float64())}))
+    pairs = ray.data.from_arrow(pairs_tbl)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    participant = docs.map_batches(
+        cached_stage(ReferentialCheck, column="doc_id",
+                     allowed=sorted(ids), invert=False),
+        batch_format="pyarrow")
+    texts_tbl = pa.concat_tables(
+        list(participant.iter_batches(batch_format="pyarrow")))
+    with_a = broadcast_join(
+        pairs, texts_tbl.rename_columns(["doc_id", "text_a"]),
+        key="doc_id", value_cols=["text_a"], probe_key="id_a")
+    with_ab = broadcast_join(
+        with_a, texts_tbl.rename_columns(["doc_id", "text_b"]),
+        key="doc_id", value_cols=["text_b"], probe_key="id_b")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("text_a").to_pylist()
+        b = batch.column("text_b").to_pylist()
+        j = [dedup.ngram_jaccard(x or "", y or "", 3) for x, y in zip(a, b)]
         t = pa.table({"id_a": batch.column("id_a"),
                       "id_b": batch.column("id_b"),
                       "jaccard": pa.array(j, type=pa.float64())})
-        return t.filter(pc.greater_equal(t.column("jaccard"), self.threshold))
+        return t.filter(pc.greater_equal(t.column("jaccard"), threshold))
 
-
-def _exact_jaccard_verify(cands, sf_dir: str):
-    import pyarrow.parquet as pq
-    import ray
-    from malli_ray.stages import cached_stage
-    tt = pq.read_table(f"{sf_dir}/documents.parquet",
-                       columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(tt.column("doc_id").to_pylist(),
-                                 tt.column("text").to_pylist())))
-    return cands.map_batches(cached_stage(_ExactJaccardVerify, ref=texts_ref),
-                             batch_format="pyarrow")
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 
-def _q_near_dup_pairs_exact(sf_dir: str):
+def _q_near_dup_pairs_exact(sf_dir: str, bands: int = 32, num_perm: int = 64):
     """MinHash LSH candidates -> EXACT word-3-gram Jaccard verify >= 0.5.
 
-    High-recall LSH setting (r=2, b=64: miss prob <= 0.75^64 ~ 1e-8 at
-    j=0.5) with a low candidate threshold, then the exact ngram_jaccard
-    verifier — so the result equals the brute-force SQL oracle.  The
-    pair-verify side fetches texts from a broadcast dict (small table at
-    oracle scale; at 100 TB this becomes a shuffle join on id).  The default
-    near-dup pipeline (minhash_dedup_documents) keeps the scale-friendly
-    r=8/b=16 banding.
+    High-recall LSH setting (r=2, b=32: miss prob <= 0.75^32 ~ 1e-4 at the
+    j=0.5 decision boundary; the synthetic corpora's true near-dup pairs all
+    sit at j >= 0.8 where the bound is 0.36^32 ~ 7e-15 — verified band-for-
+    band against the brute-force oracle at sf0.01 AND sf0.1) with a low
+    candidate threshold, then the exact ngram_jaccard verifier — so the
+    result equals the brute-force SQL oracle.  Raise ``bands`` (and
+    ``num_perm = 2*bands``) for a tighter boundary guarantee; r=2/b=64
+    restores the ~1e-8 bound at 2x the shuffle.  ``fail_on_truncation``
+    makes any cap that would drop a candidate pair RAISE — exactness runs
+    fail loudly instead of returning a quietly incomplete pair set.  The
+    default near-dup pipeline (minhash_dedup_documents) keeps the
+    scale-friendly r=8/b=16 banding.
     """
     from malli_ray.stages import dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = ds.count()  # parquet metadata, no scan
-    # hash_buckets is a PER-BAND modulus: total groups ~ bands x buckets;
-    # target ~50 band-rows per group => buckets ~ n_docs / 50.  max_bucket
-    # must stay above the expected folded group size (n_docs / buckets,
-    # ~50 here) or truncation would void the exactness guarantee — 8192
-    # leaves ~160x headroom for skewed buckets.
-    buckets = max(16, min(65536, n_docs // 50))
+    # hash_buckets is a PER-BAND modulus: total groups ~ bands x buckets.
+    # Folding only bounds GROUP COUNT (pairwise work happens per ORIGINAL
+    # bucket inside each group), so size for ~1000 band-rows per folded
+    # group; max_bucket bounds each original bucket and the run RAISES on
+    # any truncation (fail_on_truncation).
+    buckets = max(8, min(65536, n_docs // 1000))
     cands = dedup.minhash_lsh_candidates(ds, "text", "doc_id", threshold=0.2,
-                                         num_perm=128, bands=64,
+                                         num_perm=num_perm, bands=bands,
                                          hash_buckets=buckets,
-                                         max_bucket=8192)
+                                         max_bucket=8192,
+                                         fail_on_truncation=True,
+                                         dedupe=False)
     return _exact_jaccard_verify(cands, sf_dir)
 
 

@@ -59,11 +59,10 @@ def uniqueness_violations(ds: Dataset, key: str) -> Dataset:
     return totals.filter(expr="cnt > 1")
 
 
-def first_per_key(ds: Dataset, key: str) -> Dataset:
-    """Exact dedup: keep one row per key (smallest by sort within group)."""
-    def pick_first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-    return ds.groupby(key).map_groups(pick_first, batch_format="pyarrow")
+# NOTE: a full-payload `first_per_key` groupby used to live here; deleted
+# because it shuffled whole rows. For keep-one-per-key semantics use
+# stages.dedup.exact_dedup_keep_first (key-only shuffle) and filter the
+# corpus by the resulting id set (broadcast is_in / semi_join).
 
 
 class ReferentialCheck:

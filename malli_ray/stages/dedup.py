@@ -153,21 +153,48 @@ class MinHasher:
     def signatures(self, texts: list[str]) -> np.ndarray:
         """(n_docs, num_perm) uint64 signature matrix.
 
-        One (total_shingles x num_perm) universal-hash matrix for the WHOLE
-        batch, then a single segmented min (np.minimum.reduceat) per batch —
-        no per-document Python loop."""
+        Fully vectorized: polars extract_all + shifted concat_str builds
+        every word-k-shingle for the WHOLE batch (no per-document Python
+        loop), hashes them in one pass, then a single segmented min
+        (np.minimum.reduceat) per permutation.  Bitwise-identical to the
+        per-doc ``_word_shingles`` construction (tested)."""
         import polars as pl
-        all_shingles: list[str] = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            sh = _word_shingles(t, self.shingle_k)
-            counts[i] = len(sh)
-            all_shingles.extend(sh)
+        n = len(texts)
         M = np.uint64(_MERSENNE)
-        if not all_shingles:
-            return np.full((len(texts), self.num_perm), M, dtype=np.uint64)
-        base = pl.Series(all_shingles).hash(seed=7).to_numpy().astype(np.uint64)
+        if n == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        k = self.shingle_k
+        s = pl.Series("t", texts, dtype=pl.Utf8).fill_null("")
+        words = s.str.extract_all(_WORD_RE.pattern)
+        wc = words.list.len().to_numpy().astype(np.int64)
+        # counts: docs with >= k words emit wc-k+1 shingles; shorter docs
+        # emit ONE shingle (all words joined; "" when empty) — the
+        # _word_shingles contract
+        long_mask = wc >= k
+        counts = np.where(long_mask, wc - k + 1, 1)
         starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        total = int(counts.sum())
+        base = np.empty(total, dtype=np.uint64)
+        if long_mask.any():
+            lf = (pl.DataFrame({"w": words})
+                  .lazy().with_row_index("doc")
+                  .explode("w", empty_as_null=True))
+            cols = [pl.col("w")] + [pl.col("w").shift(-i).over("doc")
+                                    for i in range(1, k)]
+            # concat_str yields null when any shifted word is null (the
+            # trailing k-1 positions of each doc) — exactly the shingles
+            # that don't exist
+            sh = (lf.select(pl.concat_str(cols, separator=" ").alias("s"))
+                  .collect()["s"].drop_nulls())
+            h_long = sh.hash(seed=7).to_numpy().astype(np.uint64)
+            lc = counts[long_mask]
+            offs = (np.arange(len(h_long))
+                    - np.repeat(np.cumsum(lc) - lc, lc))
+            base[np.repeat(starts[long_mask], lc) + offs] = h_long
+        if (~long_mask).any():
+            short = words.list.join(" ")
+            h_short = short.hash(seed=7).to_numpy().astype(np.uint64)
+            base[starts[~long_mask]] = h_short[~long_mask]
         # per-permutation column loop: one (n_shingles,) fused multiply-add-
         # mod + segmented min per permutation — ~4x faster than the
         # (n_shingles, num_perm) broadcast matrix (stays in cache, avoids a
@@ -222,6 +249,8 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
                            intra_closure_cap: int = 256,
                            cross_closure_cap: int = 1024,
                            hash_buckets: int | None = None,
+                           fail_on_truncation: bool = False,
+                           dedupe: bool = True,
                            concurrency=None) -> Dataset:
     """Near-duplicate pairs (id_a, id_b, est_jaccard >= threshold) over
     DISTINCT contents.
@@ -238,13 +267,22 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
     ``hash_buckets``: when set, band hashes fold modulo this count so the
     shuffle produces at most bands x hash_buckets GROUPS instead of one
     micro-group per distinct band hash — per-group task overhead dominates
-    wall time for high-band configs (e.g. the r=2/b=64 exactness setting).
-    Folded bucket-sharing pairs still face the same ``threshold`` signature
-    filter, so folding adds candidates rather than losing them — PROVIDED
-    folded groups stay under ``max_bucket`` (expected group size is
-    n_docs / hash_buckets; size hash_buckets ~ n_docs / 50 and keep
-    max_bucket comfortably above that ratio, or oversize groups truncate
-    with a logged warning and pairs can be lost).
+    wall time for high-band configs (e.g. the r=2/b=32 exactness setting).
+    The ORIGINAL band hash rides along as a payload column and signatures
+    are compared only within original buckets, so folding changes neither
+    the candidate set nor the per-bucket cost — only the group count.
+    ``max_bucket`` applies per ORIGINAL bucket in either mode.
+
+    ``fail_on_truncation``: exactness mode — any cap that would silently
+    drop candidate pairs (bucket truncation, closure fallbacks) RAISES
+    instead of logging, so recall-guarantee runs fail loudly rather than
+    returning a quietly incomplete pair set.
+
+    ``dedupe``: a pair can fire in several bands; by default a final
+    groupby keeps it once (the scale path).  ``dedupe=False`` skips that
+    all-to-all and returns the raw per-band pairs — callers that pull the
+    (small) pairs table to the driver anyway (e.g. the exactness verify)
+    dedupe there and save one shuffle.
     """
     from . import cached_stage, concurrency_kwargs
     band_ds = ds.map_batches(
@@ -252,9 +290,16 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
                      num_perm=num_perm, shingle_k=shingle_k, bands=bands),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
     if hash_buckets:
+        # fold the shuffle KEY modulo hash_buckets (bounds the number of
+        # groupby groups — per-group task overhead dominates otherwise) but
+        # carry the ORIGINAL band hash as a payload column: emit_pairs
+        # compares signatures only WITHIN original buckets, so folding never
+        # mixes unrelated documents into one pairwise-verify matrix (that
+        # u^2 blowup made folded groups quadratically expensive).
         def fold(batch: pa.Table) -> pa.Table:
             h = batch.column("band_hash").to_numpy(zero_copy_only=False)
             folded = pa.array(h % np.int64(hash_buckets))
+            batch = batch.append_column("bh_orig", batch.column("band_hash"))
             return batch.set_column(
                 batch.schema.get_field_index("band_hash"), "band_hash", folded)
         band_ds = band_ds.map_batches(fold, batch_format="pyarrow")
@@ -267,14 +312,10 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
         n = group.num_rows
         if n < 2:
             return empty
-        ids = group.column("id").to_pylist()
+        all_ids = group.column("id").to_pylist()
         sig_col = group.column("sig").to_pylist()
-        sigs = np.frombuffer(b"".join(sig_col), dtype=np.uint8).reshape(n, -1)
-        uniq, reps, inverse = _collapse_identical(sigs, ids)
-        u = len(uniq)
-        members: list[list] = [[] for _ in range(u)]
-        for row_i, g in enumerate(inverse):
-            members[g].append(ids[row_i])
+        all_sigs = np.frombuffer(b"".join(sig_col), dtype=np.uint8).reshape(n, -1)
+        band_is_zero = group.column("band")[0].as_py() == 0
         a_out, b_out, j_out = [], [], []
 
         def emit(x, y, est):
@@ -285,76 +326,117 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
             b_out.append(hi)
             j_out.append(est)
 
-        # identical-signature members (incl. exact duplicates): full pairwise
-        # closure while the cluster is small; adversarial clusters fall back
-        # to O(k) rep-member pairs with a LOGGED closure truncation.
-        # Identical sigs share EVERY band's bucket, so emit only in band 0
-        # (bands x less duplicate shuffle traffic).
-        if n > u and group.column("band")[0].as_py() == 0:
-            for g in range(u):
-                mem = members[g]
-                k = len(mem)
-                if k < 2:
-                    continue
-                if k <= intra_closure_cap:
-                    for i in range(k):
-                        for j in range(i + 1, k):
-                            emit(mem[i], mem[j], 1.0)
+        def process_bucket(ids: list, sigs: np.ndarray):
+            """Pairwise verify ONE original (band, band_hash) bucket."""
+            uniq, reps, inverse = _collapse_identical(sigs, ids)
+            u = len(uniq)
+            members: list[list] = [[] for _ in range(u)]
+            for row_i, g in enumerate(inverse):
+                members[g].append(ids[row_i])
+            # identical-signature members (incl. exact duplicates): full
+            # pairwise closure while the cluster is small; adversarial
+            # clusters fall back to O(k) rep-member pairs with a LOGGED
+            # closure truncation.  Identical sigs share EVERY band's bucket,
+            # so emit only in band 0 (bands x less duplicate traffic).
+            if len(ids) > u and band_is_zero:
+                for g in range(u):
+                    mem = members[g]
+                    k = len(mem)
+                    if k < 2:
+                        continue
+                    if k <= intra_closure_cap:
+                        for i in range(k):
+                            for j in range(i + 1, k):
+                                emit(mem[i], mem[j], 1.0)
+                    elif fail_on_truncation:
+                        raise RuntimeError(
+                            f"minhash exactness run: identical-sig cluster "
+                            f"of {k} members exceeds intra_closure_cap="
+                            f"{intra_closure_cap}; raise the cap")
+                    else:
+                        logger.warning(
+                            "minhash identical-sig cluster of %d members > "
+                            "closure cap %d: emitting rep-member pairs only "
+                            "(%d of %d pairs)", k, intra_closure_cap, k - 1,
+                            k * (k - 1) // 2)
+                        rep = reps[g]
+                        for rid in mem:
+                            emit(rep, rid, 1.0)
+            if u > max_bucket:
+                if fail_on_truncation:
+                    raise RuntimeError(
+                        f"minhash exactness run: bucket with {u} distinct "
+                        f"signatures exceeds max_bucket={max_bucket}; raise "
+                        f"max_bucket")
+                logger.warning(
+                    "minhash bucket truncated: %d distinct signatures > "
+                    "max_bucket=%d; dropping %d", u, max_bucket,
+                    u - max_bucket)
+                order = sorted(range(u), key=lambda i: reps[i])[:max_bucket]
+                uniq = uniq[order]
+                reps = [reps[i] for i in order]
+                members = [members[i] for i in order]
+                u = max_bucket
+            if u < 2:
+                return
+            # vectorized pairwise agreement: (u, u) fraction-equal matrix
+            # from a broadcast equality sum (u^2 * P bytes, <= max_bucket^2)
+            eq_counts = np.zeros((u, u), dtype=np.int32)
+            P = uniq.shape[1]
+            chunk = max(1, (1 << 24) // max(1, u * P))  # ~16MB temp per slab
+            for s in range(0, u, chunk):
+                e = min(u, s + chunk)
+                eq_counts[s:e] = (uniq[s:e, None, :] == uniq[None, :, :]).sum(axis=2)
+            est = eq_counts.astype(np.float64) / P
+            ii, jj = np.nonzero(np.triu(est >= threshold, k=1))
+            for i, j in zip(ii.tolist(), jj.tolist()):
+                e = float(est[i, j])
+                mi, mj = members[i], members[j]
+                # cross-group expansion: every member of an identical-sig
+                # group shares its signature, so each member pair is a
+                # candidate; cap the cross product with a LOGGED fallback
+                if len(mi) * len(mj) <= cross_closure_cap:
+                    for x in mi:
+                        for y in mj:
+                            emit(x, y, e)
+                elif fail_on_truncation:
+                    raise RuntimeError(
+                        f"minhash exactness run: cross-group expansion "
+                        f"{len(mi)}x{len(mj)} exceeds cross_closure_cap="
+                        f"{cross_closure_cap}; raise the cap")
                 else:
                     logger.warning(
-                        "minhash identical-sig cluster of %d members > "
-                        "closure cap %d: emitting rep-member pairs only "
-                        "(%d of %d pairs)", k, intra_closure_cap, k - 1,
-                        k * (k - 1) // 2)
-                    rep = reps[g]
-                    for rid in mem:
-                        emit(rep, rid, 1.0)
-        if u > max_bucket:
-            logger.warning(
-                "minhash bucket truncated: %d distinct signatures > "
-                "max_bucket=%d (band=%s hash=%s); dropping %d",
-                u, max_bucket, group.column("band")[0], group.column("band_hash")[0],
-                u - max_bucket)
-            order = sorted(range(u), key=lambda i: reps[i])[:max_bucket]
-            uniq = uniq[order]
-            reps = [reps[i] for i in order]
-            members = [members[i] for i in order]
-            u = max_bucket
-        # vectorized pairwise agreement: (u, u) fraction-equal matrix from a
-        # broadcast equality sum (u^2 * P bytes, bounded by max_bucket)
-        eq_counts = np.zeros((u, u), dtype=np.int32)
-        P = uniq.shape[1]
-        chunk = max(1, (1 << 24) // max(1, u * P))  # ~16MB temp per slab
-        for s in range(0, u, chunk):
-            e = min(u, s + chunk)
-            eq_counts[s:e] = (uniq[s:e, None, :] == uniq[None, :, :]).sum(axis=2)
-        est = eq_counts.astype(np.float64) / P
-        ii, jj = (np.nonzero(np.triu(est >= threshold, k=1))
-                  if u >= 2 else (np.array([], dtype=np.int64),) * 2)
-        if not len(ii) and not a_out:
+                        "minhash cross-group expansion %dx%d > cap %d: "
+                        "emitting representative pair only",
+                        len(mi), len(mj), cross_closure_cap)
+                    emit(reps[i], reps[j], e)
+
+        if "bh_orig" in group.schema.names:
+            # folded group: subgroup by the ORIGINAL band hash — only rows
+            # sharing it are real candidates; skip singleton subgroups (the
+            # vast majority) without any per-row Python
+            bh = group.column("bh_orig").to_numpy(zero_copy_only=False)
+            order = np.argsort(bh, kind="stable")
+            sb = bh[order]
+            bounds = np.nonzero(np.concatenate(([True], sb[1:] != sb[:-1])))[0]
+            bounds = np.append(bounds, n)
+            for s, e in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+                if e - s < 2:
+                    continue
+                idx = order[s:e]
+                process_bucket([all_ids[i] for i in idx], all_sigs[idx])
+        else:
+            process_bucket(all_ids, all_sigs)
+        if not a_out:
             return empty
-        for i, j in zip(ii.tolist(), jj.tolist()):
-            e = float(est[i, j])
-            mi, mj = members[i], members[j]
-            # cross-group expansion: every member of an identical-sig group
-            # shares its signature, so each member pair is a candidate; cap
-            # the cross product with a LOGGED rep-only fallback
-            if len(mi) * len(mj) <= cross_closure_cap:
-                for x in mi:
-                    for y in mj:
-                        emit(x, y, e)
-            else:
-                logger.warning(
-                    "minhash cross-group expansion %dx%d > cap %d: "
-                    "emitting representative pair only",
-                    len(mi), len(mj), cross_closure_cap)
-                emit(reps[i], reps[j], e)
         return pa.table({"id_a": pa.array(a_out, type=id_type),
                          "id_b": pa.array(b_out, type=id_type),
                          "est_jaccard": pa.array(j_out, type=pa.float64())})
 
     pairs = band_ds.groupby(["band", "band_hash"]).map_groups(
         emit_pairs, batch_format="pyarrow")
+    if not dedupe:
+        return pairs
     # distinct pairs (a pair can fire in multiple bands)
     from ray.data.aggregate import Max
     return pairs.groupby(["id_a", "id_b"]).aggregate(
@@ -370,12 +452,20 @@ class SimHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import polars as pl
-        texts = batch.column(self.text_column).to_pylist()
-        words_per_doc = [(_WORD_RE.findall(t or "") or [""]) for t in texts]
-        counts = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
-                             count=len(words_per_doc))
-        flat = [w for ws in words_per_doc for w in ws]
-        h = pl.Series(flat).hash(seed=11).to_numpy().astype(np.uint64)
+        col = batch.column(self.text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return batch.append_column(self.out,
+                                       pa.array([], type=pa.uint64()))
+        # vectorized word extraction (no per-doc regex loop): empty docs
+        # count one "" word — explode emits a null row for an empty list,
+        # fill_null restores the placeholder
+        words = pl.from_arrow(col).fill_null("").str.extract_all(
+            _WORD_RE.pattern)
+        counts = np.maximum(words.list.len().to_numpy().astype(np.int64), 1)
+        h = (words.explode(empty_as_null=True).fill_null("").hash(seed=11)
+             .to_numpy().astype(np.uint64))
         bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
                              bitorder="little").astype(np.int32)  # (n_words, 64)
         votes = bits * 2 - 1
@@ -699,13 +789,15 @@ def dedup_by_clusters(ds: Dataset, id_column: str,
     class _DropMembers:
         def __init__(self, ref):
             drop_ids = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.drop = list(drop_ids)
+            # value_set built ONCE per worker — per-batch __call__ only runs
+            # the is_in kernel (the constraints.py ReferentialCheck pattern)
+            self.drop_arr = pa.array(sorted(drop_ids, key=_sort_key))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            # vectorized anti-membership (the constraints.py is_in pattern)
+            if len(self.drop_arr) == 0:
+                return batch
             mask = pa.compute.invert(pa.compute.is_in(
-                batch.column(id_column),
-                value_set=pa.array(list(self.drop))))
+                batch.column(id_column), value_set=self.drop_arr))
             return batch.filter(pa.compute.fill_null(mask, True))
 
     return ds.map_batches(cached_stage(_DropMembers, ref=drop_ref),

@@ -78,7 +78,10 @@ class ParseBatch:
             masks = self._orn_masks(arr.type)
             branch_masks = [m(arr) for (_, m) in masks]
             # malli orn parse order: FIRST branch whose parser succeeds wins
-            tag = np.select(branch_masks, [k for (k, _) in masks],
+            # stringify keys so non-string :orn entry keys (e.g. ints) do
+            # not break pa.array(..., type=pa.string()); matches the row
+            # fallback's str(out.key) and UnparseBatch's str(k)->k map.
+            tag = np.select(branch_masks, [str(k) for (k, _) in masks],
                             default=None)
             matched = np.zeros(n, dtype=bool)
             for bm in branch_masks:

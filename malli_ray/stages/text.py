@@ -246,36 +246,84 @@ class Fingerprinter:
         self.word_re = re.compile(r"[^\t\n\f\r ]+")  # RE2-compatible ASCII \S
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_column).to_pylist()
-        words_per_doc = [(self.word_re.findall(t or "") or [""]) for t in texts]
-        flat = [w for ws in words_per_doc for w in ws]
-        h = hash64(flat, seed=13)
-        counts = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
-                             count=len(words_per_doc))
+        """Whole-batch vectorized winnowing: polars word extraction, one
+        flat rolling-hash pass, segmented sliding-window minima and a
+        lexsort-deduped segmented XOR — no per-document Python loop
+        (bitwise-identical to the per-doc construction, tested)."""
+        import polars as pl
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        n_docs = batch.num_rows
+        if n_docs == 0:
+            return batch.append_column(self.out,
+                                       pa.array([], type=pa.uint64()))
+        col = batch.column(self.text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = pl.from_arrow(col).fill_null("")
+        words = s.str.extract_all(self.word_re.pattern)
+        wc = words.list.len().to_numpy().astype(np.int64)
+        # empty docs count one "" word (explode emits a null row for an
+        # empty list — fill_null restores the "" placeholder)
+        counts = np.maximum(wc, 1)
         offsets = np.concatenate(([0], np.cumsum(counts)))
+        h = (words.explode(empty_as_null=True).fill_null("").hash(seed=13)
+             .to_numpy().astype(np.uint64))
         B = np.uint64(1099511628211)
-        out = np.empty(len(texts), dtype=np.uint64)
-        for i in range(len(texts)):
-            hw = h[offsets[i]:offsets[i + 1]]
-            n, k = len(hw), self.ngram
-            if n < k:
-                grams = np.array([hw.sum(dtype=np.uint64)], dtype=np.uint64)
-            else:
-                # rolling polynomial hash over k-grams, vectorized
-                grams = np.zeros(n - k + 1, dtype=np.uint64)
-                for j in range(k):
-                    grams = grams * B + hw[j:n - k + 1 + j]
-            # winnowing: min per sliding window, xor-combined
-            w = min(self.window, len(grams))
-            if w <= 1:
-                mins = grams
-            else:
-                from numpy.lib.stride_tricks import sliding_window_view
-                mins = sliding_window_view(grams, w).min(axis=1)
-            fp = np.uint64(0)
-            for m in np.unique(mins):
-                fp ^= m
-            out[i] = fp
+        k = self.ngram
+        total = int(offsets[-1])
+        # per-doc gram counts: n-k+1 rolling k-grams, or ONE wrap-sum gram
+        # for docs shorter than k words
+        long_mask = counts >= k
+        gc = np.where(long_mask, counts - k + 1, 1)
+        g_off = np.concatenate(([0], np.cumsum(gc)))
+        flat_grams = np.empty(int(g_off[-1]), dtype=np.uint64)
+        if long_mask.any():
+            # one rolling polynomial pass over the flat word hashes; gram
+            # windows that straddle a doc boundary are simply never selected
+            G = np.zeros(total - k + 1, dtype=np.uint64)
+            for j in range(k):
+                G = G * B + h[j:total - k + 1 + j]
+            lc = gc[long_mask]
+            intra = np.arange(int(lc.sum())) - np.repeat(np.cumsum(lc) - lc, lc)
+            flat_grams[np.repeat(g_off[:-1][long_mask], lc) + intra] = \
+                G[np.repeat(offsets[:-1][long_mask], lc) + intra]
+        if (~long_mask).any():
+            sums = np.add.reduceat(h, offsets[:-1])
+            flat_grams[g_off[:-1][~long_mask]] = sums[~long_mask]
+        # winnowing: per-doc sliding-window minima (window w=min(window, g);
+        # g<=w docs contribute their single segment min)
+        W = self.window
+        if W <= 1:
+            mins_flat = flat_grams
+            m_counts = gc
+        else:
+            m_counts = np.where(gc > W, gc - W + 1, 1)
+            m_off = np.concatenate(([0], np.cumsum(m_counts)))
+            mins_flat = np.empty(int(m_off[-1]), dtype=np.uint64)
+            seg_min = np.minimum.reduceat(flat_grams, g_off[:-1])
+            small = gc <= W
+            mins_flat[m_off[:-1][small]] = seg_min[small]
+            big = ~small
+            if big.any():
+                SW = sliding_window_view(flat_grams, W).min(axis=1)
+                bc = m_counts[big]
+                intra = np.arange(int(bc.sum())) - np.repeat(
+                    np.cumsum(bc) - bc, bc)
+                mins_flat[np.repeat(m_off[:-1][big], bc) + intra] = \
+                    SW[np.repeat(g_off[:-1][big], bc) + intra]
+        # XOR of UNIQUE window minima per doc: lexsort by (doc, value),
+        # drop in-doc duplicates, segmented bitwise_xor.reduceat
+        doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), m_counts)
+        order = np.lexsort((mins_flat, doc_ids))
+        sm = mins_flat[order]
+        sd = doc_ids[order]
+        keep = np.empty(len(sm), dtype=bool)
+        keep[0] = True
+        keep[1:] = (sd[1:] != sd[:-1]) | (sm[1:] != sm[:-1])
+        km, kd = sm[keep], sd[keep]
+        starts = np.searchsorted(kd, np.arange(n_docs, dtype=np.int64))
+        out = np.bitwise_xor.reduceat(km, starts)
         return batch.append_column(self.out, pa.array(out, type=pa.uint64()))
 
 
