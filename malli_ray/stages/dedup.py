@@ -716,8 +716,19 @@ def embedding_near_dups(ds: Dataset, emb_column: str, id_column: str,
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
     pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
     from ray.data.aggregate import Max
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
+    deduped = pairs.groupby(["id_a", "id_b"]).aggregate(
         Max("cosine", alias_name="cosine"))
+    # a zero-pair result would otherwise lose its schema entirely (the
+    # aggregate emits no blocks); union one typed empty block so downstream
+    # consumers (and the driver's schema check) always see (id_a, id_b,
+    # cosine).  id type from parquet metadata — no execution triggered.
+    import ray
+    id_type = ds.schema().base_schema.field(id_column).type
+    empty = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], type=id_type),
+        "id_b": pa.array([], type=id_type),
+        "cosine": pa.array([], type=pa.float64())}))
+    return deduped.union(empty)
 
 
 def cluster_pairs(pairs: "Dataset | pa.Table") -> pa.Table:

@@ -1,0 +1,108 @@
+"""Golden-fixture drift guard.
+
+The committed fixtures under fixtures/golden/ are the driver's oracle for
+the hash-based dedup queries (fingerprint/simhash/minhash — deterministic
+functions of text that SQL can't recompute).  This re-derives the sf0.001
+fixtures from the INDEPENDENT per-document implementations in
+tools/make_golden.py and checks (a) the committed parquet still matches the
+derivation and (b) the engine's distributed output still matches the
+fixture — so any engine or generator change that shifts values fails here
+before the driver sees it.
+"""
+
+import importlib.util
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+spec = importlib.util.spec_from_file_location(
+    "make_golden", os.path.join(REPO, "tools", "make_golden.py"))
+make_golden = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(make_golden)
+
+SF = "sf0.001"
+SF_DIR = f"/root/testdata/{SF}"
+GOLD = os.path.join(REPO, "fixtures", "golden", SF)
+
+
+@pytest.fixture(scope="module")
+def docs():
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    return t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+
+
+def _sorted_pandas(tbl, cols):
+    return tbl.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_fingerprint_fixture_rederives(docs):
+    ids, texts = docs
+    want = [str(make_golden.fingerprint_doc(t)) for t in texts]
+    got = pq.read_table(f"{GOLD}/fingerprint_documents.parquet")
+    assert got.column("doc_id").to_pylist() == ids
+    assert got.column("fingerprint").to_pylist() == want
+
+
+def test_simhash_fixture_rederives(docs):
+    ids, texts = docs
+    want = [str(make_golden.simhash_doc(t)) for t in texts]
+    got = pq.read_table(f"{GOLD}/simhash_documents.parquet")
+    assert got.column("doc_id").to_pylist() == ids
+    assert got.column("simhash").to_pylist() == want
+
+
+def test_minhash_fixture_rederives(docs):
+    ids, texts = docs
+    want = make_golden.minhash_pairs(ids, texts)
+    got = pq.read_table(f"{GOLD}/minhash_dedup_documents.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+
+
+def test_simhash_pairs_fixture_rederives(docs):
+    ids, texts = docs
+    want = make_golden.simhash_verified_pairs(ids, texts)
+    got = pq.read_table(f"{GOLD}/near_dup_pairs_simhash.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+
+
+def test_embedding_pairs_fixture_rederives():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    want = make_golden.embedding_pairs(t.column("vec_id").to_pylist(),
+                                       t.column("embedding").to_pylist())
+    got = pq.read_table(f"{GOLD}/embedding_near_dups.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+
+
+@pytest.mark.parametrize("name,cols", [
+    ("fingerprint_documents", ["doc_id", "fingerprint"]),
+    ("simhash_documents", ["doc_id", "simhash"]),
+    ("minhash_dedup_documents", ["id_a", "id_b", "est_jaccard"]),
+    ("near_dup_pairs_simhash", ["id_a", "id_b", "jaccard"]),
+    ("embedding_near_dups", ["id_a", "id_b", "cosine"]),
+])
+def test_engine_matches_fixture(ray_session, name, cols):
+    import __ray_entry__ as entrymod
+    res = entrymod.queries()[name](SF_DIR)
+    gold = pq.read_table(f"{GOLD}/{name}.parquet")
+    if isinstance(res, pa.Table):
+        tbl = res
+    else:
+        batches = list(res.iter_batches(batch_format="pyarrow"))
+        if not batches:
+            assert gold.num_rows == 0
+            # the driver compares schemas even for empty results
+            assert [f.name for f in res.schema().base_schema] == cols
+            return
+        tbl = pa.concat_tables(batches)
+    assert sorted(tbl.column_names) == sorted(cols)
+    a = _sorted_pandas(tbl, cols)
+    b = _sorted_pandas(gold, cols)
+    assert a.shape == b.shape
+    assert a.equals(b), f"{name}: engine output diverged from golden fixture"

@@ -1,0 +1,241 @@
+"""Generate golden-fixture parquet for the hash-based dedup queries.
+
+The fingerprint / simhash / minhash outputs are deterministic functions of
+the document text, but not expressible in ANSI SQL (they depend on polars'
+xxhash kernel), so the driver's DuckDB oracle can't recompute them.  This
+script pins the expected output per scale factor with an INDEPENDENT
+per-document reference implementation (plain Python loops over one doc /
+one pair at a time — the engine's segmented whole-batch kernels are not
+imported), following the golden-value discipline of the reference's
+test/malli/core_test.cljc:238-311.  ``oracle_sql()`` then reads the fixture
+via ``read_parquet`` so the driver hash-checks the engine against it.
+
+Run:  python tools/make_golden.py            # writes fixtures/golden/sf*/
+Algorithm constants below mirror the documented specs in
+malli_ray/stages/dedup.py (MinHasher/SimHasher) and stages/text.py
+(Fingerprinter); the only shared primitive is polars' Series.hash, which is
+the pinned hash kernel both sides are defined in terms of.
+"""
+import os
+import re
+import sys
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORD_RE = re.compile(r"[^\t\n\f\r ]+")  # RE2-compatible ASCII \S
+MERSENNE = (1 << 61) - 1
+
+
+def _words(text):
+    return WORD_RE.findall(text or "") or [""]
+
+
+def _hash_words(words, seed):
+    return pl.Series(words).hash(seed=seed).to_numpy().astype(np.uint64)
+
+
+def fingerprint_doc(text, ngram=4, window=8):
+    """Winnowed rolling-hash fingerprint of ONE document (Schleimer 2003)."""
+    hw = _hash_words(_words(text), seed=13)
+    n, k = len(hw), ngram
+    if n < k:
+        grams = np.array([hw.sum(dtype=np.uint64)], dtype=np.uint64)
+    else:
+        grams = np.zeros(n - k + 1, dtype=np.uint64)
+        B = np.uint64(1099511628211)
+        for j in range(k):
+            grams = grams * B + hw[j:n - k + 1 + j]
+    w = min(window, len(grams))
+    if w <= 1:
+        mins = grams
+    else:
+        mins = np.array([grams[i:i + w].min() for i in range(len(grams) - w + 1)],
+                        dtype=np.uint64)
+    fp = np.uint64(0)
+    for m in np.unique(mins):
+        fp ^= m
+    return int(fp)
+
+
+def simhash_doc(text):
+    """64-bit SimHash of ONE document (Charikar 2002 bit votes)."""
+    h = _hash_words(_words(text), seed=11)
+    fp = np.uint64(0)
+    for bit in range(64):
+        ones = int(((h >> np.uint64(bit)) & np.uint64(1)).sum())
+        if 2 * ones > len(h):
+            fp |= np.uint64(1) << np.uint64(bit)
+    return int(fp)
+
+
+def minhash_signature_doc(text, a, b, shingle_k=3):
+    """(num_perm,) uint64 minhash signature of ONE document."""
+    words = WORD_RE.findall(text or "")
+    if len(words) < shingle_k:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i:i + shingle_k])
+                    for i in range(len(words) - shingle_k + 1)]
+    h = _hash_words(shingles, seed=7)
+    M = np.uint64(MERSENNE)
+    sig = np.empty(len(a), dtype=np.uint64)
+    for j in range(len(a)):
+        sig[j] = ((a[j] * h + b[j]) % M).min()
+    return sig
+
+
+def minhash_pairs(ids, texts, num_perm=128, bands=16, threshold=0.5,
+                  shingle_k=3, seed=42):
+    """Brute-force reconstruction of the LSH candidate set: every pair that
+    shares at least one exact band segment (bucket membership), estimated by
+    the fraction of agreeing low signature bytes (the engine's 1-byte wire
+    signature), kept at est >= threshold.  O(n^2) — fixture scale only."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE, num_perm, dtype=np.uint64)
+    sigs = np.stack([minhash_signature_doc(t, a, b, shingle_k) for t in texts])
+    low = (sigs & np.uint64(0xFF)).astype(np.uint8)
+    r = num_perm // bands
+    n = len(ids)
+    out = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            shares = any(
+                np.array_equal(sigs[i, bb * r:(bb + 1) * r],
+                               sigs[j, bb * r:(bb + 1) * r])
+                for bb in range(bands))
+            if not shares:
+                continue
+            est = float((low[i] == low[j]).mean())
+            if est >= threshold:
+                lo, hi = sorted((ids[i], ids[j]))
+                out.append((lo, hi, est))
+    out.sort()
+    return out
+
+
+def word_jaccard(text_a, text_b, k=3):
+    """Exact word-k-gram Jaccard of two documents."""
+    def grams(text):
+        words = WORD_RE.findall(text or "")
+        if len(words) < k:
+            return {" ".join(words)} if words else {""}
+        return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+    sa, sb = grams(text_a), grams(text_b)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def simhash_verified_pairs(ids, texts, max_hamming=15, n_chunks=16,
+                           threshold=0.5):
+    """Brute-force reconstruction of the simhash near-dup query: every pair
+    sharing at least one exact fingerprint chunk (bucket membership) with
+    hamming <= max_hamming, kept at exact word-3-gram Jaccard >= threshold."""
+    fps = np.array([simhash_doc(t) for t in texts], dtype=np.uint64)
+    chunk_bits = 64 // n_chunks
+    mask = np.uint64((1 << chunk_bits) - 1)
+    n = len(ids)
+    out = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            x = int(fps[i] ^ fps[j])
+            shares = any(
+                (fps[i] >> np.uint64(c * chunk_bits)) & mask
+                == (fps[j] >> np.uint64(c * chunk_bits)) & mask
+                for c in range(n_chunks))
+            if not shares or bin(x).count("1") > max_hamming:
+                continue
+            jac = word_jaccard(texts[i], texts[j])
+            if jac >= threshold:
+                lo, hi = sorted((ids[i], ids[j]))
+                out.append((lo, hi, jac))
+    out.sort()
+    return out
+
+
+def embedding_pairs(ids, embs, threshold=0.95, n_planes=12, seed=42):
+    """Brute-force reconstruction of the hyperplane-LSH near-dup query:
+    pairs sharing a sign-pattern bucket with exact cosine >= threshold
+    (cosine in float64 over float32-rounded unit vectors — the wire
+    precision the engine shuffles)."""
+    emb = np.asarray(embs, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((emb.shape[1], n_planes))
+    signs = (emb @ planes) > 0
+    bucket = (signs.astype(np.int64)
+              << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+    norm = np.linalg.norm(emb, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    unit = (emb / norm).astype(np.float32).astype(np.float64)
+    out = []
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if bucket[i] != bucket[j]:
+                continue
+            cos = float(unit[i] @ unit[j])
+            if cos >= threshold:
+                lo, hi = sorted((ids[i], ids[j]))
+                out.append((lo, hi, cos))
+    out.sort()
+    return out
+
+
+def main(sfs=("sf0.001", "sf0.01")):
+    for sf in sfs:
+        src = f"/root/testdata/{sf}/documents.parquet"
+        docs = pq.read_table(src, columns=["doc_id", "text"])
+        ids = docs.column("doc_id").to_pylist()
+        texts = docs.column("text").to_pylist()
+        outdir = os.path.join(REPO, "fixtures", "golden", sf)
+        os.makedirs(outdir, exist_ok=True)
+
+        fp = [str(fingerprint_doc(t)) for t in texts]
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "fingerprint": pa.array(fp, type=pa.string())}),
+            os.path.join(outdir, "fingerprint_documents.parquet"))
+
+        sh = [str(simhash_doc(t)) for t in texts]
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "simhash": pa.array(sh, type=pa.string())}),
+            os.path.join(outdir, "simhash_documents.parquet"))
+
+        pairs = minhash_pairs(ids, texts)
+        pq.write_table(
+            pa.table({"id_a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                      "id_b": pa.array([p[1] for p in pairs], type=pa.int64()),
+                      "est_jaccard": pa.array([p[2] for p in pairs],
+                                              type=pa.float64())}),
+            os.path.join(outdir, "minhash_dedup_documents.parquet"))
+        spairs = simhash_verified_pairs(ids, texts)
+        pq.write_table(
+            pa.table({"id_a": pa.array([p[0] for p in spairs], type=pa.int64()),
+                      "id_b": pa.array([p[1] for p in spairs], type=pa.int64()),
+                      "jaccard": pa.array([p[2] for p in spairs],
+                                          type=pa.float64())}),
+            os.path.join(outdir, "near_dup_pairs_simhash.parquet"))
+
+        et = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+        eids = et.column("vec_id").to_pylist()
+        epairs = embedding_pairs(eids, et.column("embedding").to_pylist())
+        pq.write_table(
+            pa.table({"id_a": pa.array([p[0] for p in epairs], type=pa.int64()),
+                      "id_b": pa.array([p[1] for p in epairs], type=pa.int64()),
+                      "cosine": pa.array([p[2] for p in epairs],
+                                         type=pa.float64())}),
+            os.path.join(outdir, "embedding_near_dups.parquet"))
+        print(f"{sf}: {len(fp)} fingerprints, {len(sh)} simhashes, "
+              f"{len(pairs)} minhash pairs, {len(spairs)} simhash pairs, "
+              f"{len(epairs)} embedding pairs -> {outdir}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ("sf0.001", "sf0.01"))
