@@ -273,17 +273,38 @@ def _resolve(template: Any, error: dict, options: dict) -> str | None:
     return str(template)
 
 
+def _entry_message(entry: Any, error: dict, options: dict) -> str | None:
+    """Resolve one catalog entry: either a bare template (string / locale
+    dict / callable) or a properties-shaped map ``{"error/fn": ...,
+    "error/message": ...}`` as in the reference's default-errors
+    (error.cljc:44-60)."""
+    if entry is None:
+        return None
+    if isinstance(entry, dict) and ("error/message" in entry
+                                    or "error/fn" in entry):
+        msg = None
+        if entry.get("error/fn") is not None:
+            msg = _resolve(entry["error/fn"], error, options)
+        if msg is None:
+            msg = _resolve(entry.get("error/message"), error, options)
+        return msg
+    return _resolve(entry, error, options)
+
+
 def error_message(error: dict, options: dict | None = None) -> str:
     """Resolve one error to a human message.
 
     Resolution chain (error.cljc:293-310): schema :error/message ->
     schema :error/fn -> catalog by error :type -> catalog by schema type ->
-    "unknown error".
+    "unknown error".  An ``options["errors"]`` map REPLACES the default
+    catalog (reference ``:or {errors default-errors}`` — no merge), keyed
+    by plain error/schema type with properties-shaped entries.
     """
     options = options or {}
     if error.get("message"):
         return error["message"]  # pre-resolved (e.g. with_spell_checking)
     props = _schema_properties(error)
+    cat = options.get("errors")
     # :error/fn wins over :error/message when both present
     # (error_test.cljc:21; resolution chain error.cljc:293-310)
     msg = None
@@ -292,13 +313,22 @@ def error_message(error: dict, options: dict | None = None) -> str:
     if msg is None:
         msg = _resolve(props.get("error/message"), error, options)
     if msg is None and error.get("type"):
-        msg = _resolve(MESSAGE_CATALOG.get(("type", error["type"])), error, options)
+        entry = (cat.get(error["type"]) if cat is not None
+                 else MESSAGE_CATALOG.get(("type", error["type"])))
+        msg = _entry_message(entry, error, options)
     if msg is None:
         s = error.get("schema")
         if isinstance(s, Schema):
-            msg = _resolve(MESSAGE_CATALOG.get(("schema", s.type)), error, options)
+            entry = (cat.get(s.type) if cat is not None
+                     else MESSAGE_CATALOG.get(("schema", s.type)))
+            msg = _entry_message(entry, error, options)
     if msg is None and not options.get("unknown", True):
         return None
+    if cat is not None:
+        # custom catalog supplies its own ::unknown (or none at all)
+        if msg is None:
+            msg = _entry_message(cat.get("malli.error/unknown"), error, options)
+        return msg if msg is not None else _UNKNOWN
     return msg if msg is not None else _UNKNOWN
 
 
