@@ -191,11 +191,13 @@ def _gen_base(sc: Schema, rng, size: int, depth: int) -> Any:
                 return cand
         raise SchemaError(f"cannot generate for :fn schema")
     if isinstance(sc, WrapperSchema):
-        # recursive-ref sizing (generator.cljc "Approach for recursive
-        # generators"): halve the size budget on every deref so recursive
-        # schemas produce LINEARLY sized values, not exponential trees;
-        # depth cap + _shallow_default terminate the recursion.
-        return _gen(sc.deref(), rng, max(0, size // 2), depth + 1)
+        # plain wrappers ([:schema X], named registry aliases) are not the
+        # recursion point — pass the size budget through unchanged so a
+        # wrapped schema generates the same distribution as the unwrapped
+        # one; only :ref derefs (below) halve, which is what bounds
+        # recursive schemas to LINEAR size (generator.cljc "Approach for
+        # recursive generators").
+        return _gen(sc.deref(), rng, size, depth + 1)
     if isinstance(sc, (CatSchema, AltSchema, RepeatSchema)):
         return _gen_seq_regex(sc, rng, size, depth)
 

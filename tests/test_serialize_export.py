@@ -177,6 +177,22 @@ def test_gen_recursive_ref_sized():
         assert depth(v) <= 12
 
 
+def test_gen_wrapper_preserves_size():
+    """Non-recursive wrappers ([:schema X] / registry aliases) must NOT
+    shrink the size budget — wrapped and unwrapped schemas generate the
+    same value at the same seed; only :ref derefs halve (ADVICE r2,
+    generator.cljc recursive sizing applies to refs)."""
+    INNER = ["vector", {"min": 1}, "int"]
+    WRAPPED = ["schema", INNER]
+    DOUBLE = ["schema", ["schema", INNER]]
+    ALIAS = ["schema", {"registry": {"Inner": INNER}}, "Inner"]
+    for seed in range(10):
+        base = generate(INNER, seed=seed, size=8)
+        assert generate(WRAPPED, seed=seed, size=8) == base
+        assert generate(DOUBLE, seed=seed, size=8) == base
+        assert generate(ALIAS, seed=seed, size=8) == base
+
+
 def test_old_parse_format():
     """Tag -> [k v], Tags -> plain map, postwalked (m/old-parse-format,
     src/malli/core.cljc:185-195)."""
