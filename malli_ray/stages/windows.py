@@ -126,12 +126,21 @@ def sessionize(ds: Dataset, key: str, ts_col: str, gap_minutes: int,
 def asof_join(left: Dataset, right: Dataset, key: str,
               left_ts: str, right_ts: str,
               right_cols: list[str], suffix: str = "_right",
-              strict: bool = True) -> Dataset:
+              strict: bool = True,
+              left_schema: "pa.Schema | None" = None,
+              right_schema: "pa.Schema | None" = None,
+              num_partitions: int | None = None) -> Dataset:
     """For each left row, attach the right row with the greatest
     ``right_ts`` <= left_ts (``<`` when strict) within the same ``key``.
 
     Left rows with no match keep null right columns. Ties on right_ts break
     to the LAST row in (right_ts, right_cols) sort order (deterministic).
+
+    Pass ``left_schema`` / ``right_schema`` (plain Arrow schemas) when known
+    statically: ``Dataset.schema()`` on a side that already has transforms
+    applied EXECUTES a limit-1 pipeline just to learn dtypes — a whole extra
+    Ray execution per call that the caller can usually provide for free
+    (e.g. from ``pyarrow.parquet.read_schema`` file metadata).
     """
     right_renamed = {c: (c + suffix if c != key else c) for c in
                      [key, right_ts, *right_cols]}
@@ -141,8 +150,10 @@ def asof_join(left: Dataset, right: Dataset, key: str,
     # Explicit common union schema: left columns + renamed right columns +
     # side tag.  Each side fills the other's columns with TYPED nulls so the
     # union never null-fills/upcasts (Arrow int64-with-nulls stays int64).
-    l_schema: pa.Schema = left.schema().base_schema
-    r_schema: pa.Schema = right.schema().base_schema
+    l_schema: pa.Schema = (left_schema if left_schema is not None
+                           else left.schema().base_schema)
+    r_schema: pa.Schema = (right_schema if right_schema is not None
+                           else right.schema().base_schema)
     left_names = list(l_schema.names)
     r_types = {right_renamed[c]: r_schema.field(c).type
                for c in [right_ts, *right_cols]}
@@ -199,4 +210,5 @@ def asof_join(left: Dataset, right: Dataset, key: str,
             cols[c] = pc.take(rrows.column(c), take_idx)
         return pa.table(cols)
 
-    return unioned.groupby(key).map_groups(per_key, batch_format="pyarrow")
+    return (unioned.groupby(key, num_partitions=num_partitions)
+            .map_groups(per_key, batch_format="pyarrow"))
