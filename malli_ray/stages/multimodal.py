@@ -24,6 +24,7 @@ from ray.data import Dataset
 
 __all__ = ["ImageFeatureExtractor", "add_image_features",
            "FrameSampler", "AudioFrameFeatures", "audio_frame_features",
+           "MediaHeaderProbe", "probe_media_headers", "wrap_pcm_wav",
            "suggested_batch_size"]
 
 IMAGE_META_SCHEMA = pa.schema([
@@ -206,6 +207,188 @@ def audio_frame_features(ds: Dataset, payload_column: str = "payload",
         cached_stage(AudioFrameFeatures, payload_column=payload_column,
                      id_column=id_column, format_column=format_column,
                      **kwargs),
+        batch_format="pyarrow", batch_size=batch_size,
+        **concurrency_kwargs(concurrency))
+
+
+def wrap_pcm_wav(pcm_bytes: bytes, sample_rate: int = 16000,
+                 channels: int = 1, bits: int = 16) -> bytes:
+    """Wrap raw PCM bytes in a canonical RIFF/WAVE header (44-byte PCM
+    header, no codec needed). Odd-length payloads are truncated to the
+    sample boundary. Deterministic — usable to synthesize real WAV
+    payloads in tests and pipelines."""
+    block = channels * bits // 8
+    pcm_bytes = pcm_bytes[:len(pcm_bytes) - (len(pcm_bytes) % block)]
+    data_size = len(pcm_bytes)
+    byte_rate = sample_rate * block
+    import struct
+    hdr = (b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels,
+                                   sample_rate, byte_rate, block, bits)
+           + b"data" + struct.pack("<I", data_size))
+    return hdr + pcm_bytes
+
+
+class MediaHeaderProbe:
+    """REAL (dependency-free) media container-header parser.
+
+    Unlike the decode stubs above, container headers need no codec
+    library: PNG IHDR, JPEG SOF, GIF, BMP and RIFF/WAVE ``fmt `` chunks are
+    plain struct layouts, so format detection + dimensions / channels /
+    sample-rate / bit-depth / duration are parsed for real from the payload
+    bytes. The per-payload work is a few dozen byte reads — O(rows), not
+    O(payload bytes) — so the Python loop over rows is not a hot path.
+
+    Output columns appended: ``media_format`` (string | null),
+    ``media_width`` / ``media_height`` / ``media_channels`` /
+    ``media_sample_rate`` / ``media_bit_depth`` (int32 | null),
+    ``media_duration_s`` (float64 | null), ``header_ok`` (bool).
+    """
+
+    def __init__(self, payload_column: str = "payload"):
+        self.payload_column = payload_column
+
+    # -- per-format parsers (return dict of fields or None) ---------------
+    @staticmethod
+    def _png(p: bytes):
+        if len(p) < 26 or p[:8] != b"\x89PNG\r\n\x1a\n" or p[12:16] != b"IHDR":
+            return None
+        w = int.from_bytes(p[16:20], "big")
+        h = int.from_bytes(p[20:24], "big")
+        bit_depth = p[24]
+        color_type = p[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if channels is None or not (0 < w < 2 ** 31 and 0 < h < 2 ** 31):
+            return None
+        return {"media_format": "png", "media_width": w, "media_height": h,
+                "media_channels": channels, "media_bit_depth": bit_depth}
+
+    @staticmethod
+    def _jpeg(p: bytes):
+        if len(p) < 4 or p[:2] != b"\xff\xd8":
+            return None
+        i, n = 2, len(p)
+        while i + 4 <= n:
+            if p[i] != 0xFF:
+                return None
+            marker = p[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+                i += 2
+                continue
+            seg_len = int.from_bytes(p[i + 2:i + 4], "big")
+            if seg_len < 2:
+                return None
+            # SOF0-3, 5-7, 9-11, 13-15 all carry precision+dims
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                if i + 9 > n:
+                    return None
+                precision = p[i + 4]
+                h = int.from_bytes(p[i + 5:i + 7], "big")
+                w = int.from_bytes(p[i + 7:i + 9], "big")
+                channels = p[i + 9] if i + 9 < n else None
+                if not (w and h):
+                    return None
+                return {"media_format": "jpeg", "media_width": w,
+                        "media_height": h, "media_channels": channels,
+                        "media_bit_depth": precision}
+            if marker == 0xDA:  # start of scan: dims should have appeared
+                return None
+            i += 2 + seg_len
+        return None
+
+    @staticmethod
+    def _gif(p: bytes):
+        if len(p) < 10 or p[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        w = int.from_bytes(p[6:8], "little")
+        h = int.from_bytes(p[8:10], "little")
+        if not (w and h):
+            return None
+        return {"media_format": "gif", "media_width": w, "media_height": h}
+
+    @staticmethod
+    def _bmp(p: bytes):
+        if len(p) < 26 or p[:2] != b"BM":
+            return None
+        w = int.from_bytes(p[18:22], "little", signed=True)
+        h = int.from_bytes(p[22:26], "little", signed=True)
+        if w <= 0 or h == 0:
+            return None
+        return {"media_format": "bmp", "media_width": w,
+                "media_height": abs(h)}
+
+    @staticmethod
+    def _wav(p: bytes):
+        if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+            return None
+        i, n = 12, len(p)
+        fields = None
+        data_size = None
+        while i + 8 <= n:
+            cid = p[i:i + 4]
+            csize = int.from_bytes(p[i + 4:i + 8], "little")
+            if cid == b"fmt " and i + 8 + 16 <= n:
+                channels = int.from_bytes(p[i + 10:i + 12], "little")
+                rate = int.from_bytes(p[i + 12:i + 16], "little")
+                byte_rate = int.from_bytes(p[i + 16:i + 20], "little")
+                bits = int.from_bytes(p[i + 22:i + 24], "little")
+                if channels and rate:
+                    fields = {"media_format": "wav",
+                              "media_channels": channels,
+                              "media_sample_rate": rate,
+                              "media_bit_depth": bits,
+                              "_byte_rate": byte_rate}
+            elif cid == b"data":
+                data_size = min(csize, n - (i + 8))  # clamp to actual bytes
+            i += 8 + csize + (csize % 2)  # chunks are word-aligned
+        if fields is None:
+            return None
+        br = fields.pop("_byte_rate", 0)
+        if data_size is not None and br:
+            fields["media_duration_s"] = data_size / br
+        return fields
+
+    _PARSERS = (_png.__func__, _jpeg.__func__, _gif.__func__,
+                _bmp.__func__, _wav.__func__)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_column).to_pylist()
+        cols: dict[str, list] = {k: [] for k in (
+            "media_format", "media_width", "media_height", "media_channels",
+            "media_sample_rate", "media_bit_depth", "media_duration_s",
+            "header_ok")}
+        for p in payloads:
+            p = p or b""
+            parsed = None
+            for parser in self._PARSERS:
+                parsed = parser(p)
+                if parsed is not None:
+                    break
+            parsed = parsed or {}
+            cols["header_ok"].append(bool(parsed))
+            for k in ("media_format", "media_width", "media_height",
+                      "media_channels", "media_sample_rate",
+                      "media_bit_depth", "media_duration_s"):
+                cols[k].append(parsed.get(k))
+        for name, typ in (("media_format", pa.string()),
+                          ("media_width", pa.int32()),
+                          ("media_height", pa.int32()),
+                          ("media_channels", pa.int32()),
+                          ("media_sample_rate", pa.int32()),
+                          ("media_bit_depth", pa.int32()),
+                          ("media_duration_s", pa.float64()),
+                          ("header_ok", pa.bool_())):
+            batch = batch.append_column(name, pa.array(cols[name], type=typ))
+        return batch
+
+
+def probe_media_headers(ds: Dataset, payload_column: str = "payload",
+                        batch_size: int = 256, concurrency=None) -> Dataset:
+    """Actor-pool header-probe stage (real parsing, no codecs)."""
+    from . import cached_stage, concurrency_kwargs
+    return ds.map_batches(
+        cached_stage(MediaHeaderProbe, payload_column=payload_column),
         batch_format="pyarrow", batch_size=batch_size,
         **concurrency_kwargs(concurrency))
 

@@ -422,18 +422,121 @@ class _ContaminationScan:
                          "probe_id": pa.concat_arrays(probe_chunks)})
 
 
+class _ContaminationScanRK:
+    """Multi-pattern literal scan via ONE vectorized Rabin-Karp anchor pass
+    per batch (the automaton alternative to per-probe regex scans).
+
+    Cost is O(batch_bytes * anchor_len) numpy work REGARDLESS of probe
+    count, vs one C substring scan PER probe in ``_ContaminationScan`` —
+    the right shape for large benchmark suites (10^3-10^6 probes).  Exact
+    (no false positives/negatives): every anchor-hash candidate is
+    confirmed byte-for-byte inside the owning document.  Build (anchor
+    hashing, bucket dict) happens once per actor in ``__init__``.
+
+    anchor = first min(min probe length, 16) BYTES of each probe; the
+    rolling hash is evaluated at every byte offset of the batch text, so a
+    probe occurrence always presents its anchor.  Candidates straddling a
+    document boundary fail the fits-in-document check.
+    """
+
+    _B = 1099511628211  # FNV prime, matching the winnowing hash base
+
+    def __init__(self, id_column: str, text_column: str, probes_ref):
+        import ray
+        probes = (ray.get(probes_ref)
+                  if isinstance(probes_ref, ray.ObjectRef) else probes_ref)
+        self.id_column = id_column
+        self.text_column = text_column
+        enc = [(pid, p.encode("utf-8") if isinstance(p, str) else bytes(p))
+               for pid, p in probes]
+        if any(len(p) == 0 for _, p in enc):
+            raise ValueError("contamination probes must be non-empty")
+        self.probe_id_type = (pa.array([pid for pid, _ in enc]).type
+                              if enc else pa.int64())
+        self.A = min([len(p) for _, p in enc] + [16]) if enc else 1
+        by_anchor: dict[int, list] = {}
+        for pid, p in enc:
+            h = 0
+            for b in p[:self.A]:
+                h = (h * self._B + b) & 0xFFFFFFFFFFFFFFFF
+            by_anchor.setdefault(h, []).append((pid, p))
+        self.by_anchor = by_anchor
+        self.anchors = np.sort(np.fromiter(by_anchor.keys(), dtype=np.uint64,
+                                           count=len(by_anchor)))
+
+    def _empty(self, ids: pa.Array) -> pa.Table:
+        return pa.table({self.id_column: pa.array([], type=ids.type),
+                         "probe_id": pa.array([], type=self.probe_id_type)})
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column)
+        if batch.num_rows == 0 or not len(self.anchors):
+            return self._empty(ids)
+        text = batch.column(self.text_column)
+        if pa.types.is_null(text.type):
+            text = text.cast(pa.string())
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        # large_string: int64 offsets into one flat utf-8 buffer (zero-copy
+        # views; pc.match_substring is byte-level too, so semantics match)
+        arr = pc.fill_null(text.cast(pa.large_string()), "")
+        off_buf = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+        offs = off_buf[arr.offset:arr.offset + len(arr) + 1]
+        data_all = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        data = data_all[offs[0]:offs[-1]]
+        offsets = (offs - offs[0]).astype(np.int64)
+        N, A = len(data), self.A
+        if N < A:
+            return self._empty(ids)
+        B = np.uint64(self._B)
+        H = np.zeros(N - A + 1, dtype=np.uint64)
+        d64 = data.astype(np.uint64)
+        for j in range(A):
+            H = H * B + d64[j:N - A + 1 + j]
+        cand = np.flatnonzero(np.isin(H, self.anchors))
+        if not len(cand):
+            return self._empty(ids)
+        mem = data.tobytes()
+        pairs: set[tuple[int, Any]] = set()
+        docs = np.searchsorted(offsets, cand, side="right") - 1
+        for pos, doc in zip(cand.tolist(), docs.tolist()):
+            for pid, p in self.by_anchor.get(int(H[pos]), ()):
+                if (pos + len(p) <= offsets[doc + 1]
+                        and mem[pos:pos + len(p)] == p):
+                    pairs.add((doc, pid))
+        if not pairs:
+            return self._empty(ids)
+        ordered = sorted(pairs)
+        take = pa.array([d for d, _ in ordered], type=pa.int64())
+        return pa.table({
+            self.id_column: pc.take(ids, take),
+            "probe_id": pa.array([pid for _, pid in ordered],
+                                 type=self.probe_id_type)})
+
+
 def contamination_pairs(ds: Dataset, text_column: str, id_column: str,
-                        probes, concurrency=None) -> Dataset:
+                        probes, concurrency=None,
+                        method: str = "auto") -> Dataset:
     """(doc id, probe_id) for every document containing a probe literal.
 
     ``probes``: [(probe_id, literal_string), ...] — broadcast ONCE via
     ray.put and read per actor (never re-shipped per batch). The scan side
-    streams; no shuffle at all."""
+    streams; no shuffle at all.
+
+    ``method``: ``"per-probe"`` (one vectorized substring scan per probe —
+    fastest for O(10-100) probes), ``"rabin-karp"`` (one anchor-hash pass
+    regardless of probe count — the scale path for large suites), or
+    ``"auto"`` (rabin-karp above 64 probes)."""
     import ray
     from . import cached_stage
-    probes_ref = ray.put(list(probes))
+    probes = list(probes)
+    if method == "auto":
+        method = "rabin-karp" if len(probes) > 64 else "per-probe"
+    cls = {"per-probe": _ContaminationScan,
+           "rabin-karp": _ContaminationScanRK}[method]
+    probes_ref = ray.put(probes)
     return ds.map_batches(
-        cached_stage(_ContaminationScan, id_column=id_column,
+        cached_stage(cls, id_column=id_column,
                      text_column=text_column, probes_ref=probes_ref),
         batch_format="pyarrow", **_conc(concurrency))
 

@@ -357,6 +357,71 @@ def test_contamination_pairs(ray_session):
     assert set(none.schema().names) == {"doc_id", "probe_id"}
 
 
+def test_contamination_rabin_karp_parity(ray_session):
+    """The RK anchor-pass scanner is pair-for-pair identical to the
+    per-probe scanner (and to a plain Python `p in text` oracle) on
+    adversarial inputs: shared anchors, boundary-straddling near-matches,
+    unicode, empty/None docs, repeats, probes of different lengths."""
+    import ray.data as rd
+    from malli_ray.stages import text as T
+
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox jumps"},
+        {"doc_id": 1, "text": "quick brown"},          # prefix-only: no hit
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": "naïve café déjà vu ünïcode"},
+        {"doc_id": 5, "text": "abcabcabc abcabd"},     # shared anchor "abcab"
+        {"doc_id": 6, "text": "quick brown fox" * 3},  # repeated probe
+        # straddle bait: doc 7 ends with the anchor prefix, doc 8 starts
+        # with the rest — concatenated they'd contain the probe
+        {"doc_id": 7, "text": "ends with quick br"},
+        {"doc_id": 8, "text": "own fox starts here"},
+        {"doc_id": 9, "text": "ümlaut probe ßharp"},
+    ]
+    probes = [(1, "quick brown fox"), (2, "abcab"), (3, "abcabd"),
+              (4, "café déjà"), (5, "ßharp"), (6, "zz-absent-zz")]
+
+    def oracle():
+        out = set()
+        for r in rows:
+            t = r["text"] or ""
+            for pid, p in probes:
+                if p in t:
+                    out.add((r["doc_id"], pid))
+        return sorted(out)
+
+    ds = rd.from_items(rows)
+    per_probe = sorted((r["doc_id"], r["probe_id"])
+                       for r in T.contamination_pairs(
+                           ds, "text", "doc_id", probes,
+                           method="per-probe").take_all())
+    rk = sorted((r["doc_id"], r["probe_id"])
+                for r in T.contamination_pairs(
+                    ds, "text", "doc_id", probes,
+                    method="rabin-karp").take_all())
+    assert per_probe == rk == oracle()
+    assert (0, 1) in rk and (6, 1) in rk and (7, 1) not in rk
+
+    # real corpus spot check: identical pair sets at sf0.001
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    corpus_probes = [(i, f"probe-{i}") for i in range(3)]
+    # seed from actual text so there ARE hits
+    texts = docs.take(5)
+    corpus_probes += [(10 + i, r["text"][:40]) for i, r in enumerate(texts)
+                      if r["text"] and len(r["text"]) >= 40]
+    a = sorted((r["doc_id"], r["probe_id"])
+               for r in T.contamination_pairs(
+                   docs, "text", "doc_id", corpus_probes,
+                   method="per-probe").take_all())
+    b = sorted((r["doc_id"], r["probe_id"])
+               for r in T.contamination_pairs(
+                   docs, "text", "doc_id", corpus_probes,
+                   method="rabin-karp").take_all())
+    assert a == b and len(a) >= 3
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
     from malli_ray.stages.multimodal import (
@@ -378,6 +443,56 @@ def test_multimodal_plumbing(ray_session):
                             batch_format="pyarrow", concurrency=2).take_all()
     assert len(frames) == 24  # 6 videos x 4 frames
     assert suggested_batch_size(10 * 1024 * 1024) == 51
+
+
+def test_media_header_probe(ray_session):
+    """REAL (dependency-free) container-header parsing: hand-built PNG /
+    JPEG(SOF0 after APP0) / GIF / BMP(top-down negative height) / WAV
+    payloads parse to their exact header fields; garbage and null payloads
+    come back header_ok=False with typed nulls."""
+    import struct
+    import ray.data as rd
+    from malli_ray.stages.multimodal import (
+        MediaHeaderProbe, probe_media_headers, wrap_pcm_wav)
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + bytes([8, 6, 0, 0, 0]) + b"\0" * 8)
+    jpeg = (b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\0" + b"\0" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])
+            + struct.pack(">HH", 480, 640) + bytes([3]) + b"\0" * 10
+            + b"\xff\xd9")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\0" * 4
+    bmp = b"BM" + b"\0" * 16 + struct.pack("<ii", 800, -600) + b"\0" * 10
+    wav = wrap_pcm_wav(b"\x01\x02" * 16000)  # exactly 1 s @ 16 kHz mono 16-bit
+    tbl = pa.table({
+        "id": list(range(7)),
+        "payload": pa.array([png, jpeg, gif, bmp, wav,
+                             b"not a media file", None],
+                            type=pa.large_binary())})
+    rows = {r["id"]: r for r in
+            probe_media_headers(rd.from_arrow(tbl), batch_size=3).take_all()}
+    assert (rows[0]["media_format"], rows[0]["media_width"],
+            rows[0]["media_height"], rows[0]["media_channels"],
+            rows[0]["media_bit_depth"]) == ("png", 640, 480, 4, 8)
+    assert (rows[1]["media_format"], rows[1]["media_width"],
+            rows[1]["media_height"], rows[1]["media_channels"]) == \
+        ("jpeg", 640, 480, 3)
+    assert (rows[2]["media_format"], rows[2]["media_width"],
+            rows[2]["media_height"]) == ("gif", 320, 200)
+    assert (rows[3]["media_format"], rows[3]["media_width"],
+            rows[3]["media_height"]) == ("bmp", 800, 600)
+    assert (rows[4]["media_format"], rows[4]["media_channels"],
+            rows[4]["media_sample_rate"], rows[4]["media_bit_depth"],
+            rows[4]["media_duration_s"]) == ("wav", 1, 16000, 16, 1.0)
+    for bad in (5, 6):
+        assert rows[bad]["header_ok"] is False
+        assert rows[bad]["media_format"] is None
+    # truncated data chunk: duration clamps to the bytes actually present
+    half = wav[:44 + 16000]  # header + 0.5 s of the claimed 1 s
+    got = MediaHeaderProbe()(pa.table(
+        {"payload": pa.array([half], type=pa.large_binary())}))
+    assert got.column("media_duration_s")[0].as_py() == 0.5
 
 
 def test_audio_frame_features(ray_session):
