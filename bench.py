@@ -89,6 +89,7 @@ def run_full_bench(sf_dir: str, num_cpus: int) -> dict:
         "minhash_dedup_documents", "simhash_documents",
         "near_dup_pairs_exact", "parse_events_orn", "asof_prev_event",
         "q1_lineitem", "top_orders", "orders_by_nation", "events_daily",
+        "media_headers_documents",
     ]
     timings: dict[str, float] = {}
 
@@ -107,7 +108,7 @@ def run_full_bench(sf_dir: str, num_cpus: int) -> dict:
     except Exception:
         pass
 
-    for name in bench_queries:
+    def _run_once(name: str) -> float:
         t0 = time.perf_counter()
         out = qfns[name](sf_dir)
         # consume: Datasets are lazy — count() executes the pipeline
@@ -117,7 +118,19 @@ def run_full_bench(sf_dir: str, num_cpus: int) -> dict:
                 out.count()
         except ImportError:
             pass
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return round(time.perf_counter() - t0, 3)
+
+    # two passes per query: `queries` (first pass, comparable to the r1/r2
+    # records) and `queries_steady` (best of the two — the warm steady-state
+    # number a long-running job sees; labeled so the driver's colder number
+    # is interpretable, VERDICT r2 item 8)
+    steady: dict[str, float] = {}
+    for name in bench_queries:
+        t1 = _run_once(name)
+        t2 = _run_once(name)
+        timings[name] = t1
+        steady[name] = min(t1, t2)
+    steady["fused_validation_sequences"] = timings["fused_validation_sequences"]
 
     total = round(sum(timings.values()), 3)
     return {
@@ -126,6 +139,10 @@ def run_full_bench(sf_dir: str, num_cpus: int) -> dict:
                    "pipelines)"),
         "value": total, "unit": "sec", "queries": timings, "sf": sf,
         "num_cpus": num_cpus,
+        "timing": ("per-query first pass after an untimed worker-warmup; "
+                   "queries_steady = best-of-2 warm steady state"),
+        "steady_state_value": round(sum(steady.values()), 3),
+        "queries_steady": steady,
         "throughput": {"fused_rows_per_s": round(fused["rows_per_s"]),
                        "fused_rows": fused["rows"]},
     }
