@@ -813,3 +813,179 @@ def dedup_by_clusters(ds: Dataset, id_column: str,
 
     return ds.map_batches(cached_stage(_DropMembers, ref=drop_ref),
                           batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (C4-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def _explode_lines(texts: pa.Array):
+    """(row_index int64[], lines large_string Array) — one row per '\\n'-split
+    line, nulls as empty text (split always yields >= 1 line per doc)."""
+    import polars as pl
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    s = pl.from_arrow(texts).fill_null("")
+    df = pl.DataFrame({"row": np.arange(len(s), dtype=np.int64),
+                       "line": s.str.split("\n")}).explode("line")
+    lines = df.get_column("line").to_arrow()
+    rows = df.get_column("row").to_numpy()
+    return rows, lines
+
+
+def _line_count_combine(text_column: str):
+    """Map-side combine: per-batch (h1, h2, cnt) of line-content hashes —
+    the shuffle carries hashed line COUNTS, never line text, and a line
+    repeated across the batch collapses to one row before the exchange."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        _, lines = _explode_lines(batch.column(text_column))
+        # int64 bit-pattern view: Ray's groupby round-trips values through
+        # Python ints, where uint64 > 2^63-1 overflows — the view keeps the
+        # shuffle at 16 bytes/key with identical equality semantics
+        h1 = hash64(lines, seed=21).view(np.int64)
+        h2 = hash64(lines, seed=22).view(np.int64)
+        keys = np.stack([h1, h2], axis=1)
+        uniq, counts = np.unique(keys, axis=0, return_counts=True)
+        return pa.table({"h1": pa.array(uniq[:, 0], type=pa.int64()),
+                         "h2": pa.array(uniq[:, 1], type=pa.int64()),
+                         "cnt": pa.array(counts.astype(np.int64))})
+
+    return combine
+
+
+def frequent_line_hashes(ds: Dataset, text_column: str, min_count: int,
+                         max_frequent: int = 5_000_000):
+    """Corpus-wide line-frequency pass: the (h1, h2) hash pairs of every
+    line occurring >= ``min_count`` times.
+
+    Returns ``(h1s, h2s)`` int64 numpy arrays (bit-pattern views of the
+    64-bit hashes; small by construction — boilerplate lines are few
+    relative to the corpus).  Raises when more than ``max_frequent`` lines
+    qualify: truncating the set would silently KEEP lines that should drop,
+    so an oversized result must fail loudly (raise the threshold or the
+    cap)."""
+    partial = ds.map_batches(_line_count_combine(text_column),
+                             batch_format="pyarrow")
+    freq = (partial.groupby(["h1", "h2"])
+            .aggregate(Sum("cnt", alias_name="n"))
+            .filter(expr=f"n >= {int(min_count)}"))
+    parts = [pa.table(b) for b in freq.iter_batches(batch_format="pyarrow")]
+    if not parts:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty
+    tbl = pa.concat_tables(parts)
+    n = tbl.num_rows
+    if n > max_frequent:
+        raise ValueError(
+            f"{n} frequent lines exceed max_frequent={max_frequent}; "
+            "raise min_count or max_frequent (a truncated frequent set "
+            "would silently keep droppable lines)")
+    return (tbl.column("h1").to_numpy().astype(np.int64),
+            tbl.column("h2").to_numpy().astype(np.int64))
+
+
+class _FrequentLineFilter:
+    """Per-batch line filter against a broadcast frequent-hash set.
+
+    Membership is fully vectorized: candidates via np.isin on sorted unique
+    h1, then the paired h2 check through one searchsorted gather (falls back
+    to an exact pair-set probe only if two distinct frequent lines collide
+    on h1 — ~n^2/2^64, effectively never)."""
+
+    def __init__(self, text_column: str, out_column: str,
+                 drop_count_column: str, freq_ref):
+        import ray
+        h1s, h2s = (ray.get(freq_ref)
+                    if isinstance(freq_ref, ray.ObjectRef) else freq_ref)
+        self.text_column = text_column
+        self.out_column = out_column
+        self.drop_count_column = drop_count_column
+        order = np.argsort(h1s, kind="stable")
+        self.h1_sorted = h1s[order]
+        self.h2_for_h1 = h2s[order]
+        self.h1_unique = (len(self.h1_sorted) == 0
+                          or bool(np.all(np.diff(self.h1_sorted) > 0)))
+        self.pair_set = (None if self.h1_unique
+                         else {(int(a), int(b)) for a, b in zip(h1s, h2s)})
+
+    def _drop_mask(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        drop = np.zeros(len(h1), dtype=bool)
+        if not len(self.h1_sorted):
+            return drop
+        cand = np.flatnonzero(np.isin(h1, self.h1_sorted))
+        if not len(cand):
+            return drop
+        if self.h1_unique:
+            pos = np.searchsorted(self.h1_sorted, h1[cand])
+            drop[cand] = self.h2_for_h1[pos] == h2[cand]
+        else:
+            for i in cand.tolist():
+                drop[i] = (int(h1[i]), int(h2[i])) in self.pair_set
+        return drop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        n_docs = batch.num_rows
+        if n_docs == 0:
+            return (batch
+                    .append_column(self.out_column,
+                                   pa.array([], type=pa.string()))
+                    .append_column(self.drop_count_column,
+                                   pa.array([], type=pa.int64())))
+        rows, lines = _explode_lines(batch.column(self.text_column))
+        h1 = hash64(lines, seed=21).view(np.int64)
+        h2 = hash64(lines, seed=22).view(np.int64)
+        drop = self._drop_mask(h1, h2)
+        df = pl.DataFrame({"row": rows,
+                           "line": pl.from_arrow(lines),
+                           "keep": ~drop})
+        kept = (df.filter(pl.col("keep"))
+                .group_by("row")
+                .agg(pl.col("line").str.join("\n").alias("clean")))
+        clean = (pl.DataFrame({"row": np.arange(n_docs, dtype=np.int64)})
+                 .join(kept, on="row", how="left")
+                 .sort("row")
+                 .get_column("clean")
+                 .fill_null(""))
+        dropped = np.bincount(rows[drop], minlength=n_docs).astype(np.int64)
+        out = clean.to_arrow()
+        if out.type != pa.string():
+            out = out.cast(pa.string())
+        return (batch
+                .append_column(self.out_column, out)
+                .append_column(self.drop_count_column, pa.array(dropped)))
+
+
+def drop_frequent_lines(ds: Dataset, text_column: str, min_count: int,
+                        out_column: str = "text_clean",
+                        drop_count_column: str = "n_lines_dropped",
+                        max_frequent: int = 5_000_000,
+                        concurrency=None) -> Dataset:
+    """C4-style line-level dedup: remove every line that occurs >=
+    ``min_count`` times corpus-wide (navigation menus, cookie banners,
+    license boilerplate), keeping document structure otherwise intact.
+
+    Two streaming passes, in the exact-dedup shuffle shape:
+      1. line-hash frequency — map-side combine, (hash, cnt)-only shuffle,
+         small filtered result collected and broadcast ONCE via ray.put;
+      2. per-batch vectorized filter + reassembly (polars split/explode /
+         str.join) — no shuffle at all.
+
+    Appends ``out_column`` (text with frequent lines removed, '' when all
+    lines drop) and ``drop_count_column``.  Line = '\\n'-split segment,
+    compared EXACTLY (128-bit content hash, no normalization) — the same
+    drop set SQL computes by grouping raw lines."""
+    import ray
+    from . import cached_stage, concurrency_kwargs
+    freq = frequent_line_hashes(ds, text_column, min_count,
+                                max_frequent=max_frequent)
+    logger.info("drop_frequent_lines: %d frequent lines (min_count=%d)",
+                len(freq[0]), min_count)
+    freq_ref = ray.put(freq)
+    return ds.map_batches(
+        cached_stage(_FrequentLineFilter, text_column=text_column,
+                     out_column=out_column,
+                     drop_count_column=drop_count_column, freq_ref=freq_ref),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))

@@ -1031,3 +1031,46 @@ def test_cluster_pairs_empty_dataset(ray_session):
     assert clusters.num_rows == 0
     kept = dedup.dedup_by_clusters(ds, "doc_id", clusters).take_all()
     assert sorted(r["doc_id"] for r in kept) == [0, 1, 2, 3]
+
+
+def test_drop_frequent_lines(ray_session):
+    """C4-style line scrub: corpus-frequent lines drop, rare lines keep
+    their order; all-dropped docs become ''; null text behaves as ''."""
+    import ray.data as rd
+    from malli_ray.stages import dedup
+
+    boiler = "accept all cookies"
+    footer = "copyright 2026 example"
+    texts = [f"{boiler}\nunique alpha {i}\n{footer}\nunique beta {i}"
+             for i in range(6)]
+    texts += [boiler, None, "solo line never repeated"]
+    t = pa.table({"doc_id": list(range(len(texts))),
+                  "text": pa.array(texts, type=pa.string())})
+    out = (dedup.drop_frequent_lines(rd.from_arrow(t), "text", min_count=3)
+           .take_all())
+    by_id = {r["doc_id"]: r for r in out}
+    for i in range(6):
+        assert by_id[i]["text_clean"] == f"unique alpha {i}\nunique beta {i}"
+        assert by_id[i]["n_lines_dropped"] == 2
+    assert by_id[6]["text_clean"] == "" and by_id[6]["n_lines_dropped"] == 1
+    assert by_id[7]["text_clean"] == "" and by_id[7]["n_lines_dropped"] == 0
+    assert by_id[8]["text_clean"] == "solo line never repeated"
+    assert by_id[8]["n_lines_dropped"] == 0
+
+
+def test_drop_frequent_lines_empty_freq_and_cap(ray_session):
+    import ray.data as rd
+    from malli_ray.stages import dedup
+
+    t = pa.table({"doc_id": [0, 1], "text": ["a\nb", "c\nd"]})
+    # no line reaches min_count -> identity text, zero drops
+    out = (dedup.drop_frequent_lines(rd.from_arrow(t), "text", min_count=2)
+           .take_all())
+    assert {r["doc_id"]: r["text_clean"] for r in out} == {0: "a\nb",
+                                                           1: "c\nd"}
+    assert all(r["n_lines_dropped"] == 0 for r in out)
+    # oversize frequent set fails loudly instead of truncating
+    dup = pa.table({"doc_id": [0, 1, 2], "text": ["x\ny"] * 3})
+    with pytest.raises(ValueError, match="max_frequent"):
+        dedup.drop_frequent_lines(rd.from_arrow(dup), "text", min_count=2,
+                                  max_frequent=1)
