@@ -565,3 +565,108 @@ def add_repetition(ds: Dataset, text_column: str, out: str = "rep_ratio",
         return batch.append_column(out, ratio.to_arrow().cast(pa.float64()))
 
     return ds.map_batches(rep, batch_format="pyarrow", **_conc(concurrency))
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency LM scoring (unigram quality signal)
+# ---------------------------------------------------------------------------
+
+
+class _FreqScorer:
+    """Per-batch unigram scorer against a broadcast corpus frequency table.
+
+    All per-doc aggregates are INTEGER sums (token count, total corpus
+    frequency, OOV count) so the result is order-deterministic and
+    hash-exact against a SQL oracle; the only float is ONE final IEEE
+    division (total_freq / n_words)."""
+
+    def __init__(self, text_column: str, id_column: str, vocab_ref,
+                 min_count: int):
+        import polars as pl
+        import ray
+        vocab = (ray.get(vocab_ref)
+                 if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref)
+        self.vocab = pl.from_arrow(vocab)  # (word, cnt)
+        self.text_column = text_column
+        self.id_column = id_column
+        self.min_count = int(min_count)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        ids = batch.column(self.id_column)
+        n_docs = batch.num_rows
+        if n_docs == 0:
+            return pa.table({self.id_column: ids,
+                             "n_words": pa.array([], type=pa.int64()),
+                             "total_freq": pa.array([], type=pa.int64()),
+                             "avg_word_freq": pa.array([], type=pa.float64()),
+                             "oov_words": pa.array([], type=pa.int64())})
+        col = batch.column(self.text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        s = pl.from_arrow(col).fill_null("")
+        exploded = (pl.DataFrame({"row": np.arange(n_docs, dtype=np.int64),
+                                  "word": s.str.extract_all(
+                                      r"[^\t\n\f\r ]+")})
+                    .explode("word")
+                    .drop_nulls("word")
+                    .join(self.vocab, on="word", how="left")
+                    .with_columns(pl.col("cnt").fill_null(0)))
+        agg = (exploded.group_by("row")
+               .agg(pl.len().cast(pl.Int64).alias("n_words"),
+                    pl.col("cnt").sum().cast(pl.Int64).alias("total_freq"),
+                    (pl.col("cnt") < self.min_count).sum().cast(pl.Int64)
+                    .alias("oov_words")))
+        full = (pl.DataFrame({"row": np.arange(n_docs, dtype=np.int64)})
+                .join(agg, on="row", how="left")
+                .sort("row")
+                .with_columns(pl.col("n_words").fill_null(0),
+                              pl.col("total_freq").fill_null(0),
+                              pl.col("oov_words").fill_null(0)))
+        n = full.get_column("n_words").to_numpy()
+        tot = full.get_column("total_freq").to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg = tot.astype(np.float64) / n.astype(np.float64)
+        avg_arr = pa.array(avg, type=pa.float64(),
+                           mask=(n == 0))  # no words -> null avg
+        return pa.table({self.id_column: ids,
+                         "n_words": pa.array(n),
+                         "total_freq": pa.array(tot),
+                         "avg_word_freq": avg_arr,
+                         "oov_words": full.get_column("oov_words").to_arrow()
+                         .cast(pa.int64())})
+
+
+def corpus_freq_score(ds: Dataset, text_column: str, id_column: str,
+                      min_count: int = 30, concurrency=None) -> Dataset:
+    """Unigram corpus-frequency quality score (the integer-exact core of a
+    unigram LM perplexity filter: avg_word_freq is a monotone transform of
+    the geometric-mean token probability's arithmetic cousin, and
+    ``oov_words`` counts tokens rarer than ``min_count`` corpus-wide).
+
+    Two streaming passes:
+      1. corpus word counts (map-side combined shuffle of one row per
+         distinct word per block — see word_counts);
+      2. broadcast the frequency table ONCE via ray.put, then a per-batch
+         vectorized polars explode + join + integer group-sum.
+
+    At web scale the full (word, cnt) table can outgrow a broadcast; the
+    scale path is to prune it to words with cnt >= min_count plus an OOV
+    default (exact for oov_words, changes total_freq only by the pruned
+    tail) or to shuffle-join the exploded (id, word) rows against the
+    frequency table (stages/joins.hash_join) — documented, not default."""
+    import ray
+    from . import cached_stage
+    vocab_tbl = pa.concat_tables(
+        [pa.table(b) for b in word_counts(ds, text_column)
+         .iter_batches(batch_format="pyarrow")]
+        or [pa.table({"word": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})])
+    vocab_ref = ray.put(vocab_tbl)
+    return ds.map_batches(
+        cached_stage(_FreqScorer, text_column=text_column,
+                     id_column=id_column, vocab_ref=vocab_ref,
+                     min_count=min_count),
+        batch_format="pyarrow", **_conc(concurrency))

@@ -1074,3 +1074,26 @@ def test_drop_frequent_lines_empty_freq_and_cap(ray_session):
     with pytest.raises(ValueError, match="max_frequent"):
         dedup.drop_frequent_lines(rd.from_arrow(dup), "text", min_count=2,
                                   max_frequent=1)
+
+
+def test_corpus_freq_score(ray_session):
+    """Unigram corpus-frequency scorer: integer-exact aggregates, OOV by
+    corpus threshold, empty/null text -> zero counts and null avg."""
+    import ray.data as rd
+    from malli_ray.stages.text import corpus_freq_score
+
+    t = pa.table({"doc_id": [0, 1, 2, 3],
+                  "text": pa.array(["cat cat dog", "dog rare", "", None],
+                                   type=pa.string())})
+    out = corpus_freq_score(rd.from_arrow(t), "text", "doc_id", min_count=2)
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    # corpus counts: cat=2, dog=2, rare=1
+    assert rows[0]["n_words"] == 3 and rows[0]["total_freq"] == 2 + 2 + 2
+    assert rows[0]["oov_words"] == 0
+    assert rows[0]["avg_word_freq"] == 6 / 3
+    assert rows[1]["n_words"] == 2 and rows[1]["total_freq"] == 3
+    assert rows[1]["oov_words"] == 1  # 'rare' below min_count
+    for i in (2, 3):
+        assert rows[i]["n_words"] == 0 and rows[i]["total_freq"] == 0
+        assert rows[i]["avg_word_freq"] is None
+        assert rows[i]["oov_words"] == 0
