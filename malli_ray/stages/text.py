@@ -670,3 +670,121 @@ def corpus_freq_score(ds: Dataset, text_column: str, id_column: str,
                      id_column=id_column, vocab_ref=vocab_ref,
                      min_count=min_count),
         batch_format="pyarrow", **_conc(concurrency))
+
+
+# ---------------------------------------------------------------------------
+# n-gram decontamination (GPT-3 appendix-C style overlap filter)
+# ---------------------------------------------------------------------------
+
+
+def _gram_hash_rows(texts, k: int, seed: int = 11):
+    """Per-row word-k-gram hashes, fully vectorized (polars shifted
+    concat_str — the MinHasher construction, see stages/dedup.py).
+
+    Returns ``(rows int64[], hashes uint64[])`` — one entry per gram, in
+    document order; docs with fewer than ``k`` words emit NO grams (the
+    decontamination contract, unlike minhash's join-all shingle)."""
+    import polars as pl
+    if not isinstance(texts, pl.Series):
+        texts = pl.Series("t", texts, dtype=pl.Utf8)
+    words = texts.fill_null("").str.extract_all(r"[^\t\n\f\r ]+")
+    lf = (pl.DataFrame({"w": words}).lazy()
+          .with_row_index("doc")
+          .explode("w", empty_as_null=True))
+    cols = [pl.col("w")] + [pl.col("w").shift(-i).over("doc")
+                            for i in range(1, k)]
+    df = (lf.select(pl.col("doc"),
+                    pl.concat_str(cols, separator=" ").alias("g"))
+          .collect()
+          .drop_nulls("g"))
+    rows = df.get_column("doc").to_numpy().astype(np.int64)
+    hashes = df.get_column("g").hash(seed=seed).to_numpy().astype(np.uint64)
+    return rows, hashes
+
+
+def probe_gram_hashes(probe_ds: Dataset, text_column: str,
+                      k: int = 5) -> np.ndarray:
+    """Distinct sorted word-k-gram hashes of a benchmark/probe corpus.
+
+    Map-side: each batch emits its DISTINCT gram hashes only (int64
+    bit-pattern views — Ray round-trips values through Python ints where
+    uint64 overflows); driver unions them.  Probe suites are small by
+    nature (benchmarks, eval sets), so the result broadcasts whole."""
+
+    def distinct_grams(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        _, h = _gram_hash_rows(pl.from_arrow(col), k)
+        return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
+
+    parts = [pa.table(b) for b in
+             probe_ds.map_batches(distinct_grams, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    h = pa.concat_tables(parts).column("h").to_numpy().astype(np.int64)
+    return np.unique(h).view(np.uint64)
+
+
+class _NgramContaminationScorer:
+    """Per-batch k-gram overlap counter against broadcast probe grams."""
+
+    def __init__(self, text_column: str, id_column: str, probe_ref, k: int):
+        import ray
+        grams = (ray.get(probe_ref)
+                 if isinstance(probe_ref, ray.ObjectRef) else probe_ref)
+        self.probe = np.sort(np.asarray(grams, dtype=np.uint64))
+        self.text_column = text_column
+        self.id_column = id_column
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        ids = batch.column(self.id_column)
+        n_docs = batch.num_rows
+        col = batch.column(self.text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        rows, h = _gram_hash_rows(pl.from_arrow(col), self.k)
+        n_grams = np.bincount(rows, minlength=n_docs).astype(np.int64)
+        hit = np.zeros(len(h), dtype=bool)
+        if len(self.probe) and len(h):
+            pos = np.searchsorted(self.probe, h)
+            pos[pos == len(self.probe)] = 0
+            hit = self.probe[pos] == h
+        n_hit = np.bincount(rows[hit], minlength=n_docs).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = n_hit.astype(np.float64) / n_grams.astype(np.float64)
+        return pa.table({self.id_column: ids,
+                         "n_grams": pa.array(n_grams),
+                         "n_hit": pa.array(n_hit),
+                         "hit_frac": pa.array(frac, type=pa.float64(),
+                                              mask=(n_grams == 0))})
+
+
+def ngram_contamination(ds: Dataset, text_column: str, id_column: str,
+                        probe_ds: Dataset, k: int = 5,
+                        concurrency=None) -> Dataset:
+    """Benchmark decontamination by word-k-gram overlap (the GPT-3
+    appendix-C discipline, at the gram granularity rather than
+    contamination_pairs' whole-probe substring match).
+
+    probe grams are collected distinct and broadcast ONCE via ray.put;
+    scoring is one shuffle-free vectorized pass emitting
+    ``(id, n_grams, n_hit, hit_frac)`` — filter on ``n_hit > 0`` or a
+    ``hit_frac`` threshold downstream.  Gram identity is a 64-bit polars
+    string hash (collision odds ~n^2/2^64 — the exact-dedup argument)."""
+    import ray
+    from . import cached_stage
+    probe = probe_gram_hashes(probe_ds, text_column, k)
+    probe_ref = ray.put(probe)
+    return ds.map_batches(
+        cached_stage(_NgramContaminationScorer, text_column=text_column,
+                     id_column=id_column, probe_ref=probe_ref, k=k),
+        batch_format="pyarrow", **_conc(concurrency))

@@ -1097,3 +1097,29 @@ def test_corpus_freq_score(ray_session):
         assert rows[i]["n_words"] == 0 and rows[i]["total_freq"] == 0
         assert rows[i]["avg_word_freq"] is None
         assert rows[i]["oov_words"] == 0
+
+
+def test_ngram_contamination(ray_session):
+    """5-gram decontamination: planted probe grams are found, clean docs
+    score zero, short docs (<k words) have no grams and null frac."""
+    import ray.data as rd
+    from malli_ray.stages.text import ngram_contamination
+
+    probe = pa.table({"doc_id": [100],
+                      "text": ["the quick brown fox jumps over the lazy dog"]})
+    corpus = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["intro words then the quick brown fox jumps over it",
+                 "totally unrelated clean text with many distinct words here",
+                 "tiny doc",
+                 None]})
+    out = ngram_contamination(rd.from_arrow(corpus), "text", "doc_id",
+                              rd.from_arrow(probe), k=5)
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    # doc 0: 10 words -> 6 grams; grams 4 and 5 ('the quick brown fox
+    # jumps', 'quick brown fox jumps over') appear in the probe
+    assert rows[0]["n_grams"] == 6 and rows[0]["n_hit"] == 2
+    assert rows[0]["hit_frac"] == 2 / 6
+    assert rows[1]["n_hit"] == 0 and rows[1]["hit_frac"] == 0.0
+    assert rows[2]["n_grams"] == 0 and rows[2]["hit_frac"] is None
+    assert rows[3]["n_grams"] == 0 and rows[3]["hit_frac"] is None
