@@ -1,0 +1,113 @@
+"""Deterministic sampling stages: corpus mixture rebalancing.
+
+Ray-native training-data operators (no reference analogue — malli is
+single-value; these are north-rule "large-scale training-data pipeline"
+additions): rebalance a corpus's group mixture (source/language/domain
+shares) by DETERMINISTIC rate sampling, so reruns and resumes pick the
+exact same rows and a SQL oracle can reproduce the selection bit-for-bit.
+
+Selection rule: keep a row iff ``((id mod 2^32) * 2654435761) mod 2^32 <
+threshold_g`` — Knuth's multiplicative hash (the 2^32/phi constant), a
+well-mixed deterministic stand-in for a uniform draw that any SQL engine
+can evaluate.  Thresholds derive from one tiny count-only groupby; the
+payload never shuffles and the filter pass is shuffle-free.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+logger = logging.getLogger(__name__)
+
+#: Knuth multiplicative constant (closest odd integer to 2^32 / golden ratio)
+KNUTH_MULT = 2654435761
+_MOD = np.uint64(1) << np.uint64(32)
+
+
+def keep_mask(ids: np.ndarray, threshold) -> np.ndarray:
+    """Deterministic per-row keep decision.
+
+    ``(ids mod 2^32) * KNUTH_MULT`` never overflows uint64 (both factors
+    < 2^32) and equals the full-product mod — identical to the SQL
+    ``(id * 2654435761) % 4294967296`` for any id a BIGINT can square
+    into (ids < ~3.4e9; beyond that SQL engines need the same pre-mod)."""
+    h = ((ids.astype(np.uint64) % _MOD) * np.uint64(KNUTH_MULT)) % _MOD
+    return h < np.asarray(threshold, dtype=np.uint64)
+
+
+def group_thresholds(ds: Dataset, group_column: str) -> dict:
+    """Per-group keep thresholds that downsample every group to ~ the
+    smallest group's size (uniform target mixture).
+
+    One count-only groupby (shuffles (group, partial_count) rows — the
+    payload never moves); the result is one row per distinct group, so the
+    driver-side collect is bounded by group cardinality (sources/languages
+    — document the bound before pointing this at a high-cardinality key).
+
+    threshold_g = floor(min_count / count_g * 2^32), computed with the
+    same IEEE double ops a SQL oracle uses (divide, multiply, floor)."""
+    rows = ds.groupby(group_column).aggregate(Count(alias_name="c")).take_all()
+    if not rows:
+        return {}
+    min_c = min(r["c"] for r in rows)
+    return {r[group_column]: int(np.floor(float(min_c) / float(r["c"])
+                                          * 4294967296.0))
+            for r in rows}
+
+
+class _RebalanceFilter:
+    """Per-batch deterministic filter against broadcast group thresholds."""
+
+    def __init__(self, id_column: str, group_column: str, thresholds: dict):
+        self.id_column = id_column
+        self.group_column = group_column
+        self.thresholds = dict(thresholds)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
+        groups = batch.column(self.group_column)
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        # dictionary-encode: the Python threshold lookup runs once per
+        # DISTINCT group in the batch, the row-level gather is numpy
+        enc = groups.dictionary_encode()
+        per_value = np.array([self.thresholds.get(v, 0)
+                              for v in enc.dictionary.to_pylist()],
+                             dtype=np.uint64)
+        idx = (enc.indices.fill_null(-1)
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        if len(per_value):
+            thr = np.where(idx >= 0, per_value[np.maximum(idx, 0)],
+                           np.uint64(0))
+        else:  # all-null group column
+            thr = np.zeros(len(ids), dtype=np.uint64)
+        return batch.filter(pa.array(keep_mask(ids, thr)))
+
+
+def rebalance_to_uniform(ds: Dataset, group_column: str, id_column: str,
+                         concurrency=None) -> Dataset:
+    """Downsample every group to approximately the smallest group's size
+    (uniform mixture balancing — e.g. equalize sources or languages before
+    training).  Deterministic: the same input always keeps the same rows,
+    so resumes are idempotent and SQL oracles reproduce the selection.
+
+    Two passes: a count-only groupby (tiny — one row per group), then one
+    shuffle-free vectorized filter with the thresholds in the actor
+    closure (a dict of group -> int; broadcast-by-closure is fine at this
+    cardinality, ray.put for larger maps)."""
+    from . import cached_stage, concurrency_kwargs
+    thresholds = group_thresholds(ds, group_column)
+    logger.info("rebalance_to_uniform: %d groups, thresholds %s",
+                len(thresholds), thresholds)
+    return ds.map_batches(
+        cached_stage(_RebalanceFilter, id_column=id_column,
+                     group_column=group_column, thresholds=thresholds),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))

@@ -1123,3 +1123,32 @@ def test_ngram_contamination(ray_session):
     assert rows[1]["n_hit"] == 0 and rows[1]["hit_frac"] == 0.0
     assert rows[2]["n_grams"] == 0 and rows[2]["hit_frac"] is None
     assert rows[3]["n_grams"] == 0 and rows[3]["hit_frac"] is None
+
+
+def test_rebalance_to_uniform(ray_session):
+    """Deterministic mixture rebalancing: the small group survives whole
+    (threshold 2^32 keeps everything), big groups shrink toward it, and
+    reruns select the identical rows."""
+    import ray.data as rd
+    from malli_ray.stages.sampling import rebalance_to_uniform, keep_mask
+
+    n_a, n_b = 2000, 100
+    t = pa.table({"doc_id": list(range(n_a + n_b)),
+                  "source": ["a"] * n_a + ["b"] * n_b})
+    out = rebalance_to_uniform(rd.from_arrow(t), "source", "doc_id")
+    rows = out.take_all()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # group b: min_c == c -> threshold floor(1.0 * 2^32) == 2^32 keeps all
+    assert sorted(by_src["b"]) == list(range(n_a, n_a + n_b))
+    # group a shrinks to ~100 (rate sampling, not exact-k)
+    assert 50 <= len(by_src["a"]) <= 200
+    # deterministic: rerun picks the identical rows
+    again = rebalance_to_uniform(rd.from_arrow(t), "source", "doc_id")
+    assert sorted(r["doc_id"] for r in again.take_all()) == \
+        sorted(r["doc_id"] for r in rows)
+    # mask matches the arithmetic contract
+    ids = np.array(by_src["a"])
+    thr = int(np.floor(100.0 / 2000.0 * 4294967296.0))
+    assert keep_mask(ids, thr).all()
