@@ -788,3 +788,122 @@ def ngram_contamination(ds: Dataset, text_column: str, id_column: str,
         cached_stage(_NgramContaminationScorer, text_column=text_column,
                      id_column=id_column, probe_ref=probe_ref, k=k),
         batch_format="pyarrow", **_conc(concurrency))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def document_frequencies(ds: Dataset, text_column: str) -> "pa.Table":
+    """(word, df) — number of DOCUMENTS containing each word.
+
+    Map-side combine: each batch emits one row per (distinct word per doc)
+    pre-summed to (word, batch_df), so the groupby shuffles one row per
+    distinct word per block."""
+    from ray.data.aggregate import Sum
+
+    def batch_df(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        words = (pl.from_arrow(col).fill_null("")
+                 .str.extract_all(r"[^\t\n\f\r ]+"))
+        per_doc = (pl.DataFrame({"w": words})
+                   .with_row_index("doc")
+                   .explode("w")
+                   .drop_nulls("w")
+                   .unique(subset=["doc", "w"]))
+        vc = per_doc.get_column("w").value_counts()
+        name = vc.columns[0]
+        return pa.table({"word": vc[name].to_arrow().cast(pa.string()),
+                         "df": vc["count"].to_arrow().cast(pa.int64())})
+
+    out = (ds.map_batches(batch_df, batch_format="pyarrow")
+           .groupby("word").aggregate(Sum("df", alias_name="df")))
+    parts = [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    if not parts:
+        return pa.table({"word": pa.array([], type=pa.string()),
+                         "df": pa.array([], type=pa.int64())})
+    return pa.concat_tables(parts)
+
+
+class _TfIdfKeywords:
+    """Per-batch top-k keyword extraction against broadcast document
+    frequencies.
+
+    The ranking key is the tf/df ratio — ONE IEEE division of two int64
+    exact counts, so score and order are bit-reproducible by a SQL oracle
+    (unlike ln(N/df) variants, where libm implementations diverge in the
+    last ulp).  Ties break on ascending word."""
+
+    def __init__(self, text_column: str, id_column: str, df_ref, k: int):
+        import polars as pl
+        import ray
+        df_tbl = (ray.get(df_ref)
+                  if isinstance(df_ref, ray.ObjectRef) else df_ref)
+        self.df = pl.from_arrow(df_tbl)  # (word, df)
+        self.text_column = text_column
+        self.id_column = id_column
+        self.k = int(k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        ids = batch.column(self.id_column)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        col = batch.column(self.text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        words = (pl.from_arrow(col).fill_null("")
+                 .str.extract_all(r"[^\t\n\f\r ]+"))
+        scored = (pl.DataFrame({"row": np.arange(batch.num_rows,
+                                                 dtype=np.int64),
+                                "word": words})
+                  .explode("word")
+                  .drop_nulls("word")
+                  .group_by("row", "word")
+                  .agg(pl.len().cast(pl.Int64).alias("tf"))
+                  .join(self.df, on="word", how="inner")
+                  .with_columns((pl.col("tf").cast(pl.Float64)
+                                 / pl.col("df").cast(pl.Float64))
+                                .alias("score"))
+                  .sort(["row", "score", "word"],
+                        descending=[False, True, False])
+                  .with_columns(pl.col("word").cum_count().over("row")
+                                .cast(pl.Int64).alias("rk"))
+                  .filter(pl.col("rk") <= self.k))
+        rows = scored.get_column("row").to_numpy()
+        out_ids = pc.take(ids, pa.array(rows))
+        return pa.table({self.id_column: out_ids,
+                         "word": scored.get_column("word").to_arrow()
+                         .cast(pa.string()),
+                         "tf": scored.get_column("tf").to_arrow(),
+                         "df": scored.get_column("df").to_arrow(),
+                         "score": scored.get_column("score").to_arrow(),
+                         "rk": scored.get_column("rk").to_arrow()})
+
+
+def tfidf_keywords(ds: Dataset, text_column: str, id_column: str,
+                   k: int = 3, concurrency=None) -> Dataset:
+    """Top-k TF-IDF keywords per document.
+
+    Two streaming passes: document frequencies (map-side combined, one row
+    per distinct word per block on the shuffle), broadcast ONCE via
+    ray.put, then a shuffle-free vectorized polars pass per batch (tf
+    counts, tf/df ranking, top-k head).  Web-scale vocabularies outgrow a
+    broadcast — the scale path (prune df to words above a support floor,
+    or hash-join exploded words) matches corpus_freq_score's note."""
+    import ray
+    from . import cached_stage
+    df_tbl = document_frequencies(ds, text_column)
+    df_ref = ray.put(df_tbl)
+    return ds.map_batches(
+        cached_stage(_TfIdfKeywords, text_column=text_column,
+                     id_column=id_column, df_ref=df_ref, k=k),
+        batch_format="pyarrow", **_conc(concurrency))

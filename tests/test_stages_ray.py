@@ -1152,3 +1152,24 @@ def test_rebalance_to_uniform(ray_session):
     ids = np.array(by_src["a"])
     thr = int(np.floor(100.0 / 2000.0 * 4294967296.0))
     assert keep_mask(ids, thr).all()
+
+
+def test_tfidf_keywords(ray_session):
+    """tf/df ranking: doc-specific words outrank corpus-wide ones; ties
+    break on ascending word; empty docs emit nothing."""
+    import ray.data as rd
+    from malli_ray.stages.text import tfidf_keywords
+
+    t = pa.table({"doc_id": [0, 1, 2],
+                  "text": ["apple apple common zebra",
+                           "banana common common",
+                           ""]})
+    out = tfidf_keywords(rd.from_arrow(t), "text", "doc_id", k=2)
+    rows = sorted(out.take_all(), key=lambda r: (r["doc_id"], r["rk"]))
+    # doc 0: apple tf=2 df=1 -> 2.0; zebra 1/1 -> 1.0; common 1/2 -> 0.5
+    assert [(r["word"], r["rk"]) for r in rows if r["doc_id"] == 0] == \
+        [("apple", 1), ("zebra", 2)]
+    # doc 1: banana 1/1=1.0 beats common 2/2=1.0 on word tie-break
+    assert [(r["word"], r["rk"]) for r in rows if r["doc_id"] == 1] == \
+        [("banana", 1), ("common", 2)]
+    assert not [r for r in rows if r["doc_id"] == 2]
