@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -83,3 +84,67 @@ def pack_greedy(ds: Dataset, group_column: str, id_column: str,
     return (ds.select_columns(cols)
             .groupby(group_column)
             .map_groups(per_group, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# sliding-window document chunking (context-window splitting)
+# ---------------------------------------------------------------------------
+
+
+def chunk_text(ds: Dataset, text_column: str, id_column: str,
+               size: int, stride: int, concurrency=None) -> Dataset:
+    """Split long documents into overlapping character windows (the
+    long-doc -> context-window step before tokenization): chunk ``i``
+    covers characters ``[i*stride, i*stride + size)``; the last window
+    starts at the smallest multiple of ``stride`` whose window reaches the
+    end, so every character lands in >= 1 chunk and no chunk starts past
+    the text.  Empty/null docs emit no chunks.
+
+    Shuffle-free flat expansion per batch (streaming — the output block
+    count grows, the executor pipelines it): char counts via polars
+    len_chars, per-doc chunk counts by exact integer ceil, one vectorized
+    str.slice with per-row offsets.  Character (not byte) offsets — the
+    same unit as SQL substr/length.
+
+    Emits ``(id, chunk_id, chunk_start, chunk_text, chunk_len)``."""
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    if stride > size:
+        raise ValueError(
+            f"stride={stride} > size={size} would skip characters")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        ids = batch.column(id_column)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        texts = pl.from_arrow(col).fill_null("")
+        n = texts.str.len_chars().to_numpy().astype(np.int64)
+        k = np.where(n == 0, 0,
+                     np.where(n <= size, 1,
+                              (n - size + stride - 1) // stride + 1))
+        rows = np.repeat(np.arange(batch.num_rows, dtype=np.int64), k)
+        # chunk index within each doc: global arange minus each doc's start
+        offs = np.arange(len(rows), dtype=np.int64) \
+            - np.repeat(np.cumsum(k) - k, k)
+        starts = offs * stride
+        out = pl.DataFrame({
+            "t": texts.gather(rows),
+            "start": starts,
+        }).select(pl.col("t").str.slice(pl.col("start"), size)
+                  .alias("chunk_text"))
+        chunk_arr = out.get_column("chunk_text")
+        return pa.table({
+            id_column: pc.take(ids, pa.array(rows)),
+            "chunk_id": pa.array(offs),
+            "chunk_start": pa.array(starts),
+            "chunk_text": chunk_arr.to_arrow().cast(pa.string()),
+            "chunk_len": chunk_arr.str.len_chars().cast(pl.Int64).to_arrow(),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow", **_conc(concurrency))

@@ -1173,3 +1173,31 @@ def test_tfidf_keywords(ray_session):
     assert [(r["word"], r["rk"]) for r in rows if r["doc_id"] == 1] == \
         [("banana", 1), ("common", 2)]
     assert not [r for r in rows if r["doc_id"] == 2]
+
+
+def test_chunk_text(ray_session):
+    """Sliding-window chunking: full coverage with overlap, short docs one
+    chunk, empty/null docs none; multibyte chars count as ONE (char, not
+    byte, offsets)."""
+    import ray.data as rd
+    from malli_ray.stages.packing import chunk_text
+
+    t = pa.table({"doc_id": [0, 1, 2, 3, 4],
+                  "text": ["abcdefghij",      # 10 chars: [0:8], [4:12)
+                           "short",           # <= size -> one chunk
+                           "",                # no chunks
+                           None,              # no chunks
+                           "éééééééééé"]})    # 10 multibyte chars
+    out = chunk_text(rd.from_arrow(t), "text", "doc_id", size=8, stride=4)
+    rows = sorted(out.take_all(), key=lambda r: (r["doc_id"], r["chunk_id"]))
+    d0 = [r for r in rows if r["doc_id"] == 0]
+    assert [(r["chunk_start"], r["chunk_text"]) for r in d0] == \
+        [(0, "abcdefgh"), (4, "efghij")]
+    assert d0[1]["chunk_len"] == 6
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert [(r["chunk_id"], r["chunk_text"]) for r in d1] == [(0, "short")]
+    assert not [r for r in rows if r["doc_id"] in (2, 3)]
+    d4 = [r for r in rows if r["doc_id"] == 4]
+    assert [r["chunk_text"] for r in d4] == ["é" * 8, "é" * 6]
+    with pytest.raises(ValueError, match="stride"):
+        chunk_text(rd.from_arrow(t), "text", "doc_id", size=4, stride=8)
