@@ -90,6 +90,10 @@ def run_full_bench(sf_dir: str, num_cpus: int) -> dict:
         "near_dup_pairs_exact", "parse_events_orn", "asof_prev_event",
         "q1_lineitem", "top_orders", "orders_by_nation", "events_daily",
         "media_headers_documents",
+        # r3 training-pipeline additions
+        "drop_frequent_lines_documents", "corpus_freq_documents",
+        "ngram_contamination_documents", "rebalance_sources_documents",
+        "tfidf_keywords_documents", "chunk_documents",
     ]
     timings: dict[str, float] = {}
 
