@@ -744,7 +744,6 @@ class _NgramContaminationScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import polars as pl
-        ids = batch.column(self.id_column)
         n_docs = batch.num_rows
         col = batch.column(self.text_column)
         if isinstance(col, pa.ChunkedArray):
@@ -761,11 +760,14 @@ class _NgramContaminationScorer:
         n_hit = np.bincount(rows[hit], minlength=n_docs).astype(np.int64)
         with np.errstate(divide="ignore", invalid="ignore"):
             frac = n_hit.astype(np.float64) / n_grams.astype(np.float64)
-        return pa.table({self.id_column: ids,
-                         "n_grams": pa.array(n_grams),
-                         "n_hit": pa.array(n_hit),
-                         "hit_frac": pa.array(frac, type=pa.float64(),
-                                              mask=(n_grams == 0))})
+        # append (not project): the payload stays in place, so composed
+        # pipelines can filter on n_hit without a join back to the text
+        return (batch
+                .append_column("n_grams", pa.array(n_grams))
+                .append_column("n_hit", pa.array(n_hit))
+                .append_column("hit_frac",
+                               pa.array(frac, type=pa.float64(),
+                                        mask=(n_grams == 0))))
 
 
 def ngram_contamination(ds: Dataset, text_column: str, id_column: str,
@@ -776,9 +778,9 @@ def ngram_contamination(ds: Dataset, text_column: str, id_column: str,
     contamination_pairs' whole-probe substring match).
 
     probe grams are collected distinct and broadcast ONCE via ray.put;
-    scoring is one shuffle-free vectorized pass emitting
-    ``(id, n_grams, n_hit, hit_frac)`` — filter on ``n_hit > 0`` or a
-    ``hit_frac`` threshold downstream.  Gram identity is a 64-bit polars
+    scoring is one shuffle-free vectorized pass APPENDING ``n_grams``,
+    ``n_hit`` and ``hit_frac`` to each row (payload stays in place, so a
+    composed pipeline filters on ``n_hit == 0`` without a join back).  Gram identity is a 64-bit polars
     string hash (collision odds ~n^2/2^64 — the exact-dedup argument)."""
     import ray
     from . import cached_stage
