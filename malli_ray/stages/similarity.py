@@ -22,7 +22,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-__all__ = ["TopKScorer", "topk_cosine", "train_centroids", "ivf_topk"]
+__all__ = ["TopKScorer", "topk_cosine", "train_centroids", "ivf_topk",
+           "kmeans_fit"]
 
 
 def _unit_rows(mat: np.ndarray) -> np.ndarray:
@@ -170,18 +171,22 @@ class IVFScorer:
 def ivf_topk(ds: Dataset, queries: np.ndarray, emb_column: str, id_column: str,
              k: int = 10, n_centroids: int = 16, n_probe: int = 4,
              sample_size: int = 2048, seed: int = 42,
+             centroids: Optional[np.ndarray] = None,
              concurrency=None) -> Dataset:
     """Approximate top-k via IVF: train codebook on a SEEDED RANDOM sample
     (``ds.random_sample`` — a limit() sample would take the first rows in
     storage order, which is biased/skewed for ordered inputs), probe the
-    ``n_probe`` nearest cells per query."""
-    n_total = ds.count()  # parquet metadata fast path — no full scan
-    frac = 1.0 if n_total <= sample_size else min(
-        1.0, (sample_size * 1.25) / n_total)
-    sample_rows = (ds.random_sample(frac, seed=seed)
-                   .limit(sample_size).take_all())
-    sample = np.asarray([r[emb_column] for r in sample_rows], dtype=np.float64)
-    centroids = train_centroids(sample, n_centroids)
+    ``n_probe`` nearest cells per query.  Pass ``centroids`` to reuse a
+    precomputed codebook (e.g. the full-corpus ``kmeans_fit``)."""
+    if centroids is None:
+        n_total = ds.count()  # parquet metadata fast path — no full scan
+        frac = 1.0 if n_total <= sample_size else min(
+            1.0, (sample_size * 1.25) / n_total)
+        sample_rows = (ds.random_sample(frac, seed=seed)
+                       .limit(sample_size).take_all())
+        sample = np.asarray([r[emb_column] for r in sample_rows],
+                            dtype=np.float64)
+        centroids = train_centroids(sample, n_centroids)
     queries_ref = ray.put(np.asarray(queries, dtype=np.float64))
     centroids_ref = ray.put(centroids)
     from . import cached_stage, concurrency_kwargs
@@ -191,3 +196,69 @@ def ivf_topk(ds: Dataset, queries: np.ndarray, emb_column: str, id_column: str,
                      id_column=id_column, k=k, n_probe=n_probe),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
     return _global_topk(local, id_column, k)
+
+
+def kmeans_fit(ds: Dataset, emb_column: str, n_centroids: int,
+               iters: int = 3, seed: int = 42, sample_size: int = 2048,
+               concurrency=None) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd's) over the FULL corpus — the
+    IVF codebook scale path beyond the driver-side sampled `train_centroids`.
+
+    Init from the seeded-sample codebook, then each iteration is ONE
+    streaming pass: every batch assigns its rows (matmul against broadcast
+    centroids) and emits k partial rows of (cid, count, vector sum) — k x d
+    floats per batch to the driver, no shuffle, payload never moves.  The
+    driver merges partials (commutative sums, so reduction order cannot
+    change the result meaningfully) and recomputes unit-normalized
+    centroids; empty cells keep their previous centroid."""
+    from . import cached_stage, concurrency_kwargs
+
+    n_total = ds.count()
+    frac = 1.0 if n_total <= sample_size else min(
+        1.0, (sample_size * 1.25) / n_total)
+    sample_rows = (ds.random_sample(frac, seed=seed)
+                   .limit(sample_size).take_all())
+    sample = np.asarray([r[emb_column] for r in sample_rows],
+                        dtype=np.float64)
+    centroids = train_centroids(sample, n_centroids, seed=seed)
+    k, d = centroids.shape
+
+    class _Partials:
+        def __init__(self, cref):
+            self.centroids = (ray.get(cref)
+                              if isinstance(cref, ray.ObjectRef) else cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"cid": pa.array([], type=pa.int32()),
+                                 "cnt": pa.array([], type=pa.int64()),
+                                 "vsum": pa.array([], type=pa.list_(
+                                     pa.float64()))})
+            emb = _unit_rows(_emb_matrix(batch, emb_column))
+            assign = (emb @ self.centroids.T).argmax(axis=1)
+            cnt = np.bincount(assign, minlength=k).astype(np.int64)
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, assign, emb)
+            return pa.table({"cid": pa.array(np.arange(k, dtype=np.int32)),
+                             "cnt": pa.array(cnt),
+                             "vsum": pa.array(list(sums))})
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+        parts = ds.map_batches(
+            cached_stage(_Partials, cref=cref), batch_format="pyarrow",
+            **concurrency_kwargs(concurrency))
+        tot_cnt = np.zeros(k, dtype=np.int64)
+        tot_sum = np.zeros((k, d), dtype=np.float64)
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            cids = t.column("cid").to_numpy(zero_copy_only=False)
+            tot_cnt[cids] += t.column("cnt").to_numpy(zero_copy_only=False)
+            vs = np.asarray(t.column("vsum").combine_chunks().values,
+                            dtype=np.float64).reshape(len(cids), d)
+            np.add.at(tot_sum, cids, vs)
+        nonempty = tot_cnt > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = tot_sum[nonempty] / tot_cnt[nonempty, None]
+        centroids = _unit_rows(centroids)
+    return centroids

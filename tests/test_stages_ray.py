@@ -1201,3 +1201,42 @@ def test_chunk_text(ray_session):
     assert [r["chunk_text"] for r in d4] == ["é" * 8, "é" * 6]
     with pytest.raises(ValueError, match="stride"):
         chunk_text(rd.from_arrow(t), "text", "doc_id", size=4, stride=8)
+
+
+def test_kmeans_fit_distributed(ray_session):
+    """Distributed Lloyd's recovers planted cluster directions and beats
+    the sampled init; ivf_topk with the fitted codebook keeps recall."""
+    import ray.data as rd
+    from malli_ray.stages.similarity import kmeans_fit, ivf_topk, _unit_rows
+
+    rng = np.random.default_rng(7)
+    true = _unit_rows(rng.normal(size=(4, 16)))
+    vecs = _unit_rows(np.repeat(true, 200, axis=0)
+                      + rng.normal(scale=0.05, size=(800, 16)))
+    t = pa.table({"vec_id": list(range(800)),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        type=pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t)
+    cents = kmeans_fit(ds, "embedding", n_centroids=4, iters=3, seed=3)
+    assert cents.shape == (4, 16)
+    # every true direction has a fitted centroid with cosine > 0.98
+    sims = true @ cents.T
+    assert (sims.max(axis=1) > 0.98).all(), sims.max(axis=1)
+    # deterministic: same seed, same data -> same codebook
+    again = kmeans_fit(ds, "embedding", n_centroids=4, iters=3, seed=3)
+    assert np.array_equal(cents, again)
+    # recall with the fitted codebook (probe half the cells)
+    queries = vecs[::160]
+    got = ivf_topk(ds, queries, "embedding", "vec_id", k=5,
+                   centroids=cents, n_probe=2).take_all()
+    from malli_ray.stages.similarity import topk_cosine
+    want = topk_cosine(ds, queries, "embedding", "vec_id", k=5).take_all()
+    def by_q(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+    g, w = by_q(got), by_q(want)
+    hits = sum(len(g.get(q, set()) & ids) for q, ids in w.items())
+    total = sum(len(ids) for ids in w.values())
+    assert hits / total >= 0.8, hits / total
