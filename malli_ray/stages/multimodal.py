@@ -25,7 +25,7 @@ from ray.data import Dataset
 __all__ = ["ImageFeatureExtractor", "add_image_features",
            "FrameSampler", "AudioFrameFeatures", "audio_frame_features",
            "MediaHeaderProbe", "probe_media_headers", "wrap_pcm_wav",
-           "suggested_batch_size"]
+           "make_mp4_header", "suggested_batch_size"]
 
 IMAGE_META_SCHEMA = pa.schema([
     ("payload", pa.large_binary()),
@@ -229,6 +229,40 @@ def wrap_pcm_wav(pcm_bytes: bytes, sample_rate: int = 16000,
     return hdr + pcm_bytes
 
 
+def make_mp4_header(width: int, height: int, duration_units: int,
+                    timescale: int = 1000) -> bytes:
+    """Minimal valid ISO-BMFF header (ftyp + moov[mvhd + trak[tkhd]]),
+    dependency-free and deterministic — usable to synthesize real MP4
+    headers in tests and pipelines (no media data, header-only)."""
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd = box(b"mvhd",
+               b"\x00\x00\x00\x00"                 # version/flags
+               + struct.pack(">II", 0, 0)           # ctime, mtime
+               + struct.pack(">II", timescale, duration_units)
+               + struct.pack(">I", 0x00010000)      # rate 1.0
+               + struct.pack(">H", 0x0100)          # volume 1.0
+               + b"\x00" * 10                       # reserved
+               + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                             0x40000000)            # unity matrix
+               + b"\x00" * 24                       # predefined
+               + struct.pack(">I", 2))              # next track id
+    tkhd = box(b"tkhd",
+               b"\x00\x00\x00\x07"                  # version/flags (enabled)
+               + struct.pack(">IIII", 0, 0, 1, 0)   # ctime mtime id res
+               + struct.pack(">I", duration_units)
+               + b"\x00" * 8                        # reserved
+               + struct.pack(">HHHH", 0, 0, 0, 0)   # layer alt vol res
+               + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                             0x40000000)
+               + struct.pack(">II", width << 16, height << 16))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
+
+
 class MediaHeaderProbe:
     """REAL (dependency-free) media container-header parser.
 
@@ -349,8 +383,62 @@ class MediaHeaderProbe:
             fields["media_duration_s"] = data_size / br
         return fields
 
+    @staticmethod
+    def _mp4(p: bytes):
+        """ISO-BMFF (MP4/MOV) container: box walk for moov/mvhd (timescale,
+        duration) and the first video trak's tkhd (16.16 fixed-point
+        width/height). Detection requires a leading ftyp box."""
+        if len(p) < 16 or p[4:8] != b"ftyp":
+            return None
+        fields = {"media_format": "mp4"}
+
+        def boxes(start, end):
+            i = start
+            while i + 8 <= end:
+                size = int.from_bytes(p[i:i + 4], "big")
+                typ = p[i + 4:i + 8]
+                hdr = 8
+                if size == 1:  # 64-bit largesize
+                    if i + 16 > end:
+                        return
+                    size = int.from_bytes(p[i + 8:i + 16], "big")
+                    hdr = 16
+                elif size == 0:  # box extends to end
+                    size = end - i
+                if size < hdr or i + size > end:
+                    return
+                yield typ, i + hdr, i + size
+                i += size
+
+        def walk(start, end):
+            for typ, s, e in boxes(start, end):
+                if typ in (b"moov", b"trak", b"mdia"):
+                    walk(s, e)
+                elif typ == b"mvhd" and e - s >= 20:
+                    v = p[s]
+                    if v == 1 and e - s >= 32:
+                        ts = int.from_bytes(p[s + 20:s + 24], "big")
+                        dur = int.from_bytes(p[s + 24:s + 32], "big")
+                    else:
+                        ts = int.from_bytes(p[s + 12:s + 16], "big")
+                        dur = int.from_bytes(p[s + 16:s + 20], "big")
+                    if ts:
+                        fields["media_duration_s"] = dur / ts
+                elif typ == b"tkhd":
+                    v = p[s]
+                    off = s + (88 if v == 1 else 76)
+                    if off + 8 <= e:
+                        w = int.from_bytes(p[off:off + 4], "big") >> 16
+                        h = int.from_bytes(p[off + 4:off + 8], "big") >> 16
+                        if w and h and "media_width" not in fields:
+                            fields["media_width"] = w
+                            fields["media_height"] = h
+
+        walk(0, len(p))
+        return fields
+
     _PARSERS = (_png.__func__, _jpeg.__func__, _gif.__func__,
-                _bmp.__func__, _wav.__func__)
+                _bmp.__func__, _wav.__func__, _mp4.__func__)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_column).to_pylist()

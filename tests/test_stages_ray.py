@@ -1240,3 +1240,34 @@ def test_kmeans_fit_distributed(ray_session):
     hits = sum(len(g.get(q, set()) & ids) for q, ids in w.items())
     total = sum(len(ids) for ids in w.values())
     assert hits / total >= 0.8, hits / total
+
+
+def test_mp4_header_probe():
+    """ISO-BMFF box walk: round-trips the synthesized header, handles
+    64-bit largesize, v1 mvhd, and rejects garbage."""
+    import struct
+    from malli_ray.stages.multimodal import MediaHeaderProbe, make_mp4_header
+
+    p = make_mp4_header(640, 360, 90000, timescale=30000)
+    f = MediaHeaderProbe._mp4(p)
+    assert f == {"media_format": "mp4", "media_duration_s": 3.0,
+                 "media_width": 640, "media_height": 360}
+    # v1 mvhd (64-bit ctime/mtime/duration)
+    mvhd_v1 = (b"\x01\x00\x00\x00" + b"\x00" * 16
+               + struct.pack(">I", 1000) + struct.pack(">Q", 2500))
+    box = lambda t, pl: struct.pack(">I", 8 + len(pl)) + t + pl
+    p2 = (box(b"ftyp", b"isomxxxxisom")
+          + box(b"moov", box(b"mvhd", mvhd_v1)))
+    assert MediaHeaderProbe._mp4(p2)["media_duration_s"] == 2.5
+    # largesize box header
+    inner = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+                + struct.pack(">II", 100, 450))
+    large = (struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(inner))
+             + inner)
+    assert MediaHeaderProbe._mp4(box(b"ftyp", b"isomxxxxisom")
+                                 + large)["media_duration_s"] == 4.5
+    assert MediaHeaderProbe._mp4(b"RIFFxxxxWAVE") is None
+    # truncated box must not loop or raise
+    assert MediaHeaderProbe._mp4(box(b"ftyp", b"isomxxxxisom")
+                                 + b"\x00\x00\xff\xffmoov") == \
+        {"media_format": "mp4"}
