@@ -1271,3 +1271,35 @@ def test_mp4_header_probe():
     assert MediaHeaderProbe._mp4(box(b"ftyp", b"isomxxxxisom")
                                  + b"\x00\x00\xff\xffmoov") == \
         {"media_format": "mp4"}
+
+
+def test_range_join(ray_session):
+    """Interval join: numeric bounds, inclusivity flags, inner semantics,
+    no-match groups drop, types preserved."""
+    import ray.data as rd
+    from malli_ray.stages.windows import range_join
+
+    left = pa.table({"k": ["a", "a", "b", "c"],
+                     "lid": [1, 2, 3, 4],
+                     "t": [10, 20, 10, 99]})
+    right = pa.table({"k": ["a", "a", "a", "b", "d"],
+                      "rid": [100, 101, 102, 103, 104],
+                      "rt": [8, 10, 15, 30, 10]})
+    out = range_join(rd.from_arrow(left), rd.from_arrow(right), key="k",
+                     left_ts="t", right_ts="rt", right_cols=["rid"],
+                     lower=-5, upper=0, upper_inclusive=True,
+                     left_schema=left.schema, right_schema=right.schema)
+    rows = sorted((r["lid"], r["rid_right"]) for r in out.take_all())
+    # lid 1 (t=10, window [5,10]): rids at rt 8,10 -> 100,101
+    # lid 2 (t=20, window [15,20]): rt 15 -> 102
+    # lid 3 (k=b t=10, window [5,10]): rt 30 no; lid 4: k=c no right rows
+    assert rows == [(1, 100), (1, 101), (2, 102)]
+    # exclusive upper drops the rt == t match
+    out2 = range_join(rd.from_arrow(left), rd.from_arrow(right), key="k",
+                      left_ts="t", right_ts="rt", right_cols=["rid"],
+                      lower=-5, upper=0, upper_inclusive=False,
+                      left_schema=left.schema, right_schema=right.schema)
+    rows2 = sorted((r["lid"], r["rid_right"]) for r in out2.take_all())
+    assert rows2 == [(1, 100), (2, 102)]
+    # dtype check: ids stay int64 through the union/expansion
+    assert all(isinstance(r["rid_right"], int) for r in out.take_all())
