@@ -111,3 +111,90 @@ def rebalance_to_uniform(ds: Dataset, group_column: str, id_column: str,
         cached_stage(_RebalanceFilter, id_column=id_column,
                      group_column=group_column, thresholds=thresholds),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
+def group_iqr_bounds(ds: Dataset, group_column: str, value_column: str,
+                     k: float = 1.5) -> dict:
+    """Per-group Tukey fences: ``[q1 - k*IQR, q3 + k*IQR]`` from EXACT
+    per-group quantiles (sort-based ``np.quantile`` linear interpolation —
+    the same definition as SQL ``quantile_cont``, so the bounds and
+    therefore the filter are value-reproducible by an oracle).
+
+    One groupby on (group, value) only — the payload never shuffles; the
+    result is one row per group, driver-collected (bounded by group
+    cardinality, same caveat as group_thresholds)."""
+
+    def bounds(group: pa.Table) -> pa.Table:
+        v = (group.column(value_column).drop_null()
+             .to_numpy(zero_copy_only=False))
+        if len(v):
+            q1, q3 = np.quantile(np.sort(v), [0.25, 0.75], method="linear")
+            lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
+        else:
+            lo = hi = None
+        return pa.table({group_column: [group.column(group_column)[0]],
+                         "lo": pa.array([lo], type=pa.float64()),
+                         "hi": pa.array([hi], type=pa.float64())})
+
+    rows = (ds.select_columns([group_column, value_column])
+            .groupby(group_column)
+            .map_groups(bounds, batch_format="pyarrow")
+            .take_all())
+    return {r[group_column]: (r["lo"], r["hi"]) for r in rows
+            if r["lo"] is not None}
+
+
+class _OutlierFilter:
+    """Per-batch Tukey-fence filter against broadcast per-group bounds."""
+
+    def __init__(self, group_column: str, value_column: str, bounds: dict):
+        self.group_column = group_column
+        self.value_column = value_column
+        self.bounds = dict(bounds)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        groups = batch.column(self.group_column)
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        enc = groups.dictionary_encode()
+        per_lo = np.array([self.bounds.get(v, (np.inf, -np.inf))[0]
+                           for v in enc.dictionary.to_pylist()])
+        per_hi = np.array([self.bounds.get(v, (np.inf, -np.inf))[1]
+                           for v in enc.dictionary.to_pylist()])
+        idx = (enc.indices.fill_null(-1)
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        vals = batch.column(self.value_column)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        v = np.asarray(vals.cast(pa.float64()).to_numpy(
+            zero_copy_only=False))
+        known = idx >= 0
+        safe = np.maximum(idx, 0)
+        if len(per_lo):
+            keep = (known & ~np.isnan(v)
+                    & (v >= per_lo[safe]) & (v <= per_hi[safe]))
+        else:
+            keep = np.zeros(batch.num_rows, dtype=bool)
+        return batch.filter(pa.array(keep))
+
+
+def filter_outliers_by_group(ds: Dataset, group_column: str,
+                             value_column: str, k: float = 1.5,
+                             concurrency=None) -> Dataset:
+    """Drop rows whose ``value_column`` falls outside the group's Tukey
+    fences (``q1 - k*IQR`` .. ``q3 + k*IQR``) — the classic per-source /
+    per-language length-distribution quality filter.
+
+    Two passes: exact per-group quantiles on projected (group, value)
+    columns (one small shuffle), then a shuffle-free broadcast-bounds
+    filter.  Null values and groups absent from the bounds drop (inner
+    semantics, matching a SQL join against the bounds table)."""
+    from . import cached_stage, concurrency_kwargs
+    bounds = group_iqr_bounds(ds, group_column, value_column, k=k)
+    logger.info("filter_outliers_by_group: %d groups", len(bounds))
+    return ds.map_batches(
+        cached_stage(_OutlierFilter, group_column=group_column,
+                     value_column=value_column, bounds=bounds),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))

@@ -1303,3 +1303,26 @@ def test_range_join(ray_session):
     assert rows2 == [(1, 100), (2, 102)]
     # dtype check: ids stay int64 through the union/expansion
     assert all(isinstance(r["rid_right"], int) for r in out.take_all())
+
+
+def test_filter_outliers_by_group(ray_session):
+    """Tukey fences per group: outliers drop, in-fence rows keep, null
+    values and unknown groups drop (inner semantics)."""
+    import ray.data as rd
+    from malli_ray.stages.sampling import (filter_outliers_by_group,
+                                           group_iqr_bounds)
+
+    vals = list(range(1, 13)) + [1000]          # 1000 is the outlier
+    t = pa.table({"doc_id": list(range(14)),
+                  "g": ["a"] * 13 + ["b"],      # group b: single row
+                  "n": pa.array(vals + [None], type=pa.int64())})
+    # group b has only a null value -> no bounds -> its rows drop
+    out = filter_outliers_by_group(rd.from_arrow(t), "g", "n")
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert 12 not in kept          # the 1000 outlier
+    assert 13 not in kept          # null value in boundless group
+    assert kept == list(range(12))
+    b = group_iqr_bounds(rd.from_arrow(t), "g", "n")
+    assert set(b) == {"a"}
+    q1, q3 = np.quantile(np.array(vals, dtype=float), [0.25, 0.75])
+    assert b["a"] == (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
