@@ -94,6 +94,8 @@ def run_full_bench(sf_dir: str, num_cpus: int) -> dict:
         "drop_frequent_lines_documents", "corpus_freq_documents",
         "ngram_contamination_documents", "rebalance_sources_documents",
         "tfidf_keywords_documents", "chunk_documents",
+        "length_outliers_documents", "range_join_events",
+        "mp4_headers_documents", "corpus_prep_v2_documents",
     ]
     timings: dict[str, float] = {}
 
