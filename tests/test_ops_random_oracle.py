@@ -1,0 +1,189 @@
+"""Randomized cross-checks for the r3 training-pipeline operators: each op
+runs over seeded random corpora and must equal a naive pure-Python
+reference implementation (the in-process analogue of the DuckDB oracles,
+over inputs the fixed testdata can't produce — repeated lines, skewed
+groups, adversarial overlaps)."""
+
+import random
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+def _random_docs(rng: random.Random, n: int, n_lines=(1, 6),
+                 line_words=(1, 5)):
+    docs = []
+    # a pool of repeatable lines so line/gram collisions actually happen
+    pool = [" ".join(rng.choices(WORDS, k=rng.randint(*line_words)))
+            for _ in range(12)]
+    for _ in range(n):
+        lines = [rng.choice(pool) if rng.random() < 0.5
+                 else " ".join(rng.choices(WORDS,
+                                           k=rng.randint(*line_words)))
+                 for _ in range(rng.randint(*n_lines))]
+        docs.append("\n".join(lines))
+    return docs
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_drop_frequent_lines_random(ray_session, seed):
+    from malli_ray.stages.dedup import drop_frequent_lines
+    rng = random.Random(seed)
+    docs = _random_docs(rng, 120)
+    min_count = 4
+    t = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    out = {r["doc_id"]: r for r in
+           drop_frequent_lines(rd.from_arrow(t), "text",
+                               min_count=min_count).take_all()}
+    freq = Counter(line for d in docs for line in d.split("\n"))
+    drop = {l for l, c in freq.items() if c >= min_count}
+    for i, d in enumerate(docs):
+        keep = [l for l in d.split("\n") if l not in drop]
+        assert out[i]["text_clean"] == "\n".join(keep)
+        assert out[i]["n_lines_dropped"] == \
+            sum(1 for l in d.split("\n") if l in drop)
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_chunk_text_random(ray_session, seed):
+    from malli_ray.stages.packing import chunk_text
+    rng = random.Random(seed)
+    docs = ["".join(rng.choices("abcdefgh", k=rng.randint(0, 60)))
+            for _ in range(80)]
+    size, stride = 16, 7
+    t = pa.table({"doc_id": list(range(len(docs))),
+                  "text": pa.array(docs, type=pa.string())})
+    rows = chunk_text(rd.from_arrow(t), "text", "doc_id",
+                      size=size, stride=stride).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, d in enumerate(docs):
+        got = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if not d:
+            assert got == []
+            continue
+        want = []
+        start = 0
+        while True:
+            want.append(d[start:start + size])
+            if start + size >= len(d):
+                break
+            start += stride
+        assert [r["chunk_text"] for r in got] == want
+        assert [r["chunk_start"] for r in got] == \
+            [j * stride for j in range(len(want))]
+
+
+@pytest.mark.parametrize("seed", [6, 7])
+def test_range_join_random(ray_session, seed):
+    from malli_ray.stages.windows import range_join
+    rng = random.Random(seed)
+    keys = ["k0", "k1", "k2"]
+    left = [(rng.choice(keys), i, rng.randint(0, 50))
+            for i in range(60)]
+    right = [(rng.choice(keys), 100 + i, rng.randint(0, 50))
+             for i in range(60)]
+    lt = pa.table({"k": [x[0] for x in left], "lid": [x[1] for x in left],
+                   "t": [x[2] for x in left]})
+    rt = pa.table({"k": [x[0] for x in right], "rid": [x[1] for x in right],
+                   "rt": [x[2] for x in right]})
+    out = range_join(rd.from_arrow(lt), rd.from_arrow(rt), key="k",
+                     left_ts="t", right_ts="rt", right_cols=["rid"],
+                     lower=-3, upper=2, upper_inclusive=False,
+                     left_schema=lt.schema, right_schema=rt.schema)
+    got = sorted((r["lid"], r["rid_right"]) for r in out.take_all())
+    want = sorted((lk_id, rr_id)
+                  for lk, lk_id, lt_ in left
+                  for rk, rr_id, rt_ in right
+                  if lk == rk and lt_ - 3 <= rt_ < lt_ + 2)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [8, 9])
+def test_corpus_freq_random(ray_session, seed):
+    from malli_ray.stages.text import corpus_freq_score
+    rng = random.Random(seed)
+    docs = [" ".join(rng.choices(WORDS[:5], k=rng.randint(0, 12)))
+            for _ in range(90)]
+    t = pa.table({"doc_id": list(range(len(docs))),
+                  "text": pa.array(docs, type=pa.string())})
+    out = {r["doc_id"]: r for r in
+           corpus_freq_score(rd.from_arrow(t), "text", "doc_id",
+                             min_count=20).take_all()}
+    freq = Counter(w for d in docs for w in d.split() if w)
+    for i, d in enumerate(docs):
+        ws = [w for w in d.split() if w]
+        assert out[i]["n_words"] == len(ws)
+        assert out[i]["total_freq"] == sum(freq[w] for w in ws)
+        assert out[i]["oov_words"] == sum(1 for w in ws if freq[w] < 20)
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_ngram_contamination_random(ray_session, seed):
+    from malli_ray.stages.text import ngram_contamination
+    rng = random.Random(seed)
+    k = 3
+    probes = [" ".join(rng.choices(WORDS, k=rng.randint(0, 10)))
+              for _ in range(15)]
+    docs = [" ".join(rng.choices(WORDS, k=rng.randint(0, 10)))
+            for _ in range(70)]
+    pt = pa.table({"doc_id": list(range(1000, 1000 + len(probes))),
+                   "text": probes})
+    dt = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    out = {r["doc_id"]: r for r in
+           ngram_contamination(rd.from_arrow(dt), "text", "doc_id",
+                               rd.from_arrow(pt), k=k).take_all()}
+
+    def grams(s):
+        ws = s.split()
+        return [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+
+    pset = {g for p in probes for g in grams(p)}
+    for i, d in enumerate(docs):
+        gs = grams(d)
+        assert out[i]["n_grams"] == len(gs)
+        assert out[i]["n_hit"] == sum(1 for g in gs if g in pset)
+
+
+def test_rebalance_random(ray_session):
+    from malli_ray.stages.sampling import rebalance_to_uniform, KNUTH_MULT
+    rng = random.Random(12)
+    groups = [rng.choice(["a", "a", "a", "b", "c"]) for _ in range(400)]
+    t = pa.table({"doc_id": list(range(400)), "source": groups})
+    kept = sorted(r["doc_id"] for r in
+                  rebalance_to_uniform(rd.from_arrow(t), "source",
+                                       "doc_id").take_all())
+    cnt = Counter(groups)
+    m = min(cnt.values())
+    want = [i for i, g in enumerate(groups)
+            if (i * KNUTH_MULT) % 2**32
+            < int(np.floor(m / cnt[g] * 4294967296.0))]
+    assert kept == want
+
+
+def test_outlier_filter_random(ray_session):
+    from malli_ray.stages.sampling import filter_outliers_by_group
+    rng = random.Random(13)
+    rows = [(rng.choice(["x", "y"]), rng.gauss(100, 10)) for _ in range(300)]
+    rows += [("x", 10_000.0), ("y", -10_000.0)]
+    t = pa.table({"doc_id": list(range(len(rows))),
+                  "g": [r[0] for r in rows],
+                  "v": [r[1] for r in rows]})
+    kept = {r["doc_id"] for r in
+            filter_outliers_by_group(rd.from_arrow(t), "g", "v").take_all()}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    want = set()
+    for i, (g, v) in enumerate(rows):
+        q1, q3 = np.quantile(np.sort(np.array(by_g[g])), [0.25, 0.75])
+        if q1 - 1.5 * (q3 - q1) <= v <= q3 + 1.5 * (q3 - q1):
+            want.add(i)
+    assert kept == want
