@@ -65,6 +65,73 @@ def _build_spec(args) -> "ValidationSpec":
         max_violations_per_batch=args.max_violations)
 
 
+def _run_corpus_prep(args, paths: list[str]) -> int:
+    """Assemble the requested operator chain (fixed order: line scrub ->
+    dedup -> decontaminate -> outliers -> rebalance -> chunk), write
+    partitioned parquet to <out>/data/, print a one-line JSON report."""
+    import glob as _glob
+
+    import ray.data as rdata
+
+    from .stages import dedup, joins, packing, sampling, text as T
+
+    ds = rdata.read_parquet(paths)
+    rows_in = ds.count()
+    stages = []
+    tc, idc = args.text_column, args.id_column
+
+    if args.drop_frequent_lines:
+        ds = dedup.drop_frequent_lines(
+            ds, tc, min_count=args.drop_frequent_lines,
+            out_column=tc + "_clean")
+
+        def _swap_clean(b):
+            i = b.schema.get_field_index(tc)
+            return (b.set_column(i, tc, b.column(tc + "_clean"))
+                    .drop_columns([tc + "_clean", "n_lines_dropped"]))
+
+        ds = ds.map_batches(_swap_clean, batch_format="pyarrow")
+        stages.append(f"drop_frequent_lines(min_count="
+                      f"{args.drop_frequent_lines})")
+    if args.dedup == "exact":
+        kept = dedup.exact_dedup_keep_first(ds, tc, idc)
+        ds = joins.semi_join(ds, kept, on=idc)
+        stages.append("dedup_exact")
+    if args.decontaminate:
+        probe_paths = sorted(_glob.glob(args.decontaminate))
+        if not probe_paths:
+            raise SystemExit(
+                f"no parquet files match {args.decontaminate!r}")
+        probes = rdata.read_parquet(probe_paths)
+        ds = T.ngram_contamination(ds, tc, idc, probes, k=args.ngram)
+        ds = ds.filter(expr="n_hit == 0")
+        stages.append(f"decontaminate(k={args.ngram})")
+    if args.outliers:
+        g, v = args.outliers.split(":", 1)
+        ds = sampling.filter_outliers_by_group(ds, g, v)
+        stages.append(f"outliers({g}:{v})")
+    if args.rebalance:
+        # the count pass + final pass would each re-execute the upstream
+        # chain lazily — checkpoint the current state once first
+        ds = ds.materialize()
+        ds = sampling.rebalance_to_uniform(ds, args.rebalance, idc)
+        stages.append(f"rebalance({args.rebalance})")
+    if args.chunk:
+        size, stride = (int(x) for x in args.chunk.split(":", 1))
+        ds = packing.chunk_text(ds, tc, idc, size=size, stride=stride)
+        stages.append(f"chunk({size}:{stride})")
+
+    out_dir = os.path.join(args.out, "data")
+    ds.write_parquet(out_dir)
+    import pyarrow.parquet as pq
+    rows_out = sum(pq.read_metadata(f).num_rows
+                   for f in sorted(_glob.glob(os.path.join(out_dir,
+                                                           "*.parquet"))))
+    print(json.dumps({"rows_in": rows_in, "rows_out": rows_out,
+                      "stages": stages, "out": out_dir}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="malli_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -94,6 +161,33 @@ def main(argv: list[str] | None = None) -> int:
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     v.add_argument("--rows-per-batch", type=int, default=65_536)
 
+    cp = sub.add_parser(
+        "corpus-prep",
+        help="compose the training-data operators into a prep job")
+    cp.add_argument("--input", required=True,
+                    help="parquet glob or directory of documents")
+    cp.add_argument("--out", required=True, help="output directory")
+    cp.add_argument("--text-column", default="text")
+    cp.add_argument("--id-column", default="doc_id")
+    cp.add_argument("--drop-frequent-lines", type=int, metavar="MIN_COUNT",
+                    help="C4-style line scrub: drop lines occurring >= "
+                         "MIN_COUNT times corpus-wide")
+    cp.add_argument("--dedup", choices=["exact"],
+                    help="exact dedup keeping the min id per content")
+    cp.add_argument("--decontaminate", metavar="GLOB",
+                    help="parquet glob of probe docs; drop docs sharing any "
+                         "word n-gram with them")
+    cp.add_argument("--ngram", type=int, default=13,
+                    help="decontamination gram size (default 13)")
+    cp.add_argument("--outliers", metavar="GROUP:VALUE",
+                    help="per-group Tukey-fence filter, e.g. source:n_chars")
+    cp.add_argument("--rebalance", metavar="GROUP",
+                    help="deterministic uniform-mixture downsampling on GROUP")
+    cp.add_argument("--chunk", metavar="SIZE:STRIDE",
+                    help="sliding-window chunking of the text column")
+    cp.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+
     args = p.parse_args(argv)
 
     if os.path.isdir(args.input):
@@ -112,6 +206,8 @@ def main(argv: list[str] | None = None) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     try:
+        if args.cmd == "corpus-prep":
+            return _run_corpus_prep(args, paths)
         from .pipelines.validation_job import SchemaLayoutError, run_job
         spec = _build_spec(args)
         try:

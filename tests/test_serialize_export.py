@@ -819,3 +819,45 @@ def test_time_schemas_reference_table():
     assert not m.validate("time/instant", dt.datetime(2022, 1, 1))
     assert not m.validate("time/local-date-time",
                           dt.datetime(2022, 1, 1, tzinfo=tz))
+
+
+def test_cli_corpus_prep(tmp_path, ray_session, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from malli_ray.cli import main
+
+    boiler = "accept cookies please"
+    docs = pa.table({
+        "doc_id": list(range(8)),
+        "source": ["a"] * 6 + ["b"] * 2,
+        "n_chars": [30] * 7 + [100_000],      # one absurd-length outlier
+        "text": [f"{boiler}\nunique words here number {i}" for i in range(6)]
+        + ["the quick brown fox jumps over the lazy dog",
+           "plain other text"]})
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(docs, inp / "part-0.parquet")
+    probes = tmp_path / "probes"
+    probes.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [99],
+                  "text": ["quick brown fox jumps over"]}),
+        probes / "p.parquet")
+    out = tmp_path / "out"
+    rc = main(["corpus-prep", "--input", str(inp), "--out", str(out),
+               "--drop-frequent-lines", "3",
+               "--decontaminate", str(probes / "*.parquet"), "--ngram", "5",
+               "--chunk", "12:6", "--num-cpus", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_in"] == 8
+    assert rep["stages"] == ["drop_frequent_lines(min_count=3)",
+                             "decontaminate(k=5)", "chunk(12:6)"]
+    chunks = pq.read_table(sorted((out / "data").glob("*.parquet")))
+    ids = set(chunks.column("doc_id").to_pylist())
+    assert 6 not in ids                     # contaminated doc dropped
+    texts = chunks.filter(
+        pa.compute.equal(chunks.column("doc_id"), 0)
+    ).column("chunk_text").to_pylist()
+    assert boiler not in "".join(texts)     # boilerplate line scrubbed
+    assert rep["rows_out"] == chunks.num_rows
