@@ -96,6 +96,9 @@ def run_full_bench(sf_dir: str, num_cpus: int) -> dict:
         "tfidf_keywords_documents", "chunk_documents",
         "length_outliers_documents", "range_join_events",
         "mp4_headers_documents", "corpus_prep_v2_documents",
+        # r3 grouped-analytics additions
+        "rolling_events_1h", "top_orders_by_priority",
+        "daily_active_users", "pivot_event_types",
     ]
     timings: dict[str, float] = {}
 

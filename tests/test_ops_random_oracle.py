@@ -187,3 +187,103 @@ def test_outlier_filter_random(ray_session):
         if q1 - 1.5 * (q3 - q1) <= v <= q3 + 1.5 * (q3 - q1):
             want.add(i)
     assert kept == want
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_rolling_aggregate_random(ray_session, seed):
+    """RANGE-frame semantics vs a naive O(n^2) scan — including peer rows
+    (duplicate timestamps share a frame) and frame-boundary inclusivity."""
+    from malli_ray.stages.windows import rolling_aggregate
+    rng = random.Random(seed)
+    n, delta = 300, 10
+    keys = [rng.randint(0, 5) for _ in range(n)]
+    ts = [rng.randint(0, 60) for _ in range(n)]          # many ties
+    vals = [rng.randint(-9, 9) for _ in range(n)]
+    t = pa.table({"k": keys, "ts": ts, "v": vals,
+                  "rid": list(range(n))})
+    out = rolling_aggregate(rd.from_arrow(t), key="k", ts_col="ts",
+                            value_col="v", preceding=delta).take_all()
+    assert len(out) == n
+    by_rid = {r["rid"]: r for r in out}
+    for i in range(n):
+        frame = [vals[j] for j in range(n)
+                 if keys[j] == keys[i] and ts[i] - delta <= ts[j] <= ts[i]]
+        r = by_rid[i]
+        assert r["rolling_count"] == len(frame), i
+        assert r["rolling_sum"] == sum(frame), i
+
+
+@pytest.mark.parametrize("seed", [13, 14])
+def test_top_k_per_group_random(ray_session, seed):
+    from malli_ray.stages.analytics import top_k_per_group
+    rng = random.Random(seed)
+    n, k = 400, 3
+    groups = [rng.choice("abcd") for _ in range(n)]
+    vals = [rng.randint(0, 20) for _ in range(n)]        # heavy ties
+    t = pa.table({"g": groups, "v": vals, "rid": list(range(n))})
+    out = top_k_per_group(rd.from_arrow(t), group="g",
+                          order_by=["v", "rid"], k=k).take_all()
+    expect = {}
+    for g in set(groups):
+        rows = sorted(((vals[i], i) for i in range(n) if groups[i] == g),
+                      key=lambda p: (-p[0], p[1]))[:k]
+        expect[g] = [(v, rid, rk + 1) for rk, (v, rid) in enumerate(rows)]
+    got = {}
+    for r in out:
+        got.setdefault(r["g"], []).append((r["v"], r["rid"], r["rk"]))
+    for g in got:
+        got[g].sort(key=lambda p: p[2])
+    assert got == expect
+
+
+def test_top_k_small_groups(ray_session):
+    """Groups smaller than k emit all their rows with ranks 1..n."""
+    from malli_ray.stages.analytics import top_k_per_group
+    t = pa.table({"g": ["a", "a", "b"], "v": [5, 7, 1],
+                  "rid": [0, 1, 2]})
+    out = sorted(top_k_per_group(rd.from_arrow(t), "g", ["v", "rid"],
+                                 k=10).take_all(),
+                 key=lambda r: (r["g"], r["rk"]))
+    assert [(r["g"], r["rid"], r["rk"]) for r in out] == \
+        [("a", 1, 1), ("a", 0, 2), ("b", 2, 1)]
+
+
+@pytest.mark.parametrize("seed", [15, 16])
+def test_distinct_count_by_group_random(ray_session, seed):
+    """Exact COUNT(DISTINCT v): null values not counted, null group is its
+    own group."""
+    from malli_ray.stages.analytics import distinct_count_by_group
+    rng = random.Random(seed)
+    n = 500
+    groups = [rng.choice(["x", "y", "z", None]) for _ in range(n)]
+    vals = [rng.choice([None, *range(12)]) for _ in range(n)]
+    t = pa.table({"g": pa.array(groups), "v": pa.array(vals,
+                                                       type=pa.int64())})
+    out = {r["g"]: r["n_distinct"] for r in
+           distinct_count_by_group(rd.from_arrow(t), "g", "v").take_all()}
+    expect = {}
+    for g, v in zip(groups, vals):
+        if v is not None:
+            expect.setdefault(g, set()).add(v)
+    assert out == {g: len(s) for g, s in expect.items()} | \
+        {g: 0 for g in set(groups) - set(expect)}
+
+
+@pytest.mark.parametrize("seed", [17])
+def test_pivot_counts_random(ray_session, seed):
+    """Values outside the explicit category list are ignored; absent
+    categories report 0."""
+    from malli_ray.stages.analytics import pivot_counts
+    rng = random.Random(seed)
+    n = 400
+    groups = [rng.choice("pq") for _ in range(n)]
+    cats = [rng.choice(["a", "b", "c", "other"]) for _ in range(n)]
+    t = pa.table({"g": groups, "c": cats})
+    out = {r["g"]: r for r in
+           pivot_counts(rd.from_arrow(t), "g", "c",
+                        categories=["a", "b", "zzz"]).take_all()}
+    for g in "pq":
+        for cat in ["a", "b", "zzz"]:
+            want = sum(1 for gg, cc in zip(groups, cats)
+                       if gg == g and cc == cat)
+            assert out[g]["n_" + cat] == want
