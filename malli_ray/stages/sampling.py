@@ -1,4 +1,5 @@
-"""Deterministic sampling stages: corpus mixture rebalancing.
+"""Deterministic sampling stages: mixture rebalancing, train/valid/test
+splits, output sharding, per-group outlier filtering.
 
 Ray-native training-data operators (no reference analogue — malli is
 single-value; these are north-rule "large-scale training-data pipeline"
@@ -198,3 +199,103 @@ def filter_outliers_by_group(ds: Dataset, group_column: str,
         cached_stage(_OutlierFilter, group_column=group_column,
                      value_column=value_column, bounds=bounds),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+def split_thresholds(fractions: "dict[str, float]") -> "list[tuple[str, int]]":
+    """(label, upper-threshold) list for :func:`split_by_hash`: cumulative
+    fractions scaled to 2^32 with plain IEEE double ops so a SQL oracle can
+    reproduce them.  The LAST label absorbs any rounding remainder (its
+    threshold is forced to 2^32), so every row gets a label."""
+    if not fractions:
+        raise ValueError("split_by_hash: fractions must be non-empty")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split_by_hash: fractions sum to {total} > 1")
+    out, cum = [], 0.0
+    items = list(fractions.items())
+    for label, f in items:
+        cum = cum + float(f)
+        out.append((label, int(np.floor(cum * 4294967296.0))))
+    out[-1] = (out[-1][0], 4294967296)
+    return out
+
+
+class _SplitAssign:
+    """Per-batch deterministic split-label assignment (vectorized
+    searchsorted over the cumulative thresholds)."""
+
+    def __init__(self, id_column: str, thresholds, split_col: str):
+        self.id_column = id_column
+        self.split_col = split_col
+        self.labels = pa.array([l for l, _ in thresholds])
+        self.bounds = np.array([t for _, t in thresholds], dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
+        h = ((ids.astype(np.uint64) % _MOD) * np.uint64(KNUTH_MULT)) % _MOD
+        idx = np.searchsorted(self.bounds, h, side="right")
+        import pyarrow.compute as pc
+        lab = pc.take(self.labels, pa.array(idx, type=pa.int64()))
+        return batch.append_column(self.split_col, lab)
+
+
+def split_by_hash(ds: Dataset, id_column: str,
+                  fractions: "dict[str, float]",
+                  split_col: str = "split", concurrency=None) -> Dataset:
+    """Deterministic train/valid/test split: every row gets a label from
+    ``fractions`` (insertion-ordered, e.g. ``{"train": .98, "valid": .01,
+    "test": .01}``) chosen by the same Knuth multiplicative hash as
+    :func:`rebalance_to_uniform` — shuffle-free, rerun/resume-stable, and
+    bit-reproducible in SQL (``CASE WHEN (id%2^32)*2654435761%2^32 < t1
+    THEN ... END`` with :func:`split_thresholds` integers).  The last label
+    absorbs the rounding remainder so no row is unlabeled; correlated ids
+    (same doc across revisions) land in the same split by construction."""
+    from . import cached_stage, concurrency_kwargs
+    thresholds = split_thresholds(fractions)
+    return ds.map_batches(
+        cached_stage(_SplitAssign, id_column=id_column,
+                     thresholds=tuple(thresholds), split_col=split_col),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
+class _ShardAssign:
+    """Per-batch deterministic shard id: well-mixed hash mod n_shards."""
+
+    def __init__(self, id_column: str, n_shards: int, shard_col: str):
+        self.id_column = id_column
+        self.n = np.uint64(n_shards)
+        self.shard_col = shard_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
+        h = ((ids.astype(np.uint64) % _MOD) * np.uint64(KNUTH_MULT)) % _MOD
+        return batch.append_column(
+            self.shard_col, pa.array((h % self.n).astype(np.int64)))
+
+
+def assign_shards(ds: Dataset, id_column: str, n_shards: int,
+                  shard_col: str = "shard", concurrency=None) -> Dataset:
+    """Deterministic output-shard assignment: ``knuth_hash(id) mod
+    n_shards`` (the raw ``id mod n`` would inherit any id stride/skew; the
+    multiplicative hash mixes first).  Shuffle-free; SQL-reproducible."""
+    from . import cached_stage, concurrency_kwargs
+    if n_shards < 1:
+        raise ValueError("assign_shards: n_shards must be >= 1")
+    return ds.map_batches(
+        cached_stage(_ShardAssign, id_column=id_column, n_shards=n_shards,
+                     shard_col=shard_col),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
+def write_hash_shards(ds: Dataset, id_column: str, n_shards: int,
+                      out_dir: str, shard_col: str = "shard",
+                      concurrency=None) -> None:
+    """Resumable training-output sink: assign every row a deterministic
+    shard (:func:`assign_shards`) and write hive-partitioned parquet —
+    ``out_dir/shard=<k>/...`` — so a failed run can diff finished shard
+    directories against the expected set and re-emit only the missing ones
+    (assignment is pure id arithmetic: re-running a shard reproduces
+    exactly its rows).  Never one giant file; shard count bounds the
+    per-directory volume."""
+    sharded = assign_shards(ds, id_column, n_shards, shard_col=shard_col,
+                            concurrency=concurrency)
+    sharded.write_parquet(out_dir, partition_cols=[shard_col])

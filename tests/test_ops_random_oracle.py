@@ -287,3 +287,53 @@ def test_pivot_counts_random(ray_session, seed):
             want = sum(1 for gg, cc in zip(groups, cats)
                        if gg == g and cc == cat)
             assert out[g]["n_" + cat] == want
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_split_by_hash_random(ray_session, seed):
+    """Split labels equal the pure-Python hash rule; remainder falls into
+    the LAST label; assignment is deterministic across runs."""
+    from malli_ray.stages.sampling import (KNUTH_MULT, split_by_hash,
+                                           split_thresholds)
+    rng = random.Random(seed)
+    ids = rng.sample(range(10**12), 300)
+    fractions = {"train": 0.6, "valid": 0.2, "test": 0.1}   # sums to 0.9
+    t = pa.table({"doc_id": ids})
+    out = {r["doc_id"]: r["split"] for r in
+           split_by_hash(rd.from_arrow(t), "doc_id", fractions).take_all()}
+    out2 = {r["doc_id"]: r["split"] for r in
+            split_by_hash(rd.from_arrow(t), "doc_id", fractions).take_all()}
+    assert out == out2
+    th = split_thresholds(fractions)
+    assert th[-1] == ("test", 4294967296)    # remainder absorbed
+    for i in ids:
+        h = ((i % 2**32) * KNUTH_MULT) % 2**32
+        want = next(lab for lab, t_ in th if h < t_)
+        assert out[i] == want, i
+
+
+def test_split_by_hash_validation():
+    from malli_ray.stages.sampling import split_thresholds
+    with pytest.raises(ValueError):
+        split_thresholds({})
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.7, "b": 0.7})
+
+
+def test_write_hash_shards(ray_session, tmp_path):
+    """Hive-partitioned shard dirs; union of shards == input; assignment
+    matches assign_shards exactly."""
+    import pyarrow.parquet as pq
+    from malli_ray.stages.sampling import KNUTH_MULT, write_hash_shards
+    ids = list(range(0, 700, 7))
+    t = pa.table({"doc_id": ids, "payload": [f"p{i}" for i in ids]})
+    out = tmp_path / "shards"
+    write_hash_shards(rd.from_arrow(t), "doc_id", n_shards=4, out_dir=str(out))
+    dirs = sorted(p.name for p in out.iterdir())
+    assert all(d.startswith("shard=") for d in dirs)
+    got = pq.read_table(str(out)).to_pylist()
+    assert len(got) == len(ids)
+    for r in got:
+        want = (((r["doc_id"] % 2**32) * KNUTH_MULT) % 2**32) % 4
+        assert int(r["shard"]) == want
+        assert r["payload"] == f"p{r['doc_id']}"
