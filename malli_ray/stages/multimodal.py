@@ -263,14 +263,33 @@ def make_mp4_header(width: int, height: int, duration_units: int,
     return ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
 
 
+def make_flac_header(sample_rate: int, channels: int, bits_per_sample: int,
+                     total_samples: int) -> bytes:
+    """Minimal valid FLAC header (magic + last-flagged STREAMINFO block),
+    dependency-free and deterministic — header-only, no audio frames."""
+    if not (1 <= channels <= 8 and 4 <= bits_per_sample <= 32
+            and 0 < sample_rate < (1 << 20)
+            and 0 <= total_samples < (1 << 36)):
+        raise ValueError("make_flac_header: field out of FLAC range")
+    u = ((sample_rate << 44) | ((channels - 1) << 41)
+         | ((bits_per_sample - 1) << 36) | total_samples)
+    streaminfo = (
+        (4096).to_bytes(2, "big") * 2       # min/max block size
+        + b"\x00" * 6                        # min/max frame size (unknown)
+        + u.to_bytes(8, "big")
+        + b"\x00" * 16)                      # MD5 (unset)
+    assert len(streaminfo) == 34
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + streaminfo
+
+
 class MediaHeaderProbe:
     """REAL (dependency-free) media container-header parser.
 
     Unlike the decode stubs above, container headers need no codec
-    library: PNG IHDR, JPEG SOF, GIF, BMP and RIFF/WAVE ``fmt `` chunks are
-    plain struct layouts, so format detection + dimensions / channels /
-    sample-rate / bit-depth / duration are parsed for real from the payload
-    bytes. The per-payload work is a few dozen byte reads — O(rows), not
+    library: PNG IHDR, JPEG SOF, GIF, BMP, RIFF/WAVE ``fmt `` chunks, FLAC
+    STREAMINFO and ISO-BMFF (MP4) boxes are plain struct layouts, so format
+    detection + dimensions / channels / sample-rate / bit-depth / duration
+    are parsed for real from the payload bytes. The per-payload work is a few dozen byte reads — O(rows), not
     O(payload bytes) — so the Python loop over rows is not a hot path.
 
     Output columns appended: ``media_format`` (string | null),
@@ -384,6 +403,29 @@ class MediaHeaderProbe:
         return fields
 
     @staticmethod
+    def _flac(p: bytes):
+        """FLAC STREAMINFO (the mandatory first metadata block): fixed
+        big-endian bit layout after the 4-byte block header — sample rate
+        (20 bits), channels-1 (3), bits-per-sample-1 (5), total samples
+        (36) packed into bytes 18..25."""
+        if len(p) < 8 + 34 or p[:4] != b"fLaC":
+            return None
+        if (p[4] & 0x7F) != 0:          # first block must be STREAMINFO
+            return None
+        if int.from_bytes(p[5:8], "big") < 34:
+            return None
+        u = int.from_bytes(p[18:26], "big")
+        sample_rate = u >> 44
+        channels = ((u >> 41) & 0x7) + 1
+        bits = ((u >> 36) & 0x1F) + 1
+        total_samples = u & ((1 << 36) - 1)
+        if not sample_rate:
+            return None
+        return {"media_format": "flac", "media_sample_rate": sample_rate,
+                "media_channels": channels, "media_bit_depth": bits,
+                "media_duration_s": total_samples / sample_rate}
+
+    @staticmethod
     def _mp4(p: bytes):
         """ISO-BMFF (MP4/MOV) container: box walk for moov/mvhd (timescale,
         duration) and the first video trak's tkhd (16.16 fixed-point
@@ -438,7 +480,8 @@ class MediaHeaderProbe:
         return fields
 
     _PARSERS = (_png.__func__, _jpeg.__func__, _gif.__func__,
-                _bmp.__func__, _wav.__func__, _mp4.__func__)
+                _bmp.__func__, _wav.__func__, _flac.__func__,
+                _mp4.__func__)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_column).to_pylist()

@@ -1273,6 +1273,31 @@ def test_mp4_header_probe():
         {"media_format": "mp4"}
 
 
+def test_flac_header_probe():
+    """FLAC STREAMINFO bit layout: round-trips the synthesized header over
+    the field ranges, rejects corrupt/truncated/other-format payloads."""
+    from malli_ray.stages.multimodal import MediaHeaderProbe, \
+        make_flac_header
+
+    for sr, ch, bits, n in [(44100, 2, 16, 441000), (8000, 1, 8, 0),
+                            (192000, 8, 32, (1 << 36) - 1),
+                            (22050, 3, 24, 12345)]:
+        f = MediaHeaderProbe._flac(make_flac_header(sr, ch, bits, n))
+        assert f == {"media_format": "flac", "media_sample_rate": sr,
+                     "media_channels": ch, "media_bit_depth": bits,
+                     "media_duration_s": n / sr}
+    good = make_flac_header(44100, 2, 16, 1000)
+    assert MediaHeaderProbe._flac(good[:20]) is None          # truncated
+    assert MediaHeaderProbe._flac(b"OggS" + good[4:]) is None  # bad magic
+    # first block not STREAMINFO (type 4 = VORBIS_COMMENT)
+    bad = good[:4] + bytes([0x84]) + good[5:]
+    assert MediaHeaderProbe._flac(bad) is None
+    for sr, ch, bits, n in [(0, 2, 16, 1), (44100, 9, 16, 1),
+                            (44100, 2, 33, 1), (44100, 2, 16, 1 << 36)]:
+        with pytest.raises(ValueError):
+            make_flac_header(sr, ch, bits, n)
+
+
 def test_range_join(ray_session):
     """Interval join: numeric bounds, inclusivity flags, inner semantics,
     no-match groups drop, types preserved."""
