@@ -106,14 +106,17 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
         ds = T.ngram_contamination(ds, tc, idc, probes, k=args.ngram)
         ds = ds.filter(expr="n_hit == 0")
         stages.append(f"decontaminate(k={args.ngram})")
+    if args.outliers or args.rebalance:
+        # outliers and rebalance are both two-pass (a tiny stats pass, then
+        # the filter), and each pass would re-execute the upstream chain
+        # lazily — checkpoint ONCE before the first of them; everything
+        # between is a shuffle-free filter that is cheap to re-run
+        ds = ds.materialize()
     if args.outliers:
         g, v = args.outliers.split(":", 1)
         ds = sampling.filter_outliers_by_group(ds, g, v)
         stages.append(f"outliers({g}:{v})")
     if args.rebalance:
-        # the count pass + final pass would each re-execute the upstream
-        # chain lazily — checkpoint the current state once first
-        ds = ds.materialize()
         ds = sampling.rebalance_to_uniform(ds, args.rebalance, idc)
         stages.append(f"rebalance({args.rebalance})")
     if args.chunk:

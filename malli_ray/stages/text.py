@@ -166,6 +166,57 @@ def word_counts(ds: Dataset, text_column: str,
     return partial.groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
 
 
+def word_stats(ds: Dataset, text_column: str) -> "pa.Table":
+    """(word, cnt, df) in ONE corpus pass — the fused stats table feeding
+    BOTH :func:`corpus_freq_score` (needs cnt = total occurrences) and
+    :func:`tfidf_keywords` (needs df = documents containing).  Composing
+    the two scorers used to cost two full stats scans; pass this table to
+    their ``vocab_table=`` / ``df_table=`` parameters and the corpus is
+    scanned once.
+
+    Same map-side-combine shape as word_counts/document_frequencies: each
+    batch explodes once and emits one (word, cnt, df) partial row per
+    distinct word per block; one groupby sums both columns."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    def batch_stats(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        words = (pl.from_arrow(col).fill_null("")
+                 .str.extract_all(r"[^\t\n\f\r ]+"))
+        exploded = (pl.DataFrame({"w": words})
+                    .with_row_index("doc")
+                    .explode("w")
+                    .drop_nulls("w"))
+        if exploded.height == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64()),
+                             "df": pa.array([], type=pa.int64())})
+        cnt = exploded.group_by("w").agg(pl.len().cast(pl.Int64)
+                                         .alias("cnt"))
+        df = (exploded.unique(subset=["doc", "w"])
+              .group_by("w").agg(pl.len().cast(pl.Int64).alias("df")))
+        stats = cnt.join(df, on="w", how="inner")  # identical key sets
+        return pa.table({"word": stats.get_column("w").to_arrow()
+                         .cast(pa.string()),
+                         "cnt": stats.get_column("cnt").to_arrow(),
+                         "df": stats.get_column("df").to_arrow()})
+
+    out = (ds.map_batches(batch_stats, batch_format="pyarrow")
+           .groupby("word").aggregate(Sum("cnt", alias_name="cnt"),
+                                      Sum("df", alias_name="df")))
+    parts = [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    if not parts:
+        return pa.table({"word": pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64()),
+                         "df": pa.array([], type=pa.int64())})
+    return pa.concat_tables(parts)
+
+
 def top_words(ds: Dataset, text_column: str, k: int = 100,
               lowercase: bool = False) -> Dataset:
     """Top-k vocabulary by frequency (ties broken by word — deterministic)."""
@@ -640,7 +691,8 @@ class _FreqScorer:
 
 
 def corpus_freq_score(ds: Dataset, text_column: str, id_column: str,
-                      min_count: int = 30, concurrency=None) -> Dataset:
+                      min_count: int = 30, concurrency=None,
+                      vocab_table: "pa.Table | None" = None) -> Dataset:
     """Unigram corpus-frequency quality score (the integer-exact core of a
     unigram LM perplexity filter: avg_word_freq is a monotone transform of
     the geometric-mean token probability's arithmetic cousin, and
@@ -659,11 +711,16 @@ def corpus_freq_score(ds: Dataset, text_column: str, id_column: str,
     frequency table (stages/joins.hash_join) — documented, not default."""
     import ray
     from . import cached_stage
-    vocab_tbl = pa.concat_tables(
-        [pa.table(b) for b in word_counts(ds, text_column)
-         .iter_batches(batch_format="pyarrow")]
-        or [pa.table({"word": pa.array([], type=pa.string()),
-                      "cnt": pa.array([], type=pa.int64())})])
+    if vocab_table is not None:
+        # precomputed stats (e.g. word_stats's fused (word, cnt, df)
+        # table) — share ONE corpus pass across composed scorers
+        vocab_tbl = vocab_table.select(["word", "cnt"])
+    else:
+        vocab_tbl = pa.concat_tables(
+            [pa.table(b) for b in word_counts(ds, text_column)
+             .iter_batches(batch_format="pyarrow")]
+            or [pa.table({"word": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})])
     vocab_ref = ray.put(vocab_tbl)
     return ds.map_batches(
         cached_stage(_FreqScorer, text_column=text_column,
@@ -892,7 +949,8 @@ class _TfIdfKeywords:
 
 
 def tfidf_keywords(ds: Dataset, text_column: str, id_column: str,
-                   k: int = 3, concurrency=None) -> Dataset:
+                   k: int = 3, concurrency=None,
+                   df_table: "pa.Table | None" = None) -> Dataset:
     """Top-k TF-IDF keywords per document.
 
     Two streaming passes: document frequencies (map-side combined, one row
@@ -900,10 +958,15 @@ def tfidf_keywords(ds: Dataset, text_column: str, id_column: str,
     ray.put, then a shuffle-free vectorized polars pass per batch (tf
     counts, tf/df ranking, top-k head).  Web-scale vocabularies outgrow a
     broadcast — the scale path (prune df to words above a support floor,
-    or hash-join exploded words) matches corpus_freq_score's note."""
+    or hash-join exploded words) matches corpus_freq_score's note.
+
+    ``df_table``: a precomputed (word, df[, ...]) table — pass
+    :func:`word_stats`'s output to share one stats pass with
+    corpus_freq_score when composing both."""
     import ray
     from . import cached_stage
-    df_tbl = document_frequencies(ds, text_column)
+    df_tbl = (df_table.select(["word", "df"]) if df_table is not None
+              else document_frequencies(ds, text_column))
     df_ref = ray.put(df_tbl)
     return ds.map_batches(
         cached_stage(_TfIdfKeywords, text_column=text_column,

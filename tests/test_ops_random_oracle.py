@@ -337,3 +337,34 @@ def test_write_hash_shards(ray_session, tmp_path):
         want = (((r["doc_id"] % 2**32) * KNUTH_MULT) % 2**32) % 4
         assert int(r["shard"]) == want
         assert r["payload"] == f"p{r['doc_id']}"
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_word_stats_fused_pass(ray_session, seed):
+    """word_stats's one-pass (word, cnt, df) equals the separate
+    word_counts + document_frequencies passes, and feeding it to the two
+    scorers reproduces their default two-scan outputs exactly."""
+    from malli_ray.stages.text import (corpus_freq_score,
+                                       document_frequencies, tfidf_keywords,
+                                       word_counts, word_stats)
+    rng = random.Random(seed)
+    docs = _random_docs(rng, 100)
+    t = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    ds = rd.from_arrow(t)
+
+    stats = word_stats(ds, "text")
+    cnt = {r["word"]: r["cnt"] for r in word_counts(ds, "text").take_all()}
+    df = {r["word"]: r["df"]
+          for r in document_frequencies(ds, "text").to_pylist()}
+    got = {r["word"]: (r["cnt"], r["df"]) for r in stats.to_pylist()}
+    assert got == {w: (cnt[w], df[w]) for w in cnt}
+
+    def rows(ds_):
+        return sorted(map(tuple, (r.values() for r in ds_.take_all())))
+
+    assert rows(corpus_freq_score(ds, "text", "doc_id",
+                                  vocab_table=stats)) == \
+        rows(corpus_freq_score(ds, "text", "doc_id"))
+    assert rows(tfidf_keywords(ds, "text", "doc_id", k=2,
+                               df_table=stats)) == \
+        rows(tfidf_keywords(ds, "text", "doc_id", k=2))
