@@ -123,13 +123,27 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
         size, stride = (int(x) for x in args.chunk.split(":", 1))
         ds = packing.chunk_text(ds, tc, idc, size=size, stride=stride)
         stages.append(f"chunk({size}:{stride})")
+    partition_cols = []
+    if args.split:
+        fractions = {}
+        for part in args.split.split(","):
+            label, frac = part.split(":", 1)
+            fractions[label] = float(frac)
+        ds = sampling.split_by_hash(ds, idc, fractions)
+        partition_cols.append("split")
+        stages.append(f"split({args.split})")
+    if args.shards:
+        ds = sampling.assign_shards(ds, idc, args.shards)
+        partition_cols.append("shard")
+        stages.append(f"shards({args.shards})")
 
     out_dir = os.path.join(args.out, "data")
-    ds.write_parquet(out_dir)
+    ds.write_parquet(out_dir, partition_cols=partition_cols or None)
     import pyarrow.parquet as pq
     rows_out = sum(pq.read_metadata(f).num_rows
-                   for f in sorted(_glob.glob(os.path.join(out_dir,
-                                                           "*.parquet"))))
+                   for f in sorted(_glob.glob(
+                       os.path.join(out_dir, "**", "*.parquet"),
+                       recursive=True)))
     print(json.dumps({"rows_in": rows_in, "rows_out": rows_out,
                       "stages": stages, "out": out_dir}))
     return 0
@@ -188,6 +202,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="deterministic uniform-mixture downsampling on GROUP")
     cp.add_argument("--chunk", metavar="SIZE:STRIDE",
                     help="sliding-window chunking of the text column")
+    cp.add_argument("--split", metavar="LABEL:FRAC,...",
+                    help="deterministic hash split, e.g. "
+                         "train:0.98,valid:0.01,test:0.01 (last label "
+                         "absorbs remainder); output partitioned by split")
+    cp.add_argument("--shards", type=int, metavar="N",
+                    help="deterministic hash-shard assignment; output "
+                         "partitioned into shard=k/ directories")
     cp.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
 

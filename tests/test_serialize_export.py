@@ -861,3 +861,35 @@ def test_cli_corpus_prep(tmp_path, ray_session, capsys):
     ).column("chunk_text").to_pylist()
     assert boiler not in "".join(texts)     # boilerplate line scrubbed
     assert rep["rows_out"] == chunks.num_rows
+
+
+def test_cli_corpus_prep_split_shards(tmp_path, ray_session, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from malli_ray.cli import main
+    from malli_ray.stages.sampling import KNUTH_MULT, split_thresholds
+
+    docs = pa.table({
+        "doc_id": list(range(40)),
+        "source": ["a"] * 40,
+        "text": [f"doc number {i}" for i in range(40)]})
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(docs, inp / "part-0.parquet")
+    out = tmp_path / "out"
+    rc = main(["corpus-prep", "--input", str(inp), "--out", str(out),
+               "--split", "train:0.8,test:0.2", "--shards", "2",
+               "--num-cpus", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stages"] == ["split(train:0.8,test:0.2)", "shards(2)"]
+    assert rep["rows_out"] == 40
+    # hive layout split=<label>/shard=<k>/
+    labels = sorted(p.name for p in (out / "data").iterdir())
+    assert labels and all(l.startswith("split=") for l in labels)
+    got = pq.read_table(str(out / "data")).to_pylist()
+    th = split_thresholds({"train": 0.8, "test": 0.2})
+    for r in got:
+        h = ((r["doc_id"] % 2**32) * KNUTH_MULT) % 2**32
+        want = next(lab for lab, t in th if h < t)
+        assert r["split"] == want and int(r["shard"]) == h % 2
