@@ -23,7 +23,7 @@ import ray
 from ray.data import Dataset
 
 __all__ = ["TopKScorer", "topk_cosine", "train_centroids", "ivf_topk",
-           "kmeans_fit"]
+           "kmeans_fit", "normalize_embeddings", "quantize_embeddings_int8"]
 
 
 def _unit_rows(mat: np.ndarray) -> np.ndarray:
@@ -262,3 +262,89 @@ def kmeans_fit(ds: Dataset, emb_column: str, n_centroids: int,
         centroids[nonempty] = tot_sum[nonempty] / tot_cnt[nonempty, None]
         centroids = _unit_rows(centroids)
     return centroids
+
+
+def _list_from_matrix(mat: np.ndarray, value_type) -> pa.ListArray:
+    """Rebuild a list<value_type> column from a (n, d) matrix."""
+    n, d = mat.shape
+    values = pa.array(mat.reshape(-1), type=value_type)
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32),
+                       type=pa.int32())
+    return pa.ListArray.from_arrays(offsets, values)
+
+
+class _Normalizer:
+    """Per-batch L2 normalization of an embedding column (zero vectors
+    pass through unchanged)."""
+
+    def __init__(self, emb_column: str, out_column: str):
+        self.emb_column = emb_column
+        self.out_column = out_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                self.out_column, batch.column(self.emb_column)) \
+                if self.out_column not in batch.column_names else batch
+        mat = _unit_rows(_emb_matrix(batch, self.emb_column))
+        arr = _list_from_matrix(mat.astype(np.float32), pa.float32())
+        if self.out_column == self.emb_column:
+            i = batch.schema.get_field_index(self.emb_column)
+            return batch.set_column(i, self.emb_column, arr)
+        return batch.append_column(self.out_column, arr)
+
+
+def normalize_embeddings(ds: Dataset, emb_column: str,
+                         out_column: str | None = None,
+                         concurrency=None) -> Dataset:
+    """Unit-normalize an embedding column (float32 output) — the
+    precompute that turns every downstream cosine into a dot product.
+    Shuffle-free, one matrix pass per batch."""
+    from . import cached_stage, concurrency_kwargs
+    return ds.map_batches(
+        cached_stage(_Normalizer, emb_column=emb_column,
+                     out_column=out_column or emb_column),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
+class _Int8Quantizer:
+    """Per-batch symmetric int8 quantization, flattened output rows.
+
+    scale = max(|x|) / 127 per vector (ONE IEEE division);
+    q = floor(x / scale + 0.5) — explicit floor(+0.5) instead of rint so a
+    SQL oracle reproduces every value bit-for-bit (rint rounds half to
+    even; SQL ROUND rounds half away; floor(+0.5) is identical on both
+    sides). Zero vectors quantize to all-zero with scale 0."""
+
+    def __init__(self, emb_column: str, id_column: str):
+        self.emb_column = emb_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch, self.emb_column)   # float64 (n, d)
+        n, d = mat.shape
+        maxabs = np.abs(mat).max(axis=1)
+        scale = maxabs / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.floor(mat / safe[:, None] + 0.5).astype(np.int8)
+        ids = batch.column(self.id_column)
+        take = pa.array(np.repeat(np.arange(n, dtype=np.int64), d))
+        import pyarrow.compute as pc
+        return pa.table({
+            self.id_column: pc.take(ids, take),
+            "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+            "q": pa.array(q.reshape(-1)),
+            "scale": pa.array(np.repeat(scale, d), type=pa.float64())})
+
+
+def quantize_embeddings_int8(ds: Dataset, emb_column: str, id_column: str,
+                             concurrency=None) -> Dataset:
+    """Symmetric per-vector int8 quantization (the 4x memory cut for the
+    ANN scale path): emits flattened (id, pos 1-based, q int8, scale)
+    rows. Dequantization is ``q * scale``; max per-element error is
+    scale/2. Shuffle-free."""
+    from . import cached_stage, concurrency_kwargs
+    return ds.map_batches(
+        cached_stage(_Int8Quantizer, emb_column=emb_column,
+                     id_column=id_column),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))

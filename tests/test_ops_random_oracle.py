@@ -368,3 +368,42 @@ def test_word_stats_fused_pass(ray_session, seed):
     assert rows(tfidf_keywords(ds, "text", "doc_id", k=2,
                                df_table=stats)) == \
         rows(tfidf_keywords(ds, "text", "doc_id", k=2))
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_embedding_normalize_quantize_random(ray_session, seed):
+    """Unit norms after normalize; quantization round-trips within scale/2
+    per element and preserves cosine; zero vectors stay zero."""
+    from malli_ray.stages.similarity import (normalize_embeddings,
+                                             quantize_embeddings_int8)
+    rng = np.random.default_rng(seed)
+    n, d = 60, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    mat[7] = 0.0                                   # zero vector
+    t = pa.table({"vec_id": list(range(n)),
+                  "embedding": [row.tolist() for row in mat]})
+    ds = rd.from_arrow(t)
+
+    normed = {r["vec_id"]: np.asarray(r["embedding"]) for r in
+              normalize_embeddings(ds, "embedding").take_all()}
+    for i in range(n):
+        norm = np.linalg.norm(normed[i])
+        assert abs(norm - 1.0) < 1e-5 or (i == 7 and norm == 0.0)
+
+    rows = quantize_embeddings_int8(ds, "embedding", "vec_id").take_all()
+    assert len(rows) == n * d
+    q = np.zeros((n, d)); scale = np.zeros(n)
+    for r in rows:
+        q[r["vec_id"], r["pos"] - 1] = r["q"]
+        scale[r["vec_id"]] = r["scale"]
+    assert np.all(np.abs(q) <= 127)
+    assert scale[7] == 0.0 and not q[7].any()
+    deq = q * scale[:, None]
+    err = np.abs(deq - mat.astype(np.float64))
+    assert np.all(err <= scale[:, None] / 2 + 1e-12)
+    for i in range(n):
+        if i == 7:
+            continue
+        cos = (deq[i] @ mat[i]) / (np.linalg.norm(deq[i])
+                                   * np.linalg.norm(mat[i]))
+        assert cos > 0.995, (i, cos)
