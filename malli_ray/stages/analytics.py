@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-__all__ = ["top_k_per_group", "distinct_count_by_group", "pivot_counts"]
+__all__ = ["top_k_per_group", "distinct_count_by_group", "pivot_counts",
+           "lag_lead"]
 
 
 def _sort_spec(group: str, order_by, descending: bool):
@@ -126,6 +127,72 @@ def distinct_count_by_group(ds: Dataset, group: str, value: str,
             .map_batches(distinct_pairs, batch_format="pyarrow")
             .groupby(group, num_partitions=num_partitions)
             .map_groups(finish, batch_format="pyarrow"))
+
+
+def lag_lead(ds: Dataset, key: str, order_by, value_col: str, n: int = 1,
+             lag_col: str | None = None, lead_col: str | None = None,
+             num_buckets: int = 64,
+             num_partitions: int | None = None) -> Dataset:
+    """SQL ``LAG(value, n)`` / ``LEAD(value, n)`` ``OVER (PARTITION BY key
+    ORDER BY order_by...)`` — the previous/next value within a key's ordered
+    run, null at the run edges.  Values are MOVED verbatim (``pc.take``), so
+    types and float bit-patterns are preserved exactly.
+
+    ``order_by`` is a column name or list; together with ``key`` it must
+    order rows within a key deterministically (include a unique tie-break
+    column such as the row id).
+
+    Scale shape: the shuffle key is ``hash(key) % num_buckets`` — NOT the
+    raw key — so the exchange produces ``num_buckets`` evenly-sized groups
+    instead of one tiny group per key (at 100 TB, per-user groups would mean
+    billions of Python ``map_groups`` calls; buckets mean ~one vectorized
+    call per partition).  Inside a bucket: ONE Arrow multi-column sort by
+    (key, order_by...), then a fully vectorized shift with run-boundary null
+    masking across ALL keys at once — positions whose run offset < n (lag)
+    or >= run_length - n (lead) take a null index.  Assumption: one
+    BUCKET fits in worker memory (tune num_buckets, not the key
+    distribution — hot keys do not skew buckets more than hash balance).
+    """
+    if isinstance(order_by, str):
+        order_by = [order_by]
+    lag_name = lag_col or f"{value_col}_lag{n}"
+    lead_name = lead_col or f"{value_col}_lead{n}"
+    spec = [(key, "ascending"), *[(c, "ascending") for c in order_by]]
+    bucket_col = "__lagbucket__"
+
+    from ..state.sketches import hash64
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key), seed=11) % np.uint64(num_buckets)
+        return batch.append_column(
+            bucket_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(spec)
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        pos = _run_positions(keys)
+        nrows = len(keys)
+        # run lengths broadcast back to rows: runlen[i] = len of i's run
+        new = np.ones(nrows, dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, nrows))
+        runlen = np.repeat(lens, lens)
+        idx = np.arange(nrows, dtype=np.int64)
+        lag_ok = pos >= n
+        lead_ok = pos < runlen - n
+        vals = g.column(value_col)
+        lag_idx = pa.array(np.where(lag_ok, idx - n, 0), type=pa.int64(),
+                           mask=~lag_ok)
+        lead_idx = pa.array(np.where(lead_ok, idx + n, 0), type=pa.int64(),
+                            mask=~lead_ok)
+        g = g.append_column(lag_name, pc.take(vals, lag_idx))
+        g = g.append_column(lead_name, pc.take(vals, lead_idx))
+        return g.drop_columns([bucket_col])
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))
 
 
 def pivot_counts(ds: Dataset, group: str, pivot: str,

@@ -213,6 +213,40 @@ def test_rolling_aggregate_random(ray_session, seed):
         assert r["rolling_sum"] == sum(frame), i
 
 
+@pytest.mark.parametrize("seed", [31, 32])
+def test_lag_lead_random(ray_session, seed):
+    """LAG/LEAD vs a naive per-key scan — null at run edges, values moved
+    verbatim (float bits preserved), deterministic under the (ts, rid)
+    tie-break, stable across bucket counts."""
+    from malli_ray.stages.analytics import lag_lead
+    rng = random.Random(seed)
+    n = 400
+    keys = [rng.choice(["u1", "u2", "u3", "u4", "solo"][:4]) for _ in range(n)]
+    keys.append("solo")                                   # 1-row run
+    ts = [rng.randint(0, 50) for _ in range(n + 1)]       # heavy ties
+    vals = [rng.uniform(-5, 5) for _ in range(n + 1)]
+    t = pa.table({"k": keys, "ts": ts, "v": vals,
+                  "rid": list(range(n + 1))})
+    for shift, buckets in [(1, 8), (2, 3)]:
+        out = {r["rid"]: r for r in
+               lag_lead(rd.from_arrow(t), key="k", order_by=["ts", "rid"],
+                        value_col="v", n=shift,
+                        num_buckets=buckets).take_all()}
+        assert len(out) == n + 1
+        per_key = {}
+        for i in sorted(range(n + 1), key=lambda i: (ts[i], i)):
+            per_key.setdefault(keys[i], []).append(i)
+        for k, order in per_key.items():
+            for pos, i in enumerate(order):
+                r = out[i]
+                want_lag = (vals[order[pos - shift]]
+                            if pos >= shift else None)
+                want_lead = (vals[order[pos + shift]]
+                             if pos + shift < len(order) else None)
+                assert r[f"v_lag{shift}"] == want_lag, (k, i)
+                assert r[f"v_lead{shift}"] == want_lead, (k, i)
+
+
 @pytest.mark.parametrize("seed", [13, 14])
 def test_top_k_per_group_random(ray_session, seed):
     from malli_ray.stages.analytics import top_k_per_group
