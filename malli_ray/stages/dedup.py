@@ -62,6 +62,7 @@ __all__ = [
     "add_content_hash", "exact_dup_groups", "exact_dedup_keep_first",
     "MinHasher", "minhash_lsh_candidates", "SimHasher", "simhash_near_dups",
     "ngram_jaccard", "embedding_near_dups",
+    "semantic_codebook", "semantic_dedup_pairs", "semantic_dedup",
     "cluster_pairs", "dedup_by_clusters",
 ]
 
@@ -729,6 +730,176 @@ def embedding_near_dups(ds: Dataset, emb_column: str, id_column: str,
         "id_b": pa.array([], type=id_type),
         "cosine": pa.array([], type=pa.float64())}))
     return deduped.union(empty)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: cluster embeddings, near-dup within clusters)
+# ---------------------------------------------------------------------------
+
+
+def semantic_codebook(ds: Dataset, emb_column: str, id_column: str,
+                      n_clusters: int, seed: int = 42,
+                      sample_size: int = 2048, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical-k-means codebook for :func:`semantic_dedup`.
+
+    The training sample is the ``sample_size`` rows with the globally
+    SMALLEST ``hash(id)`` — a map-side partial top-k per batch (at most
+    sample_size rows survive each block) merged on the driver — so the
+    sample (and therefore the codebook and every downstream cluster
+    assignment) is independent of block order, partitioning, and cluster
+    size: rerun- and resume-stable by construction, unlike a
+    ``random_sample`` whose draw follows block boundaries.  Lloyd iterations
+    run on the driver over the tiny sample (similarity.train_centroids
+    math).  For codebooks that must see the full corpus use
+    similarity.kmeans_fit instead (scale path; reduction order makes it
+    deterministic only up to float-sum rounding)."""
+    from .similarity import train_centroids
+
+    def partial_sample(batch: pa.Table) -> pa.Table:
+        t = pa.table({"h": pa.array(
+            hash64(batch.column(id_column), seed=5).view(np.int64)),
+            "id": batch.column(id_column),
+            "emb": batch.column(emb_column)})
+        if t.num_rows > sample_size:
+            t = t.sort_by([("h", "ascending"), ("id", "ascending")])
+            t = t.slice(0, sample_size)
+        return t
+
+    parts = ds.map_batches(partial_sample, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        pa.table(b) for b in parts.iter_batches(batch_format="pyarrow"))
+    merged = merged.sort_by([("h", "ascending"), ("id", "ascending")])
+    merged = merged.slice(0, sample_size)
+    sample = np.asarray(merged.column("emb").to_pylist(), dtype=np.float64)
+    return train_centroids(sample, n_clusters, iters=iters, seed=seed)
+
+
+class _CentroidAssigner:
+    """Stateful stage: centroids fetched once per worker; emits (cid, id,
+    unit-float32) rows — the same float32 wire cut as _HyperplaneBucketer."""
+
+    def __init__(self, centroids_ref, emb_column: str, id_column: str):
+        import ray
+        self.centroids = (ray.get(centroids_ref)
+                          if isinstance(centroids_ref, ray.ObjectRef)
+                          else centroids_ref)
+        self.emb_column = emb_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "cid": pa.array([], type=pa.int64()),
+                "id": pa.array([], type=batch.schema.field(
+                    self.id_column).type),
+                "unit": pa.array([], type=pa.list_(pa.float32()))})
+        emb = np.asarray(batch.column(self.emb_column).to_pylist(),
+                         dtype=np.float64)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        unit = emb / norm
+        cid = (unit @ self.centroids.T).argmax(axis=1).astype(np.int64)
+        return pa.table({
+            "cid": pa.array(cid),
+            "id": batch.column(self.id_column),
+            "unit": pa.array(list(unit.astype(np.float32)),
+                             type=pa.list_(pa.float32()))})
+
+
+def semantic_dedup_pairs(ds: Dataset, emb_column: str, id_column: str,
+                         n_clusters: int = 16, threshold: float = 0.9,
+                         seed: int = 42, sample_size: int = 2048,
+                         max_bucket: int = 8192,
+                         centroids: "np.ndarray | None" = None,
+                         concurrency=None) -> Dataset:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs via
+    k-means clustering + exact within-cluster cosine.
+
+    Scale shape: the all-pairs problem is partitioned by cluster — ONE
+    shuffle keyed on the centroid assignment (k groups, sized ~n/k for a
+    balanced codebook), exact cosine inside each cluster via one matmul.
+    The shuffled payload is the float32 unit vector; emitted pair cosines
+    are recomputed as float64 per-pair dots over the float32-roundtripped
+    units (pairs << n^2, and the per-pair dot is the precision contract the
+    golden fixture pins — membership is decided on the SAME dot).  Recall <
+    1 by construction: a near-dup pair straddling a cluster boundary is
+    missed; raise n_clusters for speed, lower it (or run two seeds) for
+    recall.  Oversize clusters truncate in min-id order with a LOGGED
+    warning (raise max_bucket or n_clusters instead of relying on it)."""
+    import ray
+    from . import cached_stage, concurrency_kwargs
+
+    if centroids is None:
+        centroids = semantic_codebook(ds, emb_column, id_column, n_clusters,
+                                      seed=seed, sample_size=sample_size)
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def verify(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        id_type = group.column("id").type
+        empty = pa.table({"id_a": pa.array([], type=id_type),
+                          "id_b": pa.array([], type=id_type),
+                          "cosine": pa.array([], type=pa.float64())})
+        if n < 2:
+            return empty
+        ids = group.column("id").to_pylist()
+        if n > max_bucket:
+            logger.warning(
+                "semantic cluster truncated: %d rows > max_bucket=%d "
+                "(cid=%s); dropping %d", n, max_bucket,
+                group.column("cid")[0], n - max_bucket)
+            order = sorted(range(n), key=lambda i: ids[i])[:max_bucket]
+            group = group.take(pa.array(order, type=pa.int64()))
+            ids = [ids[i] for i in order]
+            n = max_bucket
+        unit = np.asarray(group.column("unit").to_pylist(), dtype=np.float64)
+        sims = unit @ unit.T
+        # matmul prefilter with an ulp margin; membership decided by the
+        # per-pair float64 dot (the emitted value)
+        ii, jj = np.nonzero(np.triu(sims >= threshold - 1e-9, k=1))
+        a_out, b_out, c_out = [], [], []
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            if ids[i] == ids[j]:
+                continue
+            cos = float(unit[i] @ unit[j])
+            if cos < threshold:
+                continue
+            lo, hi = sorted((ids[i], ids[j]))
+            a_out.append(lo)
+            b_out.append(hi)
+            c_out.append(cos)
+        return pa.table({"id_a": pa.array(a_out, type=id_type),
+                         "id_b": pa.array(b_out, type=id_type),
+                         "cosine": pa.array(c_out, type=pa.float64())})
+
+    assigned = ds.map_batches(
+        cached_stage(_CentroidAssigner, centroids_ref=cref,
+                     emb_column=emb_column, id_column=id_column),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+    pairs = assigned.groupby("cid").map_groups(verify, batch_format="pyarrow")
+    # typed empty union so a zero-pair result keeps its schema (the
+    # embedding_near_dups pattern)
+    id_type = ds.schema().base_schema.field(id_column).type
+    empty = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], type=id_type),
+        "id_b": pa.array([], type=id_type),
+        "cosine": pa.array([], type=pa.float64())}))
+    return pairs.union(empty)
+
+
+def semantic_dedup(ds: Dataset, emb_column: str, id_column: str,
+                   n_clusters: int = 16, threshold: float = 0.9,
+                   seed: int = 42, sample_size: int = 2048,
+                   max_bucket: int = 8192, concurrency=None) -> Dataset:
+    """Keep one representative (minimum id) per semantic near-dup cluster:
+    pairs -> driver union-find over the SMALL pairs output -> broadcast
+    drop-set filter.  The corpus itself streams; only pairs materialize."""
+    pairs = semantic_dedup_pairs(
+        ds, emb_column, id_column, n_clusters=n_clusters,
+        threshold=threshold, seed=seed, sample_size=sample_size,
+        max_bucket=max_bucket, concurrency=concurrency)
+    clusters = cluster_pairs(pairs)
+    return dedup_by_clusters(ds, id_column, clusters)
 
 
 def cluster_pairs(pairs: "Dataset | pa.Table") -> pa.Table:

@@ -80,12 +80,23 @@ def test_embedding_pairs_fixture_rederives():
     assert [tuple(r.values()) for r in got.to_pylist()] == want
 
 
+def test_semantic_pairs_fixture_rederives():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    want = make_golden.semantic_dedup_pairs_ref(
+        t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    got = pq.read_table(f"{GOLD}/semantic_dedup_embeddings.parquet")
+    assert len(want) == 50          # every synthesized dup pair recovered
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+
+
 @pytest.mark.parametrize("name,cols", [
     ("fingerprint_documents", ["doc_id", "fingerprint"]),
     ("simhash_documents", ["doc_id", "simhash"]),
     ("minhash_dedup_documents", ["id_a", "id_b", "est_jaccard"]),
     ("near_dup_pairs_simhash", ["id_a", "id_b", "jaccard"]),
     ("embedding_near_dups", ["id_a", "id_b", "cosine"]),
+    ("semantic_dedup_embeddings", ["id_a", "id_b", "cosine"]),
 ])
 def test_engine_matches_fixture(ray_session, name, cols):
     import __ray_entry__ as entrymod

@@ -213,6 +213,56 @@ def test_rolling_aggregate_random(ray_session, seed):
         assert r["rolling_sum"] == sum(frame), i
 
 
+@pytest.mark.parametrize("seed", [41, 42])
+def test_semantic_dedup_random(ray_session, seed):
+    """SemDeDup over planted well-separated clusters: every planted
+    near-dup pair is recovered (same-cluster recall), no cross-cluster
+    false pairs, and semantic_dedup keeps exactly one representative
+    (the min id) per near-dup group while untouched rows survive."""
+    from malli_ray.stages.dedup import semantic_dedup_pairs, semantic_dedup
+    rng = np.random.default_rng(seed)
+    d, n_clusters, per = 32, 4, 40
+    bases = rng.standard_normal((n_clusters, d))
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    rows, ids, dup_of = [], [], {}
+    i = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = bases[c] + 0.05 * rng.standard_normal(d)
+            rows.append(v)
+            ids.append(i)
+            i += 1
+            if rng.random() < 0.25:            # planted near-dup
+                rows.append(v + 1e-4 * rng.standard_normal(d))
+                dup_of[i] = i - 1
+                ids.append(i)
+                i += 1
+    t = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                  "embedding": pa.array([r.astype(np.float32) for r in rows],
+                                        type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t)
+    pairs = semantic_dedup_pairs(ds, "embedding", "vec_id",
+                                 n_clusters=n_clusters, threshold=0.99,
+                                 seed=7, sample_size=64).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {(orig, dup) for dup, orig in dup_of.items()}
+    assert want <= got                       # every planted pair recovered
+    for a, b in got:
+        cos = np.dot(rows[a], rows[b]) / (
+            np.linalg.norm(rows[a]) * np.linalg.norm(rows[b]))
+        assert cos >= 0.99 - 1e-6            # no false pairs
+    kept = {r["vec_id"] for r in
+            semantic_dedup(ds, "embedding", "vec_id",
+                           n_clusters=n_clusters, threshold=0.99,
+                           seed=7, sample_size=64).take_all()}
+    extra_found = got - want
+    if not extra_found:                      # exact keep-set check
+        assert kept == set(range(i)) - set(dup_of.keys())
+    else:                                    # duplicates among originals
+        assert set(dup_of.keys()).isdisjoint(kept)
+    assert len(kept) + len({b for _, b in got}) >= i  # reps all survive
+
+
 @pytest.mark.parametrize("seed", [31, 32])
 def test_lag_lead_random(ray_session, seed):
     """LAG/LEAD vs a naive per-key scan — null at run edges, values moved

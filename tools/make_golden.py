@@ -186,6 +186,72 @@ def embedding_pairs(ids, embs, threshold=0.95, n_planes=12, seed=42):
     return out
 
 
+def semantic_dedup_pairs_ref(ids, embs, n_clusters=8, threshold=0.9,
+                             seed=42, sample_size=256, eps=0.05,
+                             mult=0x9E3779B97F4A7C15):
+    """Brute-force reconstruction of the semantic-dedup query: synthesize
+    the eps-perturbed duplicate rows (same per-row sign-bit rule as
+    __ray_entry__._sem_synth_dups), pick the codebook sample as the
+    sample_size smallest polars-hash(id) rows, run the documented seeded
+    Lloyd iterations, assign every row to its argmax centroid, and emit
+    within-cluster pairs whose float64 per-pair dot of float32-roundtripped
+    unit vectors is >= threshold.  Plain numpy over the full table — no
+    engine kernels imported; polars Series.hash is the pinned shared
+    primitive."""
+    emb = np.asarray(embs, dtype=np.float64)
+    ids = np.asarray(ids, dtype=np.int64)
+    d = emb.shape[1]
+    # synthesized duplicates (vec_id % 10 == 3 -> copy at id + 1_000_000)
+    pick = ids % 10 == 3
+    h = ids[pick].astype(np.uint64) * np.uint64(mult)
+    bits = (h[:, None] >> (np.arange(d, dtype=np.uint64) % np.uint64(64))) \
+        & np.uint64(1)
+    signs = np.where(bits == 1, 1.0, -1.0)
+    dup = (emb[pick] * (1.0 + eps * signs)).astype(np.float32) \
+        .astype(np.float64)
+    all_ids = np.concatenate([ids, ids[pick] + 1_000_000])
+    all_emb = np.vstack([emb, dup])
+    # codebook: sample_size smallest hash(id) rows, seeded Lloyd
+    hh = pl.Series(all_ids).hash(seed=5).to_numpy().astype(np.uint64) \
+        .view(np.int64)
+    order = np.lexsort((all_ids, hh))[:sample_size]
+    sample = all_emb[order]
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sample = sample / norms
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)),
+                     replace=False)
+    centroids = sample[idx].copy()
+    for _ in range(10):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        cn = np.linalg.norm(centroids, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        centroids = centroids / cn
+    # assignment + within-cluster exact pairs over float32 wire units
+    norm = np.linalg.norm(all_emb, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    unit = all_emb / norm
+    cid = (unit @ centroids.T).argmax(axis=1)
+    unit32 = unit.astype(np.float32).astype(np.float64)
+    out = []
+    n = len(all_ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cid[i] != cid[j] or all_ids[i] == all_ids[j]:
+                continue
+            cos = float(unit32[i] @ unit32[j])
+            if cos >= threshold:
+                lo, hi = sorted((int(all_ids[i]), int(all_ids[j])))
+                out.append((lo, hi, cos))
+    out.sort()
+    return out
+
+
 def main(sfs=("sf0.001", "sf0.01")):
     for sf in sfs:
         src = f"/root/testdata/{sf}/documents.parquet"
@@ -232,9 +298,20 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "cosine": pa.array([p[2] for p in epairs],
                                          type=pa.float64())}),
             os.path.join(outdir, "embedding_near_dups.parquet"))
+        sempairs = semantic_dedup_pairs_ref(eids,
+                                            et.column("embedding").to_pylist())
+        pq.write_table(
+            pa.table({"id_a": pa.array([p[0] for p in sempairs],
+                                       type=pa.int64()),
+                      "id_b": pa.array([p[1] for p in sempairs],
+                                       type=pa.int64()),
+                      "cosine": pa.array([p[2] for p in sempairs],
+                                         type=pa.float64())}),
+            os.path.join(outdir, "semantic_dedup_embeddings.parquet"))
         print(f"{sf}: {len(fp)} fingerprints, {len(sh)} simhashes, "
               f"{len(pairs)} minhash pairs, {len(spairs)} simhash pairs, "
-              f"{len(epairs)} embedding pairs -> {outdir}")
+              f"{len(epairs)} embedding pairs, {len(sempairs)} semantic "
+              f"pairs -> {outdir}")
 
 
 if __name__ == "__main__":
