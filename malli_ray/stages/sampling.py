@@ -114,6 +114,69 @@ def rebalance_to_uniform(ds: Dataset, group_column: str, id_column: str,
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 
+def temperature_thresholds(counts: dict, alpha: float = 0.5,
+                           target_total: "int | None" = None) -> dict:
+    """Per-group keep thresholds for temperature-based mixture sampling
+    (the multilingual-LM pattern: sample group g with probability
+    proportional to ``count_g ** alpha`` — alpha=1 preserves the natural
+    mixture, alpha=0 is uniform, 0.3-0.7 up-weights the tail).
+
+    Derivation is INTEGER-exact for alpha=0.5: weights are ``isqrt(c)``
+    (floor of the IEEE-correctly-rounded sqrt, so any SQL engine computes
+    the identical integer), and ``threshold_g = min(2^32, (N * w_g * 2^32)
+    // (c_g * sum(w)))`` uses only integer multiply/floor-divide — no
+    float summation whose order could differ between engines.  Other
+    alphas take the float ``floor(c ** alpha)`` weight (numpy pow and SQL
+    POWER may disagree in the last ulp — in-process use only).  Groups can
+    only be DOWN-sampled (rate capped at 1); ``target_total`` defaults to
+    the input row count."""
+    import math
+    if not counts:
+        return {}
+    n = int(target_total) if target_total is not None \
+        else int(sum(counts.values()))
+    if alpha == 0.5:
+        w = {g: math.isqrt(int(c)) for g, c in counts.items()}
+    elif alpha == 1.0:
+        w = {g: int(c) for g, c in counts.items()}
+    else:
+        w = {g: int(np.floor(float(c) ** alpha)) for g, c in counts.items()}
+    s = sum(w.values())
+    out = {}
+    for g, c in counts.items():
+        if c <= 0 or s == 0:
+            out[g] = 0
+            continue
+        out[g] = min((n * w[g] * 4294967296) // (int(c) * s), 4294967296)
+    return out
+
+
+def rebalance_by_temperature(ds: Dataset, group_column: str, id_column: str,
+                             alpha: float = 0.5,
+                             target_total: "int | None" = None,
+                             concurrency=None) -> Dataset:
+    """Temperature-based mixture sampling: downsample each group toward a
+    ``count ** alpha`` share of ``target_total`` rows, deterministically
+    (same Knuth-hash selection rule as :func:`rebalance_to_uniform`, so
+    reruns/resumes keep identical rows and SQL reproduces the selection
+    bit-for-bit at alpha=0.5).
+
+    Scale shape: ONE count-only groupby (a row per group), thresholds in
+    the actor closure, then a shuffle-free vectorized filter — the payload
+    never moves."""
+    from . import cached_stage, concurrency_kwargs
+    rows = ds.groupby(group_column).aggregate(Count(alias_name="c")).take_all()
+    counts = {r[group_column]: r["c"] for r in rows}
+    thresholds = temperature_thresholds(counts, alpha=alpha,
+                                        target_total=target_total)
+    logger.info("rebalance_by_temperature(alpha=%s): %d groups, "
+                "thresholds %s", alpha, len(thresholds), thresholds)
+    return ds.map_batches(
+        cached_stage(_RebalanceFilter, id_column=id_column,
+                     group_column=group_column, thresholds=thresholds),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
 def group_iqr_bounds(ds: Dataset, group_column: str, value_column: str,
                      k: float = 1.5) -> dict:
     """Per-group Tukey fences: ``[q1 - k*IQR, q3 + k*IQR]`` from EXACT

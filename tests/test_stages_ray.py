@@ -1154,6 +1154,44 @@ def test_rebalance_to_uniform(ray_session):
     assert keep_mask(ids, thr).all()
 
 
+def test_rebalance_by_temperature(ray_session):
+    """Temperature sampling at alpha=0.5: shares move toward sqrt(count)
+    proportions, the derivation is integer-exact (threshold arithmetic
+    matches the documented formula), alpha=1 is a no-op mixture (all
+    thresholds 2^32 when target_total == N), and reruns are identical."""
+    import math
+    import ray.data as rd
+    from malli_ray.stages.sampling import (rebalance_by_temperature,
+                                           temperature_thresholds, keep_mask)
+
+    n_a, n_b = 3600, 400                                 # sqrt 60 vs 20
+    t = pa.table({"doc_id": list(range(n_a + n_b)),
+                  "source": ["a"] * n_a + ["b"] * n_b})
+    ds = rd.from_arrow(t)
+    out = rebalance_by_temperature(ds, "source", "doc_id", alpha=0.5)
+    rows = out.take_all()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # expected: N=4000, w=(60,20), s=80 -> a: 4000*60/(3600*80)=0.833,
+    # b: 4000*20/(400*80)=2.5 capped at 1 -> b survives whole
+    assert sorted(by_src["b"]) == list(range(n_a, n_a + n_b))
+    assert 0.75 * n_a <= len(by_src["a"]) <= 0.92 * n_a
+    # threshold formula: integer-exact contract
+    th = temperature_thresholds({"a": n_a, "b": n_b}, alpha=0.5)
+    assert th["b"] == 4294967296
+    assert th["a"] == (4000 * math.isqrt(3600) * 4294967296) // (3600 * 80)
+    assert keep_mask(np.array(by_src["a"]), th["a"]).all()
+    # alpha=1.0 preserves the natural mixture exactly
+    all_rows = rebalance_by_temperature(ds, "source", "doc_id",
+                                        alpha=1.0).take_all()
+    assert len(all_rows) == n_a + n_b
+    # deterministic rerun
+    again = rebalance_by_temperature(ds, "source", "doc_id", alpha=0.5)
+    assert sorted(r["doc_id"] for r in again.take_all()) == \
+        sorted(r["doc_id"] for r in rows)
+
+
 def test_tfidf_keywords(ray_session):
     """tf/df ranking: doc-specific words outrank corpus-wide ones; ties
     break on ascending word; empty docs emit nothing."""
