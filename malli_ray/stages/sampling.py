@@ -177,6 +177,36 @@ def rebalance_by_temperature(ds: Dataset, group_column: str, id_column: str,
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 
+def global_shuffle(ds: Dataset, id_column: str, seed: int = 0,
+                   key_col: str = "shuffle_key",
+                   keep_key: bool = False) -> Dataset:
+    """Deterministic global shuffle: order rows by the seeded Knuth hash of
+    their id (ties broken by id) via Ray Data's distributed range-partition
+    sort — the pre-training corpus shuffle, but reproducible: the same
+    (input, seed) always yields the same permutation, so a resumed or
+    re-run job trains on the identical order (``ds.random_shuffle`` is
+    nondeterministic across runs/cluster shapes).  Different epochs =
+    different seeds.
+
+    Scale shape: ONE all-to-all exchange (the sort), with only the 4-byte
+    key added per row; the key column is dropped after the sort unless
+    ``keep_key``.  SQL parity: ``ORDER BY ((id + seed) % 2^32) *
+    2654435761 % 2^32, id``."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        h = (((ids.astype(np.uint64) + np.uint64(seed)) % _MOD)
+             * np.uint64(KNUTH_MULT)) % _MOD
+        return batch.append_column(
+            key_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+    out = (ds.map_batches(add_key, batch_format="pyarrow")
+           .sort([key_col, id_column]))
+    if keep_key:
+        return out
+    return out.drop_columns([key_col])
+
+
 def group_iqr_bounds(ds: Dataset, group_column: str, value_column: str,
                      k: float = 1.5) -> dict:
     """Per-group Tukey fences: ``[q1 - k*IQR, q3 + k*IQR]`` from EXACT

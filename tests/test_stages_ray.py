@@ -1154,6 +1154,31 @@ def test_rebalance_to_uniform(ray_session):
     assert keep_mask(ids, thr).all()
 
 
+def test_global_shuffle(ray_session):
+    """Deterministic global shuffle: output order == sorted-by-(hash, id),
+    rerun-identical, a different seed yields a different permutation, and
+    the key column is dropped by default."""
+    import ray.data as rd
+    from malli_ray.stages.sampling import global_shuffle, KNUTH_MULT
+
+    n = 5000
+    t = pa.table({"doc_id": list(range(n)),
+                  "v": [i * 2 for i in range(n)]})
+    ds = rd.from_arrow(t).repartition(7)
+    out = global_shuffle(ds, "doc_id", seed=3)
+    rows = [r["doc_id"] for r in out.take_all()]
+    mod = 1 << 32
+    want = sorted(range(n), key=lambda i: (((i + 3) % mod) * KNUTH_MULT
+                                           % mod, i))
+    assert rows == want
+    assert rows != list(range(n))            # actually permuted
+    assert "shuffle_key" not in out.schema().names
+    assert [r["doc_id"] for r in
+            global_shuffle(ds, "doc_id", seed=3).take_all()] == want
+    assert [r["doc_id"] for r in
+            global_shuffle(ds, "doc_id", seed=4).take_all()] != want
+
+
 def test_rebalance_by_temperature(ray_session):
     """Temperature sampling at alpha=0.5: shares move toward sqrt(count)
     proportions, the derivation is integer-exact (threshold arithmetic
