@@ -63,6 +63,7 @@ __all__ = [
     "MinHasher", "minhash_lsh_candidates", "SimHasher", "simhash_near_dups",
     "ngram_jaccard", "embedding_near_dups",
     "semantic_codebook", "semantic_dedup_pairs", "semantic_dedup",
+    "build_bloom", "filter_seen_bloom",
     "cluster_pairs", "dedup_by_clusters",
 ]
 
@@ -730,6 +731,90 @@ def embedding_near_dups(ds: Dataset, emb_column: str, id_column: str,
         "id_b": pa.array([], type=id_type),
         "cosine": pa.array([], type=pa.float64())}))
     return deduped.union(empty)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup across runs (Bloom digest of the seen corpus)
+# ---------------------------------------------------------------------------
+
+
+def build_bloom(ds: Dataset, column: str, capacity: int,
+                fp_rate: float = 0.01, seed: int = 0):
+    """Build a :class:`~malli_ray.state.bloom.BloomFilter` of ``column``'s
+    values in ONE streaming pass — the persistent "seen" digest for
+    incremental (cross-run) dedup.
+
+    Each batch emits its DISTINCT (h1, h2) base-hash pairs (16 bytes per
+    distinct value, duplicates collapse map-side); the driver sets bits
+    vectorized.  No shuffle, no payload movement.  At 1e10-key scale
+    neither the hash stream nor a single bit array is driver-friendly:
+    hash-partition the keys and build one Bloom PER SHARD (the filters
+    OR-merge, and probes route by the same prefix) — this builder is the
+    per-shard unit of that layout."""
+    from ..state.bloom import BloomFilter
+
+    bloom = BloomFilter(capacity, fp_rate, seed=seed)
+
+    def hash_pairs(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        h1 = hash64(col, seed=seed + 101).view(np.int64)
+        h2 = hash64(col, seed=seed + 202).view(np.int64)
+        uniq = np.unique(np.stack([h1, h2], axis=1), axis=0)
+        return pa.table({"h1": pa.array(uniq[:, 0], type=pa.int64()),
+                         "h2": pa.array(uniq[:, 1], type=pa.int64())})
+
+    k = np.arange(bloom.k, dtype=np.uint64)
+    for b in (ds.map_batches(hash_pairs, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        t = pa.table(b)
+        if t.num_rows == 0:
+            continue
+        h1 = t.column("h1").to_numpy(zero_copy_only=False).view(np.uint64)
+        h2 = t.column("h2").to_numpy(zero_copy_only=False).view(np.uint64) \
+            | np.uint64(1)
+        pos = ((h1[:, None] + k[None, :] * h2[:, None])
+               % np.uint64(bloom.m)).ravel()
+        np.bitwise_or.at(bloom.bits,
+                         (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return bloom
+
+
+class _BloomProbe:
+    """Stateful stage: Bloom digest fetched/parsed once per worker; the
+    per-batch __call__ is one vectorized membership probe."""
+
+    def __init__(self, digest_ref, column: str, keep_seen: bool):
+        import ray
+        from ..state.bloom import BloomFilter
+        digest = (ray.get(digest_ref)
+                  if isinstance(digest_ref, ray.ObjectRef) else digest_ref)
+        self.bloom = BloomFilter.from_digest(digest)
+        self.column = column
+        self.keep_seen = keep_seen
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        seen = self.bloom.contains(batch.column(self.column))
+        return batch.filter(pa.array(seen if self.keep_seen else ~seen))
+
+
+def filter_seen_bloom(ds: Dataset, column: str, bloom,
+                      keep_seen: bool = False, concurrency=None) -> Dataset:
+    """Drop (default) or keep rows whose ``column`` value is in ``bloom`` —
+    the incremental-dedup probe pass: the digest broadcasts ONCE via
+    ray.put, the corpus streams shuffle-free.  No false negatives — every
+    seen value is filtered; a genuinely-new value may be wrongly dropped
+    at ~fp_rate (deterministic per (data, seed), not a per-run draw)."""
+    import ray
+    from . import cached_stage, concurrency_kwargs
+
+    digest_ref = ray.put(bloom.digest())
+    return ds.map_batches(
+        cached_stage(_BloomProbe, digest_ref=digest_ref, column=column,
+                     keep_seen=keep_seen),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 
 # ---------------------------------------------------------------------------

@@ -1154,6 +1154,66 @@ def test_rebalance_to_uniform(ray_session):
     assert keep_mask(ids, thr).all()
 
 
+def test_bloom_filter_properties():
+    """No false negatives ever; false-positive rate near design; merge is
+    bitwise OR; digest round-trips exactly."""
+    from malli_ray.state.bloom import BloomFilter
+
+    seen = [f"doc-{i}" for i in range(5000)]
+    fresh = [f"new-{i}" for i in range(20000)]
+    b = BloomFilter(capacity=5000, fp_rate=0.01, seed=3)
+    b.add(seen)
+    assert b.contains(seen).all()                    # zero false negatives
+    fp = b.contains(fresh).mean()
+    assert fp <= 0.03                                # ~1% design, 3x slack
+    # merge == union
+    b1 = BloomFilter(5000, 0.01, seed=3)
+    b2 = BloomFilter(5000, 0.01, seed=3)
+    b1.add(seen[:2500])
+    b2.add(seen[2500:])
+    b1.merge(b2)
+    assert (b1.bits == b.bits).all()
+    # digest round-trip
+    rt = BloomFilter.from_digest(b.digest())
+    assert (rt.bits == b.bits).all() and rt.k == b.k and rt.m == b.m
+    # geometry mismatch refuses to merge
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        b1.merge(BloomFilter(5000, 0.01, seed=4))
+
+
+def test_incremental_dedup_bloom(ray_session):
+    """build_bloom over one corpus, filter_seen_bloom over the next run's
+    data: every previously-seen text drops, new texts survive (no FPs at
+    this scale), keep_seen inverts the mask, and the digest persists."""
+    import ray.data as rd
+    from malli_ray.stages.dedup import build_bloom, filter_seen_bloom
+    from malli_ray.state.bloom import BloomFilter
+
+    old = pa.table({"doc_id": list(range(1000)),
+                    "text": [f"seen text {i}" for i in range(1000)]})
+    new = pa.table({
+        "doc_id": list(range(1000, 1400)),
+        "text": [f"seen text {i}" if i % 2 == 0 else f"fresh {i}"
+                 for i in range(400)]})
+    bloom = build_bloom(rd.from_arrow(old).repartition(5), "text",
+                        capacity=2000, fp_rate=1e-5, seed=1)
+    assert bloom.contains(old.column("text")).all()
+    kept = filter_seen_bloom(rd.from_arrow(new), "text", bloom).take_all()
+    assert sorted(r["doc_id"] for r in kept) == \
+        [1000 + i for i in range(400) if i % 2 == 1]
+    dropped = filter_seen_bloom(rd.from_arrow(new), "text", bloom,
+                                keep_seen=True).take_all()
+    assert len(dropped) + len(kept) == 400
+    # persistence: save/load gives an identical filter
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "bloom.json")
+        bloom.save(p)
+        again = BloomFilter.load(p)
+        assert (again.bits == bloom.bits).all()
+
+
 def test_global_shuffle(ray_session):
     """Deterministic global shuffle: output order == sorted-by-(hash, id),
     rerun-identical, a different seed yields a different permutation, and
