@@ -25,7 +25,7 @@ from ray.data import Dataset
 __all__ = ["ImageFeatureExtractor", "add_image_features",
            "FrameSampler", "AudioFrameFeatures", "audio_frame_features",
            "MediaHeaderProbe", "probe_media_headers", "wrap_pcm_wav",
-           "make_mp4_header", "suggested_batch_size"]
+           "make_mp4_header", "make_mkv_header", "suggested_batch_size"]
 
 IMAGE_META_SCHEMA = pa.schema([
     ("payload", pa.large_binary()),
@@ -282,6 +282,68 @@ def make_flac_header(sample_rate: int, channels: int, bits_per_sample: int,
     return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + streaminfo
 
 
+def _ebml_vint(n: int) -> bytes:
+    """Minimal-length EBML size encoding (the all-ones pattern is reserved
+    for 'unknown size', so each length tops out one below it)."""
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | n).to_bytes(length, "big")
+    raise ValueError("EBML vint out of range")
+
+
+def _ebml_elem(eid: bytes, payload: bytes) -> bytes:
+    return eid + _ebml_vint(len(payload)) + payload
+
+
+def make_mkv_header(width: int, height: int, duration_units: int,
+                    timescale_ns: int = 1_000_000,
+                    doc_type: str = "matroska",
+                    sample_rate: "int | None" = None,
+                    channels: "int | None" = None) -> bytes:
+    """Minimal valid Matroska/WebM header (EBML header + Segment[Info +
+    Tracks[video TrackEntry (+ optional audio TrackEntry)]]),
+    dependency-free and deterministic — header-only, no clusters.
+    ``duration_units`` is in timestamp-scale units (duration seconds =
+    duration_units * timescale_ns / 1e9)."""
+    import struct
+
+    ebml = _ebml_elem(b"\x1aE\xdf\xa3",
+                      _ebml_elem(b"\x42\x86", b"\x01")        # EBMLVersion
+                      + _ebml_elem(b"\x42\x82",
+                                   doc_type.encode("ascii"))  # DocType
+                      + _ebml_elem(b"\x42\x87", b"\x04")      # DocTypeVersion
+                      + _ebml_elem(b"\x42\x85", b"\x02"))     # ReadVersion
+    info = _ebml_elem(b"\x15\x49\xa9\x66",
+                      _ebml_elem(b"\x2a\xd7\xb1",
+                                 timescale_ns.to_bytes(
+                                     max(1, (timescale_ns.bit_length() + 7)
+                                         // 8), "big"))
+                      + _ebml_elem(b"\x44\x89",
+                                   struct.pack(">d", float(duration_units))))
+    video_entry = _ebml_elem(b"\xae",
+                             _ebml_elem(b"\xd7", b"\x01")     # TrackNumber
+                             + _ebml_elem(b"\x83", b"\x01")   # TrackType=video
+                             + _ebml_elem(b"\xe0",            # Video
+                                          _ebml_elem(b"\xb0", width.to_bytes(
+                                              2, "big"))
+                                          + _ebml_elem(b"\xba",
+                                                       height.to_bytes(
+                                                           2, "big"))))
+    tracks = video_entry
+    if sample_rate is not None:
+        tracks += _ebml_elem(b"\xae",
+                             _ebml_elem(b"\xd7", b"\x02")
+                             + _ebml_elem(b"\x83", b"\x02")   # audio
+                             + _ebml_elem(b"\xe1",
+                                          _ebml_elem(b"\xb5", struct.pack(
+                                              ">d", float(sample_rate)))
+                                          + _ebml_elem(b"\x9f", bytes(
+                                              [channels or 1]))))
+    segment = _ebml_elem(b"\x18\x53\x80\x67",
+                         info + _ebml_elem(b"\x16\x54\xae\x6b", tracks))
+    return ebml + segment
+
+
 class MediaHeaderProbe:
     """REAL (dependency-free) media container-header parser.
 
@@ -479,9 +541,110 @@ class MediaHeaderProbe:
         walk(0, len(p))
         return fields
 
+    @staticmethod
+    def _mkv(p: bytes):
+        """Matroska/WebM (EBML) container: variable-length-integer element
+        walk through the EBML header (DocType) and Segment -> Info
+        (TimestampScale, Duration) / Tracks -> TrackEntry (video
+        PixelWidth/PixelHeight, audio SamplingFrequency/Channels)."""
+        import struct
+        if len(p) < 4 or p[:4] != b"\x1aE\xdf\xa3":
+            return None
+
+        def vint(i, keep_marker):
+            if i >= len(p) or p[i] == 0:
+                return None
+            length = 8 - p[i].bit_length() + 1
+            if i + length > len(p):
+                return None
+            val = int.from_bytes(p[i:i + length], "big")
+            if not keep_marker:
+                marker_stripped = val - (1 << (7 * length))
+                unknown = marker_stripped == (1 << (7 * length)) - 1
+                return marker_stripped, i + length, unknown
+            return val, i + length, False
+
+        def elements(start, end):
+            i = start
+            while i + 2 <= end:
+                r = vint(i, keep_marker=True)
+                if r is None:
+                    return
+                eid, j, _ = r
+                r = vint(j, keep_marker=False)
+                if r is None:
+                    return
+                size, k, unknown = r
+                e = end if unknown else k + size
+                if e > end or e < k:
+                    return
+                yield eid, k, e
+                i = e
+
+        def uint(s, e):
+            return int.from_bytes(p[s:e], "big") if e > s else 0
+
+        def flt(s, e):
+            if e - s == 4:
+                return struct.unpack(">f", p[s:e])[0]
+            if e - s == 8:
+                return struct.unpack(">d", p[s:e])[0]
+            return None
+
+        fields = {"media_format": "mkv"}
+        timescale_ns, duration_units = 1_000_000, None
+        for eid, s, e in elements(0, len(p)):
+            if eid == 0x1A45DFA3:                       # EBML header
+                for cid, cs, ce in elements(s, e):
+                    if cid == 0x4282:                   # DocType
+                        dt = p[cs:ce].decode("ascii", "replace")
+                        if dt == "webm":
+                            fields["media_format"] = "webm"
+            elif eid == 0x18538067:                     # Segment
+                for cid, cs, ce in elements(s, e):
+                    if cid == 0x1549A966:               # Info
+                        for gid, gs, ge in elements(cs, ce):
+                            if gid == 0x2AD7B1:
+                                timescale_ns = uint(gs, ge) or timescale_ns
+                            elif gid == 0x4489:
+                                duration_units = flt(gs, ge)
+                    elif cid == 0x1654AE6B:             # Tracks
+                        for tid, ts, te in elements(cs, ce):
+                            if tid != 0xAE:             # TrackEntry
+                                continue
+                            for fid, fs, fe in elements(ts, te):
+                                if fid == 0xE0:         # Video
+                                    for vid_, vs, ve in elements(fs, fe):
+                                        if vid_ == 0xB0 and \
+                                                "media_width" not in fields:
+                                            fields["media_width"] = \
+                                                uint(vs, ve)
+                                        elif vid_ == 0xBA and \
+                                                "media_height" not in fields:
+                                            fields["media_height"] = \
+                                                uint(vs, ve)
+                                elif fid == 0xE1:       # Audio
+                                    for aid, as_, ae in elements(fs, fe):
+                                        if aid == 0xB5 and \
+                                                "media_sample_rate" not in \
+                                                fields:
+                                            sr = flt(as_, ae)
+                                            if sr:
+                                                fields["media_sample_rate"] \
+                                                    = int(sr)
+                                        elif aid == 0x9F and \
+                                                "media_channels" not in \
+                                                fields:
+                                            fields["media_channels"] = \
+                                                uint(as_, ae)
+        if duration_units is not None:
+            fields["media_duration_s"] = \
+                duration_units * timescale_ns / 1e9
+        return fields
+
     _PARSERS = (_png.__func__, _jpeg.__func__, _gif.__func__,
                 _bmp.__func__, _wav.__func__, _flac.__func__,
-                _mp4.__func__)
+                _mp4.__func__, _mkv.__func__)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_column).to_pylist()

@@ -1365,6 +1365,44 @@ def test_kmeans_fit_distributed(ray_session):
     assert hits / total >= 0.8, hits / total
 
 
+def test_mkv_header_probe():
+    """EBML element walk: round-trips synthesized Matroska/WebM headers
+    (video dims, audio rate/channels, DocType, duration via
+    TimestampScale), survives truncation/garbage, handles unknown-size
+    and multi-byte vints."""
+    from malli_ray.stages.multimodal import (MediaHeaderProbe,
+                                             make_mkv_header, _ebml_vint,
+                                             _ebml_elem)
+
+    p = make_mkv_header(1280, 720, duration_units=5000)
+    assert MediaHeaderProbe._mkv(p) == {
+        "media_format": "mkv", "media_width": 1280, "media_height": 720,
+        "media_duration_s": 5.0}
+    p2 = make_mkv_header(640, 360, 12345, doc_type="webm",
+                         sample_rate=48000, channels=2)
+    f = MediaHeaderProbe._mkv(p2)
+    assert f["media_format"] == "webm" and f["media_sample_rate"] == 48000
+    assert f["media_channels"] == 2 and f["media_duration_s"] == 12.345
+    # non-default TimestampScale rescales the duration
+    p3 = make_mkv_header(2, 2, duration_units=500, timescale_ns=2_000_000)
+    assert MediaHeaderProbe._mkv(p3)["media_duration_s"] == 1.0
+    # garbage / wrong magic / truncation never raise
+    assert MediaHeaderProbe._mkv(b"\x00\x01\x02") is None
+    assert MediaHeaderProbe._mkv(b"RIFFxxxxWAVE") is None
+    assert MediaHeaderProbe._mkv(p[:9])["media_format"] == "mkv"
+    # unknown-size segment (all-ones vint) extends to end of payload
+    seg_body = _ebml_elem(b"\x15\x49\xa9\x66",
+                          _ebml_elem(b"\x44\x89",
+                                     __import__("struct").pack(">d", 3000.0)))
+    unknown = b"\x18\x53\x80\x67" + b"\xff" + seg_body
+    empty_ebml = b"\x1aE\xdf\xa3" + _ebml_vint(0)    # zero-payload header
+    got = MediaHeaderProbe._mkv(empty_ebml + unknown)
+    assert got["media_duration_s"] == 3.0
+    # vint boundary: a payload longer than 127 bytes forces a 2-byte size
+    big = make_mkv_header(1, 1, 1, doc_type="matroska" * 20)
+    assert MediaHeaderProbe._mkv(big)["media_width"] == 1
+
+
 def test_mp4_header_probe():
     """ISO-BMFF box walk: round-trips the synthesized header, handles
     64-bit largesize, v1 mvhd, and rejects garbage."""
