@@ -8,6 +8,8 @@ Prints ONE JSON line:
 
 Modes:
   python bench.py                 # full bench at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --quick         # composition-stable r1 headline subset
+                                  # (19 pipelines) for cross-round comparison
   python bench.py --scaling       # same fused job at 8 and 32 CPUs in fresh
                                   # processes; reports scaling efficiency
   python bench.py --worker N      # (internal) one fused-validation run at N
@@ -76,7 +78,7 @@ def run_fused_validation(sf: float, num_cpus: int) -> dict:
             "n_valid": rep["n_valid"], "n_violations": rep["n_violations"]}
 
 
-def run_full_bench(sf_dir: str, num_cpus: int) -> dict:
+def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
     import __ray_entry__ as entrymod
 
     sf = _sf_from_dir(sf_dir)
@@ -99,7 +101,15 @@ def run_full_bench(sf_dir: str, num_cpus: int) -> dict:
         # r3 grouped-analytics additions
         "rolling_events_1h", "top_orders_by_priority",
         "daily_active_users", "pivot_event_types",
+        # r3 late additions (continuation session)
+        "lag_value_events", "semantic_dedup_embeddings",
+        "temperature_sample_documents", "global_shuffle_documents",
+        "incremental_dedup_documents", "mkv_headers_documents",
     ]
+    if quick:
+        # composition-stable subset (the r1 headline set) so per-round
+        # suite totals stay comparable as operators keep landing
+        bench_queries = bench_queries[:19]
     timings: dict[str, float] = {}
 
     # headline fused pass first
@@ -271,7 +281,8 @@ def main() -> None:
 
     ray = _init_ray(num_cpus)
     try:
-        print(json.dumps(run_full_bench(sf_dir, num_cpus)))
+        print(json.dumps(run_full_bench(sf_dir, num_cpus,
+                                        quick="--quick" in args)))
     finally:
         ray.shutdown()
 
