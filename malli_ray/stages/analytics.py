@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 __all__ = ["top_k_per_group", "distinct_count_by_group", "pivot_counts",
-           "lag_lead"]
+           "lag_lead", "running_aggregate"]
 
 
 def _sort_spec(group: str, order_by, descending: bool):
@@ -188,6 +188,66 @@ def lag_lead(ds: Dataset, key: str, order_by, value_col: str, n: int = 1,
                             mask=~lead_ok)
         g = g.append_column(lag_name, pc.take(vals, lag_idx))
         g = g.append_column(lead_name, pc.take(vals, lead_idx))
+        return g.drop_columns([bucket_col])
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def running_aggregate(ds: Dataset, key: str, order_by, value_col: str,
+                      count_col: str = "running_count",
+                      sum_col: str = "running_sum",
+                      num_buckets: int = 64,
+                      num_partitions: int | None = None) -> Dataset:
+    """SQL running total: ``COUNT(*)`` / ``SUM(value) OVER (PARTITION BY key
+    ORDER BY order_by ROWS UNBOUNDED PRECEDING)`` — the cumulative count and
+    sum up to and including each row in its key's ordered run.  (ROWS
+    frame, not RANGE: peer rows with equal order keys accumulate one at a
+    time in tie-break order — include a unique tie-break column in
+    ``order_by``; windows.rolling_aggregate is the RANGE/peers sibling.)
+
+    Integer-exact when ``value_col`` is integral (int64 cumsum).  Float
+    inputs use a whole-bucket prefix sum minus the run-start offset, whose
+    rounding differs from SQL's incremental per-row accumulation — for SQL
+    bit-parity cast to integer units (cents) first, as rolling_aggregate
+    does.
+
+    Scale shape: same exchange as :func:`lag_lead` — shuffle on
+    ``hash(key) % num_buckets``, per-bucket ONE Arrow sort + a single
+    vectorized cumsum with run-start offsets subtracted (no per-key
+    Python)."""
+    if isinstance(order_by, str):
+        order_by = [order_by]
+    spec = [(key, "ascending"), *[(c, "ascending") for c in order_by]]
+    bucket_col = "__runbucket__"
+
+    from ..state.sketches import hash64
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key), seed=12) % np.uint64(num_buckets)
+        return batch.append_column(
+            bucket_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(spec)
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        pos = _run_positions(keys)
+        vals = g.column(value_col).to_numpy(zero_copy_only=False)
+        integral = np.issubdtype(vals.dtype, np.integer)
+        acc = vals.astype(np.int64 if integral else np.float64)
+        csum = np.cumsum(acc)
+        # subtract the cumulative total just before each run's start
+        nrows = len(keys)
+        new = np.ones(nrows, dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, nrows))
+        base = np.where(starts > 0, csum[starts - 1], 0)
+        run_sum = csum - np.repeat(base, lens)
+        g = g.append_column(count_col, pa.array(pos + 1, type=pa.int64()))
+        g = g.append_column(sum_col, pa.array(
+            run_sum, type=pa.int64() if integral else pa.float64()))
         return g.drop_columns([bucket_col])
 
     return (ds.map_batches(bucketize, batch_format="pyarrow")

@@ -177,6 +177,35 @@ def rebalance_by_temperature(ds: Dataset, group_column: str, id_column: str,
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 
+def sample_k_by_hash(ds: Dataset, id_column: str, k: int,
+                     seed: int = 0) -> Dataset:
+    """Deterministic exact-k global sample: the ``k`` rows with the
+    smallest seeded Knuth hash of their id (ties by id) — the
+    order-independent, resume-stable alternative to reservoir sampling
+    (a reservoir's pick depends on encounter order; this one is a pure
+    function of the row set).
+
+    Scale shape: map-side partial top-k per batch (at most k rows survive
+    each block — one Arrow sort + slice, no shuffle of the rest), then one
+    tiny global sort+limit over the <= k * n_blocks survivors.  SQL parity:
+    ``ORDER BY ((id + seed) % 2^32) * 2654435761 % 2^32, id LIMIT k``."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        h = (((ids.astype(np.uint64) + np.uint64(seed)) % _MOD)
+             * np.uint64(KNUTH_MULT)) % _MOD
+        t = batch.append_column(
+            "__sample_h__", pa.array(h.astype(np.int64), type=pa.int64()))
+        if t.num_rows > k:
+            t = t.sort_by([("__sample_h__", "ascending"),
+                           (id_column, "ascending")]).slice(0, k)
+        return t
+
+    return (ds.map_batches(add_key, batch_format="pyarrow")
+            .sort(["__sample_h__", id_column]).limit(k)
+            .drop_columns(["__sample_h__"]))
+
+
 def global_shuffle(ds: Dataset, id_column: str, seed: int = 0,
                    key_col: str = "shuffle_key",
                    keep_key: bool = False) -> Dataset:

@@ -297,6 +297,54 @@ def test_lag_lead_random(ray_session, seed):
                 assert r[f"v_lead{shift}"] == want_lead, (k, i)
 
 
+@pytest.mark.parametrize("seed", [33, 34])
+def test_running_aggregate_random(ray_session, seed):
+    """ROWS-frame running count/sum vs a naive per-key scan — ties
+    accumulate one row at a time in (ts, rid) order, integer-exact,
+    stable across bucket counts."""
+    from malli_ray.stages.analytics import running_aggregate
+    rng = random.Random(seed)
+    n = 400
+    keys = [rng.choice("pqrs") for _ in range(n)]
+    ts = [rng.randint(0, 40) for _ in range(n)]           # heavy ties
+    vals = [rng.randint(-9, 9) for _ in range(n)]
+    t = pa.table({"k": keys, "ts": ts, "v": vals, "rid": list(range(n))})
+    for buckets in (2, 16):
+        out = {r["rid"]: r for r in
+               running_aggregate(rd.from_arrow(t), key="k",
+                                 order_by=["ts", "rid"], value_col="v",
+                                 num_buckets=buckets).take_all()}
+        assert len(out) == n
+        per_key = {}
+        for i in sorted(range(n), key=lambda i: (ts[i], i)):
+            per_key.setdefault(keys[i], []).append(i)
+        for key, order in per_key.items():
+            run = 0
+            for pos, i in enumerate(order):
+                run += vals[i]
+                assert out[i]["running_count"] == pos + 1, (key, i)
+                assert out[i]["running_sum"] == run, (key, i)
+
+
+def test_sample_k_by_hash(ray_session):
+    """Exact-k deterministic sample: equals the global smallest-hash-k set
+    regardless of partitioning; k larger than the table returns all rows."""
+    import ray.data as rd2
+    from malli_ray.stages.sampling import sample_k_by_hash, KNUTH_MULT
+    n, k, seed = 3000, 50, 9
+    t = pa.table({"doc_id": list(range(n)), "v": list(range(n))})
+    mod = 1 << 32
+    want = sorted(range(n),
+                  key=lambda i: (((i + seed) % mod) * KNUTH_MULT % mod, i))[:k]
+    for parts in (1, 11):
+        out = sample_k_by_hash(rd2.from_arrow(t).repartition(parts),
+                               "doc_id", k=k, seed=seed).take_all()
+        assert sorted(r["doc_id"] for r in out) == sorted(want)
+    small = sample_k_by_hash(rd2.from_arrow(t.slice(0, 20)), "doc_id",
+                             k=100, seed=seed).take_all()
+    assert sorted(r["doc_id"] for r in small) == list(range(20))
+
+
 @pytest.mark.parametrize("seed", [13, 14])
 def test_top_k_per_group_random(ray_session, seed):
     from malli_ray.stages.analytics import top_k_per_group
