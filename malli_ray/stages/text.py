@@ -423,6 +423,68 @@ class Redactor:
         return batch.append_column(self.out, col)
 
 
+def normalize_text(ds: Dataset, text_column: str, out: str | None = None,
+                   lowercase: bool = True, collapse_whitespace: bool = True,
+                   strip_control: bool = True, trim: bool = True,
+                   concurrency=None) -> Dataset:
+    """Canonical text normalization (the first pass of most corpus-prep
+    pipelines): strip C0/DEL control characters, collapse whitespace runs
+    to single spaces, trim, lowercase — all chained Arrow kernels, zero
+    Python per row, shuffle-free.  Each step is SQL-reproducible
+    (regexp_replace / trim / lower), so the pass sits under the oracle
+    gate; kernel order is fixed (control -> collapse -> trim -> lower) and
+    documented so two runs or two engines agree byte-for-byte."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_column)
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        if strip_control:
+            col = pc.replace_substring_regex(
+                col, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+        if collapse_whitespace:
+            col = pc.replace_substring_regex(col, r"[\t\n\f\r ]+", " ")
+        if trim:
+            col = pc.utf8_trim_whitespace(col)
+        if lowercase:
+            col = pc.utf8_lower(col)
+        name = out or text_column
+        if name == text_column:
+            return batch.set_column(
+                batch.schema.get_field_index(text_column), text_column, col)
+        return batch.append_column(name, col)
+
+    return ds.map_batches(norm, batch_format="pyarrow", **_conc(concurrency))
+
+
+def extract_urls(ds: Dataset, text_column: str, id_column: str,
+                 pattern: str = r"https?://[^\t\n\f\r ]+",
+                 out: str = "url", concurrency=None) -> Dataset:
+    """Flat-map URL extraction: one output row per URL occurrence
+    (id, url) — polars ``str.extract_all`` + explode (vectorized, RE2-class
+    pattern so DuckDB's regexp_extract_all sees the same matches).
+    Shuffle-free expansion; docs without URLs emit nothing."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        id_type = batch.schema.field(id_column).type
+        texts = batch.column(text_column)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        s = pl.from_arrow(texts).fill_null("")
+        df = pl.DataFrame({
+            "id": np.arange(batch.num_rows, dtype=np.int64),
+            out: s.str.extract_all(pattern)}).explode(out)
+        df = df.filter(pl.col(out).is_not_null())
+        idx = pa.array(df.get_column("id").to_numpy(), type=pa.int64())
+        return pa.table({
+            id_column: pc.take(batch.column(id_column), idx),
+            out: pa.array(df.get_column(out).to_list(), type=pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          **_conc(concurrency))
+
+
 def redact(ds: Dataset, text_column: str, patterns=PII_PATTERNS,
            replacement: str = "[REDACTED]", out: str | None = None,
            concurrency=None) -> Dataset:

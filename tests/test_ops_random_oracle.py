@@ -297,6 +297,46 @@ def test_lag_lead_random(ray_session, seed):
                 assert r[f"v_lead{shift}"] == want_lead, (k, i)
 
 
+@pytest.mark.parametrize("seed", [35, 36])
+def test_normalize_text_random(ray_session, seed):
+    """normalize_text vs a naive python pipeline over adversarial strings:
+    control chars stripped, whitespace runs collapsed, trimmed, lowered;
+    nulls pass through as nulls."""
+    import re as _re
+    from malli_ray.stages.text import normalize_text
+    rng = random.Random(seed)
+    pool = "AbC xyZ\t\n\r\f \x00\x07\x1f\x7fqW  E"
+    docs = ["".join(rng.choices(pool, k=rng.randint(0, 40)))
+            for _ in range(150)] + [None, "", "  \t ", "\x00\x01"]
+    t = pa.table({"doc_id": list(range(len(docs))),
+                  "text": pa.array(docs, type=pa.string())})
+    out = {r["doc_id"]: r["text"] for r in
+           normalize_text(rd.from_arrow(t), "text").take_all()}
+    for i, d in enumerate(docs):
+        if d is None:
+            assert out[i] is None
+            continue
+        want = _re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", d)
+        want = _re.sub(r"[\t\n\f\r ]+", " ", want).strip().lower()
+        assert out[i] == want, (i, repr(d))
+
+
+def test_extract_urls(ray_session):
+    """Flat-map url extraction: multiple urls per doc in order, none for
+    url-free or null docs."""
+    from malli_ray.stages.text import extract_urls
+    docs = ["see https://a.io/x and http://b.co/y?z=1 end",
+            "no links here", None, "",
+            "trail https://c.de/p.", "https://d.f/q\nhttps://d.f/r"]
+    t = pa.table({"doc_id": list(range(len(docs))),
+                  "text": pa.array(docs, type=pa.string())})
+    out = extract_urls(rd.from_arrow(t), "text", "doc_id").take_all()
+    got = sorted((r["doc_id"], r["url"]) for r in out)
+    assert got == [(0, "http://b.co/y?z=1"), (0, "https://a.io/x"),
+                   (4, "https://c.de/p."),
+                   (5, "https://d.f/q"), (5, "https://d.f/r")]
+
+
 @pytest.mark.parametrize("seed", [33, 34])
 def test_running_aggregate_random(ray_session, seed):
     """ROWS-frame running count/sum vs a naive per-key scan — ties
