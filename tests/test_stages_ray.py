@@ -1154,6 +1154,48 @@ def test_rebalance_to_uniform(ray_session):
     assert keep_mask(ids, thr).all()
 
 
+def test_generate_dataset(ray_session):
+    """Distributed schema-driven generation: every row validates, the
+    table is a pure function of (schema, n, seed) — identical across
+    block counts and runs — and non-map schemas emit a value column."""
+    import malli_ray as m
+    from malli_ray.sources.generate import generate_dataset, generate_block
+
+    form = ["map",
+            ["id", ["int", {"min": 0, "max": 1000}]],
+            ["name", ["string", {"min": 1, "max": 8}]],
+            ["tags", ["vector", {"max": 3}, ["enum", "a", "b", "c"]]],
+            ["score", {"optional": True}, "double"]]
+    n = 300
+    out = sorted(generate_dataset(form, n, seed=5,
+                                  index_column="row_index").take_all(),
+                 key=lambda r: r["row_index"])
+    assert len(out) == n
+    sc = m.schema(form)
+    for r in out:
+        row = {k: v for k, v in r.items()
+               if v is not None and k != "row_index"}
+        assert m.validate(sc, row), row
+    # purity: row i is identical across runs (block arrival order is NOT
+    # guaranteed — identity comes from the index column)
+    again = sorted(generate_dataset(form, n, seed=5,
+                                    index_column="row_index").take_all(),
+                   key=lambda r: r["row_index"])
+    assert out == again
+    # block API matches the dataset path row-for-row
+    blk = generate_block(form, start=100, count=5, seed=5).to_pylist()
+    assert blk == [{k: v for k, v in r.items() if k != "row_index"}
+                   for r in out[100:105]]
+    # different seed differs; scalar schema emits a value column
+    other = sorted(generate_dataset(form, n, seed=6,
+                                    index_column="row_index").take_all(),
+                   key=lambda r: r["row_index"])
+    assert other != out
+    vals = generate_dataset(["int", {"min": 0, "max": 9}], 50,
+                            seed=1).take_all()
+    assert len(vals) == 50 and all(0 <= r["value"] <= 9 for r in vals)
+
+
 def test_bloom_filter_properties():
     """No false negatives ever; false-positive rate near design; merge is
     bitwise OR; digest round-trips exactly."""
