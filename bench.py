@@ -107,6 +107,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "incremental_dedup_documents", "mkv_headers_documents",
         "running_total_events", "sample_k_documents",
         "normalize_text_documents", "urls_documents",
+        "collect_events_by_user", "left_join_orders",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 __all__ = ["top_k_per_group", "distinct_count_by_group", "pivot_counts",
-           "lag_lead", "running_aggregate"]
+           "lag_lead", "running_aggregate", "collect_by_group"]
 
 
 def _sort_spec(group: str, order_by, descending: bool):
@@ -125,6 +125,45 @@ def distinct_count_by_group(ds: Dataset, group: str, value: str,
 
     return (ds.select_columns([group, value])
             .map_batches(distinct_pairs, batch_format="pyarrow")
+            .groupby(group, num_partitions=num_partitions)
+            .map_groups(finish, batch_format="pyarrow"))
+
+
+def collect_by_group(ds: Dataset, group: str, value: str, order_by,
+                     sep: str = ",", out_col: str = "collected",
+                     max_group_rows: int = 1_000_000,
+                     num_partitions: int | None = None) -> Dataset:
+    """SQL ``string_agg(value, sep ORDER BY order_by)`` — one row per group
+    with the group's values joined in a deterministic order.  (Also the
+    conversation/session re-assembly primitive: events -> one ordered
+    transcript per session.)
+
+    This op genuinely must move the payload (it concatenates it), so it is
+    ONE key shuffle of the projected (group, value, order) columns — select
+    only what you join.  Per group: one Arrow sort + a single Python join.
+    Assumption: one group's rows fit in a worker (``max_group_rows`` guards
+    it loudly — re-bucket by (group, coarse order window) upstream for
+    pathological groups).  Null values are skipped (SQL string_agg
+    semantics); groups with only nulls emit an empty string."""
+    if isinstance(order_by, str):
+        order_by = [order_by]
+    proj = [group, value, *[c for c in order_by if c not in (group, value)]]
+
+    def finish(g: pa.Table) -> pa.Table:
+        if g.num_rows > max_group_rows:
+            raise ValueError(
+                f"collect_by_group: group {g.column(group)[0]} has "
+                f"{g.num_rows} rows > max_group_rows={max_group_rows}; "
+                "re-bucket upstream")
+        g = g.sort_by([(c, "ascending") for c in order_by])
+        vals = [v for v in g.column(value).to_pylist() if v is not None]
+        return pa.table({
+            group: g.column(group).slice(0, 1),
+            out_col: pa.array([sep.join(map(str, vals))],
+                              type=pa.string()),
+            "n_items": pa.array([len(vals)], type=pa.int64())})
+
+    return (ds.select_columns(proj)
             .groupby(group, num_partitions=num_partitions)
             .map_groups(finish, batch_format="pyarrow"))
 

@@ -297,6 +297,34 @@ def test_lag_lead_random(ray_session, seed):
                 assert r[f"v_lead{shift}"] == want_lead, (k, i)
 
 
+@pytest.mark.parametrize("seed", [37, 38])
+def test_collect_by_group_random(ray_session, seed):
+    """string_agg ORDER BY semantics: deterministic tie-broken order,
+    nulls skipped, all-null groups emit empty string."""
+    from malli_ray.stages.analytics import collect_by_group
+    rng = random.Random(seed)
+    n = 300
+    groups = [rng.choice("wxyz") for _ in range(n)] + ["only_null"]
+    vals = [rng.choice([None, "a", "b", "cc"]) for _ in range(n)] + [None]
+    ts = [rng.randint(0, 30) for _ in range(n + 1)]
+    t = pa.table({"g": groups, "v": pa.array(vals, type=pa.string()),
+                  "ts": ts, "rid": list(range(n + 1))})
+    out = {r["g"]: r for r in
+           collect_by_group(rd.from_arrow(t), "g", "v",
+                            order_by=["ts", "rid"]).take_all()}
+    for g in set(groups):
+        order = sorted((i for i in range(n + 1) if groups[i] == g),
+                       key=lambda i: (ts[i], i))
+        want = [vals[i] for i in order if vals[i] is not None]
+        assert out[g]["collected"] == ",".join(want), g
+        assert out[g]["n_items"] == len(want), g
+    # the guard trips loudly on oversize groups
+    import ray.exceptions
+    with pytest.raises(Exception):
+        collect_by_group(rd.from_arrow(t), "g", "v", order_by=["ts"],
+                         max_group_rows=3).take_all()
+
+
 @pytest.mark.parametrize("seed", [35, 36])
 def test_normalize_text_random(ray_session, seed):
     """normalize_text vs a naive python pipeline over adversarial strings:
