@@ -80,6 +80,14 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
     stages = []
     tc, idc = args.text_column, args.id_column
 
+    if args.normalize:
+        ds = T.normalize_text(ds, tc)
+        stages.append("normalize")
+    if args.seen_bloom:
+        from .state.bloom import BloomFilter
+        bloom = BloomFilter.load(args.seen_bloom)
+        ds = dedup.filter_seen_bloom(ds, tc, bloom)
+        stages.append(f"seen_bloom({args.seen_bloom})")
     if args.drop_frequent_lines:
         ds = dedup.drop_frequent_lines(
             ds, tc, min_count=args.drop_frequent_lines,
@@ -117,8 +125,14 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
         ds = sampling.filter_outliers_by_group(ds, g, v)
         stages.append(f"outliers({g}:{v})")
     if args.rebalance:
-        ds = sampling.rebalance_to_uniform(ds, args.rebalance, idc)
-        stages.append(f"rebalance({args.rebalance})")
+        if args.temperature is not None:
+            ds = sampling.rebalance_by_temperature(
+                ds, args.rebalance, idc, alpha=args.temperature)
+            stages.append(f"rebalance({args.rebalance},"
+                          f"alpha={args.temperature})")
+        else:
+            ds = sampling.rebalance_to_uniform(ds, args.rebalance, idc)
+            stages.append(f"rebalance({args.rebalance})")
     if args.chunk:
         size, stride = (int(x) for x in args.chunk.split(":", 1))
         ds = packing.chunk_text(ds, tc, idc, size=size, stride=stride)
@@ -186,6 +200,16 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--out", required=True, help="output directory")
     cp.add_argument("--text-column", default="text")
     cp.add_argument("--id-column", default="doc_id")
+    cp.add_argument("--normalize", action="store_true",
+                    help="canonical text normalization first (control-strip"
+                         " -> whitespace-collapse -> trim -> lower)")
+    cp.add_argument("--seen-bloom", metavar="PATH",
+                    help="drop rows whose text is in a previously-built "
+                         "Bloom digest (incremental cross-run dedup; build "
+                         "with dedup.build_bloom().save(PATH))")
+    cp.add_argument("--temperature", type=float, metavar="ALPHA",
+                    help="with --rebalance GROUP: temperature sampling "
+                         "toward count^ALPHA shares instead of uniform")
     cp.add_argument("--drop-frequent-lines", type=int, metavar="MIN_COUNT",
                     help="C4-style line scrub: drop lines occurring >= "
                          "MIN_COUNT times corpus-wide")

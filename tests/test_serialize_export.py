@@ -863,6 +863,54 @@ def test_cli_corpus_prep(tmp_path, ray_session, capsys):
     assert rep["rows_out"] == chunks.num_rows
 
 
+def test_cli_corpus_prep_normalize_bloom_temperature(tmp_path, ray_session,
+                                                     capsys):
+    """The late-r3 CLI flags: --normalize canonicalizes before dedup,
+    --seen-bloom drops previously-ingested texts, --temperature switches
+    rebalance to count^alpha shares."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from malli_ray.cli import main
+    from malli_ray.stages.dedup import build_bloom
+
+    docs = pa.table({
+        "doc_id": list(range(40)),
+        "source": ["a"] * 36 + ["b"] * 4,
+        "text": [f"  SHARED Doc {i % 10}\t\ttail  " if i < 20
+                 else f"fresh doc {i}" for i in range(40)]})
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(docs, inp / "part-0.parquet")
+    # "previous run" ingested the normalized shared docs 0-4
+    seen = rd.from_arrow(pa.table(
+        {"text": [f"shared doc {i} tail" for i in range(5)]}))
+    bloom_path = tmp_path / "seen.bloom"
+    build_bloom(seen, "text", capacity=100, fp_rate=1e-5).save(
+        str(bloom_path))
+    out = tmp_path / "out"
+    rc = main(["corpus-prep", "--input", str(inp), "--out", str(out),
+               "--normalize", "--seen-bloom", str(bloom_path),
+               "--dedup", "exact", "--rebalance", "source",
+               "--temperature", "0.5", "--num-cpus", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stages"] == ["normalize", f"seen_bloom({bloom_path})",
+                             "dedup_exact", "rebalance(source,alpha=0.5)"]
+    kept = pq.read_table(sorted((out / "data").glob("*.parquet")))
+    texts = kept.column("text").to_pylist()
+    # normalization happened and the seen shared docs 0-4 are gone
+    assert all(t == t.lower() and "\t" not in t for t in texts)
+    assert not any(t.startswith("shared doc 0") or
+                   t.startswith("shared doc 4") for t in texts)
+    # surviving shared docs deduped to one copy each, drawn from 5-9
+    # (temperature rebalance may then downsample group "a" further)
+    shared = sorted(t for t in texts if t.startswith("shared"))
+    assert len(shared) == len(set(shared))
+    assert set(shared) <= {f"shared doc {i} tail" for i in range(5, 10)}
+    assert len(texts) == len(set(texts))     # dedup held overall
+
+
 def test_cli_corpus_prep_split_shards(tmp_path, ray_session, capsys):
     import pyarrow as pa
     import pyarrow.parquet as pq
