@@ -851,8 +851,21 @@ def semantic_codebook(ds: Dataset, emb_column: str, id_column: str,
         return t
 
     parts = ds.map_batches(partial_sample, batch_format="pyarrow")
-    merged = pa.concat_tables(
-        pa.table(b) for b in parts.iter_batches(batch_format="pyarrow"))
+    # streaming driver merge: fold each partial into a running top-k so
+    # driver memory stays O(sample_size), not O(blocks x sample_size) —
+    # at 100 TB the partial stream is millions of blocks
+    merged: "pa.Table | None" = None
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        if t.num_rows == 0:
+            continue
+        merged = t if merged is None else pa.concat_tables([merged, t])
+        if merged.num_rows > sample_size:
+            merged = merged.sort_by([("h", "ascending"),
+                                     ("id", "ascending")])
+            merged = merged.slice(0, sample_size).combine_chunks()
+    if merged is None:
+        raise ValueError("semantic_codebook: empty dataset")
     merged = merged.sort_by([("h", "ascending"), ("id", "ascending")])
     merged = merged.slice(0, sample_size)
     sample = np.asarray(merged.column("emb").to_pylist(), dtype=np.float64)
