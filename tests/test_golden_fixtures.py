@@ -90,6 +90,12 @@ def test_semantic_pairs_fixture_rederives():
     assert [tuple(r.values()) for r in got.to_pylist()] == want
 
 
+def test_infer_schema_fixture_rederives():
+    want = make_golden.infer_schema_ref(SF)
+    got = pq.read_table(f"{GOLD}/infer_schema_documents.parquet")
+    assert got.column("schema_form").to_pylist() == [want]
+
+
 @pytest.mark.parametrize("name,cols", [
     ("fingerprint_documents", ["doc_id", "fingerprint"]),
     ("simhash_documents", ["doc_id", "simhash"]),
@@ -97,6 +103,7 @@ def test_semantic_pairs_fixture_rederives():
     ("near_dup_pairs_simhash", ["id_a", "id_b", "jaccard"]),
     ("embedding_near_dups", ["id_a", "id_b", "cosine"]),
     ("semantic_dedup_embeddings", ["id_a", "id_b", "cosine"]),
+    ("infer_schema_documents", ["schema_form"]),
 ])
 def test_engine_matches_fixture(ray_session, name, cols):
     import __ray_entry__ as entrymod

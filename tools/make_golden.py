@@ -252,6 +252,21 @@ def semantic_dedup_pairs_ref(ids, embs, n_clusters=8, threshold=0.9,
     return out
 
 
+def infer_schema_ref(sf: str) -> str:
+    """Expected inferred-schema JSON via the engine's LOCAL single-value
+    provider path (malli_ray.provider.provide — the reference-parity
+    implementation, itself golden-tested against the ported
+    provider_test.cljc corpus).  This is the one fixture that imports an
+    engine module: the point of the pin is the cross-check DISTRIBUTED
+    accumulate/merge/finalize (provider.infer_dataset) == LOCAL reduce —
+    two independent code paths over the same semantics."""
+    import json
+    sys.path.insert(0, REPO)
+    from malli_ray.provider import provide
+    t = pq.read_table(f"/root/testdata/{sf}/documents.parquet")
+    return json.dumps(provide(t.to_pylist()))
+
+
 def main(sfs=("sf0.001", "sf0.01")):
     for sf in sfs:
         src = f"/root/testdata/{sf}/documents.parquet"
@@ -308,10 +323,14 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "cosine": pa.array([p[2] for p in sempairs],
                                          type=pa.float64())}),
             os.path.join(outdir, "semantic_dedup_embeddings.parquet"))
+        pq.write_table(
+            pa.table({"schema_form": pa.array([infer_schema_ref(sf)],
+                                              type=pa.string())}),
+            os.path.join(outdir, "infer_schema_documents.parquet"))
         print(f"{sf}: {len(fp)} fingerprints, {len(sh)} simhashes, "
               f"{len(pairs)} minhash pairs, {len(spairs)} simhash pairs, "
               f"{len(epairs)} embedding pairs, {len(sempairs)} semantic "
-              f"pairs -> {outdir}")
+              f"pairs, 1 inferred schema -> {outdir}")
 
 
 if __name__ == "__main__":
