@@ -90,6 +90,16 @@ def test_semantic_pairs_fixture_rederives():
     assert [tuple(r.values()) for r in got.to_pylist()] == want
 
 
+def test_ivf_topk_fixture_rederives():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    want = make_golden.ivf_topk_ref(t.column("vec_id").to_pylist(),
+                                    t.column("embedding").to_pylist())
+    got = pq.read_table(f"{GOLD}/ivf_topk_embeddings.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+    assert len(want) == 10                     # 2 queries x k=5
+
+
 def test_infer_schema_fixture_rederives():
     want = make_golden.infer_schema_ref(SF)
     got = pq.read_table(f"{GOLD}/infer_schema_documents.parquet")
@@ -104,6 +114,7 @@ def test_infer_schema_fixture_rederives():
     ("embedding_near_dups", ["id_a", "id_b", "cosine"]),
     ("semantic_dedup_embeddings", ["id_a", "id_b", "cosine"]),
     ("infer_schema_documents", ["schema_form"]),
+    ("ivf_topk_embeddings", ["query_id", "vec_id"]),
 ])
 def test_engine_matches_fixture(ray_session, name, cols):
     import __ray_entry__ as entrymod

@@ -252,6 +252,53 @@ def semantic_dedup_pairs_ref(ids, embs, n_clusters=8, threshold=0.9,
     return out
 
 
+def ivf_topk_ref(ids, embs, n_queries=2, k=5, n_clusters=8, n_probe=3,
+                 seed=42, sample_size=256):
+    """Brute-force reconstruction of the ivf_topk query: the same
+    smallest-hash codebook sample and seeded Lloyd as semantic_dedup_ref,
+    probe the n_probe nearest cells per query (queries = the first
+    n_queries embeddings), exact cosine over the probed cells, top-k per
+    query by (-score, id).  Scores are NOT emitted (membership only), so
+    the pin is ulp-robust."""
+    emb = np.asarray(embs, dtype=np.float64)
+    ids = np.asarray(ids, dtype=np.int64)
+    hh = pl.Series(ids).hash(seed=5).to_numpy().astype(np.uint64) \
+        .view(np.int64)
+    order = np.lexsort((ids, hh))[:sample_size]
+    sample = emb[order]
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sample = sample / norms
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)),
+                     replace=False)
+    centroids = sample[idx].copy()
+    for _ in range(10):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        cn = np.linalg.norm(centroids, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        centroids = centroids / cn
+    norm = np.linalg.norm(emb, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    unit = emb / norm
+    queries = unit[:n_queries]
+    probe = np.argsort(-(queries @ centroids.T), axis=1)[:, :n_probe]
+    assign = (unit @ centroids.T).argmax(axis=1)
+    out = []
+    for qi in range(n_queries):
+        cells = set(probe[qi].tolist())
+        cand = np.flatnonzero(np.isin(assign, list(cells)))
+        scores = unit[cand] @ queries[qi]
+        sel = np.lexsort((ids[cand], -scores))[:k]
+        for j in sel:
+            out.append((qi, int(ids[cand][j])))
+    return out
+
+
 def infer_schema_ref(sf: str) -> str:
     """Expected inferred-schema JSON via the engine's LOCAL single-value
     provider path (malli_ray.provider.provide — the reference-parity
@@ -327,6 +374,13 @@ def main(sfs=("sf0.001", "sf0.01")):
             pa.table({"schema_form": pa.array([infer_schema_ref(sf)],
                                               type=pa.string())}),
             os.path.join(outdir, "infer_schema_documents.parquet"))
+        ivf = ivf_topk_ref(eids, et.column("embedding").to_pylist())
+        pq.write_table(
+            pa.table({"query_id": pa.array([p[0] for p in ivf],
+                                           type=pa.int32()),
+                      "vec_id": pa.array([p[1] for p in ivf],
+                                         type=pa.int64())}),
+            os.path.join(outdir, "ivf_topk_embeddings.parquet"))
         print(f"{sf}: {len(fp)} fingerprints, {len(sh)} simhashes, "
               f"{len(pairs)} minhash pairs, {len(spairs)} simhash pairs, "
               f"{len(epairs)} embedding pairs, {len(sempairs)} semantic "
