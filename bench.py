@@ -108,6 +108,9 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "running_total_events", "sample_k_documents",
         "normalize_text_documents", "urls_documents",
         "collect_events_by_user", "left_join_orders",
+        # r3 continuation: ranking windows, mode, exact covariance, set ops
+        "rank_lineitem", "mode_event_type", "cov_quantity_price",
+        "customers_without_events", "customers_with_events",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

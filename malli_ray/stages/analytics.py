@@ -33,7 +33,8 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 __all__ = ["top_k_per_group", "distinct_count_by_group", "pivot_counts",
-           "lag_lead", "running_aggregate", "collect_by_group"]
+           "lag_lead", "running_aggregate", "collect_by_group",
+           "rank_per_group", "mode_by_group", "covariance_by_group"]
 
 
 def _sort_spec(group: str, order_by, descending: bool):
@@ -328,5 +329,207 @@ def pivot_counts(ds: Dataset, group: str, pivot: str,
 
     return (ds.select_columns([group, pivot])
             .map_batches(partial_counts, batch_format="pyarrow")
+            .groupby(group, num_partitions=num_partitions)
+            .map_groups(finish, batch_format="pyarrow"))
+
+
+def _adjacent_change_mask(table: pa.Table, cols: "list[str]") -> np.ndarray:
+    """Boolean mask: row i starts a new run of ``cols`` values (row 0 always
+    True).  Nulls are peers of nulls (SQL window-frame peer semantics)."""
+    n = table.num_rows
+    new = np.zeros(n, dtype=bool)
+    if n == 0:
+        return new
+    new[0] = True
+    for c in cols:
+        col = table.column(c)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        neq = pc.fill_null(
+            pc.not_equal(col.slice(1), col.slice(0, n - 1)), False)
+        # null vs non-null IS a change (not_equal yields null there)
+        validity_change = pc.xor(pc.is_valid(col.slice(1)),
+                                 pc.is_valid(col.slice(0, n - 1)))
+        new[1:] |= np.asarray(pc.or_(neq, validity_change))
+    return new
+
+
+def _ntile(pos: np.ndarray, runlen: np.ndarray, tiles: int) -> np.ndarray:
+    """SQL NTILE(tiles) bucket (1-based) from 0-based in-group position and
+    group size: the first ``size % tiles`` buckets get the extra row."""
+    base = runlen // tiles
+    big = runlen % tiles
+    big_span = big * (base + 1)
+    in_big = pos < big_span
+    tile = np.where(in_big, pos // np.maximum(base + 1, 1),
+                    big + (pos - big_span) // np.maximum(base, 1))
+    return (tile + 1).astype(np.int64)
+
+
+def rank_per_group(ds: Dataset, key: str, order_by,
+                   peer_by: "list[str] | None" = None,
+                   tiles: int | None = None,
+                   num_buckets: int = 64,
+                   num_partitions: int | None = None) -> Dataset:
+    """SQL ranking window functions per key: appends ``row_number``,
+    ``rnk`` (RANK), ``dense_rank``, and (when ``tiles``) ``tile{n}``
+    (NTILE) columns — ``OVER (PARTITION BY key ORDER BY ...)``.
+
+    ``order_by`` must order rows within a key uniquely (include a tie-break
+    id column): it defines row_number/ntile order.  ``peer_by`` (default:
+    all of ``order_by``) names the PREFIX columns that define rank peers —
+    e.g. ``order_by=[qty, id], peer_by=[qty]`` reproduces
+    ``RANK() OVER (PARTITION BY key ORDER BY qty)`` while keeping
+    row_number deterministic.
+
+    Scale shape (same exchange as :func:`lag_lead`): shuffle on
+    ``hash(key) % num_buckets`` for evenly-sized groups, then per bucket ONE
+    Arrow multi-column sort + vectorized run/peer boundary scans — rank is
+    the peer-run start position broadcast by ``np.repeat``, dense_rank a
+    cumsum of peer starts rebased per key run, ntile closed-form from
+    (position, group size).  No per-key Python at any scale.
+    """
+    if isinstance(order_by, str):
+        order_by = [order_by]
+    peer_by = list(peer_by) if peer_by is not None else list(order_by)
+    spec = [(key, "ascending"), *[(c, "ascending") for c in order_by]]
+    bucket_col = "__rankbucket__"
+    tile_name = f"tile{tiles}" if tiles else None
+
+    from ..state.sketches import hash64
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key), seed=13) % np.uint64(num_buckets)
+        return batch.append_column(
+            bucket_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(spec)
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        nrows = len(keys)
+        pos = _run_positions(keys)
+        new_key = np.ones(nrows, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        key_starts = np.flatnonzero(new_key)
+        key_lens = np.diff(np.append(key_starts, nrows))
+        # peer runs: change in any peer column OR a new key
+        new_peer = _adjacent_change_mask(g, peer_by) | new_key
+        peer_starts = np.flatnonzero(new_peer)
+        peer_lens = np.diff(np.append(peer_starts, nrows))
+        rank = np.repeat(pos[peer_starts] + 1, peer_lens)
+        pidx = np.cumsum(new_peer)
+        dense = pidx - np.repeat(pidx[key_starts], key_lens) + 1
+        g = g.append_column("row_number",
+                            pa.array(pos + 1, type=pa.int64()))
+        g = g.append_column("rnk", pa.array(rank, type=pa.int64()))
+        g = g.append_column("dense_rank", pa.array(dense, type=pa.int64()))
+        if tiles:
+            runlen = np.repeat(key_lens, key_lens)
+            g = g.append_column(tile_name,
+                                pa.array(_ntile(pos, runlen, tiles)))
+        return g.drop_columns([bucket_col])
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def mode_by_group(ds: Dataset, group: str, value: str,
+                  out_col: str = "mode_value", count_col: str = "cnt",
+                  num_buckets: int = 64,
+                  num_partitions: int | None = None) -> Dataset:
+    """Most frequent ``value`` per ``group`` (SQL mode with a DETERMINISTIC
+    tie-break: highest count, then smallest value) plus its count.
+
+    Scale shape: map-side (group, value, partial count) combine via Arrow
+    hash group_by — the shuffle carries at most distinct-pairs-per-batch
+    rows, never payloads.  The exchange is keyed on ``hash(group) %
+    num_buckets`` (evenly-sized groups, no per-key Python): each bucket sums
+    partials with one Arrow group_by, sorts by (group, count desc, value
+    asc), and keeps each group-run's first row via a vectorized boundary
+    mask.
+    """
+    bucket_col = "__modebucket__"
+    from ..state.sketches import hash64
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        t = batch.select([group, value])
+        out = t.group_by([group, value], use_threads=False).aggregate(
+            [([], "count_all")])
+        out = out.rename_columns([group, value, "__cnt__"])
+        h = hash64(out.column(group), seed=14) % np.uint64(num_buckets)
+        return out.append_column(
+            bucket_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.group_by([group, value], use_threads=False).aggregate(
+            [("__cnt__", "sum")])
+        t = t.rename_columns([group, value, "__cnt__"])
+        t = t.sort_by([(group, "ascending"), ("__cnt__", "descending"),
+                       (value, "ascending")])
+        keys = t.column(group).to_numpy(zero_copy_only=False)
+        first = np.ones(len(keys), dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
+        t = t.filter(pa.array(first))
+        return pa.table({
+            group: t.column(group),
+            out_col: t.column(value),
+            count_col: pc.cast(t.column("__cnt__"), pa.int64())})
+
+    return (ds.select_columns([group, value])
+            .map_batches(partial_counts, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def covariance_by_group(ds: Dataset, group: str, x: str, y: str,
+                        num_partitions: int | None = None) -> Dataset:
+    """Population covariance of two INTEGER columns per group, plus the
+    exact integer sums it derives from: ``(group, n, sum_x, sum_y, sum_xy,
+    cov_pop)``.
+
+    Bit-reproducibility contract: ``x`` and ``y`` must already be integral
+    (cast floats to fixed-point units — cents — upstream, exactly as
+    windows.rolling_aggregate requires).  All accumulation is integer-exact
+    (map-side int64 partial sums, driver-side Python arbitrary-precision
+    totals), and ``cov_pop`` is computed by the literal IEEE sequence
+    ``sxy/n - (sx/n)*(sy/n)`` on correctly-rounded int->double conversions —
+    the same expression an SQL oracle can spell, so the float matches
+    bit-for-bit.  Overflow bound: per-row |x*y| * rows-per-block must fit
+    int64 (fixed-point units, not raw magnitudes; raise block count to
+    shrink blocks if needed).
+
+    Scale shape: one Arrow hash group_by per batch collapses each block to
+    (group, n, sx, sy, sxy) partials — ONLY these tiny rows shuffle — then a
+    single groupby(group) finisher sums partials.  Group count is assumed
+    small (it is an aggregate output); no payload ever moves.
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        xv = pc.cast(batch.column(x), pa.int64())
+        yv = pc.cast(batch.column(y), pa.int64())
+        t = pa.table({group: batch.column(group), "__x": xv, "__y": yv,
+                      "__xy": pc.multiply_checked(xv, yv)})
+        out = t.group_by([group], use_threads=False).aggregate(
+            [("__x", "sum"), ("__y", "sum"), ("__xy", "sum"),
+             ([], "count_all")])
+        return out.rename_columns([group, "__sx", "__sy", "__sxy", "__n"])
+
+    def finish(g: pa.Table) -> pa.Table:
+        n = sum(v.as_py() for v in g.column("__n"))
+        sx = sum(v.as_py() for v in g.column("__sx"))
+        sy = sum(v.as_py() for v in g.column("__sy"))
+        sxy = sum(v.as_py() for v in g.column("__sxy"))
+        cov = (sxy / n) - (sx / n) * (sy / n)
+        return pa.table({
+            group: g.column(group).slice(0, 1),
+            "n": pa.array([n], type=pa.int64()),
+            "sum_x": pa.array([sx], type=pa.int64()),
+            "sum_y": pa.array([sy], type=pa.int64()),
+            "sum_xy": pa.array([sxy], type=pa.int64()),
+            "cov_pop": pa.array([cov], type=pa.float64())})
+
+    return (ds.select_columns([group, x, y])
+            .map_batches(partials, batch_format="pyarrow")
             .groupby(group, num_partitions=num_partitions)
             .map_groups(finish, batch_format="pyarrow"))

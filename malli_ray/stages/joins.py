@@ -27,7 +27,8 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-__all__ = ["broadcast_join", "hash_join", "semi_join", "anti_join"]
+__all__ = ["broadcast_join", "hash_join", "semi_join", "anti_join",
+           "except_keys", "intersect_keys"]
 
 
 class _BroadcastProbe:
@@ -152,3 +153,69 @@ def anti_join(left: Dataset, right: Dataset, on, right_on=None,
     """Rows of ``left`` whose key does NOT appear in ``right``."""
     return hash_join(left, right, on, right_on, join_type="left_anti",
                      num_partitions=num_partitions)
+
+
+def _set_op_keys(ds_a: Dataset, ds_b: Dataset, key_a: str, key_b: str,
+                 op: str, out_col: Optional[str],
+                 num_partitions: Optional[int]) -> Dataset:
+    """Distinct-key set algebra (SQL EXCEPT / INTERSECT on single key
+    columns).
+
+    Scale shape: each side is projected to its key column, deduped map-side
+    per batch (Arrow hash group_by), and tagged with a constant side bit —
+    so the shuffle carries only distinct-per-batch KEYS + one int8.  One
+    groupby(key) aggregate (min/max of the side bit) classifies every key:
+    except  -> seen only on side A (max == 0)
+    intersect -> seen on both     (min == 0 and max == 1)
+    No payload moves, no per-key Python — the classify step is Ray's
+    native vectorized Min/Max aggregate + a filter.
+    """
+    from ray.data.aggregate import Max, Min
+
+    out = out_col or key_a
+    side_col = "__setside__"
+
+    def prep(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.group_by([batch.column_names[0]],
+                                  use_threads=False).aggregate([])
+            keys = keys.rename_columns([out])
+            return keys.append_column(
+                side_col, pa.array(np.full(keys.num_rows, side,
+                                           dtype=np.int8)))
+        return fn
+
+    a = ds_a.select_columns([key_a]).map_batches(prep(0),
+                                                 batch_format="pyarrow")
+    b = ds_b.select_columns([key_b]).map_batches(prep(1),
+                                                 batch_format="pyarrow")
+    both = a.union(b)
+    agg = both.groupby(out, num_partitions=num_partitions).aggregate(
+        Min(side_col, alias_name="__mn__"), Max(side_col,
+                                                alias_name="__mx__"))
+    if op == "except":
+        agg = agg.filter(expr="__mx__ == 0")
+    elif op == "intersect":
+        agg = agg.filter(expr="__mn__ == 0 and __mx__ == 1")
+    else:
+        raise ValueError(f"unknown set op: {op}")
+    return agg.select_columns([out])
+
+
+def except_keys(ds_a: Dataset, ds_b: Dataset, key_a: str,
+                key_b: Optional[str] = None, out_col: Optional[str] = None,
+                num_partitions: Optional[int] = None) -> Dataset:
+    """SQL ``SELECT DISTINCT key_a FROM a EXCEPT SELECT key_b FROM b`` —
+    distinct keys of A that never appear in B (anti_join's distinct-key
+    sibling; use anti_join when you need A's full rows back)."""
+    return _set_op_keys(ds_a, ds_b, key_a, key_b or key_a, "except",
+                        out_col, num_partitions)
+
+
+def intersect_keys(ds_a: Dataset, ds_b: Dataset, key_a: str,
+                   key_b: Optional[str] = None,
+                   out_col: Optional[str] = None,
+                   num_partitions: Optional[int] = None) -> Dataset:
+    """SQL ``SELECT DISTINCT key_a FROM a INTERSECT SELECT key_b FROM b``."""
+    return _set_op_keys(ds_a, ds_b, key_a, key_b or key_a, "intersect",
+                        out_col, num_partitions)

@@ -1554,3 +1554,80 @@ def test_filter_outliers_by_group(ray_session):
     assert set(b) == {"a"}
     q1, q3 = np.quantile(np.array(vals, dtype=float), [0.25, 0.75])
     assert b["a"] == (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+
+
+# --- rank / mode / covariance / set ops (round-3 continuation) -------------
+
+def test_rank_per_group_edges(ray_session):
+    """Ties, null peers, and groups smaller than the tile count."""
+    import ray.data as rd
+    from malli_ray.stages.analytics import rank_per_group
+
+    t = pa.table({
+        "g":  ["a"] * 5 + ["b"] * 2 + ["c"],
+        "v":  [1, 1, None, None, 2,  5, 5,  9],
+        "id": [1, 2, 3, 4, 5,  1, 2,  1]})
+    out = (rank_per_group(rd.from_arrow(t), "g", ["v", "id"],
+                          peer_by=["v"], tiles=3)
+           .to_pandas().sort_values(["g", "id"]).reset_index(drop=True))
+    # group a ordered by (v,id): nulls sort last in Arrow ascending
+    a = out[out.g == "a"].sort_values("row_number")
+    assert list(a.id) == [1, 2, 5, 3, 4]
+    assert list(a.rnk) == [1, 1, 3, 4, 4]          # null peers tie
+    assert list(a.dense_rank) == [1, 1, 2, 3, 3]
+    assert list(a.tile3) == [1, 1, 2, 2, 3]        # 5 rows -> 2,2,1
+    b = out[out.g == "b"].sort_values("row_number")
+    assert list(b.rnk) == [1, 1] and list(b.row_number) == [1, 2]
+    assert list(b.tile3) == [1, 2]                  # fewer rows than tiles
+    c = out[out.g == "c"]
+    assert list(c.rnk) == [1] and list(c.tile3) == [1]
+
+
+def test_mode_by_group_tie_break(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.analytics import mode_by_group
+
+    t = pa.table({"g": ["x"] * 4 + ["y"] * 3,
+                  "v": ["b", "a", "a", "b",  "q", "q", "p"]})
+    out = (mode_by_group(rd.from_arrow(t), "g", "v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    # x: a and b tie at 2 -> smallest value wins
+    assert list(out.mode_value) == ["a", "q"]
+    assert list(out.cnt) == [2, 2]
+
+
+def test_covariance_by_group_exact(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.analytics import covariance_by_group
+
+    rng = np.random.default_rng(7)
+    g = rng.choice(["p", "q"], size=400)
+    x = rng.integers(-50, 50, size=400)
+    y = rng.integers(-1000, 1000, size=400)
+    ds = rd.from_arrow(pa.table({"g": g, "x": x, "y": y}))
+    out = covariance_by_group(ds, "g", "x", "y").to_pandas()
+    for _, row in out.iterrows():
+        m = g == row.g
+        n = int(m.sum())
+        sx, sy = int(x[m].sum()), int(y[m].sum())
+        sxy = int((x[m].astype(object) * y[m].astype(object)).sum())
+        assert row.n == n and row.sum_x == sx and row.sum_y == sy
+        assert row.sum_xy == sxy
+        want = (sxy / n) - (sx / n) * (sy / n)
+        assert row.cov_pop == want  # bit-exact, same IEEE sequence
+
+
+def test_set_op_keys(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.joins import except_keys, intersect_keys
+
+    a = rd.from_arrow(pa.table({"k": [1, 2, 2, 3, 4, 4]}))
+    b = rd.from_arrow(pa.table({"j": [3, 4, 5, 5]}))
+    ex = sorted(except_keys(a, b, "k", "j").to_pandas().k)
+    assert ex == [1, 2]
+    inter = sorted(intersect_keys(a, b, "k", "j").to_pandas().k)
+    assert inter == [3, 4]
+    # disjoint -> empty intersect, full except
+    c = rd.from_arrow(pa.table({"j": [9]}))
+    assert intersect_keys(a, c, "k", "j").count() == 0
+    assert sorted(except_keys(a, c, "k", "j").to_pandas().k) == [1, 2, 3, 4]
