@@ -369,11 +369,16 @@ def _ntile(pos: np.ndarray, runlen: np.ndarray, tiles: int) -> np.ndarray:
 def rank_per_group(ds: Dataset, key: str, order_by,
                    peer_by: "list[str] | None" = None,
                    tiles: int | None = None,
+                   percentiles: bool = False,
                    num_buckets: int = 64,
                    num_partitions: int | None = None) -> Dataset:
     """SQL ranking window functions per key: appends ``row_number``,
     ``rnk`` (RANK), ``dense_rank``, and (when ``tiles``) ``tile{n}``
     (NTILE) columns — ``OVER (PARTITION BY key ORDER BY ...)``.
+    ``percentiles=True`` adds ``percent_rank`` = (rank-1)/(N-1) (0.0 for
+    single-row groups) and ``cume_dist`` = peers-through-current / N; both
+    are ONE IEEE division of exactly-representable ints, so they match an
+    SQL oracle bit-for-bit.
 
     ``order_by`` must order rows within a key uniquely (include a tie-break
     id column): it defines row_number/ntile order.  ``peer_by`` (default:
@@ -423,10 +428,21 @@ def rank_per_group(ds: Dataset, key: str, order_by,
                             pa.array(pos + 1, type=pa.int64()))
         g = g.append_column("rnk", pa.array(rank, type=pa.int64()))
         g = g.append_column("dense_rank", pa.array(dense, type=pa.int64()))
-        if tiles:
+        if tiles or percentiles:
             runlen = np.repeat(key_lens, key_lens)
-            g = g.append_column(tile_name,
-                                pa.array(_ntile(pos, runlen, tiles)))
+            if tiles:
+                g = g.append_column(tile_name,
+                                    pa.array(_ntile(pos, runlen, tiles)))
+            if percentiles:
+                denom = runlen - 1
+                pr = np.where(denom > 0,
+                              (rank - 1) / np.maximum(denom, 1), 0.0)
+                cume = np.repeat(pos[peer_starts] + peer_lens,
+                                 peer_lens) / runlen
+                g = g.append_column("percent_rank",
+                                    pa.array(pr, type=pa.float64()))
+                g = g.append_column("cume_dist",
+                                    pa.array(cume, type=pa.float64()))
         return g.drop_columns([bucket_col])
 
     return (ds.map_batches(bucketize, batch_format="pyarrow")
