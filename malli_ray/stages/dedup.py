@@ -35,6 +35,18 @@ logger = logging.getLogger(__name__)
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
+def _stable_dot(a: np.ndarray, b: np.ndarray) -> float:
+    """Machine-independent float64 dot product: elementwise products are
+    correctly-rounded IEEE multiplies, math.fsum is exactly rounded — so the
+    result is bit-identical on every CPU/BLAS build.  `a @ b` dispatches to
+    BLAS ddot, whose summation order (and hence last-ulp rounding) varies
+    across machines; the golden fixtures pin emitted cosines bit-exactly, so
+    every per-pair cosine the engine EMITS must go through this.  Only for
+    the emitted pairs (pairs << n^2) — matmul prefilters stay BLAS."""
+    import math
+    return math.fsum((a * b).tolist())
+
+
 def _collapse_identical(keys: np.ndarray, ids: list):
     """Group rows by identical key rows (2-D uint array) and return
     (unique_keys, representative_min_id_per_group, inverse_group_index).
@@ -699,14 +711,20 @@ def embedding_near_dups(ds: Dataset, emb_column: str, id_column: str,
         unit = np.asarray(group.column("unit").to_pylist(), dtype=np.float64)
         sims = unit @ unit.T
         a_out, b_out, c_out = [], [], []
-        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        # matmul prefilter with an ulp margin; membership AND the emitted
+        # value come from the machine-stable per-pair dot (BLAS dgemm
+        # rounding varies across CPUs — the golden fixture pins bits)
+        ii, jj = np.nonzero(np.triu(sims >= threshold - 1e-9, k=1))
         for i, j in zip(ii.tolist(), jj.tolist()):
             if ids[i] == ids[j]:
+                continue
+            cos = _stable_dot(unit[i], unit[j])
+            if cos < threshold:
                 continue
             lo, hi = sorted((ids[i], ids[j]))
             a_out.append(lo)
             b_out.append(hi)
-            c_out.append(float(sims[i, j]))
+            c_out.append(cos)
         return pa.table({"id_a": pa.array(a_out, type=id_type),
                          "id_b": pa.array(b_out, type=id_type),
                          "cosine": pa.array(c_out, type=pa.float64())})
@@ -953,13 +971,13 @@ def semantic_dedup_pairs(ds: Dataset, emb_column: str, id_column: str,
         unit = np.asarray(group.column("unit").to_pylist(), dtype=np.float64)
         sims = unit @ unit.T
         # matmul prefilter with an ulp margin; membership decided by the
-        # per-pair float64 dot (the emitted value)
+        # machine-stable per-pair float64 dot (the emitted value)
         ii, jj = np.nonzero(np.triu(sims >= threshold - 1e-9, k=1))
         a_out, b_out, c_out = [], [], []
         for i, j in zip(ii.tolist(), jj.tolist()):
             if ids[i] == ids[j]:
                 continue
-            cos = float(unit[i] @ unit[j])
+            cos = _stable_dot(unit[i], unit[j])
             if cos < threshold:
                 continue
             lo, hi = sorted((ids[i], ids[j]))

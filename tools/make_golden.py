@@ -16,6 +16,7 @@ malli_ray/stages/dedup.py (MinHasher/SimHasher) and stages/text.py
 (Fingerprinter); the only shared primitive is polars' Series.hash, which is
 the pinned hash kernel both sides are defined in terms of.
 """
+import math
 import os
 import re
 import sys
@@ -178,7 +179,7 @@ def embedding_pairs(ids, embs, threshold=0.95, n_planes=12, seed=42):
         for j in range(i + 1, n):
             if bucket[i] != bucket[j]:
                 continue
-            cos = float(unit[i] @ unit[j])
+            cos = math.fsum((unit[i] * unit[j]).tolist())
             if cos >= threshold:
                 lo, hi = sorted((ids[i], ids[j]))
                 out.append((lo, hi, cos))
@@ -244,7 +245,7 @@ def semantic_dedup_pairs_ref(ids, embs, n_clusters=8, threshold=0.9,
         for j in range(i + 1, n):
             if cid[i] != cid[j] or all_ids[i] == all_ids[j]:
                 continue
-            cos = float(unit32[i] @ unit32[j])
+            cos = math.fsum((unit32[i] * unit32[j]).tolist())
             if cos >= threshold:
                 lo, hi = sorted((int(all_ids[i]), int(all_ids[j])))
                 out.append((lo, hi, cos))
