@@ -111,6 +111,8 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         # r3 continuation: ranking windows, mode, exact covariance, set ops
         "rank_lineitem", "mode_event_type", "cov_quantity_price",
         "customers_without_events", "customers_with_events",
+        # r3 continuation: exact substring (duplicate-span) dedup
+        "dup_spans_documents", "remove_dup_spans_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -1276,3 +1276,376 @@ def drop_frequent_lines(ds: Dataset, text_column: str, min_count: int,
                      out_column=out_column,
                      drop_count_column=drop_count_column, freq_ref=freq_ref),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
+# ---------------------------------------------------------------------------
+# exact substring (duplicate-span) dedup — Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better", at word-k-gram granularity
+# ---------------------------------------------------------------------------
+
+
+class _GramOccurrenceEmitter:
+    """Flat-map a document batch to one row per word-k-gram occurrence:
+    ``(h1, h2, id, pos)`` — two independent 64-bit hashes of the gram text
+    (128 bits kills collisions at 10^12 grams, the exact-dedup precedent),
+    the document id, and the 0-based word index of the gram's first word."""
+
+    def __init__(self, text_column: str, id_column: str, k: int):
+        self.text_column = text_column
+        self.id_column = id_column
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        from .text import _gram_rows
+        col = batch.column(self.text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        rows, pos, (h1, h2) = _gram_rows(pl.from_arrow(col), self.k,
+                                         seeds=(11, 29))
+        ids = batch.column(self.id_column).take(
+            pa.array(rows, type=pa.int64()))
+        # int64 bit-pattern views: Ray groupby round-trips uint64 through
+        # Python ints, which overflows (the drop_frequent_lines precedent)
+        return pa.table({"h1": pa.array(h1.view(np.int64)),
+                         "h2": pa.array(h2.view(np.int64)),
+                         "id": ids,
+                         "pos": pa.array(pos, type=pa.int64())})
+
+
+def _merged_span_lists(g: pa.Table, k: int, id_out: str) -> pa.Table:
+    """Merge duplicate-window starts into maximal word spans, vectorized
+    across every document in the bucket at once: sort by (id, pos), then a
+    per-run segmented interval merge (offset-shifted cummax so runs never
+    interact).  Returns one row per document: (id, starts, ends) int64
+    list columns, spans sorted by start, end exclusive."""
+    id_type = g.column("id").type
+    empty = pa.table({id_out: pa.array([], type=id_type),
+                      "starts": pa.array([], type=pa.list_(pa.int64())),
+                      "ends": pa.array([], type=pa.list_(pa.int64()))})
+    if g.num_rows == 0:
+        return empty
+    g = g.sort_by([("id", "ascending"), ("pos", "ascending")])
+    ids = g.column("id").to_numpy(zero_copy_only=False)
+    s = g.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+    e = s + k
+    n = len(s)
+    new_run = np.ones(n, dtype=bool)
+    new_run[1:] = ids[1:] != ids[:-1]
+    run_id = np.cumsum(new_run) - 1
+    big = np.int64(e.max() + 1)
+    cummax_e = np.maximum.accumulate(e + run_id * big) - run_id * big
+    new_span = new_run.copy()
+    new_span[1:] |= s[1:] > cummax_e[:-1]
+    starts_idx = np.flatnonzero(new_span)
+    span_start = s[starts_idx]
+    span_end = np.maximum.reduceat(e, starts_idx)
+    span_doc_idx = starts_idx  # islands are in (id, start) order
+    # per-doc list offsets: count spans per document run
+    doc_new = new_run[starts_idx]
+    doc_starts = np.flatnonzero(doc_new)
+    counts = np.diff(np.append(doc_starts, len(starts_idx)))
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    doc_ids = pa.array(ids[starts_idx[doc_starts]], type=id_type)
+    starts_col = pa.LargeListArray.from_arrays(
+        offsets, pa.array(span_start, type=pa.int64())).cast(
+            pa.list_(pa.int64()))
+    ends_col = pa.LargeListArray.from_arrays(
+        offsets, pa.array(span_end, type=pa.int64())).cast(
+            pa.list_(pa.int64()))
+    return pa.table({id_out: doc_ids, "starts": starts_col,
+                     "ends": ends_col})
+
+
+def duplicate_span_lists(ds: Dataset, text_column: str, id_column: str,
+                         k: int = 10, num_buckets: int = 64,
+                         num_partitions: int | None = None,
+                         concurrency=None) -> Dataset:
+    """Exact substring dedup, phase 1 (Lee et al. 2021 semantics at word
+    granularity): find every maximal span of words that is covered by
+    duplicated k-grams, keeping the globally FIRST occurrence of each gram
+    (ordered by (id, pos)).  One row per document that contains duplicate
+    spans: ``(id, starts: list<int64>, ends: list<int64>)`` — word-index
+    spans, end exclusive, sorted by start.
+
+    Scale shape: the exchange is (h1, h2, id, pos) per word occurrence —
+    ~28 bytes/word, the honest price of EXACT substring dedup (the
+    suffix-array construction of the paper is also superlinear I/O).  Both
+    groupbys shuffle on ``hash % num_buckets`` — evenly-sized buckets, ONE
+    vectorized call per bucket, never per-gram/per-doc Python (the lag_lead
+    precedent).  Mitigations for 100 TB, in order: raise ``k`` (fewer
+    matches, same volume), pre-filter singleton grams with a two-level
+    Bloom pass (ships only grams seen >= 2 — typically 10-50x volume cut;
+    build_bloom provides the digest), or sample windows with a stride and
+    widen matched spans by k (approximate).  Docs with < k words emit no
+    grams and never appear in the output."""
+    from ..state.sketches import hash64
+    from . import cached_stage, concurrency_kwargs
+
+    occ = ds.map_batches(
+        cached_stage(_GramOccurrenceEmitter, text_column=text_column,
+                     id_column=id_column, k=k),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+    def bucketize_gram(batch: pa.Table) -> pa.Table:
+        h = batch.column("h1").to_numpy(zero_copy_only=False)
+        b = (h.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("__gbucket__", pa.array(b))
+
+    def drop_first(g: pa.Table) -> pa.Table:
+        # non-first occurrences of each (h1, h2) gram, vectorized via one
+        # sort + run-boundary mask across the whole bucket
+        g = g.sort_by([("h1", "ascending"), ("h2", "ascending"),
+                       ("id", "ascending"), ("pos", "ascending")])
+        h1 = g.column("h1").to_numpy(zero_copy_only=False)
+        h2 = g.column("h2").to_numpy(zero_copy_only=False)
+        first = np.ones(len(h1), dtype=bool)
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        return g.filter(pa.array(~first)).select(["id", "pos"])
+
+    dup_occ = (occ.map_batches(bucketize_gram, batch_format="pyarrow")
+               .groupby("__gbucket__", num_partitions=num_partitions)
+               .map_groups(drop_first, batch_format="pyarrow"))
+
+    def bucketize_doc(batch: pa.Table) -> pa.Table:
+        # empty shuffle partitions re-emit zero-row blocks with the FULL
+        # input schema (extra gram columns); normalize before bucketing
+        batch = batch.select(["id", "pos"])
+        h = hash64(batch.column("id"), seed=17) % np.uint64(num_buckets)
+        return batch.append_column("__dbucket__",
+                                   pa.array(h.astype(np.int64)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        return _merged_span_lists(g.drop_columns(["__dbucket__"]), k,
+                                  id_column)
+
+    spans = (dup_occ.map_batches(bucketize_doc, batch_format="pyarrow")
+             .groupby("__dbucket__", num_partitions=num_partitions)
+             .map_groups(merge, batch_format="pyarrow"))
+    # typed empty union so a zero-dup corpus keeps its schema
+    import ray
+    id_type = ds.schema().base_schema.field(id_column).type
+    empty = ray.data.from_arrow(pa.table({
+        id_column: pa.array([], type=id_type),
+        "starts": pa.array([], type=pa.list_(pa.int64())),
+        "ends": pa.array([], type=pa.list_(pa.int64()))}))
+    return spans.union(empty)
+
+
+def duplicate_spans(ds: Dataset, text_column: str, id_column: str,
+                    k: int = 10, num_buckets: int = 64,
+                    num_partitions: int | None = None,
+                    concurrency=None) -> Dataset:
+    """Exact substring dedup, exploded view: one row per maximal duplicate
+    span — ``(id, span_start, span_end)`` word indices, end exclusive.
+    See :func:`duplicate_span_lists` for semantics and scale shape."""
+    lists = duplicate_span_lists(ds, text_column, id_column, k=k,
+                                 num_buckets=num_buckets,
+                                 num_partitions=num_partitions,
+                                 concurrency=concurrency)
+    id_type = ds.schema().base_schema.field(id_column).type
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if "starts" not in batch.column_names:
+            # zero-row passthrough block from an empty shuffle partition
+            # (Ray re-emits the pre-groupby schema for empty partitions)
+            return pa.table({id_column: pa.array([], type=id_type),
+                             "span_start": pa.array([], type=pa.int64()),
+                             "span_end": pa.array([], type=pa.int64())})
+        ids = batch.column(id_column)
+        starts = batch.column("starts")
+        if isinstance(starts, pa.ChunkedArray):
+            starts = starts.combine_chunks()
+        ends = batch.column("ends")
+        if isinstance(ends, pa.ChunkedArray):
+            ends = ends.combine_chunks()
+        lens = pc.list_value_length(starts).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        return pa.table({
+            id_column: ids.take(pa.array(row_idx)),
+            "span_start": starts.flatten(),
+            "span_end": ends.flatten()})
+
+    return lists.map_batches(explode, batch_format="pyarrow")
+
+
+def _spans_to_blob(batch: pa.Table, id_column: str, id_type) -> pa.Table:
+    """Pack (starts, ends) list columns into one large_binary column of
+    interleaved little-endian int64 (s0,e0,s1,e1,...) pairs — Arrow's acero
+    hash join rejects list-typed payload columns, a binary blob passes
+    through.  Fully vectorized (one interleave + from_buffers)."""
+    if "starts" not in batch.column_names:
+        # zero-row passthrough block from an empty shuffle partition
+        return pa.table({id_column: pa.array([], type=id_type),
+                         "span_blob": pa.array([], type=pa.large_binary())})
+    starts = batch.column("starts")
+    if isinstance(starts, pa.ChunkedArray):
+        starts = starts.combine_chunks()
+    ends = batch.column("ends")
+    if isinstance(ends, pa.ChunkedArray):
+        ends = ends.combine_chunks()
+    lens = pc.list_value_length(starts).to_numpy(zero_copy_only=False)
+    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    total = int(offsets[-1])
+    inter = np.empty(total * 2, dtype="<i8")
+    inter[0::2] = starts.flatten().to_numpy(zero_copy_only=False)
+    inter[1::2] = ends.flatten().to_numpy(zero_copy_only=False)
+    blob = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), batch.num_rows,
+        [None, pa.py_buffer((offsets * 16).tobytes()),
+         pa.py_buffer(inter.tobytes())])
+    return pa.table({id_column: batch.column(id_column),
+                     "span_blob": blob})
+
+
+def _blob_to_spans(blob) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Decode a large_binary span-blob column (nulls = no spans) into
+    (row_idx, starts, ends) numpy arrays, vectorized via the Arrow
+    buffers."""
+    if isinstance(blob, pa.ChunkedArray):
+        blob = blob.combine_chunks()
+    blob = pc.fill_null(blob, b"")
+    if not pa.types.is_large_binary(blob.type):
+        blob = blob.cast(pa.large_binary())
+    n = len(blob)
+    bufs = blob.buffers()
+    off = np.frombuffer(bufs[1], dtype="<i8")[blob.offset:blob.offset + n + 1]
+    counts = (off[1:] - off[:-1]) // 16
+    vals = np.frombuffer(bufs[2], dtype="<i8")[off[0] // 8:off[-1] // 8]
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    return row_idx, vals[0::2], vals[1::2]
+
+
+class _SpanMasker:
+    """Rebuild text with duplicate spans' words removed.  Fully vectorized
+    over the batch: one polars word extraction, one global coverage
+    difference array over the flattened words (np.add.at with ALL span
+    endpoints at once), one Arrow filter + list rebuild + binary_join."""
+
+    def __init__(self, text_column: str, id_column: str, out_column: str,
+                 drop_count_column: str):
+        self.text_column = text_column
+        self.id_column = id_column
+        self.out_column = out_column
+        self.drop_count_column = drop_count_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        col = batch.column(self.text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        words = (pl.from_arrow(col).fill_null("")
+                 .str.extract_all(_WORD_RE.pattern))
+        wc = words.list.len().to_numpy().astype(np.int64)
+        doc_off = np.concatenate(([0], np.cumsum(wc)))
+        total = int(doc_off[-1])
+        flat = words.explode().drop_nulls().to_arrow()
+        if not pa.types.is_string(flat.type):
+            flat = flat.cast(pa.string())
+        # global coverage diff over flattened word positions
+        row_idx, starts, ends = _blob_to_spans(batch.column("span_blob"))
+        cover = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(cover, np.clip(doc_off[row_idx] + starts, 0, total), 1)
+        np.add.at(cover, np.clip(doc_off[row_idx] + ends, 0, total), -1)
+        keep = np.cumsum(cover[:-1]) <= 0
+        cs = np.concatenate(([0], np.cumsum(keep))).astype(np.int64)
+        kept_counts = cs[doc_off[1:]] - cs[doc_off[:-1]]
+        kept = flat.filter(pa.array(keep)) if total else flat
+        out_off = np.concatenate(([0], np.cumsum(kept_counts)))
+        lists = pa.LargeListArray.from_arrays(out_off.astype(np.int64), kept)
+        text_out = pc.binary_join(lists, " ")
+        dropped = pa.array(wc - kept_counts, type=pa.int64())
+        return pa.table({self.id_column: batch.column(self.id_column),
+                         self.out_column: text_out,
+                         self.drop_count_column: dropped})
+
+
+def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
+                           k: int = 10, out_column: str = "text_dedup",
+                           drop_count_column: str = "n_words_dropped",
+                           num_buckets: int = 64,
+                           num_partitions: int | None = None,
+                           concurrency=None) -> Dataset:
+    """Exact substring dedup, phase 2: drop every word covered by a
+    duplicate span (keeping each gram's globally first occurrence) and
+    rebuild the text from the surviving words joined by single spaces —
+    i.e. ALL documents come back whitespace-normalized, duplicated spans
+    removed.  Output: (id, out_column, drop_count_column).
+
+    The span lists join back onto the documents with ONE left-outer join
+    (span-free docs pass through with 0 drops); masking is a single
+    vectorized coverage pass per batch — see :class:`_SpanMasker`.
+
+    The join is the tag+union single-shuffle shape (the asof_join
+    precedent) rather than ``Dataset.join``: Ray's native hash join
+    nondeterministically finalizes empty right partitions as SCHEMA-LESS
+    tables when the right side is tiny and streaming (observed: the same
+    plan alternates between 500 rows and ``ArrowInvalid: no match for
+    FieldRef doc_id on right side``), so both sides union into one common
+    schema, shuffle ONCE on hash(id) % num_buckets, and each bucket runs a
+    local in-memory Arrow left-outer join."""
+    from ..state.sketches import hash64
+    from . import cached_stage, concurrency_kwargs
+
+    spans = duplicate_span_lists(ds, text_column, id_column, k=k,
+                                 num_buckets=num_buckets,
+                                 num_partitions=num_partitions,
+                                 concurrency=concurrency)
+    schema = ds.schema().base_schema
+    id_type = schema.field(id_column).type
+    text_type = schema.field(text_column).type
+    if pa.types.is_null(text_type):
+        text_type = pa.string()
+    blobs = spans.map_batches(lambda b: _spans_to_blob(b, id_column, id_type),
+                              batch_format="pyarrow")
+
+    side_col, bucket_col = "__jside__", "__jbucket__"
+
+    def _bucketed(batch: pa.Table, side: int) -> pa.Table:
+        n = batch.num_rows
+        text = (batch.column(text_column) if side == 0
+                else pa.nulls(n, text_type))
+        if side == 0 and pa.types.is_null(text.type):
+            text = text.cast(text_type)
+        blob = (batch.column("span_blob") if side == 1
+                else pa.nulls(n, pa.large_binary()))
+        bucket = (hash64(batch.column(id_column), seed=23)
+                  % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({id_column: batch.column(id_column),
+                         text_column: text, "span_blob": blob,
+                         side_col: pa.array(
+                             np.full(n, side, dtype=np.int8)),
+                         bucket_col: pa.array(bucket)})
+
+    both = (ds.select_columns([id_column, text_column])
+            .map_batches(lambda b: _bucketed(b, 0), batch_format="pyarrow")
+            .union(blobs.map_batches(lambda b: _bucketed(b, 1),
+                                     batch_format="pyarrow")))
+
+    def local_left_join(g: pa.Table) -> pa.Table:
+        empty = pa.table({id_column: pa.array([], type=id_type),
+                          text_column: pa.array([], type=text_type),
+                          "span_blob": pa.array([], type=pa.large_binary())})
+        if g.num_rows == 0 or side_col not in g.column_names:
+            return empty
+        side = g.column(side_col).to_numpy(zero_copy_only=False)
+        docs = (g.filter(pa.array(side == 0))
+                .select([id_column, text_column]))
+        spans_part = (g.filter(pa.array(side == 1))
+                      .select([id_column, "span_blob"]))
+        if docs.num_rows == 0:
+            return empty
+        return docs.join(spans_part, keys=id_column,
+                         join_type="left outer")
+
+    joined = (both.groupby(bucket_col, num_partitions=num_partitions)
+              .map_groups(local_left_join, batch_format="pyarrow"))
+    return joined.map_batches(
+        cached_stage(_SpanMasker, text_column=text_column,
+                     id_column=id_column, out_column=out_column,
+                     drop_count_column=drop_count_column),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))

@@ -796,13 +796,15 @@ def corpus_freq_score(ds: Dataset, text_column: str, id_column: str,
 # ---------------------------------------------------------------------------
 
 
-def _gram_hash_rows(texts, k: int, seed: int = 11):
-    """Per-row word-k-gram hashes, fully vectorized (polars shifted
+def _gram_rows(texts, k: int, seeds=(11,)):
+    """Per-row word-k-gram occurrences, fully vectorized (polars shifted
     concat_str — the MinHasher construction, see stages/dedup.py).
 
-    Returns ``(rows int64[], hashes uint64[])`` — one entry per gram, in
-    document order; docs with fewer than ``k`` words emit NO grams (the
-    decontamination contract, unlike minhash's join-all shingle)."""
+    Returns ``(rows int64[], pos int64[], [hashes uint64[] per seed])`` —
+    one entry per gram in document order; ``pos`` is the 0-based word index
+    of the gram's first word within its document.  Docs with fewer than
+    ``k`` words emit NO grams (the decontamination / substring-dedup
+    contract, unlike minhash's join-all shingle)."""
     import polars as pl
     if not isinstance(texts, pl.Series):
         texts = pl.Series("t", texts, dtype=pl.Utf8)
@@ -817,8 +819,25 @@ def _gram_hash_rows(texts, k: int, seed: int = 11):
           .collect()
           .drop_nulls("g"))
     rows = df.get_column("doc").to_numpy().astype(np.int64)
-    hashes = df.get_column("g").hash(seed=seed).to_numpy().astype(np.uint64)
-    return rows, hashes
+    g = df.get_column("g")
+    hashes = [g.hash(seed=s).to_numpy().astype(np.uint64) for s in seeds]
+    # grams arrive in document order with contiguous per-doc runs: the
+    # within-doc position is the index minus the run start
+    if len(rows):
+        new = np.ones(len(rows), dtype=bool)
+        new[1:] = rows[1:] != rows[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(rows)))
+        pos = np.arange(len(rows), dtype=np.int64) - np.repeat(starts, lens)
+    else:
+        pos = np.empty(0, dtype=np.int64)
+    return rows, pos, hashes
+
+
+def _gram_hash_rows(texts, k: int, seed: int = 11):
+    """Back-compat wrapper over :func:`_gram_rows`: (rows, hashes) only."""
+    rows, _, hashes = _gram_rows(texts, k, (seed,))
+    return rows, hashes[0]
 
 
 def probe_gram_hashes(probe_ds: Dataset, text_column: str,

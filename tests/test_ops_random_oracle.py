@@ -607,3 +607,72 @@ def test_embedding_normalize_quantize_random(ray_session, seed):
         cos = (deq[i] @ mat[i]) / (np.linalg.norm(deq[i])
                                    * np.linalg.norm(mat[i]))
         assert cos > 0.995, (i, cos)
+
+
+def _ref_dup_spans(docs, ids, k):
+    """Pure-Python exact substring dedup reference: keep the globally
+    first occurrence of each word k-gram by (id, pos); merge later
+    occurrences' windows into maximal per-doc spans."""
+    import re
+    occ = []  # (id, pos, gram) in (id, pos) order
+    for did in sorted(ids):
+        words = re.findall(r"[^\t\n\f\r ]+", docs[did] or "")
+        for i in range(max(len(words) - k + 1, 0)):
+            occ.append((did, i, " ".join(words[i:i + k])))
+    seen, windows = set(), {}
+    for did, i, g in occ:
+        if g in seen:
+            windows.setdefault(did, []).append((i, i + k))
+        else:
+            seen.add(g)
+    spans = {}
+    for did, ws in windows.items():
+        merged = []
+        for s, e in sorted(ws):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        spans[did] = [(s, e) for s, e in merged]
+    return spans
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_duplicate_spans_random(ray_session, seed):
+    from malli_ray.stages.dedup import duplicate_spans, \
+        remove_duplicate_spans
+    import re
+    rng = random.Random(seed)
+    k = 4
+    # phrase pool so k-gram collisions (incl. overlapping ones) happen
+    pool = [" ".join(rng.choices(WORDS, k=k + rng.randint(0, 3)))
+            for _ in range(8)]
+    docs = {}
+    for did in range(80):
+        parts = [rng.choice(pool) if rng.random() < 0.6
+                 else " ".join(rng.choices(WORDS, k=rng.randint(1, 6)))
+                 for _ in range(rng.randint(0, 4))]
+        docs[did] = " ".join(parts)
+    ids = list(docs)
+    t = pa.table({"doc_id": ids, "text": [docs[i] for i in ids]})
+    ref = _ref_dup_spans(docs, ids, k)
+
+    got = {}
+    for r in duplicate_spans(rd.from_arrow(t), "text", "doc_id",
+                             k=k).take_all():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"]))
+    assert {d: sorted(v) for d, v in got.items()} == ref
+
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(rd.from_arrow(t), "text", "doc_id",
+                                  k=k).take_all()}
+    assert set(out) == set(ids)
+    for did in ids:
+        words = re.findall(r"[^\t\n\f\r ]+", docs[did])
+        drop = set()
+        for s, e in ref.get(did, []):
+            drop.update(range(s, e))
+        keep = [w for i, w in enumerate(words) if i not in drop]
+        assert out[did]["text_dedup"] == " ".join(keep)
+        assert out[did]["n_words_dropped"] == len(drop)

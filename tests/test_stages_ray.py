@@ -1631,3 +1631,60 @@ def test_set_op_keys(ray_session):
     c = rd.from_arrow(pa.table({"j": [9]}))
     assert intersect_keys(a, c, "k", "j").count() == 0
     assert sorted(except_keys(a, c, "k", "j").to_pandas().k) == [1, 2, 3, 4]
+
+
+def test_duplicate_spans_semantics(ray_session):
+    """Exact substring dedup (Lee et al. 2021 at word-gram granularity):
+    the globally FIRST occurrence of each k-gram (by (id, pos)) emits no
+    span; later occurrences' windows merge into maximal spans; docs with
+    fewer than k words emit no grams."""
+    import ray.data as rd
+    from malli_ray.stages import dedup
+
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": pa.array([
+            "a b c d e",               # all grams first -> no spans
+            "x a b c d e y",           # dup windows [1,4)+[2,5)+[3,6) -> [1,6)
+            "a b c",                   # whole doc duplicated -> [0,3)
+            "short one",               # < k words -> no grams
+            None,                      # null text -> no grams
+            "  spaced   out   doc  ",  # < k words, whitespace only
+        ], type=pa.string())})
+    ds = rd.from_arrow(t)
+    spans = {(r["doc_id"], r["span_start"], r["span_end"])
+             for r in dedup.duplicate_spans(ds, "text", "doc_id",
+                                            k=3).take_all()}
+    assert spans == {(1, 1, 6), (2, 0, 3)}
+
+    out = {r["doc_id"]: r for r in
+           dedup.remove_duplicate_spans(ds, "text", "doc_id",
+                                        k=3).take_all()}
+    assert len(out) == 6
+    assert out[0]["text_dedup"] == "a b c d e"
+    assert out[0]["n_words_dropped"] == 0
+    assert out[1]["text_dedup"] == "x y"
+    assert out[1]["n_words_dropped"] == 5
+    assert out[2]["text_dedup"] == "" and out[2]["n_words_dropped"] == 3
+    assert out[3]["text_dedup"] == "short one"
+    assert out[4]["text_dedup"] == "" and out[4]["n_words_dropped"] == 0
+    # whitespace-normalized rebuild is part of the contract
+    assert out[5]["text_dedup"] == "spaced out doc"
+    assert out[5]["n_words_dropped"] == 0
+
+
+def test_duplicate_spans_zero_dup_corpus(ray_session):
+    """A corpus with no duplicated k-grams: empty span set, identity
+    (whitespace-normalized) pass-through with 0 drops."""
+    import ray.data as rd
+    from malli_ray.stages import dedup
+
+    t = pa.table({"doc_id": [10, 11],
+                  "text": ["w1 w2 w3 w4", "v1 v2 v3 v4"]})
+    ds = rd.from_arrow(t)
+    assert dedup.duplicate_spans(ds, "text", "doc_id", k=3).count() == 0
+    out = {r["doc_id"]: r for r in
+           dedup.remove_duplicate_spans(ds, "text", "doc_id",
+                                        k=3).take_all()}
+    assert out[10]["text_dedup"] == "w1 w2 w3 w4"
+    assert all(r["n_words_dropped"] == 0 for r in out.values())
