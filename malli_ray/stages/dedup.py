@@ -1315,18 +1315,16 @@ class _GramOccurrenceEmitter:
                          "pos": pa.array(pos, type=pa.int64())})
 
 
-def _merged_span_lists(g: pa.Table, k: int, id_out: str) -> pa.Table:
+def _merged_flat_spans(g: pa.Table, k: int):
     """Merge duplicate-window starts into maximal word spans, vectorized
     across every document in the bucket at once: sort by (id, pos), then a
     per-run segmented interval merge (offset-shifted cummax so runs never
-    interact).  Returns one row per document: (id, starts, ends) int64
-    list columns, spans sorted by start, end exclusive."""
-    id_type = g.column("id").type
-    empty = pa.table({id_out: pa.array([], type=id_type),
-                      "starts": pa.array([], type=pa.list_(pa.int64())),
-                      "ends": pa.array([], type=pa.list_(pa.int64()))})
+    interact).  Returns flat ``(span_ids, span_start, span_end)`` numpy
+    arrays sorted by (id, start), end exclusive — empty arrays when the
+    bucket holds no occurrences."""
     if g.num_rows == 0:
-        return empty
+        return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64))
     g = g.sort_by([("id", "ascending"), ("pos", "ascending")])
     ids = g.column("id").to_numpy(zero_copy_only=False)
     s = g.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1340,15 +1338,26 @@ def _merged_span_lists(g: pa.Table, k: int, id_out: str) -> pa.Table:
     new_span = new_run.copy()
     new_span[1:] |= s[1:] > cummax_e[:-1]
     starts_idx = np.flatnonzero(new_span)
-    span_start = s[starts_idx]
-    span_end = np.maximum.reduceat(e, starts_idx)
-    span_doc_idx = starts_idx  # islands are in (id, start) order
-    # per-doc list offsets: count spans per document run
-    doc_new = new_run[starts_idx]
+    return ids[starts_idx], s[starts_idx], np.maximum.reduceat(e, starts_idx)
+
+
+def _merged_span_lists(g: pa.Table, k: int, id_out: str) -> pa.Table:
+    """Per-document span lists from a bucket of duplicate occurrences:
+    one row per document — (id, starts, ends) int64 list columns, spans
+    sorted by start, end exclusive.  See :func:`_merged_flat_spans`."""
+    id_type = g.column("id").type
+    span_ids, span_start, span_end = _merged_flat_spans(g, k)
+    if len(span_start) == 0:
+        return pa.table({id_out: pa.array([], type=id_type),
+                         "starts": pa.array([], type=pa.list_(pa.int64())),
+                         "ends": pa.array([], type=pa.list_(pa.int64()))})
+    # per-doc list offsets: spans arrive in contiguous (id, start) runs
+    doc_new = np.ones(len(span_ids), dtype=bool)
+    doc_new[1:] = span_ids[1:] != span_ids[:-1]
     doc_starts = np.flatnonzero(doc_new)
-    counts = np.diff(np.append(doc_starts, len(starts_idx)))
+    counts = np.diff(np.append(doc_starts, len(span_ids)))
     offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
-    doc_ids = pa.array(ids[starts_idx[doc_starts]], type=id_type)
+    doc_ids = pa.array(span_ids[doc_starts], type=id_type)
     starts_col = pa.LargeListArray.from_arrays(
         offsets, pa.array(span_start, type=pa.int64())).cast(
             pa.list_(pa.int64()))
@@ -1357,6 +1366,43 @@ def _merged_span_lists(g: pa.Table, k: int, id_out: str) -> pa.Table:
             pa.list_(pa.int64()))
     return pa.table({id_out: doc_ids, "starts": starts_col,
                      "ends": ends_col})
+
+
+def _duplicate_occurrences(ds: Dataset, text_column: str, id_column: str,
+                           k: int, num_buckets: int,
+                           num_partitions: int | None,
+                           concurrency) -> Dataset:
+    """Shared phase of exact substring dedup: one row ``(id, pos)`` per
+    NON-FIRST occurrence of each word-k-gram, global first defined by
+    (id, pos) order.  ONE gram-keyed exchange: grams bucket on
+    ``h1 % num_buckets`` and each bucket runs a single vectorized sort +
+    run-boundary mask."""
+    from . import cached_stage, concurrency_kwargs
+
+    occ = ds.map_batches(
+        cached_stage(_GramOccurrenceEmitter, text_column=text_column,
+                     id_column=id_column, k=k),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+    def bucketize_gram(batch: pa.Table) -> pa.Table:
+        h = batch.column("h1").to_numpy(zero_copy_only=False)
+        b = (h.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("__gbucket__", pa.array(b))
+
+    def drop_first(g: pa.Table) -> pa.Table:
+        # non-first occurrences of each (h1, h2) gram, vectorized via one
+        # sort + run-boundary mask across the whole bucket
+        g = g.sort_by([("h1", "ascending"), ("h2", "ascending"),
+                       ("id", "ascending"), ("pos", "ascending")])
+        h1 = g.column("h1").to_numpy(zero_copy_only=False)
+        h2 = g.column("h2").to_numpy(zero_copy_only=False)
+        first = np.ones(len(h1), dtype=bool)
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        return g.filter(pa.array(~first)).select(["id", "pos"])
+
+    return (occ.map_batches(bucketize_gram, batch_format="pyarrow")
+            .groupby("__gbucket__", num_partitions=num_partitions)
+            .map_groups(drop_first, batch_format="pyarrow"))
 
 
 def duplicate_span_lists(ds: Dataset, text_column: str, id_column: str,
@@ -1382,32 +1428,10 @@ def duplicate_span_lists(ds: Dataset, text_column: str, id_column: str,
     widen matched spans by k (approximate).  Docs with < k words emit no
     grams and never appear in the output."""
     from ..state.sketches import hash64
-    from . import cached_stage, concurrency_kwargs
 
-    occ = ds.map_batches(
-        cached_stage(_GramOccurrenceEmitter, text_column=text_column,
-                     id_column=id_column, k=k),
-        batch_format="pyarrow", **concurrency_kwargs(concurrency))
-
-    def bucketize_gram(batch: pa.Table) -> pa.Table:
-        h = batch.column("h1").to_numpy(zero_copy_only=False)
-        b = (h.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
-        return batch.append_column("__gbucket__", pa.array(b))
-
-    def drop_first(g: pa.Table) -> pa.Table:
-        # non-first occurrences of each (h1, h2) gram, vectorized via one
-        # sort + run-boundary mask across the whole bucket
-        g = g.sort_by([("h1", "ascending"), ("h2", "ascending"),
-                       ("id", "ascending"), ("pos", "ascending")])
-        h1 = g.column("h1").to_numpy(zero_copy_only=False)
-        h2 = g.column("h2").to_numpy(zero_copy_only=False)
-        first = np.ones(len(h1), dtype=bool)
-        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
-        return g.filter(pa.array(~first)).select(["id", "pos"])
-
-    dup_occ = (occ.map_batches(bucketize_gram, batch_format="pyarrow")
-               .groupby("__gbucket__", num_partitions=num_partitions)
-               .map_groups(drop_first, batch_format="pyarrow"))
+    dup_occ = _duplicate_occurrences(ds, text_column, id_column, k,
+                                     num_buckets, num_partitions,
+                                     concurrency)
 
     def bucketize_doc(batch: pa.Table) -> pa.Table:
         # empty shuffle partitions re-emit zero-row blocks with the FULL
@@ -1471,97 +1495,39 @@ def duplicate_spans(ds: Dataset, text_column: str, id_column: str,
     return lists.map_batches(explode, batch_format="pyarrow")
 
 
-def _spans_to_blob(batch: pa.Table, id_column: str, id_type) -> pa.Table:
-    """Pack (starts, ends) list columns into one large_binary column of
-    interleaved little-endian int64 (s0,e0,s1,e1,...) pairs — Arrow's acero
-    hash join rejects list-typed payload columns, a binary blob passes
-    through.  Fully vectorized (one interleave + from_buffers)."""
-    if "starts" not in batch.column_names:
-        # zero-row passthrough block from an empty shuffle partition
-        return pa.table({id_column: pa.array([], type=id_type),
-                         "span_blob": pa.array([], type=pa.large_binary())})
-    starts = batch.column("starts")
-    if isinstance(starts, pa.ChunkedArray):
-        starts = starts.combine_chunks()
-    ends = batch.column("ends")
-    if isinstance(ends, pa.ChunkedArray):
-        ends = ends.combine_chunks()
-    lens = pc.list_value_length(starts).to_numpy(zero_copy_only=False)
-    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
-    total = int(offsets[-1])
-    inter = np.empty(total * 2, dtype="<i8")
-    inter[0::2] = starts.flatten().to_numpy(zero_copy_only=False)
-    inter[1::2] = ends.flatten().to_numpy(zero_copy_only=False)
-    blob = pa.LargeBinaryArray.from_buffers(
-        pa.large_binary(), batch.num_rows,
-        [None, pa.py_buffer((offsets * 16).tobytes()),
-         pa.py_buffer(inter.tobytes())])
-    return pa.table({id_column: batch.column(id_column),
-                     "span_blob": blob})
-
-
-def _blob_to_spans(blob) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
-    """Decode a large_binary span-blob column (nulls = no spans) into
-    (row_idx, starts, ends) numpy arrays, vectorized via the Arrow
-    buffers."""
-    if isinstance(blob, pa.ChunkedArray):
-        blob = blob.combine_chunks()
-    blob = pc.fill_null(blob, b"")
-    if not pa.types.is_large_binary(blob.type):
-        blob = blob.cast(pa.large_binary())
-    n = len(blob)
-    bufs = blob.buffers()
-    off = np.frombuffer(bufs[1], dtype="<i8")[blob.offset:blob.offset + n + 1]
-    counts = (off[1:] - off[:-1]) // 16
-    vals = np.frombuffer(bufs[2], dtype="<i8")[off[0] // 8:off[-1] // 8]
-    row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-    return row_idx, vals[0::2], vals[1::2]
-
-
-class _SpanMasker:
-    """Rebuild text with duplicate spans' words removed.  Fully vectorized
-    over the batch: one polars word extraction, one global coverage
-    difference array over the flattened words (np.add.at with ALL span
-    endpoints at once), one Arrow filter + list rebuild + binary_join."""
-
-    def __init__(self, text_column: str, id_column: str, out_column: str,
-                 drop_count_column: str):
-        self.text_column = text_column
-        self.id_column = id_column
-        self.out_column = out_column
-        self.drop_count_column = drop_count_column
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import polars as pl
-        col = batch.column(self.text_column)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if pa.types.is_null(col.type):
-            col = col.cast(pa.string())
-        words = (pl.from_arrow(col).fill_null("")
-                 .str.extract_all(_WORD_RE.pattern))
-        wc = words.list.len().to_numpy().astype(np.int64)
-        doc_off = np.concatenate(([0], np.cumsum(wc)))
-        total = int(doc_off[-1])
-        flat = words.explode().drop_nulls().to_arrow()
-        if not pa.types.is_string(flat.type):
-            flat = flat.cast(pa.string())
-        # global coverage diff over flattened word positions
-        row_idx, starts, ends = _blob_to_spans(batch.column("span_blob"))
-        cover = np.zeros(total + 1, dtype=np.int64)
-        np.add.at(cover, np.clip(doc_off[row_idx] + starts, 0, total), 1)
-        np.add.at(cover, np.clip(doc_off[row_idx] + ends, 0, total), -1)
-        keep = np.cumsum(cover[:-1]) <= 0
-        cs = np.concatenate(([0], np.cumsum(keep))).astype(np.int64)
-        kept_counts = cs[doc_off[1:]] - cs[doc_off[:-1]]
-        kept = flat.filter(pa.array(keep)) if total else flat
-        out_off = np.concatenate(([0], np.cumsum(kept_counts)))
-        lists = pa.LargeListArray.from_arrays(out_off.astype(np.int64), kept)
-        text_out = pc.binary_join(lists, " ")
-        dropped = pa.array(wc - kept_counts, type=pa.int64())
-        return pa.table({self.id_column: batch.column(self.id_column),
-                         self.out_column: text_out,
-                         self.drop_count_column: dropped})
+def _mask_words(col, row_idx, starts, ends):
+    """Drop the words covered by spans and rebuild whitespace-normalized
+    text, fully vectorized across the table: one polars word extraction,
+    one global coverage difference array over the flattened words
+    (np.add.at with ALL span endpoints at once), one Arrow filter + list
+    rebuild + binary_join.  ``col`` is a string array of texts (one per
+    doc); ``row_idx``/``starts``/``ends`` are flat span arrays where
+    row_idx indexes into ``col``.  Returns ``(text_out, dropped)``."""
+    import polars as pl
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):
+        col = col.cast(pa.string())
+    words = (pl.from_arrow(col).fill_null("")
+             .str.extract_all(_WORD_RE.pattern))
+    wc = words.list.len().to_numpy().astype(np.int64)
+    doc_off = np.concatenate(([0], np.cumsum(wc)))
+    total = int(doc_off[-1])
+    flat = words.explode().drop_nulls().to_arrow()
+    if not pa.types.is_string(flat.type):
+        flat = flat.cast(pa.string())
+    cover = np.zeros(total + 1, dtype=np.int64)
+    np.add.at(cover, np.clip(doc_off[row_idx] + starts, 0, total), 1)
+    np.add.at(cover, np.clip(doc_off[row_idx] + ends, 0, total), -1)
+    keep = np.cumsum(cover[:-1]) <= 0
+    cs = np.concatenate(([0], np.cumsum(keep))).astype(np.int64)
+    kept_counts = cs[doc_off[1:]] - cs[doc_off[:-1]]
+    kept = flat.filter(pa.array(keep)) if total else flat
+    out_off = np.concatenate(([0], np.cumsum(kept_counts)))
+    lists = pa.LargeListArray.from_arrays(out_off.astype(np.int64), kept)
+    text_out = pc.binary_join(lists, " ")
+    dropped = pa.array(wc - kept_counts, type=pa.int64())
+    return text_out, dropped
 
 
 def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
@@ -1576,76 +1542,81 @@ def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
     i.e. ALL documents come back whitespace-normalized, duplicated spans
     removed.  Output: (id, out_column, drop_count_column).
 
-    The span lists join back onto the documents with ONE left-outer join
-    (span-free docs pass through with 0 drops); masking is a single
-    vectorized coverage pass per batch — see :class:`_SpanMasker`.
-
-    The join is the tag+union single-shuffle shape (the asof_join
-    precedent) rather than ``Dataset.join``: Ray's native hash join
-    nondeterministically finalizes empty right partitions as SCHEMA-LESS
-    tables when the right side is tiny and streaming (observed: the same
+    TWO exchanges total: the gram-keyed keep-first shuffle
+    (:func:`_duplicate_occurrences`), then ONE doc-keyed shuffle that
+    fuses span merge + join + mask — the raw duplicate occurrences
+    ``(id, pos)`` union with the documents (tag+union, the asof_join
+    precedent; Ray's native hash join nondeterministically finalizes
+    empty tiny-side partitions as SCHEMA-LESS tables, observed: the same
     plan alternates between 500 rows and ``ArrowInvalid: no match for
-    FieldRef doc_id on right side``), so both sides union into one common
-    schema, shuffle ONCE on hash(id) % num_buckets, and each bucket runs a
-    local in-memory Arrow left-outer join."""
+    FieldRef doc_id on right side``), both sides bucket on
+    ``hash(id) % num_buckets``, and each bucket merges its occurrences
+    into maximal spans (:func:`_merged_flat_spans`), aligns them to its
+    docs with one searchsorted, and masks (:func:`_mask_words`) — all
+    vectorized, no per-doc Python."""
     from ..state.sketches import hash64
-    from . import cached_stage, concurrency_kwargs
 
-    spans = duplicate_span_lists(ds, text_column, id_column, k=k,
-                                 num_buckets=num_buckets,
-                                 num_partitions=num_partitions,
-                                 concurrency=concurrency)
+    dup_occ = _duplicate_occurrences(ds, text_column, id_column, k,
+                                     num_buckets, num_partitions,
+                                     concurrency)
     schema = ds.schema().base_schema
     id_type = schema.field(id_column).type
     text_type = schema.field(text_column).type
     if pa.types.is_null(text_type):
         text_type = pa.string()
-    blobs = spans.map_batches(lambda b: _spans_to_blob(b, id_column, id_type),
-                              batch_format="pyarrow")
 
     side_col, bucket_col = "__jside__", "__jbucket__"
 
-    def _bucketed(batch: pa.Table, side: int) -> pa.Table:
+    def _tagged(batch: pa.Table, side: int) -> pa.Table:
+        # occ blocks from empty shuffle partitions re-emit the pre-groupby
+        # schema (extra gram columns); select normalizes either way
+        ids = batch.column("id" if side == 1 else id_column)
         n = batch.num_rows
         text = (batch.column(text_column) if side == 0
                 else pa.nulls(n, text_type))
         if side == 0 and pa.types.is_null(text.type):
             text = text.cast(text_type)
-        blob = (batch.column("span_blob") if side == 1
-                else pa.nulls(n, pa.large_binary()))
-        bucket = (hash64(batch.column(id_column), seed=23)
+        pos = (batch.column("pos") if side == 1
+               else pa.nulls(n, pa.int64()))
+        bucket = (hash64(ids, seed=23)
                   % np.uint64(num_buckets)).astype(np.int64)
-        return pa.table({id_column: batch.column(id_column),
-                         text_column: text, "span_blob": blob,
-                         side_col: pa.array(
-                             np.full(n, side, dtype=np.int8)),
+        return pa.table({id_column: ids, text_column: text, "pos": pos,
+                         side_col: pa.array(np.full(n, side, dtype=np.int8)),
                          bucket_col: pa.array(bucket)})
 
     both = (ds.select_columns([id_column, text_column])
-            .map_batches(lambda b: _bucketed(b, 0), batch_format="pyarrow")
-            .union(blobs.map_batches(lambda b: _bucketed(b, 1),
-                                     batch_format="pyarrow")))
+            .map_batches(lambda b: _tagged(b, 0), batch_format="pyarrow")
+            .union(dup_occ.map_batches(lambda b: _tagged(b, 1),
+                                       batch_format="pyarrow")))
 
-    def local_left_join(g: pa.Table) -> pa.Table:
-        empty = pa.table({id_column: pa.array([], type=id_type),
-                          text_column: pa.array([], type=text_type),
-                          "span_blob": pa.array([], type=pa.large_binary())})
+    def merge_mask(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_column: pa.array([], type=id_type),
+            out_column: pa.array([], type=pa.string()),
+            drop_count_column: pa.array([], type=pa.int64())})
         if g.num_rows == 0 or side_col not in g.column_names:
             return empty
         side = g.column(side_col).to_numpy(zero_copy_only=False)
         docs = (g.filter(pa.array(side == 0))
-                .select([id_column, text_column]))
-        spans_part = (g.filter(pa.array(side == 1))
-                      .select([id_column, "span_blob"]))
+                .select([id_column, text_column])
+                .sort_by([(id_column, "ascending")]))
         if docs.num_rows == 0:
             return empty
-        return docs.join(spans_part, keys=id_column,
-                         join_type="left outer")
+        occ_part = (g.filter(pa.array(side == 1))
+                    .select([id_column, "pos"])
+                    .rename_columns(["id", "pos"]))
+        span_ids, span_start, span_end = _merged_flat_spans(occ_part, k)
+        doc_ids = docs.column(id_column).to_numpy(zero_copy_only=False)
+        # both sides Arrow-sorted ascending: spans align to their doc row
+        # with one searchsorted (UTF-8 byte order == code-point order, so
+        # numpy's string comparison agrees with Arrow's)
+        row_idx = (np.searchsorted(doc_ids, span_ids)
+                   if len(span_ids) else np.empty(0, dtype=np.int64))
+        text_out, dropped = _mask_words(docs.column(text_column),
+                                        row_idx, span_start, span_end)
+        return pa.table({id_column: docs.column(id_column),
+                         out_column: text_out,
+                         drop_count_column: dropped})
 
-    joined = (both.groupby(bucket_col, num_partitions=num_partitions)
-              .map_groups(local_left_join, batch_format="pyarrow"))
-    return joined.map_batches(
-        cached_stage(_SpanMasker, text_column=text_column,
-                     id_column=id_column, out_column=out_column,
-                     drop_count_column=drop_count_column),
-        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+    return (both.groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(merge_mask, batch_format="pyarrow"))
