@@ -113,6 +113,9 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "customers_without_events", "customers_with_events",
         # r3 continuation: exact substring (duplicate-span) dedup
         "dup_spans_documents", "remove_dup_spans_documents",
+        # r3 continuation: windows, per-group sampling, distributed CC
+        "first_last_events", "sample_per_source_documents",
+        "components_near_dups",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -235,6 +235,60 @@ def lag_lead(ds: Dataset, key: str, order_by, value_col: str, n: int = 1,
             .map_groups(per_bucket, batch_format="pyarrow"))
 
 
+def first_last_per_key(ds: Dataset, key: str, order_by, value_col: str,
+                       first_col: str | None = None,
+                       last_col: str | None = None,
+                       num_buckets: int = 64,
+                       num_partitions: int | None = None) -> Dataset:
+    """SQL ``FIRST_VALUE(value)`` / ``LAST_VALUE(value) OVER (PARTITION BY
+    key ORDER BY order_by ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING)`` — every row gains its key's first and last ordered value.
+    Values move verbatim via ``pc.take`` so types and float bit-patterns
+    are preserved exactly.
+
+    ``order_by`` must order rows within a key deterministically (include a
+    unique tie-break column).
+
+    Scale shape: identical to :func:`lag_lead` — shuffle on ``hash(key) %
+    num_buckets`` (evenly-sized groups, no per-key Python), then per bucket
+    ONE Arrow sort + run-boundary scan; the first/last row index of each
+    run broadcasts to the run with ``np.repeat``."""
+    if isinstance(order_by, str):
+        order_by = [order_by]
+    first_name = first_col or f"{value_col}_first"
+    last_name = last_col or f"{value_col}_last"
+    spec = [(key, "ascending"), *[(c, "ascending") for c in order_by]]
+    bucket_col = "__flbucket__"
+
+    from ..state.sketches import hash64
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key), seed=14) % np.uint64(num_buckets)
+        return batch.append_column(
+            bucket_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(spec)
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        nrows = len(keys)
+        new = np.ones(nrows, dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, nrows))
+        first_idx = np.repeat(starts, lens)
+        last_idx = np.repeat(starts + lens - 1, lens)
+        vals = g.column(value_col)
+        g = g.append_column(first_name, pc.take(
+            vals, pa.array(first_idx, type=pa.int64())))
+        g = g.append_column(last_name, pc.take(
+            vals, pa.array(last_idx, type=pa.int64())))
+        return g.drop_columns([bucket_col])
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
 def running_aggregate(ds: Dataset, key: str, order_by, value_col: str,
                       count_col: str = "running_count",
                       sum_col: str = "running_sum",

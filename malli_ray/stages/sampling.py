@@ -206,6 +206,38 @@ def sample_k_by_hash(ds: Dataset, id_column: str, k: int,
             .drop_columns(["__sample_h__"]))
 
 
+def sample_k_per_group(ds: Dataset, group_column: str, id_column: str,
+                       k: int, seed: int = 0,
+                       num_partitions: int | None = None) -> Dataset:
+    """Deterministic exact-k sample PER GROUP: for every ``group_column``
+    value, the ``k`` rows with the smallest seeded Knuth hash of their id
+    (ties by id) — the per-group sibling of :func:`sample_k_by_hash`, and
+    the resume-stable replacement for per-group reservoir sampling (a pure
+    function of the row set, independent of encounter order and
+    partitioning).
+
+    Scale shape (rides ``analytics.top_k_per_group``): each batch is cut
+    to its own per-group k first (one Arrow sort + vectorized run-position
+    scan), so the shuffle moves at most ``k x groups`` rows per batch —
+    skew-safe, a hot group ships k rows per batch, not its volume.  SQL
+    parity: ``QUALIFY ROW_NUMBER() OVER (PARTITION BY group ORDER BY
+    ((id + seed) % 2^32) * 2654435761 % 2^32, id) <= k``."""
+    from .analytics import top_k_per_group
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        h = (((ids.astype(np.uint64) + np.uint64(seed)) % _MOD)
+             * np.uint64(KNUTH_MULT)) % _MOD
+        return batch.append_column(
+            "__sample_h__", pa.array(h.astype(np.int64), type=pa.int64()))
+
+    out = top_k_per_group(
+        ds.map_batches(add_key, batch_format="pyarrow"), group_column,
+        ["__sample_h__", id_column], k, descending=False,
+        num_partitions=num_partitions)
+    return out.drop_columns(["__sample_h__"])
+
+
 def global_shuffle(ds: Dataset, id_column: str, seed: int = 0,
                    key_col: str = "shuffle_key",
                    keep_key: bool = False) -> Dataset:

@@ -676,3 +676,53 @@ def test_duplicate_spans_random(ray_session, seed):
         keep = [w for i, w in enumerate(words) if i not in drop]
         assert out[did]["text_dedup"] == " ".join(keep)
         assert out[did]["n_words_dropped"] == len(drop)
+
+
+def _uf_components(edges):
+    """Pure-Python union-find reference: node -> min id in its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_connected_components_random(ray_session, seed):
+    """Random sparse graphs (chains + cliques + isolated pairs) vs a
+    union-find reference — exercises multi-round propagation (chain
+    diameter > 1)."""
+    from malli_ray.stages.graph import connected_components
+
+    rng = random.Random(seed)
+    edges = []
+    nxt = 0
+    for _ in range(10):  # chains of length up to 12 (diameter stress)
+        ln = rng.randint(2, 12)
+        chain = list(range(nxt, nxt + ln))
+        rng.shuffle(chain)
+        edges += list(zip(chain, chain[1:]))
+        nxt += ln
+    for _ in range(5):   # cliques
+        ln = rng.randint(2, 6)
+        nodes = list(range(nxt, nxt + ln))
+        edges += [(a, b) for a in nodes for b in nodes if a < b]
+        nxt += ln
+    edges += [(rng.randrange(nxt), rng.randrange(nxt)) for _ in range(8)]
+    rng.shuffle(edges)
+    want = _uf_components(edges)
+
+    t = pa.table({"a": [a for a, _ in edges], "b": [b for _, b in edges]})
+    got = {r["node"]: r["component"] for r in
+           connected_components(rd.from_arrow(t).repartition(5),
+                                "a", "b", num_buckets=8).take_all()}
+    assert got == want

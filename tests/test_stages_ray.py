@@ -1688,3 +1688,69 @@ def test_duplicate_spans_zero_dup_corpus(ray_session):
                                         k=3).take_all()}
     assert out[10]["text_dedup"] == "w1 w2 w3 w4"
     assert all(r["n_words_dropped"] == 0 for r in out.values())
+
+
+def test_connected_components_semantics(ray_session):
+    """Hash-min label propagation: chains, cliques, self-loops, duplicate
+    edges, string ids — component label is the minimum node id."""
+    import ray.data as rd
+    from malli_ray.stages.graph import connected_components
+
+    edges = pa.table({"a": [1, 2, 3, 10, 20, 4, 1],
+                      "b": [2, 3, 4, 11, 20, 1, 2]})
+    out = {r["node"]: r["component"] for r in
+           connected_components(rd.from_arrow(edges), "a", "b",
+                                num_buckets=8).take_all()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+    e2 = pa.table({"s": ["x", "y", "m"], "d": ["y", "z", "n"]})
+    out2 = {r["node"]: r["component"] for r in
+            connected_components(rd.from_arrow(e2), "s", "d",
+                                 num_buckets=8).take_all()}
+    assert out2 == {"x": "x", "y": "x", "z": "x", "m": "m", "n": "m"}
+
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64())})
+    assert connected_components(rd.from_arrow(empty), "a", "b").count() == 0
+
+
+def test_first_last_per_key(ray_session):
+    """FIRST_VALUE/LAST_VALUE over the full frame: run boundaries, nulls
+    in the value column move verbatim, single-row keys."""
+    import ray.data as rd
+    from malli_ray.stages.analytics import first_last_per_key
+
+    t = pa.table({"k": [1, 1, 1, 2, 2, 3],
+                  "o": [3, 1, 2, 2, 1, 5],
+                  "v": pa.array([30.0, None, 20.0, 9.0, 8.0, 7.0])})
+    out = first_last_per_key(rd.from_arrow(t), "k", "o", "v").take_all()
+    got = {(r["k"], r["o"]): (r["v_first"], r["v_last"]) for r in out}
+    assert got[(1, 1)] == (None, 30.0)   # ordered by o: None,20,30
+    assert got[(1, 2)] == (None, 30.0)
+    assert got[(1, 3)] == (None, 30.0)
+    assert got[(2, 1)] == (8.0, 9.0)
+    assert got[(3, 5)] == (7.0, 7.0)
+
+
+def test_sample_k_per_group(ray_session):
+    """Per-group exact-k hash sample equals the brute-force smallest-hash
+    selection, independent of block layout."""
+    import ray.data as rd
+    from malli_ray.stages.sampling import sample_k_per_group, KNUTH_MULT
+
+    ids = list(range(200))
+    groups = [f"g{i % 3}" for i in ids]
+    t = pa.table({"id": ids, "grp": groups})
+    out = sample_k_per_group(rd.from_arrow(t).repartition(7),
+                             "grp", "id", k=5, seed=3).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["grp"], []).append(r["id"])
+
+    def h(i):
+        return ((i + 3) % 2**32) * KNUTH_MULT % 2**32
+
+    for g in ("g0", "g1", "g2"):
+        members = [i for i in ids if f"g{i % 3}" == g]
+        want = sorted(members, key=lambda i: (h(i), i))[:5]
+        assert sorted(got[g]) == sorted(want)
