@@ -116,6 +116,8 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         # r3 continuation: windows, per-group sampling, distributed CC
         "first_last_events", "sample_per_source_documents",
         "components_near_dups",
+        # r3 continuation: BPE tokenizer training + encoding
+        "bpe_merges_documents", "bpe_tokenize_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

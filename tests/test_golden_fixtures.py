@@ -71,6 +71,17 @@ def test_simhash_pairs_fixture_rederives(docs):
     assert [tuple(r.values()) for r in got.to_pylist()] == want
 
 
+def test_bpe_fixtures_rederive(docs):
+    ids, texts = docs
+    merges = make_golden.bpe_merges_ref(texts)
+    got = pq.read_table(f"{GOLD}/bpe_merges_documents.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == merges
+    enc = make_golden.bpe_encode_ref(texts, merges)
+    got = pq.read_table(f"{GOLD}/bpe_tokenize_documents.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == \
+        [(i, n, s) for i, (n, s) in zip(ids, enc)]
+
+
 def test_embedding_pairs_fixture_rederives():
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
@@ -115,6 +126,8 @@ def test_infer_schema_fixture_rederives():
     ("semantic_dedup_embeddings", ["id_a", "id_b", "cosine"]),
     ("infer_schema_documents", ["schema_form"]),
     ("ivf_topk_embeddings", ["query_id", "vec_id"]),
+    ("bpe_merges_documents", ["rank", "left", "right", "pair_count"]),
+    ("bpe_tokenize_documents", ["doc_id", "n_bpe", "bpe_text"]),
 ])
 def test_engine_matches_fixture(ray_session, name, cols):
     import __ray_entry__ as entrymod

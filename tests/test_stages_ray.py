@@ -1754,3 +1754,84 @@ def test_sample_k_per_group(ray_session):
         members = [i for i in ids if f"g{i % 3}" == g]
         want = sorted(members, key=lambda i: (h(i), i))[:5]
         assert sorted(got[g]) == sorted(want)
+
+
+def test_bpe_incremental_equals_naive_trainer():
+    """The engine's incremental merge loop (O(affected words) per merge)
+    must be bit-equal to the naive full-recount Sennrich trainer
+    (tools/make_golden.bpe_merges_ref) — same spec, different algorithm."""
+    import importlib.util
+    import os
+    import random
+
+    from malli_ray.stages.bpe import WORD_RE, train_merges
+
+    spec = importlib.util.spec_from_file_location(
+        "mg", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "make_golden.py"))
+    mg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mg)
+
+    rng = random.Random(42)
+    alphabet = "abcde"
+    for trial in range(20):
+        texts = [" ".join("".join(rng.choice(alphabet)
+                                  for _ in range(rng.randint(1, 8)))
+                          for _ in range(rng.randint(0, 30)))
+                 for _ in range(rng.randint(1, 40))]
+        from collections import Counter
+        wc = Counter()
+        for t in texts:
+            wc.update(WORD_RE.findall(t))
+        ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+        n = rng.randint(1, 60)
+        assert train_merges(ranked, n) == mg.bpe_merges_ref(texts, n), \
+            f"trial {trial} diverged"
+
+
+def test_bpe_encode_classic():
+    """'low lower lowest newest widest' textbook example: the learned
+    merges segment a training word into one token and an unseen word into
+    learned subwords."""
+    from collections import Counter
+
+    from malli_ray.stages.bpe import WORD_RE, encode_word, train_merges
+
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    wc = sorted(Counter(corpus).items(), key=lambda kv: (-kv[1], kv[0]))
+    merges = train_merges(wc, 30)
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+    assert encode_word("low", ranks) == ["low</w>"]
+    assert encode_word("newest", ranks) == ["newest</w>"]
+    # unseen word decomposes into learned pieces, never crashes
+    toks = encode_word("lowest", ranks)
+    assert "".join(toks) == "lowest</w>" and len(toks) >= 2
+    assert WORD_RE.findall("a  b\tc") == ["a", "b", "c"]
+
+
+def test_bpe_train_distributed_matches_local(ray_session):
+    """bpe_train over a Ray Dataset == local trainer over the same texts."""
+    import ray.data as rd
+    from collections import Counter
+
+    from malli_ray.stages.bpe import (WORD_RE, bpe_tokenize, bpe_train,
+                                      train_merges)
+
+    texts = [f"pack my box with {w} dozen liquor jugs {w}{w}"
+             for w in ["ab", "abc", "bc", "cab"] * 6]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))),
+                                 "text": texts}))
+    got = bpe_train(ds, "text", num_merges=40)
+    wc = Counter()
+    for t in texts:
+        wc.update(WORD_RE.findall(t))
+    ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = train_merges(ranked, 40)
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+
+    enc = bpe_tokenize(ds, got, "text", "doc_id").take_all()
+    assert len(enc) == len(texts)
+    for row in enc:
+        rebuilt = row["bpe_text"].replace(" ", "").replace("</w>", " ")
+        assert rebuilt.strip() == texts[row["doc_id"]]
+        assert row["n_bpe"] == len(row["bpe_text"].split(" "))

@@ -300,6 +300,83 @@ def ivf_topk_ref(ids, embs, n_queries=2, k=5, n_clusters=8, n_probe=3,
     return out
 
 
+def bpe_merges_ref(texts, num_merges=120, max_words=50_000, min_count=1):
+    """NAIVE BPE trainer (Sennrich 2016): full pair recount every
+    iteration over the capped word-frequency table.  Independent of the
+    engine's incremental trainer (malli_ray/stages/bpe.py) — same spec
+    (words = ASCII \\S+, symbols = chars + '</w>', adjacent-overlapping
+    counting, greedy non-overlapping apply, (max count, min pair)
+    selection), different algorithm."""
+    from collections import Counter
+    wc = Counter()
+    for t in texts:
+        wc.update(WORD_RE.findall(t or ""))
+    ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+    vocab = {tuple(w) + ("</w>",): c for w, c in ranked}
+    merges = []
+    for rank in range(num_merges):
+        stats = Counter()
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += cnt
+        if not stats:
+            break
+        (left, right), total = min(stats.items(),
+                                   key=lambda kv: (-kv[1], kv[0]))
+        if total < min_count:
+            break
+        merges.append((rank, left, right, total))
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode_ref(texts, merges):
+    """NAIVE per-document BPE encoder: iteratively merge the lowest-rank
+    adjacent pair (greedy non-overlapping within a round) until none
+    applies; tokens joined by one space.  No caching, no engine imports."""
+    ranks = {(l, r): k for k, (_rk, l, r, _c) in enumerate(merges)}
+    out = []
+    for t in texts:
+        toks = []
+        for w in WORD_RE.findall(t or ""):
+            syms = list(w) + ["</w>"]
+            while len(syms) > 1:
+                cand = [(ranks[(syms[i], syms[i + 1])], i)
+                        for i in range(len(syms) - 1)
+                        if (syms[i], syms[i + 1]) in ranks]
+                if not cand:
+                    break
+                best = min(cand)[0]
+                left, right = [p for p, k in ranks.items() if k == best][0]
+                new = []
+                i = 0
+                while i < len(syms):
+                    if (i < len(syms) - 1 and syms[i] == left
+                            and syms[i + 1] == right):
+                        new.append(left + right)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                syms = new
+            toks.extend(syms)
+        out.append((len(toks), " ".join(toks)))
+    return out
+
+
 def infer_schema_ref(sf: str) -> str:
     """Expected inferred-schema JSON via the engine's LOCAL single-value
     provider path (malli_ray.provider.provide — the reference-parity
@@ -375,6 +452,25 @@ def main(sfs=("sf0.001", "sf0.01")):
             pa.table({"schema_form": pa.array([infer_schema_ref(sf)],
                                               type=pa.string())}),
             os.path.join(outdir, "infer_schema_documents.parquet"))
+        merges = bpe_merges_ref(texts)
+        pq.write_table(
+            pa.table({"rank": pa.array([m[0] for m in merges],
+                                       type=pa.int32()),
+                      "left": pa.array([m[1] for m in merges],
+                                       type=pa.string()),
+                      "right": pa.array([m[2] for m in merges],
+                                        type=pa.string()),
+                      "pair_count": pa.array([m[3] for m in merges],
+                                             type=pa.int64())}),
+            os.path.join(outdir, "bpe_merges_documents.parquet"))
+        enc = bpe_encode_ref(texts, merges)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "n_bpe": pa.array([e[0] for e in enc],
+                                        type=pa.int64()),
+                      "bpe_text": pa.array([e[1] for e in enc],
+                                           type=pa.string())}),
+            os.path.join(outdir, "bpe_tokenize_documents.parquet"))
         ivf = ivf_topk_ref(eids, et.column("embedding").to_pylist())
         pq.write_table(
             pa.table({"query_id": pa.array([p[0] for p in ivf],
