@@ -118,6 +118,8 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "components_near_dups",
         # r3 continuation: BPE tokenizer training + encoding
         "bpe_merges_documents", "bpe_tokenize_documents",
+        # r3 continuation: Gopher rule suite + cross-dataset decontamination
+        "gopher_rules_documents", "cross_decon_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

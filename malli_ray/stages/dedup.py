@@ -457,6 +457,66 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
         Max("est_jaccard", alias_name="est_jaccard"))
 
 
+def cross_near_dup_candidates(train: Dataset, probe: Dataset,
+                              text_column: str, id_column: str,
+                              return_union: bool = False,
+                              **lsh_kwargs) -> Dataset:
+    """Cross-dataset fuzzy-decontamination candidates: near-dup pairs with
+    one side in ``train`` and the other in ``probe`` (the GPT-3/PaLM
+    "remove train docs that near-duplicate an eval doc" step, at dataset
+    scale rather than the probe-string scan of ngram_contamination).
+
+    Shape: probe ids are remapped into the negative half of the int64
+    space (``-id - 1``, bijective), both sides union into ONE dataset and
+    the standard banded-LSH pipeline runs over it — same shuffles, same
+    caps, same ``fail_on_truncation`` exactness mode as
+    :func:`minhash_lsh_candidates`.  Pairs are ordered id_a < id_b, so a
+    cross pair is exactly ``id_a < 0 <= id_b``; same-side pairs are
+    filtered out.  Returns (train_id, probe_id, est_jaccard) with probe
+    ids mapped back.
+
+    Scale note: the union costs nothing extra (LSH cost is linear in total
+    rows) and probe is usually tiny next to train; no new shuffle shape.
+    """
+    import pyarrow.compute as pc
+
+    for side in (train, probe):
+        t = side.schema().base_schema.field(id_column).type
+        if not pa.types.is_integer(t):
+            raise ValueError(f"cross_near_dup_candidates needs integer ids, "
+                             f"got {t}")
+
+    def negate(batch: pa.Table) -> pa.Table:
+        ids = pc.subtract(pc.multiply(
+            batch.column(id_column).cast(pa.int64()), pa.scalar(-1)),
+            pa.scalar(1))
+        i = batch.schema.get_field_index(id_column)
+        return batch.set_column(i, id_column, ids)
+
+    def to_i64(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index(id_column)
+        return batch.set_column(i, id_column,
+                                batch.column(id_column).cast(pa.int64()))
+
+    uni = (train.select_columns([id_column, text_column])
+           .map_batches(to_i64, batch_format="pyarrow")
+           .union(probe.select_columns([id_column, text_column])
+                  .map_batches(negate, batch_format="pyarrow")))
+    cands = minhash_lsh_candidates(uni, text_column, id_column, **lsh_kwargs)
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a")
+        keep = pc.and_(pc.less(a, pa.scalar(0, pa.int64())),
+                       pc.greater_equal(batch.column("id_b"),
+                                        pa.scalar(0, pa.int64())))
+        return batch.filter(keep)
+
+    out = cands.map_batches(cross_only, batch_format="pyarrow")
+    if return_union:
+        return out, uni
+    return out
+
+
 class SimHasher:
     """64-bit SimHash fingerprints, vectorized via unpacked bit votes."""
 

@@ -84,6 +84,91 @@ def add_quality(ds: Dataset, text_column: str) -> Dataset:
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+#: Gopher rule stopwords (Rae et al. 2021, "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", appendix A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(ds: Dataset, text_column: str, id_column: str,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_ratio: float = 0.9,
+                 max_ellipsis_ratio: float = 0.3,
+                 min_alpha_ratio: float = 0.8,
+                 min_stop_hits: int = 2) -> Dataset:
+    """Gopher-style quality rule suite (Rae et al. 2021 A1.1): per-rule
+    feature columns plus the combined ``pass_gopher`` flag, fully
+    vectorized (polars list kernels), shuffle-free.
+
+    Engine/oracle float contract: every ratio is ONE IEEE float64 division
+    of two exactly-computed integers, so the SQL oracle reproduces each
+    value bit-for-bit.  Divergence from the paper, documented: the paper
+    tests hash and ellipsis symbol ratios separately; this combines them
+    into one ``symbol_ratio`` (sum of both counts over words)."""
+    import numpy as np
+
+    def rules(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        s = pl.from_arrow(col).fill_null("")
+        words = s.str.extract_all(r"[^\t\n\f\r ]+")
+        n_words = words.list.len().cast(pl.Int64).to_numpy()
+        word_chars = (words.list.eval(pl.element().str.len_chars()
+                                      .cast(pl.Int64))
+                      .list.sum().fill_null(0).to_numpy())
+        alpha_words = (words.list.eval(pl.element().str
+                                       .contains("[A-Za-z]").cast(pl.Int64))
+                       .list.sum().fill_null(0).to_numpy())
+        n_hash = s.str.count_matches("#", literal=True).cast(pl.Int64) \
+            .to_numpy()
+        n_ell = s.str.count_matches(r"\.\.\.").cast(pl.Int64).to_numpy()
+        lines = s.str.split("\n")
+        n_lines = lines.list.len().cast(pl.Int64).to_numpy()
+        bullet = (lines.list.eval(pl.element().str.contains(r"^[-*]")
+                                  .cast(pl.Int64))
+                  .list.sum().fill_null(0).to_numpy())
+        ell_end = (lines.list.eval(pl.element().str.contains(r"\.\.\.$")
+                                   .cast(pl.Int64))
+                   .list.sum().fill_null(0).to_numpy())
+        stop_hits = np.zeros(len(s), dtype=np.int64)
+        for w in GOPHER_STOPWORDS:
+            stop_hits += s.str.contains(rf"(?i)\b{w}\b").cast(pl.Int64) \
+                .to_numpy()
+        safe_w = np.maximum(n_words, 1).astype(np.float64)
+        safe_l = np.maximum(n_lines, 1).astype(np.float64)
+        mean_word_len = word_chars.astype(np.float64) / safe_w
+        symbol_ratio = (n_hash + n_ell).astype(np.float64) / safe_w
+        alpha_ratio = alpha_words.astype(np.float64) / safe_w
+        bullet_ratio = bullet.astype(np.float64) / safe_l
+        ellipsis_ratio = ell_end.astype(np.float64) / safe_l
+        ok = ((n_words >= min_words) & (n_words <= max_words)
+              & (mean_word_len >= min_mean_word_len)
+              & (mean_word_len <= max_mean_word_len)
+              & (symbol_ratio <= max_symbol_ratio)
+              & (bullet_ratio <= max_bullet_ratio)
+              & (ellipsis_ratio <= max_ellipsis_ratio)
+              & (alpha_ratio >= min_alpha_ratio)
+              & (stop_hits >= min_stop_hits))
+        return pa.table({
+            id_column: batch.column(id_column),
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_word_len": pa.array(mean_word_len, pa.float64()),
+            "symbol_ratio": pa.array(symbol_ratio, pa.float64()),
+            "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
+            "bullet_ratio": pa.array(bullet_ratio, pa.float64()),
+            "ellipsis_ratio": pa.array(ellipsis_ratio, pa.float64()),
+            "stop_hits": pa.array(stop_hits, pa.int64()),
+            "pass_gopher": pa.array(ok)})
+
+    return ds.map_batches(rules, batch_format="pyarrow")
+
+
 #: tiny per-language marker-word profiles (public common-word lists)
 _LANG_MARKERS = {
     "en": ("the", "and", "of", "to", "is", "that", "it", "for", "with", "was"),

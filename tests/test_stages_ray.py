@@ -1835,3 +1835,63 @@ def test_bpe_train_distributed_matches_local(ray_session):
         rebuilt = row["bpe_text"].replace(" ", "").replace("</w>", " ")
         assert rebuilt.strip() == texts[row["doc_id"]]
         assert row["n_bpe"] == len(row["bpe_text"].split(" "))
+
+
+def test_gopher_rules_edges(ray_session):
+    """Rule-by-rule edge semantics on hand-built docs."""
+    import ray.data as rd
+
+    from malli_ray.stages.text import gopher_rules
+
+    good = "the quick brown fox jumps over " * 10           # 60 words, stopword
+    docs = [
+        (0, good),                                          # passes
+        (1, "the fox"),                                     # too few words
+        (2, "# " * 60 + "the end"),                         # symbol soup
+        (3, "\n".join("- item " + str(i) for i in range(10))),  # all bullets
+        (4, ("the story goes on...\n" * 8) + "done\ndone"),     # ellipsis lines
+        (5, ("123 456 789 " * 20) + "the end"),             # non-alpha words
+        (6, "supercalifragilisticexpialidocious " * 60),    # mean word len > 10
+        (7, ""),                                            # empty
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": [d[0] for d in docs],
+                                 "text": [d[1] for d in docs]}))
+    out = {r["doc_id"]: r for r in
+           gopher_rules(ds, "text", "doc_id", min_words=10,
+                        min_stop_hits=1).take_all()}
+    assert out[0]["pass_gopher"] is True
+    assert out[1]["pass_gopher"] is False and out[1]["n_words"] == 2
+    assert out[2]["pass_gopher"] is False and out[2]["symbol_ratio"] > 0.1
+    assert out[3]["pass_gopher"] is False and out[3]["bullet_ratio"] == 1.0
+    assert out[4]["pass_gopher"] is False and out[4]["ellipsis_ratio"] > 0.3
+    assert out[5]["pass_gopher"] is False and out[5]["alpha_ratio"] < 0.8
+    assert out[6]["pass_gopher"] is False and out[6]["mean_word_len"] > 10
+    assert out[7]["pass_gopher"] is False and out[7]["n_words"] == 0
+    assert out[7]["mean_word_len"] == 0.0 and out[7]["bullet_ratio"] == 0.0
+    # stop_hits counts DISTINCT stopwords present, not occurrences
+    assert out[0]["stop_hits"] == 1
+
+
+def test_cross_near_dup_candidates(ray_session):
+    """Cross-side-only pairs; same-side near-dups are excluded."""
+    import ray.data as rd
+
+    from malli_ray.stages import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [base, base + " lambda", "unrelated words entirely here"]}))
+    # probe 7 near-duplicates train 1 and 2; probe 8 matches nothing;
+    # train 1 vs train 2 is a SAME-side near-dup and must NOT appear
+    probe = rd.from_arrow(pa.table({
+        "doc_id": [7, 8],
+        "text": [base + " mu", "zzz yyy xxx www vvv uuu ttt sss"]}))
+    pairs = dedup.cross_near_dup_candidates(
+        train, probe, "text", "doc_id", threshold=0.2,
+        num_perm=64, bands=32, fail_on_truncation=True).take_all()
+    sides = {(r["id_a"] < 0, r["id_b"] < 0) for r in pairs}
+    assert sides <= {(True, False)}, "same-side pair leaked"
+    back = {(-r["id_a"] - 1, r["id_b"]) for r in pairs}
+    assert (7, 1) in back and (7, 2) in back
+    assert all(p == 7 for p, _ in back)
