@@ -120,6 +120,8 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "bpe_merges_documents", "bpe_tokenize_documents",
         # r3 continuation: Gopher rule suite + cross-dataset decontamination
         "gopher_rules_documents", "cross_decon_documents",
+        # r3 continuation: compressibility signal + interval lookup
+        "compression_documents", "value_bands_events",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -114,6 +114,77 @@ def broadcast_join(ds: Dataset, small: pa.Table, key: str,
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 
+class _IntervalProbe:
+    """Per-worker state: sorted interval bounds + values from the object
+    store; per batch ONE vectorized searchsorted probe."""
+
+    def __init__(self, ref, probe_key: str, out_cols: list[str], how: str,
+                 closed: str):
+        import ray
+        self.lo, self.hi, self.values = ray.get(ref)
+        self.probe_key = probe_key
+        self.out_cols = out_cols
+        self.how = how
+        self.closed = closed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        probe = batch.column(self.probe_key).to_numpy(zero_copy_only=False)
+        side = "right" if self.closed in ("left", "both") else "left"
+        idx = np.searchsorted(self.lo, probe, side=side) - 1
+        safe = np.maximum(idx, 0)
+        upper = (probe <= self.hi[safe] if self.closed in ("right", "both")
+                 else probe < self.hi[safe])
+        hit = (idx >= 0) & upper & ~np.isnan(probe.astype(np.float64,
+                                                          copy=False))
+        for c in self.out_cols:
+            vals = pa.array(self.values[c][safe])
+            batch = batch.append_column(
+                c, pc.if_else(pa.array(hit), vals,
+                              pa.scalar(None, vals.type)))
+        if self.how == "inner":
+            batch = batch.filter(pa.array(hit))
+        return batch
+
+
+def interval_lookup(ds: Dataset, intervals: pa.Table, probe_key: str,
+                    lo_col: str, hi_col: str, value_cols: list[str],
+                    how: str = "left", closed: str = "left",
+                    concurrency=None) -> Dataset:
+    """Enrich rows by NON-OVERLAPPING interval membership (GeoIP-range /
+    value-band lookup): the interval table ships once via ``ray.put``;
+    each batch probes with one vectorized searchsorted — no shuffle.
+
+    ``closed``: "left" = [lo, hi), "right" = (lo, hi], "both" = [lo, hi].
+    Overlapping or unsorted intervals raise (semantics would be
+    order-dependent); ``how`` as in :func:`broadcast_join`.
+
+    The at-scale sibling of :func:`range_join` — use that (one shuffle,
+    per-group searchsorted) when the interval side is too large to
+    broadcast or intervals overlap (one-to-many)."""
+    import ray
+    from . import cached_stage, concurrency_kwargs
+    if how not in ("left", "inner"):
+        raise ValueError("interval_lookup: how must be 'left' or 'inner'")
+    if closed not in ("left", "right", "both"):
+        raise ValueError("interval_lookup: closed must be left|right|both")
+    lo = intervals.column(lo_col).to_numpy(zero_copy_only=False)
+    hi = intervals.column(hi_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(lo, kind="stable")
+    lo, hi = lo[order], hi[order]
+    if np.any(hi < lo) or (len(lo) > 1 and not (
+            np.all(hi[:-1] <= lo[1:]) if closed != "both"
+            else np.all(hi[:-1] < lo[1:]))):
+        raise ValueError("interval_lookup: intervals must be sorted and "
+                         "non-overlapping")
+    values = {c: intervals.column(c).to_numpy(zero_copy_only=False)[order]
+              for c in value_cols}
+    ref = ray.put((lo, hi, values))
+    return ds.map_batches(
+        cached_stage(_IntervalProbe, ref=ref, probe_key=probe_key,
+                     out_cols=value_cols, how=how, closed=closed),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
 def _default_partitions() -> int:
     import ray
     try:

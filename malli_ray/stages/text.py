@@ -169,6 +169,39 @@ def gopher_rules(ds: Dataset, text_column: str, id_column: str,
     return ds.map_batches(rules, batch_format="pyarrow")
 
 
+def add_compression_ratio(ds: Dataset, text_column: str, id_column: str,
+                          level: int = 6) -> Dataset:
+    """Compressibility quality signal: DEFLATE output bytes / input bytes
+    per document (the CCNet/RedPajama-style "gibberish and boilerplate
+    compress differently from prose" heuristic — highly repetitive or
+    machine-generated text lands far from the prose band).
+
+    zlib at a FIXED level is the pinned primitive (deterministic for a
+    given zlib build, like polars' xxhash for the dedup family), so the
+    expected output is pinned by golden fixture, not SQL.  Per-doc loop is
+    one C call per document — same cost class as the media header probe;
+    ratio is ONE float64 division of two exact ints."""
+    import zlib
+
+    def compress(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_column).to_pylist()
+        n_bytes, n_comp = [], []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            n_bytes.append(len(raw))
+            n_comp.append(len(zlib.compress(raw, level)))
+        nb = pa.array(n_bytes, pa.int64())
+        nc = pa.array(n_comp, pa.int64())
+        import numpy as np
+        ratio = (np.asarray(n_comp, dtype=np.float64)
+                 / np.maximum(np.asarray(n_bytes, dtype=np.float64), 1.0))
+        return pa.table({id_column: batch.column(id_column),
+                         "n_bytes": nb, "n_compressed": nc,
+                         "compression_ratio": pa.array(ratio, pa.float64())})
+
+    return ds.map_batches(compress, batch_format="pyarrow")
+
+
 #: tiny per-language marker-word profiles (public common-word lists)
 _LANG_MARKERS = {
     "en": ("the", "and", "of", "to", "is", "that", "it", "for", "with", "was"),

@@ -82,6 +82,14 @@ def test_bpe_fixtures_rederive(docs):
         [(i, n, s) for i, (n, s) in zip(ids, enc)]
 
 
+def test_compression_fixture_rederives(docs):
+    ids, texts = docs
+    want = make_golden.compression_ref(texts)
+    got = pq.read_table(f"{GOLD}/compression_documents.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == \
+        [(i, a, b, c) for i, (a, b, c) in zip(ids, want)]
+
+
 def test_embedding_pairs_fixture_rederives():
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
@@ -128,6 +136,8 @@ def test_infer_schema_fixture_rederives():
     ("ivf_topk_embeddings", ["query_id", "vec_id"]),
     ("bpe_merges_documents", ["rank", "left", "right", "pair_count"]),
     ("bpe_tokenize_documents", ["doc_id", "n_bpe", "bpe_text"]),
+    ("compression_documents",
+     ["doc_id", "n_bytes", "n_compressed", "compression_ratio"]),
 ])
 def test_engine_matches_fixture(ray_session, name, cols):
     import __ray_entry__ as entrymod

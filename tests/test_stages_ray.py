@@ -1895,3 +1895,55 @@ def test_cross_near_dup_candidates(ray_session):
     back = {(-r["id_a"] - 1, r["id_b"]) for r in pairs}
     assert (7, 1) in back and (7, 2) in back
     assert all(p == 7 for p, _ in back)
+
+
+def test_interval_lookup_semantics(ray_session):
+    import ray.data as rd
+
+    from malli_ray.stages.joins import interval_lookup
+
+    bands = pa.table({"lo": [0.0, 10.0, 30.0], "hi": [10.0, 20.0, 40.0],
+                      "band": ["a", "b", "c"]})
+    ds = rd.from_arrow(pa.table({
+        "id": [1, 2, 3, 4, 5, 6],
+        "v": [0.0, 9.999, 10.0, 25.0, 40.0, -1.0]}))
+    left = {r["id"]: r["band"]
+            for r in interval_lookup(ds, bands, "v", "lo", "hi",
+                                     ["band"]).take_all()}
+    # closed="left": [lo, hi) — 40.0 and the gap/below-range rows are null
+    assert left == {1: "a", 2: "a", 3: "b", 4: None, 5: None, 6: None}
+    # closed="both" needs strictly disjoint bounds (touching intervals
+    # would share the boundary point — the validator rejects them)
+    bands2 = pa.table({"lo": [0.0, 30.0], "hi": [10.0, 40.0],
+                       "band": ["a", "c"]})
+    both = {r["id"]: r["band"]
+            for r in interval_lookup(ds, bands2, "v", "lo", "hi", ["band"],
+                                     closed="both").take_all()}
+    assert both[5] == "c" and both[3] == "a"
+    inner = interval_lookup(ds, bands, "v", "lo", "hi", ["band"],
+                            how="inner").take_all()
+    assert sorted(r["id"] for r in inner) == [1, 2, 3]
+    with pytest.raises(ValueError, match="non-overlapping"):
+        interval_lookup(ds, pa.table({"lo": [0.0, 5.0], "hi": [10.0, 15.0],
+                                      "band": ["x", "y"]}),
+                        "v", "lo", "hi", ["band"])
+
+
+def test_compression_ratio_stage(ray_session):
+    import zlib
+
+    import ray.data as rd
+
+    from malli_ray.stages.text import add_compression_ratio
+
+    texts = ["abc " * 100, "", "entropy8(*&^%$#@!"]
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1, 2], "text": texts}))
+    out = {r["doc_id"]: r
+           for r in add_compression_ratio(ds, "text", "doc_id").take_all()}
+    for i, t in enumerate(texts):
+        raw = t.encode()
+        assert out[i]["n_bytes"] == len(raw)
+        assert out[i]["n_compressed"] == len(zlib.compress(raw, 6))
+    assert out[0]["compression_ratio"] < 0.1      # repetitive -> tiny
+    assert out[1]["compression_ratio"] == len(zlib.compress(b"", 6))  # /1
+    assert out[2]["compression_ratio"] > 1.0      # incompressible short

@@ -377,6 +377,20 @@ def bpe_encode_ref(texts, merges):
     return out
 
 
+def compression_ref(texts, level=6):
+    """Per-doc DEFLATE sizes.  zlib at a fixed level IS the pinned shared
+    primitive (like polars' hash for the dedup fixtures); this pins the
+    byte counts so any zlib/build change fails the drift guard before the
+    driver sees it."""
+    import zlib
+    out = []
+    for t in texts:
+        raw = (t or "").encode("utf-8")
+        comp = len(zlib.compress(raw, level))
+        out.append((len(raw), comp, comp / max(len(raw), 1)))
+    return out
+
+
 def infer_schema_ref(sf: str) -> str:
     """Expected inferred-schema JSON via the engine's LOCAL single-value
     provider path (malli_ray.provider.provide — the reference-parity
@@ -471,6 +485,16 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "bpe_text": pa.array([e[1] for e in enc],
                                            type=pa.string())}),
             os.path.join(outdir, "bpe_tokenize_documents.parquet"))
+        comp = compression_ref(texts)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "n_bytes": pa.array([c[0] for c in comp],
+                                          type=pa.int64()),
+                      "n_compressed": pa.array([c[1] for c in comp],
+                                               type=pa.int64()),
+                      "compression_ratio": pa.array([c[2] for c in comp],
+                                                    type=pa.float64())}),
+            os.path.join(outdir, "compression_documents.parquet"))
         ivf = ivf_topk_ref(eids, et.column("embedding").to_pylist())
         pq.write_table(
             pa.table({"query_id": pa.array([p[0] for p in ivf],
