@@ -122,6 +122,8 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "gopher_rules_documents", "cross_decon_documents",
         # r3 continuation: compressibility signal + interval lookup
         "compression_documents", "value_bands_events",
+        # r3 continuation: MP3 + TIFF header parsing
+        "mp3_headers_documents", "tiff_headers_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

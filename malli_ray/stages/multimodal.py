@@ -344,6 +344,49 @@ def make_mkv_header(width: int, height: int, duration_units: int,
     return ebml + segment
 
 
+#: MPEG-1 Layer III bitrate table (kbps), index 1..14 (0/15 invalid)
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112,
+                 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def make_mp3_header(sample_rate: int, channels: int, bitrate_kbps: int,
+                    n_data_bytes: int, id3_size: int = 32) -> bytes:
+    """ID3v2 tag + one MPEG-1 Layer III frame header + zero data bytes —
+    dependency-free and deterministic, for synthesizing real MP3 payloads
+    in tests/oracles."""
+    if sample_rate not in _MP3_RATES or channels not in (1, 2):
+        raise ValueError("make_mp3_header: unsupported rate/channels")
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    sr_idx = _MP3_RATES.index(sample_rate)
+    # synchsafe 28-bit size (7 bits per byte)
+    ss = bytes(((id3_size >> s) & 0x7F) for s in (21, 14, 7, 0))
+    id3 = b"ID3" + bytes((4, 0, 0)) + ss + b"\x00" * id3_size
+    b1 = 0b11111011                       # MPEG-1 (11), Layer III (01), no CRC
+    b2 = (br_idx << 4) | (sr_idx << 2)
+    b3 = (0b11 if channels == 1 else 0b00) << 6
+    return id3 + bytes((0xFF, b1, b2, b3)) + b"\x00" * n_data_bytes
+
+
+def make_tiff_header(width: int, height: int, bits: int = 8,
+                     samples: int = 3, big_endian: bool = False) -> bytes:
+    """Minimal valid TIFF: byte-order magic + one IFD with SHORT entries
+    for ImageWidth/ImageLength/BitsPerSample/SamplesPerPixel."""
+    bo = "big" if big_endian else "little"
+
+    def u(v: int, n: int) -> bytes:
+        return v.to_bytes(n, bo)
+
+    magic = (b"MM\x00\x2a" if big_endian else b"II\x2a\x00") + u(8, 4)
+    entries = []
+    for tag, val in ((256, width), (257, height), (258, bits),
+                     (277, samples)):
+        # tag(2) type(2=SHORT:3) count(4) value packed into first 2 bytes
+        entries.append(u(tag, 2) + u(3, 2) + u(1, 4) + u(val, 2) + u(0, 2))
+    ifd = u(len(entries), 2) + b"".join(entries) + u(0, 4)
+    return magic + ifd
+
+
 class MediaHeaderProbe:
     """REAL (dependency-free) media container-header parser.
 
@@ -642,9 +685,75 @@ class MediaHeaderProbe:
                 duration_units * timescale_ns / 1e9
         return fields
 
+    @staticmethod
+    def _tiff(p: bytes):
+        """TIFF: byte-order magic, IFD walk over 12-byte entries; SHORT
+        and LONG single-count values read inline (both endians)."""
+        if len(p) < 8:
+            return None
+        if p[:4] == b"II\x2a\x00":
+            bo = "little"
+        elif p[:4] == b"MM\x00\x2a":
+            bo = "big"
+        else:
+            return None
+        off = int.from_bytes(p[4:8], bo)
+        if off + 2 > len(p):
+            return None
+        cnt = int.from_bytes(p[off:off + 2], bo)
+        tags = {}
+        for k in range(cnt):
+            e = off + 2 + 12 * k
+            if e + 12 > len(p):
+                break
+            tag = int.from_bytes(p[e:e + 2], bo)
+            typ = int.from_bytes(p[e + 2:e + 4], bo)
+            n = int.from_bytes(p[e + 4:e + 8], bo)
+            if n != 1:
+                continue                    # offset-valued arrays: skip
+            if typ == 3:                    # SHORT packs into first 2 bytes
+                tags[tag] = int.from_bytes(p[e + 8:e + 10], bo)
+            elif typ == 4:                  # LONG
+                tags[tag] = int.from_bytes(p[e + 8:e + 12], bo)
+        w, h = tags.get(256), tags.get(257)
+        if not w or not h:
+            return None
+        return {"media_format": "tiff", "media_width": w, "media_height": h,
+                "media_channels": tags.get(277),
+                "media_bit_depth": tags.get(258)}
+
+    @staticmethod
+    def _mp3(p: bytes):
+        """MPEG-1 Layer III: skip an ID3v2 tag (synchsafe size) if present,
+        then decode the 4-byte frame header (bitrate/sample-rate tables,
+        channel mode); duration is the CBR estimate over the remaining
+        bytes.  KEPT LAST in _PARSERS: the 11-bit frame sync is the
+        loosest magic of the family."""
+        i = 0
+        if p[:3] == b"ID3" and len(p) >= 10:
+            i = 10 + sum((p[6 + k] & 0x7F) << (7 * (3 - k)) for k in range(4))
+        if len(p) < i + 4:
+            return None
+        b0, b1, b2, b3 = p[i:i + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            return None
+        if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
+            return None                     # MPEG-1 Layer III only
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None
+        bitrate = _MP3_BITRATES[br_idx] * 1000
+        mode = (b3 >> 6) & 0x3
+        return {"media_format": "mp3",
+                "media_sample_rate": _MP3_RATES[sr_idx],
+                "media_channels": 1 if mode == 3 else 2,
+                "media_duration_s": (len(p) - i) * 8 / bitrate}
+
     _PARSERS = (_png.__func__, _jpeg.__func__, _gif.__func__,
                 _bmp.__func__, _wav.__func__, _flac.__func__,
-                _mp4.__func__, _mkv.__func__)
+                _mp4.__func__, _mkv.__func__, _tiff.__func__,
+                _mp3.__func__)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_column).to_pylist()

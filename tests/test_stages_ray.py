@@ -1947,3 +1947,44 @@ def test_compression_ratio_stage(ray_session):
     assert out[0]["compression_ratio"] < 0.1      # repetitive -> tiny
     assert out[1]["compression_ratio"] == len(zlib.compress(b"", 6))  # /1
     assert out[2]["compression_ratio"] > 1.0      # incompressible short
+
+
+def test_mp3_tiff_header_parsing():
+    """Dependency-free MP3/TIFF header parsers: field recovery, ID3 skip,
+    endianness, truncation robustness, loose-sync ordering."""
+    from malli_ray.stages.multimodal import (MediaHeaderProbe,
+                                             make_mp3_header,
+                                             make_tiff_header, wrap_pcm_wav)
+
+    mp3 = MediaHeaderProbe._mp3
+    p = make_mp3_header(48000, 1, 160, n_data_bytes=2000, id3_size=64)
+    got = mp3(p)
+    assert got["media_sample_rate"] == 48000 and got["media_channels"] == 1
+    assert got["media_duration_s"] == (2004 * 8) / 160000
+    assert mp3(p[:20]) is None                       # truncated inside ID3
+    assert mp3(b"\xff\xfb") is None                  # header cut short
+    assert mp3(b"\xff\x00\x00\x00") is None          # bad sync
+    # free-format (bitrate idx 0) and reserved sample-rate idx rejected
+    assert mp3(bytes((0xFF, 0xFB, 0x00, 0x00))) is None
+    assert mp3(bytes((0xFF, 0xFB, 0x9C, 0x00))) is None
+
+    tiff = MediaHeaderProbe._tiff
+    for be in (False, True):
+        t = make_tiff_header(640, 480, bits=16, samples=4, big_endian=be)
+        got = tiff(t)
+        assert (got["media_width"], got["media_height"],
+                got["media_bit_depth"], got["media_channels"]) \
+            == (640, 480, 16, 4)
+        assert tiff(t[:9]) is None                   # truncated IFD
+    assert tiff(b"II\x2a\x00" + b"\xff" * 4) is None  # IFD offset past end
+
+    # parser ordering: a WAV payload must classify as wav (mp3's loose
+    # 11-bit sync runs LAST)
+    probe = MediaHeaderProbe(payload_column="payload")
+    wav = wrap_pcm_wav(b"\x00\x01" * 400)
+    out = probe(pa.table({"payload": pa.array(
+        [wav, make_mp3_header(44100, 2, 128, 100),
+         make_tiff_header(2, 2), b"junk"], type=pa.large_binary())}))
+    assert out.column("media_format").to_pylist() == \
+        ["wav", "mp3", "tiff", None]
+    assert out.column("header_ok").to_pylist() == [True, True, True, False]
