@@ -124,6 +124,8 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "compression_documents", "value_bands_events",
         # r3 continuation: MP3 + TIFF header parsing
         "mp3_headers_documents", "tiff_headers_documents",
+        # r3 continuation: sentence segmentation
+        "sentences_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

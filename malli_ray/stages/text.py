@@ -169,6 +169,48 @@ def gopher_rules(ds: Dataset, text_column: str, id_column: str,
     return ds.map_batches(rules, batch_format="pyarrow")
 
 
+#: sentence = shortest run ending in [.!?]+, or the unterminated tail.
+#: Leftmost-first alternation — identical in rust-regex (polars) and RE2
+#: (DuckDB regexp_extract_all), so the SQL oracle reproduces the split.
+SENTENCE_RE = r"[^.!?]*[.!?]+|[^.!?]+$"
+_WS = " \t\n\f\r"
+
+
+def split_sentences(ds: Dataset, text_column: str, id_column: str,
+                    out: str = "sentence") -> Dataset:
+    """Sentence segmentation: flat-map each doc to (id, sent_idx, sentence)
+    rows — the unit step before sentence-level dedup / packing / chunking.
+    Vectorized polars extract_all + explode; whitespace-trimmed; empty
+    sentences dropped; shuffle-free."""
+    import polars as pl
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        df = pl.DataFrame({
+            "_id": pl.from_arrow(batch.column(id_column).combine_chunks()
+                                 if isinstance(batch.column(id_column),
+                                               pa.ChunkedArray)
+                                 else batch.column(id_column)),
+            "_s": pl.from_arrow(col).fill_null("")
+                  .str.extract_all(SENTENCE_RE)})
+        ex = (df.with_columns(pl.col("_s").list.eval(
+                  pl.element().str.strip_chars(_WS)))
+              .explode("_s")
+              .with_columns(pl.col("_s").cum_count().over("_id")
+                            .cast(pl.Int64).alias("_i") - 1)
+              .filter(pl.col("_s").is_not_null() & (pl.col("_s") != "")))
+        return pa.table({id_column: ex.get_column("_id").to_arrow(),
+                         "sent_idx": ex.get_column("_i").to_arrow(),
+                         out: ex.get_column("_s").to_arrow()
+                         .cast(pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def add_compression_ratio(ds: Dataset, text_column: str, id_column: str,
                           level: int = 6) -> Dataset:
     """Compressibility quality signal: DEFLATE output bytes / input bytes

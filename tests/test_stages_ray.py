@@ -1988,3 +1988,24 @@ def test_mp3_tiff_header_parsing():
     assert out.column("media_format").to_pylist() == \
         ["wav", "mp3", "tiff", None]
     assert out.column("header_ok").to_pylist() == [True, True, True, False]
+
+
+def test_split_sentences_semantics(ray_session):
+    import ray.data as rd
+
+    from malli_ray.stages.text import split_sentences
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["One. Two!  Three?No gap. tail without end",
+                 "unterminated only",
+                 "",
+                 "...!?"]}))
+    rows = sorted((r["doc_id"], r["sent_idx"], r["sentence"])
+                  for r in split_sentences(ds, "text", "doc_id").take_all())
+    assert rows == [
+        (1, 0, "One."), (1, 1, "Two!"), (1, 2, "Three?"),
+        (1, 3, "No gap."), (1, 4, "tail without end"),
+        (2, 0, "unterminated only"),
+        (4, 0, "...!?"),
+    ]
