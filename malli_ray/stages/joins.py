@@ -193,6 +193,23 @@ def _default_partitions() -> int:
         return 16
 
 
+def partitions_for(rows: int | None,
+                   rows_per_partition: int = 100_000) -> int | None:
+    """Data-aware shuffle-partition count for :func:`hash_join`.
+
+    Ray's hash-shuffle join spins up ``num_partitions`` aggregator actors
+    per execution — a FIXED cost that dominates small joins (measured: the
+    same sf0.1 left-outer join runs 2.5s at 4-8 partitions vs 6s at 32).
+    Size partitions to the larger side's row count (parquet-metadata
+    ``count()`` is free on a fresh read), capped by cluster CPUs: at
+    100 TB the cap binds (partitions == CPUs, each worker busy); at bench
+    scale the data term binds (no idle aggregator spin-up)."""
+    if rows is None:
+        return None
+    return max(4, min(_default_partitions(),
+                      int(rows) // int(rows_per_partition) + 1))
+
+
 def hash_join(left: Dataset, right: Dataset, on, right_on=None,
               join_type: str = "inner",
               num_partitions: int | None = None, **kwargs) -> Dataset:
