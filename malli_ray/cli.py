@@ -66,9 +66,10 @@ def _build_spec(args) -> "ValidationSpec":
 
 
 def _run_corpus_prep(args, paths: list[str]) -> int:
-    """Assemble the requested operator chain (fixed order: line scrub ->
-    dedup -> decontaminate -> outliers -> rebalance -> chunk), write
-    partitioned parquet to <out>/data/, print a one-line JSON report."""
+    """Assemble the requested operator chain (fixed order: normalize ->
+    gopher/compression quality filters -> bloom -> line scrub -> dedup ->
+    decontaminate -> outliers -> rebalance -> chunk), write partitioned
+    parquet to <out>/data/, print a one-line JSON report."""
     import glob as _glob
 
     import ray.data as rdata
@@ -83,6 +84,34 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
     if args.normalize:
         ds = T.normalize_text(ds, tc)
         stages.append("normalize")
+    if args.gopher is not None:
+        ds = T.gopher_rules(ds, tc, idc, min_words=args.gopher,
+                            min_stop_hits=1, append=True)
+        ds = ds.filter(expr="pass_gopher == True")
+
+        def _drop_gopher(b):
+            return b.drop_columns(
+                ["n_words", "mean_word_len", "symbol_ratio", "alpha_ratio",
+                 "bullet_ratio", "ellipsis_ratio", "stop_hits",
+                 "pass_gopher"])
+
+        ds = ds.map_batches(_drop_gopher, batch_format="pyarrow")
+        stages.append(f"gopher(min_words={args.gopher})")
+    if args.compression:
+        lo, hi = (float(x) for x in args.compression.split(":", 1))
+        import zlib as _zlib
+
+        def _comp_filter(b):
+            import pyarrow as _pa
+            keep = []
+            for t in b.column(tc).to_pylist():
+                raw = (t or "").encode("utf-8")
+                r = len(_zlib.compress(raw, 6)) / max(len(raw), 1)
+                keep.append(lo <= r <= hi)
+            return b.filter(_pa.array(keep))
+
+        ds = ds.map_batches(_comp_filter, batch_format="pyarrow")
+        stages.append(f"compression({lo}:{hi})")
     if args.seen_bloom:
         from .state.bloom import BloomFilter
         bloom = BloomFilter.load(args.seen_bloom)
@@ -203,6 +232,13 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--normalize", action="store_true",
                     help="canonical text normalization first (control-strip"
                          " -> whitespace-collapse -> trim -> lower)")
+    cp.add_argument("--gopher", type=int, metavar="MIN_WORDS",
+                    help="drop docs failing the Gopher rule suite "
+                         "(stages/text.gopher_rules; min_stop_hits=1)")
+    cp.add_argument("--compression", metavar="LO:HI",
+                    help="keep docs whose DEFLATE ratio lies in [LO, HI] "
+                         "(drops boilerplate-repetitive and binary-ish "
+                         "text)")
     cp.add_argument("--seen-bloom", metavar="PATH",
                     help="drop rows whose text is in a previously-built "
                          "Bloom digest (incremental cross-run dedup; build "

@@ -97,7 +97,8 @@ def gopher_rules(ds: Dataset, text_column: str, id_column: str,
                  max_bullet_ratio: float = 0.9,
                  max_ellipsis_ratio: float = 0.3,
                  min_alpha_ratio: float = 0.8,
-                 min_stop_hits: int = 2) -> Dataset:
+                 min_stop_hits: int = 2,
+                 append: bool = False) -> Dataset:
     """Gopher-style quality rule suite (Rae et al. 2021 A1.1): per-rule
     feature columns plus the combined ``pass_gopher`` flag, fully
     vectorized (polars list kernels), shuffle-free.
@@ -106,7 +107,11 @@ def gopher_rules(ds: Dataset, text_column: str, id_column: str,
     of two exactly-computed integers, so the SQL oracle reproduces each
     value bit-for-bit.  Divergence from the paper, documented: the paper
     tests hash and ellipsis symbol ratios separately; this combines them
-    into one ``symbol_ratio`` (sum of both counts over words)."""
+    into one ``symbol_ratio`` (sum of both counts over words).
+
+    ``append=True`` keeps the input columns and appends the features
+    (filter-in-place shape for pipelines); default projects to
+    (id, features)."""
     import numpy as np
 
     def rules(batch: pa.Table) -> pa.Table:
@@ -155,8 +160,7 @@ def gopher_rules(ds: Dataset, text_column: str, id_column: str,
               & (ellipsis_ratio <= max_ellipsis_ratio)
               & (alpha_ratio >= min_alpha_ratio)
               & (stop_hits >= min_stop_hits))
-        return pa.table({
-            id_column: batch.column(id_column),
+        cols = {
             "n_words": pa.array(n_words, pa.int64()),
             "mean_word_len": pa.array(mean_word_len, pa.float64()),
             "symbol_ratio": pa.array(symbol_ratio, pa.float64()),
@@ -164,7 +168,12 @@ def gopher_rules(ds: Dataset, text_column: str, id_column: str,
             "bullet_ratio": pa.array(bullet_ratio, pa.float64()),
             "ellipsis_ratio": pa.array(ellipsis_ratio, pa.float64()),
             "stop_hits": pa.array(stop_hits, pa.int64()),
-            "pass_gopher": pa.array(ok)})
+            "pass_gopher": pa.array(ok)}
+        if append:
+            for name, arr in cols.items():
+                batch = batch.append_column(name, arr)
+            return batch
+        return pa.table({id_column: batch.column(id_column), **cols})
 
     return ds.map_batches(rules, batch_format="pyarrow")
 

@@ -941,3 +941,34 @@ def test_cli_corpus_prep_split_shards(tmp_path, ray_session, capsys):
         h = ((r["doc_id"] % 2**32) * KNUTH_MULT) % 2**32
         want = next(lab for lab, t in th if h < t)
         assert r["split"] == want and int(r["shard"]) == h % 2
+
+
+def test_cli_corpus_prep_quality_filters(tmp_path, ray_session, capsys):
+    """--gopher drops rule-failing docs; --compression drops texts whose
+    DEFLATE ratio falls outside the band."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from malli_ray.cli import main
+
+    good = "the quick brown fox jumps over the lazy dog again and again "
+    docs = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [good * 3,                     # passes both
+                 "too short",                  # gopher: n_words < min
+                 "the abc " * 300,             # compression: too repetitive
+                                               # (passes gopher: mean word
+                                               # len 3.0, stopword present)
+                 "# " * 50 + "the end"]})      # gopher: symbol soup
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(docs, inp / "part-0.parquet")
+    out = tmp_path / "out"
+    rc = main(["corpus-prep", "--input", str(inp), "--out", str(out),
+               "--gopher", "10", "--compression", "0.05:0.95",
+               "--num-cpus", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stages"] == ["gopher(min_words=10)",
+                             "compression(0.05:0.95)"]
+    kept = pq.read_table(sorted((out / "data").glob("*.parquet")))
+    assert kept.column("doc_id").to_pylist() == [0]
