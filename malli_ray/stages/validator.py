@@ -22,7 +22,8 @@ import numpy as np
 import pyarrow as pa
 
 from ..arrow_compile import TablePlan, compile_table_plan
-from ..state.sketches import ColumnStats, HyperLogLog, TDigest, hash64
+from ..state.sketches import (ColumnStats, CountMinSketch, HyperLogLog,
+                              TDigest, hash64)
 
 __all__ = ["ValidationSpec", "ValidateBatch", "ExplainBatch", "SummarizeBatch",
            "SUMMARY_SCHEMA"]
@@ -47,6 +48,11 @@ class ValidationSpec:
     hll_columns: list = field(default_factory=list)
     tdigest_columns: list = field(default_factory=list)
     hist_columns: list = field(default_factory=list)
+    #: hot-key (skew) detection columns: per batch a count-min partial +
+    #: the batch's top-16 local values; merged driver-side into a
+    #: `hot_keys` report section (candidates scored by the merged sketch).
+    #: The pre-shuffle skew probe — estimates, not a correctness gate.
+    cms_columns: list = field(default_factory=list)
     max_violations_per_batch: int = 10_000
     options: dict = field(default_factory=dict)
 
@@ -101,6 +107,7 @@ SUMMARY_SCHEMA = pa.schema([
     ("stats_json", pa.string()),        # ColumnStats partial
     ("hll_json", pa.string()),          # {col: digest}
     ("tdigest_json", pa.string()),      # {col: digest}
+    ("cms_json", pa.string()),          # {col: {digest, cand: {v: n}}}
 ])
 
 
@@ -152,12 +159,27 @@ class SummarizeBatch(_PlanHolder):
                 td.add(np.asarray(vals, dtype=np.float64))
                 tds[col] = td.digest()
 
+        cms = {}
+        for col in getattr(spec, "cms_columns", ()) or ():
+            if col in batch.schema.names:
+                arr = batch.column(col).drop_null()
+                vc = arr.value_counts()
+                vals = vc.field("values")
+                counts = vc.field("counts").to_numpy(zero_copy_only=False)
+                sk = CountMinSketch()
+                sk.add(vals, weights=counts)
+                top = np.argsort(counts, kind="stable")[::-1][:16]
+                cand = {str(vals[int(i)].as_py()): int(counts[int(i)])
+                        for i in top}
+                cms[col] = {"digest": sk.digest(), "cand": cand}
+
         return pa.Table.from_pydict({
             "n_rows": [n], "n_valid": [n_valid], "n_violations": [n_violations],
             "violations_json": [violations_json],
             "stats_json": [stats.to_json()],
             "hll_json": [json.dumps(hlls)],
             "tdigest_json": [json.dumps(tds)],
+            "cms_json": [json.dumps(cms)],
         }, schema=SUMMARY_SCHEMA)
 
 
@@ -222,6 +244,8 @@ def merge_summaries(rows: list[dict]) -> dict:
     stats = ColumnStats()
     hlls: dict[str, HyperLogLog] = {}
     tds: dict[str, TDigest] = {}
+    cmss: dict[str, CountMinSketch] = {}
+    cands: dict[str, set] = {}
     sample: list = []
     for r in rows:
         report["n_rows"] += r["n_rows"]
@@ -234,6 +258,10 @@ def merge_summaries(rows: list[dict]) -> dict:
         for col, dig in json.loads(r["tdigest_json"]).items():
             t = TDigest.from_digest(dig)
             tds[col] = tds[col].merge(t) if col in tds else t
+        for col, entry in json.loads(r.get("cms_json") or "{}").items():
+            sk = CountMinSketch.from_digest(entry["digest"])
+            cmss[col] = cmss[col].merge(sk) if col in cmss else sk
+            cands.setdefault(col, set()).update(entry["cand"])
         if len(sample) < 1000:
             sample.extend(json.loads(r["violations_json"]))
     report["pass"] = report["n_violations"] == 0
@@ -241,6 +269,18 @@ def merge_summaries(rows: list[dict]) -> dict:
     report["distinct"] = {c: h.cardinality() for c, h in hlls.items()}
     report["quantiles"] = {
         c: {q: t.quantile(q) for q in (0.5, 0.9, 0.99)} for c, t in tds.items()}
+    if cmss:
+        # hot keys: batch-local top values scored by the MERGED sketch —
+        # a global heavy hitter tops at least one batch, so the candidate
+        # union covers it; estimates are one-sided (never under true count)
+        hot = {}
+        for col, sk in cmss.items():
+            vals = sorted(cands.get(col, ()))
+            est = sk.estimate(vals)
+            order = sorted(range(len(vals)), key=lambda i: (-est[i], vals[i]))
+            hot[col] = [{"value": vals[i], "est_count": int(est[i])}
+                        for i in order[:10]]
+        report["hot_keys"] = hot
     report["violation_sample"] = sample[:1000]
     report["_sketches"] = {"hll": {c: h.digest() for c, h in hlls.items()},
                            "tdigest": {c: t.digest() for c, t in tds.items()}}

@@ -26,7 +26,8 @@ from typing import Any, Optional
 
 import numpy as np
 
-__all__ = ["HyperLogLog", "TDigest", "ColumnStats", "hash64"]
+__all__ = ["CountMinSketch", "HyperLogLog", "TDigest", "ColumnStats",
+           "hash64"]
 
 
 def hash64(values, seed: int = 0) -> np.ndarray:
@@ -94,6 +95,67 @@ class HyperLogLog:
     def from_digest(cls, s: str, p: int = 12) -> "HyperLogLog":
         regs = np.frombuffer(base64.b64decode(s), dtype=np.uint8).copy()
         return cls(p=p, registers=regs)
+
+
+class CountMinSketch:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) for hot-key /
+    frequency estimation over unbounded key spaces.
+
+    depth independent hash rows x width counters; ``estimate`` takes the
+    row-wise minimum, so it NEVER under-counts (one-sided error:
+    est <= true + eps*N with eps = e/width at probability 1 - e^-depth).
+    Merge is elementwise sum — commutative/associative, so partials built
+    per batch combine in any order.  The skew detector for choosing
+    salting / bucket counts BEFORE running a shuffle (SURVEY.md SS4.2
+    'partitioning for shuffles')."""
+
+    def __init__(self, width: int = 2048, depth: int = 4,
+                 counts: np.ndarray | None = None):
+        self.width, self.depth = width, depth
+        self.counts = (counts if counts is not None
+                       else np.zeros((depth, width), dtype=np.int64))
+
+    def add(self, values, weights: np.ndarray | None = None) -> None:
+        if len(values) == 0:
+            return
+        for d in range(self.depth):
+            idx = (hash64(values, seed=1000 + d)
+                   % np.uint64(self.width)).astype(np.int64)
+            if weights is None:
+                np.add.at(self.counts[d], idx, 1)
+            else:
+                np.add.at(self.counts[d], idx,
+                          np.asarray(weights, dtype=np.int64))
+
+    def estimate(self, values) -> np.ndarray:
+        """(n,) int64 estimated counts — elementwise min over hash rows."""
+        if len(values) == 0:
+            return np.zeros(0, dtype=np.int64)
+        est = None
+        for d in range(self.depth):
+            idx = (hash64(values, seed=1000 + d)
+                   % np.uint64(self.width)).astype(np.int64)
+            row = self.counts[d][idx]
+            est = row if est is None else np.minimum(est, row)
+        return est
+
+    def total(self) -> int:
+        return int(self.counts[0].sum())
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        self.counts += other.counts
+        return self
+
+    def digest(self) -> str:
+        return base64.b64encode(self.counts.tobytes()).decode()
+
+    @classmethod
+    def from_digest(cls, s: str, width: int = 2048,
+                    depth: int = 4) -> "CountMinSketch":
+        counts = np.frombuffer(base64.b64decode(s),
+                               dtype=np.int64).reshape(depth, width).copy()
+        return cls(width=width, depth=depth, counts=counts)
 
 
 class TDigest:

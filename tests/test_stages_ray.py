@@ -2009,3 +2009,56 @@ def test_split_sentences_semantics(ray_session):
         (2, 0, "unterminated only"),
         (4, 0, "...!?"),
     ]
+
+
+def test_count_min_sketch_properties():
+    """One-sided error, merge==single-build, digest round trip, eps bound."""
+    import numpy as np
+
+    from malli_ray.state.sketches import CountMinSketch
+
+    rng = np.random.default_rng(42)
+    # zipf-ish stream over 5000 distinct keys
+    keys = [f"k{int(z)}" for z in rng.zipf(1.3, size=20000) if z < 5000]
+    from collections import Counter
+    exact = Counter(keys)
+    sk = CountMinSketch(width=2048, depth=4)
+    sk.add(keys)
+    vals = sorted(exact)
+    est = sk.estimate(vals)
+    true = np.array([exact[v] for v in vals])
+    assert (est >= true).all()                     # never under-counts
+    n = len(keys)
+    eps = np.e / 2048
+    # CM bound holds for the vast majority (prob 1 - e^-4 per key)
+    assert ((est - true) <= eps * n).mean() > 0.98
+    # merge of two halves == one-pass build
+    a, b = CountMinSketch(), CountMinSketch()
+    a.add(keys[:9000]); b.add(keys[9000:])
+    merged = a.merge(b)
+    one = CountMinSketch(); one.add(keys)
+    assert (merged.counts == one.counts).all()
+    rt = CountMinSketch.from_digest(one.digest())
+    assert (rt.counts == one.counts).all() and rt.total() == len(keys)
+
+
+def test_summarize_hot_keys(ray_session):
+    """cms_columns in the fused pass surfaces the known hot keys with
+    one-sided estimates."""
+    import ray.data as rd
+
+    from malli_ray.pipelines.validation_job import summarize
+    from malli_ray.stages.validator import ValidationSpec
+
+    # 3 hot users + 500 cold ones
+    users = (["hot-a"] * 4000 + ["hot-b"] * 2500 + ["hot-c"] * 1500
+             + [f"cold-{i}" for i in range(500)])
+    ds = rd.from_arrow(pa.table({"user": users})).repartition(8)
+    spec = ValidationSpec(schema=["map", ["user", "string"]],
+                          cms_columns=["user"])
+    rep = summarize(ds, spec)
+    hot = rep["hot_keys"]["user"]
+    assert [h["value"] for h in hot[:3]] == ["hot-a", "hot-b", "hot-c"]
+    for h, true in zip(hot[:3], (4000, 2500, 1500)):
+        assert h["est_count"] >= true                 # one-sided
+        assert h["est_count"] <= true + len(users) // 100
