@@ -34,7 +34,8 @@ from ray.data import Dataset
 
 __all__ = ["top_k_per_group", "distinct_count_by_group", "pivot_counts",
            "lag_lead", "running_aggregate", "collect_by_group",
-           "rank_per_group", "mode_by_group", "covariance_by_group"]
+           "rank_per_group", "mode_by_group", "covariance_by_group",
+           "approx_distinct_by_group"]
 
 
 def _sort_spec(group: str, order_by, descending: bool):
@@ -126,6 +127,63 @@ def distinct_count_by_group(ds: Dataset, group: str, value: str,
 
     return (ds.select_columns([group, value])
             .map_batches(distinct_pairs, batch_format="pyarrow")
+            .groupby(group, num_partitions=num_partitions)
+            .map_groups(finish, batch_format="pyarrow"))
+
+
+def approx_distinct_by_group(ds: Dataset, group: str, value: str,
+                             p: int = 12,
+                             out_col: str = "approx_distinct",
+                             num_partitions: int | None = None) -> Dataset:
+    """Approximate ``COUNT(DISTINCT value) GROUP BY group`` via per-group
+    HyperLogLog — the at-scale sibling of :func:`distinct_count_by_group`.
+
+    Shuffle shape: each batch builds ONE 2^p-register sketch per group it
+    contains (map-side partial), so the groupby moves (group, 2^p bytes)
+    rows per (batch x group) — independent of value cardinality.  Use this
+    when distinct pairs per batch outgrow the pair shuffle (e.g. distinct
+    users per day at 10^9 events/day); the exact operator is otherwise
+    cheaper AND exact.  Register merge is elementwise max (commutative,
+    associative — order-independent).  Relative error ~ 1.04/sqrt(2^p)
+    (~1.6% at p=12)."""
+    from ..state.sketches import HyperLogLog, hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = batch.select([group, value])
+        enc = cols.column(group).combine_chunks()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        dict_arr = pc.dictionary_encode(enc)
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.combine_chunks()
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+        uniq = dict_arr.dictionary
+        hashes = hash64(cols.column(value).combine_chunks()
+                        if isinstance(cols.column(value), pa.ChunkedArray)
+                        else cols.column(value))
+        null_mask = pc.is_null(cols.column(value)).to_numpy(
+            zero_copy_only=False)
+        regs_out = []
+        for g in range(len(uniq)):
+            h = HyperLogLog(p=p)
+            sel = (codes == g) & ~null_mask
+            h.add_hashes(hashes[sel])
+            regs_out.append(h.registers.tobytes())
+        return pa.table({group: uniq,
+                         "_regs": pa.array(regs_out, pa.large_binary())})
+
+    def finish(g: pa.Table) -> pa.Table:
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for buf in g.column("_regs").to_pylist():
+            np.maximum(merged, np.frombuffer(buf, dtype=np.uint8),
+                       out=merged)
+        est = HyperLogLog(p=p, registers=merged).cardinality()
+        return pa.table({
+            group: g.column(group).slice(0, 1),
+            out_col: pa.array([int(round(est))], type=pa.int64())})
+
+    return (ds.select_columns([group, value])
+            .map_batches(partial, batch_format="pyarrow")
             .groupby(group, num_partitions=num_partitions)
             .map_groups(finish, batch_format="pyarrow"))
 

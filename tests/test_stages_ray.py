@@ -2062,3 +2062,31 @@ def test_summarize_hot_keys(ray_session):
     for h, true in zip(hot[:3], (4000, 2500, 1500)):
         assert h["est_count"] >= true                 # one-sided
         assert h["est_count"] <= true + len(users) // 100
+
+
+def test_approx_distinct_by_group(ray_session):
+    """Per-group HLL estimate within ~2% of exact; nulls excluded; merge
+    across batches is order-independent (same answer after repartition)."""
+    import numpy as np
+    import ray.data as rd
+
+    from malli_ray.stages.analytics import approx_distinct_by_group
+
+    rng = np.random.default_rng(7)
+    sizes = {"a": 5000, "b": 800, "c": 23}
+    groups, vals = [], []
+    for g, n in sizes.items():
+        groups += [g] * (n * 2)
+        draws = rng.integers(0, n, size=n * 2)      # ~n distinct w/ repeats
+        vals += [f"u{g}{int(v)}" for v in draws]
+    groups.append("a")
+    vals.append(None)                                # null: not counted
+    ds = rd.from_arrow(pa.table({"g": groups, "v": vals}))
+    exact = {g: len({v for gg, v in zip(groups, vals)
+                     if gg == g and v is not None}) for g in sizes}
+    for parts in (1, 16):
+        got = {r["g"]: r["approx_distinct"]
+               for r in approx_distinct_by_group(
+                   ds.repartition(parts), "g", "v").take_all()}
+        for g, true in exact.items():
+            assert abs(got[g] - true) / true < 0.05, (g, got[g], true)
