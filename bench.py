@@ -126,6 +126,8 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "mp3_headers_documents", "tiff_headers_documents",
         # r3 continuation: sentence segmentation
         "sentences_documents",
+        # r3 continuation: bigram coverage + inverted index
+        "bigram_coverage_documents", "inverted_index_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -1104,6 +1104,196 @@ def ngram_contamination(ds: Dataset, text_column: str, id_column: str,
 # ---------------------------------------------------------------------------
 
 
+class _HashPairSet:
+    """Sorted (h1, h2) membership with a vectorized unique-h1 fast path
+    (the drop_frequent_lines lookup, factored for reuse)."""
+
+    def __init__(self, h1s: np.ndarray, h2s: np.ndarray):
+        order = np.lexsort((h2s, h1s))
+        self.h1_sorted = h1s[order]
+        self.h2_for_h1 = h2s[order]
+        self.h1_unique = (len(self.h1_sorted) < 2
+                          or bool(np.all(np.diff(self.h1_sorted) > 0)))
+        self.pair_set = (None if self.h1_unique
+                         else {(int(a), int(b)) for a, b in zip(h1s, h2s)})
+
+    def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        hit = np.zeros(len(h1), dtype=bool)
+        if not len(self.h1_sorted):
+            return hit
+        cand = np.flatnonzero(np.isin(h1, self.h1_sorted))
+        if not len(cand):
+            return hit
+        if self.h1_unique:
+            pos = np.searchsorted(self.h1_sorted, h1[cand])
+            hit[cand] = self.h2_for_h1[pos] == h2[cand]
+        else:
+            for i in cand.tolist():
+                hit[i] = (int(h1[i]), int(h2[i])) in self.pair_set
+        return hit
+
+
+def frequent_gram_hashes(ds: Dataset, text_column: str, min_count: int,
+                         k: int = 2,
+                         max_frequent: int = 5_000_000) -> "pa.Table":
+    """Corpus-frequent word-k-gram 128-bit hashes (h1, h2, cnt >=
+    min_count) — map-side (h1, h2, cnt) combine, one groupby; int64
+    bit-pattern views (Ray groupby round-trips Python ints; uint64
+    overflows).  Raises above ``max_frequent`` (the broadcast-set bound —
+    never silently truncates)."""
+    from ray.data.aggregate import Sum
+
+    def batch_counts(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        _, _, (a, b) = _gram_rows(pl.from_arrow(col), k, seeds=(21, 22))
+        if not len(a):
+            return pa.table({"h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        comb = np.stack([a.view(np.int64), b.view(np.int64)], axis=1)
+        uniq, counts = np.unique(comb, axis=0, return_counts=True)
+        return pa.table({"h1": uniq[:, 0], "h2": uniq[:, 1],
+                         "cnt": counts.astype(np.int64)})
+
+    freq = (ds.map_batches(batch_counts, batch_format="pyarrow")
+            .groupby(["h1", "h2"]).aggregate(Sum("cnt", alias_name="cnt"))
+            .filter(expr=f"cnt >= {int(min_count)}"))
+    parts = [pa.table(x) for x in freq.iter_batches(batch_format="pyarrow")]
+    tbl = (pa.concat_tables(parts) if parts
+           else pa.table({"h1": pa.array([], pa.int64()),
+                          "h2": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())}))
+    if tbl.num_rows > max_frequent:
+        raise RuntimeError(
+            f"frequent_gram_hashes: {tbl.num_rows} frequent grams exceed "
+            f"max_frequent={max_frequent}; raise min_count or the cap")
+    return tbl
+
+
+class _BigramCoverage:
+    """Per-worker state: the broadcast frequent-bigram hash-pair set."""
+
+    def __init__(self, text_column: str, id_column: str, freq_ref, k: int):
+        import ray
+        tbl = ray.get(freq_ref) if not isinstance(freq_ref, pa.Table) \
+            else freq_ref
+        self.pairs = _HashPairSet(
+            tbl.column("h1").to_numpy(zero_copy_only=False),
+            tbl.column("h2").to_numpy(zero_copy_only=False))
+        self.text_column = text_column
+        self.id_column = id_column
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        n = batch.num_rows
+        col = batch.column(self.text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        rows, _, (a, b) = _gram_rows(pl.from_arrow(col), self.k,
+                                     seeds=(21, 22))
+        known = self.pairs.contains(a.view(np.int64), b.view(np.int64))
+        n_grams = np.bincount(rows, minlength=n).astype(np.int64)
+        n_known = np.bincount(rows[known], minlength=n).astype(np.int64)
+        cov = n_known.astype(np.float64) / np.maximum(n_grams, 1)
+        return pa.table({
+            self.id_column: batch.column(self.id_column),
+            "n_bigrams": pa.array(n_grams, pa.int64()),
+            "n_known": pa.array(n_known, pa.int64()),
+            "bigram_coverage": pa.array(cov, pa.float64())})
+
+
+def bigram_coverage(ds: Dataset, text_column: str, id_column: str,
+                    min_count: int = 3, k: int = 2,
+                    max_frequent: int = 5_000_000,
+                    concurrency=None) -> Dataset:
+    """Bigram LM coverage score: the fraction of a document's word-bigram
+    OCCURRENCES that are corpus-frequent (count >= min_count) — the
+    bigram-level sibling of :func:`corpus_freq_score` (a cheap fluency /
+    domain-fit proxy: rare-bigram-heavy docs score low).
+
+    Two passes: map-side-combined bigram counts -> tiny (h1, h2) frequent
+    set broadcast once via ray.put -> shuffle-free scoring.  Counts are
+    integer-exact and the score is ONE IEEE division, so the SQL oracle
+    reproduces it bit-for-bit (128-bit gram hashes stand in for the gram
+    strings — the drop_frequent_lines contract)."""
+    import ray
+
+    from . import cached_stage, concurrency_kwargs
+
+    freq = frequent_gram_hashes(ds, text_column, min_count, k=k,
+                                max_frequent=max_frequent)
+    ref = ray.put(freq.select(["h1", "h2"]))
+    return ds.map_batches(
+        cached_stage(_BigramCoverage, text_column=text_column,
+                     id_column=id_column, freq_ref=ref, k=k),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
+def build_inverted_index(ds: Dataset, text_column: str, id_column: str,
+                         min_df: int = 2, max_df: int | None = None,
+                         max_postings: int = 100_000,
+                         num_partitions: int | None = None) -> Dataset:
+    """Inverted index: (word, df, postings) with postings = the sorted
+    distinct doc ids containing the word, comma-joined.
+
+    Map-side combine: each batch emits its DISTINCT (word, id) pairs
+    (polars explode + unique), so the groupby shuffles one row per
+    distinct pair per block.  ``min_df``/``max_df`` bound the emitted
+    vocabulary (frequent words belong to stopword handling — an
+    unbounded posting list is a hot key by definition); a list longer
+    than ``max_postings`` raises loudly."""
+    import polars as pl
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        idc = batch.column(id_column)
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        df = (pl.DataFrame({
+                "_id": pl.from_arrow(idc),
+                "w": pl.from_arrow(col).fill_null("")
+                     .str.extract_all(r"[^\t\n\f\r ]+")})
+              .explode("w").drop_nulls("w").unique(subset=["_id", "w"]))
+        return pa.table({"word": df.get_column("w").to_arrow()
+                         .cast(pa.string()),
+                         "_id": df.get_column("_id").to_arrow()})
+
+    def finish(g: pa.Table) -> pa.Table:
+        empty = pa.table({"word": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "postings": pa.array([], pa.string())})
+        ids = np.unique(g.column("_id").to_numpy(zero_copy_only=False))
+        df = len(ids)
+        if df < min_df or (max_df is not None and df > max_df):
+            return empty
+        if df > max_postings:
+            raise RuntimeError(
+                f"build_inverted_index: posting list of {df} ids exceeds "
+                f"max_postings={max_postings}; lower max_df")
+        return pa.table({
+            "word": g.column("word").slice(0, 1),
+            "df": pa.array([df], pa.int64()),
+            "postings": pa.array([",".join(str(i) for i in ids.tolist())],
+                                 pa.string())})
+
+    return (ds.select_columns([id_column, text_column])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby("word", num_partitions=num_partitions)
+            .map_groups(finish, batch_format="pyarrow"))
+
+
 def document_frequencies(ds: Dataset, text_column: str) -> "pa.Table":
     """(word, df) — number of DOCUMENTS containing each word.
 

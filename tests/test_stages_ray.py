@@ -2090,3 +2090,47 @@ def test_approx_distinct_by_group(ray_session):
                    ds.repartition(parts), "g", "v").take_all()}
         for g, true in exact.items():
             assert abs(got[g] - true) / true < 0.05, (g, got[g], true)
+
+
+def test_bigram_coverage_semantics(ray_session):
+    """Known-corpus check: occurrence counting (not distinct), short docs,
+    threshold boundary."""
+    import ray.data as rd
+
+    from malli_ray.stages.text import bigram_coverage
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b a b a b",      # bigrams: (a b)x3, (b a)x2
+                 "a b c",            # (a b), (b c)
+                 "one",              # no bigrams
+                 "a b x y"]}))       # (a b), (b x), (x y)
+    out = {r["doc_id"]: r
+           for r in bigram_coverage(ds, "text", "doc_id",
+                                    min_count=3).take_all()}
+    # corpus counts: (a b)=5 -> frequent; (b a)=2, (b c)=1, ... -> not
+    assert out[0]["n_bigrams"] == 5 and out[0]["n_known"] == 3
+    assert out[1]["n_bigrams"] == 2 and out[1]["n_known"] == 1
+    assert out[2]["n_bigrams"] == 0 and out[2]["bigram_coverage"] == 0.0
+    assert out[3]["n_known"] == 1
+    assert out[0]["bigram_coverage"] == 3 / 5
+
+
+def test_inverted_index_semantics(ray_session):
+    import ray.data as rd
+
+    from malli_ray.stages.text import build_inverted_index
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [3, 1, 2],
+        "text": ["cat dog cat", "dog bird", "dog cat zebra"]}))
+    rows = {r["word"]: r for r in build_inverted_index(
+        ds.repartition(3), "text", "doc_id", min_df=2).take_all()}
+    # zebra/bird df=1 -> excluded; postings sorted; repeats deduped
+    assert set(rows) == {"cat", "dog"}
+    assert rows["cat"]["df"] == 2 and rows["cat"]["postings"] == "2,3"
+    assert rows["dog"]["df"] == 3 and rows["dog"]["postings"] == "1,2,3"
+    # max_df excludes the frequent word
+    only = build_inverted_index(ds, "text", "doc_id", min_df=2,
+                                max_df=2).take_all()
+    assert [r["word"] for r in only] == ["cat"]
