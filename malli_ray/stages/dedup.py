@@ -916,37 +916,9 @@ def semantic_codebook(ds: Dataset, emb_column: str, id_column: str,
     math).  For codebooks that must see the full corpus use
     similarity.kmeans_fit instead (scale path; reduction order makes it
     deterministic only up to float-sum rounding)."""
-    from .similarity import train_centroids
+    from .similarity import smallest_hash_sample, train_centroids
 
-    def partial_sample(batch: pa.Table) -> pa.Table:
-        t = pa.table({"h": pa.array(
-            hash64(batch.column(id_column), seed=5).view(np.int64)),
-            "id": batch.column(id_column),
-            "emb": batch.column(emb_column)})
-        if t.num_rows > sample_size:
-            t = t.sort_by([("h", "ascending"), ("id", "ascending")])
-            t = t.slice(0, sample_size)
-        return t
-
-    parts = ds.map_batches(partial_sample, batch_format="pyarrow")
-    # streaming driver merge: fold each partial into a running top-k so
-    # driver memory stays O(sample_size), not O(blocks x sample_size) —
-    # at 100 TB the partial stream is millions of blocks
-    merged: "pa.Table | None" = None
-    for b in parts.iter_batches(batch_format="pyarrow"):
-        t = pa.table(b)
-        if t.num_rows == 0:
-            continue
-        merged = t if merged is None else pa.concat_tables([merged, t])
-        if merged.num_rows > sample_size:
-            merged = merged.sort_by([("h", "ascending"),
-                                     ("id", "ascending")])
-            merged = merged.slice(0, sample_size).combine_chunks()
-    if merged is None:
-        raise ValueError("semantic_codebook: empty dataset")
-    merged = merged.sort_by([("h", "ascending"), ("id", "ascending")])
-    merged = merged.slice(0, sample_size)
-    sample = np.asarray(merged.column("emb").to_pylist(), dtype=np.float64)
+    sample = smallest_hash_sample(ds, emb_column, id_column, sample_size)
     return train_centroids(sample, n_clusters, iters=iters, seed=seed)
 
 

@@ -348,3 +348,190 @@ def quantize_embeddings_int8(ds: Dataset, emb_column: str, id_column: str,
         cached_stage(_Int8Quantizer, emb_column=emb_column,
                      id_column=id_column),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ) — the sub-byte ANN compression path
+# --------------------------------------------------------------------------
+
+
+def smallest_hash_sample(ds: Dataset, emb_column: str, id_column: str,
+                         sample_size: int, hash_seed: int = 5) -> np.ndarray:
+    """The ``sample_size`` embedding rows with the globally SMALLEST
+    ``hash(id)`` — map-side partial top-k per batch + a streaming driver
+    merge (O(sample_size) driver memory).  Block-order / partitioning /
+    cluster-size independent, so every codebook trained on it is rerun-
+    and resume-stable (the dedup.semantic_codebook sampling contract,
+    factored here for reuse)."""
+    from ..state.sketches import hash64
+
+    def partial_sample(batch: pa.Table) -> pa.Table:
+        t = pa.table({"h": pa.array(
+            hash64(batch.column(id_column), seed=hash_seed).view(np.int64)),
+            "id": batch.column(id_column),
+            "emb": batch.column(emb_column)})
+        if t.num_rows > sample_size:
+            t = t.sort_by([("h", "ascending"), ("id", "ascending")])
+            t = t.slice(0, sample_size)
+        return t
+
+    merged: "pa.Table | None" = None
+    for b in ds.map_batches(partial_sample,
+                            batch_format="pyarrow").iter_batches(
+                                batch_format="pyarrow"):
+        t = pa.table(b)
+        if t.num_rows == 0:
+            continue
+        merged = t if merged is None else pa.concat_tables([merged, t])
+        if merged.num_rows > sample_size:
+            merged = merged.sort_by([("h", "ascending"),
+                                     ("id", "ascending")])
+            merged = merged.slice(0, sample_size).combine_chunks()
+    if merged is None:
+        raise ValueError("smallest_hash_sample: empty dataset")
+    merged = merged.sort_by([("h", "ascending"), ("id", "ascending")])
+    merged = merged.slice(0, sample_size)
+    return np.asarray(merged.column("emb").to_pylist(), dtype=np.float64)
+
+
+def _lloyd_euclidean(x: np.ndarray, k: int, iters: int,
+                     seed: int) -> np.ndarray:
+    """Seeded Euclidean Lloyd on a driver-side sample (PQ sub-codebooks —
+    unlike train_centroids, NOT spherical: PQ quantizes raw subvectors)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(x), size=min(k, len(x)), replace=False)
+    cents = x[idx].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def pq_train(ds: Dataset, emb_column: str, id_column: str, m: int = 8,
+             k: int = 16, sample_size: int = 2048, iters: int = 10,
+             seed: int = 42) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou, Douze & Schmid 2011):
+    split d dims into ``m`` subspaces, per-subspace seeded Euclidean
+    k-means with ``k`` centroids over the deterministic smallest-hash
+    sample.  Returns (m, k, d/m) float64 codebooks.  Memory per encoded
+    vector is m bytes (k <= 256) — 16-32x below float32."""
+    sample = smallest_hash_sample(ds, emb_column, id_column, sample_size)
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    if k > 256:
+        raise ValueError("pq_train: k > 256 does not fit uint8 codes")
+    dsub = d // m
+    return np.stack([
+        _lloyd_euclidean(sample[:, j * dsub:(j + 1) * dsub], k, iters,
+                         seed + j)
+        for j in range(m)])
+
+
+class _PQEncoder:
+    """Per-worker state: broadcast (m, k, dsub) codebooks; per batch one
+    vectorized distance argmin per subspace."""
+
+    def __init__(self, codebooks_ref, emb_column: str, id_column: str):
+        self.books = (ray.get(codebooks_ref)
+                      if not isinstance(codebooks_ref, np.ndarray)
+                      else codebooks_ref)
+        self.emb_column = emb_column
+        self.id_column = id_column
+
+    def _codes(self, mat: np.ndarray) -> np.ndarray:
+        m, _, dsub = self.books.shape
+        codes = np.empty((mat.shape[0], m), dtype=np.uint8)
+        for j in range(m):
+            sub = mat[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - self.books[j][None, :, :]) ** 2) \
+                .sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        return codes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch, self.emb_column)
+        codes = self._codes(mat)
+        m = codes.shape[1]
+        flat = pa.array(codes.reshape(-1), type=pa.uint8())
+        return pa.table({
+            self.id_column: batch.column(self.id_column),
+            "pq_code": pa.FixedSizeListArray.from_arrays(flat, m)})
+
+
+def pq_encode(ds: Dataset, codebooks: np.ndarray, emb_column: str,
+              id_column: str, concurrency=None) -> Dataset:
+    """Encode every vector to m uint8 centroid indexes (shuffle-free)."""
+    from . import cached_stage, concurrency_kwargs
+    ref = ray.put(np.asarray(codebooks, dtype=np.float64))
+    return ds.map_batches(
+        cached_stage(_PQEncoder, codebooks_ref=ref, emb_column=emb_column,
+                     id_column=id_column),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
+class _PQScorer(_PQEncoder):
+    """ADC search: per query a (m, k) distance table against the
+    codebooks, per row a table-lookup sum over its m codes — no float
+    math per vector at query time."""
+
+    def __init__(self, codebooks_ref, queries_ref, emb_column: str,
+                 id_column: str, k: int):
+        super().__init__(codebooks_ref, emb_column, id_column)
+        q = ray.get(queries_ref)
+        m, _, dsub = self.books.shape
+        # tables[q, j, c] = ||query_sub - centroid||^2
+        self.tables = np.stack([
+            ((q[:, j * dsub:(j + 1) * dsub][:, None, :]
+              - self.books[j][None, :, :]) ** 2).sum(axis=2)
+            for j in range(m)], axis=1)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch, self.emb_column)
+        codes = self._codes(mat)                       # (n, m)
+        nq, m, _ = self.tables.shape
+        n = codes.shape[0]
+        ids = batch.column(self.id_column)
+        out_q, out_take, out_d = [], [], []
+        sub = np.arange(m)
+        for qi in range(nq):
+            dist = self.tables[qi][sub[None, :], codes].sum(axis=1)
+            top = np.argsort(dist, kind="stable")[:self.k]
+            out_q.extend([qi] * len(top))
+            out_take.extend(top.tolist())
+            out_d.extend(dist[top].tolist())
+        import pyarrow.compute as pc
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int32()),
+            self.id_column: pc.take(ids, pa.array(out_take,
+                                                  type=pa.int64())),
+            "pq_dist": pa.array(out_d, type=pa.float64())})
+
+
+def pq_topk(ds: Dataset, queries: np.ndarray, codebooks: np.ndarray,
+            emb_column: str, id_column: str, k: int = 10,
+            concurrency=None) -> Dataset:
+    """Approximate top-k by PQ asymmetric distance: per-batch local top-k
+    (codes computed on the fly — at scale, run over a pq_encode'd table
+    instead), one tiny groupby reduce per query (ties by id)."""
+    from . import cached_stage, concurrency_kwargs
+    cref = ray.put(np.asarray(codebooks, dtype=np.float64))
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    local = ds.map_batches(
+        cached_stage(_PQScorer, codebooks_ref=cref, queries_ref=qref,
+                     emb_column=emb_column, id_column=id_column, k=k),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+    def reduce_topk(group: pa.Table) -> pa.Table:
+        order = np.lexsort((
+            np.asarray(group.column(id_column).to_pylist(), dtype=object),
+            group.column("pq_dist").to_numpy(zero_copy_only=False)))
+        return group.take(pa.array(order[:k]))
+
+    return local.groupby("query_id").map_groups(reduce_topk,
+                                                batch_format="pyarrow")

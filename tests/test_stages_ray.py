@@ -2134,3 +2134,46 @@ def test_inverted_index_semantics(ray_session):
     only = build_inverted_index(ds, "text", "doc_id", min_df=2,
                                 max_df=2).take_all()
     assert [r["word"] for r in only] == ["cat"]
+
+
+def test_pq_quantization_quality(ray_session):
+    """PQ encode/search sanity: reconstruction beats the zero predictor,
+    ADC top-k recalls most exact-L2 neighbors, codes fit uint8."""
+    import numpy as np
+    import ray.data as rd
+
+    from malli_ray.stages.similarity import pq_encode, pq_topk, pq_train
+
+    rng = np.random.default_rng(3)
+    # cluster-structured data (iid gaussians have near-equidistant
+    # neighbors — meaningless recall target for ANY quantizer)
+    centers = rng.standard_normal((20, 32)) * 3.0
+    assign = rng.integers(0, 20, size=400)
+    emb = centers[assign] + 0.3 * rng.standard_normal((400, 32))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(400)),
+        "embedding": [row.tolist() for row in emb]}))
+    books = pq_train(ds, "embedding", "vec_id", m=4, k=32, sample_size=400)
+    assert books.shape == (4, 32, 8)
+
+    codes = {r["vec_id"]: r["pq_code"]
+             for r in pq_encode(ds, books, "embedding",
+                                "vec_id").take_all()}
+    assert len(codes) == 400 and all(len(c) == 4 for c in codes.values())
+    # reconstruction error well below signal energy
+    recon = np.stack([np.concatenate([books[j][codes[i][j]]
+                                      for j in range(4)])
+                      for i in range(400)])
+    assert ((emb - recon) ** 2).mean() < 0.5 * (emb ** 2).mean()
+
+    queries = emb[:3]
+    got = pq_topk(ds, queries, books, "embedding", "vec_id",
+                  k=10).take_all()
+    for qi in range(3):
+        mine = {r["vec_id"] for r in got if r["query_id"] == qi}
+        assert len(mine) == 10
+        # within a cluster PQ codes coincide (quantization cell > noise),
+        # so exact-rank overlap is tie-broken arbitrarily — the meaningful
+        # recall target is CLUSTER membership of the retrieved neighbors
+        same_cluster = sum(assign[v] == assign[qi] for v in mine)
+        assert same_cluster >= 8, (qi, same_cluster)

@@ -377,6 +377,53 @@ def bpe_encode_ref(texts, merges):
     return out
 
 
+def pq_topk_ref(ids, embs, n_queries=2, k=5, m=8, kc=16, seed=42,
+                sample_size=256, iters=10):
+    """Brute-force reconstruction of the PQ ADC top-k query: the same
+    smallest-hash sample (polars hash — the pinned primitive), per-subspace
+    seeded Euclidean Lloyd (seed+j per subspace), argmin encoding, ADC
+    table-lookup distance, top-k by (dist, id).  Membership-only pin
+    (query_id, vec_id) — ulp-robust like ivf_topk_ref."""
+    emb = np.asarray(embs, dtype=np.float64)
+    ids = np.asarray(ids, dtype=np.int64)
+    hh = pl.Series(ids).hash(seed=5).to_numpy().astype(np.uint64) \
+        .view(np.int64)
+    order = np.lexsort((ids, hh))[:sample_size]
+    sample = emb[order]
+    d = emb.shape[1]
+    dsub = d // m
+    books = []
+    for j in range(m):
+        x = sample[:, j * dsub:(j + 1) * dsub]
+        rng = np.random.default_rng(seed + j)
+        idx = rng.choice(len(x), size=min(kc, len(x)), replace=False)
+        cents = x[idx].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = x[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    codes = np.empty((len(emb), m), dtype=np.int64)
+    for j in range(m):
+        sub = emb[:, j * dsub:(j + 1) * dsub]
+        codes[:, j] = ((sub[:, None, :] - books[j][None, :, :]) ** 2) \
+            .sum(axis=2).argmin(axis=1)
+    queries = emb[:n_queries]
+    out = []
+    for qi in range(n_queries):
+        table = np.stack([
+            ((queries[qi, j * dsub:(j + 1) * dsub][None, :]
+              - books[j]) ** 2).sum(axis=1) for j in range(m)])
+        dist = table[np.arange(m)[None, :], codes].sum(axis=1)
+        sel = np.lexsort((ids, dist))[:k]
+        for i in sel:
+            out.append((qi, int(ids[i])))
+    return out
+
+
 def compression_ref(texts, level=6):
     """Per-doc DEFLATE sizes.  zlib at a fixed level IS the pinned shared
     primitive (like polars' hash for the dedup fixtures); this pins the
@@ -495,6 +542,13 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "compression_ratio": pa.array([c[2] for c in comp],
                                                     type=pa.float64())}),
             os.path.join(outdir, "compression_documents.parquet"))
+        pqr = pq_topk_ref(eids, et.column("embedding").to_pylist())
+        pq.write_table(
+            pa.table({"query_id": pa.array([p[0] for p in pqr],
+                                           type=pa.int32()),
+                      "vec_id": pa.array([p[1] for p in pqr],
+                                         type=pa.int64())}),
+            os.path.join(outdir, "pq_topk_embeddings.parquet"))
         ivf = ivf_topk_ref(eids, et.column("embedding").to_pylist())
         pq.write_table(
             pa.table({"query_id": pa.array([p[0] for p in ivf],
