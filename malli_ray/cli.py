@@ -81,6 +81,9 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
     stages = []
     tc, idc = args.text_column, args.id_column
 
+    if args.strip_html:
+        ds = T.strip_html(ds, tc)
+        stages.append("strip_html")
     if args.normalize:
         ds = T.normalize_text(ds, tc)
         stages.append("normalize")
@@ -229,6 +232,9 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--out", required=True, help="output directory")
     cp.add_argument("--text-column", default="text")
     cp.add_argument("--id-column", default="doc_id")
+    cp.add_argument("--strip-html", action="store_true",
+                    help="C4-style HTML extraction before everything else "
+                         "(script/style/comment/tag strip + entity decode)")
     cp.add_argument("--normalize", action="store_true",
                     help="canonical text normalization first (control-strip"
                          " -> whitespace-collapse -> trim -> lower)")

@@ -178,6 +178,54 @@ def gopher_rules(ds: Dataset, text_column: str, id_column: str,
     return ds.map_batches(rules, batch_format="pyarrow")
 
 
+#: fixed kernel order for strip_html — each is one RE2 pass, so the SQL
+#: oracle replays the same chain with regexp_replace(..., 'g')
+_HTML_STEPS = (
+    # script/style blocks go first, WITH their content (RE2 has no
+    # lookaround — dotall non-greedy is the RE2-compatible form)
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),                          # comments
+    (r"</?[A-Za-z][^>]*>", " "),                       # any remaining tag
+)
+_HTML_ENTITIES = (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                  ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"))
+
+
+def strip_html(ds: Dataset, text_column: str, out: str | None = None,
+               collapse_whitespace: bool = True) -> Dataset:
+    """HTML/boilerplate stripping (the C4 extraction step): drop
+    script/style blocks with their payload, comments, then all remaining
+    tags; decode the six common entities; optionally collapse runs of
+    whitespace.  Chained RE2 kernels (pc.replace_substring_regex) in a
+    FIXED order — no HTML parser dependency, and the SQL oracle replays
+    the identical chain byte-for-byte.  Malformed markup degrades
+    gracefully (unclosed tags strip to the next '>'), it never raises."""
+    out = out or text_column
+
+    def strip(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_column)
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        for pat, rep in _HTML_STEPS:
+            col = pc.replace_substring_regex(col, pat, rep)
+        for lit, rep in _HTML_ENTITIES:
+            col = pc.replace_substring(col, lit, rep)
+        if collapse_whitespace:
+            # '^ | $' instead of a trim kernel: RE2 semantics are shared
+            # with the SQL oracle byte-for-byte (trim kernels differ on
+            # unicode whitespace classes)
+            col = pc.replace_substring_regex(
+                pc.replace_substring_regex(col, r"[\t\n\f\r ]+", " "),
+                r"^ | $", "")
+        i = batch.schema.get_field_index(out)
+        if i >= 0:
+            return batch.set_column(i, out, col)
+        return batch.append_column(out, col)
+
+    return ds.map_batches(strip, batch_format="pyarrow")
+
+
 #: sentence = shortest run ending in [.!?]+, or the unterminated tail.
 #: Leftmost-first alternation — identical in rust-regex (polars) and RE2
 #: (DuckDB regexp_extract_all), so the SQL oracle reproduces the split.

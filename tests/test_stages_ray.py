@@ -2177,3 +2177,29 @@ def test_pq_quantization_quality(ray_session):
         # recall target is CLUSTER membership of the retrieved neighbors
         same_cluster = sum(assign[v] == assign[qi] for v in mine)
         assert same_cluster >= 8, (qi, same_cluster)
+
+
+def test_strip_html_semantics(ray_session):
+    import ray.data as rd
+
+    from malli_ray.stages.text import strip_html
+
+    docs = [
+        ("<p>Hello <b>world</b></p>", "Hello world"),
+        ("<script>ignore < this </script>keep", "keep"),
+        ("<style a=b>.x{}</style>text", "text"),
+        ("<!-- no -->yes<!-- \n multi\nline -->", "yes"),
+        ("A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end",
+         "A & B <tag> \"q\" 's' end"),
+        ("unclosed <div attr='x' rest", "unclosed <div attr='x' rest"),
+        ("  spaced\t\tout\n\nwords  ", "spaced out words"),
+        ("", ""),
+        ("<SCRIPT>UPPER</SCRIPT><P>case</P>", "case"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(len(docs))),
+        "text": [d[0] for d in docs]}))
+    out = {r["doc_id"]: r["text"]
+           for r in strip_html(ds, "text").take_all()}
+    for i, (_, want) in enumerate(docs):
+        assert out[i] == want, (i, out[i], want)
