@@ -268,6 +268,30 @@ def split_sentences(ds: Dataset, text_column: str, id_column: str,
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def normalize_unicode(ds: Dataset, text_column: str,
+                      out: str | None = None, form: str = "NFC") -> Dataset:
+    """Unicode normalization (NFC default — the dedup/tokenizer
+    pre-pass: visually-identical byte sequences collapse to one form, so
+    hash dedup and vocab building see them as equal).  Per-string
+    ``unicodedata.normalize`` C calls (media-probe cost class); NFC
+    agrees byte-for-byte with DuckDB's ``nfc_normalize`` (the oracle);
+    NFKC/NFD/NFKD available for callers."""
+    import unicodedata
+    out = out or text_column
+
+    def norm(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_column).to_pylist()
+        fixed = pa.array(
+            [None if t is None else unicodedata.normalize(form, t)
+             for t in texts], pa.string())
+        i = batch.schema.get_field_index(out)
+        if i >= 0:
+            return batch.set_column(i, out, fixed)
+        return batch.append_column(out, fixed)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def add_compression_ratio(ds: Dataset, text_column: str, id_column: str,
                           level: int = 6) -> Dataset:
     """Compressibility quality signal: DEFLATE output bytes / input bytes

@@ -2203,3 +2203,23 @@ def test_strip_html_semantics(ray_session):
            for r in strip_html(ds, "text").take_all()}
     for i, (_, want) in enumerate(docs):
         assert out[i] == want, (i, out[i], want)
+
+
+def test_normalize_unicode_forms(ray_session):
+    import unicodedata
+
+    import ray.data as rd
+
+    from malli_ray.stages.text import normalize_unicode
+
+    decomp = "café Å ﬁne"     # e+acute, A+ring, fi-ligature
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1],
+                                 "text": [decomp, None]}))
+    nfc = normalize_unicode(ds, "text").take_all()
+    got = {r["doc_id"]: r["text"] for r in nfc}
+    assert got[0] == "café Å ﬁne"   # ligature survives NFC
+    assert got[1] is None
+    nfkc = normalize_unicode(ds, "text", out="t2", form="NFKC").take_all()
+    got2 = {r["doc_id"]: r["t2"] for r in nfkc}
+    assert got2[0] == "café Å fine"      # NFKC folds the ligature
+    assert unicodedata.normalize("NFC", decomp) == got[0]
