@@ -130,8 +130,8 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "bigram_coverage_documents", "inverted_index_documents",
         # r3 continuation: product quantization ANN + HTML extraction
         "pq_topk_embeddings", "strip_html_documents",
-        # r3 continuation: unicode NFC normalization
-        "nfc_documents",
+        # r3 continuation: unicode NFC normalization + v3 flagship
+        "nfc_documents", "corpus_prep_v3_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -35,7 +35,7 @@ from ray.data import Dataset
 __all__ = ["top_k_per_group", "distinct_count_by_group", "pivot_counts",
            "lag_lead", "running_aggregate", "collect_by_group",
            "rank_per_group", "mode_by_group", "covariance_by_group",
-           "approx_distinct_by_group"]
+           "approx_distinct_by_group", "quantiles_by_group"]
 
 
 def _sort_spec(group: str, order_by, descending: bool):
@@ -127,6 +127,57 @@ def distinct_count_by_group(ds: Dataset, group: str, value: str,
 
     return (ds.select_columns([group, value])
             .map_batches(distinct_pairs, batch_format="pyarrow")
+            .groupby(group, num_partitions=num_partitions)
+            .map_groups(finish, batch_format="pyarrow"))
+
+
+def quantiles_by_group(ds: Dataset, group: str, value: str,
+                       qs: "tuple | list" = (0.5, 0.9, 0.99),
+                       num_partitions: int | None = None) -> Dataset:
+    """Approximate per-group quantiles via per-group t-digest — the
+    at-scale sibling of the exact sort-based per-group quantiles
+    (`median_value_by_type`): each batch builds one digest per group it
+    contains (map-side partial), so the groupby moves (group, digest)
+    rows per (batch x group) instead of raw values.  Digest merge is
+    associative; rel. error is the t-digest bound (<1% at the tails for
+    delta=200, pytest-verified)."""
+    from ..state.sketches import TDigest
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = batch.select([group, value])
+        enc = cols.column(group).combine_chunks()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        dict_arr = pc.dictionary_encode(enc)
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.combine_chunks()
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+        uniq = dict_arr.dictionary
+        vals = cols.column(value).to_numpy(zero_copy_only=False) \
+            .astype(np.float64, copy=False)
+        digs = []
+        for g in range(len(uniq)):
+            td = TDigest()
+            td.add(vals[codes == g])
+            digs.append(td.digest())
+        return pa.table({group: uniq,
+                         "_digest": pa.array(digs, pa.string())})
+
+    q_cols = [f"q{str(q).replace('.', '_')}" for q in qs]
+
+    def finish(g: pa.Table) -> pa.Table:
+        from ..state.sketches import TDigest as TD
+        merged = None
+        for d in g.column("_digest").to_pylist():
+            t = TD.from_digest(d)
+            merged = t if merged is None else merged.merge(t)
+        out = {group: g.column(group).slice(0, 1)}
+        for q, name in zip(qs, q_cols):
+            out[name] = pa.array([merged.quantile(q)], pa.float64())
+        return pa.table(out)
+
+    return (ds.select_columns([group, value])
+            .map_batches(partial, batch_format="pyarrow")
             .groupby(group, num_partitions=num_partitions)
             .map_groups(finish, batch_format="pyarrow"))
 

@@ -2223,3 +2223,31 @@ def test_normalize_unicode_forms(ray_session):
     got2 = {r["doc_id"]: r["t2"] for r in nfkc}
     assert got2[0] == "café Å fine"      # NFKC folds the ligature
     assert unicodedata.normalize("NFC", decomp) == got[0]
+
+
+def test_quantiles_by_group(ray_session):
+    """Per-group t-digest quantiles within 1.5% rank error of exact,
+    repartition-invariant up to digest merge order."""
+    import numpy as np
+    import ray.data as rd
+
+    from malli_ray.stages.analytics import quantiles_by_group
+
+    rng = np.random.default_rng(11)
+    groups, vals = [], []
+    dists = {"a": rng.lognormal(3, 1, 20000),
+             "b": rng.uniform(0, 100, 5000),
+             "c": np.arange(50, dtype=np.float64)}
+    for g, v in dists.items():
+        groups += [g] * len(v)
+        vals += v.tolist()
+    ds = rd.from_arrow(pa.table({"g": groups, "v": vals})).repartition(8)
+    got = {r["g"]: r for r in quantiles_by_group(
+        ds, "g", "v", qs=(0.5, 0.9, 0.99)).take_all()}
+    for g, v in dists.items():
+        v = np.sort(v)
+        for q, col in ((0.5, "q0_5"), (0.9, "q0_9"), (0.99, "q0_99")):
+            est = got[g][col]
+            # rank error: where does the estimate land in the true CDF?
+            rank = np.searchsorted(v, est) / len(v)
+            assert abs(rank - q) < 0.015, (g, q, est, rank)
