@@ -132,6 +132,8 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "pq_topk_embeddings", "strip_html_documents",
         # r3 continuation: unicode NFC normalization + v3 flagship
         "nfc_documents", "corpus_prep_v3_documents",
+        # r3 continuation: residual IVF-PQ
+        "ivfpq_topk_embeddings",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -535,3 +535,108 @@ def pq_topk(ds: Dataset, queries: np.ndarray, codebooks: np.ndarray,
 
     return local.groupby("query_id").map_groups(reduce_topk,
                                                 batch_format="pyarrow")
+
+
+class _IVFPQScorer(_PQEncoder):
+    """Residual IVF-PQ (the canonical billion-scale ANN layout, Jégou
+    2011 §IV): rows assign to their nearest coarse centroid (spherical,
+    the IVF cells); the PQ codebooks quantize the RESIDUAL x - c; each
+    query probes its n_probe nearest cells with a per-cell ADC table over
+    the residual query q - c."""
+
+    def __init__(self, codebooks_ref, centroids_ref, queries_ref,
+                 emb_column: str, id_column: str, k: int, n_probe: int):
+        super().__init__(codebooks_ref, emb_column, id_column)
+        get = (lambda r: ray.get(r) if isinstance(r, ray.ObjectRef) else r)
+        self.centroids = np.asarray(get(centroids_ref), dtype=np.float64)
+        q = np.asarray(get(queries_ref), dtype=np.float64)
+        m, kc, dsub = self.books.shape
+        qn = _unit_rows(q)
+        order = np.argsort(-(qn @ self.centroids.T), axis=1)[:, :n_probe]
+        self.probe_cells = [row.tolist() for row in order]
+        # per (query, probed cell): ADC table over the residual query
+        self.tables = {}
+        for qi, cells in enumerate(self.probe_cells):
+            for c in cells:
+                res = q[qi] - self.centroids[c]
+                self.tables[(qi, c)] = np.stack([
+                    ((res[j * dsub:(j + 1) * dsub][None, :]
+                      - self.books[j][None, :, :].reshape(kc, dsub)) ** 2)
+                    .sum(axis=1) for j in range(m)])
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch, self.emb_column)
+        unit = _unit_rows(mat)
+        assign = (unit @ self.centroids.T).argmax(axis=1)
+        m = self.books.shape[0]
+        sub = np.arange(m)
+        ids = batch.column(self.id_column)
+        out_q, out_take, out_d = [], [], []
+        for qi, cells in enumerate(self.probe_cells):
+            for c in cells:
+                in_cell = np.flatnonzero(assign == c)
+                if not len(in_cell):
+                    continue
+                res = mat[in_cell] - self.centroids[c]
+                codes = self._codes(res)
+                dist = self.tables[(qi, c)][sub[None, :], codes].sum(axis=1)
+                kk = min(self.k, len(dist))
+                top = np.argpartition(dist, kth=kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_take.extend(in_cell[top].tolist())
+                out_d.extend(dist[top].tolist())
+        import pyarrow.compute as pc
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int32()),
+            self.id_column: pc.take(ids, pa.array(out_take,
+                                                  type=pa.int64())),
+            "pq_dist": pa.array(out_d, type=pa.float64())})
+
+
+def ivfpq_train(ds: Dataset, emb_column: str, id_column: str,
+                n_centroids: int = 8, m: int = 8, k: int = 16,
+                sample_size: int = 2048, iters: int = 10,
+                seed: int = 42) -> "tuple[np.ndarray, np.ndarray]":
+    """Train the coarse (spherical) centroids AND residual PQ codebooks
+    from ONE deterministic smallest-hash sample.  Returns
+    (centroids (C, d), codebooks (m, k, d/m))."""
+    sample = smallest_hash_sample(ds, emb_column, id_column, sample_size)
+    cents = train_centroids(sample, n_centroids, iters=iters, seed=seed)
+    assign = (_unit_rows(sample) @ cents.T).argmax(axis=1)
+    residuals = sample - cents[assign]
+    d = residuals.shape[1]
+    if d % m:
+        raise ValueError(f"ivfpq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.stack([
+        _lloyd_euclidean(residuals[:, j * dsub:(j + 1) * dsub], k, iters,
+                         seed + j)
+        for j in range(m)])
+    return cents, books
+
+
+def ivfpq_topk(ds: Dataset, queries: np.ndarray, centroids: np.ndarray,
+               codebooks: np.ndarray, emb_column: str, id_column: str,
+               k: int = 10, n_probe: int = 3, concurrency=None) -> Dataset:
+    """Residual IVF-PQ ADC search: centroids + codebooks broadcast once,
+    per-batch cell filter + residual-code table lookups, one tiny
+    groupby reduce per query."""
+    from . import cached_stage, concurrency_kwargs
+    cref = ray.put(np.asarray(codebooks, dtype=np.float64))
+    vref = ray.put(np.asarray(centroids, dtype=np.float64))
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    local = ds.map_batches(
+        cached_stage(_IVFPQScorer, codebooks_ref=cref, centroids_ref=vref,
+                     queries_ref=qref, emb_column=emb_column,
+                     id_column=id_column, k=k, n_probe=n_probe),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+    def reduce_topk(group: pa.Table) -> pa.Table:
+        order = np.lexsort((
+            np.asarray(group.column(id_column).to_pylist(), dtype=object),
+            group.column("pq_dist").to_numpy(zero_copy_only=False)))
+        return group.take(pa.array(order[:k]))
+
+    return local.groupby("query_id").map_groups(reduce_topk,
+                                                batch_format="pyarrow")

@@ -99,6 +99,15 @@ def test_pq_topk_fixture_rederives():
     assert [tuple(r.values()) for r in got.to_pylist()] == want
 
 
+def test_ivfpq_topk_fixture_rederives():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    want = make_golden.ivfpq_topk_ref(t.column("vec_id").to_pylist(),
+                                      t.column("embedding").to_pylist())
+    got = pq.read_table(f"{GOLD}/ivfpq_topk_embeddings.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+
+
 def test_embedding_pairs_fixture_rederives():
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
@@ -148,6 +157,7 @@ def test_infer_schema_fixture_rederives():
     ("compression_documents",
      ["doc_id", "n_bytes", "n_compressed", "compression_ratio"]),
     ("pq_topk_embeddings", ["query_id", "vec_id"]),
+    ("ivfpq_topk_embeddings", ["query_id", "vec_id"]),
 ])
 def test_engine_matches_fixture(ray_session, name, cols):
     import __ray_entry__ as entrymod

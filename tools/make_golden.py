@@ -424,6 +424,87 @@ def pq_topk_ref(ids, embs, n_queries=2, k=5, m=8, kc=16, seed=42,
     return out
 
 
+def ivfpq_topk_ref(ids, embs, n_queries=2, k=5, n_centroids=8, m=8, kc=16,
+                   n_probe=3, seed=42, sample_size=256, iters=10):
+    """Brute-force reconstruction of the residual IVF-PQ query: the same
+    smallest-hash sample, the SPHERICAL coarse Lloyd of
+    similarity.train_centroids (unit rows, argmax-dot assign, mean,
+    renormalize), residual PQ codebooks per subspace (Euclidean Lloyd,
+    seed+j), per-(query, probed-cell) residual ADC tables, top-k by
+    (dist, id).  Membership-only pin."""
+    emb = np.asarray(embs, dtype=np.float64)
+    ids = np.asarray(ids, dtype=np.int64)
+    hh = pl.Series(ids).hash(seed=5).to_numpy().astype(np.uint64) \
+        .view(np.int64)
+    order = np.lexsort((ids, hh))[:sample_size]
+    sample = emb[order]
+
+    def unit(x):
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return x / n
+
+    su = unit(sample)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(su), size=min(n_centroids, len(su)), replace=False)
+    cents = su[idx].copy()
+    for _ in range(iters):
+        assign = (su @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = su[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = unit(cents)
+    assign_s = (su @ cents.T).argmax(axis=1)
+    residuals = sample - cents[assign_s]
+    d = emb.shape[1]
+    dsub = d // m
+    books = []
+    for j in range(m):
+        x = residuals[:, j * dsub:(j + 1) * dsub]
+        rj = np.random.default_rng(seed + j)
+        ix = rj.choice(len(x), size=min(kc, len(x)), replace=False)
+        cb = x[ix].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(len(cb)):
+                members = x[a == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books.append(cb)
+    queries = emb[:n_queries]
+    eu = unit(emb)
+    assign = (eu @ cents.T).argmax(axis=1)
+    probe = np.argsort(-(unit(queries) @ cents.T), axis=1)[:, :n_probe]
+    out = []
+    for qi in range(n_queries):
+        cand_d, cand_i = [], []
+        for c in probe[qi].tolist():
+            in_cell = np.flatnonzero(assign == c)
+            if not len(in_cell):
+                continue
+            res = emb[in_cell] - cents[c]
+            codes = np.empty((len(in_cell), m), dtype=np.int64)
+            for j in range(m):
+                sub = res[:, j * dsub:(j + 1) * dsub]
+                codes[:, j] = ((sub[:, None, :] - books[j][None, :, :]) ** 2
+                               ).sum(axis=2).argmin(axis=1)
+            qres = queries[qi] - cents[c]
+            table = np.stack([
+                ((qres[j * dsub:(j + 1) * dsub][None, :] - books[j]) ** 2)
+                .sum(axis=1) for j in range(m)])
+            dist = table[np.arange(m)[None, :], codes].sum(axis=1)
+            cand_d.extend(dist.tolist())
+            cand_i.extend(ids[in_cell].tolist())
+        cand_d = np.asarray(cand_d)
+        cand_i = np.asarray(cand_i)
+        sel = np.lexsort((cand_i, cand_d))[:k]
+        for i in sel:
+            out.append((qi, int(cand_i[i])))
+    return out
+
+
 def compression_ref(texts, level=6):
     """Per-doc DEFLATE sizes.  zlib at a fixed level IS the pinned shared
     primitive (like polars' hash for the dedup fixtures); this pins the
@@ -542,6 +623,13 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "compression_ratio": pa.array([c[2] for c in comp],
                                                     type=pa.float64())}),
             os.path.join(outdir, "compression_documents.parquet"))
+        ivfpq = ivfpq_topk_ref(eids, et.column("embedding").to_pylist())
+        pq.write_table(
+            pa.table({"query_id": pa.array([p[0] for p in ivfpq],
+                                           type=pa.int32()),
+                      "vec_id": pa.array([p[1] for p in ivfpq],
+                                         type=pa.int64())}),
+            os.path.join(outdir, "ivfpq_topk_embeddings.parquet"))
         pqr = pq_topk_ref(eids, et.column("embedding").to_pylist())
         pq.write_table(
             pa.table({"query_id": pa.array([p[0] for p in pqr],
