@@ -12,9 +12,14 @@ Ray-Data-first:
     ``Dataset.join`` (hash-partitioned shuffle join) with ``num_partitions``
     defaulted from the cluster size — both sides move, use only when both
     sides are genuinely large.
-  - ``semi_join`` / ``anti_join``: membership filters via the native join's
-    left_semi / left_anti types (or broadcast for small filter sides —
-    see stages/constraints.check_referential for the broadcast variant).
+  - ``semi_join`` / ``anti_join``: membership filters on the engine's own
+    tag+union bucketed shape (NOT Ray's native left_semi/left_anti — the
+    native join nondeterministically finalizes empty tiny-side partitions
+    schema-less; see _membership_join).  Broadcast variant for small
+    filter sides: stages/constraints.check_referential.
+  - ``bloom_semi_join``: Bloom pre-filter (no false negatives) + the exact
+    semi join — cuts the shuffle to ~match_rate x |left| for selective
+    membership filters.
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 __all__ = ["broadcast_join", "hash_join", "semi_join", "anti_join",
+           "bloom_semi_join", "interval_lookup", "partitions_for",
            "except_keys", "intersect_keys"]
 
 
@@ -229,18 +235,128 @@ def hash_join(left: Dataset, right: Dataset, on, right_on=None,
                      on=tuple(on), right_on=right_on, **kwargs)
 
 
+def bloom_semi_join(left: Dataset, right: Dataset, on: str,
+                    right_on: str | None = None,
+                    capacity: int | None = None,
+                    fp_rate: float = 0.01,
+                    num_partitions: int | None = None) -> Dataset:
+    """Semi-join with a Bloom pre-filter: build an OR-mergeable Bloom
+    digest of the RIGHT keys in one streaming pass, broadcast it, drop
+    left rows that cannot match BEFORE the shuffle, then the exact
+    ``semi_join`` on the survivors.
+
+    EXACT result (the Bloom filter has no false negatives; false
+    positives survive the pre-filter and are removed by the exact join).
+    The win is shuffle volume: when the match rate is small — the usual
+    shape for "keep train docs whose id appears in the curated list" —
+    the all-to-all moves ~match_rate x |left| rows instead of |left|.
+    ``capacity`` defaults to a metadata-count of the right side."""
+    right_on = right_on or on
+    from .dedup import build_bloom
+
+    # the Bloom pre-filter hashes COLUMN VALUES: a dtype mismatch between
+    # the two key columns would hash differently -> FALSE NEGATIVES the
+    # exact join can't repair.  Fail loudly instead.
+    lt = left.schema().base_schema.field(on).type
+    rt = right.schema().base_schema.field(right_on).type
+    if lt != rt:
+        raise ValueError(f"bloom_semi_join: key dtypes differ "
+                         f"({lt} vs {rt}); cast first")
+
+    if capacity is None:
+        capacity = max(1024, right.count())
+    bloom = build_bloom(right, right_on, capacity=capacity,
+                        fp_rate=fp_rate)
+    from .dedup import filter_seen_bloom
+    pre = filter_seen_bloom(left, on, bloom, keep_seen=True)
+    return semi_join(pre, right, on, right_on,
+                     num_partitions=num_partitions)
+
+
+def _membership_join(left: Dataset, right: Dataset, on, right_on,
+                     keep_matched: bool,
+                     num_partitions: int | None) -> Dataset:
+    """Semi/anti join on the engine's own tag+union bucketed shape.
+
+    Ray's native ``Dataset.join`` nondeterministically finalizes EMPTY
+    tiny-side partitions as schema-less tables (the documented failure in
+    SCALE.md — a selective filter on the right side reliably triggers
+    it), so membership joins use the same construction as asof_join:
+    left rows ride with payload (side 0), the right side contributes its
+    map-side-DEDUPED keys only (side 1, renamed into the left schema with
+    null payload), ONE groupby on ``hash(key) % buckets``, and each
+    bucket filters vectorized with ``pc.is_in``.  Shuffle volume equals
+    the native semi join's (left rows + right distinct keys); buckets
+    are hash-balanced regardless of key skew."""
+    from ..state.sketches import hash64
+
+    if not isinstance(on, str) or (right_on is not None
+                                   and not isinstance(right_on, str)):
+        raise ValueError("semi/anti join: single key column only")
+    right_on = right_on or on
+    buckets = num_partitions or _default_partitions()
+    left_schema = left.schema().base_schema
+    if on not in left_schema.names:
+        raise ValueError(f"semi/anti join: {on!r} not in left columns")
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(on), seed=17)
+        return (batch
+                .append_column("__side", pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int8)))
+                .append_column("__b", pa.array(
+                    (h % np.uint64(buckets)).astype(np.int64))))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        keys = batch.select([right_on]) \
+            .group_by([right_on], use_threads=False).aggregate([])
+        key_col = keys.column(right_on).combine_chunks()
+        if key_col.type != left_schema.field(on).type:
+            key_col = key_col.cast(left_schema.field(on).type)
+        h = hash64(key_col, seed=17)
+        cols = {}
+        for f in left_schema:
+            cols[f.name] = (key_col if f.name == on
+                            else pa.nulls(len(key_col), f.type))
+        t = pa.table(cols)
+        return (t
+                .append_column("__side", pa.array(
+                    np.ones(len(key_col), dtype=np.int8)))
+                .append_column("__b", pa.array(
+                    (h % np.uint64(buckets)).astype(np.int64))))
+
+    uni = (left.map_batches(tag_left, batch_format="pyarrow")
+           .union(right.map_batches(tag_right, batch_format="pyarrow")))
+
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        lhs = g.filter(pa.array(side == 0))
+        rhs_keys = g.filter(pa.array(side == 1)).column(on).combine_chunks()
+        out = lhs.drop_columns(["__side", "__b"])
+        if len(rhs_keys) == 0:
+            return out if not keep_matched else out.slice(0, 0)
+        hit = pc.is_in(lhs.column(on), value_set=rhs_keys)
+        hit = pc.fill_null(hit, False)
+        return out.filter(hit if keep_matched else pc.invert(hit))
+
+    return uni.groupby("__b").map_groups(filter_bucket,
+                                         batch_format="pyarrow")
+
+
 def semi_join(left: Dataset, right: Dataset, on, right_on=None,
               num_partitions: int | None = None) -> Dataset:
-    """Rows of ``left`` whose key appears in ``right`` (no right columns)."""
-    return hash_join(left, right, on, right_on, join_type="left_semi",
-                     num_partitions=num_partitions)
+    """Rows of ``left`` whose key appears in ``right`` (no right
+    columns).  Tag+union bucketed membership filter — see
+    :func:`_membership_join` for why this avoids Ray's native semi join."""
+    return _membership_join(left, right, on, right_on, True,
+                            num_partitions)
 
 
 def anti_join(left: Dataset, right: Dataset, on, right_on=None,
               num_partitions: int | None = None) -> Dataset:
     """Rows of ``left`` whose key does NOT appear in ``right``."""
-    return hash_join(left, right, on, right_on, join_type="left_anti",
-                     num_partitions=num_partitions)
+    return _membership_join(left, right, on, right_on, False,
+                            num_partitions)
 
 
 def _set_op_keys(ds_a: Dataset, ds_b: Dataset, key_a: str, key_b: str,

@@ -2251,3 +2251,24 @@ def test_quantiles_by_group(ray_session):
             # rank error: where does the estimate land in the true CDF?
             rank = np.searchsorted(v, est) / len(v)
             assert abs(rank - q) < 0.015, (g, q, est, rank)
+
+
+def test_bloom_semi_join_exact(ray_session):
+    """Bloom pre-filter + exact semi-join == plain semi-join (the filter
+    has no false negatives; false positives die in the exact join)."""
+    import ray.data as rd
+
+    from malli_ray.stages.joins import bloom_semi_join, semi_join
+
+    left = rd.from_arrow(pa.table({
+        "k": list(range(1000)),
+        "payload": [f"p{i}" for i in range(1000)]}))
+    right = rd.from_arrow(pa.table({"rk": [3, 17, 17, 256, 999, 1500]}))
+    got = sorted(r["k"] for r in bloom_semi_join(
+        left, right, on="k", right_on="rk").take_all())
+    want = sorted(r["k"] for r in semi_join(
+        left, right, on="k", right_on="rk").take_all())
+    assert got == want == [3, 17, 256, 999]
+    with pytest.raises(ValueError, match="dtypes differ"):
+        bloom_semi_join(left, rd.from_arrow(pa.table(
+            {"rk": pa.array([3], pa.int32())})), on="k", right_on="rk")
