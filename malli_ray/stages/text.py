@@ -268,6 +268,75 @@ def split_sentences(ds: Dataset, text_column: str, id_column: str,
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+#: C4 line-retention: terminal punctuation at line end (Raffel et al.
+#: 2020 §2.2 — period, exclamation, question mark, or end quotation).
+C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_rules(ds: Dataset, text_column: str, id_column: str,
+             min_line_words: int = 3, min_sentences: int = 5,
+             blocklist: tuple[str, ...] = (),
+             append: bool = False) -> Dataset:
+    """C4 cleaning-rule suite (Raffel et al. 2020 §2.2): line-level
+    retention (terminal punctuation + >= ``min_line_words`` words + no
+    'javascript') and page-level flags (>= ``min_sentences`` sentences in
+    the retained text, no 'lorem ipsum', no curly brace, no blocklisted
+    word).  Emits the retained text (``text_clean``), per-rule features,
+    and the combined ``pass_c4`` flag.  Fully vectorized (polars list
+    kernels over split lines), shuffle-free; sentence counting reuses the
+    pinned :data:`SENTENCE_RE` (leftmost-first parity between rust-regex
+    and RE2, so the SQL oracle reproduces every count exactly).
+
+    Reference parity anchor: the quality-rule family of the validator
+    suite (reference test/malli/core_test.cljc golden-value style);
+    the rule set itself is public C4.  Complements
+    :func:`gopher_rules` (Gopher A1.1) — real corpus prep runs both."""
+    bad_res = [rf"(?i)\b{re.escape(w)}\b" for w in blocklist]
+
+    def rules(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        s = pl.from_arrow(col).fill_null("")
+        lines = s.str.split("\n")
+        kept = lines.list.eval(pl.element().filter(
+            pl.element().str.contains(C4_TERMINAL_RE)
+            & (pl.element().str.count_matches(r"\S+")
+               >= min_line_words)
+            & ~pl.element().str.contains(r"(?i)\bjavascript\b")))
+        n_lines = lines.list.len().cast(pl.Int64).to_numpy()
+        n_kept = kept.list.len().cast(pl.Int64).to_numpy()
+        kept_text = kept.list.join("\n")
+        n_sent = kept_text.str.count_matches(SENTENCE_RE) \
+            .cast(pl.Int64).to_numpy()
+        has_lorem = s.str.contains(r"(?i)lorem ipsum").to_numpy()
+        has_brace = s.str.contains("{", literal=True).to_numpy()
+        has_bad = np.zeros(len(s), dtype=bool)
+        for pat in bad_res:
+            has_bad |= s.str.contains(pat).to_numpy()
+        ok = ((n_sent >= min_sentences)
+              & ~has_lorem & ~has_brace & ~has_bad)
+        cols = {
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept_lines": pa.array(n_kept, pa.int64()),
+            "n_sentences": pa.array(n_sent, pa.int64()),
+            "has_lorem_ipsum": pa.array(has_lorem),
+            "has_brace": pa.array(has_brace),
+            "has_bad_word": pa.array(has_bad),
+            "pass_c4": pa.array(ok),
+            "text_clean": kept_text.to_arrow().cast(pa.string())}
+        if append:
+            for name, arr in cols.items():
+                batch = batch.append_column(name, arr)
+            return batch
+        return pa.table({id_column: batch.column(id_column), **cols})
+
+    return ds.map_batches(rules, batch_format="pyarrow")
+
+
 def normalize_unicode(ds: Dataset, text_column: str,
                       out: str | None = None, form: str = "NFC") -> Dataset:
     """Unicode normalization (NFC default — the dedup/tokenizer

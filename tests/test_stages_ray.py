@@ -1872,6 +1872,47 @@ def test_gopher_rules_edges(ray_session):
     assert out[0]["stop_hits"] == 1
 
 
+def test_c4_rules_edges(ray_session):
+    """C4 rule-by-rule edge semantics on hand-built docs."""
+    import ray.data as rd
+
+    from malli_ray.stages.text import c4_rules
+
+    five_sent = "\n".join(f"this is sentence number {i}." for i in range(5))
+    docs = [
+        (0, five_sent),                                   # passes
+        (1, five_sent + "\nplease see lorem Ipsum text."),  # lorem page drop
+        (2, five_sent + "\nvar x = { a: 1 };"),           # brace page drop
+        (3, five_sent.replace(".", "")),                  # no terminal punct
+        (4, "ok.\nfine.\nyes."),                          # lines < 3 words
+        (5, five_sent + "\nenable JavaScript to continue."),  # js line drop
+        (6, "one good sentence here.\nanother one here too."),  # < 5 sentences
+        (7, five_sent + "\nthe crude word appears here."),  # blocklist
+        (8, ""),                                          # empty
+        (9, 'he said "stop there!"\n' + five_sent),       # end-quote terminal
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": [d[0] for d in docs],
+                                 "text": [d[1] for d in docs]}))
+    out = {r["doc_id"]: r for r in
+           c4_rules(ds, "text", "doc_id",
+                    blocklist=("crude",)).take_all()}
+    assert out[0]["pass_c4"] is True and out[0]["n_kept_lines"] == 5
+    assert out[1]["pass_c4"] is False and out[1]["has_lorem_ipsum"] is True
+    assert out[2]["pass_c4"] is False and out[2]["has_brace"] is True
+    assert out[3]["n_kept_lines"] == 0 and out[3]["text_clean"] == ""
+    assert out[4]["n_kept_lines"] == 0          # terminal punct but 1 word
+    # the javascript LINE is dropped, the page itself still passes
+    assert out[5]["pass_c4"] is True and out[5]["n_kept_lines"] == 5
+    assert "JavaScript" not in out[5]["text_clean"]
+    assert out[6]["pass_c4"] is False and out[6]["n_sentences"] == 2
+    assert out[7]["pass_c4"] is False and out[7]["has_bad_word"] is True
+    assert out[8]["pass_c4"] is False and out[8]["n_lines"] == 1
+    assert out[9]["pass_c4"] is True and out[9]["n_kept_lines"] == 6
+    # sentence count: the quoted line ends at '!' (the trailing quote
+    # merges into the NEXT sentence's leading run); five_sent adds 5
+    assert out[9]["n_sentences"] == 6
+
+
 def test_cross_near_dup_candidates(ray_session):
     """Cross-side-only pairs; same-side near-dups are excluded."""
     import ray.data as rd
