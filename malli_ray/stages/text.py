@@ -268,6 +268,43 @@ def split_sentences(ds: Dataset, text_column: str, id_column: str,
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def dedup_lines_within_doc(ds: Dataset, text_column: str,
+                           out: str | None = None,
+                           count_out: str = "n_dup_lines_dropped",
+                           sep: str = "\n") -> Dataset:
+    """Within-document duplicate-line removal (the RefinedWeb /
+    RedPajama-V2 in-document repetition scrub): keep the FIRST occurrence
+    of each exact line inside a document, preserving order, and count the
+    dropped repeats.  Complements :func:`~..dedup.drop_frequent_lines`
+    (corpus-frequency boilerplate) — this one needs no corpus pass and no
+    shuffle: pure per-batch polars list kernels
+    (``is_first_distinct`` inside ``list.eval`` is per-list).  ``sep``
+    generalizes to paragraph granularity (``"\\n\\n"``)."""
+    out = out or text_column
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        s = pl.from_arrow(col).fill_null("")
+        lines = s.str.split(sep)
+        kept = lines.list.eval(
+            pl.element().filter(pl.element().is_first_distinct()))
+        text = kept.list.join(sep).to_arrow().cast(pa.string())
+        dropped = (lines.list.len().cast(pl.Int64)
+                   - kept.list.len().cast(pl.Int64)).to_arrow() \
+            .cast(pa.int64())
+        i = batch.schema.get_field_index(out)
+        batch = (batch.set_column(i, out, text) if i >= 0
+                 else batch.append_column(out, text))
+        return batch.append_column(count_out, dropped)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 #: C4 line-retention: terminal punctuation at line end (Raffel et al.
 #: 2020 §2.2 — period, exclamation, question mark, or end quotation).
 C4_TERMINAL_RE = r'[.!?"]$'

@@ -1913,6 +1913,35 @@ def test_c4_rules_edges(ray_session):
     assert out[9]["n_sentences"] == 6
 
 
+def test_dedup_lines_within_doc(ray_session):
+    """Keep-first order, counts, paragraph granularity, empty docs."""
+    import ray.data as rd
+
+    from malli_ray.stages.text import dedup_lines_within_doc
+
+    docs = [(0, "a b.\nc d.\na b.\ne f.\nc d."),   # 2 dups dropped
+            (1, "x.\nx.\nx."),                     # collapses to one
+            (2, ""),                               # empty stays empty
+            (3, "solo line"),                      # untouched
+            (4, None)]                             # null -> ""
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [d[0] for d in docs],
+        "text": pa.array([d[1] for d in docs], pa.string())}))
+    out = {r["doc_id"]: r for r in
+           dedup_lines_within_doc(ds, "text").take_all()}
+    assert out[0]["text"] == "a b.\nc d.\ne f."
+    assert out[0]["n_dup_lines_dropped"] == 2
+    assert out[1]["text"] == "x." and out[1]["n_dup_lines_dropped"] == 2
+    assert out[2]["text"] == "" and out[2]["n_dup_lines_dropped"] == 0
+    assert out[3]["text"] == "solo line"
+    assert out[4]["text"] == ""
+    # paragraph granularity via sep
+    ds2 = rd.from_arrow(pa.table({"doc_id": [0],
+                                  "text": ["p one\np one\n\np one\np one"]}))
+    r2 = dedup_lines_within_doc(ds2, "text", sep="\n\n").take_all()[0]
+    assert r2["text"] == "p one\np one" and r2["n_dup_lines_dropped"] == 1
+
+
 def test_cross_near_dup_candidates(ray_session):
     """Cross-side-only pairs; same-side near-dups are excluded."""
     import ray.data as rd
