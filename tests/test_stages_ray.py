@@ -1942,6 +1942,39 @@ def test_dedup_lines_within_doc(ray_session):
     assert r2["text"] == "p one\np one" and r2["n_dup_lines_dropped"] == 1
 
 
+def test_domain_filter_semantics(ray_session):
+    """Host normalization, suffix vs substring, drop mode, multi-entry."""
+    import ray.data as rd
+
+    from malli_ray.stages.text import domain_filter
+
+    docs = [(0, "see https://ads.bad.example/p and http://ok.net/q"),
+            (1, "https://WWW.Bad.Example/root"),       # case + www strip
+            (2, "https://notbad.example/x"),           # NOT a dot-suffix
+            (3, "no urls at all"),
+            (4, "http://evil.org:8080/y https://sub.evil.org/z"),
+            (5, None)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [d[0] for d in docs],
+        "text": pa.array([d[1] for d in docs], pa.string())}))
+    bl = ("bad.example", "evil.org")
+    out = {r["doc_id"]: r for r in
+           domain_filter(ds, "text", "doc_id", blocklist=bl).take_all()}
+    assert out[0]["blocked"] is True and out[0]["n_blocked_urls"] == 1
+    assert out[0]["n_urls"] == 2
+    assert out[1]["blocked"] is True          # lower + www. strip -> exact
+    assert out[2]["blocked"] is False         # substring is not a suffix
+    assert out[3]["n_urls"] == 0 and out[3]["blocked"] is False
+    assert out[4]["n_blocked_urls"] == 2      # port stripped; subdomain hits
+    assert out[5]["blocked"] is False
+    kept = sorted(r["doc_id"] for r in
+                  domain_filter(ds, "text", "doc_id", blocklist=bl,
+                                mode="drop").take_all())
+    assert kept == [2, 3, 5]
+    with pytest.raises(ValueError, match="unknown mode"):
+        domain_filter(ds, "text", "doc_id", blocklist=bl, mode="nope")
+
+
 def test_cross_near_dup_candidates(ray_session):
     """Cross-side-only pairs; same-side near-dups are excluded."""
     import ray.data as rd
