@@ -832,6 +832,93 @@ def extract_urls(ds: Dataset, text_column: str, id_column: str,
                           **_conc(concurrency))
 
 
+def bm25_topk(ds: Dataset, text_column: str, id_column: str,
+              queries: dict[int, str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> Dataset:
+    """BM25 top-k retrieval (Robertson/Lucene formulation:
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``) for a small fixed query
+    set — the sparse sibling of ``similarity.brute_topk``.
+
+    Two streaming passes, both shuffle-light:
+      1. corpus stats — one row of partials per BATCH (n_docs, sum of
+         doc lengths, per-query-term document frequencies via exact
+         token equality), reduced on the driver (O(batches) rows);
+      2. scoring — per-term tf via the vectorized polars
+         ``list.count_matches`` (exact whole-token equality, NOT
+         substring), per-batch top-k per query, then the skew-safe
+         ``analytics.top_k_per_group`` finisher: at most k x |queries|
+         rows shuffle per batch.
+
+    Float contract (for the golden fixture): idf is a driver-side
+    ``math.log`` scalar per term; per-doc score accumulates in term
+    order as ``idf * (tf * (k1+1)) / (tf + k1*((1-b) + (b*dl)/avgdl))``
+    — every op is IEEE float64 elementwise, so an independent reference
+    with the same operation order reproduces scores bit-for-bit."""
+    import math
+
+    word_re = r"[^\t\n\f\r ]+"
+    qterms = {qid: q.split() for qid, q in queries.items()}
+    terms = sorted({t for ts in qterms.values() for t in ts})
+
+    def _words(batch: pa.Table):
+        import polars as pl
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        return pl.from_arrow(col).fill_null("").str.extract_all(word_re)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        words = _words(batch)
+        row = {"n_docs": [batch.num_rows],
+               "sum_dl": [int(words.list.len().sum() or 0)]}
+        for i, t in enumerate(terms):
+            row[f"df_{i}"] = [int((words.list.count_matches(t) > 0).sum())]
+        return pa.table(row)
+
+    stats = (ds.map_batches(partials, batch_format="pyarrow")
+             .to_pandas().sum())
+    n_docs = int(stats["n_docs"])
+    if n_docs == 0:
+        raise ValueError("bm25_topk: empty corpus")
+    avgdl = float(stats["sum_dl"]) / float(n_docs)
+    idf = {t: math.log(1.0 + (n_docs - float(stats[f"df_{i}"]) + 0.5)
+                       / (float(stats[f"df_{i}"]) + 0.5))
+           for i, t in enumerate(terms)}
+
+    def score(batch: pa.Table) -> pa.Table:
+        words = _words(batch)
+        dl = words.list.len().to_numpy().astype(np.float64)
+        norm = k1 * ((1.0 - b) + (b * dl) / avgdl)
+        tf_cache = {t: words.list.count_matches(t).to_numpy()
+                    .astype(np.float64) for t in terms}
+        qid_out, doc_out, score_out = [], [], []
+        docs = batch.column(id_column)
+        for qid, ts in qterms.items():
+            sc = np.zeros(batch.num_rows, dtype=np.float64)
+            for t in ts:
+                tf = tf_cache[t]
+                sc = sc + idf[t] * (tf * (k1 + 1.0)) / (tf + norm)
+            top = min(k, len(sc))
+            # per-batch candidate cut: top-k by (score desc, doc asc)
+            idx = np.lexsort((docs.to_numpy(zero_copy_only=False),
+                              -sc))[:top]
+            qid_out.append(np.full(top, qid, dtype=np.int64))
+            doc_out.append(idx)
+            score_out.append(sc[idx])
+        take = pa.array(np.concatenate(doc_out))
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qid_out), pa.int64()),
+            id_column: pc.take(docs, take),
+            "score": pa.array(np.concatenate(score_out), pa.float64())})
+
+    from .analytics import top_k_per_group
+    cands = ds.map_batches(score, batch_format="pyarrow")
+    return top_k_per_group(cands, "query_id", ["score", id_column], k,
+                           rank_col="rank")
+
+
 #: host capture for domain filtering — group 1 is the authority up to
 #: the first path/port/query/fragment delimiter (RE2/rust-regex shared).
 URL_HOST_RE = r"https?://([^/\t\n\f\r :?#]+)"

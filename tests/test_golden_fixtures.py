@@ -71,6 +71,16 @@ def test_simhash_pairs_fixture_rederives(docs):
     assert [tuple(r.values()) for r in got.to_pylist()] == want
 
 
+def test_bm25_fixture_rederives(docs):
+    ids, texts = docs
+    want = make_golden.bm25_topk_ref(ids, texts)
+    got = pq.read_table(f"{GOLD}/bm25_topk_documents.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+    # engine/fixture query sets must stay in lockstep
+    import __ray_entry__ as e
+    assert e._BM25_QUERIES == make_golden.BM25_QUERIES
+
+
 def test_bpe_fixtures_rederive(docs):
     ids, texts = docs
     merges = make_golden.bpe_merges_ref(texts)

@@ -1975,6 +1975,39 @@ def test_domain_filter_semantics(ray_session):
         domain_filter(ds, "text", "doc_id", blocklist=bl, mode="nope")
 
 
+def test_bm25_topk_semantics(ray_session):
+    """Rarer terms outrank common ones; tf saturates; ties break by id."""
+    import ray.data as rd
+
+    from malli_ray.stages.text import bm25_topk
+
+    docs = [(0, "apple banana banana banana"),   # tf-saturated banana
+            (1, "apple banana"),
+            (2, "apple cherry"),                 # cherry is rare
+            (3, "apple apple apple apple"),
+            (4, "durian")]
+    ds = rd.from_arrow(pa.table({"doc_id": [d[0] for d in docs],
+                                 "text": [d[1] for d in docs]}))
+    out = bm25_topk(ds, "text", "doc_id",
+                    {0: "cherry", 1: "banana", 2: "apple"},
+                    k=3).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+    # cherry: only doc 2 scores > 0; zero-score ties break by doc_id asc
+    assert by_q[0][0]["doc_id"] == 2 and by_q[0][0]["score"] > 0
+    assert [r["doc_id"] for r in by_q[0][1:]] == [0, 1]
+    assert by_q[0][1]["score"] == 0.0
+    # banana: doc 0 (tf=3) beats doc 1 (tf=1), but saturated — not 3x
+    assert [r["doc_id"] for r in by_q[1][:2]] == [0, 1]
+    assert by_q[1][0]["score"] < 3 * by_q[1][1]["score"]
+    # apple appears in 4/5 docs -> low idf; rare-term query scores higher
+    assert by_q[0][0]["score"] > by_q[2][0]["score"]
+    assert all(len(rows) == 3 for rows in by_q.values())
+
+
 def test_cross_near_dup_candidates(ray_session):
     """Cross-side-only pairs; same-side near-dups are excluded."""
     import ray.data as rd

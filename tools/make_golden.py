@@ -534,6 +534,43 @@ def infer_schema_ref(sf: str) -> str:
     return json.dumps(provide(t.to_pylist()))
 
 
+#: BM25 query set — spec constant, mirrored as __ray_entry__._BM25_QUERIES.
+BM25_QUERIES = {0: "hash join", 1: "slow scan filter",
+                2: "vector column data", 3: "merge sort order"}
+
+
+def bm25_topk_ref(ids, texts, k=10, k1=1.2, b=0.75):
+    """Independent BM25 (Robertson idf): per-doc Counter loops — the
+    engine's batched polars/numpy kernels are not used.  Shares only the
+    pinned float CONTRACT (operation order) documented in
+    malli_ray/stages/text.py bm25_topk, so scores match bit-for-bit."""
+    from collections import Counter
+    docs = [WORD_RE.findall(t or "") for t in texts]
+    n_docs = len(docs)
+    avgdl = float(sum(len(w) for w in docs)) / float(n_docs)
+    qterms = {qid: q.split() for qid, q in BM25_QUERIES.items()}
+    terms = sorted({t for ts in qterms.values() for t in ts})
+    df = {t: sum(1 for w in docs if t in w) for t in terms}
+    idf = {t: math.log(1.0 + (n_docs - float(df[t]) + 0.5)
+                       / (float(df[t]) + 0.5)) for t in terms}
+    rows = []
+    for qid, ts in qterms.items():
+        scored = []
+        for did, words in zip(ids, docs):
+            cnt = Counter(words)
+            dl = float(len(words))
+            norm = k1 * ((1.0 - b) + (b * dl) / avgdl)
+            s = 0.0
+            for t in ts:
+                tf = float(cnt[t])
+                s = s + idf[t] * (tf * (k1 + 1.0)) / (tf + norm)
+            scored.append((s, did))
+        scored.sort(key=lambda p: (-p[0], p[1]))
+        for r, (s, did) in enumerate(scored[:k], 1):
+            rows.append((qid, did, s, r))
+    return rows
+
+
 def main(sfs=("sf0.001", "sf0.01")):
     for sf in sfs:
         src = f"/root/testdata/{sf}/documents.parquet"
@@ -644,6 +681,17 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "vec_id": pa.array([p[1] for p in ivf],
                                          type=pa.int64())}),
             os.path.join(outdir, "ivf_topk_embeddings.parquet"))
+        bm = bm25_topk_ref(ids, texts)
+        pq.write_table(
+            pa.table({"query_id": pa.array([r[0] for r in bm],
+                                           type=pa.int64()),
+                      "doc_id": pa.array([r[1] for r in bm],
+                                         type=pa.int64()),
+                      "score": pa.array([r[2] for r in bm],
+                                        type=pa.float64()),
+                      "rank": pa.array([r[3] for r in bm],
+                                       type=pa.int64())}),
+            os.path.join(outdir, "bm25_topk_documents.parquet"))
         print(f"{sf}: {len(fp)} fingerprints, {len(sh)} simhashes, "
               f"{len(pairs)} minhash pairs, {len(spairs)} simhash pairs, "
               f"{len(epairs)} embedding pairs, {len(sempairs)} semantic "
