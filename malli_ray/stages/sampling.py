@@ -453,3 +453,132 @@ def write_hash_shards(ds: Dataset, id_column: str, n_shards: int,
     sharded = assign_shards(ds, id_column, n_shards, shard_col=shard_col,
                             concurrency=concurrency)
     sharded.write_parquet(out_dir, partition_cols=[shard_col])
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance weighting (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+#: fixed-point denominator for quantized log-ratios: the per-doc reduction
+#: happens in int64 (order-free, associative, exactly reproducible) and
+#: converts to float once at the end.
+DSIR_SCALE = float(1 << 40)
+_DSIR_SCALE_I = 1 << 40
+
+
+def dsir_bucket_counts(ds: Dataset, text_column: str,
+                       n_buckets: int = 4096, seed: int = 11) -> np.ndarray:
+    """Hashed-feature bucket counts for a corpus in ONE streaming pass:
+    features are unigrams + word-bigrams (the shared shifted-concat gram
+    builder, polars xxhash) folded into ``n_buckets``.  Each batch emits
+    a single fixed-size count vector row (8 x n_buckets bytes —
+    value-cardinality-independent, the HLL-register shape), summed on
+    the driver.  At 100 TB the partials stay O(batches), never O(rows)."""
+    from .text import _gram_rows
+
+    nb = np.uint64(n_buckets)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        texts = pl.from_arrow(col).fill_null("")
+        cnt = np.zeros(n_buckets, dtype=np.int64)
+        for k in (1, 2):
+            _, _, (h,) = _gram_rows(texts, k, (seed,))
+            if len(h):
+                cnt += np.bincount((h % nb).astype(np.int64),
+                                   minlength=n_buckets)
+        return pa.table({"cnt": pa.FixedSizeListArray.from_arrays(
+            pa.array(cnt, pa.int64()), n_buckets)})
+
+    rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    total = np.zeros(n_buckets, dtype=np.int64)
+    for r in rows:
+        total += np.asarray(r["cnt"], dtype=np.int64)
+    return total
+
+
+def dsir_log_ratio_table(raw_counts: np.ndarray,
+                         target_counts: np.ndarray,
+                         alpha: float = 1.0) -> np.ndarray:
+    """Quantized per-bucket log importance ratios
+    ``round((ln p_target - ln p_raw) * 2^40)`` as int64.
+
+    Float contract (for the golden fixture): per-bucket smoothed
+    probabilities are ``(cnt + alpha) / (total + alpha * B)``, logs via
+    driver-side ``math.log`` scalars, quantized with Python banker's
+    ``round`` — an independent reference running the same formula
+    reproduces the table bit-for-bit, and everything AFTER the table is
+    integer arithmetic."""
+    import math
+    nb = len(raw_counts)
+    if len(target_counts) != nb:
+        raise ValueError("dsir_log_ratio_table: bucket counts differ")
+    tot_r = float(int(raw_counts.sum()) + alpha * nb)
+    tot_t = float(int(target_counts.sum()) + alpha * nb)
+    lam = np.empty(nb, dtype=np.int64)
+    for b in range(nb):
+        lt = math.log((float(target_counts[b]) + alpha) / tot_t)
+        lr = math.log((float(raw_counts[b]) + alpha) / tot_r)
+        lam[b] = round((lt - lr) * DSIR_SCALE)
+    return lam
+
+
+def dsir_weights(ds: Dataset, text_column: str, id_column: str,
+                 lam: np.ndarray, seed: int = 11) -> Dataset:
+    """Per-document DSIR log importance weight: the sum of the quantized
+    log-ratio over the doc's hashed unigram+bigram features.  The
+    reduction is an int64 scatter-add (``np.add.at``) — associative and
+    exact, so results are independent of batch split, feature order and
+    summation strategy; ``log_weight`` is the single int->float
+    conversion + one exact power-of-two division at the end.  Shuffle-
+    free; the 8B x n_buckets table rides the task closure (ray.put it
+    for 1e6+ buckets)."""
+    from .text import _gram_rows
+
+    n_buckets = len(lam)
+    nb = np.uint64(n_buckets)
+    lam = np.ascontiguousarray(lam, dtype=np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        texts = pl.from_arrow(col).fill_null("")
+        wq = np.zeros(batch.num_rows, dtype=np.int64)
+        nf = np.zeros(batch.num_rows, dtype=np.int64)
+        for k in (1, 2):
+            rows, _, (h, ) = _gram_rows(texts, k, (seed,))
+            if len(rows):
+                b = (h % nb).astype(np.int64)
+                np.add.at(wq, rows, lam[b])
+                np.add.at(nf, rows, 1)
+        return pa.table({
+            id_column: batch.column(id_column),
+            "n_features": pa.array(nf, pa.int64()),
+            "log_weight_q": pa.array(wq, pa.int64()),
+            "log_weight": pa.array(wq.astype(np.float64) / DSIR_SCALE,
+                                   pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_reweight(raw: Dataset, target: Dataset, text_column: str,
+                  id_column: str, n_buckets: int = 4096,
+                  alpha: float = 1.0, seed: int = 11) -> Dataset:
+    """End-to-end DSIR (Xie et al. 2023): estimate hashed-feature
+    distributions of the raw corpus and the (small, curated) target,
+    then score every raw doc with its log importance ratio.  Three
+    streaming passes, no shuffle; compose with
+    :func:`sample_k_by_hash` / threshold filters for the resample step."""
+    cnt_r = dsir_bucket_counts(raw, text_column, n_buckets, seed)
+    cnt_t = dsir_bucket_counts(target, text_column, n_buckets, seed)
+    lam = dsir_log_ratio_table(cnt_r, cnt_t, alpha)
+    return dsir_weights(raw, text_column, id_column, lam, seed)

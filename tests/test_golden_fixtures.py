@@ -81,6 +81,15 @@ def test_bm25_fixture_rederives(docs):
     assert e._BM25_QUERIES == make_golden.BM25_QUERIES
 
 
+def test_dsir_fixture_rederives(docs):
+    ids, texts = docs
+    srcs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["source"]).column("source").to_pylist()
+    want = make_golden.dsir_weights_ref(ids, texts, srcs)
+    got = pq.read_table(f"{GOLD}/dsir_weights_documents.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+
+
 def test_bpe_fixtures_rederive(docs):
     ids, texts = docs
     merges = make_golden.bpe_merges_ref(texts)

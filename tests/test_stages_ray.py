@@ -2008,6 +2008,43 @@ def test_bm25_topk_semantics(ray_session):
     assert all(len(rows) == 3 for rows in by_q.values())
 
 
+def test_dsir_weights_semantics(ray_session):
+    """Target-like docs score higher; repartition-invariant; exact int."""
+    import ray.data as rd
+
+    from malli_ray.stages.sampling import (dsir_bucket_counts,
+                                           dsir_log_ratio_table,
+                                           dsir_reweight, dsir_weights)
+
+    target_text = "curated medical study results analysis"
+    web_text = "click here buy now free offer deal"
+    docs = ([(i, target_text + f" v{i}", "tgt") for i in range(20)]
+            + [(100 + i, web_text + f" w{i}", "web") for i in range(80)])
+    tbl = pa.table({"doc_id": [d[0] for d in docs],
+                    "text": [d[1] for d in docs],
+                    "src": [d[2] for d in docs]})
+    raw = rd.from_arrow(tbl)
+    target = raw.filter(expr="src == 'tgt'")
+    out = dsir_reweight(raw, target, "text", "doc_id",
+                        n_buckets=512).to_pandas()
+    tgt_w = out[out.doc_id < 100].log_weight
+    web_w = out[out.doc_id >= 100].log_weight
+    assert tgt_w.min() > web_w.max()     # clean separation by construction
+    # quantized column is the float's exact source
+    assert (out.log_weight == out.log_weight_q / float(1 << 40)).all()
+    # n_features = unigrams + bigrams = 2*words - 1
+    assert (out[out.doc_id < 100].n_features == 11).all()    # 6 words
+    assert (out[out.doc_id >= 100].n_features == 15).all()   # 8 words
+    # batch-split invariance: int64 scatter-add is associative
+    cnt_r = dsir_bucket_counts(raw, "text", 512)
+    cnt_t = dsir_bucket_counts(target, "text", 512)
+    lam = dsir_log_ratio_table(cnt_r, cnt_t)
+    again = dsir_weights(raw.repartition(7), "text", "doc_id",
+                         lam).to_pandas()
+    merged = out.merge(again, on="doc_id", suffixes=("", "_b"))
+    assert (merged.log_weight_q == merged.log_weight_q_b).all()
+
+
 def test_cross_near_dup_candidates(ray_session):
     """Cross-side-only pairs; same-side near-dups are excluded."""
     import ray.data as rd

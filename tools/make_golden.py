@@ -571,6 +571,54 @@ def bm25_topk_ref(ids, texts, k=10, k1=1.2, b=0.75):
     return rows
 
 
+#: DSIR spec constants — mirrored in __ray_entry__._q_dsir_weights_documents.
+DSIR_TARGET_SOURCE = "src0"
+DSIR_BUCKETS = 4096
+DSIR_ALPHA = 1.0
+DSIR_SEED = 11
+
+
+def dsir_weights_ref(ids, texts, sources):
+    """Independent DSIR (Xie et al. 2023): per-doc Python loops and dict
+    counters — the engine's bincount/scatter-add kernels are not used.
+    Shares the pinned polars hash primitive and the documented float
+    contract of sampling.dsir_log_ratio_table (math.log scalars +
+    banker's round quantization); everything per-doc is exact int64."""
+    B, alpha = DSIR_BUCKETS, DSIR_ALPHA
+    scale = float(1 << 40)
+
+    def feats(t):
+        ws = WORD_RE.findall(t or "")
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def buckets(fs):
+        if not fs:
+            return []
+        h = pl.Series(fs, dtype=pl.Utf8).hash(seed=DSIR_SEED).to_numpy()
+        return [int(x) % B for x in h.astype(np.uint64)]
+
+    doc_buckets = [buckets(feats(t)) for t in texts]
+    cnt_r = [0] * B
+    cnt_t = [0] * B
+    for bs, src in zip(doc_buckets, sources):
+        for b in bs:
+            cnt_r[b] += 1
+            if src == DSIR_TARGET_SOURCE:
+                cnt_t[b] += 1
+    tot_r = float(sum(cnt_r)) + alpha * B
+    tot_t = float(sum(cnt_t)) + alpha * B
+    lam = [round((math.log((float(cnt_t[b]) + alpha) / tot_t)
+                  - math.log((float(cnt_r[b]) + alpha) / tot_r)) * scale)
+           for b in range(B)]
+    rows = []
+    for did, bs in zip(ids, doc_buckets):
+        wq = 0
+        for b in bs:
+            wq += lam[b]
+        rows.append((did, len(bs), wq, float(wq) / scale))
+    return rows
+
+
 def main(sfs=("sf0.001", "sf0.01")):
     for sf in sfs:
         src = f"/root/testdata/{sf}/documents.parquet"
@@ -681,6 +729,20 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "vec_id": pa.array([p[1] for p in ivf],
                                          type=pa.int64())}),
             os.path.join(outdir, "ivf_topk_embeddings.parquet"))
+        srcs = pq.read_table(src, columns=["source"]) \
+            .column("source").to_pylist()
+        dw = dsir_weights_ref(ids, texts, srcs)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([r[0] for r in dw],
+                                         type=pa.int64()),
+                      "n_features": pa.array([r[1] for r in dw],
+                                             type=pa.int64()),
+                      "log_weight_q": pa.array([r[2] for r in dw],
+                                               type=pa.int64()),
+                      "log_weight": pa.array([r[3] for r in dw],
+                                             type=pa.float64())}),
+            os.path.join(outdir, "dsir_weights_documents.parquet"))
+
         bm = bm25_topk_ref(ids, texts)
         pq.write_table(
             pa.table({"query_id": pa.array([r[0] for r in bm],
