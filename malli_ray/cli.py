@@ -87,6 +87,31 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
     if args.normalize:
         ds = T.normalize_text(ds, tc)
         stages.append("normalize")
+    if args.dedup_lines:
+        ds = T.dedup_lines_within_doc(ds, tc)
+        ds = ds.map_batches(
+            lambda b: b.drop_columns(["n_dup_lines_dropped"]),
+            batch_format="pyarrow")
+        stages.append("dedup_lines")
+    if args.domain_blocklist:
+        bl = tuple(d.strip() for d in args.domain_blocklist.split(",")
+                   if d.strip())
+        ds = T.domain_filter(ds, tc, idc, blocklist=bl, mode="drop")
+        stages.append(f"domain_blocklist({len(bl)} domains)")
+    if args.c4 is not None:
+        ds = T.c4_rules(ds, tc, idc, min_sentences=args.c4, append=True)
+        ds = ds.filter(expr="pass_c4 == True")
+
+        def _swap_c4(b):
+            i = b.schema.get_field_index(tc)
+            return (b.set_column(i, tc, b.column("text_clean"))
+                    .drop_columns(["n_lines", "n_kept_lines",
+                                   "n_sentences", "has_lorem_ipsum",
+                                   "has_brace", "has_bad_word", "pass_c4",
+                                   "text_clean"]))
+
+        ds = ds.map_batches(_swap_c4, batch_format="pyarrow")
+        stages.append(f"c4(min_sentences={args.c4})")
     if args.gopher is not None:
         ds = T.gopher_rules(ds, tc, idc, min_words=args.gopher,
                             min_stop_hits=1, append=True)
@@ -238,6 +263,17 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--normalize", action="store_true",
                     help="canonical text normalization first (control-strip"
                          " -> whitespace-collapse -> trim -> lower)")
+    cp.add_argument("--dedup-lines", action="store_true",
+                    help="within-document duplicate-line scrub (keep the "
+                         "first occurrence of each exact line)")
+    cp.add_argument("--domain-blocklist", metavar="D1,D2,...",
+                    help="drop docs containing a URL whose host matches a "
+                         "blocked domain (exact or dot-suffix)")
+    cp.add_argument("--c4", type=int, metavar="MIN_SENTENCES",
+                    help="C4 cleaning rules: keep only terminal-punctuated "
+                         ">=3-word non-javascript lines, then drop pages "
+                         "with < MIN_SENTENCES sentences / lorem ipsum / "
+                         "curly braces")
     cp.add_argument("--gopher", type=int, metavar="MIN_WORDS",
                     help="drop docs failing the Gopher rule suite "
                          "(stages/text.gopher_rules; min_stop_hits=1)")

@@ -911,6 +911,46 @@ def test_cli_corpus_prep_normalize_bloom_temperature(tmp_path, ray_session,
     assert len(texts) == len(set(texts))     # dedup held overall
 
 
+def test_cli_corpus_prep_c4_domain_dedup_lines(tmp_path, ray_session,
+                                               capsys):
+    """The session-3 CLI flags: --dedup-lines scrubs in-doc repeats,
+    --domain-blocklist drops pages with blocked URL hosts, --c4 keeps
+    terminal-punctuated lines and drops thin/brace/lorem pages."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from malli_ray.cli import main
+
+    five = "\n".join(f"this is sentence number {i}." for i in range(5))
+    docs = pa.table({
+        "doc_id": list(range(6)),
+        "text": [
+            five,                                         # clean
+            five + "\n" + five.split("\n")[0],            # in-doc dup line
+            five + "\nsee https://ads.spam.example/x now",  # blocked host
+            "too short. really.",                         # < 4 sentences
+            five + "\nvar cfg = { a: 1 };",               # brace page
+            five + "\nplain line without punctuation",    # line dropped
+        ]})
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(docs, inp / "part-0.parquet")
+    out = tmp_path / "out"
+    rc = main(["corpus-prep", "--input", str(inp), "--out", str(out),
+               "--dedup-lines", "--domain-blocklist", "spam.example",
+               "--c4", "4", "--num-cpus", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stages"] == ["dedup_lines",
+                             "domain_blocklist(1 domains)",
+                             "c4(min_sentences=4)"]
+    kept = pq.read_table(sorted((out / "data").glob("*.parquet")))
+    by_id = {r["doc_id"]: r["text"] for r in kept.to_pylist()}
+    assert sorted(by_id) == [0, 1, 5]
+    assert by_id[1] == five            # dup line scrubbed BEFORE c4
+    assert by_id[5] == five            # unpunctuated line dropped by c4
+    assert rep["rows_in"] == 6 and rep["rows_out"] == 3
+
+
 def test_cli_corpus_prep_split_shards(tmp_path, ray_session, capsys):
     import pyarrow as pa
     import pyarrow.parquet as pq
