@@ -344,82 +344,6 @@ def lag_lead(ds: Dataset, key: str, order_by, value_col: str, n: int = 1,
             .map_groups(per_bucket, batch_format="pyarrow"))
 
 
-def window_rank(ds: Dataset, key: str, order_by, tie_by=None,
-                ntile: int | None = None, num_buckets: int = 64,
-                num_partitions: int | None = None) -> Dataset:
-    """SQL ranking windows in one pass: ``ROW_NUMBER()``, ``RANK()``,
-    ``DENSE_RANK()`` and optionally ``NTILE(n)`` ``OVER (PARTITION BY
-    key ORDER BY order_by...)``.
-
-    ``order_by`` must order rows within a key deterministically (include
-    a unique tie-break id) — it defines row_number and ntile.  ``tie_by``
-    (default: all of ``order_by``) is the PREFIX of ``order_by`` whose
-    equality defines rank/dense_rank peer groups, mirroring SQL's
-    ``RANK() OVER (ORDER BY tie_by)`` alongside a finer row order.
-    NULLs (and equal values generally) compare as peers, like SQL.
-
-    Scale shape: same as :func:`lag_lead` — ONE exchange on
-    ``hash(key) % num_buckets`` (evenly-sized groups under any key
-    skew), then per bucket one Arrow multi-column sort and fully
-    vectorized run/peer-boundary scans; NTILE uses the exact SQL fill
-    rule (first ``L mod n`` tiles get the extra row)."""
-    if isinstance(order_by, str):
-        order_by = [order_by]
-    tie_by = list(tie_by) if tie_by is not None else list(order_by)
-    if tie_by != list(order_by[:len(tie_by)]):
-        raise ValueError("window_rank: tie_by must be a prefix of "
-                         "order_by")
-    if ntile is not None and ntile < 1:
-        raise ValueError("window_rank: ntile must be >= 1")
-    spec = [(key, "ascending"), *[(c, "ascending") for c in order_by]]
-    bucket_col = "__rankbucket__"
-
-    from ..state.sketches import hash64
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        h = hash64(batch.column(key), seed=11) % np.uint64(num_buckets)
-        return batch.append_column(
-            bucket_col, pa.array(h.astype(np.int64), type=pa.int64()))
-
-    def per_bucket(g: pa.Table) -> pa.Table:
-        g = g.sort_by(spec)
-        keys = g.column(key).to_numpy(zero_copy_only=False)
-        n = len(keys)
-        new_key = np.ones(n, dtype=bool)
-        new_key[1:] = keys[1:] != keys[:-1]
-        starts = np.flatnonzero(new_key)
-        lens = np.diff(np.append(starts, n))
-        run_start = np.repeat(starts, lens)
-        idx = np.arange(n, dtype=np.int64)
-        row_number = idx - run_start + 1
-        peer_new = new_key.copy()
-        for c in tie_by:
-            v = g.column(c).to_numpy(zero_copy_only=False)
-            peer_new[1:] |= (v[1:] != v[:-1])
-        peer_start = np.maximum.accumulate(np.where(peer_new, idx, 0))
-        rank = peer_start - run_start + 1
-        csum = np.cumsum(peer_new)
-        dense = csum - np.repeat(csum[starts], lens) + 1
-        g = g.drop_columns([bucket_col])
-        g = g.append_column("row_number", pa.array(row_number, pa.int64()))
-        g = g.append_column("rank", pa.array(rank, pa.int64()))
-        g = g.append_column("dense_rank", pa.array(dense, pa.int64()))
-        if ntile is not None:
-            length = np.repeat(lens, lens).astype(np.int64)
-            pos = idx - run_start
-            q, r = length // ntile, length % ntile
-            big = r * (q + 1)
-            tile = np.where(pos < big, pos // (q + 1) + 1,
-                            r + (pos - big) // np.maximum(q, 1) + 1)
-            g = g.append_column(f"ntile_{ntile}",
-                                pa.array(tile, pa.int64()))
-        return g
-
-    return (ds.map_batches(bucketize, batch_format="pyarrow")
-            .groupby(bucket_col, num_partitions=num_partitions)
-            .map_groups(per_bucket, batch_format="pyarrow"))
-
-
 def first_last_per_key(ds: Dataset, key: str, order_by, value_col: str,
                        first_col: str | None = None,
                        last_col: str | None = None,

@@ -2008,44 +2008,6 @@ def test_bm25_topk_semantics(ray_session):
     assert all(len(rows) == 3 for rows in by_q.values())
 
 
-def test_window_rank_random(ray_session):
-    """row_number/rank/dense_rank/ntile vs DuckDB on random keys/ties."""
-    import duckdb
-    import ray.data as rd
-
-    from malli_ray.stages.analytics import window_rank
-
-    rng = np.random.default_rng(5)
-    n = 3000
-    tbl = pa.table({"id": np.arange(n, dtype=np.int64),
-                    "k": rng.integers(0, 7, n),
-                    "v": rng.integers(0, 5, n)})   # heavy ties
-    got = (window_rank(rd.from_arrow(tbl), "k", ["v", "id"],
-                       tie_by=["v"], ntile=3)
-           .to_pandas().sort_values("id").reset_index(drop=True))
-    want = duckdb.sql("""
-        SELECT id, k, v,
-               ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, id)
-                 AS row_number,
-               RANK() OVER (PARTITION BY k ORDER BY v) AS "rank",
-               DENSE_RANK() OVER (PARTITION BY k ORDER BY v)
-                 AS dense_rank,
-               NTILE(3) OVER (PARTITION BY k ORDER BY v, id) AS ntile_3
-          FROM tbl ORDER BY id
-    """).df().reset_index(drop=True)
-    for c in ("row_number", "rank", "dense_rank", "ntile_3"):
-        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
-    # ntile with more tiles than rows -> each row its own tile
-    tiny = pa.table({"id": [1, 2], "k": ["a", "a"], "v": [1, 1]})
-    t = (window_rank(rd.from_arrow(tiny), "k", ["v", "id"],
-                     tie_by=["v"], ntile=5)
-         .to_pandas().sort_values("id"))
-    assert list(t["ntile_5"]) == [1, 2]
-    assert list(t["rank"]) == [1, 1]      # equal v -> peers
-    with pytest.raises(ValueError, match="prefix"):
-        window_rank(rd.from_arrow(tiny), "k", ["v", "id"], tie_by=["id"])
-
-
 def test_dsir_weights_semantics(ray_session):
     """Target-like docs score higher; repartition-invariant; exact int."""
     import ray.data as rd
