@@ -134,6 +134,11 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "nfc_documents", "corpus_prep_v3_documents",
         # r3 continuation: residual IVF-PQ
         "ivfpq_topk_embeddings",
+        # r3 session 3: C4 rules, in-doc line dedup, domain filter,
+        # BM25 retrieval, DSIR importance weighting
+        "c4_rules_documents", "dedup_lines_within_documents",
+        "domain_filter_documents", "bm25_topk_documents",
+        "dsir_weights_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round
