@@ -662,10 +662,16 @@ def mode_by_group(ds: Dataset, group: str, value: str,
 
 
 def covariance_by_group(ds: Dataset, group: str, x: str, y: str,
+                        corr: bool = False,
                         num_partitions: int | None = None) -> Dataset:
     """Population covariance of two INTEGER columns per group, plus the
     exact integer sums it derives from: ``(group, n, sum_x, sum_y, sum_xy,
-    cov_pop)``.
+    cov_pop)``.  With ``corr=True`` the partials also carry ``sum_xx`` /
+    ``sum_yy`` and the output adds Pearson ``corr_pop`` =
+    ``cov / (sqrt(var_x) * sqrt(var_y))`` — every term the same literal
+    IEEE expression an SQL oracle spells (sqrt is correctly rounded, so
+    it is as reproducible as the divisions); NULL when either variance
+    is zero.
 
     Bit-reproducibility contract: ``x`` and ``y`` must already be integral
     (cast floats to fixed-point units — cents — upstream, exactly as
@@ -687,12 +693,18 @@ def covariance_by_group(ds: Dataset, group: str, x: str, y: str,
     def partials(batch: pa.Table) -> pa.Table:
         xv = pc.cast(batch.column(x), pa.int64())
         yv = pc.cast(batch.column(y), pa.int64())
-        t = pa.table({group: batch.column(group), "__x": xv, "__y": yv,
-                      "__xy": pc.multiply_checked(xv, yv)})
-        out = t.group_by([group], use_threads=False).aggregate(
-            [("__x", "sum"), ("__y", "sum"), ("__xy", "sum"),
-             ([], "count_all")])
-        return out.rename_columns([group, "__sx", "__sy", "__sxy", "__n"])
+        cols = {group: batch.column(group), "__x": xv, "__y": yv,
+                "__xy": pc.multiply_checked(xv, yv)}
+        aggs = [("__x", "sum"), ("__y", "sum"), ("__xy", "sum")]
+        names = [group, "__sx", "__sy", "__sxy"]
+        if corr:
+            cols["__xx"] = pc.multiply_checked(xv, xv)
+            cols["__yy"] = pc.multiply_checked(yv, yv)
+            aggs += [("__xx", "sum"), ("__yy", "sum")]
+            names += ["__sxx", "__syy"]
+        out = pa.table(cols).group_by([group], use_threads=False) \
+            .aggregate(aggs + [([], "count_all")])
+        return out.rename_columns(names + ["__n"])
 
     def finish(g: pa.Table) -> pa.Table:
         n = sum(v.as_py() for v in g.column("__n"))
@@ -700,13 +712,25 @@ def covariance_by_group(ds: Dataset, group: str, x: str, y: str,
         sy = sum(v.as_py() for v in g.column("__sy"))
         sxy = sum(v.as_py() for v in g.column("__sxy"))
         cov = (sxy / n) - (sx / n) * (sy / n)
-        return pa.table({
+        cols = {
             group: g.column(group).slice(0, 1),
             "n": pa.array([n], type=pa.int64()),
             "sum_x": pa.array([sx], type=pa.int64()),
             "sum_y": pa.array([sy], type=pa.int64()),
             "sum_xy": pa.array([sxy], type=pa.int64()),
-            "cov_pop": pa.array([cov], type=pa.float64())})
+            "cov_pop": pa.array([cov], type=pa.float64())}
+        if corr:
+            import math
+            sxx = sum(v.as_py() for v in g.column("__sxx"))
+            syy = sum(v.as_py() for v in g.column("__syy"))
+            vx = (sxx / n) - (sx / n) * (sx / n)
+            vy = (syy / n) - (sy / n) * (sy / n)
+            r = (cov / (math.sqrt(vx) * math.sqrt(vy))
+                 if vx > 0 and vy > 0 else None)
+            cols["sum_xx"] = pa.array([sxx], type=pa.int64())
+            cols["sum_yy"] = pa.array([syy], type=pa.int64())
+            cols["corr_pop"] = pa.array([r], type=pa.float64())
+        return pa.table(cols)
 
     return (ds.select_columns([group, x, y])
             .map_batches(partials, batch_format="pyarrow")

@@ -359,3 +359,67 @@ def rolling_aggregate(ds: Dataset, key: str, ts_col: str, value_col: str,
 
     return (ds.groupby(key, num_partitions=num_partitions)
             .map_groups(per_key, batch_format="pyarrow"))
+
+
+def debounce(ds: Dataset, keys, ts_col: str, seconds: float,
+             tie_col: str | None = None, num_buckets: int = 64,
+             num_partitions: int | None = None) -> Dataset:
+    """Windowed event dedup (ingest debounce): drop a row when the
+    PREVIOUS row with the same ``keys`` is within ``seconds`` of it —
+    SQL ``LAG(ts) OVER (PARTITION BY keys ORDER BY ts, tie)`` then
+    ``WHERE prev IS NULL OR ts - prev > seconds``.  The reference point
+    is the previous EVENT (kept or not), which keeps the filter
+    vectorizable and deterministic; chain-based throttling (reference =
+    previous KEPT event) is inherently sequential per key — compose
+    ``sessionize`` + first-per-session for that semantics.
+
+    Scale shape: the ``lag_lead`` exchange — ONE groupby on
+    ``hash(first key) % num_buckets`` (evenly-sized buckets under key
+    skew), per bucket one Arrow multi-column sort + a vectorized
+    run-boundary-masked previous-timestamp compare.  Equal timestamps
+    are always dropped as repeats (ts - prev = 0 <= seconds); pass
+    ``tie_col`` (a unique id) to make which copy survives
+    deterministic."""
+    from ..state.sketches import hash64
+
+    if isinstance(keys, str):
+        keys = [keys]
+    order = [ts_col] + ([tie_col] if tie_col else [])
+    spec = [*[(k, "ascending") for k in keys],
+            *[(c, "ascending") for c in order]]
+    bucket_col = "__debounce__"
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(keys[0]), seed=11) % np.uint64(num_buckets)
+        return batch.append_column(
+            bucket_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(spec)
+        n = g.num_rows
+        new_run = np.ones(n, dtype=bool)
+        for k in keys:
+            v = g.column(k).to_numpy(zero_copy_only=False)
+            changed = np.ones(n, dtype=bool)
+            changed[1:] = v[1:] != v[:-1]
+            if k == keys[0]:
+                new_run = changed
+            else:
+                new_run |= changed
+        ts = g.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            tv = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+            gap = int(round(seconds * {"s": 1, "ms": 1_000,
+                                       "us": 1_000_000,
+                                       "ns": 1_000_000_000}[ts.type.unit]))
+        else:
+            tv = ts.to_numpy(zero_copy_only=False)
+            gap = seconds
+        # keep = starts a new key run OR the in-run gap exceeds the window
+        keep = new_run.copy()
+        keep[1:] |= (tv[1:] - tv[:-1]) > gap
+        return g.filter(pa.array(keep)).drop_columns([bucket_col])
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))

@@ -2008,6 +2008,62 @@ def test_bm25_topk_semantics(ray_session):
     assert all(len(rows) == 3 for rows in by_q.values())
 
 
+def test_corr_by_group_exact(ray_session):
+    """corr=True: Pearson r vs numpy; zero-variance groups yield NULL."""
+    import ray.data as rd
+
+    from malli_ray.stages.analytics import covariance_by_group
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 100, 500)
+    y = 3 * x + rng.integers(0, 50, 500)          # strongly correlated
+    tbl = pa.table({"g": ["a"] * 500 + ["flat"] * 4,
+                    "x": np.concatenate([x, [7, 7, 7, 7]]),
+                    "y": np.concatenate([y, [1, 2, 3, 4]])})
+    out = {r["g"]: r for r in covariance_by_group(
+        rd.from_arrow(tbl), "g", "x", "y", corr=True).take_all()}
+    want = np.corrcoef(x, y)[0, 1]
+    assert abs(out["a"]["corr_pop"] - want) < 1e-12
+    assert out["flat"]["corr_pop"] is None        # var(x) == 0
+    assert out["a"]["sum_xx"] == int((x.astype(object) ** 2).sum())
+
+
+def test_debounce_semantics(ray_session):
+    """Run boundaries, equal timestamps, window edge, repartition-safe."""
+    import ray.data as rd
+
+    from malli_ray.stages.windows import debounce
+
+    def ts(s):
+        return np.datetime64("2026-01-01T00:00:00", "us") \
+            + np.timedelta64(s, "s")
+
+    rows = [
+        (1, ts(0),    "u1", "click"),    # keep (first)
+        (2, ts(5),    "u1", "click"),    # drop (within 10)
+        (3, ts(5),    "u1", "view"),     # keep (other type)
+        (4, ts(16),   "u1", "click"),    # keep (11s after #2: lag-based)
+        (5, ts(16),   "u1", "click"),    # drop (equal ts)
+        (6, ts(26),   "u1", "click"),    # drop (exactly 10s after #5)
+        (7, ts(37),   "u1", "click"),    # keep (11s after #6)
+        (8, ts(0),    "u2", "click"),    # keep (other user)
+    ]
+    tbl = pa.table({"event_id": [r[0] for r in rows],
+                    "ts": pa.array([r[1] for r in rows],
+                                   pa.timestamp("us")),
+                    "user_id": [r[2] for r in rows],
+                    "event_type": [r[3] for r in rows]})
+    kept = sorted(r["event_id"] for r in debounce(
+        rd.from_arrow(tbl), ["user_id", "event_type"], "ts", 10,
+        tie_col="event_id").take_all())
+    assert kept == [1, 3, 4, 7, 8]
+    kept2 = sorted(r["event_id"] for r in debounce(
+        rd.from_arrow(tbl).repartition(5),
+        ["user_id", "event_type"], "ts", 10,
+        tie_col="event_id").take_all())
+    assert kept2 == kept
+
+
 def test_dsir_weights_semantics(ray_session):
     """Target-like docs score higher; repartition-invariant; exact int."""
     import ray.data as rd
