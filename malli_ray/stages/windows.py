@@ -33,7 +33,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
-           "range_join", "rolling_aggregate"]
+           "range_join", "rolling_aggregate", "debounce", "funnel"]
 
 
 def tumbling_window(ds: Dataset, ts_col: str, minutes: int,
@@ -419,6 +419,99 @@ def debounce(ds: Dataset, keys, ts_col: str, seconds: float,
         keep = new_run.copy()
         keep[1:] |= (tv[1:] - tv[:-1]) > gap
         return g.filter(pa.array(keep)).drop_columns([bucket_col])
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def funnel(ds: Dataset, user_col: str, ts_col: str, type_col: str,
+           steps: "list[str]", within_s: float | None = None,
+           tie_col: str | None = None, num_buckets: int = 64,
+           num_partitions: int | None = None) -> Dataset:
+    """Ordered funnel analysis: for every user, the EARLIEST event chain
+    matching ``steps`` in order — step k matches the first event of its
+    type strictly after step k-1's match (and, with ``within_s``, within
+    the window of step 1's match: the ClickHouse ``windowFunnel``
+    convention).  Emits one row per user: ``step{i}_ts`` timestamps
+    (null once the chain breaks), ``steps_completed`` and ``converted``.
+
+    Earliest-match semantics is the standard funnel definition and what
+    the SQL oracle (nested min-after-previous joins) computes; it is not
+    maximal matching — a later step-1 event that would admit a longer
+    chain inside the window is not explored.
+
+    Scale shape: ONE exchange on ``hash(user) % num_buckets``; per
+    bucket one Arrow sort by (user, ts, tie), then per STEP a single
+    vectorized masked segmented-min (``np.minimum.reduceat`` — min is
+    associative, so block order is irrelevant) over all users at once.
+    K steps = K vector passes, no per-user Python at any scale."""
+    from ..state.sketches import hash64
+
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    spec = [(user_col, "ascending"), (ts_col, "ascending"),
+            *([(tie_col, "ascending")] if tie_col else [])]
+    bucket_col = "__funnel__"
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(user_col), seed=11) % np.uint64(num_buckets)
+        return batch.append_column(
+            bucket_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(spec)
+        users = g.column(user_col).to_numpy(zero_copy_only=False)
+        n = len(users)
+        new = np.ones(n, dtype=bool)
+        new[1:] = users[1:] != users[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        nruns = len(starts)
+        run_id = np.repeat(np.arange(nruns, dtype=np.int64), lens)
+        ts = g.column(ts_col)
+        ts_type = ts.type
+        if pa.types.is_timestamp(ts_type):
+            tv = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+            unit = {"s": 1, "ms": 1_000, "us": 1_000_000,
+                    "ns": 1_000_000_000}[ts_type.unit]
+            win = (int(round(within_s * unit))
+                   if within_s is not None else None)
+        else:
+            tv = ts.to_numpy(zero_copy_only=False)
+            win = within_s
+        types = g.column(type_col).to_numpy(zero_copy_only=False)
+        INF = np.iinfo(np.int64).max
+        NEG = np.iinfo(np.int64).min
+        t_prev = np.full(nruns, NEG, dtype=np.int64)
+        t0 = None
+        step_ts = []
+        for k, step in enumerate(steps):
+            ok = (types == step) & (tv > t_prev[run_id])
+            if k > 0 and win is not None:
+                # clamp so INF (chain already broken) never overflows;
+                # those rows are excluded by the t_prev condition anyway
+                lim = np.minimum(t0[run_id], INF - win - 1) + win
+                ok &= tv <= lim
+            cand = np.where(ok, tv, INF)
+            tk = np.minimum.reduceat(cand, starts)
+            step_ts.append(tk)
+            if k == 0:
+                t0 = tk
+            t_prev = tk
+        completed = np.zeros(nruns, dtype=np.int64)
+        for tk in step_ts:
+            completed += (tk != INF)
+        cols = {user_col: pc.take(g.column(user_col),
+                                  pa.array(starts, pa.int64()))}
+        for i, tk in enumerate(step_ts, 1):
+            arr = pa.array(tk, type=pa.int64(), mask=(tk == INF))
+            if pa.types.is_timestamp(ts_type):
+                arr = arr.cast(ts_type)
+            cols[f"step{i}_ts"] = arr
+        cols["steps_completed"] = pa.array(completed, pa.int64())
+        cols["converted"] = pa.array(completed == len(steps))
+        return pa.table(cols)
 
     return (ds.map_batches(bucketize, batch_format="pyarrow")
             .groupby(bucket_col, num_partitions=num_partitions)

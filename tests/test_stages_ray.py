@@ -2064,6 +2064,53 @@ def test_debounce_semantics(ray_session):
     assert kept2 == kept
 
 
+def test_funnel_semantics(ray_session):
+    """Step order, earliest-match, window constraint, broken chains."""
+    import ray.data as rd
+
+    from malli_ray.stages.windows import funnel
+
+    def ts(s):
+        return np.datetime64("2026-01-01T00:00:00", "us") \
+            + np.timedelta64(s, "s")
+
+    rows = [
+        # u1 converts: A@0 -> B@10 -> C@20
+        (1, ts(0), "u1", "A"), (2, ts(10), "u1", "B"),
+        (3, ts(20), "u1", "C"),
+        # u2: B before A doesn't count; chain stops at A
+        (4, ts(0), "u2", "B"), (5, ts(5), "u2", "A"),
+        # u3: A then C (skips B) -> 1 step
+        (6, ts(0), "u3", "A"), (7, ts(9), "u3", "C"),
+        # u4: earliest-match pins A@0; B@100 outside the 60s window
+        (8, ts(0), "u4", "A"), (9, ts(100), "u4", "B"),
+        (10, ts(110), "u4", "C"),
+        # u5: no funnel events at all
+        (11, ts(0), "u5", "X"),
+    ]
+    tbl = pa.table({"event_id": [r[0] for r in rows],
+                    "ts": pa.array([r[1] for r in rows],
+                                   pa.timestamp("us")),
+                    "user_id": [r[2] for r in rows],
+                    "event_type": [r[3] for r in rows]})
+    ds = rd.from_arrow(tbl)
+    out = {r["user_id"]: r for r in funnel(
+        ds, "user_id", "ts", "event_type", ["A", "B", "C"],
+        within_s=60, tie_col="event_id").take_all()}
+    assert out["u1"]["converted"] is True
+    assert out["u1"]["steps_completed"] == 3
+    assert out["u2"]["steps_completed"] == 1    # B@0 ignored (before A)
+    assert out["u3"]["steps_completed"] == 1 and out["u3"]["step2_ts"] is None
+    assert out["u4"]["steps_completed"] == 1    # window cut B@100
+    assert out["u5"]["steps_completed"] == 0
+    assert out["u5"]["step1_ts"] is None
+    # without the window, u4 completes
+    out2 = {r["user_id"]: r for r in funnel(
+        ds, "user_id", "ts", "event_type", ["A", "B", "C"],
+        tie_col="event_id").take_all()}
+    assert out2["u4"]["converted"] is True
+
+
 def test_dsir_weights_semantics(ray_session):
     """Target-like docs score higher; repartition-invariant; exact int."""
     import ray.data as rd
