@@ -33,7 +33,8 @@ from ray.data import Dataset
 from ray.data.aggregate import Count
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
-           "range_join", "rolling_aggregate", "debounce", "funnel"]
+           "range_join", "rolling_aggregate", "debounce", "funnel",
+           "retention"]
 
 
 def tumbling_window(ds: Dataset, ts_col: str, minutes: int,
@@ -516,3 +517,61 @@ def funnel(ds: Dataset, user_col: str, ts_col: str, type_col: str,
     return (ds.map_batches(bucketize, batch_format="pyarrow")
             .groupby(bucket_col, num_partitions=num_partitions)
             .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def retention(ds: Dataset, user_col: str, ts_col: str,
+              period: str = "week", num_buckets: int = 64,
+              num_partitions: int | None = None) -> Dataset:
+    """Cohort retention matrix: users are cohorted by the period (ISO
+    week or day) of their FIRST event; for every (cohort, period
+    offset) the output counts distinct users active in that period —
+    the standard retention triangle.
+
+    Scale shape: ONE exchange on ``hash(user) % num_buckets``; per
+    bucket one sort by (user, ts) gives each user's first event and,
+    because period offsets are monotone in ts, the distinct
+    (user, offset) pairs fall out of a single boundary scan — only one
+    row per user-active-period reaches the final tiny
+    (cohort, offset) count groupby.  No per-user Python."""
+    from ..state.sketches import hash64
+
+    if period not in ("week", "day"):
+        raise ValueError(f"retention: unsupported period {period!r}")
+    bucket_col = "__cohort__"
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(user_col), seed=11) % np.uint64(num_buckets)
+        return batch.append_column(
+            bucket_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(user_col, "ascending"), (ts_col, "ascending")])
+        users = g.column(user_col).to_numpy(zero_copy_only=False)
+        n = len(users)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = users[1:] != users[:-1]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, n))
+        pw = pc.floor_temporal(g.column(ts_col), unit=period)
+        unit = pw.type.unit
+        scale = {"s": 1, "ms": 1_000, "us": 1_000_000,
+                 "ns": 1_000_000_000}[unit]
+        plen = (7 if period == "week" else 1) * 86400 * scale
+        wv = pc.cast(pw, pa.int64()).to_numpy(zero_copy_only=False)
+        cohort = np.repeat(wv[starts], lens)     # first period per user
+        offset = (wv - cohort) // plen
+        # offsets are monotone within a sorted run: distinct
+        # (user, offset) = run start OR offset change
+        keep = new_run.copy()
+        keep[1:] |= offset[1:] != offset[:-1]
+        return pa.table({
+            f"cohort_{period}": pa.array(cohort[keep],
+                                         pa.int64()).cast(pw.type),
+            f"{period}_offset": pa.array(offset[keep], pa.int64())})
+
+    pairs = (ds.select_columns([user_col, ts_col])
+             .map_batches(bucketize, batch_format="pyarrow")
+             .groupby(bucket_col, num_partitions=num_partitions)
+             .map_groups(per_bucket, batch_format="pyarrow"))
+    return (pairs.groupby([f"cohort_{period}", f"{period}_offset"])
+            .aggregate(Count(alias_name="n_users")))

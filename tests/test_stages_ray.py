@@ -2111,6 +2111,45 @@ def test_funnel_semantics(ray_session):
     assert out2["u4"]["converted"] is True
 
 
+def test_retention_semantics(ray_session):
+    """Cohorting by first event, distinct-per-period, day granularity."""
+    import ray.data as rd
+
+    from malli_ray.stages.windows import retention
+
+    def d(day, hour=12):
+        return (np.datetime64("2026-01-05", "us")           # a Monday
+                + np.timedelta64(day, "D") + np.timedelta64(hour, "h"))
+
+    rows = [
+        # cohort week 0 (Jan 5): u1 active weeks 0,1,2; u2 weeks 0,2
+        ("u1", d(0)), ("u1", d(1)), ("u1", d(8)), ("u1", d(15)),
+        ("u2", d(3)), ("u2", d(16)),
+        # cohort week 1 (Jan 12): u3 active weeks 0,1
+        ("u3", d(7)), ("u3", d(14)),
+        # Sunday-start edge: u4's first event Sun Jan 11 -> cohort week 0
+        ("u4", d(6, 23)),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "user_id": [r[0] for r in rows],
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us"))}))
+    out = {(str(r["cohort_week"])[:10], r["week_offset"]): r["n_users"]
+           for r in retention(ds, "user_id", "ts").take_all()}
+    assert out == {("2026-01-05", 0): 3,     # u1, u2, u4
+                   ("2026-01-05", 1): 1,     # u1 (u2 skipped week 1)
+                   ("2026-01-05", 2): 2,     # u1, u2
+                   ("2026-01-12", 0): 1,     # u3
+                   ("2026-01-12", 1): 1}
+    # day granularity: u1 active on days 0,1,8,15
+    day = {(str(r["cohort_day"])[:10], r["day_offset"]): r["n_users"]
+           for r in retention(ds.filter(expr="user_id == 'u1'"),
+                              "user_id", "ts", period="day").take_all()}
+    assert day == {("2026-01-05", 0): 1, ("2026-01-05", 1): 1,
+                   ("2026-01-05", 8): 1, ("2026-01-05", 15): 1}
+    with pytest.raises(ValueError, match="period"):
+        retention(ds, "user_id", "ts", period="month")
+
+
 def test_dsir_weights_semantics(ray_session):
     """Target-like docs score higher; repartition-invariant; exact int."""
     import ray.data as rd
