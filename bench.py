@@ -139,6 +139,9 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "c4_rules_documents", "dedup_lines_within_documents",
         "domain_filter_documents", "bm25_topk_documents",
         "dsir_weights_documents",
+        # r3 session 3: event analytics + exact corr
+        "debounce_events", "funnel_events", "retention_events",
+        "corr_quantity_price", "pagerank_customer_supplier",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

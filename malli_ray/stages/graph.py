@@ -236,3 +236,247 @@ def connected_components(edges: Dataset, src: str, dst: str,
             max_rounds)
 
     return labels.rename_columns([out_node, out_component])
+
+
+#: fixed-point denominator for integer PageRank — same contract as
+#: sampling.DSIR_SCALE: all per-iteration arithmetic is int64, so the
+#: result is exactly reproducible regardless of partitioning, block
+#: order, or summation strategy, and an SQL oracle can replay it.
+PAGERANK_SCALE = 1 << 40
+
+
+def pagerank(edges: Dataset, src: str, dst: str,
+             iterations: int = 10, damping: "tuple[int, int]" = (17, 20),
+             out_node: str = "node",
+             node_type: "pa.DataType | None" = None,
+             num_buckets: int = 64, checkpoint_every: int = 0,
+             num_partitions: int | None = None) -> Dataset:
+    """Integer fixed-point PageRank over an edge Dataset (directed;
+    duplicate edges collapse — the graph is a set of edges).
+
+    The update is the textbook power iteration made INTEGER-EXACT:
+    ranks are int64 multiples of ``1/2^40`` and each iteration computes
+    ``r'(v) = base + (d_num * S_v) // d_den`` with
+    ``S_v = sum over in-edges (u,v) of r(u) // outdeg(u)`` and
+    ``base = ((d_den - d_num) * 2^40) // (d_den * N)`` — every operation
+    integer, every sum associative, so the result is bit-identical
+    under any partitioning and an SQL oracle can replay the iterations
+    with ``//`` arithmetic.  Floor divisions leak a little mass (as do
+    dangling nodes — the standard simplification); ranks remain a
+    deterministic fixed-point of the stated recurrence.
+
+    Scale shape: ONE bucketed exchange per iteration (K+1 total), not
+    two — the combine-messages and emit-next-contributions steps FUSE:
+    every round's exchange carries edge rows (bucketed by hash(src)),
+    contribution messages (bucketed by hash(target)) and per-node zero
+    rows, and each bucket both computes its nodes' new ranks (one sort
+    + segmented sum) and forwards their out-edge contributions
+    (outdeg from the bucket's own edge runs — all of a src's edges
+    share its bucket).  The iteration count is fixed, so all rounds
+    chain LAZILY into a single streaming execution; the edge and node
+    tables materialize once.  ``checkpoint_every=k`` materializes the
+    in-flight messages every k rounds (bounds recompute-on-failure
+    depth at cluster scale).
+
+    ``node_type``: pass the node id Arrow dtype when ``edges`` has
+    upstream transforms — reading it via ``edges.schema()`` would
+    execute a probe pipeline (same contract as asof_join's schemas)."""
+    import ray
+
+    from ..state.sketches import hash64
+
+    dnum, dden = damping
+    if not (0 < dnum < dden):
+        raise ValueError("pagerank: damping must be (num, den), 0<num<den")
+    if iterations < 1:
+        raise ValueError("pagerank: iterations must be >= 1")
+    if num_partitions is None:
+        num_partitions = min(num_buckets, 16)
+    if node_type is None:
+        node_type = edges.schema().base_schema.field(src).type
+
+    def dedup_edges(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "n" not in g.column_names:
+            return pa.table({"n": pa.array([], node_type),
+                             "d": pa.array([], node_type)})
+        return (g.select(["n", "d"])
+                .group_by(["n", "d"], use_threads=False).aggregate([]))
+
+    def bucket_edges(batch: pa.Table) -> pa.Table:
+        h = (hash64(batch.column(src), seed=23)
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"n": batch.column(src),
+                         "d": pc.cast(batch.column(dst), node_type),
+                         _BUCKET: pa.array(h)})
+
+    def to_union(batch: pa.Table) -> pa.Table:
+        """Edge rows in the per-round union layout: (n=src, d=dst,
+        c=null), bucketed by hash(n)."""
+        h = (hash64(batch.column("n"), seed=23)
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"n": batch.column("n"), "d": batch.column("d"),
+                         "c": pa.nulls(batch.num_rows, pa.int64()),
+                         _BUCKET: pa.array(h)})
+
+    # distinct edges in union layout, materialized ONCE — every round
+    # re-reads these blocks
+    e2 = (edges.select_columns([src, dst])
+          .map_batches(bucket_edges, batch_format="pyarrow")
+          .groupby(_BUCKET, num_partitions=num_partitions)
+          .map_groups(dedup_edges, batch_format="pyarrow")
+          .map_batches(to_union, batch_format="pyarrow")).materialize()
+
+    def both_cols(batch: pa.Table) -> pa.Table:
+        a = batch.column("n")
+        b = batch.column("d")
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        return pa.table({"n": pa.concat_arrays([a, b])})
+
+    def distinct_nodes(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "n" not in g.column_names:
+            return pa.table({"n": pa.array([], type=node_type)})
+        nodes = g.column("n")
+        if isinstance(nodes, pa.ChunkedArray):
+            nodes = nodes.combine_chunks()
+        return pa.table({"n": pc.unique(nodes)})
+
+    def node_bucketize(batch: pa.Table) -> pa.Table:
+        h = (hash64(batch.column("n"), seed=23)
+             % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column(_BUCKET, pa.array(h))
+
+    # zero-contribution rows: one per node, re-unioned every round so
+    # message-less nodes still rank and forward their out-edges
+    zeros = (e2.map_batches(both_cols, batch_format="pyarrow")
+             .map_batches(node_bucketize, batch_format="pyarrow")
+             .groupby(_BUCKET, num_partitions=num_partitions)
+             .map_groups(distinct_nodes, batch_format="pyarrow")
+             .map_batches(lambda b: pa.table({
+                 "n": b.column("n"),
+                 "d": pa.nulls(b.num_rows, node_type),
+                 "c": pa.array(np.zeros(b.num_rows, dtype=np.int64))}),
+                 batch_format="pyarrow")
+             .map_batches(node_bucketize, batch_format="pyarrow")
+             ).materialize()
+    n_nodes = zeros.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            out_node: pa.array([], node_type),
+            "rank_q": pa.array([], pa.int64()),
+            "pagerank": pa.array([], pa.float64())}))
+    r0 = PAGERANK_SCALE // n_nodes
+    base = ((dden - dnum) * PAGERANK_SCALE) // (dden * n_nodes)
+
+    def _split(g: pa.Table):
+        """(edge rows sorted by n with deg + src order, msg rows)."""
+        is_edge = pc.is_valid(g.column("d")).to_numpy(zero_copy_only=False)
+        ed = g.filter(pa.array(is_edge)).sort_by([("n", "ascending")])
+        ms = g.filter(pa.array(~is_edge))
+        return ed, ms
+
+    def _rank_per_node(ms: pa.Table):
+        """Sorted distinct msg nodes + their new rank (base + d*S)."""
+        ms = ms.sort_by([("n", "ascending")])
+        nodes = ms.column("n").to_numpy(zero_copy_only=False)
+        k = len(nodes)
+        new = np.ones(k, dtype=bool)
+        new[1:] = nodes[1:] != nodes[:-1]
+        starts = np.flatnonzero(new)
+        c = ms.column("c").to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(c, starts) if k else np.zeros(0, np.int64)
+        r = base + (dnum * sums) // dden
+        return ms, starts, r
+
+    def _emit(ed: pa.Table, node_keys, r) -> pa.Table:
+        """Next-round contribution messages (n=dst, c=r(src)//deg)."""
+        srcs = ed.column("n").to_numpy(zero_copy_only=False)
+        m = len(srcs)
+        new = np.ones(m, dtype=bool)
+        new[1:] = srcs[1:] != srcs[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, m))
+        deg = np.repeat(lens, lens).astype(np.int64)
+        idx = np.searchsorted(node_keys, srcs)
+        contrib = r[idx] // deg
+        return pa.table({"n": ed.column("d"),
+                         "d": pa.nulls(m, node_type),
+                         "c": pa.array(contrib, pa.int64())})
+
+    empty_msgs = pa.table({"n": pa.array([], node_type),
+                           "d": pa.array([], node_type),
+                           "c": pa.array([], pa.int64())})
+
+    def step_first(g: pa.Table) -> pa.Table:
+        """Round 1: every rank is r0 — forward r0 // deg per edge."""
+        if g.num_rows == 0 or "d" not in g.column_names:
+            return empty_msgs
+        ed, _ = _split(g)
+        if ed.num_rows == 0:
+            return empty_msgs
+        srcs = ed.column("n").to_numpy(zero_copy_only=False)
+        m = len(srcs)
+        new = np.ones(m, dtype=bool)
+        new[1:] = srcs[1:] != srcs[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, m))
+        deg = np.repeat(lens, lens).astype(np.int64)
+        return pa.table({"n": ed.column("d"),
+                         "d": pa.nulls(m, node_type),
+                         "c": pa.array(r0 // deg, pa.int64())})
+
+    def step_mid(g: pa.Table) -> pa.Table:
+        """Fused round: rank this bucket's nodes from incoming messages,
+        forward their out-edge contributions."""
+        if g.num_rows == 0 or "d" not in g.column_names:
+            return empty_msgs
+        ed, ms = _split(g)
+        if ed.num_rows == 0:
+            return empty_msgs
+        ms, starts, r = _rank_per_node(ms)
+        node_keys = ms.column("n").to_numpy(zero_copy_only=False)[starts]
+        return _emit(ed, node_keys, r)
+
+    def step_last(g: pa.Table) -> pa.Table:
+        """Final combine: rank from incoming messages, emit (node, r)."""
+        empty = pa.table({"n": pa.array([], node_type),
+                          "r": pa.array([], pa.int64())})
+        if g.num_rows == 0 or "c" not in g.column_names:
+            return empty
+        _, ms = _split(g)
+        if ms.num_rows == 0:
+            return empty
+        ms, starts, r = _rank_per_node(ms)
+        return pa.table({
+            "n": pc.take(ms.column("n"), pa.array(starts, pa.int64())),
+            "r": pa.array(r, pa.int64())})
+
+    # round 1: contributions from the uniform r0 (edges only)
+    msgs = (e2.groupby(_BUCKET, num_partitions=num_partitions)
+            .map_groups(step_first, batch_format="pyarrow"))
+    # rounds 2..K: fused rank-and-forward
+    for it in range(2, iterations + 1):
+        msgs = (e2.union(msgs.map_batches(node_bucketize,
+                                          batch_format="pyarrow"))
+                .union(zeros)
+                .groupby(_BUCKET, num_partitions=num_partitions)
+                .map_groups(step_mid, batch_format="pyarrow"))
+        if checkpoint_every and it % checkpoint_every == 0:
+            msgs = msgs.materialize()
+    # final combine of round K's messages into ranks
+    ranks = (msgs.map_batches(node_bucketize, batch_format="pyarrow")
+             .union(zeros)
+             .groupby(_BUCKET, num_partitions=num_partitions)
+             .map_groups(step_last, batch_format="pyarrow"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        r = batch.column("r").to_numpy(zero_copy_only=False)
+        return pa.table({
+            out_node: batch.column("n"),
+            "rank_q": batch.column("r"),
+            "pagerank": pa.array(r.astype(np.float64)
+                                 / float(PAGERANK_SCALE), pa.float64())})
+
+    return ranks.map_batches(finish, batch_format="pyarrow")

@@ -2150,6 +2150,56 @@ def test_retention_semantics(ray_session):
         retention(ds, "user_id", "ts", period="month")
 
 
+def test_pagerank_integer_exact(ray_session):
+    """Bit-equality with an independent integer reference; duplicate
+    edges collapse; dangling nodes rank; repartition-invariant."""
+    from collections import defaultdict
+
+    import ray.data as rd
+
+    from malli_ray.stages.graph import PAGERANK_SCALE, pagerank
+
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in
+             rng.integers(0, 40, size=(300, 2)) if a != b]
+    edges += edges[:20]                       # duplicates must collapse
+    ds = rd.from_arrow(pa.table({"s": [e[0] for e in edges],
+                                 "d": [e[1] for e in edges]}))
+
+    def reference(E, iters):
+        E = sorted(set(E))
+        nodes = sorted({x for e in E for x in e})
+        N, S = len(nodes), PAGERANK_SCALE
+        deg = defaultdict(int)
+        for s_, _ in E:
+            deg[s_] += 1
+        r = {v: S // N for v in nodes}
+        base = (3 * S) // (20 * N)
+        for _ in range(iters):
+            msg = defaultdict(int)
+            for s_, d_ in E:
+                msg[d_] += r[s_] // deg[s_]
+            r = {v: base + (17 * msg[v]) // 20 for v in nodes}
+        return r
+
+    for iters in (1, 2, 7):
+        got = {r["node"]: r["rank_q"] for r in pagerank(
+            ds, "s", "d", iterations=iters,
+            node_type=pa.int64()).take_all()}
+        assert got == reference(edges, iters), iters
+    # repartition + bucket-count invariance (integer sums associative)
+    alt = {r["node"]: r["rank_q"] for r in pagerank(
+        ds.repartition(7), "s", "d", iterations=7, num_buckets=5,
+        num_partitions=3, node_type=pa.int64()).take_all()}
+    assert alt == reference(edges, 7)
+    # dangling node: edge into a sink; sink still ranks, mass leaks
+    sink = rd.from_arrow(pa.table({"s": [1, 2], "d": [3, 3]}))
+    out = {r["node"]: r for r in pagerank(
+        sink, "s", "d", iterations=3, node_type=pa.int64()).take_all()}
+    assert out[3]["rank_q"] > out[1]["rank_q"]
+    assert sum(r["rank_q"] for r in out.values()) < PAGERANK_SCALE
+
+
 def test_dsir_weights_semantics(ray_session):
     """Target-like docs score higher; repartition-invariant; exact int."""
     import ray.data as rd
