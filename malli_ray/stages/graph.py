@@ -390,6 +390,17 @@ def pagerank(edges: Dataset, src: str, dst: str,
         r = base + (dnum * sums) // dden
         return ms, starts, r
 
+    def _combine_msgs(dsts, contrib: np.ndarray) -> pa.Table:
+        """Map-side combiner: messages sharing a dst SUM here (int64,
+        associative) so the next exchange moves at most one row per
+        distinct dst per bucket instead of one per edge."""
+        agg = (pa.table({"n": dsts, "c": pa.array(contrib, pa.int64())})
+               .group_by(["n"], use_threads=False)
+               .aggregate([("c", "sum")]))
+        return pa.table({"n": agg.column("n"),
+                         "d": pa.nulls(agg.num_rows, node_type),
+                         "c": agg.column("c_sum")})
+
     def _emit(ed: pa.Table, node_keys, r) -> pa.Table:
         """Next-round contribution messages (n=dst, c=r(src)//deg)."""
         srcs = ed.column("n").to_numpy(zero_copy_only=False)
@@ -401,9 +412,7 @@ def pagerank(edges: Dataset, src: str, dst: str,
         deg = np.repeat(lens, lens).astype(np.int64)
         idx = np.searchsorted(node_keys, srcs)
         contrib = r[idx] // deg
-        return pa.table({"n": ed.column("d"),
-                         "d": pa.nulls(m, node_type),
-                         "c": pa.array(contrib, pa.int64())})
+        return _combine_msgs(ed.column("d"), contrib)
 
     empty_msgs = pa.table({"n": pa.array([], node_type),
                            "d": pa.array([], node_type),
@@ -423,9 +432,7 @@ def pagerank(edges: Dataset, src: str, dst: str,
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, m))
         deg = np.repeat(lens, lens).astype(np.int64)
-        return pa.table({"n": ed.column("d"),
-                         "d": pa.nulls(m, node_type),
-                         "c": pa.array(r0 // deg, pa.int64())})
+        return _combine_msgs(ed.column("d"), r0 // deg)
 
     def step_mid(g: pa.Table) -> pa.Table:
         """Fused round: rank this bucket's nodes from incoming messages,
