@@ -142,7 +142,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         # r3 session 3: event analytics + exact corr
         "debounce_events", "funnel_events", "retention_events",
         "corr_quantity_price", "pagerank_customer_supplier",
-        "q5_local_supplier_volume",
+        "q5_local_supplier_volume", "rollup_orders", "transitions_events",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

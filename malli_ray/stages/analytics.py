@@ -736,3 +736,135 @@ def covariance_by_group(ds: Dataset, group: str, x: str, y: str,
             .map_batches(partials, batch_format="pyarrow")
             .groupby(group, num_partitions=num_partitions)
             .map_groups(finish, batch_format="pyarrow"))
+
+
+def rollup_counts(ds: Dataset, columns: "list[str]",
+                  count_col: str = "n",
+                  num_partitions: int | None = None) -> Dataset:
+    """SQL ``GROUP BY ROLLUP(columns)`` counts: one count row per group
+    at EVERY prefix level — (c1, c2, ..., ck), (c1, ..., c[k-1]), ...,
+    (c1), () — with the rolled-up columns null and a ``__level``
+    column (number of grouping columns kept) to disambiguate real
+    nulls from rolled-up ones (SQL's GROUPING()).
+
+    Map-side combine: each batch collapses to per-level partial counts
+    via k+1 Arrow hash group_bys over its own rows, so the shuffle
+    carries at most ``sum of level cardinalities`` rows per batch and a
+    hot group collapses before moving; one tiny groupby sums partials."""
+    if not columns:
+        raise ValueError("rollup_counts: columns must be non-empty")
+    k = len(columns)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.select(columns)
+        parts = []
+        for lvl in range(k, -1, -1):
+            kept = columns[:lvl]
+            if kept:
+                agg = t.select(kept).group_by(
+                    kept, use_threads=False).aggregate([([], "count_all")])
+                cnt = agg.column("count_all")
+                cols = {c: (agg.column(c) if c in kept
+                            else pa.nulls(agg.num_rows,
+                                          t.schema.field(c).type))
+                        for c in columns}
+            else:
+                cnt = pa.array([batch.num_rows], pa.int64())
+                cols = {c: pa.nulls(1, t.schema.field(c).type)
+                        for c in columns}
+            cols["__level"] = pa.array(
+                np.full(len(cnt), lvl, dtype=np.int64))
+            cols["__cnt"] = pc.cast(cnt, pa.int64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        # null-safe combined key hash: Ray's sort-based groupby cannot
+        # order null string keys, so the exchange keys on one int bucket
+        # and each bucket combines with Arrow group_by (nulls are fine)
+        from ..state.sketches import hash64
+        h = batch.column("__level").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        for c in columns:
+            h = h * np.uint64(1099511628211) + hash64(batch.column(c),
+                                                      seed=31)
+        return batch.append_column(
+            "__b", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    def finish(g: pa.Table) -> pa.Table:
+        # polars, NOT Arrow group_by: pyarrow 16 hash grouping on >= 3
+        # key columns with null keys re-creates the null group every 32
+        # internal exec rows (reproduced + pinned in
+        # test_rollup_counts_null_key_grouping) — duplicate output keys
+        import polars as pl
+        agg = (pl.from_arrow(g.select([*columns, "__level", "__cnt"]))
+               .group_by([*columns, "__level"])
+               .agg(pl.col("__cnt").sum().alias(count_col))
+               .to_arrow())
+        cols = {c: agg.column(c).cast(g.schema.field(c).type)
+                for c in [*columns, "__level"]}
+        cols[count_col] = agg.column(count_col).cast(pa.int64())
+        return pa.table(cols)
+
+    return (ds.select_columns(columns)
+            .map_batches(partials, batch_format="pyarrow")
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby("__b", num_partitions=num_partitions)
+            .map_groups(finish, batch_format="pyarrow"))
+
+
+def transition_counts(ds: Dataset, key: str, order_by, state_col: str,
+                      num_buckets: int = 64,
+                      num_partitions: int | None = None) -> Dataset:
+    """First-order transition (Markov edge) counts: how often state A is
+    IMMEDIATELY followed by state B within a key's ordered run — the
+    journey/flow aggregation behind Sankey diagrams and next-event
+    models.  SQL: ``LAG(state) OVER (PARTITION BY key ORDER BY ...)``
+    then ``GROUP BY prev, state``.
+
+    Scale shape: the lag_lead exchange (hash(key) % num_buckets), per
+    bucket one sort + a run-boundary-masked shift, then each bucket
+    collapses to (prev, state, partial count) — only distinct
+    transition pairs per bucket reach the final tiny groupby."""
+    from ..state.sketches import hash64
+
+    if isinstance(order_by, str):
+        order_by = [order_by]
+    spec = [(key, "ascending"), *[(c, "ascending") for c in order_by]]
+    bucket_col = "__transbucket__"
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key), seed=11) % np.uint64(num_buckets)
+        return batch.append_column(
+            bucket_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(spec)
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        same_run = np.zeros(n, dtype=bool)
+        same_run[1:] = keys[1:] == keys[:-1]
+        idx = np.flatnonzero(same_run)
+        state = g.column(state_col)
+        pairs = pa.table({
+            "prev_state": pc.take(state, pa.array(idx - 1, pa.int64())),
+            "next_state": pc.take(state, pa.array(idx, pa.int64()))})
+        agg = pairs.group_by(["prev_state", "next_state"],
+                             use_threads=False).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["prev_state", "next_state", "__cnt"])
+
+    def finish(g: pa.Table) -> pa.Table:
+        total = int(pc.sum(g.column("__cnt")).as_py() or 0)
+        return pa.table({
+            "prev_state": g.column("prev_state").slice(0, 1),
+            "next_state": g.column("next_state").slice(0, 1),
+            "n": pa.array([total], pa.int64())})
+
+    return (ds.select_columns([key, *order_by, state_col])
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow")
+            .groupby(["prev_state", "next_state"],
+                     num_partitions=num_partitions)
+            .map_groups(finish, batch_format="pyarrow"))

@@ -2200,6 +2200,58 @@ def test_pagerank_integer_exact(ray_session):
     assert sum(r["rank_q"] for r in out.values()) < PAGERANK_SCALE
 
 
+def test_rollup_counts_null_key_grouping(ray_session):
+    """Pins the pyarrow 16 bug rollup works around: Arrow hash group_by
+    with >= 3 key columns and NULL keys re-creates the null-key group
+    every 32 internal exec rows.  rollup_counts must combine correctly
+    anyway (polars finisher)."""
+    import ray.data as rd
+
+    from malli_ray.stages.analytics import rollup_counts
+
+    # upstream behavior pin — if this starts returning 3, the polars
+    # workaround can be retired
+    rows = [("A", "P", 2), ("B", "F", 2), ("C", None, 1)] * 13
+    t = pa.table({"a": [r[0] for r in rows], "b": [r[1] for r in rows],
+                  "l": pa.array([r[2] for r in rows], pa.int64())})
+    arrow_groups = t.group_by(["a", "b", "l"], use_threads=False) \
+        .aggregate([([], "count_all")]).num_rows
+    assert arrow_groups in (3, 4)    # 4 = the buggy pyarrow 16 output
+
+    ds = rd.from_arrow(pa.table({
+        "p": ["x"] * 40 + ["y"] * 24,
+        "s": (["u", "v"] * 20) + (["u"] * 24)})).repartition(9)
+    out = rollup_counts(ds, ["p", "s"]).to_pandas()
+    key = out.set_index(["p", "s", "__level"], drop=True)["n"]
+    assert len(out) == len(set(map(tuple, out[["p", "s", "__level"]]
+                                   .itertuples(index=False)))), "dup keys"
+    assert key[("x", "u", 2)] == 20 and key[("x", "v", 2)] == 20
+    assert key[("y", "u", 2)] == 24
+    assert key[("x", None, 1)] == 40 and key[("y", None, 1)] == 24
+    assert key[(None, None, 0)] == 64
+    with pytest.raises(ValueError, match="non-empty"):
+        rollup_counts(ds, [])
+
+
+def test_transition_counts_semantics(ray_session):
+    """Adjacent-only pairs, per-key isolation, deterministic ties."""
+    import ray.data as rd
+
+    from malli_ray.stages.analytics import transition_counts
+
+    rows = [("u1", 1, "A"), ("u1", 2, "B"), ("u1", 3, "A"),
+            ("u1", 4, "B"),
+            ("u2", 1, "B"), ("u2", 2, "A"),
+            ("u3", 1, "C")]                      # single event: no pair
+    ds = rd.from_arrow(pa.table({
+        "k": [r[0] for r in rows],
+        "t": pa.array([r[1] for r in rows], pa.int64()),
+        "s": [r[2] for r in rows]})).repartition(3)
+    out = {(r["prev_state"], r["next_state"]): r["n"]
+           for r in transition_counts(ds, "k", "t", "s").take_all()}
+    assert out == {("A", "B"): 2, ("B", "A"): 2}
+
+
 def test_dsir_weights_semantics(ray_session):
     """Target-like docs score higher; repartition-invariant; exact int."""
     import ray.data as rd
