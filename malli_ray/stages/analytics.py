@@ -868,3 +868,90 @@ def transition_counts(ds: Dataset, key: str, order_by, state_col: str,
             .groupby(["prev_state", "next_state"],
                      num_partitions=num_partitions)
             .map_groups(finish, batch_format="pyarrow"))
+
+
+def standardize_by_group(ds: Dataset, group: str, value: str,
+                         method: str = "zscore",
+                         out: str | None = None,
+                         num_partitions: int | None = None) -> Dataset:
+    """Per-group feature standardization over an INTEGER column (cast
+    floats to fixed-point units upstream, the covariance contract):
+    ``zscore`` appends ``(x - mean) / stddev_pop``, ``minmax`` appends
+    ``(x - min) / (max - min)`` — the scaling step before ML training.
+    Constant groups yield null.
+
+    Bit-reproducibility: group stats come from exact integer sums /
+    mins / maxes (map-side Arrow group_by partials — only tiny stat
+    rows shuffle), and the per-row float is the literal IEEE sequence
+    an SQL oracle spells (divisions of exactly-representable ints +
+    correctly-rounded sqrt).  Two passes: a tiny stats groupby, then a
+    shuffle-free broadcast-probe scan (stats ride a ray.put table)."""
+    import math
+
+    import ray
+
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"standardize_by_group: unknown method {method!r}")
+    out = out or f"{value}_{method}"
+
+    def partials(batch: pa.Table) -> pa.Table:
+        xv = pc.cast(batch.column(value), pa.int64())
+        t = pa.table({group: batch.column(group), "__x": xv,
+                      "__xx": pc.multiply_checked(xv, xv)})
+        agg = t.group_by([group], use_threads=False).aggregate(
+            [("__x", "sum"), ("__xx", "sum"), ("__x", "min"),
+             ("__x", "max"), ([], "count_all")])
+        return agg.rename_columns([group, "__sx", "__sxx", "__mn",
+                                   "__mx", "__n"])
+
+    def combine(g: pa.Table) -> pa.Table:
+        n = sum(v.as_py() for v in g.column("__n"))
+        sx = sum(v.as_py() for v in g.column("__sx"))
+        sxx = sum(v.as_py() for v in g.column("__sxx"))
+        mn = min(v.as_py() for v in g.column("__mn"))
+        mx = max(v.as_py() for v in g.column("__mx"))
+        return pa.table({group: g.column(group).slice(0, 1),
+                         "__n": pa.array([n], pa.int64()),
+                         "__sx": pa.array([sx], pa.int64()),
+                         "__sxx": pa.array([sxx], pa.int64()),
+                         "__mn": pa.array([mn], pa.int64()),
+                         "__mx": pa.array([mx], pa.int64())})
+
+    stats = (ds.select_columns([group, value])
+             .map_batches(partials, batch_format="pyarrow")
+             .groupby(group, num_partitions=num_partitions)
+             .map_groups(combine, batch_format="pyarrow")).take_all()
+
+    lookup = {}
+    for r in stats:
+        n, sx, sxx = r["__n"], r["__sx"], r["__sxx"]
+        mn, mx = r["__mn"], r["__mx"]
+        if method == "zscore":
+            var = (sxx / n) - (sx / n) * (sx / n)
+            lookup[r[group]] = ((sx / n, math.sqrt(var))
+                                if var > 0 else None)
+        else:
+            lookup[r[group]] = ((float(mn), float(mx - mn))
+                                if mx > mn else None)
+    ref = ray.put(lookup)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        keys = batch.column(group).to_numpy(zero_copy_only=False)
+        x = pc.cast(batch.column(value), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        outv = np.empty(len(keys), dtype=np.float64)
+        mask = np.zeros(len(keys), dtype=bool)
+        # vectorize per group present in the batch (groups are few)
+        for k in set(keys.tolist()):
+            sel = keys == k
+            st = table.get(k)
+            if st is None:
+                mask |= sel
+            else:
+                a, b = st
+                outv[sel] = (x[sel] - a) / b
+        return batch.append_column(
+            out, pa.array(outv, pa.float64(), mask=mask))
+
+    return ds.map_batches(score, batch_format="pyarrow")

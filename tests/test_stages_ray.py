@@ -2252,6 +2252,31 @@ def test_transition_counts_semantics(ray_session):
     assert out == {("A", "B"): 2, ("B", "A"): 2}
 
 
+def test_standardize_by_group(ray_session):
+    """z-score/min-max vs numpy; constant groups null; unknown method."""
+    import ray.data as rd
+
+    from malli_ray.stages.analytics import standardize_by_group
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1000, 400)
+    tbl = pa.table({"g": ["a"] * 400 + ["const"] * 3,
+                    "v": np.concatenate([x, [5, 5, 5]])})
+    ds = rd.from_arrow(tbl).repartition(5)
+    out = standardize_by_group(
+        standardize_by_group(ds, "g", "v", method="zscore"),
+        "g", "v", method="minmax").to_pandas()
+    a = out[out.g == "a"].sort_index()
+    want_z = (x - x.mean()) / x.std()          # population std
+    assert np.allclose(np.sort(a.v_zscore), np.sort(want_z), atol=1e-9)
+    want_m = (x - x.min()) / (x.max() - x.min())
+    assert np.allclose(np.sort(a.v_minmax), np.sort(want_m), atol=1e-12)
+    const = out[out.g == "const"]
+    assert const.v_zscore.isna().all() and const.v_minmax.isna().all()
+    with pytest.raises(ValueError, match="unknown method"):
+        standardize_by_group(ds, "g", "v", method="robust")
+
+
 def test_dsir_weights_semantics(ray_session):
     """Target-like docs score higher; repartition-invariant; exact int."""
     import ray.data as rd
