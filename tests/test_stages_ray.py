@@ -2277,6 +2277,88 @@ def test_standardize_by_group(ray_session):
         standardize_by_group(ds, "g", "v", method="robust")
 
 
+def test_event_ops_random_reference(ray_session):
+    """funnel / debounce / retention vs brute-force Python references on
+    random event streams (5 seeds) — the oracle gate checks one corpus;
+    this sweeps shapes: sparse users, dense repeats, ties."""
+    import ray.data as rd
+
+    from malli_ray.stages.windows import debounce, funnel, retention
+
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        n = rng.integers(50, 400)
+        users = rng.integers(0, 12, n)
+        secs = rng.integers(0, 9 * 86_400, n)     # ~9 days of activity
+        kinds = rng.choice(["A", "B", "C", "D"], n)
+        base = np.datetime64("2026-01-05T00:00:00", "us")
+        ts = base + secs.astype("timedelta64[s]")
+        eid = np.arange(n, dtype=np.int64)
+        tbl = pa.table({"event_id": eid,
+                        "ts": pa.array(ts, pa.timestamp("us")),
+                        "user_id": users, "event_type": kinds})
+        ds = rd.from_arrow(tbl).repartition(int(rng.integers(1, 6)))
+        rows = sorted(zip(users.tolist(), secs.tolist(), eid.tolist(),
+                          kinds.tolist()))
+
+        # --- debounce reference: LAG-based per (user, kind) ---
+        keep = set()
+        prev: dict = {}
+        for u, s, i, k in sorted(zip(users.tolist(), secs.tolist(),
+                                     eid.tolist(), kinds.tolist()),
+                                 key=lambda r: (r[0], r[3], r[1], r[2])):
+            p = prev.get((u, k))
+            if p is None or s - p > 60:
+                keep.add(i)
+            prev[(u, k)] = s
+        got = sorted(r["event_id"] for r in debounce(
+            ds, ["user_id", "event_type"], "ts", 60,
+            tie_col="event_id").take_all())
+        assert got == sorted(keep), f"debounce seed {seed}"
+
+        # --- funnel reference: earliest-match A->B->C within 600s ---
+        want_steps = {}
+        for u in set(users.tolist()):
+            ev = [(s, i, k) for uu, s, i, k in rows if uu == u]
+            t_prev, t0, done = None, None, 0
+            for step in ("A", "B", "C"):
+                nxt = None
+                for s, i, k in ev:
+                    if k != step:
+                        continue
+                    if t_prev is not None and s <= t_prev:
+                        continue
+                    if t0 is not None and s - t0 > 600:
+                        continue
+                    nxt = s
+                    break
+                if nxt is None:
+                    break
+                done += 1
+                t_prev = nxt
+                if t0 is None:
+                    t0 = nxt
+            want_steps[u] = done
+        got_f = {r["user_id"]: r["steps_completed"] for r in funnel(
+            ds, "user_id", "ts", "event_type", ["A", "B", "C"],
+            within_s=600, tie_col="event_id").take_all()}
+        assert got_f == want_steps, f"funnel seed {seed}"
+
+        # --- retention reference: day cohorts ---
+        day = secs // 86400
+        first = {}
+        for u, d in sorted(zip(users.tolist(), day.tolist())):
+            first.setdefault(u, d)
+        cells: dict = {}
+        for u, d in set(zip(users.tolist(), day.tolist())):
+            key = (first[u], d - first[u])
+            cells[key] = cells.get(key, 0) + 1
+        got_r = {(int(str(r["cohort_day"])[8:10]) - 5, r["day_offset"]):
+                 r["n_users"] for r in retention(
+                     ds, "user_id", "ts", period="day").take_all()}
+        assert got_r == cells, f"retention seed {seed}"
+
+
 def test_dsir_weights_semantics(ray_session):
     """Target-like docs score higher; repartition-invariant; exact int."""
     import ray.data as rd
