@@ -87,6 +87,12 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
     if args.normalize:
         ds = T.normalize_text(ds, tc)
         stages.append("normalize")
+    if args.lang:
+        ds = T.add_lang_id(ds, tc)
+        ds = ds.filter(expr=f"lang_pred == '{args.lang}'")
+        ds = ds.map_batches(lambda b: b.drop_columns(["lang_pred"]),
+                            batch_format="pyarrow")
+        stages.append(f"lang({args.lang})")
     if args.dedup_lines:
         ds = T.dedup_lines_within_doc(ds, tc)
         ds = ds.map_batches(
@@ -263,6 +269,9 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--normalize", action="store_true",
                     help="canonical text normalization first (control-strip"
                          " -> whitespace-collapse -> trim -> lower)")
+    cp.add_argument("--lang", metavar="CODE",
+                    help="keep only docs whose language-ID heuristic "
+                         "predicts CODE (en/es/de/fr/zh)")
     cp.add_argument("--dedup-lines", action="store_true",
                     help="within-document duplicate-line scrub (keep the "
                          "first occurrence of each exact line)")

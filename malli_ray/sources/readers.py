@@ -14,7 +14,7 @@ from typing import Any
 from ray.data import Dataset
 
 __all__ = ["read_csv_with_schema", "read_json_with_schema",
-           "read_parquet_for_schema"]
+           "read_parquet_for_schema", "write_jsonl_with_schema"]
 
 
 def _decode_and_validate(ds: Dataset, schema: Any, validate: bool) -> Dataset:
@@ -58,3 +58,17 @@ def read_parquet_for_schema(paths, schema: Any, validate: bool = False,
         from ..stages.validator import ValidationSpec
         ds = validate_ds(ds, ValidationSpec(schema=schema))
     return ds
+
+
+def write_jsonl_with_schema(ds: Dataset, schema: Any, out_dir: str,
+                            name: str = "string", **write_kwargs) -> None:
+    """Schema-encoded JSONL sink: ENCODE typed columns back to canonical
+    strings per the string-transformer encode direction
+    (stages/transform_stage.EncodeBatch — the write-side mirror of the
+    readers above), then Ray's native sharded ``write_json`` (one file
+    per block — resumable output, never one giant file)."""
+    from ..stages import cached_stage
+    from ..stages.transform_stage import EncodeBatch
+    ds = ds.map_batches(cached_stage(EncodeBatch, schema=schema, name=name),
+                        batch_format="pyarrow")
+    ds.write_json(out_dir, **write_kwargs)

@@ -22,8 +22,8 @@ import pyarrow.compute as pc
 
 from ..core import DEFAULT_KEY, MapSchema, Schema, schema as to_schema
 
-__all__ = ["DecodeBatch", "strip_extra_columns", "fill_defaults",
-           "batch_kernel"]
+__all__ = ["DecodeBatch", "EncodeBatch", "strip_extra_columns",
+           "fill_defaults", "batch_kernel"]
 
 _INT_TYPES = {"int", "integer", "int?", "integer?", "pos-int?", "neg-int?", "nat-int?"}
 _FLOAT_TYPES = {"double", "float", "double?", "float?", "number", "number?"}
@@ -263,3 +263,86 @@ def fill_defaults(schema: Any, options: dict | None = None, key: str = "default"
         return batch
 
     return fill
+
+
+def _datetime_to_string_batch(arr: pa.Array):
+    """Vectorized date_to_string (UTC ISO-8601 with millis,
+    transform.cljc:183-193): one polars strftime pass."""
+    import polars as pl
+    s = pl.from_arrow(arr)
+    if s.dtype.time_zone is not None:
+        s = s.dt.convert_time_zone("UTC")
+    return (s.dt.strftime("%Y-%m-%dT%H:%M:%S%.3f") + "Z").to_arrow() \
+        .cast(pa.string())
+
+
+class EncodeBatch:
+    """Actor-pool ENCODE stage — the write-side mirror of DecodeBatch:
+    typed columns -> canonical strings per the string-transformer encode
+    direction (transform.cljc:454-458; the row path's _STRING_ENCODERS
+    are the semantics oracle, enforced by a cross-path parity test).
+
+    int/timestamp columns encode with one vectorized kernel; float and
+    decimal columns row-map ``str`` (Arrow's float formatting diverges
+    from Python's — '1e-7' vs '1e-07', '3' vs '3.0' — so the vectorized
+    cast would break row-path parity; designated slow path, same class
+    as the regex row fallbacks).  :boolean is deliberately NOT encoded
+    (the reference's commented-out -any->string, transform.cljc:371).
+    ``encode/<name>`` properties override per column, with the
+    ``batch_kernel`` marker contract shared with DecodeBatch."""
+
+    def __init__(self, schema: Any, options: dict | None = None,
+                 name: str = "string"):
+        s = to_schema(schema, options)
+        s = s if isinstance(s, MapSchema) else s.deref()
+        if not isinstance(s, MapSchema):
+            raise ValueError("EncodeBatch requires a :map schema")
+        self.targets: dict[str, str] = {}
+        self.overrides: dict[str, Callable] = {}
+        prop = f"encode/{name}"
+        for (k, props, cs) in s.children:
+            if k == DEFAULT_KEY:
+                continue
+            override = (props or {}).get(prop) or cs.properties.get(prop)
+            if callable(override):
+                self.overrides[k] = override
+                continue
+            kind = _target_kind(cs)
+            if kind in ("int", "float", "timestamp", "decimal"):
+                self.targets[k] = kind
+
+    def _apply_override(self, col, fn: Callable):
+        a = col if isinstance(col, pa.Array) else col.combine_chunks()
+        if getattr(fn, "__malli_batch_kernel__", False):
+            return fn(a)
+        return pa.array([None if v is None else fn(v) for v in a.to_pylist()])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..transform import any_to_string
+
+        for name, fn in self.overrides.items():
+            if name not in batch.schema.names:
+                continue
+            idx = batch.schema.get_field_index(name)
+            batch = batch.set_column(
+                idx, name, self._apply_override(batch.column(name), fn))
+        for name, kind in self.targets.items():
+            if name not in batch.schema.names:
+                continue
+            col = batch.column(name)
+            dt = col.type
+            if pa.types.is_string(dt) or pa.types.is_large_string(dt):
+                continue                      # already encoded
+            a = col if isinstance(col, pa.Array) else col.combine_chunks()
+            if kind == "int" and pa.types.is_integer(dt):
+                out = pc.cast(a, pa.string())
+            elif kind == "timestamp" and pa.types.is_timestamp(dt):
+                out = _datetime_to_string_batch(a)
+            else:
+                # float / decimal / unexpected dtype: row-map the exact
+                # row-path encoder
+                out = pa.array([None if v is None else any_to_string(v)
+                                for v in a.to_pylist()], pa.string())
+            idx = batch.schema.get_field_index(name)
+            batch = batch.set_column(idx, name, out)
+        return batch

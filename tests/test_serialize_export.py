@@ -951,6 +951,31 @@ def test_cli_corpus_prep_c4_domain_dedup_lines(tmp_path, ray_session,
     assert rep["rows_in"] == 6 and rep["rows_out"] == 3
 
 
+def test_cli_corpus_prep_lang_filter(tmp_path, ray_session, capsys):
+    """--lang keeps only docs the language-ID heuristic assigns CODE."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from malli_ray.cli import main
+
+    docs = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["the cat and the dog is with it for now",
+                 "el perro y la casa de los campos es una",
+                 "der hund und die katze ist nicht ein mit"]})
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(docs, inp / "part-0.parquet")
+    out = tmp_path / "out"
+    rc = main(["corpus-prep", "--input", str(inp), "--out", str(out),
+               "--lang", "es", "--num-cpus", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stages"] == ["lang(es)"]
+    kept = pq.read_table(sorted((out / "data").glob("*.parquet")))
+    assert kept.column("doc_id").to_pylist() == [1]
+    assert "lang_pred" not in kept.column_names
+
+
 def test_cli_corpus_prep_split_shards(tmp_path, ray_session, capsys):
     import pyarrow as pa
     import pyarrow.parquet as pq

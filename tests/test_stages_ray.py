@@ -2359,6 +2359,59 @@ def test_event_ops_random_reference(ray_session):
         assert got_r == cells, f"retention seed {seed}"
 
 
+def test_encode_batch_row_parity(ray_session, tmp_path):
+    """EncodeBatch == the row-path string encoders per column; the JSONL
+    sink round-trips through read_json_with_schema decode."""
+    import ray.data as rd
+
+    from malli_ray.sources.readers import (read_json_with_schema,
+                                           write_jsonl_with_schema)
+    from malli_ray.stages.transform_stage import EncodeBatch, batch_kernel
+    from malli_ray.transform import any_to_string, date_to_string
+
+    schema = ["map", ["i", "int"], ["x", "double"],
+              ["ts", "inst?"], ["b", "boolean"], ["s", "string"]]
+    ts = pa.array([1767613845123456, 1767600000000000, None],
+                  pa.timestamp("us"))
+    tbl = pa.table({"i": pa.array([42, -7, None], pa.int64()),
+                    "x": pa.array([1.5, 1e-07, 3.0], pa.float64()),
+                    "ts": ts,
+                    "b": pa.array([True, False, None]),
+                    "s": ["keep", "as", "is"]})
+    enc = EncodeBatch(schema)(tbl)
+    assert enc.column("i").to_pylist() == ["42", "-7", None]
+    # float goes through the exact row encoder (str), not Arrow's cast
+    assert enc.column("x").to_pylist() == [
+        any_to_string(v) for v in tbl.column("x").to_pylist()]
+    assert enc.column("x").to_pylist() == ["1.5", "1e-07", "3.0"]
+    assert enc.column("ts").to_pylist() == [
+        date_to_string(v) if v is not None else None
+        for v in ts.to_pylist()]
+    # :boolean deliberately NOT encoded (reference transform.cljc:371)
+    assert enc.column("b").type == pa.bool_()
+    assert enc.column("s").to_pylist() == ["keep", "as", "is"]
+
+    # encode/<name> override with the batch_kernel marker
+    import pyarrow.compute as pc2
+    sch2 = ["map", ["i", ["int", {"encode/string": batch_kernel(
+        lambda a: pc2.cast(pc2.add(a, 1), pa.string()))}]]]
+    enc2 = EncodeBatch(sch2)(pa.table({"i": pa.array([1, 2], pa.int64())}))
+    assert enc2.column("i").to_pylist() == ["2", "3"]
+
+    # sink round-trip: write JSONL, decode back, values survive
+    out = tmp_path / "jsonl"
+    write_jsonl_with_schema(
+        rd.from_arrow(tbl.drop_columns(["b"])),
+        ["map", ["i", "int"], ["x", "double"], ["ts", "inst?"],
+         ["s", "string"]], str(out))
+    back = read_json_with_schema(
+        sorted(str(p) for p in out.glob("*.json")),
+        ["map", ["i", "int"], ["x", "double"], ["s", "string"]]) \
+        .to_pandas().sort_values("s").reset_index(drop=True)
+    assert sorted(x for x in back["i"].dropna()) == [-7, 42]
+    assert abs(back["x"].sum() - (1.5 + 1e-07 + 3.0)) < 1e-12
+
+
 def test_dsir_weights_semantics(ray_session):
     """Target-like docs score higher; repartition-invariant; exact int."""
     import ray.data as rd
