@@ -144,7 +144,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "corr_quantity_price", "pagerank_customer_supplier",
         "q5_local_supplier_volume", "rollup_orders", "transitions_events",
         "corpus_prep_v4_documents", "validate_sequences_exact",
-        "standardize_lineitem",
+        "standardize_lineitem", "cube_orders",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -738,28 +738,27 @@ def covariance_by_group(ds: Dataset, group: str, x: str, y: str,
             .map_groups(finish, batch_format="pyarrow"))
 
 
-def rollup_counts(ds: Dataset, columns: "list[str]",
-                  count_col: str = "n",
-                  num_partitions: int | None = None) -> Dataset:
-    """SQL ``GROUP BY ROLLUP(columns)`` counts: one count row per group
-    at EVERY prefix level — (c1, c2, ..., ck), (c1, ..., c[k-1]), ...,
-    (c1), () — with the rolled-up columns null and a ``__level``
-    column (number of grouping columns kept) to disambiguate real
-    nulls from rolled-up ones (SQL's GROUPING()).
+def _grouping_sets_counts(ds: Dataset, columns: "list[str]",
+                          sets: "list[tuple[list[str], int]]",
+                          id_col: str, count_col: str,
+                          num_partitions: int | None) -> Dataset:
+    """Shared GROUPING SETS count engine (rollup/cube): one count row
+    per group per set, rolled-up columns null, ``id_col`` carrying the
+    set id so real nulls stay distinguishable from rolled-up ones.
 
-    Map-side combine: each batch collapses to per-level partial counts
-    via k+1 Arrow hash group_bys over its own rows, so the shuffle
-    carries at most ``sum of level cardinalities`` rows per batch and a
-    hot group collapses before moving; one tiny groupby sums partials."""
-    if not columns:
-        raise ValueError("rollup_counts: columns must be non-empty")
-    k = len(columns)
+    Map-side combine: each batch collapses to per-set partial counts
+    via one Arrow hash group_by per set over its own rows, so the
+    shuffle carries at most the sum of per-set cardinalities per batch
+    and hot groups collapse before moving; a null-safe hash-bucketed
+    exchange + a polars finisher sum the partials (polars, NOT Arrow:
+    pyarrow 16 hash grouping on >= 3 key columns with null keys
+    re-creates the null group every 32 internal exec rows — pinned in
+    test_rollup_counts_null_key_grouping)."""
 
     def partials(batch: pa.Table) -> pa.Table:
         t = batch.select(columns)
         parts = []
-        for lvl in range(k, -1, -1):
-            kept = columns[:lvl]
+        for kept, sid in sets:
             if kept:
                 agg = t.select(kept).group_by(
                     kept, use_threads=False).aggregate([([], "count_all")])
@@ -772,8 +771,8 @@ def rollup_counts(ds: Dataset, columns: "list[str]",
                 cnt = pa.array([batch.num_rows], pa.int64())
                 cols = {c: pa.nulls(1, t.schema.field(c).type)
                         for c in columns}
-            cols["__level"] = pa.array(
-                np.full(len(cnt), lvl, dtype=np.int64))
+            cols[id_col] = pa.array(
+                np.full(len(cnt), sid, dtype=np.int64))
             cols["__cnt"] = pc.cast(cnt, pa.int64())
             parts.append(pa.table(cols))
         return pa.concat_tables(parts)
@@ -781,9 +780,8 @@ def rollup_counts(ds: Dataset, columns: "list[str]",
     def bucketize(batch: pa.Table) -> pa.Table:
         # null-safe combined key hash: Ray's sort-based groupby cannot
         # order null string keys, so the exchange keys on one int bucket
-        # and each bucket combines with Arrow group_by (nulls are fine)
         from ..state.sketches import hash64
-        h = batch.column("__level").to_numpy(zero_copy_only=False) \
+        h = batch.column(id_col).to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
         for c in columns:
             h = h * np.uint64(1099511628211) + hash64(batch.column(c),
@@ -792,17 +790,13 @@ def rollup_counts(ds: Dataset, columns: "list[str]",
             "__b", pa.array((h % np.uint64(64)).astype(np.int64)))
 
     def finish(g: pa.Table) -> pa.Table:
-        # polars, NOT Arrow group_by: pyarrow 16 hash grouping on >= 3
-        # key columns with null keys re-creates the null group every 32
-        # internal exec rows (reproduced + pinned in
-        # test_rollup_counts_null_key_grouping) — duplicate output keys
         import polars as pl
-        agg = (pl.from_arrow(g.select([*columns, "__level", "__cnt"]))
-               .group_by([*columns, "__level"])
+        agg = (pl.from_arrow(g.select([*columns, id_col, "__cnt"]))
+               .group_by([*columns, id_col])
                .agg(pl.col("__cnt").sum().alias(count_col))
                .to_arrow())
         cols = {c: agg.column(c).cast(g.schema.field(c).type)
-                for c in [*columns, "__level"]}
+                for c in [*columns, id_col]}
         cols[count_col] = agg.column(count_col).cast(pa.int64())
         return pa.table(cols)
 
@@ -811,6 +805,42 @@ def rollup_counts(ds: Dataset, columns: "list[str]",
             .map_batches(bucketize, batch_format="pyarrow")
             .groupby("__b", num_partitions=num_partitions)
             .map_groups(finish, batch_format="pyarrow"))
+
+
+def rollup_counts(ds: Dataset, columns: "list[str]",
+                  count_col: str = "n",
+                  num_partitions: int | None = None) -> Dataset:
+    """SQL ``GROUP BY ROLLUP(columns)`` counts: one count row per group
+    at EVERY prefix level — (c1, ..., ck), ..., (c1), () — with the
+    rolled-up columns null and ``__level`` (number of grouping columns
+    kept) playing SQL GROUPING()'s disambiguation role."""
+    if not columns:
+        raise ValueError("rollup_counts: columns must be non-empty")
+    k = len(columns)
+    sets = [(columns[:lvl], lvl) for lvl in range(k, -1, -1)]
+    return _grouping_sets_counts(ds, columns, sets, "__level", count_col,
+                                 num_partitions)
+
+
+def cube_counts(ds: Dataset, columns: "list[str]",
+                count_col: str = "n",
+                num_partitions: int | None = None) -> Dataset:
+    """SQL ``GROUP BY CUBE(columns)`` counts: one count row per group
+    for EVERY column subset (2^k sets).  ``__grouping`` is the SQL
+    ``GROUPING(c1, ..., ck)`` bitmask — bit for column i set when the
+    column is rolled up, leftmost column most significant."""
+    if not columns:
+        raise ValueError("cube_counts: columns must be non-empty")
+    k = len(columns)
+    if k > 8:
+        raise ValueError("cube_counts: 2^k sets — cap columns at 8")
+    sets = []
+    for mask in range(1 << k):
+        kept = [c for i, c in enumerate(columns)
+                if not (mask >> (k - 1 - i)) & 1]
+        sets.append((kept, mask))
+    return _grouping_sets_counts(ds, columns, sets, "__grouping",
+                                 count_col, num_partitions)
 
 
 def transition_counts(ds: Dataset, key: str, order_by, state_col: str,

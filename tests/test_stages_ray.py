@@ -2231,6 +2231,17 @@ def test_rollup_counts_null_key_grouping(ray_session):
     assert key[(None, None, 0)] == 64
     with pytest.raises(ValueError, match="non-empty"):
         rollup_counts(ds, [])
+    # cube: all 2^k subsets with the GROUPING bitmask
+    from malli_ray.stages.analytics import cube_counts
+    cb = cube_counts(ds, ["p", "s"]).to_pandas()
+    ck = cb.set_index(["p", "s", "__grouping"], drop=True)["n"]
+    assert ck[("x", "u", 0)] == 20            # neither rolled
+    assert ck[(None, "u", 2)] == 44           # p rolled (high bit)
+    assert ck[("y", None, 1)] == 24           # s rolled (low bit)
+    assert ck[(None, None, 3)] == 64
+    assert len(cb) == 3 + 2 + 2 + 1           # (p,s) + p + s + ()
+    with pytest.raises(ValueError, match="cap columns"):
+        cube_counts(ds, [f"c{i}" for i in range(9)])
 
 
 def test_transition_counts_semantics(ray_session):
