@@ -582,3 +582,46 @@ def dsir_reweight(raw: Dataset, target: Dataset, text_column: str,
     cnt_t = dsir_bucket_counts(target, text_column, n_buckets, seed)
     lam = dsir_log_ratio_table(cnt_r, cnt_t, alpha)
     return dsir_weights(raw, text_column, id_column, lam, seed)
+
+
+def shard_manifest(ds: Dataset, id_column: str, n_shards: int) -> "pa.Table":
+    """Integrity manifest of a (virtually) sharded dataset: one row per
+    shard — ``(shard, n_rows, id_checksum)`` — the audit primitive for a
+    100 TB run: recompute the manifest after a resume / re-emit and diff
+    it against the expected one to prove no shard lost or duplicated rows
+    (:func:`write_hash_shards` is the sink it audits).
+
+    The checksum is ``sum of knuth_hash(id) mod 2^64`` per shard —
+    associative and commutative, so it is independent of row order, batch
+    split and partitioning, and a SQL oracle replays it exactly (HUGEINT
+    sum, then the signed int64 bit-pattern view — the engine's uint64
+    wraparound IS mod 2^64).  Each batch emits one fixed-size partial row
+    per shard (count vector + checksum vector, the dsir_bucket_counts
+    shape), so driver traffic is O(batches x n_shards), never O(rows)."""
+    if n_shards < 1:
+        raise ValueError("shard_manifest: n_shards must be >= 1")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        h = ((ids.astype(np.uint64) % _MOD) * np.uint64(KNUTH_MULT)) % _MOD
+        shard = (h % np.uint64(n_shards)).astype(np.int64)
+        cnt = np.bincount(shard, minlength=n_shards).astype(np.int64)
+        acc = np.zeros(n_shards, dtype=np.uint64)
+        np.add.at(acc, shard, h)
+        return pa.table({
+            "n": pa.FixedSizeListArray.from_arrays(
+                pa.array(cnt, pa.int64()), n_shards),
+            "c": pa.FixedSizeListArray.from_arrays(
+                pa.array(acc.view(np.int64), pa.int64()), n_shards)})
+
+    rows = ds.select_columns([id_column]).map_batches(
+        partials, batch_format="pyarrow").take_all()
+    n_rows = np.zeros(n_shards, dtype=np.int64)
+    checksum = np.zeros(n_shards, dtype=np.uint64)
+    for r in rows:
+        n_rows += np.asarray(r["n"], dtype=np.int64)
+        checksum += np.asarray(r["c"], dtype=np.int64).view(np.uint64)
+    return pa.table({
+        "shard": pa.array(np.arange(n_shards, dtype=np.int64)),
+        "n_rows": pa.array(n_rows, pa.int64()),
+        "id_checksum": pa.array(checksum.view(np.int64), pa.int64())})

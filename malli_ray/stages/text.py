@@ -1735,3 +1735,69 @@ def tfidf_keywords(ds: Dataset, text_column: str, id_column: str,
         cached_stage(_TfIdfKeywords, text_column=text_column,
                      id_column=id_column, df_ref=df_ref, k=k),
         batch_format="pyarrow", **_conc(concurrency))
+
+
+def cooccurrence_counts(ds: Dataset, text_column: str, window: int = 2,
+                        min_count: int = 2,
+                        num_partitions: int | None = None) -> Dataset:
+    """Skip-gram co-occurrence counts: for every pair of word positions
+    ``(i, j)`` with ``1 <= j - i <= window`` within a document, count the
+    ordered pair ``(words[i], words[j])`` over the whole corpus — the
+    word2vec/GloVe co-occurrence-matrix build (Mikolov 2013 trains from
+    exactly these center->context pairs; PMI/GloVe statistics are a
+    driver-side formula over the emitted counts).
+
+    Shuffle shape: each batch emits its LOCAL pair counts (polars
+    shifted-concat pairs — the `_gram_rows` construction once per offset —
+    then a local group_by), so the exchange moves one row per distinct
+    pair per block, never one per occurrence; the global groupby sums
+    int64 partials (associative, partitioning-independent).  ``min_count``
+    prunes the long Zipf tail AFTER the global sum (correctness requires
+    summing before thresholding); the pair key travels as a single
+    space-joined string (words cannot contain whitespace by construction,
+    so the join is unambiguous and splits back losslessly)."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    if window < 1:
+        raise ValueError("cooccurrence_counts: window must be >= 1")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        texts = pl.from_arrow(col).fill_null("")
+        words = texts.str.extract_all(r"[^\t\n\f\r ]+")
+        lf = (pl.DataFrame({"w": words}).lazy()
+              .with_row_index("doc")
+              .explode("w", empty_as_null=True))
+        exprs = [pl.concat_str(
+                     [pl.col("w"), pl.col("w").shift(-d).over("doc")],
+                     separator=" ").alias(f"p{d}")
+                 for d in range(1, window + 1)]
+        df = lf.select(exprs).collect()
+        pairs = pl.concat([df.get_column(f"p{d}").drop_nulls()
+                           .alias("pair") for d in range(1, window + 1)])
+        cnt = pl.DataFrame({"pair": pairs}).group_by("pair").len()
+        return pa.table({
+            "pair": cnt.get_column("pair").to_arrow().cast(pa.string()),
+            "cnt": cnt.get_column("len").to_arrow().cast(pa.int64())})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("sum(cnt)")
+        keep = pc.greater_equal(cnt, pa.scalar(min_count, pa.int64()))
+        batch = batch.filter(keep)
+        parts = pc.split_pattern(batch.column("pair"), " ", max_splits=1)
+        return pa.table({
+            "word_a": pc.list_element(parts, 0),
+            "word_b": pc.list_element(parts, 1),
+            "cnt": batch.column("sum(cnt)")})
+
+    return (ds.select_columns([text_column])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("pair", num_partitions=num_partitions)
+            .aggregate(Sum("cnt"))
+            .map_batches(finish, batch_format="pyarrow"))

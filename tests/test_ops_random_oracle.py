@@ -726,3 +726,58 @@ def test_connected_components_random(ray_session, seed):
            connected_components(rd.from_arrow(t).repartition(5),
                                 "a", "b", num_buckets=8).take_all()}
     assert got == want
+
+
+@pytest.mark.parametrize("seed,window", [(31, 1), (32, 2), (33, 3)])
+def test_cooccurrence_random(ray_session, seed, window):
+    from malli_ray.stages.text import cooccurrence_counts
+    rng = random.Random(seed)
+    docs = _random_docs(rng, 100)
+    # flatten newlines into spaces so the word split is the only tokenizer
+    t = pa.table({"text": docs})
+    min_count = 2
+    out = {(r["word_a"], r["word_b"]): r["cnt"] for r in
+           cooccurrence_counts(rd.from_arrow(t), "text", window=window,
+                               min_count=min_count).take_all()}
+    ref = Counter()
+    for d in docs:
+        ws = d.split()
+        for i, a in enumerate(ws):
+            for j in range(i + 1, min(i + window, len(ws) - 1) + 1):
+                ref[(a, ws[j])] += 1
+    expect = {k: c for k, c in ref.items() if c >= min_count}
+    assert out == expect
+
+
+def test_shard_manifest_random(ray_session):
+    from malli_ray.stages.sampling import shard_manifest, KNUTH_MULT
+    rng = random.Random(9)
+    ids = rng.sample(range(10_000_000), 5000)
+    n_shards = 16
+    out = shard_manifest(rd.from_arrow(pa.table({"id": ids})), "id",
+                         n_shards)
+    ref_n = [0] * n_shards
+    ref_c = [0] * n_shards
+    for i in ids:
+        h = (i % 2**32) * KNUTH_MULT % 2**32
+        ref_n[h % n_shards] += 1
+        ref_c[h % n_shards] = (ref_c[h % n_shards] + h) % 2**64
+    ref_c = [c - 2**64 if c >= 2**63 else c for c in ref_c]
+    assert out.column("shard").to_pylist() == list(range(n_shards))
+    assert out.column("n_rows").to_pylist() == ref_n
+    assert out.column("id_checksum").to_pylist() == ref_c
+    assert sum(ref_n) == len(ids)
+
+
+def test_shard_manifest_detects_loss(ray_session):
+    """Dropping one row changes exactly that shard's (n_rows, checksum)."""
+    from malli_ray.stages.sampling import shard_manifest
+    ids = list(range(1000))
+    full = shard_manifest(rd.from_arrow(pa.table({"id": ids})), "id", 4)
+    partial = shard_manifest(rd.from_arrow(pa.table({"id": ids[1:]})),
+                             "id", 4)
+    diff = [s for s in range(4)
+            if full.column("id_checksum")[s] != partial.column(
+                "id_checksum")[s]
+            or full.column("n_rows")[s] != partial.column("n_rows")[s]]
+    assert len(diff) == 1
