@@ -1801,3 +1801,124 @@ def cooccurrence_counts(ds: Dataset, text_column: str, window: int = 2,
             .groupby("pair", num_partitions=num_partitions)
             .aggregate(Sum("cnt"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Hashed Naive-Bayes quality classifier (the fastText/CCNet filter shape)
+# ---------------------------------------------------------------------------
+
+
+def train_nb_classifier(ds: Dataset, text_column: str, label_column: str,
+                        n_buckets: int = 4096, alpha: float = 1.0,
+                        seed: int = 11) -> dict:
+    """Train a hashed-feature multinomial Naive-Bayes text classifier in
+    ONE streaming pass — the quality-filter shape of CCNet / the GPT-3 and
+    LLaMA "looks like the curated corpus" classifiers (there a fastText
+    linear model; NB over the same hashed unigram+bigram features is the
+    count-based sibling and trains in a single distributed pass with no
+    SGD order-dependence).
+
+    ``label_column`` is boolean (true = positive class).  Each batch emits
+    one fixed-size partial row (per-class bucket-count vectors + doc
+    counts — the ``dsir_bucket_counts`` shape, O(batches) driver traffic).
+    The returned model is the quantized per-bucket log-likelihood-ratio
+    table ``round((ln p(b|pos) - ln p(b|neg)) * 2^40)`` (int64, via
+    :func:`~malli_ray.stages.sampling.dsir_log_ratio_table` with raw=neg /
+    target=pos — smoothed with ``alpha``) plus the quantized class-prior
+    log-odds; scoring is then integer-exact (see :func:`nb_classify`)."""
+    import polars as pl
+
+    from .sampling import DSIR_SCALE, dsir_log_ratio_table
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        texts = pl.from_arrow(col).fill_null("")
+        lab = np.asarray(
+            batch.column(label_column).to_numpy(zero_copy_only=False),
+            dtype=bool)
+        cnt_p = np.zeros(n_buckets, dtype=np.int64)
+        cnt_n = np.zeros(n_buckets, dtype=np.int64)
+        nb = np.uint64(n_buckets)
+        for k in (1, 2):
+            rows, _, (h,) = _gram_rows(texts, k, (seed,))
+            if len(rows):
+                b = (h % nb).astype(np.int64)
+                m = lab[rows]
+                cnt_p += np.bincount(b[m], minlength=n_buckets)
+                cnt_n += np.bincount(b[~m], minlength=n_buckets)
+        return pa.table({
+            "cp": pa.FixedSizeListArray.from_arrays(
+                pa.array(cnt_p, pa.int64()), n_buckets),
+            "cn": pa.FixedSizeListArray.from_arrays(
+                pa.array(cnt_n, pa.int64()), n_buckets),
+            "np": pa.array([int(lab.sum())], pa.int64()),
+            "nn": pa.array([int((~lab).sum())], pa.int64())})
+
+    rows = ds.select_columns([text_column, label_column]).map_batches(
+        partials, batch_format="pyarrow").take_all()
+    cnt_p = np.zeros(n_buckets, dtype=np.int64)
+    cnt_n = np.zeros(n_buckets, dtype=np.int64)
+    n_pos = n_neg = 0
+    for r in rows:
+        cnt_p += np.asarray(r["cp"], dtype=np.int64)
+        cnt_n += np.asarray(r["cn"], dtype=np.int64)
+        n_pos += r["np"]
+        n_neg += r["nn"]
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("train_nb_classifier: both classes need >= 1 doc")
+    import math
+    lam = dsir_log_ratio_table(cnt_n, cnt_p, alpha)
+    prior_q = round((math.log(float(n_pos)) - math.log(float(n_neg)))
+                    * DSIR_SCALE)
+    return {"lam": lam, "prior_q": int(prior_q), "seed": seed,
+            "n_buckets": n_buckets, "n_pos": int(n_pos), "n_neg": int(n_neg)}
+
+
+def nb_classify(ds: Dataset, text_column: str, id_column: str,
+                model: dict) -> Dataset:
+    """Score every document with a :func:`train_nb_classifier` model:
+    ``logit_q = prior_q + sum over hashed unigram+bigram features of
+    lam[bucket]`` — an int64 scatter-add (associative: independent of
+    batch split, feature order and summation strategy — the DSIR
+    contract), so results are bit-reproducible and a golden fixture from
+    an independent per-doc reference checks them exactly.  ``logit`` is
+    the single int->float conversion + one exact power-of-two division;
+    ``pred = logit_q > 0`` (log-odds decision).  Shuffle-free; the 8B x
+    n_buckets table rides the task closure (ray.put it for 1e6+
+    buckets)."""
+    from .sampling import DSIR_SCALE
+
+    lam = np.ascontiguousarray(model["lam"], dtype=np.int64)
+    prior_q = int(model["prior_q"])
+    seed = int(model["seed"])
+    nb = np.uint64(len(lam))
+
+    def score(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        texts = pl.from_arrow(col).fill_null("")
+        wq = np.full(batch.num_rows, prior_q, dtype=np.int64)
+        nf = np.zeros(batch.num_rows, dtype=np.int64)
+        for k in (1, 2):
+            rows, _, (h,) = _gram_rows(texts, k, (seed,))
+            if len(rows):
+                b = (h % nb).astype(np.int64)
+                np.add.at(wq, rows, lam[b])
+                np.add.at(nf, rows, 1)
+        return pa.table({
+            id_column: batch.column(id_column),
+            "n_features": pa.array(nf, pa.int64()),
+            "logit_q": pa.array(wq, pa.int64()),
+            "logit": pa.array(wq.astype(np.float64) / DSIR_SCALE,
+                              pa.float64()),
+            "pred": pa.array((wq > 0).astype(np.int64), pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -197,3 +197,12 @@ def test_engine_matches_fixture(ray_session, name, cols):
     b = _sorted_pandas(gold, cols)
     assert a.shape == b.shape
     assert a.equals(b), f"{name}: engine output diverged from golden fixture"
+
+
+def test_nb_classify_fixture_rederives(docs):
+    ids, texts = docs
+    srcs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["source"]).column("source").to_pylist()
+    want = make_golden.nb_classify_ref(ids, texts, srcs)
+    got = pq.read_table(f"{GOLD}/nb_classify_documents.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == want

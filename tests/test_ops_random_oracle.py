@@ -781,3 +781,62 @@ def test_shard_manifest_detects_loss(ray_session):
                 "id_checksum")[s]
             or full.column("n_rows")[s] != partial.column("n_rows")[s]]
     assert len(diff) == 1
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_nb_classifier_random(ray_session, seed):
+    """Engine NB train+classify equals a naive per-doc reference
+    bit-for-bit (incl. the float logit) on random corpora, regardless of
+    batch split."""
+    import math
+
+    import polars as pl
+    from malli_ray.stages.text import nb_classify, train_nb_classifier
+
+    rng = random.Random(seed)
+    docs = _random_docs(rng, 150)
+    labels = [rng.random() < 0.3 for _ in docs]
+    if not any(labels):
+        labels[0] = True
+    if all(labels):
+        labels[0] = False
+    B, alpha, s = 256, 0.5, 7
+    t = pa.table({"doc_id": list(range(len(docs))), "text": docs,
+                  "label": labels})
+    model = train_nb_classifier(rd.from_arrow(t).repartition(7),
+                                "text", "label", n_buckets=B,
+                                alpha=alpha, seed=s)
+    got = {r["doc_id"]: (r["n_features"], r["logit_q"], r["logit"],
+                         r["pred"])
+           for r in nb_classify(rd.from_arrow(t).repartition(3), "text",
+                                "doc_id", model).take_all()}
+
+    # naive reference
+    def feats(txt):
+        ws = txt.split()
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def buckets(fs):
+        if not fs:
+            return []
+        h = pl.Series(fs, dtype=pl.Utf8).hash(seed=s).to_numpy()
+        return [int(x) % B for x in h.astype(np.uint64)]
+
+    doc_b = [buckets(feats(d)) for d in docs]
+    cnt_p, cnt_n = [0] * B, [0] * B
+    for bs, lab in zip(doc_b, labels):
+        tgt = cnt_p if lab else cnt_n
+        for b in bs:
+            tgt[b] += 1
+    tot_p = float(sum(cnt_p)) + alpha * B
+    tot_n = float(sum(cnt_n)) + alpha * B
+    scale = float(1 << 40)
+    lam = [round((math.log((cnt_p[b] + alpha) / tot_p)
+                  - math.log((cnt_n[b] + alpha) / tot_n)) * scale)
+           for b in range(B)]
+    prior = round((math.log(float(sum(labels)))
+                   - math.log(float(len(labels) - sum(labels)))) * scale)
+    for i, bs in enumerate(doc_b):
+        wq = prior + sum(lam[b] for b in bs)
+        assert got[i] == (len(bs), wq, float(wq) / scale,
+                          1 if wq > 0 else 0)

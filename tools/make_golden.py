@@ -619,6 +619,60 @@ def dsir_weights_ref(ids, texts, sources):
     return rows
 
 
+#: NB classifier spec constants — mirrored in
+#: __ray_entry__._q_nb_classify_documents.
+NB_POS_SOURCES = ("src0", "src1", "src2", "src3")
+NB_BUCKETS = 4096
+NB_ALPHA = 1.0
+NB_SEED = 11
+
+
+def nb_classify_ref(ids, texts, sources):
+    """Independent hashed Naive-Bayes classifier (the CCNet/fastText
+    quality-filter shape): per-doc Python loops and list counters — the
+    engine's bincount/scatter-add kernels are not used.  Shares the
+    pinned polars hash primitive and the documented float contract of
+    text.train_nb_classifier (math.log scalars + banker's round
+    quantization); everything per-doc is exact int64."""
+    B, alpha = NB_BUCKETS, NB_ALPHA
+    scale = float(1 << 40)
+
+    def feats(t):
+        ws = WORD_RE.findall(t or "")
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def buckets(fs):
+        if not fs:
+            return []
+        h = pl.Series(fs, dtype=pl.Utf8).hash(seed=NB_SEED).to_numpy()
+        return [int(x) % B for x in h.astype(np.uint64)]
+
+    doc_buckets = [buckets(feats(t)) for t in texts]
+    pos = [s in NB_POS_SOURCES for s in sources]
+    n_pos = sum(pos)
+    n_neg = len(pos) - n_pos
+    cnt_p = [0] * B
+    cnt_n = [0] * B
+    for bs, p in zip(doc_buckets, pos):
+        tgt = cnt_p if p else cnt_n
+        for b in bs:
+            tgt[b] += 1
+    tot_p = float(sum(cnt_p)) + alpha * B
+    tot_n = float(sum(cnt_n)) + alpha * B
+    lam = [round((math.log((float(cnt_p[b]) + alpha) / tot_p)
+                  - math.log((float(cnt_n[b]) + alpha) / tot_n)) * scale)
+           for b in range(B)]
+    prior = round((math.log(float(n_pos)) - math.log(float(n_neg))) * scale)
+    rows = []
+    for did, bs in zip(ids, doc_buckets):
+        wq = prior
+        for b in bs:
+            wq += lam[b]
+        rows.append((did, len(bs), wq, float(wq) / scale,
+                     1 if wq > 0 else 0))
+    return rows
+
+
 def main(sfs=("sf0.001", "sf0.01")):
     for sf in sfs:
         src = f"/root/testdata/{sf}/documents.parquet"
@@ -742,6 +796,20 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "log_weight": pa.array([r[3] for r in dw],
                                              type=pa.float64())}),
             os.path.join(outdir, "dsir_weights_documents.parquet"))
+
+        nbr = nb_classify_ref(ids, texts, srcs)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([r[0] for r in nbr],
+                                         type=pa.int64()),
+                      "n_features": pa.array([r[1] for r in nbr],
+                                             type=pa.int64()),
+                      "logit_q": pa.array([r[2] for r in nbr],
+                                          type=pa.int64()),
+                      "logit": pa.array([r[3] for r in nbr],
+                                        type=pa.float64()),
+                      "pred": pa.array([r[4] for r in nbr],
+                                       type=pa.int64())}),
+            os.path.join(outdir, "nb_classify_documents.parquet"))
 
         bm = bm25_topk_ref(ids, texts)
         pq.write_table(
