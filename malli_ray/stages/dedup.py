@@ -1652,3 +1652,70 @@ def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
 
     return (both.groupby(bucket_col, num_partitions=num_partitions)
             .map_groups(merge_mask, batch_format="pyarrow"))
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Levenshtein distance over UTF-8 BYTES (unit-cost insert / delete /
+    substitute — the classic Wagner-Fischer recurrence).  Byte-level
+    deliberately: it matches SQL ``levenshtein()`` (DuckDB is byte-based:
+    ``levenshtein('é','e') = 2``) so the oracle replays it exactly, and
+    bytes == characters for ASCII corpora anyway.
+
+    The DP runs one python iteration per byte of ``a`` with O(len(b))
+    numpy vector work inside: the sequential insertion chain
+    ``cur[j] = min(m[j], cur[j-1]+1)`` is a prefix-min of ``m[j] - j``
+    (subtract the index, ``np.minimum.accumulate``, add it back), so
+    there is no per-cell Python loop."""
+    if a == b:
+        return 0
+    ab = a.encode("utf-8")
+    bb = b.encode("utf-8")
+    la, lb = len(ab), len(bb)
+    if la == 0 or lb == 0:
+        return la or lb
+    if la < lb:  # iterate over the shorter string
+        ab, bb, la, lb = bb, ab, lb, la
+    barr = np.frombuffer(bb, dtype=np.uint8)
+    jdx = np.arange(lb + 1, dtype=np.int64)
+    prev = jdx.copy()
+    for i, ca in enumerate(ab):
+        m = np.minimum(prev[:-1] + (barr != ca), prev[1:] + 1)
+        vals = np.concatenate(([np.int64(i + 1)], m - jdx[1:]))
+        prev = np.minimum.accumulate(vals) + jdx
+    return int(prev[lb])
+
+
+def add_edit_distance(ds: Dataset, col_a: str, col_b: str,
+                      max_chars: int = 20_000) -> Dataset:
+    """Per-row exact edit distance between two text columns — the
+    precision verifier for near-dup CANDIDATE pairs (run it on the small
+    LSH/minhash pairs table after texts are joined on, never on a cross
+    product: the DP is O(len_a x len_b) per row by nature).
+
+    Emits ``edit_dist`` (int64) and ``edit_ratio`` — ONE IEEE division
+    ``edit_dist / max(bytes_a, bytes_b, 1)`` (byte lengths, matching the
+    byte-based distance — SQL: ``octet_length``), so a SQL oracle
+    (``levenshtein()``) reproduces both exactly.  Rows longer than
+    ``max_chars`` raise: a silent quadratic blowup at scale is worse
+    than a loud cap (chunk or fingerprint such docs upstream)."""
+
+    def dist(batch: pa.Table) -> pa.Table:
+        a = batch.column(col_a).to_pylist()
+        b = batch.column(col_b).to_pylist()
+        out = np.empty(len(a), dtype=np.int64)
+        denom = np.empty(len(a), dtype=np.int64)
+        for i, (x, y) in enumerate(zip(a, b)):
+            x, y = x or "", y or ""
+            if len(x) > max_chars or len(y) > max_chars:
+                raise RuntimeError(
+                    f"add_edit_distance: text of {max(len(x), len(y))} "
+                    f"chars exceeds max_chars={max_chars}")
+            out[i] = levenshtein(x, y)
+            denom[i] = max(len(x.encode("utf-8")), len(y.encode("utf-8")),
+                           1)
+        return batch.append_column(
+            "edit_dist", pa.array(out, pa.int64())).append_column(
+            "edit_ratio", pa.array(out.astype(np.float64) / denom,
+                                   pa.float64()))
+
+    return ds.map_batches(dist, batch_format="pyarrow")

@@ -840,3 +840,37 @@ def test_nb_classifier_random(ray_session, seed):
         wq = prior + sum(lam[b] for b in bs)
         assert got[i] == (len(bs), wq, float(wq) / scale,
                           1 if wq > 0 else 0)
+
+
+def test_levenshtein_matches_duckdb(ray_session):
+    """Byte-level Levenshtein == SQL levenshtein() (DuckDB is byte-based),
+    incl. unicode and empty strings; add_edit_distance emits the exact
+    one-division ratio."""
+    import duckdb
+    from malli_ray.stages.dedup import add_edit_distance, levenshtein
+    con = duckdb.connect()
+    rng = random.Random(17)
+    cases = [("", ""), ("", "abc"), ("kitten", "sitting"),
+             ("héllo", "hello"), ("日本語テスト", "日本語のテスト")]
+    cases += [("".join(rng.choices("abcde f", k=rng.randint(0, 25))),
+               "".join(rng.choices("abcdxy f", k=rng.randint(0, 25))))
+              for _ in range(100)]
+    for a, b in cases:
+        want = con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert levenshtein(a, b) == want, (a, b)
+    t = pa.table({"text_a": [a for a, _ in cases],
+                  "text_b": [b for _, b in cases]})
+    out = add_edit_distance(rd.from_arrow(t), "text_a", "text_b").take_all()
+    for (a, b), r in zip(cases, out):
+        d = con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+        denom = max(len(a.encode()), len(b.encode()), 1)
+        assert r["edit_dist"] == d
+        assert r["edit_ratio"] == float(d) / denom
+
+
+def test_add_edit_distance_caps(ray_session):
+    from malli_ray.stages.dedup import add_edit_distance
+    t = pa.table({"text_a": ["x" * 100], "text_b": ["y"]})
+    with pytest.raises(Exception, match="max_chars"):
+        add_edit_distance(rd.from_arrow(t), "text_a", "text_b",
+                          max_chars=50).take_all()
