@@ -738,6 +738,77 @@ def covariance_by_group(ds: Dataset, group: str, x: str, y: str,
             .map_groups(finish, batch_format="pyarrow"))
 
 
+def regression_by_group(ds: Dataset, group: str, x: str, y: str,
+                        num_partitions: int | None = None) -> Dataset:
+    """Per-group simple OLS ``y = intercept + slope * x`` over two
+    INTEGER columns: ``(group, n, slope, intercept, r2)``.
+
+    Same shape and bit-reproducibility contract as
+    :func:`covariance_by_group` (cast floats to fixed-point ints
+    upstream): map-side Arrow group_by collapses each block to
+    ``(group, n, sx, sy, sxy, sxx, syy)`` int64 partials — only these
+    tiny rows shuffle — and the finisher sums them with Python
+    arbitrary-precision ints, so every numerator/denominator is EXACT:
+
+    - ``slope = (n*sxy - sx*sy) / (n*sxx - sx^2)``
+    - ``intercept = (sy - slope*sx) / n``
+    - ``r2 = (num/den_x) * (num/den_y)`` with ``num = n*sxy - sx*sy``,
+      ``den_x = n*sxx - sx^2``, ``den_y = n*syy - sy^2``
+
+    Float steps mirror the SQL oracle's literal expression sequence:
+    each exact integer is rounded to double FIRST (``float(int)`` ==
+    ``CAST(hugeint AS DOUBLE)``), then IEEE divide/multiply/subtract in
+    the same order — so the result matches DuckDB bit-for-bit.  ``r2``
+    deliberately multiplies two quotients instead of squaring ``num``
+    (``num^2`` can overflow int128 in the oracle's HUGEINT arithmetic).
+    ``slope``/``r2`` are NULL for zero x-variance (and ``r2`` for zero
+    y-variance); ``intercept`` is NULL whenever slope is.
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        xv = pc.cast(batch.column(x), pa.int64())
+        yv = pc.cast(batch.column(y), pa.int64())
+        out = pa.table({
+            group: batch.column(group), "__x": xv, "__y": yv,
+            "__xy": pc.multiply_checked(xv, yv),
+            "__xx": pc.multiply_checked(xv, xv),
+            "__yy": pc.multiply_checked(yv, yv),
+        }).group_by([group], use_threads=False).aggregate(
+            [("__x", "sum"), ("__y", "sum"), ("__xy", "sum"),
+             ("__xx", "sum"), ("__yy", "sum"), ([], "count_all")])
+        return out.rename_columns(
+            [group, "__sx", "__sy", "__sxy", "__sxx", "__syy", "__n"])
+
+    def finish(g: pa.Table) -> pa.Table:
+        n = sum(v.as_py() for v in g.column("__n"))
+        sx = sum(v.as_py() for v in g.column("__sx"))
+        sy = sum(v.as_py() for v in g.column("__sy"))
+        sxy = sum(v.as_py() for v in g.column("__sxy"))
+        sxx = sum(v.as_py() for v in g.column("__sxx"))
+        syy = sum(v.as_py() for v in g.column("__syy"))
+        num = n * sxy - sx * sy
+        den_x = n * sxx - sx * sx
+        den_y = n * syy - sy * sy
+        slope = intercept = r2 = None
+        if den_x > 0:
+            slope = float(num) / float(den_x)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+            if den_y > 0:
+                r2 = (float(num) / float(den_x)) \
+                    * (float(num) / float(den_y))
+        return pa.table({
+            group: g.column(group).slice(0, 1),
+            "n": pa.array([n], type=pa.int64()),
+            "slope": pa.array([slope], type=pa.float64()),
+            "intercept": pa.array([intercept], type=pa.float64()),
+            "r2": pa.array([r2], type=pa.float64())})
+
+    return (ds.select_columns([group, x, y])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby(group, num_partitions=num_partitions)
+            .map_groups(finish, batch_format="pyarrow"))
+
+
 def _grouping_sets_counts(ds: Dataset, columns: "list[str]",
                           sets: "list[tuple[list[str], int]]",
                           id_col: str, count_col: str,

@@ -1617,6 +1617,44 @@ def test_covariance_by_group_exact(ray_session):
         assert row.cov_pop == want  # bit-exact, same IEEE sequence
 
 
+def test_regression_by_group_exact(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.analytics import regression_by_group
+
+    rng = np.random.default_rng(11)
+    g = rng.choice(["p", "q", "r"], size=500)
+    x = rng.integers(-50, 50, size=500)
+    noise = rng.integers(-100, 100, size=500)
+    y = 3 * x + 17 + noise  # near-linear so r2 is high but < 1
+    ds = rd.from_arrow(pa.table({"g": g, "x": x, "y": y}))
+    out = regression_by_group(ds, "g", "x", "y").to_pandas()
+    assert len(out) == 3
+    for _, row in out.iterrows():
+        m = g == row.g
+        n = int(m.sum())
+        sx, sy = int(x[m].sum()), int(y[m].sum())
+        sxy = int((x[m].astype(object) * y[m].astype(object)).sum())
+        sxx = int((x[m].astype(object) ** 2).sum())
+        syy = int((y[m].astype(object) ** 2).sum())
+        num = n * sxy - sx * sy
+        den_x = n * sxx - sx * sx
+        den_y = n * syy - sy * sy
+        slope = float(num) / float(den_x)
+        assert row.n == n
+        assert row.slope == slope  # bit-exact, same IEEE sequence
+        assert row.intercept == (float(sy) - slope * float(sx)) / float(n)
+        assert row.r2 == (float(num) / float(den_x)) * (
+            float(num) / float(den_y))
+        # sanity: recovers the planted line
+        assert abs(row.slope - 3.0) < 0.2 and row.r2 > 0.6
+    # zero-variance x -> NULL slope/intercept/r2
+    flat = rd.from_arrow(pa.table({"g": ["z"] * 5, "x": [4] * 5,
+                                   "y": [1, 2, 3, 4, 5]}))
+    row = regression_by_group(flat, "g", "x", "y").to_pandas().iloc[0]
+    assert row.slope is None or np.isnan(row.slope)
+    assert row.r2 is None or np.isnan(row.r2)
+
+
 def test_set_op_keys(ray_session):
     import ray.data as rd
     from malli_ray.stages.joins import except_keys, intersect_keys
