@@ -431,6 +431,84 @@ def add_compression_ratio(ds: Dataset, text_column: str, id_column: str,
     return ds.map_batches(compress, batch_format="pyarrow")
 
 
+#: fixed-point scale for the entropy log table (same 2^40 trick as DSIR /
+#: PageRank: quantized logs make the per-doc reduction an integer sum —
+#: associative, so batch-split- and partition-invariant)
+ENTROPY_SCALE = 1 << 40
+
+
+def _qlog_table(max_c: int) -> np.ndarray:
+    """q[c] = floor(ln(c) * 2^40 + 0.5) for c in 0..max_c (q[0] unused).
+    Scalar ``math.log`` per distinct count (tiny loop — counts, not rows):
+    numpy's SIMD log is NOT guaranteed bit-identical to libm, and the
+    golden fixture is defined in terms of ``math.log``."""
+    import math
+    q = np.zeros(max_c + 1, dtype=np.int64)
+    for c in range(2, max_c + 1):  # ln(1) == 0
+        q[c] = int(math.floor(math.log(c) * ENTROPY_SCALE + 0.5))
+    return q
+
+
+def add_entropy(ds: Dataset, text_column: str, id_column: str) -> Dataset:
+    """Unigram word-entropy quality signal per document:
+    ``H = ln(n) - (1/n) * sum_w c_w * ln(c_w)`` (nats) over whitespace
+    words — low entropy flags repetitive/boilerplate text (keyword-stuffed
+    or template pages), complementing :func:`add_compression_ratio`'s
+    byte-level view and :func:`add_repetition`'s top-gram view.
+
+    Bit-reproducibility: logs come from the quantized table
+    ``q(c) = floor(ln(c) * 2^40 + 0.5)`` (scalar libm), so the per-doc sum
+    ``ent_q = n * q(n) - sum c_w * q(c_w)`` is an EXACT int64 — immune to
+    float accumulation order — and ``entropy`` is the single IEEE division
+    ``float(ent_q) / float(n * 2^40)``.  Pinned by golden fixture
+    (tools/make_golden.entropy_ref: independent Counter-per-doc loop);
+    not SQL because DuckDB's ``ln`` is not guaranteed bit-identical to
+    libm under quantization.
+
+    Empty / whitespace-only docs: ``n_words = 0``, ``ent_q = 0``,
+    ``entropy = 0.0``.
+
+    Scale shape: map-only (no corpus pass, no shuffle) — one polars
+    extract_all + explode + two group_bys per batch; the log table is
+    sized to the batch's max count (tiny: distinct counts, not rows).
+    Overflow bound: n * q(n) < 2^63 holds to n ~ 3e5 words per doc with
+    q(n) <= ln(3e5) * 2^40 ~ 1.4e13.
+    """
+    import polars as pl
+
+    def entropy(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        s = pl.from_arrow(batch.column(text_column)).fill_null("")
+        words = pl.DataFrame({
+            "__row": pl.int_range(n_rows, eager=True, dtype=pl.Int64),
+            "w": s.str.extract_all(r"[^\t\n\f\r ]+")}).explode("w")
+        counts = (words.drop_nulls("w")
+                  .group_by(["__row", "w"]).len(name="c"))
+        n_out = np.zeros(n_rows, dtype=np.int64)
+        ent_q = np.zeros(n_rows, dtype=np.int64)
+        if counts.height:
+            c = counts.get_column("c").cast(pl.Int64).to_numpy()
+            q = _qlog_table(int(c.max()))
+            per_row = (counts.with_columns(
+                cq=pl.Series(c * q[c]))
+                .group_by("__row")
+                .agg(pl.col("c").sum().alias("n"),
+                     pl.col("cq").sum().alias("s")))
+            rows = per_row.get_column("__row").to_numpy()
+            n = per_row.get_column("n").cast(pl.Int64).to_numpy()
+            sm = per_row.get_column("s").cast(pl.Int64).to_numpy()
+            qn = _qlog_table(int(n.max()))
+            n_out[rows] = n
+            ent_q[rows] = n * qn[n] - sm
+        denom = np.maximum(n_out, 1).astype(np.float64) * float(ENTROPY_SCALE)
+        ent = ent_q.astype(np.float64) / denom
+        batch = batch.append_column("n_words", pa.array(n_out, pa.int64()))
+        batch = batch.append_column("ent_q", pa.array(ent_q, pa.int64()))
+        return batch.append_column("entropy", pa.array(ent, pa.float64()))
+
+    return ds.map_batches(entropy, batch_format="pyarrow")
+
+
 #: tiny per-language marker-word profiles (public common-word lists)
 _LANG_MARKERS = {
     "en": ("the", "and", "of", "to", "is", "that", "it", "for", "with", "was"),

@@ -109,6 +109,23 @@ def test_compression_fixture_rederives(docs):
         [(i, a, b, c) for i, (a, b, c) in zip(ids, want)]
 
 
+def test_entropy_fixture_rederives(docs):
+    ids, texts = docs
+    want = make_golden.entropy_ref(texts)
+    got = pq.read_table(f"{GOLD}/entropy_documents.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == \
+        [(i, n, q, e) for i, (n, q, e) in zip(ids, want)]
+    # edge cases the corpus may not cover: empty + single-word +
+    # all-same-word (H == 0) + uniform two-word (H == ln 2 quantized)
+    import math
+    ref = make_golden.entropy_ref(["", "one", "dup dup dup", "a b"])
+    assert ref[0] == (0, 0, 0.0)
+    assert ref[1] == (1, 0, 0.0)
+    assert ref[2][1] == 0 and ref[2][2] == 0.0  # n*q(n) - n*q(n)
+    q2 = int(math.floor(math.log(2) * (1 << 40) + 0.5))
+    assert ref[3] == (2, 2 * q2, float(2 * q2) / float(2 << 40))
+
+
 def test_pq_topk_fixture_rederives():
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
                       columns=["vec_id", "embedding"])

@@ -519,6 +519,31 @@ def compression_ref(texts, level=6):
     return out
 
 
+def entropy_ref(texts):
+    """Per-doc unigram word entropy (nats), fixed-point log contract of
+    malli_ray/stages/text.py::add_entropy — independent implementation:
+    one Counter per document, scalar math.log per count (the engine uses
+    a segmented polars explode/group_by over the whole batch and a
+    count-indexed log table).  Shared spec constants only: WORD_RE and
+    the 2^40 quantization."""
+    from collections import Counter
+    scale = 1 << 40
+    out = []
+    for t in texts:
+        ws = WORD_RE.findall(t or "")
+        n = len(ws)
+        if n == 0:
+            out.append((0, 0, 0.0))
+            continue
+        s = 0
+        for c in Counter(ws).values():
+            s += c * int(math.floor(math.log(c) * scale + 0.5))
+        qn = int(math.floor(math.log(n) * scale + 0.5))
+        ent_q = n * qn - s
+        out.append((n, ent_q, float(ent_q) / float(n * scale)))
+    return out
+
+
 def infer_schema_ref(sf: str) -> str:
     """Expected inferred-schema JSON via the engine's LOCAL single-value
     provider path (malli_ray.provider.provide — the reference-parity
@@ -762,6 +787,16 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "compression_ratio": pa.array([c[2] for c in comp],
                                                     type=pa.float64())}),
             os.path.join(outdir, "compression_documents.parquet"))
+        ent = entropy_ref(texts)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "n_words": pa.array([e[0] for e in ent],
+                                          type=pa.int64()),
+                      "ent_q": pa.array([e[1] for e in ent],
+                                        type=pa.int64()),
+                      "entropy": pa.array([e[2] for e in ent],
+                                          type=pa.float64())}),
+            os.path.join(outdir, "entropy_documents.parquet"))
         ivfpq = ivfpq_topk_ref(eids, et.column("embedding").to_pylist())
         pq.write_table(
             pa.table({"query_id": pa.array([p[0] for p in ivfpq],
