@@ -73,6 +73,7 @@ from ..state.sketches import hash64
 __all__ = [
     "add_content_hash", "exact_dup_groups", "exact_dedup_keep_first",
     "MinHasher", "minhash_lsh_candidates", "SimHasher", "simhash_near_dups",
+    "hamming_near_dups",
     "ngram_jaccard", "embedding_near_dups",
     "semantic_codebook", "semantic_dedup_pairs", "semantic_dedup",
     "build_bloom", "filter_seen_bloom",
@@ -554,8 +555,25 @@ def simhash_near_dups(ds: Dataset, text_column: str, id_column: str,
                       max_hamming: int = 3, n_chunks: int = 4,
                       max_bucket: int = 4096, closure_cap: int = 256,
                       concurrency=None) -> Dataset:
-    """Near-dup pairs by SimHash: chunk-pigeonhole bucketing + vectorized
-    hamming verify.
+    """Near-dup pairs by SimHash: the SimHasher fingerprint stage +
+    :func:`hamming_near_dups` (chunk-pigeonhole bucketing + vectorized
+    hamming verify) over the resulting 64-bit ``simhash`` column."""
+    from . import cached_stage, concurrency_kwargs
+    fp_ds = ds.map_batches(cached_stage(SimHasher, text_column=text_column),
+                           batch_format="pyarrow",
+                           **concurrency_kwargs(concurrency))
+    return hamming_near_dups(fp_ds, "simhash", id_column,
+                             max_hamming=max_hamming, n_chunks=n_chunks,
+                             max_bucket=max_bucket, closure_cap=closure_cap)
+
+
+def hamming_near_dups(ds: Dataset, hash_column: str, id_column: str,
+                      max_hamming: int = 3, n_chunks: int = 4,
+                      max_bucket: int = 4096,
+                      closure_cap: int = 256) -> Dataset:
+    """Near-dup pairs over ANY 64-bit fingerprint column (int64 bit
+    pattern): SimHash text fingerprints, image dHash, audio fingerprints —
+    chunk-pigeonhole bucketing + vectorized hamming verify.
 
     The 64-bit fingerprint splits into ``n_chunks`` equal chunks; any pair
     with hamming distance <= n_chunks - 1 agrees exactly on at least one
@@ -579,13 +597,8 @@ def simhash_near_dups(ds: Dataset, text_column: str, id_column: str,
     chunk_bits = 64 // n_chunks
     chunk_mask = np.uint64((1 << chunk_bits) - 1)
 
-    from . import cached_stage, concurrency_kwargs
-    fp_ds = ds.map_batches(cached_stage(SimHasher, text_column=text_column),
-                           batch_format="pyarrow",
-                           **concurrency_kwargs(concurrency))
-
     def chunk_rows(batch: pa.Table) -> pa.Table:
-        fp = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        fp = batch.column(hash_column).to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = batch.column(id_column)
         out = []
         for c in range(n_chunks):
@@ -596,7 +609,7 @@ def simhash_near_dups(ds: Dataset, text_column: str, id_column: str,
                                  "fp": pa.array(fp.astype(np.int64))}))
         return pa.concat_tables(out)
 
-    chunked = fp_ds.map_batches(chunk_rows, batch_format="pyarrow")
+    chunked = ds.map_batches(chunk_rows, batch_format="pyarrow")
 
     def verify(group: pa.Table) -> pa.Table:
         id_type = group.column("id").type
@@ -640,13 +653,13 @@ def simhash_near_dups(ds: Dataset, text_column: str, id_column: str,
                             emit(mem[i], mem[j], 0)
                 else:
                     logger.warning(
-                        "simhash identical-fp cluster of %d members > "
+                        "hamming identical-fp cluster of %d members > "
                         "closure cap %d: rep-member pairs only", k, closure_cap)
                     for rid in mem:
                         emit(reps[g], rid, 0)
         if u > max_bucket:
             logger.warning(
-                "simhash bucket truncated: %d distinct fingerprints > "
+                "hamming bucket truncated: %d distinct fingerprints > "
                 "max_bucket=%d (chunk=%s val=%s); dropping %d",
                 u, max_bucket, group.column("chunk_id")[0],
                 group.column("chunk_val")[0], u - max_bucket)
@@ -669,7 +682,7 @@ def simhash_near_dups(ds: Dataset, text_column: str, id_column: str,
                             emit(x_, y_, int(d[i, j]))
                 else:
                     logger.warning(
-                        "simhash cross-group expansion %dx%d > cap %d: "
+                        "hamming cross-group expansion %dx%d > cap %d: "
                         "representative pair only", len(mi), len(mj),
                         closure_cap)
                     emit(reps[i], reps[j], int(d[i, j]))

@@ -25,7 +25,9 @@ from ray.data import Dataset
 __all__ = ["ImageFeatureExtractor", "add_image_features",
            "FrameSampler", "AudioFrameFeatures", "audio_frame_features",
            "MediaHeaderProbe", "probe_media_headers", "wrap_pcm_wav",
-           "make_mp4_header", "make_mkv_header", "suggested_batch_size"]
+           "make_mp4_header", "make_mkv_header", "suggested_batch_size",
+           "make_bmp", "decode_bmp", "dhash64", "DHasher", "image_dhash",
+           "synth_image_pixels"]
 
 IMAGE_META_SCHEMA = pa.schema([
     ("payload", pa.large_binary()),
@@ -823,3 +825,141 @@ class FrameSampler:
             "video_id": out_id,
             "frame_index": pa.array(out_idx, type=pa.int32()),
             "frame_payload": pa.array(out_frame, type=pa.large_binary())})
+
+
+# --------------------------------------------------------------------------
+# Real dependency-free image kernel: 24-bit BMP codec + dHash perceptual
+# fingerprint (image near-dup dedup without PIL — BMP rows are raw pixels).
+
+
+def make_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed
+    bottom-up BMP (BITMAPINFOHEADER) — the synth side of the image-dedup
+    tests and the one raster format decodable without an image library."""
+    import struct
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("make_bmp expects (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up rows, BGR byte order
+    rows[:, :w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray | None":
+    """Decode a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB array.
+    Supports bottom-up (positive height) and top-down rows; returns None
+    for anything it can't parse (wrong magic, compressed, other depths) —
+    the caller's null-propagation path, never an exception."""
+    import struct
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        return None
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0 or w <= 0 or h_raw == 0:
+        return None
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3
+    if data_off + stride * h > len(payload):
+        return None
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    bgr = rows[:, :w * 3].reshape(h, w, 3)
+    if h_raw > 0:  # bottom-up
+        bgr = bgr[::-1]
+    return np.ascontiguousarray(bgr[:, :, ::-1])
+
+
+def dhash64(pixels: np.ndarray, grid: int = 8) -> int:
+    """Difference-hash of an (h, w, 3) uint8 RGB image: integer luma
+    (``(299r + 587g + 114b) // 1000``), box-average downsample to
+    ``grid x (grid+1)`` with floor boundaries ``floor(i * dim / bins)``
+    and EXACT integer means (sum // count), then bit (r, c) =
+    ``right > left`` packed row-major, bit 0 = MSB.  All-integer, so
+    bit-identical under any vectorization — the golden fixture recomputes
+    it with per-pixel loops."""
+    h, w = pixels.shape[:2]
+    px = pixels.astype(np.int64)
+    luma = (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114) // 1000
+    rb = (np.arange(grid + 1) * h) // grid
+    cb = (np.arange(grid + 2) * w) // (grid + 1)
+    cells = np.zeros((grid, grid + 1), dtype=np.int64)
+    # two reduceat passes (sum over row bands, then column bands) + exact
+    # integer division by the cell pixel count
+    rowsum = np.add.reduceat(luma, rb[:-1], axis=0)
+    cells = np.add.reduceat(rowsum, cb[:-1], axis=1)
+    counts = np.outer(np.diff(rb), np.diff(cb))
+    means = cells // counts
+    bits = means[:, 1:] > means[:, :-1]
+    out = 0
+    for b in bits.ravel():
+        out = (out << 1) | int(b)
+    return out
+
+
+class DHasher:
+    """Actor stage: BMP payload -> 64-bit dHash (int64 bit pattern).
+    Undecodable payloads yield null.  Pair with
+    :func:`~malli_ray.stages.dedup.hamming_near_dups` for banded image
+    near-dup pairs.  At 100 TB: payloads never shuffle — only (id, dhash)
+    leaves this stage; size batch_size via :func:`suggested_batch_size`."""
+
+    def __init__(self, payload_column: str = "payload",
+                 id_column: str = "id", out: str = "dhash"):
+        self.payload_column = payload_column
+        self.id_column = id_column
+        self.out = out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_column).to_pylist()
+        hashes = []
+        for p in payloads:
+            px = decode_bmp(p or b"")
+            if px is None:
+                hashes.append(None)
+            else:
+                v = dhash64(px)
+                hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pa.table({
+            self.id_column: batch.column(self.id_column),
+            self.out: pa.array(hashes, type=pa.int64())})
+
+
+def image_dhash(ds: Dataset, payload_column: str = "payload",
+                id_column: str = "id", out: str = "dhash",
+                concurrency=None, batch_size: "int | None" = None) -> Dataset:
+    """Perceptual 64-bit dHash per image (24-bit BMP payloads decoded for
+    real; other formats null).  See :class:`DHasher`."""
+    from . import cached_stage, concurrency_kwargs
+    kwargs = dict(concurrency_kwargs(concurrency))
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    return ds.map_batches(
+        cached_stage(DHasher, payload_column=payload_column,
+                     id_column=id_column, out=out),
+        batch_format="pyarrow", **kwargs)
+
+
+def synth_image_pixels(doc_id: int, h: int = 24, w: int = 32) -> np.ndarray:
+    """Deterministic test image for doc_id (seeded default_rng).  Every
+    doc_id divisible by 5 is its predecessor's image with ~25% of pixels
+    perturbed by <= 12 gray levels — planted near-dup pairs whose dHash
+    hamming distance is small (0-5ish) but usually nonzero."""
+    base = doc_id - 1 if (doc_id % 5 == 0 and doc_id > 0) else doc_id
+    rng = np.random.default_rng(int(base) & 0x7FFFFFFF)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if base != doc_id:
+        prng = np.random.default_rng((int(doc_id) & 0x7FFFFFFF) + 10 ** 9)
+        mask = prng.random((h, w)) < 0.25
+        noise = prng.integers(-12, 13, size=(h, w, 3), dtype=np.int16)
+        px = np.clip(px.astype(np.int16) + noise * mask[..., None],
+                     0, 255).astype(np.uint8)
+    return px

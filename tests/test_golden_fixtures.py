@@ -126,6 +126,45 @@ def test_entropy_fixture_rederives(docs):
     assert ref[3] == (2, 2 * q2, float(2 * q2) / float(2 << 40))
 
 
+def test_image_dhash_fixtures_rederive(docs):
+    ids, _ = docs
+    hs, pairs = make_golden.image_near_dups_ref(ids)
+    got_h = pq.read_table(f"{GOLD}/image_dhash_documents.parquet")
+    assert [tuple(r.values()) for r in got_h.to_pylist()] == \
+        [(i, v - (1 << 64) if v >= (1 << 63) else v) for i, v in hs]
+    got_p = pq.read_table(f"{GOLD}/image_near_dups.parquet")
+    assert [tuple(r.values()) for r in got_p.to_pylist()] == pairs
+    assert len(pairs) >= 10  # the planted every-5th-doc copies are found
+
+
+def test_bmp_codec_edges():
+    import numpy as np
+    from malli_ray.stages.multimodal import decode_bmp, dhash64, make_bmp
+
+    # row padding: w=5 -> stride 16 != 15
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(make_bmp(px)), px)
+    # top-down BMP (negative height) decodes to the same pixels
+    import struct
+    body = make_bmp(px)
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = px[:, :, ::-1].reshape(h, w * 3)  # natural order, BGR
+    topdown = body[:14] + struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, stride * h, 2835, 2835, 0, 0) \
+        + rows.tobytes()
+    assert np.array_equal(decode_bmp(topdown), px)
+    # undecodable payloads -> None, never raise
+    assert decode_bmp(b"") is None
+    assert decode_bmp(b"BM" + b"\0" * 60) is None
+    assert decode_bmp(body[:40]) is None
+    # engine dhash matches the fixture's per-pixel reference on a real doc
+    assert dhash64(make_golden._synth_pixels_ref(7)) == \
+        make_golden.dhash_ref(7)
+
+
 def test_pq_topk_fixture_rederives():
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
                       columns=["vec_id", "embedding"])

@@ -544,6 +544,67 @@ def entropy_ref(texts):
     return out
 
 
+def _synth_pixels_ref(doc_id, h=24, w=32):
+    """Mirror of multimodal.synth_image_pixels — INPUT generation, not
+    output computation; numpy default_rng is a pinned shared primitive."""
+    base = doc_id - 1 if (doc_id % 5 == 0 and doc_id > 0) else doc_id
+    rng = np.random.default_rng(int(base) & 0x7FFFFFFF)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if base != doc_id:
+        prng = np.random.default_rng((int(doc_id) & 0x7FFFFFFF) + 10 ** 9)
+        mask = prng.random((h, w)) < 0.25
+        noise = prng.integers(-12, 13, size=(h, w, 3), dtype=np.int16)
+        px = np.clip(px.astype(np.int16) + noise * mask[..., None],
+                     0, 255).astype(np.uint8)
+    return px
+
+
+def dhash_ref(doc_id, grid=8):
+    """dHash of ONE synthesized image by per-pixel Python loops — the
+    independent reference for multimodal.dhash64 (which uses reduceat
+    box sums over the decoded BMP; this never encodes/decodes BMP, so a
+    match also certifies the engine's encode->decode round-trip).
+    Integer spec shared by both: luma (299r+587g+114b)//1000, floor bin
+    boundaries i*dim//bins, exact integer cell means, bit = right>left,
+    row-major, bit 0 = MSB."""
+    px = _synth_pixels_ref(doc_id)
+    h, w = px.shape[:2]
+    luma = [[(int(px[r][c][0]) * 299 + int(px[r][c][1]) * 587
+              + int(px[r][c][2]) * 114) // 1000
+             for c in range(w)] for r in range(h)]
+    rb = [(i * h) // grid for i in range(grid + 1)]
+    cb = [(j * w) // (grid + 1) for j in range(grid + 2)]
+    means = []
+    for i in range(grid):
+        row = []
+        for j in range(grid + 1):
+            tot = cnt = 0
+            for r in range(rb[i], rb[i + 1]):
+                for c in range(cb[j], cb[j + 1]):
+                    tot += luma[r][c]
+                    cnt += 1
+            row.append(tot // cnt)
+        means.append(row)
+    out = 0
+    for i in range(grid):
+        for j in range(grid):
+            out = (out << 1) | (1 if means[i][j + 1] > means[i][j] else 0)
+    return out
+
+
+def image_near_dups_ref(ids, max_hamming=7):
+    """Brute-force O(n^2) hamming pairs over the per-doc dHashes — the
+    independent counterpart of the engine's chunk-pigeonhole banding."""
+    hs = [(i, dhash_ref(i)) for i in sorted(ids)]
+    pairs = []
+    for x in range(len(hs)):
+        for y in range(x + 1, len(hs)):
+            d = bin(hs[x][1] ^ hs[y][1]).count("1")
+            if d <= max_hamming:
+                pairs.append((hs[x][0], hs[y][0], d))
+    return hs, pairs
+
+
 def infer_schema_ref(sf: str) -> str:
     """Expected inferred-schema JSON via the engine's LOCAL single-value
     provider path (malli_ray.provider.provide — the reference-parity
@@ -797,6 +858,22 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "entropy": pa.array([e[2] for e in ent],
                                           type=pa.float64())}),
             os.path.join(outdir, "entropy_documents.parquet"))
+        hs, ipairs = image_near_dups_ref(ids)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([h[0] for h in hs],
+                                         type=pa.int64()),
+                      "dhash": pa.array(
+                          [v - (1 << 64) if v >= (1 << 63) else v
+                           for _, v in hs], type=pa.int64())}),
+            os.path.join(outdir, "image_dhash_documents.parquet"))
+        pq.write_table(
+            pa.table({"id_a": pa.array([p[0] for p in ipairs],
+                                       type=pa.int64()),
+                      "id_b": pa.array([p[1] for p in ipairs],
+                                       type=pa.int64()),
+                      "hamming": pa.array([p[2] for p in ipairs],
+                                          type=pa.int32())}),
+            os.path.join(outdir, "image_near_dups.parquet"))
         ivfpq = ivfpq_topk_ref(eids, et.column("embedding").to_pylist())
         pq.write_table(
             pa.table({"query_id": pa.array([p[0] for p in ivfpq],
