@@ -354,6 +354,103 @@ def filter_outliers_by_group(ds: Dataset, group_column: str,
                      value_column=value_column, bounds=bounds),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
+
+def group_quantile_bounds(ds: Dataset, group_column: str, value_column: str,
+                          p_lo: float = 0.05, p_hi: float = 0.95) -> dict:
+    """Per-group exact ``(quantile_cont(p_lo), quantile_cont(p_hi))`` —
+    the arbitrary-percentile sibling of :func:`group_iqr_bounds` (same
+    shape: (group, value) projection shuffles, one row per group back to
+    the driver; np.quantile 'linear' == SQL quantile_cont, so the bounds
+    are value-reproducible by an oracle)."""
+
+    def bounds(group: pa.Table) -> pa.Table:
+        v = (group.column(value_column).drop_null()
+             .to_numpy(zero_copy_only=False))
+        if len(v):
+            lo, hi = np.quantile(np.sort(v), [p_lo, p_hi], method="linear")
+        else:
+            lo = hi = None
+        return pa.table({group_column: [group.column(group_column)[0]],
+                         "lo": pa.array([lo], type=pa.float64()),
+                         "hi": pa.array([hi], type=pa.float64())})
+
+    rows = (ds.select_columns([group_column, value_column])
+            .groupby(group_column)
+            .map_groups(bounds, batch_format="pyarrow")
+            .take_all())
+    return {r[group_column]: (r["lo"], r["hi"]) for r in rows
+            if r["lo"] is not None}
+
+
+class _WinsorizeClip:
+    """Per-batch clip against broadcast per-group quantile bounds —
+    ``max(min(v, hi), lo)``, the literal GREATEST(LEAST(...)) an SQL
+    oracle spells.  Unknown groups / null values pass through unclipped."""
+
+    def __init__(self, group_column: str, value_column: str, out: str,
+                 bounds: dict):
+        self.group_column = group_column
+        self.value_column = value_column
+        self.out = out
+        self.bounds = dict(bounds)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                self.out, pa.array([], type=pa.float64()))
+        groups = batch.column(self.group_column)
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        enc = groups.dictionary_encode()
+        per_lo = np.array([self.bounds.get(v, (-np.inf, np.inf))[0]
+                           for v in enc.dictionary.to_pylist()],
+                          dtype=np.float64)
+        per_hi = np.array([self.bounds.get(v, (-np.inf, np.inf))[1]
+                           for v in enc.dictionary.to_pylist()],
+                          dtype=np.float64)
+        idx = (enc.indices.fill_null(-1)
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        vals = batch.column(self.value_column)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        v = np.asarray(vals.cast(pa.float64()).to_numpy(
+            zero_copy_only=False))
+        known = idx >= 0
+        safe = np.maximum(idx, 0)
+        lo = np.where(known, per_lo[safe] if len(per_lo) else -np.inf,
+                      -np.inf)
+        hi = np.where(known, per_hi[safe] if len(per_hi) else np.inf,
+                      np.inf)
+        clipped = np.maximum(np.minimum(v, hi), lo)  # NaN (null) passes
+        return batch.append_column(
+            self.out, pa.array(clipped, type=pa.float64()))
+
+
+def winsorize_by_group(ds: Dataset, group_column: str, value_column: str,
+                       p_lo: float = 0.05, p_hi: float = 0.95,
+                       out: "str | None" = None,
+                       concurrency=None) -> Dataset:
+    """Winsorize ``value_column`` within each group: clip to the group's
+    exact ``[quantile_cont(p_lo), quantile_cont(p_hi)]`` — the
+    heavy-tail-taming sibling of :func:`filter_outliers_by_group` that
+    KEEPS every row (use it where dropping would bias the mix, e.g.
+    per-source token-length normalization before packing).
+
+    Two passes, same scale shape as the outlier filter: a (group, value)
+    projection is the only shuffle; the clip is a shuffle-free broadcast
+    probe.  The clipped column is ``max(min(v, hi), lo)`` on float64 —
+    bit-reproducible by GREATEST(LEAST(..)) in SQL."""
+    from . import cached_stage, concurrency_kwargs
+    bounds = group_quantile_bounds(ds, group_column, value_column,
+                                   p_lo=p_lo, p_hi=p_hi)
+    logger.info("winsorize_by_group: %d groups", len(bounds))
+    return ds.map_batches(
+        cached_stage(_WinsorizeClip, group_column=group_column,
+                     value_column=value_column,
+                     out=out or value_column + "_w", bounds=bounds),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
 def split_thresholds(fractions: "dict[str, float]") -> "list[tuple[str, int]]":
     """(label, upper-threshold) list for :func:`split_by_hash`: cumulative
     fractions scaled to 2^32 with plain IEEE double ops so a SQL oracle can
