@@ -423,3 +423,81 @@ def intersect_keys(ds_a: Dataset, ds_b: Dataset, key_a: str,
     """SQL ``SELECT DISTINCT key_a FROM a INTERSECT SELECT key_b FROM b``."""
     return _set_op_keys(ds_a, ds_b, key_a, key_b or key_a, "intersect",
                         out_col, num_partitions)
+
+
+def _set_op_all_keys(ds_a: Dataset, ds_b: Dataset, key_a: str, key_b: str,
+                     op: str, out_col: Optional[str],
+                     num_partitions: Optional[int]) -> Dataset:
+    """Bag-semantics set algebra (SQL EXCEPT ALL / INTERSECT ALL on single
+    key columns): a key with count ``ca`` in A and ``cb`` in B appears
+    ``max(ca - cb, 0)`` (except_all) / ``min(ca, cb)`` (intersect_all)
+    times in the output.
+
+    Scale shape: each side collapses to per-batch (key, count) partials
+    map-side (Arrow hash group_by — hot keys combine before moving), the
+    shuffle carries only distinct-per-batch keys + two int64s, one
+    groupby(key) sums both sides, and the multiplicity expansion is a
+    vectorized np.repeat per output block.  Output size is the SQL bag
+    result — the only stage whose row count can exceed the distinct-key
+    count."""
+    from ray.data.aggregate import Sum
+
+    out = out_col or key_a
+
+    def prep(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = pa.table({out: batch.column(0)})
+            counts = t.group_by([out], use_threads=False).aggregate(
+                [([], "count_all")])
+            cnt = pc.cast(counts.column("count_all"), pa.int64())
+            zero = pa.array(np.zeros(len(cnt), dtype=np.int64))
+            return pa.table({out: counts.column(out),
+                             "__ca__": cnt if side == 0 else zero,
+                             "__cb__": zero if side == 0 else cnt})
+        return fn
+
+    a = ds_a.select_columns([key_a]).map_batches(prep(0),
+                                                 batch_format="pyarrow")
+    b = ds_b.select_columns([key_b]).map_batches(prep(1),
+                                                 batch_format="pyarrow")
+    agg = a.union(b).groupby(out, num_partitions=num_partitions).aggregate(
+        Sum("__ca__", alias_name="__ca__"),
+        Sum("__cb__", alias_name="__cb__"))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ca = (batch.column("__ca__").to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+        cb = (batch.column("__cb__").to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+        if op == "except_all":
+            m = np.maximum(ca - cb, 0)
+        else:
+            m = np.minimum(ca, cb)
+        idx = np.repeat(np.arange(batch.num_rows), m)
+        keys = batch.column(out)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.table({out: keys.take(pa.array(idx, type=pa.int64()))})
+
+    return agg.map_batches(expand, batch_format="pyarrow")
+
+
+def except_all_keys(ds_a: Dataset, ds_b: Dataset, key_a: str,
+                    key_b: Optional[str] = None,
+                    out_col: Optional[str] = None,
+                    num_partitions: Optional[int] = None) -> Dataset:
+    """SQL ``SELECT key_a FROM a EXCEPT ALL SELECT key_b FROM b`` — bag
+    difference with multiplicities (each B occurrence cancels one A
+    occurrence)."""
+    return _set_op_all_keys(ds_a, ds_b, key_a, key_b or key_a,
+                            "except_all", out_col, num_partitions)
+
+
+def intersect_all_keys(ds_a: Dataset, ds_b: Dataset, key_a: str,
+                       key_b: Optional[str] = None,
+                       out_col: Optional[str] = None,
+                       num_partitions: Optional[int] = None) -> Dataset:
+    """SQL ``SELECT key_a FROM a INTERSECT ALL SELECT key_b FROM b`` —
+    bag intersection (min of the two occurrence counts per key)."""
+    return _set_op_all_keys(ds_a, ds_b, key_a, key_b or key_a,
+                            "intersect_all", out_col, num_partitions)

@@ -1671,6 +1671,25 @@ def test_set_op_keys(ray_session):
     assert sorted(except_keys(a, c, "k", "j").to_pandas().k) == [1, 2, 3, 4]
 
 
+def test_set_op_all_keys(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.joins import except_all_keys, intersect_all_keys
+
+    a = rd.from_arrow(pa.table({"k": [1, 2, 2, 2, 3, 4, 4]}))
+    b = rd.from_arrow(pa.table({"j": [2, 3, 3, 5]}))
+    # EXCEPT ALL: 1x1, 2x(3-1), 3x0, 4x2
+    ex = sorted(except_all_keys(a, b, "k", "j").to_pandas().k)
+    assert ex == [1, 2, 2, 4, 4]
+    # INTERSECT ALL: 2xmin(3,1), 3xmin(1,2)
+    inter = sorted(intersect_all_keys(a, b, "k", "j").to_pandas().k)
+    assert inter == [2, 3]
+    # disjoint -> empty intersect, bag-identical except
+    c = rd.from_arrow(pa.table({"j": [9]}))
+    assert intersect_all_keys(a, c, "k", "j").count() == 0
+    assert sorted(except_all_keys(a, c, "k", "j").to_pandas().k) == \
+        [1, 2, 2, 2, 3, 4, 4]
+
+
 def test_duplicate_spans_semantics(ray_session):
     """Exact substring dedup (Lee et al. 2021 at word-gram granularity):
     the globally FIRST occurrence of each k-gram (by (id, pos)) emits no
