@@ -20,6 +20,7 @@ import logging
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 from ray.data.aggregate import Count
@@ -448,6 +449,97 @@ def winsorize_by_group(ds: Dataset, group_column: str, value_column: str,
         cached_stage(_WinsorizeClip, group_column=group_column,
                      value_column=value_column,
                      out=out or value_column + "_w", bounds=bounds),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
+class _ImputeFill:
+    """Per-batch null fill against broadcast per-group statistics."""
+
+    def __init__(self, group_column: str, value_column: str, out: str,
+                 fills: dict):
+        self.group_column = group_column
+        self.value_column = value_column
+        self.out = out
+        self.fills = dict(fills)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        groups = batch.column(self.group_column)
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        enc = groups.dictionary_encode()
+        per_fill = np.array([self.fills.get(v, np.nan)
+                             for v in enc.dictionary.to_pylist()],
+                            dtype=np.float64)
+        idx = (enc.indices.fill_null(-1)
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        vals = batch.column(self.value_column)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        v = np.asarray(vals.cast(pa.float64()).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        known = idx >= 0
+        fill = np.where(known,
+                        per_fill[np.maximum(idx, 0)] if len(per_fill)
+                        else np.nan, np.nan)
+        out_v = np.where(np.isnan(v), fill, v)
+        mask = np.isnan(out_v)
+        arr = pa.array(out_v, type=pa.float64(),
+                       mask=mask if mask.any() else None)
+        return batch.append_column(self.out, arr)
+
+
+def impute_by_group(ds: Dataset, group_column: str, value_column: str,
+                    strategy: str = "median", out: "str | None" = None,
+                    concurrency=None) -> Dataset:
+    """Fill null ``value_column`` entries with the group's statistic —
+    the standard feature-cleanup op before training.
+
+    ``strategy="median"``: exact per-group median of the NON-null values
+    (sort-based ``np.quantile`` == SQL ``quantile_cont(0.5)`` — order-
+    free, so bit-reproducible under any partitioning).
+    ``strategy="mean"``: integer-exact mean — values must be integral
+    (cast to fixed-point upstream; the safe Arrow cast raises otherwise);
+    per-group int64 partial sums, ONE IEEE division, the same
+    ``CAST(SUM AS DOUBLE)/CAST(COUNT AS DOUBLE)`` an oracle spells.
+
+    Scale shape: the stats pass shuffles only the projected
+    (group, value) pair; the fill is a shuffle-free broadcast probe.
+    Rows whose group has no non-null values (or an unknown group) stay
+    null."""
+    if strategy == "median":
+        fills = {g: lo for g, (lo, _) in group_quantile_bounds(
+            ds, group_column, value_column, 0.5, 0.5).items()}
+    elif strategy == "mean":
+        def partials(batch: pa.Table) -> pa.Table:
+            v = pc.cast(batch.column(value_column), pa.int64())
+            t = pa.table({group_column: batch.column(group_column),
+                          "__v": v})
+            out_t = t.group_by([group_column], use_threads=False).aggregate(
+                [("__v", "sum"), ("__v", "count")])
+            return out_t.rename_columns([group_column, "__s", "__n"])
+
+        def finish(g: pa.Table) -> pa.Table:
+            s = sum(x.as_py() or 0 for x in g.column("__s"))
+            n = sum(x.as_py() or 0 for x in g.column("__n"))
+            mean = float(s) / float(n) if n else None
+            return pa.table({group_column: g.column(group_column).slice(0, 1),
+                             "mean": pa.array([mean], type=pa.float64())})
+
+        rows = (ds.select_columns([group_column, value_column])
+                .map_batches(partials, batch_format="pyarrow")
+                .groupby(group_column)
+                .map_groups(finish, batch_format="pyarrow")
+                .take_all())
+        fills = {r[group_column]: r["mean"] for r in rows
+                 if r["mean"] is not None}
+    else:
+        raise ValueError(f"impute_by_group: unknown strategy {strategy!r}")
+    from . import cached_stage, concurrency_kwargs
+    logger.info("impute_by_group(%s): %d groups", strategy, len(fills))
+    return ds.map_batches(
+        cached_stage(_ImputeFill, group_column=group_column,
+                     value_column=value_column,
+                     out=out or value_column + "_imp", fills=fills),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 

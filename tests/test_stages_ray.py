@@ -1671,6 +1671,23 @@ def test_set_op_keys(ray_session):
     assert sorted(except_keys(a, c, "k", "j").to_pandas().k) == [1, 2, 3, 4]
 
 
+def test_impute_by_group(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.sampling import impute_by_group
+
+    t = pa.table({"g": ["a", "a", "a", "b", "b", "c"],
+                  "v": [10.0, None, 20.0, 7.0, None, None]})
+    ds = rd.from_arrow(t)
+    med = impute_by_group(ds, "g", "v", strategy="median").to_pandas() \
+        .sort_values(["g", "v"], na_position="last").reset_index(drop=True)
+    assert list(med.v_imp[:3]) == [10.0, 20.0, 15.0]  # a-hole -> median 15
+    assert list(med.v_imp[3:5]) == [7.0, 7.0]          # single value
+    assert np.isnan(med.v_imp[5])                      # all-null group stays
+    mean = impute_by_group(ds, "g", "v", strategy="mean").to_pandas()
+    a_hole = mean[(mean.g == "a") & mean.v.isna()].v_imp.iloc[0]
+    assert a_hole == float(30) / float(2)  # bit-exact int-sum division
+
+
 def test_set_op_all_keys(ray_session):
     import ray.data as rd
     from malli_ray.stages.joins import except_all_keys, intersect_all_keys
