@@ -1671,6 +1671,28 @@ def test_set_op_keys(ray_session):
     assert sorted(except_keys(a, c, "k", "j").to_pandas().k) == [1, 2, 3, 4]
 
 
+def test_snapshot_diff(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+    from malli_ray.stages.joins import snapshot_diff
+
+    old = rd.from_arrow(pa.table({
+        "k": [1, 2, 3, 4], "v": [1.0, 2.0, 3.0, 4.0],
+        "s": ["a", "b", "c", "d"]}))
+    new = rd.from_arrow(pa.table({
+        "k": [2, 3, 4, 5], "v": [2.0, 3.5, 4.0, 5.0],
+        "s": ["b", "c", "D", "e"]}))
+    out = snapshot_diff(old, new, "k", ["v", "s"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert list(zip(out.k, out.status)) == [
+        (1, "removed"), (3, "changed"), (4, "changed"), (5, "added")]
+    # duplicate keys in a snapshot violate the CDC contract -> raise
+    dup = rd.from_arrow(pa.table({"k": [1, 1], "v": [1.0, 1.0],
+                                  "s": ["a", "a"]}))
+    with _pytest.raises(Exception):
+        snapshot_diff(dup, new, "k", ["v", "s"]).to_pandas()
+
+
 def test_impute_by_group(ray_session):
     import ray.data as rd
     from malli_ray.stages.sampling import impute_by_group
