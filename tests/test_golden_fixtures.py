@@ -137,6 +137,38 @@ def test_image_dhash_fixtures_rederive(docs):
     assert len(pairs) >= 10  # the planted every-5th-doc copies are found
 
 
+def test_audio_fp_fixtures_rederive(docs):
+    ids, _ = docs
+    hs, pairs = make_golden.audio_near_dups_ref(ids)
+    got_h = pq.read_table(f"{GOLD}/audio_fp_documents.parquet")
+    assert [tuple(r.values()) for r in got_h.to_pylist()] == \
+        [(i, v - (1 << 64) if v >= (1 << 63) else v) for i, v in hs]
+    got_p = pq.read_table(f"{GOLD}/audio_near_dups.parquet")
+    assert [tuple(r.values()) for r in got_p.to_pylist()] == pairs
+    assert len(pairs) >= 10
+
+
+def test_wav_codec_edges():
+    import numpy as np
+    from malli_ray.stages.multimodal import (audio_fp64, decode_wav_pcm16,
+                                             wrap_pcm_wav)
+
+    pcm = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int16)
+    assert np.array_equal(decode_wav_pcm16(wrap_pcm_wav(pcm.tobytes())), pcm)
+    # short signal pads with zeros to grid+1 segments
+    assert isinstance(audio_fp64(pcm), int)
+    # undecodable payloads -> None, never raise
+    assert decode_wav_pcm16(b"") is None
+    assert decode_wav_pcm16(b"RIFFxxxxWAVE") is None
+    assert decode_wav_pcm16(b"not audio at all") is None
+    # stereo / non-PCM fmt rejected
+    stereo = wrap_pcm_wav(pcm.tobytes(), channels=2)
+    assert decode_wav_pcm16(stereo) is None
+    # engine fingerprint matches the fixture's per-sample reference
+    assert audio_fp64(make_golden._synth_audio_ref(9)) == \
+        make_golden.audio_fp_ref(9)
+
+
 def test_bmp_codec_edges():
     import numpy as np
     from malli_ray.stages.multimodal import decode_bmp, dhash64, make_bmp

@@ -605,6 +605,59 @@ def image_near_dups_ref(ids, max_hamming=7):
     return hs, pairs
 
 
+def _synth_audio_ref(doc_id, n_samples=2048):
+    """Mirror of multimodal.synth_audio_pcm (input generation; default_rng
+    is a pinned shared primitive)."""
+    base = doc_id - 1 if (doc_id % 4 == 0 and doc_id > 0) else doc_id
+    rng = np.random.default_rng((int(base) & 0x7FFFFFFF) ^ 0x5EED)
+    pcm = rng.integers(-30000, 30001, size=n_samples).astype(np.int16)
+    if base != doc_id:
+        prng = np.random.default_rng(
+            ((int(doc_id) & 0x7FFFFFFF) ^ 0x5EED) + 2 * 10 ** 9)
+        mask = prng.random(n_samples) < 0.10
+        noise = prng.integers(-400, 401, size=n_samples).astype(np.int32)
+        pcm = np.clip(pcm.astype(np.int32) + noise * mask,
+                      -32768, 32767).astype(np.int16)
+    return pcm
+
+
+def audio_fp_ref(doc_id, grid=64):
+    """Energy-contour fingerprint by per-sample Python loops — the
+    independent reference for multimodal.audio_fp64 (reduceat + integer
+    divisions over the decoded WAV); never touches the WAV container, so
+    a match also certifies the engine's RIFF chunk-walk decode.  Integer
+    spec shared by both: segment boundaries i*n//(grid+1), exact mean
+    energy sum//count, bit = next > prev, MSB-first."""
+    pcm = [int(v) for v in _synth_audio_ref(doc_id)]
+    n = len(pcm)
+    if n < grid + 1:
+        pcm = pcm + [0] * (grid + 1 - n)
+        n = grid + 1
+    b = [(i * n) // (grid + 1) for i in range(grid + 2)]
+    means = []
+    for i in range(grid + 1):
+        tot = 0
+        for j in range(b[i], b[i + 1]):
+            tot += pcm[j] * pcm[j]
+        means.append(tot // (b[i + 1] - b[i]))
+    out = 0
+    for i in range(grid):
+        out = (out << 1) | (1 if means[i + 1] > means[i] else 0)
+    return out
+
+
+def audio_near_dups_ref(ids, max_hamming=7):
+    """Brute-force hamming pairs over the per-doc audio fingerprints."""
+    hs = [(i, audio_fp_ref(i)) for i in sorted(ids)]
+    pairs = []
+    for x in range(len(hs)):
+        for y in range(x + 1, len(hs)):
+            d = bin(hs[x][1] ^ hs[y][1]).count("1")
+            if d <= max_hamming:
+                pairs.append((hs[x][0], hs[y][0], d))
+    return hs, pairs
+
+
 def infer_schema_ref(sf: str) -> str:
     """Expected inferred-schema JSON via the engine's LOCAL single-value
     provider path (malli_ray.provider.provide — the reference-parity
@@ -874,6 +927,22 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "hamming": pa.array([p[2] for p in ipairs],
                                           type=pa.int32())}),
             os.path.join(outdir, "image_near_dups.parquet"))
+        ahs, apairs = audio_near_dups_ref(ids)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([h[0] for h in ahs],
+                                         type=pa.int64()),
+                      "audio_fp": pa.array(
+                          [v - (1 << 64) if v >= (1 << 63) else v
+                           for _, v in ahs], type=pa.int64())}),
+            os.path.join(outdir, "audio_fp_documents.parquet"))
+        pq.write_table(
+            pa.table({"id_a": pa.array([p[0] for p in apairs],
+                                       type=pa.int64()),
+                      "id_b": pa.array([p[1] for p in apairs],
+                                       type=pa.int64()),
+                      "hamming": pa.array([p[2] for p in apairs],
+                                          type=pa.int32())}),
+            os.path.join(outdir, "audio_near_dups.parquet"))
         ivfpq = ivfpq_topk_ref(eids, et.column("embedding").to_pylist())
         pq.write_table(
             pa.table({"query_id": pa.array([p[0] for p in ivfpq],
