@@ -145,6 +145,15 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "q5_local_supplier_volume", "rollup_orders", "transitions_events",
         "corpus_prep_v4_documents", "validate_sequences_exact",
         "standardize_lineitem", "cube_orders",
+        # r3 session 4: TPC-H shapes, OLS, entropy, winsorize/impute,
+        # bag set ops, CDC diff, image + audio near-dup dedup,
+        # frame sampling
+        "q3_shipping_priority", "q12_priority_by_returnflag",
+        "q14_promo_revenue", "q4_order_priority_check", "q18_large_orders",
+        "regression_quantity_price", "entropy_documents",
+        "winsorize_documents", "impute_events_value",
+        "priority_except_all", "snapshot_diff_orders",
+        "image_near_dups", "audio_near_dups", "frame_sample_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

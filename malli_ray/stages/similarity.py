@@ -23,7 +23,8 @@ import ray
 from ray.data import Dataset
 
 __all__ = ["TopKScorer", "topk_cosine", "train_centroids", "ivf_topk",
-           "kmeans_fit", "normalize_embeddings", "quantize_embeddings_int8"]
+           "kmeans_fit", "normalize_embeddings", "quantize_embeddings_int8",
+           "pca_fit", "pca_project"]
 
 
 def _unit_rows(mat: np.ndarray) -> np.ndarray:
@@ -640,3 +641,113 @@ def ivfpq_topk(ds: Dataset, queries: np.ndarray, centroids: np.ndarray,
 
     return local.groupby("query_id").map_groups(reduce_topk,
                                                 batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA with a fixed-point bit-exactness contract.
+
+PCA_SCALE = 1 << 20  # embedding quantization; projections divide by 2^40
+
+
+def _quantize_emb(mat: np.ndarray, scale: int = PCA_SCALE) -> np.ndarray:
+    """q = floor(x * scale + 0.5) — round-half-up, mirrored by the golden
+    fixture; int64."""
+    return np.floor(mat * scale + 0.5).astype(np.int64)
+
+
+def pca_fit(ds: Dataset, emb_column: str, k: int = 4,
+            scale: int = PCA_SCALE) -> dict:
+    """Distributed PCA over an embedding column, bit-reproducible under
+    any partitioning:
+
+    1. Embeddings quantize to int64 (``floor(x * 2^20 + 0.5)``) so every
+       accumulation is integer-exact (the DSIR/PageRank fixed-point trick
+       — float sums are order-dependent, integer sums are not).
+    2. Each batch collapses to ``(n, sum_q[d], sum_qq[d, d])`` partials
+       (one int64 einsum per batch); ONLY these tiny rows leave the
+       workers — no shuffle, no payload movement.
+    3. The driver sums partials with Python arbitrary-precision ints and
+       builds the exact population covariance
+       ``C = (n * Sqq - Sq Sq^T) / (n^2 * scale^2)`` (one float division
+       per entry off exact ints).
+    4. ``np.linalg.eigh(C)`` (driver-side, the pinned shared primitive —
+       one LAPACK call on a bit-identical matrix, like the fixture's) and
+       the top-``k`` eigenvectors quantize back to int64 components.
+
+    Returns ``{"n", "mean_q", "comps_q", "eigvals", "scale"}`` for
+    :func:`pca_project`.  Overflow bounds (documented, asserted): unit-ish
+    embeddings -> |q| <= ~2 * scale; per-batch einsum fits int64 to ~1e5
+    rows x d; driver totals are Python bigints.
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        q = _quantize_emb(_emb_matrix(batch, emb_column), scale)
+        sq = q.sum(axis=0, dtype=np.int64)
+        sqq = np.einsum("bi,bj->ij", q, q, dtype=np.int64)
+        return pa.table({
+            "n": pa.array([batch.num_rows], type=pa.int64()),
+            "sq": pa.array([sq.tolist()],
+                           type=pa.list_(pa.int64())),
+            "sqq": pa.array([sqq.ravel().tolist()],
+                            type=pa.list_(pa.int64()))})
+
+    rows = (ds.select_columns([emb_column])
+            .map_batches(partials, batch_format="pyarrow").take_all())
+    if not rows:
+        raise ValueError("pca_fit: empty dataset")
+    d = len(rows[0]["sq"])
+    n = sum(int(r["n"]) for r in rows)
+    sq = [0] * d
+    sqq = [0] * (d * d)
+    for r in rows:
+        for i, v in enumerate(r["sq"]):
+            sq[i] += int(v)
+        for i, v in enumerate(r["sqq"]):
+            sqq[i] += int(v)
+    denom = float(n * n * scale * scale)
+    cov = np.empty((d, d), dtype=np.float64)
+    for i in range(d):
+        for j in range(d):
+            cov[i, j] = float(n * sqq[i * d + j] - sq[i] * sq[j]) / denom
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]                       # (d, k)
+    comps_q = np.floor(comps * scale + 0.5).astype(np.int64)
+    mean_q = np.array([s // n for s in sq], dtype=np.int64)
+    return {"n": n, "mean_q": mean_q, "comps_q": comps_q,
+            "eigvals": w[order].tolist(), "scale": scale}
+
+
+def pca_project(ds: Dataset, model: dict, emb_column: str, id_column: str,
+                out_prefix: str = "pc", concurrency=None) -> Dataset:
+    """Project embeddings onto fitted PCA components — all-integer per
+    row: ``y_int = (q - mean_q) @ comps_q`` (int64 matmul, exact), then
+    ONE division by ``scale^2`` per output.  Centering uses the
+    floor-quantized mean (int64) — part of the documented spec, mirrored
+    by the fixture.  Map-only; broadcast model via the stage-arg path."""
+    from . import cached_stage, concurrency_kwargs
+
+    class _Projector:
+        def __init__(self, model, emb_column, id_column, out_prefix):
+            self.mean_q = np.asarray(model["mean_q"], dtype=np.int64)
+            self.comps_q = np.asarray(model["comps_q"], dtype=np.int64)
+            self.scale = int(model["scale"])
+            self.emb_column = emb_column
+            self.id_column = id_column
+            self.out_prefix = out_prefix
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            q = _quantize_emb(_emb_matrix(batch, self.emb_column),
+                              self.scale)
+            y = (q - self.mean_q) @ self.comps_q          # int64 exact
+            denom = float(self.scale) * float(self.scale)
+            cols = {self.id_column: batch.column(self.id_column)}
+            for j in range(y.shape[1]):
+                cols[f"{self.out_prefix}{j + 1}"] = pa.array(
+                    y[:, j].astype(np.float64) / denom, type=pa.float64())
+            return pa.table(cols)
+
+    return ds.map_batches(
+        cached_stage(_Projector, model=model, emb_column=emb_column,
+                     id_column=id_column, out_prefix=out_prefix),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))

@@ -137,6 +137,20 @@ def test_image_dhash_fixtures_rederive(docs):
     assert len(pairs) >= 10  # the planted every-5th-doc copies are found
 
 
+def test_pca_fixture_rederives():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    want = make_golden.pca_ref(t.column("vec_id").to_pylist(),
+                               t.column("embedding").to_pylist())
+    got = pq.read_table(f"{GOLD}/pca_embeddings.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+    # PC1 must explain at least as much spread as PC4 (eigval ordering)
+    import numpy as np
+    arr = np.array([w[1:] for w in want])
+    var = arr.var(axis=0)
+    assert var[0] >= var[-1]
+
+
 def test_audio_fp_fixtures_rederive(docs):
     ids, _ = docs
     hs, pairs = make_golden.audio_near_dups_ref(ids)

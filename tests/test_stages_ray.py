@@ -1671,6 +1671,31 @@ def test_set_op_keys(ray_session):
     assert sorted(except_keys(a, c, "k", "j").to_pandas().k) == [1, 2, 3, 4]
 
 
+def test_pca_partition_invariant(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(300, 8)).astype(np.float32)
+    t = pa.table({"id": np.arange(300),
+                  "embedding": pa.array(mat.tolist(),
+                                        type=pa.list_(pa.float32()))})
+    one = rd.from_arrow(t)
+    many = one.repartition(7)
+    m1 = pca_fit(one, "embedding", k=3)
+    m2 = pca_fit(many, "embedding", k=3)
+    assert np.array_equal(m1["comps_q"], m2["comps_q"])  # bit-identical
+    assert m1["mean_q"].tolist() == m2["mean_q"].tolist()
+    p1 = pca_project(one, m1, "embedding", "id").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    p2 = pca_project(many, m2, "embedding", "id").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert p1.equals(p2)
+    # eigenvalues descend
+    ev = m1["eigvals"]
+    assert all(ev[i] >= ev[i + 1] for i in range(len(ev) - 1))
+
+
 def test_snapshot_diff(ray_session):
     import pytest as _pytest
     import ray.data as rd

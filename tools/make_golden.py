@@ -658,6 +658,47 @@ def audio_near_dups_ref(ids, max_hamming=7):
     return hs, pairs
 
 
+def pca_ref(ids, embs, k=4, scale=1 << 20):
+    """Distributed-PCA reference: per-element Python-int loops for the
+    quantized sums / covariance / projections (the engine uses one int64
+    einsum per batch and an int64 matmul per row).  Shared pinned
+    primitives: the floor(x*2^20+0.5) quantization spec and ONE
+    driver-side np.linalg.eigh call on the bit-identical covariance
+    matrix (a single LAPACK invocation, same role as math.log scalars)."""
+    vecs = [[float(np.float64(np.float32(x))) for x in e] for e in embs]
+    d = len(vecs[0])
+    n = len(vecs)
+    q = [[int(math.floor(x * scale + 0.5)) for x in v] for v in vecs]
+    sq = [0] * d
+    sqq = [[0] * d for _ in range(d)]
+    for row in q:
+        for i in range(d):
+            sq[i] += row[i]
+            for j in range(d):
+                sqq[i][j] += row[i] * row[j]
+    denom = float(n * n * scale * scale)
+    cov = np.empty((d, d), dtype=np.float64)
+    for i in range(d):
+        for j in range(d):
+            cov[i, j] = float(n * sqq[i][j] - sq[i] * sq[j]) / denom
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps_q = [[int(math.floor(v[i, c] * scale + 0.5)) for c in order]
+               for i in range(d)]
+    mean_q = [s // n for s in sq]
+    out = []
+    div = float(scale) * float(scale)
+    for rid, row in zip(ids, q):
+        pcs = []
+        for c in range(k):
+            acc = 0
+            for i in range(d):
+                acc += (row[i] - mean_q[i]) * comps_q[i][c]
+            pcs.append(float(acc) / div)
+        out.append((rid, *pcs))
+    return out
+
+
 def infer_schema_ref(sf: str) -> str:
     """Expected inferred-schema JSON via the engine's LOCAL single-value
     provider path (malli_ray.provider.provide — the reference-parity
@@ -943,6 +984,17 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "hamming": pa.array([p[2] for p in apairs],
                                           type=pa.int32())}),
             os.path.join(outdir, "audio_near_dups.parquet"))
+        et0 = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        pcr = pca_ref(et0.column("vec_id").to_pylist(),
+                      et0.column("embedding").to_pylist())
+        pq.write_table(
+            pa.table({"vec_id": pa.array([r[0] for r in pcr],
+                                         type=pa.int64()),
+                      **{f"pc{j + 1}": pa.array([r[j + 1] for r in pcr],
+                                                type=pa.float64())
+                         for j in range(4)}}),
+            os.path.join(outdir, "pca_embeddings.parquet"))
         ivfpq = ivfpq_topk_ref(eids, et.column("embedding").to_pylist())
         pq.write_table(
             pa.table({"query_id": pa.array([p[0] for p in ivfpq],
