@@ -520,8 +520,6 @@ def snapshot_diff(old: Dataset, new: Dataset, key: str,
     -> changed.  Collision risk is the standard 2^-128; the hash kernel
     is the engine-wide pinned polars xxhash (state.sketches.hash64).
     """
-    from ray.data.aggregate import Sum
-
     from ..state.sketches import hash64
 
     FNV = np.uint64(1099511628211)
@@ -552,14 +550,27 @@ def snapshot_diff(old: Dataset, new: Dataset, key: str,
         prep(0), batch_format="pyarrow")
     b = new.select_columns([key, *compare_cols]).map_batches(
         prep(1), batch_format="pyarrow")
-    agg = a.union(b).groupby(key, num_partitions=num_partitions).aggregate(
-        *[Sum(c, alias_name=c) for c in
-          ("__na", "__ha1", "__ha2", "__nb", "__hb1", "__hb2")])
+    # exchange on hash(key) % buckets, not on the raw (unique-per-side)
+    # key: a per-key Ray aggregate would shuffle into |keys| groups with
+    # nothing to combine map-side; 64 hash buckets + one polars group_by
+    # per bucket classify the same rows in a fraction of the exchange cost
+    num_buckets = 64
+    bucket_col = "__diffbucket__"
 
-    def classify(batch: pa.Table) -> pa.Table:
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key), seed=29) % np.uint64(num_buckets)
+        return batch.append_column(
+            bucket_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+    def classify(g: pa.Table) -> pa.Table:
+        import polars as pl
+        agg = (pl.from_arrow(g.drop_columns([bucket_col]))
+               .group_by(key)
+               .agg(*[pl.col(c).sum().alias(c) for c in
+                      ("__na", "__ha1", "__ha2", "__nb", "__hb1", "__hb2")]))
+
         def col(c):
-            return (batch.column(c).to_numpy(zero_copy_only=False)
-                    .astype(np.int64))
+            return agg.get_column(c).cast(pl.Int64).to_numpy()
         na, nb = col("__na"), col("__nb")
         if (na > 1).any() or (nb > 1).any():
             raise ValueError("snapshot_diff: duplicate keys in a snapshot")
@@ -569,12 +580,14 @@ def snapshot_diff(old: Dataset, new: Dataset, key: str,
                           np.where(nb == 0, "removed",
                                    np.where(changed, "changed", "")))
         keep = status != ""
-        keys = batch.column(key)
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
+        keys = agg.get_column(key).to_arrow().cast(
+            g.schema.field(key).type)
         idx = pa.array(np.flatnonzero(keep), type=pa.int64())
         return pa.table({key: keys.take(idx),
                          "status": pa.array(status[keep].tolist(),
                                             type=pa.string())})
 
-    return agg.map_batches(classify, batch_format="pyarrow")
+    return (a.union(b)
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(classify, batch_format="pyarrow"))
