@@ -73,7 +73,7 @@ from ..state.sketches import hash64
 __all__ = [
     "add_content_hash", "exact_dup_groups", "exact_dedup_keep_first",
     "MinHasher", "minhash_lsh_candidates", "SimHasher", "simhash_near_dups",
-    "hamming_near_dups",
+    "hamming_near_dups", "fuzzy_join_ed1",
     "ngram_jaccard", "embedding_near_dups",
     "semantic_codebook", "semantic_dedup_pairs", "semantic_dedup",
     "build_bloom", "filter_seen_bloom",
@@ -1732,3 +1732,108 @@ def add_edit_distance(ds: Dataset, col_a: str, col_b: str,
                                    pa.float64()))
 
     return ds.map_batches(dist, batch_format="pyarrow")
+
+
+def fuzzy_join_ed1(ds: Dataset, column: str, id_column: str,
+                   max_bucket: int = 4096, closure_cap: int = 100_000,
+                   num_partitions: "int | None" = None) -> Dataset:
+    """All pairs of rows whose ``column`` values are within edit distance
+    1 (record linkage / near-identical-name dedup) — the SymSpell
+    deletion-neighborhood banding, which is EXACT for radius 1: any two
+    strings with ``ed <= 1`` share a key in
+    ``{s} U {s minus one character}`` (equal -> s itself; substitution at
+    i -> both delete i; insert/delete -> the longer's deletion equals the
+    shorter).
+
+    Scale shape: each row emits its DISTINCT deletion keys (vectorized —
+    one polars slice-concat per deletion position, deduped per row before
+    the shuffle: ~len(s) short strings/row), ONE groupby on the key
+    bucket, per-bucket pairwise verify with the exact byte-level
+    :func:`levenshtein` (DuckDB-replayable), then a (id_a, id_b) Min
+    groupby dedupes pairs found via multiple shared keys.  Oversize
+    buckets truncate in min-id order and are LOGGED, never silent.
+    """
+    import polars as pl
+
+    from ray.data.aggregate import Min as MinAgg
+
+    def emit_keys(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "id": pl.from_arrow(batch.column(id_column)
+                                if not isinstance(batch.column(id_column),
+                                                  pa.ChunkedArray)
+                                else batch.column(id_column).combine_chunks()),
+            "s": pl.from_arrow(batch.column(column)
+                               if not isinstance(batch.column(column),
+                                                 pa.ChunkedArray)
+                               else batch.column(column).combine_chunks())
+            .fill_null("")})
+        max_len = int(df.get_column("s").str.len_chars().max() or 0)
+        frames = [df.with_columns(pl.col("s").alias("key"))]
+        for d in range(max_len):
+            frames.append(df.filter(
+                pl.col("s").str.len_chars() > d).with_columns(
+                (pl.col("s").str.slice(0, d)
+                 + pl.col("s").str.slice(d + 1)).alias("key")))
+        allk = pl.concat(frames).unique(subset=["id", "key"])
+        out = allk.to_arrow()
+        return pa.table({
+            "key": out.column("key").cast(pa.string()),
+            "id": out.column("id"),
+            "val": out.column("s").cast(pa.string())})
+
+    keyed = ds.select_columns([id_column, column]).map_batches(
+        emit_keys, batch_format="pyarrow")
+
+    def verify(group: pa.Table) -> pa.Table:
+        id_type = group.column("id").type
+        empty = pa.table({"id_a": pa.array([], type=id_type),
+                          "id_b": pa.array([], type=id_type),
+                          "dist": pa.array([], type=pa.int32())})
+        n = group.num_rows
+        if n < 2:
+            return empty
+        ids = group.column("id").to_pylist()
+        vals = group.column("val").to_pylist()
+        if n > max_bucket:
+            logger.warning(
+                "fuzzy_join_ed1 bucket truncated: %d rows > max_bucket=%d "
+                "(key=%s); dropping %d", n, max_bucket,
+                group.column("key")[0], n - max_bucket)
+            order = sorted(range(n), key=lambda i: ids[i])[:max_bucket]
+            ids = [ids[i] for i in order]
+            vals = [vals[i] for i in order]
+            n = max_bucket
+        # collapse duplicate ids (the same row reached this key once by
+        # construction, but be safe under retries)
+        a_out, b_out, d_out = [], [], []
+        emitted = 0
+        for i in range(n):
+            vi = vals[i]
+            for j in range(i + 1, n):
+                if ids[i] == ids[j]:
+                    continue
+                vj = vals[j]
+                if abs(len(vi) - len(vj)) > 1:
+                    continue
+                d = 0 if vi == vj else levenshtein(vi, vj)
+                if d <= 1:
+                    lo, hi = sorted((ids[i], ids[j]))
+                    a_out.append(lo)
+                    b_out.append(hi)
+                    d_out.append(d)
+                    emitted += 1
+                    if emitted > closure_cap:
+                        raise ValueError(
+                            "fuzzy_join_ed1: pair closure exceeded "
+                            f"closure_cap={closure_cap} in one bucket")
+        if not a_out:
+            return empty
+        return pa.table({"id_a": pa.array(a_out, type=id_type),
+                         "id_b": pa.array(b_out, type=id_type),
+                         "dist": pa.array(d_out, type=pa.int32())})
+
+    pairs = keyed.groupby("key", num_partitions=num_partitions).map_groups(
+        verify, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        MinAgg("dist", alias_name="dist"))

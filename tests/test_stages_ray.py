@@ -1671,6 +1671,28 @@ def test_set_op_keys(ray_session):
     assert sorted(except_keys(a, c, "k", "j").to_pandas().k) == [1, 2, 3, 4]
 
 
+def test_fuzzy_join_ed1_exact(ray_session):
+    import itertools
+
+    import ray.data as rd
+    from malli_ray.stages.dedup import fuzzy_join_ed1, levenshtein
+
+    rng = np.random.default_rng(2)
+    alphabet = list("abc")
+    vals = ["".join(rng.choice(alphabet, size=rng.integers(0, 5)))
+            for _ in range(60)]
+    ds = rd.from_arrow(pa.table({"id": np.arange(60), "s": vals}))
+    got = fuzzy_join_ed1(ds, "s", "id").to_pandas()
+    got_pairs = {(int(a), int(b)): int(d)
+                 for a, b, d in zip(got.id_a, got.id_b, got.dist)}
+    want = {}
+    for i, j in itertools.combinations(range(60), 2):
+        d = levenshtein(vals[i], vals[j])
+        if d <= 1:
+            want[(i, j)] = d
+    assert got_pairs == want  # deletion-neighborhood banding is exact at 1
+
+
 def test_pca_partition_invariant(ray_session):
     import ray.data as rd
     from malli_ray.stages.similarity import pca_fit, pca_project
