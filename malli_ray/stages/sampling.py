@@ -543,6 +543,100 @@ def impute_by_group(ds: Dataset, group_column: str, value_column: str,
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 
+def global_quantile_thresholds(ds: Dataset, value_column: str,
+                               n_bins: int = 10,
+                               method: str = "exact") -> np.ndarray:
+    """The ``n_bins - 1`` interior quantile thresholds of a column.
+
+    ``method="exact"``: one worker sorts the projected value column
+    (groupby on a constant key — the values never visit the driver);
+    np.quantile 'linear' == SQL ``quantile_cont``, so the thresholds are
+    oracle-reproducible.  Right for <= ~1e8 values; beyond that use
+    ``method="tdigest"`` — mergeable sketch partials per batch (fixed
+    size, any scale), ~<1% rank error, not SQL-reproducible.
+    """
+    ps = [(i + 1) / n_bins for i in range(n_bins - 1)]
+    proj = ds.select_columns([value_column])
+    if method == "exact":
+        def quantiles(group: pa.Table) -> pa.Table:
+            v = (group.column(value_column).drop_null()
+                 .to_numpy(zero_copy_only=False))
+            th = np.quantile(np.sort(v), ps, method="linear")
+            return pa.table({"th": pa.array(th.tolist(), pa.float64())})
+
+        def tag(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__one__", pa.array(np.zeros(batch.num_rows,
+                                             dtype=np.int8)))
+
+        rows = (proj.map_batches(tag, batch_format="pyarrow")
+                .groupby("__one__")
+                .map_groups(quantiles, batch_format="pyarrow").take_all())
+        return np.array([r["th"] for r in rows], dtype=np.float64)
+    elif method == "tdigest":
+        from ..state.sketches import TDigest
+
+        def partial(batch: pa.Table) -> pa.Table:
+            td = TDigest()
+            v = (batch.column(value_column).drop_null()
+                 .to_numpy(zero_copy_only=False).astype(np.float64))
+            td.add(v)
+            import pickle
+            return pa.table({"d": pa.array([pickle.dumps(td)],
+                                           pa.large_binary())})
+
+        import pickle
+        rows = proj.map_batches(partial, batch_format="pyarrow").take_all()
+        td = pickle.loads(rows[0]["d"])
+        for r in rows[1:]:
+            td.merge(pickle.loads(r["d"]))
+        return np.array([td.quantile(p) for p in ps], dtype=np.float64)
+    raise ValueError(f"unknown method {method!r}")
+
+
+class _BinAssign:
+    """Broadcast-threshold equal-frequency bin assignment: bucket =
+    1 + #(thresholds <= v) — the literal list_filter count an SQL oracle
+    spells; nulls stay null."""
+
+    def __init__(self, value_column: str, out: str, thresholds):
+        self.value_column = value_column
+        self.out = out
+        self.th = np.asarray(thresholds, dtype=np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.value_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        nulls = np.asarray(col.is_null()) if col.null_count else \
+            np.zeros(len(col), dtype=bool)
+        v = np.asarray(col.cast(pa.float64()).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        bins = (np.searchsorted(self.th, v, side="right") + 1).astype(
+            np.int64)
+        arr = pa.array(bins, type=pa.int64(),
+                       mask=nulls if nulls.any() else None)
+        return batch.append_column(self.out, arr)
+
+
+def discretize_global(ds: Dataset, value_column: str, n_bins: int = 10,
+                      out: "str | None" = None, method: str = "exact",
+                      concurrency=None) -> Dataset:
+    """Equal-frequency (quantile) discretization of a numeric column —
+    the feature-engineering binning op (decile buckets etc.).  Two
+    passes: global thresholds (exact sort-based or t-digest at scale —
+    see :func:`global_quantile_thresholds`), then a shuffle-free
+    broadcast searchsorted assignment."""
+    th = global_quantile_thresholds(ds, value_column, n_bins=n_bins,
+                                    method=method)
+    from . import cached_stage, concurrency_kwargs
+    return ds.map_batches(
+        cached_stage(_BinAssign, value_column=value_column,
+                     out=out or value_column + "_bin",
+                     thresholds=th.tolist()),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
 def split_thresholds(fractions: "dict[str, float]") -> "list[tuple[str, int]]":
     """(label, upper-threshold) list for :func:`split_by_hash`: cumulative
     fractions scaled to 2^32 with plain IEEE double ops so a SQL oracle can

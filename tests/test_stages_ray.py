@@ -1671,6 +1671,28 @@ def test_set_op_keys(ray_session):
     assert sorted(except_keys(a, c, "k", "j").to_pandas().k) == [1, 2, 3, 4]
 
 
+def test_discretize_global_paths(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.sampling import (discretize_global,
+                                           global_quantile_thresholds)
+
+    rng = np.random.default_rng(8)
+    vals = rng.normal(100.0, 20.0, size=20_000)
+    ds = rd.from_arrow(pa.table({"id": np.arange(len(vals)),
+                                 "v": vals})).repartition(8)
+    out = discretize_global(ds, "v", n_bins=10).to_pandas()
+    counts = out.v_bin.value_counts()
+    assert sorted(counts.index) == list(range(1, 11))
+    # equal-frequency: every decile within 1 of n/10 (exact quantiles)
+    assert counts.max() - counts.min() <= 2
+    # t-digest path: thresholds within ~1% rank error of exact
+    exact = global_quantile_thresholds(ds, "v", 10, method="exact")
+    approx = global_quantile_thresholds(ds, "v", 10, method="tdigest")
+    ranks = np.searchsorted(np.sort(vals), approx) / len(vals)
+    assert np.abs(ranks - np.arange(0.1, 1.0, 0.1)).max() < 0.02
+    assert np.abs((approx - exact) / exact).max() < 0.05
+
+
 def test_fuzzy_join_ed1_exact(ray_session):
     import itertools
 
