@@ -1671,6 +1671,26 @@ def test_set_op_keys(ray_session):
     assert sorted(except_keys(a, c, "k", "j").to_pandas().k) == [1, 2, 3, 4]
 
 
+def test_list_value_counts_paths(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+    from malli_ray.stages.analytics import list_value_counts
+
+    lists = [[1, 2, 2, 7], [], None, [7, 7, 0]]
+    ds = rd.from_arrow(pa.table({"v": pa.array(lists,
+                                               type=pa.list_(pa.int32()))}))
+    want = {0: 1, 1: 1, 2: 2, 7: 3}
+    grp = list_value_counts(ds, "v").to_pandas()
+    assert dict(zip(grp.value.astype(int), grp.cnt)) == want
+    fast = list_value_counts(ds, "v", bounded_range=(0, 8)).to_pandas()
+    assert dict(zip(fast.value.astype(int), fast.cnt)) == want
+    # out-of-range raises rather than silently truncating
+    bad = rd.from_arrow(pa.table({"v": pa.array([[9]],
+                                                type=pa.list_(pa.int32()))}))
+    with _pytest.raises(Exception):
+        list_value_counts(bad, "v", bounded_range=(0, 8)).to_pandas()
+
+
 def test_discretize_global_paths(ray_session):
     import ray.data as rd
     from malli_ray.stages.sampling import (discretize_global,
