@@ -2000,3 +2000,136 @@ def nb_classify(ds: Dataset, text_column: str, id_column: str,
             "pred": pa.array((wq > 0).astype(np.int64), pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring with stupid backoff (the CCNet/KenLM perplexity-filter
+# shape, exact-integer fixed-point contract)
+# ---------------------------------------------------------------------------
+
+#: ln(0.4) backoff penalty at 2^40 fixed point (driver-side math.log — the
+#: shared-libm scalar contract)
+def _lm_q(x: float) -> int:
+    import math
+    return int(math.floor(math.log(x) * (1 << 40) + 0.5))
+
+
+class _BigramLMScorer:
+    """Per-worker state: corpus unigram/bigram count tables from the
+    object store as polars frames (joined vectorized per batch) + a
+    count->quantized-log cache that persists across batches."""
+
+    def __init__(self, ref, text_column: str, id_column: str):
+        import polars as pl
+
+        import ray
+        uni_words, uni_counts, bi_pairs, bi_counts, total = (
+            ray.get(ref) if not isinstance(ref, tuple) else ref)
+        self.uni = pl.DataFrame({"w": uni_words, "cw": uni_counts})
+        self.bi = pl.DataFrame({"pair": bi_pairs, "cb": bi_counts})
+        self.total = int(total)
+        self.text_column = text_column
+        self.id_column = id_column
+        self.q_alpha = _lm_q(0.4)
+        self.q_total = _lm_q(max(self.total, 1))
+        self._qcache: dict = {0: 0}
+
+    def _q(self, counts: np.ndarray) -> np.ndarray:
+        """Vectorized count -> floor(ln(c) * 2^40 + 0.5) via a persistent
+        scalar-math.log cache (distinct counts, not rows)."""
+        uniq = np.unique(counts)
+        for c in uniq.tolist():
+            if c not in self._qcache:
+                self._qcache[c] = _lm_q(c)
+        lut_keys = np.array(sorted(self._qcache), dtype=np.int64)
+        lut_vals = np.array([self._qcache[k] for k in lut_keys.tolist()],
+                            dtype=np.int64)
+        return lut_vals[np.searchsorted(lut_keys, counts)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        n_rows = batch.num_rows
+        col = batch.column(self.text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = (pl.from_arrow(col).fill_null("")
+                 .str.extract_all(r"[^\t\n\f\r ]+"))
+        lf = (pl.DataFrame({"w": words}).lazy()
+              .with_row_index("doc")
+              .explode("w", empty_as_null=True)
+              .with_columns(w2=pl.col("w").shift(-1).over("doc"))
+              .drop_nulls(["w", "w2"])
+              .with_columns(pair=pl.concat_str(
+                  [pl.col("w"), pl.col("w2")], separator=" ")))
+        df = (lf.join(self.bi.lazy(), on="pair", how="left")
+              .join(self.uni.lazy(), left_on="w", right_on="w",
+                    how="left")
+              .rename({"cw": "cv"})
+              .join(self.uni.lazy(), left_on="w2", right_on="w",
+                    how="left")
+              .select(["doc", "cb", "cv", "cw"]).collect())
+        doc = df.get_column("doc").cast(pl.Int64).to_numpy()
+        cb = df.get_column("cb").fill_null(0).cast(pl.Int64).to_numpy()
+        cv = df.get_column("cv").fill_null(0).cast(pl.Int64).to_numpy()
+        cw = df.get_column("cw").fill_null(0).cast(pl.Int64).to_numpy()
+        qb, qv, qw = self._q(cb), self._q(cv), self._q(cw)
+        lp = np.where(
+            cb > 0, qb - qv,
+            np.where(cw > 0, self.q_alpha + qw - self.q_total,
+                     -self.q_total)).astype(np.int64)
+        lp_sum = np.zeros(n_rows, dtype=np.int64)
+        n_bi = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(lp_sum, doc, lp)
+        np.add.at(n_bi, doc, 1)
+        denom = np.maximum(n_bi, 1).astype(np.float64) * float(1 << 40)
+        avg = lp_sum.astype(np.float64) / denom
+        return pa.table({
+            self.id_column: batch.column(self.id_column),
+            "n_bigrams": pa.array(n_bi, pa.int64()),
+            "lp_q": pa.array(lp_sum, pa.int64()),
+            "avg_logprob": pa.array(avg, pa.float64())})
+
+
+def bigram_lm_score(ds: Dataset, text_column: str, id_column: str,
+                    corpus: "Dataset | None" = None,
+                    concurrency=None) -> Dataset:
+    """Per-doc bigram language-model log-probability with stupid backoff
+    (Brants 2007) — the CCNet/KenLM-style perplexity quality signal:
+    fluent prose scores near the corpus distribution, gibberish and
+    boilerplate fall into the tails.  ``corpus`` (default: ``ds``
+    itself) is the dataset the LM tables are built from — pass a
+    held-out / reference corpus to score against it (CCNet scores
+    Common Crawl against a Wikipedia LM).
+
+    Spec (mirrored by the golden fixture): for each adjacent word pair
+    (v, w): ``ln P = ln c(vw) - ln c(v)`` when the bigram was seen, else
+    ``ln 0.4 + ln c(w) - ln N`` (unigram backoff), else ``-ln N``
+    (uniform OOV).  Every log is quantized to 2^40 fixed point (scalar
+    math.log per DISTINCT count, cached), so the per-doc sum ``lp_q`` is
+    an exact int64 — order/partition-invariant — and ``avg_logprob`` is
+    ONE IEEE division.
+
+    Scale shape: two corpus passes build the unigram (word_stats) and
+    bigram (cooccurrence_counts window=1) tables — both Zipf-collapsed
+    map-side; the tables broadcast once via ray.put, and scoring is a
+    shuffle-free batch join.  At 100 TB swap the exact tables for the
+    DSIR-style hashed-bucket variant (documented trade: hash collisions
+    smooth the LM slightly)."""
+    import ray
+
+    from . import cached_stage, concurrency_kwargs
+
+    corpus = corpus if corpus is not None else ds
+    stats = word_stats(corpus, text_column)
+    total = int(pc.sum(stats.column("cnt")).as_py() or 0)
+    bi = cooccurrence_counts(corpus, text_column, window=1, min_count=1)
+    import pandas as pd
+    bi_df = bi.to_pandas()
+    pairs = (bi_df.word_a + " " + bi_df.word_b).tolist()
+    ref = ray.put((stats.column("word").to_pylist(),
+                   stats.column("cnt").to_pylist(),
+                   pairs, bi_df.cnt.astype("int64").tolist(), total))
+    return ds.map_batches(
+        cached_stage(_BigramLMScorer, ref=ref, text_column=text_column,
+                     id_column=id_column),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))

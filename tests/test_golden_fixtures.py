@@ -137,6 +137,27 @@ def test_image_dhash_fixtures_rederive(docs):
     assert len(pairs) >= 10  # the planted every-5th-doc copies are found
 
 
+def test_bigram_lm_fixture_rederives(docs):
+    ids, texts = docs
+    corpus = [t for i, t in zip(ids, texts) if i % 2 == 0]
+    want = make_golden.bigram_lm_ref(texts, corpus)
+    got = pq.read_table(f"{GOLD}/bigram_lm_documents.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == \
+        [(i, n, lp, a) for i, (n, lp, a) in zip(ids, want)]
+    # the three scoring branches all fire on a controlled corpus
+    ref = make_golden.bigram_lm_ref(
+        ["a b", "a c", "zz qq"], corpus_texts=["a b x", "c d"])
+    import math
+    q = lambda x: int(math.floor(math.log(x) * (1 << 40) + 0.5))
+    n_tot = 5
+    #  'a b': bigram seen once, c(a)=1 -> lp = q(1) - q(1) = 0
+    assert ref[0] == (1, 0, 0.0)
+    #  'a c': bigram unseen, c seen -> backoff
+    assert ref[1][1] == q(0.4) + q(1) - q(n_tot)
+    #  'zz qq': both OOV -> uniform
+    assert ref[2][1] == -q(n_tot)
+
+
 def test_pca_fixture_rederives():
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
                       columns=["vec_id", "embedding"])

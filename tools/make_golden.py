@@ -699,6 +699,47 @@ def pca_ref(ids, embs, k=4, scale=1 << 20):
     return out
 
 
+def bigram_lm_ref(texts, corpus_texts=None):
+    """Stupid-backoff bigram LM reference: Counter-built corpus tables +
+    per-doc Python loops (the engine builds the tables with distributed
+    word_stats/cooccurrence passes and scores via vectorized polars
+    joins).  Shared spec: WORD_RE, the 2^40 log quantization
+    (floor(ln(x)*2^40+0.5), scalar math.log), ln(0.4) backoff, -ln(N)
+    uniform OOV.  ``corpus_texts`` (default: ``texts``) builds the LM
+    tables — the golden query scores all docs against the even-id half
+    so the backoff and OOV branches actually fire."""
+    from collections import Counter
+    scale = 1 << 40
+
+    def q(x):
+        return int(math.floor(math.log(x) * scale + 0.5))
+
+    uni, bi = Counter(), Counter()
+    for t in (corpus_texts if corpus_texts is not None else texts):
+        ws = WORD_RE.findall(t or "")
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    docs = [WORD_RE.findall(t or "") for t in texts]
+    total = sum(uni.values())
+    q_alpha, q_total = q(0.4), q(max(total, 1))
+    out = []
+    for ws in docs:
+        lp = 0
+        nb = 0
+        for v, w in zip(ws, ws[1:]):
+            nb += 1
+            cvw = bi.get((v, w), 0)
+            if cvw > 0:
+                lp += q(cvw) - q(uni[v])
+            elif uni.get(w, 0) > 0:
+                lp += q_alpha + q(uni[w]) - q_total
+            else:
+                lp += -q_total
+        avg = float(lp) / (float(max(nb, 1)) * float(scale))
+        out.append((nb, lp, avg))
+    return out
+
+
 def infer_schema_ref(sf: str) -> str:
     """Expected inferred-schema JSON via the engine's LOCAL single-value
     provider path (malli_ray.provider.provide — the reference-parity
@@ -984,6 +1025,17 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "hamming": pa.array([p[2] for p in apairs],
                                           type=pa.int32())}),
             os.path.join(outdir, "audio_near_dups.parquet"))
+        blm = bigram_lm_ref(texts, [t for i, t in zip(ids, texts)
+                                    if i % 2 == 0])
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "n_bigrams": pa.array([b[0] for b in blm],
+                                            type=pa.int64()),
+                      "lp_q": pa.array([b[1] for b in blm],
+                                       type=pa.int64()),
+                      "avg_logprob": pa.array([b[2] for b in blm],
+                                              type=pa.float64())}),
+            os.path.join(outdir, "bigram_lm_documents.parquet"))
         et0 = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
         pcr = pca_ref(et0.column("vec_id").to_pylist(),
