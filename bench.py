@@ -154,6 +154,8 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "winsorize_documents", "impute_events_value",
         "priority_except_all", "snapshot_diff_orders",
         "image_near_dups", "audio_near_dups", "frame_sample_documents",
+        "fuzzy_name_pairs", "decile_events_value", "pca_embeddings",
+        "token_freq_sequences", "bigram_lm_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round
