@@ -908,3 +908,73 @@ def shard_manifest(ds: Dataset, id_column: str, n_shards: int) -> "pa.Table":
         "shard": pa.array(np.arange(n_shards, dtype=np.int64)),
         "n_rows": pa.array(n_rows, pa.int64()),
         "id_checksum": pa.array(checksum.view(np.int64), pa.int64())})
+
+
+def zorder_codes(values: "dict[str, np.ndarray]",
+                 thresholds: "dict[str, np.ndarray]",
+                 bits: int = 16) -> np.ndarray:
+    """Interleaved Morton (Z-order) codes for 2+ columns: each column
+    rank-quantizes into ``2^bits`` equal-frequency cells via its
+    threshold array (``searchsorted`` side='right' — the list_filter
+    count an SQL oracle spells), then the cell bits interleave
+    column-round-robin (column j contributes bit i at output position
+    ``i * n_cols + j``).  Pure integer function of (value, thresholds)."""
+    cols = list(values)
+    n_cols = len(cols)
+    if n_cols < 2:
+        raise ValueError("zorder_codes: need >= 2 columns")
+    n = len(values[cols[0]])
+    out = np.zeros(n, dtype=np.int64)
+    for j, c in enumerate(cols):
+        th = np.asarray(thresholds[c], dtype=np.float64)
+        cell = np.searchsorted(th, np.asarray(values[c], dtype=np.float64),
+                               side="right").astype(np.int64)
+        for i in range(bits):
+            out |= ((cell >> i) & 1) << (i * n_cols + j)
+    return out
+
+
+def zorder_sort(ds: Dataset, columns: "list[str]", bits: int = 16,
+                out: str = "zvalue", method: str = "exact",
+                concurrency=None) -> Dataset:
+    """Z-ORDER the dataset by 2+ numeric columns (the Delta/Iceberg
+    OPTIMIZE ZORDER layout op): multi-dimensional locality so range
+    filters on ANY of the columns prune most blocks after a re-write.
+
+    Two passes: per-column equal-frequency cell thresholds
+    (:func:`global_quantile_thresholds` — exact or t-digest at scale),
+    then a shuffle-free Morton-code stage + ONE range-partition sort on
+    the code (Ray's sort — the same intentional all-to-all as
+    global_shuffle).  The appended ``out`` column is a pure integer
+    function of (value, thresholds), so an SQL oracle replays it
+    bit-for-bit even though row ORDER itself is not part of the hash
+    compare; the locality property is pinned by test."""
+    n_bins = 1 << bits
+    ths = {c: global_quantile_thresholds(ds, c, n_bins=n_bins,
+                                         method=method)
+           for c in columns}
+    from . import cached_stage, concurrency_kwargs
+
+    class _ZCode:
+        def __init__(self, columns, thresholds, bits, out):
+            self.columns = columns
+            self.th = {c: np.asarray(t, dtype=np.float64)
+                       for c, t in thresholds.items()}
+            self.bits = bits
+            self.out = out
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = {c: np.asarray(
+                batch.column(c).cast(pa.float64()).to_numpy(
+                    zero_copy_only=False), dtype=np.float64)
+                for c in self.columns}
+            z = zorder_codes(vals, self.th, bits=self.bits)
+            return batch.append_column(self.out,
+                                       pa.array(z, type=pa.int64()))
+
+    coded = ds.map_batches(
+        cached_stage(_ZCode, columns=list(columns),
+                     thresholds={c: t.tolist() for c, t in ths.items()},
+                     bits=bits, out=out),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+    return coded.sort(out)

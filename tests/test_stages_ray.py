@@ -1671,6 +1671,36 @@ def test_set_op_keys(ray_session):
     assert sorted(except_keys(a, c, "k", "j").to_pandas().k) == [1, 2, 3, 4]
 
 
+def test_zorder_sort_locality(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.sampling import zorder_codes, zorder_sort
+
+    rng = np.random.default_rng(4)
+    n = 20_000
+    t = pa.table({"x": rng.normal(size=n), "y": rng.normal(size=n)})
+    ds = rd.from_arrow(t).repartition(10)
+    out = zorder_sort(ds, ["x", "y"], bits=8)
+
+    def spans(d, col):
+        s = []
+        for b in d.iter_batches(batch_size=1000, batch_format="pandas"):
+            if len(b) > 1:
+                s.append(b[col].max() - b[col].min())
+        return float(np.mean(s))
+
+    # after z-ordering, BOTH columns are locally clustered: per-1000-row
+    # spans shrink far below the random-order spans
+    for col in ("x", "y"):
+        assert spans(out, col) < 0.55 * spans(ds, col)
+    # the code is the documented pure function of (value, thresholds)
+    th = {"a": np.array([0.0, 1.0]), "b": np.array([0.5])}
+    z = zorder_codes({"a": np.array([1.5, -1.0]),
+                      "b": np.array([0.5, 0.4])}, th, bits=2)
+    #   row0: cell_a=2 (>both), cell_b=1 (0.5<=0.5) -> bits a:10 b:01
+    #   interleave a->even, b->odd: (0<<0)|(1<<2) | (1<<1)|(0<<3) = 6
+    assert z.tolist() == [6, 0]
+
+
 def test_list_value_counts_paths(ray_session):
     import pytest as _pytest
     import ray.data as rd
