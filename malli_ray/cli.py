@@ -146,6 +146,28 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
 
         ds = ds.map_batches(_comp_filter, batch_format="pyarrow")
         stages.append(f"compression({lo}:{hi})")
+    if args.min_entropy is not None:
+        ds = T.add_entropy(ds, tc, idc)
+        ds = ds.filter(expr=f"entropy >= {float(args.min_entropy)}")
+        ds = ds.map_batches(
+            lambda b: b.drop_columns(["n_words", "ent_q", "entropy"]),
+            batch_format="pyarrow")
+        stages.append(f"min_entropy({args.min_entropy})")
+    if args.lm_logprob:
+        lo, hi = (float(x) for x in args.lm_logprob.split(":", 1))
+        # the LM needs two table-building passes over the stream + the
+        # scoring pass: materialize once so upstream filters don't
+        # re-execute 3x (the corpus_prep_v2 lesson; at 100 TB this is a
+        # parquet checkpoint)
+        ds = ds.materialize()
+        ds = T.bigram_lm_score(ds, tc, idc)
+        ds = ds.filter(
+            expr=f"avg_logprob >= {lo} and avg_logprob <= {hi}")
+        ds = ds.map_batches(
+            lambda b: b.drop_columns(["n_bigrams", "lp_q",
+                                      "avg_logprob"]),
+            batch_format="pyarrow")
+        stages.append(f"lm_logprob({lo}:{hi})")
     if args.seen_bloom:
         from .state.bloom import BloomFilter
         bloom = BloomFilter.load(args.seen_bloom)
@@ -290,6 +312,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="keep docs whose DEFLATE ratio lies in [LO, HI] "
                          "(drops boilerplate-repetitive and binary-ish "
                          "text)")
+    cp.add_argument("--min-entropy", type=float, metavar="NATS",
+                    help="drop docs whose unigram word entropy is below "
+                         "NATS (repetitive/boilerplate filter)")
+    cp.add_argument("--lm-logprob", metavar="LO:HI",
+                    help="keep docs whose bigram-LM avg log-prob (stupid "
+                         "backoff, self-scored) is inside [LO, HI] — the "
+                         "CCNet-style perplexity band filter")
     cp.add_argument("--seen-bloom", metavar="PATH",
                     help="drop rows whose text is in a previously-built "
                          "Bloom digest (incremental cross-run dedup; build "

@@ -2083,11 +2083,9 @@ class _BigramLMScorer:
         np.add.at(n_bi, doc, 1)
         denom = np.maximum(n_bi, 1).astype(np.float64) * float(1 << 40)
         avg = lp_sum.astype(np.float64) / denom
-        return pa.table({
-            self.id_column: batch.column(self.id_column),
-            "n_bigrams": pa.array(n_bi, pa.int64()),
-            "lp_q": pa.array(lp_sum, pa.int64()),
-            "avg_logprob": pa.array(avg, pa.float64())})
+        batch = batch.append_column("n_bigrams", pa.array(n_bi, pa.int64()))
+        batch = batch.append_column("lp_q", pa.array(lp_sum, pa.int64()))
+        return batch.append_column("avg_logprob", pa.array(avg, pa.float64()))
 
 
 def bigram_lm_score(ds: Dataset, text_column: str, id_column: str,

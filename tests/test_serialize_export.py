@@ -1037,3 +1037,32 @@ def test_cli_corpus_prep_quality_filters(tmp_path, ray_session, capsys):
                              "compression(0.05:0.95)"]
     kept = pq.read_table(sorted((out / "data").glob("*.parquet")))
     assert kept.column("doc_id").to_pylist() == [0]
+
+
+def test_cli_corpus_prep_entropy_lm_filters(tmp_path, ray_session, capsys):
+    """--min-entropy drops low-entropy (repetitive) docs; --lm-logprob
+    keeps docs inside the self-scored bigram-LM band."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from malli_ray.cli import main
+
+    fluent = ("the quick brown fox jumps over the lazy dog and then "
+              "the small red hen walks across the wide green field ")
+    docs = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": [fluent * 2,
+                 "spam spam spam spam spam spam spam spam",  # H ~ 0
+                 fluent + "variety words appear here too now then"]})
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(docs, inp / "part-0.parquet")
+    out = tmp_path / "out"
+    rc = main(["corpus-prep", "--input", str(inp), "--out", str(out),
+               "--min-entropy", "1.0", "--lm-logprob=-50.0:0.0",
+               "--num-cpus", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stages"] == ["min_entropy(1.0)", "lm_logprob(-50.0:0.0)"]
+    kept = pq.read_table(sorted((out / "data").glob("*.parquet")))
+    assert sorted(kept.column("doc_id").to_pylist()) == [0, 2]
+    assert kept.column_names == ["doc_id", "text"]  # signals dropped
