@@ -35,7 +35,7 @@ from ray.data import Dataset
 __all__ = ["broadcast_join", "hash_join", "semi_join", "anti_join",
            "bloom_semi_join", "interval_lookup", "partitions_for",
            "except_keys", "intersect_keys", "except_all_keys",
-           "intersect_all_keys", "snapshot_diff"]
+           "intersect_all_keys", "snapshot_diff", "estimate_join_size"]
 
 
 class _BroadcastProbe:
@@ -591,3 +591,46 @@ def snapshot_diff(old: Dataset, new: Dataset, key: str,
             .map_batches(bucketize, batch_format="pyarrow")
             .groupby(bucket_col, num_partitions=num_partitions)
             .map_groups(classify, batch_format="pyarrow"))
+
+
+def _cms_of_column(ds: Dataset, column: str, width: int,
+                   depth: int):
+    from ..state.sketches import CountMinSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = CountMinSketch(width=width, depth=depth)
+        col = batch.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            col = col.drop_null()
+        sk.add(col)
+        return pa.table({"d": pa.array([sk.digest()], pa.large_string())})
+
+    rows = ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    merged = CountMinSketch(width=width, depth=depth)
+    for r in rows:
+        merged.merge(CountMinSketch.from_digest(r["d"], width=width,
+                                                depth=depth))
+    return merged
+
+
+def estimate_join_size(left: Dataset, right: Dataset, on: str,
+                       right_on: Optional[str] = None,
+                       width: int = 8192, depth: int = 4) -> int:
+    """Upper-bound estimate of the equi-join OUTPUT row count WITHOUT
+    running the join — the shuffle-planning probe: one streaming
+    Count-Min sketch pass per side (fixed-size mergeable partials, one
+    digest row per block to the driver), then the CM inner-product
+    estimator ``min_d <row_a(d), row_b(d)>``.
+
+    Never under-estimates (each row over-counts by hash collisions
+    only); expected over-estimate <= (e / width) * |left| * |right|.
+    Use it to choose ``num_partitions`` (:func:`partitions_for` on the
+    ESTIMATE rather than the input size), to flag exploding joins before
+    paying the all-to-all, and to pick broadcast- vs hash-join sides.
+    Null keys are excluded (they never match in an equi-join)."""
+    a = _cms_of_column(left, on, width, depth)
+    b = _cms_of_column(right, right_on or on, width, depth)
+    return a.inner_product(b)

@@ -147,6 +147,16 @@ class CountMinSketch:
         self.counts += other.counts
         return self
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Upper-bound estimate of ``sum_k count_a(k) * count_b(k)`` —
+        the equi-join OUTPUT cardinality when both sketches summarize the
+        join keys (AMS/CM inner-product estimator: min over rows of the
+        rowwise dot; never under-estimates, over by <= eps * Na * Nb)."""
+        assert (self.width, self.depth) == (other.width, other.depth)
+        dots = (self.counts.astype(object)
+                * other.counts.astype(object)).sum(axis=1)
+        return int(min(dots))
+
     def digest(self) -> str:
         return base64.b64encode(self.counts.tobytes()).decode()
 

@@ -1790,6 +1790,28 @@ def test_pca_partition_invariant(ray_session):
     assert all(ev[i] >= ev[i + 1] for i in range(len(ev) - 1))
 
 
+def test_estimate_join_size(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.joins import estimate_join_size
+
+    rng = np.random.default_rng(6)
+    # zipf-ish keys so the join has hot-key blowup the estimator must see
+    lk = rng.zipf(1.5, size=5000) % 100
+    rk = rng.zipf(1.5, size=3000) % 100
+    left = rd.from_arrow(pa.table({"k": lk.astype(np.int64)}))
+    right = rd.from_arrow(pa.table({"j": rk.astype(np.int64)}))
+    est = estimate_join_size(left, right, "k", "j")
+    import collections
+    ca, cb = collections.Counter(lk.tolist()), collections.Counter(rk.tolist())
+    true = sum(ca[k] * cb.get(k, 0) for k in ca)
+    assert est >= true                       # never under-estimates
+    assert est <= true + (3.0 / 8192) * len(lk) * len(rk)  # eps bound
+    # disjoint keys -> (near-)zero estimate
+    dis = rd.from_arrow(pa.table({"j": np.arange(10_000, 10_050)}))
+    assert estimate_join_size(left, dis, "k", "j") <= \
+        (3.0 / 8192) * len(lk) * 50
+
+
 def test_snapshot_diff(ray_session):
     import pytest as _pytest
     import ray.data as rd
