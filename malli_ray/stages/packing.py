@@ -30,7 +30,8 @@ from ray.data import Dataset
 
 from . import concurrency_kwargs as _conc
 
-__all__ = ["chunk_blocks", "pack_greedy", "greedy_block_ids"]
+__all__ = ["chunk_blocks", "pack_greedy", "greedy_block_ids",
+           "concat_token_blocks"]
 
 
 def chunk_blocks(ds: Dataset, group_column: str, id_column: str,
@@ -79,6 +80,72 @@ def pack_greedy(ds: Dataset, group_column: str, id_column: str,
         return group.append_column("block_id",
                                    pa.array(greedy_block_ids(n, cap),
                                             type=pa.int64()))
+
+    cols = [group_column, id_column, count_column]
+    return (ds.select_columns(cols)
+            .groupby(group_column)
+            .map_groups(per_group, batch_format="pyarrow"))
+
+
+def concat_token_blocks(ds: Dataset, group_column: str, id_column: str,
+                        count_column: str, block_size: int) -> Dataset:
+    """GPT-style concat-and-cut packing: documents in ``id`` order within a
+    group form one contiguous token stream; the stream is cut into blocks of
+    exactly ``block_size`` tokens, and documents SPLIT across block
+    boundaries (unlike ``chunk_blocks``/``pack_greedy``, which keep each doc
+    whole). Emits one row per (document, block) span:
+
+      ``(group, id, block_id, tok_start, tok_end, block_offset)``
+
+    where ``[tok_start, tok_end)`` is the within-document token range the
+    span covers (0-based, exclusive end) and ``block_offset`` is where the
+    span begins inside its block.  Every block except a group's last holds
+    exactly ``block_size`` tokens; docs with count <= 0 (or null) emit no
+    spans.  All arithmetic is integer — SQL replays it with a window cumsum
+    + ``range(first_blk, last_blk + 1)`` expansion, so the op is fully
+    oracle-checkable.
+
+    Scale shape: only ``(group, id, count)`` shuffle (never the payload);
+    one groupby exchange, then a fully vectorized per-group expansion
+    (cumsum + repeat/arange — no Python loop).  Partitioning assumption, as
+    chunk_blocks: one group's (id, count) rows fit in a worker (pick a
+    bounded grouping key — source x date shard — at 100 TB); the flat span
+    output streams.  A trainer then joins spans back to tokenized payloads
+    by id (broadcast or bucketed join) and assembles blocks shard-locally.
+    """
+    if block_size <= 0:
+        raise ValueError("block_size must be positive")
+    B = int(block_size)
+
+    def per_group(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(id_column, "ascending")])
+        group = group.take(idx)
+        n_all = group.column(count_column).to_numpy(zero_copy_only=False)
+        n_all = np.nan_to_num(n_all.astype(np.float64), nan=0.0).astype(np.int64)
+        before_all = np.cumsum(n_all) - n_all
+        keep = n_all > 0
+        n = n_all[keep]
+        before = before_all[keep]
+        ids = group.column(id_column).to_numpy(zero_copy_only=False)[keep]
+        gval = group.column(group_column)[0]
+        first = before // B
+        last = (before + n - 1) // B
+        k = last - first + 1
+        rows = np.repeat(np.arange(len(n), dtype=np.int64), k)
+        offs = np.arange(int(k.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(k) - k, k)
+        blk = first[rows] + offs
+        span_lo = np.maximum(before[rows], blk * B)
+        span_hi = np.minimum(before[rows] + n[rows], (blk + 1) * B)
+        return pa.table({
+            group_column: pa.array([gval.as_py()] * len(rows),
+                                   type=group.schema.field(group_column).type),
+            id_column: pa.array(ids[rows]),
+            "block_id": pa.array(blk, type=pa.int64()),
+            "tok_start": pa.array(span_lo - before[rows], type=pa.int64()),
+            "tok_end": pa.array(span_hi - before[rows], type=pa.int64()),
+            "block_offset": pa.array(span_lo - blk * B, type=pa.int64()),
+        })
 
     cols = [group_column, id_column, count_column]
     return (ds.select_columns(cols)

@@ -992,6 +992,45 @@ def test_sequence_packing(ray_session):
                    ("a", 4): 2, ("a", 5): 2, ("b", 10): 0}
 
 
+def test_concat_token_blocks(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from malli_ray.stages import packing
+
+    rows = [{"g": "a", "id": i, "n": n}
+            for i, n in enumerate([3, 10, 4, 0, 7])] + \
+           [{"g": "b", "id": 0, "n": 13}, {"g": "b", "id": 1, "n": None}]
+    ds = rd.from_items(rows)
+    out = packing.concat_token_blocks(ds, "g", "id", "n",
+                                      block_size=6).take_all()
+
+    # hand-computed spans for group a (stream: 3,10,4,_,7 = 24 tokens)
+    a = sorted([(r["id"], r["block_id"], r["tok_start"], r["tok_end"],
+                 r["block_offset"]) for r in out if r["g"] == "a"])
+    assert a == [
+        (0, 0, 0, 3, 0),            # doc0 tokens 0-3 -> block 0 @ 0
+        (1, 0, 0, 3, 3),            # doc1 first 3 fill block 0
+        (1, 1, 3, 9, 0),            # next 6 fill block 1
+        (1, 2, 9, 10, 0),           # last 1 opens block 2
+        (2, 2, 0, 4, 1),            # doc2 rides block 2 after it
+        # doc3 (n=0) emits nothing
+        (4, 2, 0, 1, 5),            # doc4 first token closes block 2
+        (4, 3, 1, 7, 0),            # remaining 6 fill block 3 exactly
+    ]
+    # invariants: spans tile each doc exactly; every non-final block is full
+    b = [(r["id"], r["block_id"], r["tok_start"], r["tok_end"],
+          r["block_offset"]) for r in out if r["g"] == "b"]
+    assert sorted(b) == [(0, 0, 0, 6, 0), (0, 1, 6, 12, 0), (0, 2, 12, 13, 0)]
+    for g, max_blk in [("a", 3), ("b", 2)]:
+        per_blk = {}
+        for r in out:
+            if r["g"] == g:
+                per_blk[r["block_id"]] = per_blk.get(r["block_id"], 0) + \
+                    (r["tok_end"] - r["tok_start"])
+        for blk, tot in per_blk.items():
+            assert tot == 6 or blk == max_blk
+
+
 def test_cluster_pairs_and_dedup_by_clusters(ray_session):
     import ray.data as rd
     from malli_ray.stages import dedup
