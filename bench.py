@@ -156,8 +156,8 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "image_near_dups", "audio_near_dups", "frame_sample_documents",
         "fuzzy_name_pairs", "decile_events_value", "pca_embeddings",
         "token_freq_sequences", "bigram_lm_documents",
-        # r3 session 5: concat-and-cut packing
-        "concat_blocks_documents",
+        # r3 session 5: concat-and-cut packing, percentile selection
+        "concat_blocks_documents", "top_fraction_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -356,6 +356,82 @@ def filter_outliers_by_group(ds: Dataset, group_column: str,
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 
+def top_fraction_by_group(ds: Dataset, group_column: str, score_column: str,
+                          id_column: str, fraction: float,
+                          descending: bool = True, rank_col: str = "rk",
+                          num_partitions: int | None = None) -> Dataset:
+    """Keep the top ``ceil(fraction * n_g)`` rows of every group ranked by
+    ``score_column`` (descending by default; ``id_column`` breaks ties
+    deterministically) — percentile-based data selection ("keep the best
+    20% per source by quality score"), SQL ``QUALIFY ROW_NUMBER() OVER
+    (PARTITION BY g ORDER BY score DESC, id) <= CEIL(f * COUNT(*))``.
+
+    Rows with a null score are excluded from BOTH the count and the
+    ranking (SQL inner-join-against-counts semantics).  ``k_g`` is
+    ``ceil`` of one IEEE double multiply — the same op order a SQL oracle
+    uses, so the cut is bit-reproducible.
+
+    Scale shape: pass 1 is a count-only groupby (only (group, count)
+    partials shuffle — Ray's Count aggregate combines map-side); the k
+    table is group-cardinality-sized and ships inside the stage (document
+    the bound before pointing this at a high-cardinality key).  Pass 2
+    prunes each batch to its own per-group top-k_g first (one Arrow sort +
+    vectorized run-position scan, k looked up per DISTINCT group via
+    dictionary encoding), so at most ``k_g x groups-per-batch`` rows reach
+    the single groupby exchange; the finisher re-sorts the survivors and
+    slices exactly ``k_g``.  Skew-safe like ``analytics.top_k_per_group``:
+    a hot group contributes k_g rows per batch, never its full volume."""
+    import math
+
+    from .analytics import _run_positions, _sort_spec
+
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    spec = _sort_spec(group_column, [score_column, id_column], descending)
+
+    def _count_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_column, score_column])
+        t = t.filter(pc.is_valid(t.column(score_column)))
+        return t.group_by([group_column], use_threads=False).aggregate(
+            [(score_column, "count")])
+
+    counts = (ds.select_columns([group_column, score_column])
+              .map_batches(_count_partial, batch_format="pyarrow")
+              .groupby(group_column)
+              .sum(f"{score_column}_count")).take_all()
+    ks = {r[group_column]: math.ceil(fraction *
+                                     float(r[f"sum({score_column}_count)"]))
+          for r in counts}
+    logger.info("top_fraction_by_group: %d groups", len(ks))
+
+    def partial_prune(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(score_column)))
+        if batch.num_rows == 0:
+            return batch
+        batch = batch.sort_by(spec)
+        g = batch.column(group_column)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        per_value = np.array([ks.get(v, 0)
+                              for v in enc.dictionary.to_pylist()],
+                             dtype=np.int64)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k_row = per_value[idx]
+        gv = g.to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_run_positions(gv) < k_row))
+
+    def finish(g: pa.Table) -> pa.Table:
+        g = g.sort_by(spec)
+        k = min(ks.get(g.column(group_column)[0].as_py(), 0), g.num_rows)
+        return g.slice(0, k).append_column(
+            rank_col, pa.array(np.arange(1, k + 1, dtype=np.int64)))
+
+    return (ds.map_batches(partial_prune, batch_format="pyarrow")
+            .groupby(group_column, num_partitions=num_partitions)
+            .map_groups(finish, batch_format="pyarrow"))
+
+
 def group_quantile_bounds(ds: Dataset, group_column: str, value_column: str,
                           p_lo: float = 0.05, p_hi: float = 0.95) -> dict:
     """Per-group exact ``(quantile_cont(p_lo), quantile_cont(p_hi))`` —

@@ -992,6 +992,30 @@ def test_sequence_packing(ray_session):
                    ("a", 4): 2, ("a", 5): 2, ("b", 10): 0}
 
 
+def test_top_fraction_by_group(ray_session):
+    import ray.data as rd
+    from malli_ray.stages import sampling
+
+    rows = ([{"g": "a", "id": i, "s": i * 10} for i in range(10)] +
+            [{"g": "b", "id": i, "s": 5 if i < 3 else None}
+             for i in range(5)])
+    ds = rd.from_items(rows)
+    out = sampling.top_fraction_by_group(ds, "g", "s", "id",
+                                         fraction=0.25).take_all()
+    got = sorted((r["g"], r["id"], r["rk"]) for r in out)
+    # a: ceil(0.25*10)=3 -> ids 9,8,7; b: 3 non-null, ceil(0.75)=1,
+    # tie on s=5 broken by ascending id -> id 0
+    assert got == [("a", 7, 3), ("a", 8, 2), ("a", 9, 1), ("b", 0, 1)]
+
+    # fraction=1 keeps every non-null-score row
+    out = sampling.top_fraction_by_group(ds, "g", "s", "id",
+                                         fraction=1.0).take_all()
+    assert len(out) == 13
+
+    with pytest.raises(ValueError):
+        sampling.top_fraction_by_group(ds, "g", "s", "id", fraction=0.0)
+
+
 def test_concat_token_blocks(ray_session):
     import numpy as np
     import ray.data as rd
