@@ -156,8 +156,10 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "image_near_dups", "audio_near_dups", "frame_sample_documents",
         "fuzzy_name_pairs", "decile_events_value", "pca_embeddings",
         "token_freq_sequences", "bigram_lm_documents",
-        # r3 session 5: concat-and-cut packing, percentile selection
+        # r3 session 5: concat-and-cut packing, percentile selection,
+        # triangle counting
         "concat_blocks_documents", "top_fraction_documents",
+        "triangles_orders",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -487,3 +487,263 @@ def pagerank(edges: Dataset, src: str, dst: str,
                                  / float(PAGERANK_SCALE), pa.float64())})
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-oriented wedge check)
+# ---------------------------------------------------------------------------
+
+
+def triangle_counts(edges: Dataset, src: str, dst: str,
+                    out_node: str = "node",
+                    out_count: str = "n_triangles",
+                    num_buckets: int = 32,
+                    num_partitions: int | None = None) -> Dataset:
+    """Per-node triangle counts of the undirected graph given by ``edges``
+    (integer node ids): ``(out_node, out_count)`` with one row per node
+    that closes at least one triangle.  Self-loops and duplicate/reversed
+    edges are tolerated (the op canonicalizes and dedups first).
+
+    The classic degree-oriented formulation (Cohen 2009 / Suri &
+    Vassilvitskii 2011 "MR. Triangles"): orient every edge from the
+    lower-rank to the higher-rank endpoint where rank = (degree, id), so
+    each triangle is found EXACTLY once — at its lowest-rank vertex — and
+    every out-neighborhood has size O(sqrt(m)), which bounds wedge
+    generation at O(m^(3/2)) regardless of skew (a degree-10^6 hub vertex
+    generates no wedges unless its neighbors have even higher degree).
+
+    Shuffle shape — six bucketed exchanges, zero per-row Python:
+      1. canonical dedup: (min,max) pairs bucketed on hash(u); per bucket
+         one sort + run mask.
+      2. degrees: per-batch partial counts, one (node, count) groupby.
+      3-4. attach deg(u), deg(v): tag+union searchsorted lookups (the
+         engine's standard local-join shape — Ray's native join is
+         avoided, see SCALE.md).
+      5. wedges + membership probe: oriented edges bucketed on hash(src)
+         generate each source's rank-sorted out-neighbor pairs with a
+         shifted-gap scan (one vectorized pass per gap, max gap =
+         max out-degree = O(sqrt m)); candidate wedges re-bucket on
+         hash(a) and meet the oriented edge set in a per-bucket polars
+         semi join on BOTH endpoints (exact — no hash-collision risk).
+      6. per-node counts: each found triangle emits its 3 corners to a
+         partial-count combine + one tiny (node, count) groupby.
+
+    Only (u, v, deg) triples ever shuffle — never a payload.  The edge
+    table is materialized once (it is read by steps 2, 3 and 5); at 100 TB
+    checkpoint it to parquet instead, same as connected_components labels.
+    """
+    from ..state.sketches import hash64
+
+    if num_partitions is None:
+        num_partitions = num_buckets
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        # map-side pre-dedup: distinct pairs within the batch (2-key Arrow
+        # group_by — under the pyarrow >=3-key null bug threshold)
+        t = pa.table({"u": pa.array(u), "v": pa.array(v)})
+        t = t.group_by(["u", "v"], use_threads=False).aggregate([])
+        h = (hash64(t.column("u"), seed=11)
+             % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column(_BUCKET, pa.array(h))
+
+    def bucket_dedup(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("u", "ascending"), ("v", "ascending")])
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        return g.filter(pa.array(first)).select(["u", "v"])
+
+    E = (edges.select_columns([src, dst])
+         .map_batches(canon, batch_format="pyarrow")
+         .groupby(_BUCKET, num_partitions=num_partitions)
+         .map_groups(bucket_dedup, batch_format="pyarrow")).materialize()
+
+    # --- degrees over the deduped undirected edges ---
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("u")
+        v = batch.column("v")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        t = pa.table({"node": pa.concat_arrays([u, v])})
+        return t.group_by(["node"], use_threads=False).aggregate(
+            [([], "count_all")])
+
+    deg = (E.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").sum("count_all"))
+
+    # --- attach deg to an endpoint via the tag+union searchsorted join ---
+    def _attach_deg(edge_ds: Dataset, key: str, out: str) -> Dataset:
+        def tag_deg(batch: pa.Table) -> pa.Table:
+            h = (hash64(batch.column("node"), seed=13)
+                 % np.uint64(num_buckets)).astype(np.int64)
+            return pa.table({
+                "u": batch.column("node"),
+                "v": pa.nulls(batch.num_rows, pa.int64()),
+                "d": batch.column("sum(count_all)").cast(pa.int64()),
+                _SIDE: pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+                _BUCKET: pa.array(h)})
+
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            h = (hash64(batch.column(key), seed=13)
+                 % np.uint64(num_buckets)).astype(np.int64)
+            other = "v" if key == "u" else "u"
+            cols = {"u": batch.column(key), "v": batch.column(other),
+                    "d": (batch.column("du") if "du" in batch.column_names
+                          else pa.nulls(batch.num_rows, pa.int64())),
+                    _SIDE: pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+                    _BUCKET: pa.array(h)}
+            return pa.table(cols)
+
+        def lookup(g: pa.Table) -> pa.Table:
+            names = ["u", "v", "du", "dv"] if key == "v" else ["u", "v", "du"]
+            empty = pa.table({n: pa.array([], type=pa.int64())
+                              for n in names})
+            if g.num_rows == 0 or _SIDE not in g.column_names:
+                return empty
+            side = g.column(_SIDE).to_numpy(zero_copy_only=False)
+            dtab = g.filter(pa.array(side == 0)).sort_by(
+                [("u", "ascending")])
+            etab = g.filter(pa.array(side == 1))
+            if etab.num_rows == 0:
+                return empty
+            nodes = dtab.column("u").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(
+                nodes, etab.column("u").to_numpy(zero_copy_only=False))
+            degs = pc.take(dtab.column("d"),
+                           pa.array(idx, type=pa.int64()))
+            if key == "u":
+                return pa.table({"u": etab.column("u"),
+                                 "v": etab.column("v"),
+                                 "du": degs})
+            return pa.table({"u": etab.column("v"),
+                             "v": etab.column("u"),
+                             "du": etab.column("d"),
+                             "dv": degs})
+
+        return (deg.map_batches(tag_deg, batch_format="pyarrow")
+                .union(edge_ds.map_batches(tag_edge,
+                                           batch_format="pyarrow"))
+                .groupby(_BUCKET, num_partitions=num_partitions)
+                .map_groups(lookup, batch_format="pyarrow"))
+
+    e_du = _attach_deg(E, "u", "du")
+    e_deg = _attach_deg(e_du, "v", "dv").materialize()
+
+    # --- orient low rank -> high rank; rank = (deg, id) ---
+    def orient(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        du = batch.column("du").to_numpy(zero_copy_only=False)
+        dv = batch.column("dv").to_numpy(zero_copy_only=False)
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        s = np.where(fwd, u, v)
+        t = np.where(fwd, v, u)
+        dt = np.where(fwd, dv, du)
+        h = (hash64(pa.array(s), seed=17)
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"s": pa.array(s), "t": pa.array(t),
+                         "dt": pa.array(dt.astype(np.int64)),
+                         _BUCKET: pa.array(h)})
+
+    oriented = e_deg.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(g: pa.Table) -> pa.Table:
+        """All rank-ordered out-neighbor pairs per source in this bucket:
+        one vectorized shifted scan per gap (max gap = max out-degree)."""
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "c": pa.array([], type=pa.int64()),
+                          _BUCKET: pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([("s", "ascending"), ("dt", "ascending"),
+                       ("t", "ascending")])
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        t = g.column("t").to_numpy(zero_copy_only=False)
+        n = len(s)
+        parts_a, parts_b, parts_c = [], [], []
+        gap = 1
+        while gap < n:
+            ok = s[gap:] == s[:-gap]
+            if not ok.any():
+                break
+            parts_a.append(t[:-gap][ok])
+            parts_b.append(t[gap:][ok])
+            parts_c.append(s[gap:][ok])
+            gap += 1
+        if not parts_a:
+            return empty
+        a = np.concatenate(parts_a)
+        b = np.concatenate(parts_b)
+        c = np.concatenate(parts_c)
+        h = (hash64(pa.array(a), seed=17)
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "c": pa.array(c), _BUCKET: pa.array(h)})
+
+    cand = (oriented.groupby(_BUCKET, num_partitions=num_partitions)
+            .map_groups(wedges, batch_format="pyarrow"))
+
+    # --- probe: wedge (a, b) closes iff oriented edge a->b exists ---
+    def tag_wedge(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch.column("a"), "b": batch.column("b"),
+                         "c": batch.column("c"),
+                         _SIDE: pa.array(
+                             np.zeros(batch.num_rows, dtype=np.int8)),
+                         _BUCKET: batch.column(_BUCKET)})
+
+    def tag_edge2(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch.column("s"), "b": batch.column("t"),
+                         "c": pa.nulls(batch.num_rows, pa.int64()),
+                         _SIDE: pa.array(
+                             np.ones(batch.num_rows, dtype=np.int8)),
+                         _BUCKET: batch.column(_BUCKET)})
+
+    def probe(g: pa.Table) -> pa.Table:
+        """Exact 2-column semi join (polars) + per-corner partial counts."""
+        import polars as pl
+        empty = pa.table({"node": pa.array([], type=pa.int64()),
+                          "c": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or _SIDE not in g.column_names:
+            return empty
+        side = g.column(_SIDE).to_numpy(zero_copy_only=False)
+        w = g.filter(pa.array(side == 0))
+        e = g.filter(pa.array(side == 1))
+        if w.num_rows == 0 or e.num_rows == 0:
+            return empty
+        wf = pl.from_arrow(w.select(["a", "b", "c"]))
+        ef = pl.from_arrow(e.select(["a", "b"]))
+        hit = wf.join(ef, on=["a", "b"], how="semi")
+        if hit.height == 0:
+            return empty
+        corners = pl.concat([hit.get_column("a").rename("node"),
+                             hit.get_column("b").rename("node"),
+                             hit.get_column("c").rename("node")])
+        counts = (pl.DataFrame({"node": corners})
+                  .group_by("node").len(name="c"))
+        return pa.table({
+            "node": counts.get_column("node").to_arrow().cast(pa.int64()),
+            "c": counts.get_column("c").to_arrow().cast(pa.int64())})
+
+    found = (cand.map_batches(tag_wedge, batch_format="pyarrow")
+             .union(oriented.map_batches(tag_edge2, batch_format="pyarrow"))
+             .groupby(_BUCKET, num_partitions=num_partitions)
+             .map_groups(probe, batch_format="pyarrow"))
+
+    out = found.groupby("node").sum("c")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            out_node: batch.column("node"),
+            out_count: batch.column("sum(c)").cast(pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -992,6 +992,41 @@ def test_sequence_packing(ray_session):
                    ("a", 4): 2, ("a", 5): 2, ("b", 10): 0}
 
 
+def test_triangle_counts_random_graphs(ray_session):
+    import itertools
+
+    import numpy as np
+    import ray.data as rd
+    from malli_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        n = int(rng.integers(5, 30))
+        m = int(rng.integers(n, 4 * n))
+        src = rng.integers(0, n, size=m)
+        dst = rng.integers(0, n, size=m)
+        # brute-force reference: adjacency set, count per node
+        adj = {i: set() for i in range(n)}
+        for a, b in zip(src.tolist(), dst.tolist()):
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        expected = {}
+        for a, b, c in itertools.combinations(range(n), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for x in (a, b, c):
+                    expected[x] = expected.get(x, 0) + 1
+        ds = rd.from_arrow(pa.table({"s": src, "d": dst}))
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(ds, "s", "d",
+                                        num_buckets=4).take_all()}
+        assert got == expected, f"trial {trial}"
+
+    # degenerate: no edges survive canonicalization (all self-loops)
+    ds = rd.from_arrow(pa.table({"s": [1, 2], "d": [1, 2]}))
+    assert triangle_counts(ds, "s", "d", num_buckets=2).take_all() == []
+
+
 def test_top_fraction_by_group(ray_session):
     import ray.data as rd
     from malli_ray.stages import sampling
