@@ -159,7 +159,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         # r3 session 5: concat-and-cut packing, percentile selection,
         # triangle counting
         "concat_blocks_documents", "top_fraction_documents",
-        "triangles_orders",
+        "triangles_orders", "exif_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

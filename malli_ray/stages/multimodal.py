@@ -28,7 +28,8 @@ __all__ = ["ImageFeatureExtractor", "add_image_features",
            "make_mp4_header", "make_mkv_header", "suggested_batch_size",
            "make_bmp", "decode_bmp", "dhash64", "DHasher", "image_dhash",
            "synth_image_pixels", "decode_wav_pcm16", "audio_fp64",
-           "AudioFingerprinter", "audio_fingerprint", "synth_audio_pcm"]
+           "AudioFingerprinter", "audio_fingerprint", "synth_audio_pcm",
+           "make_jpeg_exif", "parse_jpeg_exif", "ExifProbe", "probe_exif"]
 
 IMAGE_META_SCHEMA = pa.schema([
     ("payload", pa.large_binary()),
@@ -1074,3 +1075,147 @@ def synth_audio_pcm(doc_id: int, n_samples: int = 2048) -> np.ndarray:
         pcm = np.clip(pcm.astype(np.int32) + noise * mask,
                       -32768, 32767).astype(np.int16)
     return pcm
+
+
+# --------------------------------------------------------------------------
+# JPEG EXIF metadata: APP1/TIFF IFD parse (orientation, capture datetime)
+# plus SOF dimensions — the metadata-extraction step of an image-corpus
+# pipeline (dedup by capture time, rotate-normalize by orientation),
+# dependency-free like the rest of MediaHeaderProbe.
+
+
+def make_jpeg_exif(width: int, height: int, orientation: int,
+                   datetime_str: str) -> bytes:
+    """Minimal valid JPEG with an EXIF APP1 segment: SOI + APP1 (TIFF IFD0
+    with Orientation 0x0112 SHORT and DateTime 0x0132 ASCII) + SOF0 + EOI.
+    ``datetime_str`` follows the EXIF "YYYY:MM:DD HH:MM:SS" layout (19
+    chars; stored NUL-terminated per spec)."""
+    dt = datetime_str.encode("ascii") + b"\x00"
+
+    def u16(v: int) -> bytes:
+        return v.to_bytes(2, "little")
+
+    def u32(v: int) -> bytes:
+        return v.to_bytes(4, "little")
+
+    # TIFF body (little-endian), offsets relative to its first byte
+    # layout: header(8) + ifd(2 + 2*12 + 4 = 30) + datetime payload
+    dt_off = 8 + 2 + 2 * 12 + 4
+    ifd = (u16(2)
+           + u16(0x0112) + u16(3) + u32(1) + u16(orientation) + u16(0)
+           + u16(0x0132) + u16(2) + u32(len(dt)) + u32(dt_off)
+           + u32(0))
+    tiff = b"II\x2a\x00" + u32(8) + ifd + dt
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(app1_body) + 2).to_bytes(2, "big") + app1_body
+    sof = (b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8])
+           + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+           + bytes([1, 1, 0x11, 0]))
+    return b"\xff\xd8" + app1 + sof + b"\xff\xd9"
+
+
+def parse_jpeg_exif(p: bytes):
+    """Parse a JPEG's SOF dimensions and EXIF APP1 Orientation/DateTime.
+    Returns ``{"jpeg_width", "jpeg_height", "exif_orientation",
+    "exif_datetime"}`` (missing EXIF fields null) or None when the payload
+    is not a JPEG / carries no SOF marker.  The TIFF IFD walk mirrors
+    MediaHeaderProbe._tiff (both byte orders, SHORT/LONG inline values)
+    plus offset-valued ASCII entries for DateTime."""
+    if len(p) < 4 or p[:2] != b"\xff\xd8":
+        return None
+    out = {"jpeg_width": None, "jpeg_height": None,
+           "exif_orientation": None, "exif_datetime": None}
+    i, n = 2, len(p)
+    while i + 4 <= n:
+        if p[i] != 0xFF:
+            return None
+        marker = p[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = int.from_bytes(p[i + 2:i + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker == 0xE1 and p[i + 4:i + 10] == b"Exif\x00\x00":
+            base = i + 10
+            t = p[base:i + 2 + seg_len]
+            bo = None
+            if t[:4] == b"II\x2a\x00":
+                bo = "little"
+            elif t[:4] == b"MM\x00\x2a":
+                bo = "big"
+            if bo is not None and len(t) >= 8:
+                off = int.from_bytes(t[4:8], bo)
+                if off + 2 <= len(t):
+                    cnt = int.from_bytes(t[off:off + 2], bo)
+                    for k in range(cnt):
+                        e = off + 2 + 12 * k
+                        if e + 12 > len(t):
+                            break
+                        tag = int.from_bytes(t[e:e + 2], bo)
+                        typ = int.from_bytes(t[e + 2:e + 4], bo)
+                        cnt_v = int.from_bytes(t[e + 4:e + 8], bo)
+                        if tag == 0x0112 and typ == 3 and cnt_v == 1:
+                            out["exif_orientation"] = int.from_bytes(
+                                t[e + 8:e + 10], bo)
+                        elif tag == 0x0132 and typ == 2 and cnt_v > 0:
+                            if cnt_v <= 4:
+                                raw = t[e + 8:e + 8 + cnt_v]
+                            else:
+                                v_off = int.from_bytes(t[e + 8:e + 12], bo)
+                                raw = t[v_off:v_off + cnt_v]
+                            out["exif_datetime"] = (
+                                raw.split(b"\x00", 1)[0]
+                                .decode("ascii", "replace"))
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if i + 9 > n:
+                return None
+            out["jpeg_height"] = int.from_bytes(p[i + 5:i + 7], "big")
+            out["jpeg_width"] = int.from_bytes(p[i + 7:i + 9], "big")
+        elif marker == 0xDA:
+            break
+        i += 2 + seg_len
+    if out["jpeg_width"] is None:
+        return None
+    return out
+
+
+class ExifProbe:
+    """Actor stage: append ``jpeg_width/jpeg_height/exif_orientation``
+    (int32 | null), ``exif_datetime`` (string | null) and ``exif_ok``
+    (bool) parsed from a JPEG payload column.  Per-payload work is a few
+    dozen byte reads — O(rows), same cost model as MediaHeaderProbe."""
+
+    def __init__(self, payload_column: str = "payload"):
+        self.payload_column = payload_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_column).to_pylist()
+        cols = {"jpeg_width": [], "jpeg_height": [],
+                "exif_orientation": [], "exif_datetime": [], "exif_ok": []}
+        for p in payloads:
+            parsed = parse_jpeg_exif(p or b"") or {}
+            cols["exif_ok"].append(bool(parsed))
+            for k in ("jpeg_width", "jpeg_height", "exif_orientation",
+                      "exif_datetime"):
+                cols[k].append(parsed.get(k))
+        for name, typ in (("jpeg_width", pa.int32()),
+                          ("jpeg_height", pa.int32()),
+                          ("exif_orientation", pa.int32()),
+                          ("exif_datetime", pa.string()),
+                          ("exif_ok", pa.bool_())):
+            batch = batch.append_column(name, pa.array(cols[name], type=typ))
+        return batch
+
+
+def probe_exif(ds: Dataset, payload_column: str = "payload",
+               batch_size: int = 256, concurrency=None) -> Dataset:
+    """Actor-pool EXIF-probe stage (real parsing, no codecs)."""
+    from . import cached_stage, concurrency_kwargs
+    return ds.map_batches(
+        cached_stage(ExifProbe, payload_column=payload_column),
+        batch_format="pyarrow", batch_size=batch_size,
+        **concurrency_kwargs(concurrency))

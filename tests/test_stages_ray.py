@@ -495,6 +495,59 @@ def test_media_header_probe(ray_session):
     assert got.column("media_duration_s")[0].as_py() == 0.5
 
 
+def test_jpeg_exif_probe(ray_session):
+    """EXIF APP1 parse: synth round trip, big-endian TIFF, JPEG without
+    EXIF (dims only), inline <=4-byte ASCII value, garbage payloads."""
+    import struct
+    import ray.data as rd
+    from malli_ray.stages.multimodal import (make_jpeg_exif,
+                                             parse_jpeg_exif, probe_exif)
+
+    p = make_jpeg_exif(321, 123, 8, "1999:12:31 23:59:59")
+    assert parse_jpeg_exif(p) == {
+        "jpeg_width": 321, "jpeg_height": 123,
+        "exif_orientation": 8, "exif_datetime": "1999:12:31 23:59:59"}
+
+    # big-endian TIFF body with only Orientation (no DateTime)
+    ifd = (struct.pack(">H", 1)
+           + struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">HH", 3, 0)
+           + struct.pack(">I", 0))
+    tiff = b"MM\x00\x2a" + struct.pack(">I", 8) + ifd
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(app1_body) + 2) + app1_body
+    sof = (b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+           + struct.pack(">HH", 10, 20) + bytes([1, 1, 0x11, 0]))
+    be = b"\xff\xd8" + app1 + sof + b"\xff\xd9"
+    assert parse_jpeg_exif(be) == {
+        "jpeg_width": 20, "jpeg_height": 10,
+        "exif_orientation": 3, "exif_datetime": None}
+
+    # plain JPEG (no EXIF): dims parse, EXIF fields null
+    plain = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+             + struct.pack(">HH", 5, 6) + bytes([1, 1, 0x11, 0])
+             + b"\xff\xd9")
+    assert parse_jpeg_exif(plain)["exif_orientation"] is None
+    assert parse_jpeg_exif(plain)["jpeg_width"] == 6
+
+    # inline ASCII value (count <= 4 packs into the value field)
+    ifd2 = (struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x0132, 2, 3) + b"ab\x00\x00"
+            + struct.pack("<I", 0))
+    tiff2 = b"II\x2a\x00" + struct.pack("<I", 8) + ifd2
+    body2 = b"Exif\x00\x00" + tiff2
+    app12 = b"\xff\xe1" + struct.pack(">H", len(body2) + 2) + body2
+    inl = b"\xff\xd8" + app12 + sof + b"\xff\xd9"
+    assert parse_jpeg_exif(inl)["exif_datetime"] == "ab"
+
+    # distributed stage over a mixed batch incl. garbage
+    tbl = pa.table({"id": [0, 1, 2],
+                    "payload": pa.array([p, b"garbage", None],
+                                        type=pa.large_binary())})
+    rows = {r["id"]: r for r in probe_exif(rd.from_arrow(tbl)).take_all()}
+    assert rows[0]["exif_ok"] and rows[0]["exif_orientation"] == 8
+    assert rows[1]["exif_ok"] is False and rows[2]["exif_ok"] is False
+
+
 def test_audio_frame_features(ray_session):
     """Real windowed audio features over raw PCM (no codec needed): RMS/ZCR
     per 25ms window vs a numpy oracle; non-raw formats skip (or raise in
