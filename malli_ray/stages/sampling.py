@@ -356,6 +356,49 @@ def filter_outliers_by_group(ds: Dataset, group_column: str,
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 
+def sample_by_weight(ds: Dataset, weight_column: str, id_column: str,
+                     rate_at_max: float = 1.0,
+                     concurrency=None) -> Dataset:
+    """Deterministic weight-proportional Bernoulli sampling: keep each row
+    with probability ``rate_at_max * w / max(w)`` — quality-weighted
+    downsampling (keep high-quality docs more often) with the engine's
+    standard Knuth-hash draw, so reruns/resumes select the exact same rows
+    and a SQL oracle reproduces the selection bit-for-bit.
+
+    Threshold float contract (the split_documents/rebalance discipline):
+    ``floor((rate * (w / max_w)) * 2^32)`` evaluated in exactly that IEEE
+    op order — divide, multiply, multiply, floor — which SQL spells
+    ``FLOOR((rate * (CAST(w AS DOUBLE) / max_w)) * 4294967296.0)``.  Null
+    or non-positive weights never keep.
+
+    Scale shape: one max-only aggregate (a scalar), then a shuffle-free
+    vectorized filter pass.  Expected sample size is ``rate * sum(w) /
+    max(w)`` — for exact-k weighted selection order by a priority key
+    instead (see sample_k_by_hash for the unweighted sibling)."""
+    from ray.data.aggregate import Max
+
+    from . import concurrency_kwargs
+    if not (0.0 < rate_at_max <= 1.0):
+        raise ValueError(f"rate_at_max must be in (0, 1], got {rate_at_max}")
+    agg = ds.aggregate(Max(weight_column))
+    max_w = agg[f"max({weight_column})"]
+    if max_w is None or float(max_w) <= 0:
+        return ds.filter(lambda row: False)
+    max_w = float(max_w)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        w = batch.column(weight_column).to_numpy(zero_copy_only=False)
+        w = np.nan_to_num(w.astype(np.float64), nan=0.0)
+        thr = np.floor((rate_at_max * (w / max_w))
+                       * 4294967296.0).astype(np.int64)
+        thr = np.maximum(thr, 0).astype(np.uint64)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keep_mask(ids, thr)))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          **concurrency_kwargs(concurrency))
+
+
 def top_fraction_by_group(ds: Dataset, group_column: str, score_column: str,
                           id_column: str, fraction: float,
                           descending: bool = True, rank_col: str = "rk",

@@ -1045,6 +1045,33 @@ def test_sequence_packing(ray_session):
                    ("a", 4): 2, ("a", 5): 2, ("b", 10): 0}
 
 
+def test_sample_by_weight(ray_session):
+    import ray.data as rd
+    from malli_ray.stages import sampling
+
+    rows = [{"id": i, "w": (i % 10) + 1} for i in range(2000)]
+    rows += [{"id": 9990, "w": 0}, {"id": 9991, "w": None}]
+    ds = rd.from_items(rows)
+    out = sampling.sample_by_weight(ds, "w", "id", rate_at_max=1.0)
+    got = out.take_all()
+    ids = {r["id"] for r in got}
+    assert 9990 not in ids and 9991 not in ids
+    # keep rate per weight ~ w / 10 (Knuth hash is well mixed at n=200/arm)
+    by_w = {}
+    for r in got:
+        by_w[r["w"]] = by_w.get(r["w"], 0) + 1
+    assert by_w[10] == 200                # prob exactly 1.0 at the max
+    assert 0.5 * 200 * 0.7 < by_w[5] < 0.5 * 200 * 1.3
+    # deterministic: identical second run
+    again = {r["id"] for r in
+             sampling.sample_by_weight(ds, "w", "id",
+                                       rate_at_max=1.0).take_all()}
+    assert again == ids
+
+    with pytest.raises(ValueError):
+        sampling.sample_by_weight(ds, "w", "id", rate_at_max=0.0)
+
+
 def test_triangle_counts_random_graphs(ray_session):
     import itertools
 
