@@ -160,7 +160,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         # triangle counting
         "concat_blocks_documents", "top_fraction_documents",
         "triangles_orders", "exif_documents",
-        "weighted_sample_documents",
+        "weighted_sample_documents", "q10_returned_items",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round
