@@ -23,7 +23,7 @@ __all__ = ["add_token_count", "add_quality", "LangID", "add_lang_id",
            "Fingerprinter", "add_fingerprint", "word_counts", "top_words",
            "VocabTokenizer", "tokenize_with_vocab",
            "PII_PATTERNS", "Redactor", "redact", "contamination_pairs",
-           "add_repetition"]
+           "add_repetition", "canonicalize_urls"]
 
 
 def add_token_count(ds: Dataset, text_column: str,
@@ -907,6 +907,48 @@ def extract_urls(ds: Dataset, text_column: str, id_column: str,
             out: pa.array(df.get_column(out).to_list(), type=pa.string())})
 
     return ds.map_batches(explode, batch_format="pyarrow",
+                          **_conc(concurrency))
+
+
+def canonicalize_urls(ds: Dataset, url_column: str,
+                      out: str = "canonical_url",
+                      concurrency=None) -> Dataset:
+    """Append a canonical form of ``url_column`` — the key for URL-level
+    corpus dedup (Common-Crawl-style "one document per canonical URL").
+    Fixed, documented kernel order so two runs (and the SQL oracle's
+    regexp_replace/regexp_extract chain) agree byte-for-byte:
+
+      1. strip the fragment (``#...``) and the query string (``?...``);
+      2. split ``scheme://host path`` (rows that do not look like a URL
+         get a null canonical form);
+      3. lowercase the scheme and host, strip one leading ``www.`` from
+         the host, strip trailing ``/`` runs from the path — the path's
+         CASE is preserved (paths are case-sensitive; hosts are not).
+
+    All chained Arrow kernels (RE2) — zero Python per row, shuffle-free.
+    Query parameters are stripped wholesale by design (the aggressive
+    variant); keep-list normalization of params is a different op."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        col = batch.column(url_column)
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        u = pc.replace_substring_regex(col, r"#.*$", "")
+        u = pc.replace_substring_regex(u, r"\?.*$", "")
+        parts = pc.extract_regex(
+            u, r"^(?P<s>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<h>[^/]*)(?P<p>.*)$")
+        scheme = pc.utf8_lower(pc.struct_field(parts, "s"))
+        host = pc.replace_substring_regex(
+            pc.utf8_lower(pc.struct_field(parts, "h")), r"^www\.", "")
+        path = pc.replace_substring_regex(
+            pc.struct_field(parts, "p"), r"/+$", "")
+        canonical = pc.binary_join_element_wise(
+            scheme, pa.scalar("://"), host, path, pa.scalar(""))
+        return batch.append_column(out, canonical)
+
+    return ds.map_batches(canon, batch_format="pyarrow",
                           **_conc(concurrency))
 
 

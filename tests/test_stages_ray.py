@@ -1045,6 +1045,25 @@ def test_sequence_packing(ray_session):
                    ("a", 4): 2, ("a", 5): 2, ("b", 10): 0}
 
 
+def test_canonicalize_urls(ray_session):
+    import ray.data as rd
+    from malli_ray.stages import text as T
+
+    tbl = pa.table({"id": [0, 1, 2, 3, 4], "url": [
+        "HTTPS://WWW.Example.COM/Path/Sub/?q=1#frag",
+        "https://example.com/Path/Sub",     # same canonical as row 0
+        "ftp://Files.Org//",                # scheme kept, path run stripped
+        "no scheme here",                   # -> null
+        None]})
+    out = {r["id"]: r["canonical_url"]
+           for r in T.canonicalize_urls(rd.from_arrow(tbl),
+                                        "url").take_all()}
+    assert out[0] == "https://example.com/Path/Sub"
+    assert out[1] == "https://example.com/Path/Sub"
+    assert out[2] == "ftp://files.org"
+    assert out[3] is None and out[4] is None
+
+
 def test_sample_by_weight(ray_session):
     import ray.data as rd
     from malli_ray.stages import sampling
