@@ -161,7 +161,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "concat_blocks_documents", "top_fraction_documents",
         "triangles_orders", "exif_documents",
         "weighted_sample_documents", "q10_returned_items",
-        "url_dedup_documents",
+        "url_dedup_documents", "ogg_headers_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -29,7 +29,8 @@ __all__ = ["ImageFeatureExtractor", "add_image_features",
            "make_bmp", "decode_bmp", "dhash64", "DHasher", "image_dhash",
            "synth_image_pixels", "decode_wav_pcm16", "audio_fp64",
            "AudioFingerprinter", "audio_fingerprint", "synth_audio_pcm",
-           "make_jpeg_exif", "parse_jpeg_exif", "ExifProbe", "probe_exif"]
+           "make_jpeg_exif", "parse_jpeg_exif", "ExifProbe", "probe_exif",
+           "make_ogg_opus_header", "make_ogg_vorbis_header"]
 
 IMAGE_META_SCHEMA = pa.schema([
     ("payload", pa.large_binary()),
@@ -391,6 +392,32 @@ def make_tiff_header(width: int, height: int, bits: int = 8,
     return magic + ifd
 
 
+def _ogg_page(packet: bytes) -> bytes:
+    """Wrap one packet (< 255 bytes) as a beginning-of-stream Ogg page."""
+    assert len(packet) < 255
+    return (b"OggS" + b"\x00" + b"\x02" + b"\x00" * 8
+            + (1).to_bytes(4, "little") + (0).to_bytes(4, "little")
+            + (0).to_bytes(4, "little") + bytes([1, len(packet)]) + packet)
+
+
+def make_ogg_opus_header(channels: int, input_rate: int,
+                         pre_skip: int = 312) -> bytes:
+    """Minimal Ogg page carrying an OpusHead identification packet."""
+    pkt = (b"OpusHead" + bytes([1, channels])
+           + pre_skip.to_bytes(2, "little")
+           + input_rate.to_bytes(4, "little")
+           + (0).to_bytes(2, "little") + b"\x00")
+    return _ogg_page(pkt)
+
+
+def make_ogg_vorbis_header(channels: int, rate: int) -> bytes:
+    """Minimal Ogg page carrying a Vorbis identification packet."""
+    pkt = (b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([channels])
+           + rate.to_bytes(4, "little") + b"\x00" * 12
+           + bytes([0x66]) + b"\x01")
+    return _ogg_page(pkt)
+
+
 class MediaHeaderProbe:
     """REAL (dependency-free) media container-header parser.
 
@@ -727,6 +754,39 @@ class MediaHeaderProbe:
                 "media_bit_depth": tags.get(258)}
 
     @staticmethod
+    def _ogg(p: bytes):
+        """Ogg container: first page ("OggS", version 0) -> first packet
+        via the segment lacing table, then OpusHead (channels, pre-skip,
+        input sample rate; Opus always decodes at 48 kHz) or the Vorbis
+        identification header (channels, rate)."""
+        if len(p) < 28 or p[:4] != b"OggS" or p[4] != 0:
+            return None
+        nseg = p[26]
+        seg_table = p[27:27 + nseg]
+        if len(seg_table) < nseg:
+            return None
+        body = 27 + nseg
+        pkt_len = 0
+        for s in seg_table:
+            pkt_len += s
+            if s < 255:
+                break
+        pkt = p[body:body + pkt_len]
+        if pkt[:8] == b"OpusHead" and len(pkt) >= 14:
+            return {"media_format": "ogg-opus",
+                    "media_channels": pkt[9],
+                    # field 10:12 is pre-skip; 12:16 the ORIGINAL input
+                    # rate — report it; decode is always 48000
+                    "media_sample_rate": int.from_bytes(pkt[12:16],
+                                                        "little")}
+        if pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+            return {"media_format": "ogg-vorbis",
+                    "media_channels": pkt[11],
+                    "media_sample_rate": int.from_bytes(pkt[12:16],
+                                                        "little")}
+        return None
+
+    @staticmethod
     def _mp3(p: bytes):
         """MPEG-1 Layer III: skip an ID3v2 tag (synchsafe size) if present,
         then decode the 4-byte frame header (bitrate/sample-rate tables,
@@ -757,7 +817,7 @@ class MediaHeaderProbe:
     _PARSERS = (_png.__func__, _jpeg.__func__, _gif.__func__,
                 _bmp.__func__, _wav.__func__, _flac.__func__,
                 _mp4.__func__, _mkv.__func__, _tiff.__func__,
-                _mp3.__func__)
+                _ogg.__func__, _mp3.__func__)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_column).to_pylist()

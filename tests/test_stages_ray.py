@@ -495,6 +495,34 @@ def test_media_header_probe(ray_session):
     assert got.column("media_duration_s")[0].as_py() == 0.5
 
 
+def test_ogg_header_parse(ray_session):
+    """Ogg Opus/Vorbis identification parse + edge cases: multi-segment
+    lacing, truncated table, non-audio first packet."""
+    from malli_ray.stages.multimodal import (MediaHeaderProbe,
+                                             make_ogg_opus_header,
+                                             make_ogg_vorbis_header)
+    assert MediaHeaderProbe._ogg(make_ogg_opus_header(2, 48000, 100)) == {
+        "media_format": "ogg-opus", "media_channels": 2,
+        "media_sample_rate": 48000}
+    assert MediaHeaderProbe._ogg(make_ogg_vorbis_header(6, 96000)) == {
+        "media_format": "ogg-vorbis", "media_channels": 6,
+        "media_sample_rate": 96000}
+    # lacing: a 255 segment means the packet continues into the next one
+    pkt = (b"OpusHead" + bytes([1, 1]) + (0).to_bytes(2, "little")
+           + (16000).to_bytes(4, "little") + b"\x00" * 3)
+    page = (b"OggS\x00\x02" + b"\x00" * 8 + b"\x01\x00\x00\x00"
+            + b"\x00" * 8 + bytes([2, 255, 0]) + pkt + b"\x00" * 236)
+    got = MediaHeaderProbe._ogg(page)
+    assert got["media_sample_rate"] == 16000
+    # truncated segment table / unknown first packet -> None
+    assert MediaHeaderProbe._ogg(b"OggS\x00\x02" + b"\x00" * 20
+                                 + bytes([5])) is None
+    other = b"\x03vorbis" + b"\x00" * 20
+    assert MediaHeaderProbe._ogg(
+        b"OggS\x00\x02" + b"\x00" * 20 + bytes([1, len(other)])
+        + other) is None
+
+
 def test_jpeg_exif_probe(ray_session):
     """EXIF APP1 parse: synth round trip, big-endian TIFF, JPEG without
     EXIF (dims only), inline <=4-byte ASCII value, garbage payloads."""
