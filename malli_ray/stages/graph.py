@@ -490,6 +490,70 @@ def pagerank(edges: Dataset, src: str, dst: str,
 
 
 # ---------------------------------------------------------------------------
+# shared undirected-graph primitives
+# ---------------------------------------------------------------------------
+
+
+def canonical_edges(edges: Dataset, src: str, dst: str,
+                    num_buckets: int = 32,
+                    num_partitions: int | None = None) -> Dataset:
+    """Canonical deduped undirected edge list ``(u, v)`` with ``u < v``
+    (int64 node ids): self-loops dropped, duplicate and reversed edges
+    collapsed.  Map-side per-batch pre-dedup (2-key Arrow group_by — under
+    the pyarrow >=3-key null bug threshold), then ONE bucketed exchange on
+    ``hash(u)`` with a per-bucket sort + run-mask distinct."""
+    from ..state.sketches import hash64
+
+    if num_partitions is None:
+        num_partitions = num_buckets
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        t = pa.table({"u": pa.array(u), "v": pa.array(v)})
+        t = t.group_by(["u", "v"], use_threads=False).aggregate([])
+        h = (hash64(t.column("u"), seed=11)
+             % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column(_BUCKET, pa.array(h))
+
+    def bucket_dedup(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("u", "ascending"), ("v", "ascending")])
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        return g.filter(pa.array(first)).select(["u", "v"])
+
+    return (edges.select_columns([src, dst])
+            .map_batches(canon, batch_format="pyarrow")
+            .groupby(_BUCKET, num_partitions=num_partitions)
+            .map_groups(bucket_dedup, batch_format="pyarrow"))
+
+
+def degree_counts(E: Dataset) -> Dataset:
+    """(node, sum(count_all)) degrees of a canonical ``(u, v)`` edge list:
+    per-batch partial counts over both endpoints, one tiny groupby."""
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("u")
+        v = batch.column("v")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        t = pa.table({"node": pa.concat_arrays([u, v])})
+        return t.group_by(["node"], use_threads=False).aggregate(
+            [([], "count_all")])
+
+    return (E.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("node").sum("count_all"))
+
+
+# ---------------------------------------------------------------------------
 # triangle counting (degree-oriented wedge check)
 # ---------------------------------------------------------------------------
 
@@ -537,48 +601,9 @@ def triangle_counts(edges: Dataset, src: str, dst: str,
     if num_partitions is None:
         num_partitions = num_buckets
 
-    def canon(batch: pa.Table) -> pa.Table:
-        a = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
-        u = np.minimum(a, b)
-        v = np.maximum(a, b)
-        keep = u != v
-        u, v = u[keep], v[keep]
-        # map-side pre-dedup: distinct pairs within the batch (2-key Arrow
-        # group_by — under the pyarrow >=3-key null bug threshold)
-        t = pa.table({"u": pa.array(u), "v": pa.array(v)})
-        t = t.group_by(["u", "v"], use_threads=False).aggregate([])
-        h = (hash64(t.column("u"), seed=11)
-             % np.uint64(num_buckets)).astype(np.int64)
-        return t.append_column(_BUCKET, pa.array(h))
-
-    def bucket_dedup(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("u", "ascending"), ("v", "ascending")])
-        u = g.column("u").to_numpy(zero_copy_only=False)
-        v = g.column("v").to_numpy(zero_copy_only=False)
-        first = np.ones(len(u), dtype=bool)
-        first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
-        return g.filter(pa.array(first)).select(["u", "v"])
-
-    E = (edges.select_columns([src, dst])
-         .map_batches(canon, batch_format="pyarrow")
-         .groupby(_BUCKET, num_partitions=num_partitions)
-         .map_groups(bucket_dedup, batch_format="pyarrow")).materialize()
-
-    # --- degrees over the deduped undirected edges ---
-    def deg_partial(batch: pa.Table) -> pa.Table:
-        u = batch.column("u")
-        v = batch.column("v")
-        if isinstance(u, pa.ChunkedArray):
-            u = u.combine_chunks()
-        if isinstance(v, pa.ChunkedArray):
-            v = v.combine_chunks()
-        t = pa.table({"node": pa.concat_arrays([u, v])})
-        return t.group_by(["node"], use_threads=False).aggregate(
-            [([], "count_all")])
-
-    deg = (E.map_batches(deg_partial, batch_format="pyarrow")
-           .groupby("node").sum("count_all"))
+    E = canonical_edges(edges, src, dst, num_buckets,
+                        num_partitions).materialize()
+    deg = degree_counts(E)
 
     # --- attach deg to an endpoint via the tag+union searchsorted join ---
     def _attach_deg(edge_ds: Dataset, key: str, out: str) -> Dataset:
@@ -747,3 +772,80 @@ def triangle_counts(edges: Dataset, src: str, dst: str,
             out_count: batch.column("sum(c)").cast(pa.int64())})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+# ---------------------------------------------------------------------------
+
+
+def k_core(edges: Dataset, src: str, dst: str, k: int,
+           out_node: str = "node", out_degree: str = "degree",
+           num_buckets: int = 32, num_partitions: int | None = None,
+           max_rounds: int = 30) -> "tuple[Dataset, bool]":
+    """The k-core of the undirected graph: iteratively peel nodes of
+    degree < k until every remaining node has degree >= k within the
+    remaining subgraph.  Returns ``(dataset of (out_node, out_degree)
+    rows, converged)`` — the k-core's nodes with their within-core
+    degrees, and whether peeling reached a fixed point within
+    ``max_rounds`` (the community/"dense cluster" extraction primitive;
+    also the standard pre-filter before clique-ish analyses).
+
+    Per round: one degree pass (per-batch partial counts + a tiny (node,
+    count) groupby) and TWO membership semi-joins (the engine's bucketed
+    tag+union shape — Ray's native join is avoided, see SCALE.md) that
+    keep only edges whose BOTH endpoints survive.  The edge table
+    re-materializes each round (the pagerank lesson: per-round
+    materialize beats a fully-lazy round chain because each round
+    reshuffles anyway); labels/degrees are O(nodes).  Rounds are
+    data-dependent but bounded by the peeling depth (degeneracy ordering
+    depth), which is small for real graphs; an unconverged exit is
+    reported, never silent."""
+    from .joins import semi_join
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if num_partitions is None:
+        num_partitions = num_buckets
+
+    def named_deg(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node"),
+            "deg": batch.column("sum(count_all)").cast(pa.int64())})
+
+    E = canonical_edges(edges, src, dst, num_buckets,
+                        num_partitions).materialize()
+    converged = False
+    for rnd in range(max_rounds):
+        deg = (degree_counts(E)
+               .map_batches(named_deg, batch_format="pyarrow")).materialize()
+        total = deg.count()
+        keep = deg.filter(expr=f"deg >= {int(k)}")
+        n_keep = keep.count()
+        if n_keep == total:
+            converged = True
+            logger.info("k_core: converged after %d peel rounds", rnd)
+            break
+        if n_keep == 0:
+            import ray
+            empty = ray.data.from_arrow(pa.table({
+                out_node: pa.array([], type=pa.int64()),
+                out_degree: pa.array([], type=pa.int64())}))
+            return empty, True
+        keep_nodes = keep.select_columns(["node"])
+        E = semi_join(E, keep_nodes, on="u", right_on="node",
+                      num_partitions=num_partitions)
+        E = semi_join(E, keep_nodes, on="v", right_on="node",
+                      num_partitions=num_partitions).materialize()
+    else:
+        logger.warning("k_core: max_rounds=%d reached before convergence",
+                       max_rounds)
+        deg = (degree_counts(E)
+               .map_batches(named_deg, batch_format="pyarrow")).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            out_node: batch.column("node"),
+            out_degree: batch.column("deg")})
+
+    return deg.map_batches(finish, batch_format="pyarrow"), converged

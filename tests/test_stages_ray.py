@@ -1154,6 +1154,41 @@ def test_triangle_counts_random_graphs(ray_session):
     assert triangle_counts(ds, "s", "d", num_buckets=2).take_all() == []
 
 
+def test_k_core_random_graphs(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from malli_ray.stages.graph import k_core
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = int(rng.integers(8, 40))
+        m = int(rng.integers(n, 5 * n))
+        src = rng.integers(0, n, size=m)
+        dst = rng.integers(0, n, size=m)
+        k = int(rng.integers(2, 5))
+        # brute-force peel
+        E = {(min(a, b), max(a, b))
+             for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+        while True:
+            deg = {}
+            for a, b in E:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {x for x, d in deg.items() if d >= k}
+            E2 = {(a, b) for a, b in E if a in keep and b in keep}
+            if E2 == E:
+                break
+            E = E2
+        expected = {}
+        for a, b in E:
+            expected[a] = expected.get(a, 0) + 1
+            expected[b] = expected.get(b, 0) + 1
+        ds = rd.from_arrow(pa.table({"s": src, "d": dst}))
+        out, conv = k_core(ds, "s", "d", k=k, num_buckets=4)
+        got = {r["node"]: r["degree"] for r in out.take_all()}
+        assert conv and got == expected, f"trial {trial} k={k}"
+
+
 def test_top_fraction_by_group(ray_session):
     import ray.data as rd
     from malli_ray.stages import sampling
