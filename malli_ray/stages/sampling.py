@@ -356,6 +356,70 @@ def filter_outliers_by_group(ds: Dataset, group_column: str,
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 
+def upsample_by_group_factor(ds: Dataset, group_column: str, id_column: str,
+                             factors: "dict[str, float]",
+                             default_factor: float = 1.0,
+                             epoch_col: str = "epoch",
+                             concurrency=None) -> Dataset:
+    """Fractional epoch up/down-sampling per group — the training-mixture
+    primitive ("repeat books 2.5x, halve web"): every row is emitted
+    ``floor(f_g)`` times plus one extra copy iff its Knuth-hash draw is
+    below ``frac(f_g)``, with a 0-based copy index in ``epoch_col``.
+    Factors < 1 downsample (0 base copies + a Bernoulli(f) survivor), so
+    one op expresses a full mixture spec.
+
+    Deterministic and SQL-replayable: the per-group (base, threshold)
+    pair is computed ONCE driver-side (``floor(f)``,
+    ``floor((f - floor(f)) * 2^32)``) and the per-row draw is the
+    engine-standard ``hash(id) < threshold`` mask, so reruns emit the
+    identical multiset and the oracle replays it with a VALUES join +
+    ``range()`` expansion.
+
+    Shuffle-free flat expansion (``take`` with repeated indices — payload
+    copies are created batch-locally and stream); expected output volume
+    is ``sum_g f_g * n_g`` — budget downstream stages accordingly."""
+    from . import concurrency_kwargs
+    import math
+
+    spec = {}
+    for g, f in factors.items():
+        if f < 0:
+            raise ValueError(f"factor for {g!r} must be >= 0, got {f}")
+        base = math.floor(f)
+        spec[g] = (base, int(math.floor((f - base) * 4294967296.0)))
+    dbase = math.floor(default_factor)
+    dspec = (dbase,
+             int(math.floor((default_factor - dbase) * 4294967296.0)))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(epoch_col,
+                                       pa.array([], type=pa.int64()))
+        groups = batch.column(group_column)
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        enc = groups.dictionary_encode()
+        per_value = [spec.get(v, dspec)
+                     for v in enc.dictionary.to_pylist()]
+        base_v = np.array([b for b, _ in per_value], dtype=np.int64)
+        thr_v = np.array([t for _, t in per_value], dtype=np.uint64)
+        idx = (enc.indices.fill_null(-1)
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        ok = idx >= 0
+        base = np.where(ok, base_v[np.maximum(idx, 0)], np.int64(dspec[0]))
+        thr = np.where(ok, thr_v[np.maximum(idx, 0)], np.uint64(dspec[1]))
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        k = base + keep_mask(ids, thr).astype(np.int64)
+        rows = np.repeat(np.arange(batch.num_rows, dtype=np.int64), k)
+        epoch = np.arange(len(rows), dtype=np.int64) \
+            - np.repeat(np.cumsum(k) - k, k)
+        return (batch.take(pa.array(rows))
+                .append_column(epoch_col, pa.array(epoch)))
+
+    return ds.map_batches(expand, batch_format="pyarrow",
+                          **concurrency_kwargs(concurrency))
+
+
 def sample_by_weight(ds: Dataset, weight_column: str, id_column: str,
                      rate_at_max: float = 1.0,
                      concurrency=None) -> Dataset:

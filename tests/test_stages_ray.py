@@ -1092,6 +1092,35 @@ def test_canonicalize_urls(ray_session):
     assert out[3] is None and out[4] is None
 
 
+def test_upsample_by_group_factor(ray_session):
+    import ray.data as rd
+    from malli_ray.stages import sampling
+
+    rows = [{"id": i, "g": "a" if i < 400 else "b"} for i in range(800)]
+    ds = rd.from_items(rows)
+    out = sampling.upsample_by_group_factor(
+        ds, "g", "id", factors={"a": 2.5, "b": 0.25}).take_all()
+    by_g = {}
+    epochs = {}
+    for r in out:
+        by_g[r["g"]] = by_g.get(r["g"], 0) + 1
+        epochs.setdefault(r["id"], []).append(r["epoch"])
+    # a: 400 rows x 2.5 ~ 1000 (base 800 + ~200 extras); b: ~100
+    assert 900 < by_g["a"] < 1100 and 60 < by_g["b"] < 140
+    # every copy list is a contiguous 0..k-1 epoch range
+    for eid, es in epochs.items():
+        assert sorted(es) == list(range(len(es)))
+    # deterministic rerun
+    again = sampling.upsample_by_group_factor(
+        ds, "g", "id", factors={"a": 2.5, "b": 0.25}).take_all()
+    assert sorted((r["id"], r["epoch"]) for r in again) == \
+        sorted((r["id"], r["epoch"]) for r in out)
+
+    with pytest.raises(ValueError):
+        sampling.upsample_by_group_factor(ds, "g", "id",
+                                          factors={"a": -1.0})
+
+
 def test_sample_by_weight(ray_session):
     import ray.data as rd
     from malli_ray.stages import sampling
