@@ -34,7 +34,7 @@ from ray.data.aggregate import Count
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
            "range_join", "rolling_aggregate", "debounce", "funnel",
-           "retention"]
+           "retention", "gap_fill"]
 
 
 def tumbling_window(ds: Dataset, ts_col: str, minutes: int,
@@ -575,3 +575,83 @@ def retention(ds: Dataset, user_col: str, ts_col: str,
              .map_groups(per_bucket, batch_format="pyarrow"))
     return (pairs.groupby([f"cohort_{period}", f"{period}_offset"])
             .aggregate(Count(alias_name="n_users")))
+
+
+def gap_fill(ds: Dataset, key: str, bucket_column: str, value_column: str,
+             fill_value: int = 0, num_buckets: int = 64,
+             num_partitions: int | None = None,
+             max_rows_per_key: int = 1_000_000) -> Dataset:
+    """Densify a per-key integer-bucket series: emit one row per key per
+    bucket in ``[min(bucket), max(bucket)]`` (per key), with
+    ``fill_value`` where the input has no row — the time-series gap-fill
+    that turns sparse per-hour/per-day aggregates into dense training /
+    charting series (SQL: per-key ``generate_series`` LEFT JOIN +
+    ``coalesce``).  ``bucket_column`` must be int64 (epoch-hour, day
+    index, ...); at most one input row per (key, bucket) — duplicates
+    raise (aggregate first).
+
+    Scale shape: ONE bucketed exchange on ``hash(key)`` over the
+    already-aggregated (key, bucket, value) rows, then a fully vectorized
+    per-bucket expansion (run scan + repeat/arange + one scatter — no
+    per-key Python).  A key whose bucket span exceeds
+    ``max_rows_per_key`` raises instead of silently exploding the
+    output (a sparse key with a decade-wide span is almost always an
+    upstream bug)."""
+    from ..state.sketches import hash64
+
+    if num_partitions is None:
+        num_partitions = min(num_buckets, 64)
+    bcol = "__gapbucket__"
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key), seed=29) % np.uint64(num_buckets)
+        return batch.append_column(
+            bcol, pa.array(h.astype(np.int64), type=pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            g.schema.field(key),
+            pa.field(bucket_column, pa.int64()),
+            g.schema.field(value_column)])
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        g = g.sort_by([(key, "ascending"), (bucket_column, "ascending")])
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        b = g.column(bucket_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(keys)
+        new = np.ones(n, dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        if not np.all(new | np.concatenate(([True], b[1:] != b[:-1]))):
+            raise ValueError(
+                "gap_fill: duplicate (key, bucket) rows — aggregate first")
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        mins = b[starts]
+        maxs = b[starts + lens - 1]
+        spans = maxs - mins + 1
+        if spans.max(initial=0) > max_rows_per_key:
+            raise ValueError(
+                f"gap_fill: a key spans {int(spans.max())} buckets > "
+                f"max_rows_per_key={max_rows_per_key}")
+        total = int(spans.sum())
+        run_of_out = np.repeat(np.arange(len(starts), dtype=np.int64),
+                               spans)
+        out_starts = np.cumsum(spans) - spans
+        offs = np.arange(total, dtype=np.int64) - out_starts[run_of_out]
+        out_b = mins[run_of_out] + offs
+        vals = g.column(value_column).to_numpy(zero_copy_only=False)
+        out_vals = np.full(total, fill_value,
+                           dtype=np.asarray(vals).dtype)
+        run_of_in = np.cumsum(new) - 1
+        out_vals[out_starts[run_of_in] + (b - mins[run_of_in])] = vals
+        key_take = pa.array(starts[run_of_out], type=pa.int64())
+        return pa.table({
+            key: pc.take(g.column(key), key_take),
+            bucket_column: pa.array(out_b),
+            value_column: pa.array(out_vals)})
+
+    return (ds.select_columns([key, bucket_column, value_column])
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby(bcol, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))

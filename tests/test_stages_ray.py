@@ -1092,6 +1092,32 @@ def test_canonicalize_urls(ray_session):
     assert out[3] is None and out[4] is None
 
 
+def test_gap_fill(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.windows import gap_fill
+
+    tbl = pa.table({"k": ["a", "a", "a", "b", "c"],
+                    "b": [10, 13, 11, 5, 7],
+                    "v": [1, 3, 2, 9, 4]})
+    out = gap_fill(rd.from_arrow(tbl), "k", "b", "v",
+                   num_buckets=4).take_all()
+    got = sorted((r["k"], r["b"], r["v"]) for r in out)
+    assert got == [("a", 10, 1), ("a", 11, 2), ("a", 12, 0), ("a", 13, 3),
+                   ("b", 5, 9), ("c", 7, 4)]
+
+    # duplicate (key, bucket) raises
+    dup = pa.table({"k": ["a", "a"], "b": [1, 1], "v": [1, 2]})
+    with pytest.raises(Exception, match="duplicate"):
+        gap_fill(rd.from_arrow(dup), "k", "b", "v",
+                 num_buckets=1).take_all()
+
+    # span guard raises
+    wide = pa.table({"k": ["a", "a"], "b": [0, 10_000], "v": [1, 1]})
+    with pytest.raises(Exception, match="max_rows_per_key"):
+        gap_fill(rd.from_arrow(wide), "k", "b", "v", num_buckets=1,
+                 max_rows_per_key=100).take_all()
+
+
 def test_upsample_by_group_factor(ray_session):
     import ray.data as rd
     from malli_ray.stages import sampling
