@@ -18,13 +18,14 @@ from typing import Any, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
 
 __all__ = ["TopKScorer", "topk_cosine", "train_centroids", "ivf_topk",
            "kmeans_fit", "normalize_embeddings", "quantize_embeddings_int8",
-           "pca_fit", "pca_project"]
+           "pca_fit", "pca_project", "ann_join"]
 
 
 def _unit_rows(mat: np.ndarray) -> np.ndarray:
@@ -751,3 +752,113 @@ def pca_project(ds: Dataset, model: dict, emb_column: str, id_column: str,
         cached_stage(_Projector, model=model, emb_column=emb_column,
                      id_column=id_column, out_prefix=out_prefix),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
+def ann_join(left: Dataset, right: Dataset, emb_column: str,
+             id_column: str, k: int = 5, n_centroids: int = 8,
+             n_probe: int = 3, sample_size: int = 2048, iters: int = 10,
+             seed: int = 42, centroids: Optional[np.ndarray] = None,
+             num_partitions: int | None = None) -> Dataset:
+    """Approximate nearest-neighbor JOIN between two datasets: for every
+    LEFT row, the top-``k`` RIGHT rows by cosine — the embedding-space
+    decontamination / retrieval-pairing primitive ("for each eval doc,
+    its nearest training docs") where BOTH sides are large, so the
+    broadcast-query ``topk_cosine`` shape does not apply.
+
+    IVF cell partitioning makes the all-pairs problem local: a codebook
+    is trained on the deterministic smallest-hash sample of the RIGHT
+    side (rerun/partition-stable — the semantic_codebook contract); each
+    right row goes to its nearest cell, each left row flat-maps to its
+    ``n_probe`` nearest cells; ONE exchange keyed on the cell co-locates
+    them, and each cell scores one matmul + vectorized per-left top-k.
+    Candidates from the probed cells (a right row lives in exactly one
+    cell, so candidates are unique) merge with one k-sized
+    ``top_k_per_group`` exchange.
+
+    Recall < 1 by construction (a true neighbor in an unprobed cell is
+    missed); raise ``n_probe``/``n_centroids`` to trade cost for recall.
+    Ties break on ascending right id (total order — membership is
+    deterministic).  Emits ``(query_id, match_id, score, rk)``."""
+    from .analytics import top_k_per_group
+
+    if centroids is None:
+        sample = smallest_hash_sample(right, emb_column, id_column,
+                                      sample_size)
+        centroids = train_centroids(sample, n_centroids, iters=iters,
+                                    seed=seed)
+    cents = np.asarray(centroids, dtype=np.float64)
+    if num_partitions is None:
+        num_partitions = max(2, min(len(cents), 16))
+    side_t, cell_t = pa.int8(), pa.int64()
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        emb = _unit_rows(_emb_matrix(batch, emb_column))
+        assign = (emb @ cents.T).argmax(axis=1).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(assign, type=cell_t),
+            "side": pa.array(np.ones(batch.num_rows, dtype=np.int8),
+                             type=side_t),
+            "vid": batch.column(id_column),
+            "emb": batch.column(emb_column)})
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        emb = _unit_rows(_emb_matrix(batch, emb_column))
+        order = np.argsort(-(emb @ cents.T), axis=1)[:, :n_probe]
+        rows = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                         order.shape[1])
+        take = pa.array(rows, type=pa.int64())
+        return pa.table({
+            "cell": pa.array(order.reshape(-1).astype(np.int64),
+                             type=cell_t),
+            "side": pa.array(np.zeros(len(rows), dtype=np.int8),
+                             type=side_t),
+            "vid": pc.take(batch.column(id_column), take),
+            "emb": pc.take(batch.column(emb_column), take)})
+
+    tagged = (right.select_columns([id_column, emb_column])
+              .map_batches(tag_right, batch_format="pyarrow")
+              .union(left.select_columns([id_column, emb_column])
+                     .map_batches(tag_left, batch_format="pyarrow")))
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "match_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64())})
+        if g.num_rows == 0 or "side" not in g.column_names:
+            return empty
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0))
+        rt = g.filter(pa.array(side == 1)).sort_by([("vid", "ascending")])
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return empty
+        L = _unit_rows(_emb_matrix(lt, "emb"))
+        R = _unit_rows(_emb_matrix(rt, "emb"))
+        rids = rt.column("vid").to_numpy(zero_copy_only=False)
+        lids = lt.column("vid").to_numpy(zero_copy_only=False)
+        sims = L @ R.T
+        n, m = sims.shape
+        kk = min(k, m)
+        # vectorized per-left top-k (no per-row Python): argpartition,
+        # re-sort the kk-subset ascending (R is rid-sorted, so subset
+        # order == rid order), then a STABLE score sort — which makes the
+        # tie-break ascending rid, the same total order the merge uses
+        if m > kk:
+            part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.tile(np.arange(m, dtype=np.int64), (n, 1))
+        part = np.sort(part, axis=1)
+        s_part = np.take_along_axis(sims, part, axis=1)
+        ord2 = np.argsort(-s_part, axis=1, kind="stable")
+        sel = np.take_along_axis(part, ord2, axis=1)
+        return pa.table({
+            "query_id": pa.array(np.repeat(lids.astype(np.int64), kk)),
+            "match_id": pa.array(rids[sel].reshape(-1).astype(np.int64)),
+            "score": pa.array(
+                np.take_along_axis(s_part, ord2, axis=1).reshape(-1),
+                type=pa.float64())})
+
+    cands = (tagged.groupby("cell", num_partitions=num_partitions)
+             .map_groups(per_cell, batch_format="pyarrow"))
+    return top_k_per_group(cands, "query_id", ["score", "match_id"], k,
+                           descending=True)

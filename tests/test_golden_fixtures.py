@@ -250,6 +250,15 @@ def test_ivfpq_topk_fixture_rederives():
     assert [tuple(r.values()) for r in got.to_pylist()] == want
 
 
+def test_ann_join_fixture_rederives():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    want = make_golden.ann_join_ref(t.column("vec_id").to_pylist(),
+                                    t.column("embedding").to_pylist())
+    got = pq.read_table(f"{GOLD}/ann_join_embeddings.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+
+
 def test_embedding_pairs_fixture_rederives():
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
                       columns=["vec_id", "embedding"])

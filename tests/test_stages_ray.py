@@ -1092,6 +1092,49 @@ def test_canonicalize_urls(ray_session):
     assert out[3] is None and out[4] is None
 
 
+def test_ann_join_exact_when_all_cells_probed(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from malli_ray.stages.similarity import ann_join
+
+    rng = np.random.default_rng(3)
+    n, d = 120, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"vec_id": ids, "embedding": [list(map(float, e))
+                                                 for e in emb]})
+    ds = rd.from_arrow(tbl)
+    left = ds.filter(lambda r: r["vec_id"] % 10 == 0)
+    right = ds.filter(lambda r: r["vec_id"] % 10 != 0)
+    # n_probe == n_centroids -> every cell probed -> EXACT top-k
+    out = ann_join(left, right, "embedding", "vec_id", k=3,
+                   n_centroids=4, n_probe=4, sample_size=64)
+    got = {}
+    for r in out.take_all():
+        got.setdefault(r["query_id"], []).append(r["match_id"])
+    # brute-force reference
+    e64 = emb.astype(np.float64)
+    u = e64 / np.linalg.norm(e64, axis=1, keepdims=True)
+    lmask = ids % 10 == 0
+    sims = u[lmask] @ u[~lmask].T
+    rids = ids[~lmask]
+    for qi, lid in enumerate(ids[lmask]):
+        sel = np.lexsort((rids, -sims[qi]))[:3]
+        assert set(got[lid]) == set(rids[sel].tolist()), lid
+    # partial probing: recall can drop but stays useful
+    out2 = ann_join(left, right, "embedding", "vec_id", k=3,
+                    n_centroids=4, n_probe=2, sample_size=64)
+    hits = tot = 0
+    got2 = {}
+    for r in out2.take_all():
+        got2.setdefault(r["query_id"], set()).add(r["match_id"])
+    for qi, lid in enumerate(ids[lmask]):
+        sel = set(rids[np.lexsort((rids, -sims[qi]))[:3]].tolist())
+        hits += len(sel & got2.get(lid, set()))
+        tot += 3
+    assert hits / tot >= 0.6
+
+
 def test_gap_fill(ray_session):
     import ray.data as rd
     from malli_ray.stages.windows import gap_fill

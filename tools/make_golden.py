@@ -424,6 +424,66 @@ def pq_topk_ref(ids, embs, n_queries=2, k=5, m=8, kc=16, seed=42,
     return out
 
 
+def ann_join_ref(ids, embs, k=5, n_centroids=8, n_probe=3, seed=42,
+                 sample_size=256, iters=10):
+    """Independent replay of similarity.ann_join over the vec_id%10 split
+    (left = eval rows, right = the rest): the same smallest-hash sample
+    of the RIGHT side (polars hash — the pinned primitive), the spherical
+    Lloyd of train_centroids, argmax-dot cell assignment, n_probe probed
+    cells per left row, per-cell cosines, global top-k by (-score, rid).
+    Membership-only pin (query_id, match_id) — ulp-robust like
+    ivf/pq_topk_ref."""
+    emb = np.asarray(embs, dtype=np.float64)
+    ids = np.asarray(ids, dtype=np.int64)
+    lmask = ids % 10 == 0
+    lids, lemb = ids[lmask], emb[lmask]
+    rids, remb = ids[~lmask], emb[~lmask]
+    hh = pl.Series(rids).hash(seed=5).to_numpy().astype(np.uint64) \
+        .view(np.int64)
+    order = np.lexsort((rids, hh))[:sample_size]
+    sample = remb[order]
+
+    def unit(x):
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return x / n
+
+    su = unit(sample)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(su), size=min(n_centroids, len(su)),
+                     replace=False)
+    cents = su[idx].copy()
+    for _ in range(iters):
+        assign = (su @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = su[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = unit(cents)
+    ru = unit(remb)
+    assign_r = (ru @ cents.T).argmax(axis=1)
+    lu = unit(lemb)
+    probes = np.argsort(-(lu @ cents.T), axis=1)[:, :n_probe]
+    out = []
+    for qi in range(len(lids)):
+        cand_i, cand_s = [], []
+        for c in probes[qi].tolist():
+            in_cell = np.flatnonzero(assign_r == c)
+            if not len(in_cell):
+                continue
+            s = ru[in_cell] @ lu[qi]
+            cand_i.extend(rids[in_cell].tolist())
+            cand_s.extend(s.tolist())
+        if not cand_i:
+            continue
+        cand_i = np.asarray(cand_i, dtype=np.int64)
+        cand_s = np.asarray(cand_s)
+        sel = np.lexsort((cand_i, -cand_s))[:k]
+        for x in sel:
+            out.append((int(lids[qi]), int(cand_i[x])))
+    return out
+
+
 def ivfpq_topk_ref(ids, embs, n_queries=2, k=5, n_centroids=8, m=8, kc=16,
                    n_probe=3, seed=42, sample_size=256, iters=10):
     """Brute-force reconstruction of the residual IVF-PQ query: the same
@@ -1047,6 +1107,13 @@ def main(sfs=("sf0.001", "sf0.01")):
                                                 type=pa.float64())
                          for j in range(4)}}),
             os.path.join(outdir, "pca_embeddings.parquet"))
+        annj = ann_join_ref(eids, et.column("embedding").to_pylist())
+        pq.write_table(
+            pa.table({"query_id": pa.array([p[0] for p in annj],
+                                           type=pa.int64()),
+                      "match_id": pa.array([p[1] for p in annj],
+                                           type=pa.int64())}),
+            os.path.join(outdir, "ann_join_embeddings.parquet"))
         ivfpq = ivfpq_topk_ref(eids, et.column("embedding").to_pylist())
         pq.write_table(
             pa.table({"query_id": pa.array([p[0] for p in ivfpq],
