@@ -163,7 +163,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "weighted_sample_documents", "q10_returned_items",
         "url_dedup_documents", "ogg_headers_documents",
         "kcore_orders", "upsample_documents", "gap_fill_events",
-        "ann_join_embeddings",
+        "ann_join_embeddings", "near_dup_pairs_prefix",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -72,7 +72,8 @@ from ..state.sketches import hash64
 
 __all__ = [
     "add_content_hash", "exact_dup_groups", "exact_dedup_keep_first",
-    "MinHasher", "minhash_lsh_candidates", "SimHasher", "simhash_near_dups",
+    "MinHasher", "minhash_lsh_candidates", "prefix_jaccard_candidates",
+    "SimHasher", "simhash_near_dups",
     "hamming_near_dups", "fuzzy_join_ed1",
     "ngram_jaccard", "embedding_near_dups",
     "semantic_codebook", "semantic_dedup_pairs", "semantic_dedup",
@@ -1837,3 +1838,202 @@ def fuzzy_join_ed1(ds: Dataset, column: str, id_column: str,
         verify, batch_format="pyarrow")
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         MinAgg("dist", alias_name="dist"))
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact-recall jaccard candidates (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+
+def _distinct_gram_hashes(texts: "list[str]", k: int):
+    """Per-doc DISTINCT word-k-gram 64-bit hashes for a batch: returns
+    (g, doc_idx, set_size_per_doc) where ``g`` is uint64 and ``doc_idx``
+    maps each gram to its batch row.  Same gram contract as
+    ``_word_shingles`` (short docs emit their joined words; empty docs one
+    "" gram), same polars hash seed (7) as the MinHasher stream."""
+    import polars as pl
+
+    n = len(texts)
+    if n == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    s = pl.Series("t", texts, dtype=pl.Utf8).fill_null("")
+    words = s.str.extract_all(_WORD_RE.pattern)
+    wc = words.list.len().to_numpy().astype(np.int64)
+    long_mask = wc >= k
+    parts = []
+    if long_mask.any():
+        lf = (pl.DataFrame({"w": words})
+              .lazy().with_row_index("doc")
+              .explode("w", empty_as_null=True))
+        cols = [pl.col("w")] + [pl.col("w").shift(-i).over("doc")
+                                for i in range(1, k)]
+        sh = (lf.select(pl.col("doc"),
+                        pl.concat_str(cols, separator=" ").alias("s"))
+              .drop_nulls().collect())
+        parts.append(pl.DataFrame({
+            "doc": sh.get_column("doc").cast(pl.Int64),
+            "g": sh.get_column("s").hash(seed=7)}))
+    if (~long_mask).any():
+        short_idx = np.flatnonzero(~long_mask)
+        short = words.list.join(" ")
+        h_short = short.hash(seed=7).to_numpy().astype(np.uint64)
+        parts.append(pl.DataFrame({
+            "doc": pl.Series(short_idx, dtype=pl.Int64),
+            "g": pl.Series(h_short[short_idx], dtype=pl.UInt64)}))
+    df = pl.concat(parts).unique().sort(["doc", "g"])
+    doc_idx = df.get_column("doc").to_numpy().astype(np.int64)
+    g = df.get_column("g").to_numpy().astype(np.uint64)
+    sizes = np.zeros(n, dtype=np.int64)
+    u, c = np.unique(doc_idx, return_counts=True)
+    sizes[u] = c
+    return g, doc_idx, sizes
+
+
+def prefix_jaccard_candidates(ds: Dataset, text_column: str, id_column: str,
+                              threshold: float, k: int = 3,
+                              num_buckets: int = 64,
+                              num_partitions: int | None = None,
+                              max_gram_docs: int = 8192,
+                              fail_on_truncation: bool = True) -> Dataset:
+    """Candidate pairs with EXACT recall for word-k-gram Jaccard >=
+    ``threshold`` — the deterministic-complete alternative to MinHash LSH
+    (whose recall is probabilistic).  PPJoin-style prefix filtering (Xiao
+    et al. 2008 / Chaudhuri et al. 2006): order every doc's distinct
+    grams by the GLOBAL (document-frequency, gram) order — rarest first —
+    and keep only the first ``|A| - ceil(t*|A|) + 1`` grams; any pair
+    with J >= t shares >= ceil(t*max(|A|,|B|)) grams, so BOTH prefixes
+    must contain a common gram, and pairing docs within each prefix
+    gram's posting list (with the ``|B| >= t*|A|`` length filter) loses
+    nothing.  Returns distinct ``(id_a, id_b)`` with id_a < id_b — feed
+    to an exact verifier (ngram_jaccard) for the final cut; precision is
+    NOT 1, recall is (up to 64-bit gram-hash collisions, the same
+    contract as the minhash exactness mode).
+
+    Shuffle shape — four bucketed exchanges, all carrying (gram, doc, n)
+    triples, never the text: (1) df attach: bucket on gram, per-bucket
+    run lengths; (2) prefix cut: bucket on doc, per-doc sort by (df,
+    gram) + run-position mask; (3) pairing: bucket on gram over PREFIX
+    rows only, per-run shifted-gap scan with the length filter (a gram
+    whose posting list exceeds ``max_gram_docs`` raises when
+    ``fail_on_truncation`` — exactness runs fail loudly); (4) pair
+    dedup.  The df ordering concentrates prefixes on RARE grams, which
+    is what keeps posting lists short at corpus scale."""
+    import math
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if num_partitions is None:
+        num_partitions = min(num_buckets, 64)
+    B = np.uint64(num_buckets)
+
+    def gram_stream(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_column).to_pylist()
+        g, doc_idx, sizes = _distinct_gram_hashes(texts, k)
+        ids = batch.column(id_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "g": pa.array(g.view(np.int64)),
+            "doc": pa.array(ids[doc_idx]),
+            "n": pa.array(sizes[doc_idx]),
+            "bkt": pa.array((g % B).astype(np.int64))})
+
+    def attach_df(grp: pa.Table) -> pa.Table:
+        grp = grp.sort_by([("g", "ascending")])
+        g = grp.column("g").to_numpy(zero_copy_only=False)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(g)))
+        df = np.repeat(lens, lens)
+        from ..state.sketches import hash64
+        h = hash64(grp.column("doc"), seed=31) % B
+        return pa.table({
+            "g": grp.column("g"), "doc": grp.column("doc"),
+            "n": grp.column("n"),
+            "df": pa.array(df.astype(np.int64)),
+            "bkt": pa.array(h.astype(np.int64))})
+
+    def prefix_cut(grp: pa.Table) -> pa.Table:
+        grp = grp.sort_by([("doc", "ascending"), ("df", "ascending"),
+                           ("g", "ascending")])
+        doc = grp.column("doc").to_numpy(zero_copy_only=False)
+        n = grp.column("n").to_numpy(zero_copy_only=False)
+        pos = _run_positions_local(doc)
+        p = n - np.ceil(threshold * n).astype(np.int64) + 1
+        keep = pos < p
+        out = grp.filter(pa.array(keep))
+        g = out.column("g").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": out.column("g"), "doc": out.column("doc"),
+            "n": out.column("n"),
+            "bkt": pa.array((g.view(np.uint64) % B).astype(np.int64))})
+
+    def pair_up(grp: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64())})
+        if grp.num_rows == 0:
+            return empty
+        grp = grp.sort_by([("g", "ascending"), ("n", "ascending"),
+                           ("doc", "ascending")])
+        g = grp.column("g").to_numpy(zero_copy_only=False)
+        n = grp.column("n").to_numpy(zero_copy_only=False)
+        doc = grp.column("doc").to_numpy(zero_copy_only=False)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = g[1:] != g[:-1]
+        lens = np.diff(np.append(np.flatnonzero(new), len(g)))
+        if lens.max(initial=0) > max_gram_docs:
+            msg = (f"prefix_jaccard_candidates: a prefix gram's posting "
+                   f"list has {int(lens.max())} docs > max_gram_docs="
+                   f"{max_gram_docs}")
+            if fail_on_truncation:
+                raise ValueError(msg + " — raise max_gram_docs")
+            logger.warning("%s; pairs beyond the cap are dropped", msg)
+        parts_a, parts_b = [], []
+        gap = 1
+        m = len(g)
+        while gap < min(m, max_gram_docs):
+            same = g[gap:] == g[:-gap]
+            # length filter: n ascending within a run, so the pair
+            # (i, i+gap) can reach J >= t only when n_i >= t * n_{i+gap}
+            ok = same & (n[:-gap] >= threshold * n[gap:])
+            if not same.any():
+                break
+            if ok.any():
+                a = doc[:-gap][ok]
+                b = doc[gap:][ok]
+                parts_a.append(np.minimum(a, b))
+                parts_b.append(np.maximum(a, b))
+            gap += 1
+        if not parts_a:
+            return empty
+        return pa.table({"id_a": pa.array(np.concatenate(parts_a)),
+                         "id_b": pa.array(np.concatenate(parts_b))})
+
+    def first_row(grp: pa.Table) -> pa.Table:
+        return grp.slice(0, 1)
+
+    pairs = (ds.select_columns([id_column, text_column])
+             .map_batches(gram_stream, batch_format="pyarrow")
+             .groupby("bkt", num_partitions=num_partitions)
+             .map_groups(attach_df, batch_format="pyarrow")
+             .groupby("bkt", num_partitions=num_partitions)
+             .map_groups(prefix_cut, batch_format="pyarrow")
+             .groupby("bkt", num_partitions=num_partitions)
+             .map_groups(pair_up, batch_format="pyarrow"))
+    return (pairs.groupby(["id_a", "id_b"], num_partitions=num_partitions)
+            .map_groups(first_row, batch_format="pyarrow"))
+
+
+def _run_positions_local(keys: np.ndarray) -> np.ndarray:
+    """Position of each element within its run of equal consecutive keys
+    (the analytics._run_positions shape, local to avoid a cross-module
+    import at worker-deserialize time)."""
+    n = len(keys)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    new = np.ones(n, dtype=bool)
+    new[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(new)
+    run_id = np.cumsum(new) - 1
+    return np.arange(n, dtype=np.int64) - starts[run_id]

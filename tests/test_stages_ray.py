@@ -1092,6 +1092,44 @@ def test_canonicalize_urls(ray_session):
     assert out[3] is None and out[4] is None
 
 
+def test_prefix_jaccard_candidates_complete(ray_session):
+    """Prefix-filter recall is EXACTLY 1: on random word soups, every
+    pair with true word-3-gram Jaccard >= t appears in the candidates."""
+    import numpy as np
+    import ray.data as rd
+    from malli_ray.stages.dedup import (_word_shingles,
+                                        prefix_jaccard_candidates)
+
+    rng = np.random.default_rng(19)
+    vocab = [f"w{i}" for i in range(30)]
+    for t in (0.5, 0.25):
+        docs = []
+        for i in range(40):
+            base = rng.integers(3, 20)
+            words = [vocab[j] for j in rng.integers(0, len(vocab),
+                                                    size=base)]
+            docs.append(" ".join(words))
+            if i % 4 == 0:       # plant near-dups: perturb one word
+                w2 = list(words)
+                w2[rng.integers(0, len(w2))] = vocab[0]
+                docs.append(" ".join(w2))
+        ids = list(range(len(docs)))
+        truth = set()
+        gs = [set(_word_shingles(d, 3)) for d in docs]
+        for a in range(len(docs)):
+            for b in range(a + 1, len(docs)):
+                u = len(gs[a] | gs[b])
+                if u and len(gs[a] & gs[b]) / u >= t:
+                    truth.add((a, b))
+        ds = rd.from_arrow(pa.table({"doc_id": ids, "text": docs}))
+        cands = {(r["id_a"], r["id_b"])
+                 for r in prefix_jaccard_candidates(
+                     ds, "text", "doc_id", threshold=t,
+                     num_buckets=8).take_all()}
+        missing = truth - cands
+        assert not missing, f"t={t}: recall gap {missing}"
+
+
 def test_ann_join_exact_when_all_cells_probed(ray_session):
     import numpy as np
     import ray.data as rd
