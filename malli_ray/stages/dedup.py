@@ -72,6 +72,7 @@ from ..state.sketches import hash64
 
 __all__ = [
     "add_content_hash", "exact_dup_groups", "exact_dedup_keep_first",
+    "exact_dedup_keep_best",
     "MinHasher", "minhash_lsh_candidates", "prefix_jaccard_candidates",
     "SimHasher", "simhash_near_dups",
     "hamming_near_dups", "fuzzy_join_ed1",
@@ -134,6 +135,45 @@ def exact_dedup_keep_first(ds: Dataset, column: str, id_column: str) -> Dataset:
     return (partial.groupby("content_hash")
             .aggregate(Min(id_column, alias_name=id_column))
             .select_columns([id_column]))
+
+
+def exact_dedup_keep_best(ds: Dataset, column: str, id_column: str,
+                          score_column: str) -> Dataset:
+    """One id per distinct content, keeping the row with the HIGHEST
+    ``score_column`` (ties to the minimum id) — the quality-aware keep
+    rule ("of N exact duplicates keep the best-scored copy", e.g. the
+    least-truncated crawl).  SQL ``QUALIFY ROW_NUMBER() OVER (PARTITION
+    BY content ORDER BY score DESC, id) = 1``.
+
+    Same scale shape as ``exact_dedup_keep_first``: a map-side per-batch
+    argmax collapses duplicates inside every block before the shuffle
+    (only (hash, id, score) rows move, a hot content key arrives
+    pre-collapsed per block), then one groupby picks the global best per
+    content hash.  Null scores lose to any non-null score."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        h1 = hash64(batch.column(column), seed=1)
+        h2 = hash64(batch.column(column), seed=2)
+        hx = [f"{a:016x}{b:016x}" for a, b in zip(h1.tolist(), h2.tolist())]
+        t = pa.table({"content_hash": pa.array(hx, type=pa.string()),
+                      id_column: batch.column(id_column),
+                      score_column: batch.column(score_column)})
+        t = t.sort_by([("content_hash", "ascending"),
+                       (score_column, "descending"),
+                       (id_column, "ascending")])
+        ch = t.column("content_hash").to_numpy(zero_copy_only=False)
+        first = np.ones(len(ch), dtype=bool)
+        first[1:] = ch[1:] != ch[:-1]
+        return t.filter(pa.array(first))
+
+    def best(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(score_column, "descending"),
+                       (id_column, "ascending")])
+        return g.slice(0, 1).select([id_column])
+
+    return (ds.map_batches(combine, batch_format="pyarrow")
+            .groupby("content_hash")
+            .map_groups(best, batch_format="pyarrow"))
 
 
 # RE2-compatible "non-space": RE2 (pyarrow/DuckDB) \s is ASCII-only while

@@ -1092,6 +1092,21 @@ def test_canonicalize_urls(ray_session):
     assert out[3] is None and out[4] is None
 
 
+def test_exact_dedup_keep_best(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.dedup import exact_dedup_keep_best
+
+    rows = [{"id": 0, "t": "x", "s": 5}, {"id": 1, "t": "x", "s": 9},
+            {"id": 2, "t": "x", "s": 9},           # tie -> min id (1)
+            {"id": 3, "t": "y", "s": None},        # null loses...
+            {"id": 4, "t": "y", "s": 1},
+            {"id": 5, "t": "z", "s": None}]        # ...unless all null
+    ds = rd.from_items(rows)
+    kept = {r["id"] for r in
+            exact_dedup_keep_best(ds, "t", "id", "s").take_all()}
+    assert kept == {1, 4, 5}
+
+
 def test_prefix_jaccard_candidates_complete(ray_session):
     """Prefix-filter recall is EXACTLY 1: on random word soups, every
     pair with true word-3-gram Jaccard >= t appears in the candidates."""
