@@ -74,6 +74,7 @@ __all__ = [
     "add_content_hash", "exact_dup_groups", "exact_dedup_keep_first",
     "exact_dedup_keep_best",
     "MinHasher", "minhash_lsh_candidates", "prefix_jaccard_candidates",
+    "containment_candidates", "ngram_containment",
     "SimHasher", "simhash_near_dups",
     "hamming_near_dups", "fuzzy_join_ed1",
     "ngram_jaccard", "embedding_near_dups",
@@ -2000,7 +2001,11 @@ def prefix_jaccard_candidates(ds: Dataset, text_column: str, id_column: str,
         doc = grp.column("doc").to_numpy(zero_copy_only=False)
         n = grp.column("n").to_numpy(zero_copy_only=False)
         pos = _run_positions_local(doc)
-        p = n - np.ceil(threshold * n).astype(np.int64) + 1
+        # floor, not ceil: floor(float(t*n)) <= ceil(exact t*n) regardless
+        # of the literal's rounding direction, so the prefix can only be
+        # LONGER than the theorem needs — completeness survives
+        # non-representable thresholds at the cost of <= 1 extra gram/doc
+        p = n - np.floor(threshold * n).astype(np.int64) + 1
         keep = pos < p
         out = grp.filter(pa.array(keep))
         g = out.column("g").to_numpy(zero_copy_only=False)
@@ -2077,3 +2082,156 @@ def _run_positions_local(keys: np.ndarray) -> np.ndarray:
     starts = np.flatnonzero(new)
     run_id = np.cumsum(new) - 1
     return np.arange(n, dtype=np.int64) - starts[run_id]
+
+
+def containment_candidates(ds: Dataset, text_column: str, id_column: str,
+                           threshold: float, k: int = 3,
+                           num_buckets: int = 64,
+                           num_partitions: int | None = None,
+                           max_gram_docs: int = 8192,
+                           fail_on_truncation: bool = True) -> Dataset:
+    """Candidate pairs with EXACT recall for word-k-gram CONTAINMENT
+    ``|A ∩ B| / min(|A|, |B|) >= threshold`` — the partial-duplicate /
+    quote-detection relation that Jaccard misses (a doc fully embedded in
+    a 10x-longer doc has high containment but tiny Jaccard, so no
+    Jaccard-calibrated LSH banding finds it reliably).
+
+    Asymmetric prefix filtering: containment bounds the intersection only
+    against the SMALLER set (``I >= ceil(t * min)``), so the smaller doc
+    keeps a df-ordered prefix of ``n - ceil(t*n) + 1`` grams (probe side)
+    while every doc also posts ALL its grams (index side); a qualifying
+    pair must share a probe-prefix gram with the other doc's full posting
+    list.  The full index postings are the inherent price of exact
+    containment recall — there is no length filter (any size ratio can
+    qualify), which is why the op caps a gram's posting list with a
+    fail-loud ``max_gram_docs`` like the exactness LSH mode.  Returns
+    distinct ``(id_a, id_b)``, id_a < id_b; verify with an exact
+    containment scorer.  Same exchanges as
+    :func:`prefix_jaccard_candidates` (df attach -> prefix cut ->
+    gram-keyed pairing -> pair dedup), with the index side riding the
+    pairing exchange untagged-by-df."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if num_partitions is None:
+        num_partitions = min(num_buckets, 64)
+    B = np.uint64(num_buckets)
+
+    def gram_stream(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_column).to_pylist()
+        g, doc_idx, sizes = _distinct_gram_hashes(texts, k)
+        ids = batch.column(id_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "g": pa.array(g.view(np.int64)),
+            "doc": pa.array(ids[doc_idx]),
+            "n": pa.array(sizes[doc_idx]),
+            "bkt": pa.array((g % B).astype(np.int64))})
+
+    def attach_df(grp: pa.Table) -> pa.Table:
+        grp = grp.sort_by([("g", "ascending")])
+        g = grp.column("g").to_numpy(zero_copy_only=False)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = g[1:] != g[:-1]
+        lens = np.diff(np.append(np.flatnonzero(new), len(g)))
+        df = np.repeat(lens, lens)
+        from ..state.sketches import hash64
+        h = hash64(grp.column("doc"), seed=31) % B
+        return pa.table({
+            "g": grp.column("g"), "doc": grp.column("doc"),
+            "n": grp.column("n"),
+            "df": pa.array(df.astype(np.int64)),
+            "bkt": pa.array(h.astype(np.int64))})
+
+    def tag_sides(grp: pa.Table) -> pa.Table:
+        """Per doc: ALL grams as index rows (side 1) + the df-ordered
+        prefix as probe rows (side 0)."""
+        grp = grp.sort_by([("doc", "ascending"), ("df", "ascending"),
+                           ("g", "ascending")])
+        doc = grp.column("doc").to_numpy(zero_copy_only=False)
+        n = grp.column("n").to_numpy(zero_copy_only=False)
+        pos = _run_positions_local(doc)
+        # floor for boundary safety — see prefix_jaccard_candidates
+        p = n - np.floor(threshold * n).astype(np.int64) + 1
+        probe = grp.filter(pa.array(pos < p))
+        gp = probe.column("g").to_numpy(zero_copy_only=False)
+        gi = grp.column("g").to_numpy(zero_copy_only=False)
+        side = np.concatenate([np.zeros(probe.num_rows, dtype=np.int8),
+                               np.ones(grp.num_rows, dtype=np.int8)])
+        return pa.table({
+            "g": pa.array(np.concatenate([gp, gi])),
+            "doc": pa.array(np.concatenate(
+                [probe.column("doc").to_numpy(zero_copy_only=False),
+                 doc])),
+            "side": pa.array(side),
+            "bkt": pa.array((np.concatenate([gp, gi]).view(np.uint64)
+                             % B).astype(np.int64))})
+
+    def pair_up(grp: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64())})
+        if grp.num_rows == 0:
+            return empty
+        grp = grp.sort_by([("g", "ascending"), ("doc", "ascending"),
+                           ("side", "ascending")])
+        g = grp.column("g").to_numpy(zero_copy_only=False)
+        doc = grp.column("doc").to_numpy(zero_copy_only=False)
+        side = grp.column("side").to_numpy(zero_copy_only=False)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(g)))
+        if lens.max(initial=0) > 2 * max_gram_docs:
+            msg = (f"containment_candidates: a gram's posting list has "
+                   f"{int(lens.max())} rows > 2*max_gram_docs="
+                   f"{2 * max_gram_docs}")
+            if fail_on_truncation:
+                raise ValueError(msg + " — raise max_gram_docs")
+            logger.warning("%s; pairs beyond the cap are dropped", msg)
+        parts_a, parts_b = [], []
+        gap = 1
+        m = len(g)
+        # probe x index pairs within each gram run: the shifted-gap scan
+        # over the (doc, side)-sorted run pairs every two DISTINCT docs
+        # where at least one side is a probe row
+        while gap < min(m, 2 * max_gram_docs):
+            same = g[gap:] == g[:-gap]
+            if not same.any():
+                break
+            ok = same & (doc[gap:] != doc[:-gap]) \
+                & ((side[:-gap] == 0) | (side[gap:] == 0))
+            if ok.any():
+                a = doc[:-gap][ok]
+                b = doc[gap:][ok]
+                parts_a.append(np.minimum(a, b))
+                parts_b.append(np.maximum(a, b))
+            gap += 1
+        if not parts_a:
+            return empty
+        t = pa.table({"id_a": pa.array(np.concatenate(parts_a)),
+                      "id_b": pa.array(np.concatenate(parts_b))})
+        # local pre-dedup before the pair exchange
+        return t.group_by(["id_a", "id_b"], use_threads=False).aggregate([])
+
+    def first_row(grp: pa.Table) -> pa.Table:
+        return grp.slice(0, 1)
+
+    pairs = (ds.select_columns([id_column, text_column])
+             .map_batches(gram_stream, batch_format="pyarrow")
+             .groupby("bkt", num_partitions=num_partitions)
+             .map_groups(attach_df, batch_format="pyarrow")
+             .groupby("bkt", num_partitions=num_partitions)
+             .map_groups(tag_sides, batch_format="pyarrow")
+             .groupby("bkt", num_partitions=num_partitions)
+             .map_groups(pair_up, batch_format="pyarrow"))
+    return (pairs.groupby(["id_a", "id_b"], num_partitions=num_partitions)
+            .map_groups(first_row, batch_format="pyarrow"))
+
+
+def ngram_containment(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word-shingle containment |A∩B| / min(|A|,|B|) (the verifier
+    for containment_candidates)."""
+    sa, sb = set(_word_shingles(text_a, k)), set(_word_shingles(text_b, k))
+    if not sa and not sb:
+        return 1.0
+    m = min(len(sa), len(sb))
+    return len(sa & sb) / m if m else 0.0

@@ -1145,6 +1145,43 @@ def test_prefix_jaccard_candidates_complete(ray_session):
         assert not missing, f"t={t}: recall gap {missing}"
 
 
+def test_containment_candidates_complete(ray_session):
+    """Containment recall is exactly 1 — including the asymmetric pairs
+    (short doc embedded in a much longer one) whose JACCARD is far below
+    any banding threshold."""
+    import numpy as np
+    import ray.data as rd
+    from malli_ray.stages.dedup import (_word_shingles,
+                                        containment_candidates)
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(25):
+        words = [vocab[j] for j in rng.integers(0, len(vocab),
+                                                size=rng.integers(20, 40))]
+        docs.append(" ".join(words))
+        if i % 3 == 0:  # plant a fully-contained short excerpt
+            s = rng.integers(0, len(words) - 6)
+            docs.append(" ".join(words[s:s + 6]))
+    ids = list(range(len(docs)))
+    t = 0.8
+    gs = [set(_word_shingles(d, 3)) for d in docs]
+    truth = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            m = min(len(gs[a]), len(gs[b]))
+            if 5 * len(gs[a] & gs[b]) >= 4 * m:
+                truth.add((a, b))
+    assert truth, "planted containment pairs missing from the setup"
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": docs}))
+    cands = {(r["id_a"], r["id_b"])
+             for r in containment_candidates(ds, "text", "doc_id",
+                                             threshold=t,
+                                             num_buckets=8).take_all()}
+    assert truth - cands == set(), truth - cands
+
+
 def test_ann_join_exact_when_all_cells_probed(ray_session):
     import numpy as np
     import ray.data as rd
