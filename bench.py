@@ -165,7 +165,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "kcore_orders", "upsample_documents", "gap_fill_events",
         "ann_join_embeddings", "near_dup_pairs_prefix",
         "dedup_keep_best_documents", "corpus_prep_v5_documents",
-        "containment_pairs_documents",
+        "containment_pairs_documents", "q7_nation_volume",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round
