@@ -166,7 +166,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "ann_join_embeddings", "near_dup_pairs_prefix",
         "dedup_keep_best_documents", "corpus_prep_v5_documents",
         "containment_pairs_documents", "q7_nation_volume",
-        "q8_market_share",
+        "q8_market_share", "q19_disjunctive_revenue",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round
