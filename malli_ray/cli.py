@@ -190,6 +190,12 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
         kept = dedup.exact_dedup_keep_first(ds, tc, idc)
         ds = joins.semi_join(ds, kept, on=idc)
         stages.append("dedup_exact")
+    if args.url_dedup:
+        ds = T.canonicalize_urls(ds, args.url_dedup)
+        kept = dedup.exact_dedup_keep_first(ds, "canonical_url", idc)
+        ds = joins.semi_join(ds, kept, on=idc).drop_columns(
+            ["canonical_url"])
+        stages.append(f"url_dedup({args.url_dedup})")
     if args.decontaminate:
         probe_paths = sorted(_glob.glob(args.decontaminate))
         if not probe_paths:
@@ -199,7 +205,7 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
         ds = T.ngram_contamination(ds, tc, idc, probes, k=args.ngram)
         ds = ds.filter(expr="n_hit == 0")
         stages.append(f"decontaminate(k={args.ngram})")
-    if args.outliers or args.rebalance:
+    if args.outliers or args.rebalance or args.top_fraction:
         # outliers and rebalance are both two-pass (a tiny stats pass, then
         # the filter), and each pass would re-execute the upstream chain
         # lazily — checkpoint ONCE before the first of them; everything
@@ -218,10 +224,31 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
         else:
             ds = sampling.rebalance_to_uniform(ds, args.rebalance, idc)
             stages.append(f"rebalance({args.rebalance})")
+    if args.top_fraction:
+        g, s, f = args.top_fraction.split(":")
+        ds = sampling.top_fraction_by_group(ds, g, s, idc, float(f))
+        ds = ds.drop_columns(["rk"])
+        stages.append(f"top_fraction({g}:{s}:{f})")
+    if args.upsample:
+        g, spec = args.upsample.split(":", 1)
+        factors, default = {}, 1.0
+        for part in spec.split(","):
+            name, fv = part.split("=", 1)
+            if name == "default":
+                default = float(fv)
+            else:
+                factors[name] = float(fv)
+        ds = sampling.upsample_by_group_factor(
+            ds, g, idc, factors, default_factor=default)
+        stages.append(f"upsample({args.upsample})")
     if args.chunk:
         size, stride = (int(x) for x in args.chunk.split(":", 1))
         ds = packing.chunk_text(ds, tc, idc, size=size, stride=stride)
         stages.append(f"chunk({size}:{stride})")
+    if args.pack:
+        g, cnt, bs = args.pack.split(":")
+        ds = packing.concat_token_blocks(ds, g, idc, cnt, int(bs))
+        stages.append(f"pack({args.pack})")
     partition_cols = []
     if args.split:
         fractions = {}
@@ -340,6 +367,21 @@ def main(argv: list[str] | None = None) -> int:
                     help="per-group Tukey-fence filter, e.g. source:n_chars")
     cp.add_argument("--rebalance", metavar="GROUP",
                     help="deterministic uniform-mixture downsampling on GROUP")
+    cp.add_argument("--url-dedup", metavar="URLCOL",
+                    help="canonicalize the URL column (lower scheme/host, "
+                         "strip www/query/fragment/trailing slashes) and "
+                         "keep one doc per canonical URL (min id)")
+    cp.add_argument("--top-fraction", metavar="GROUP:SCORE:F",
+                    help="keep the top F fraction of every GROUP by SCORE "
+                         "(deterministic id tie-break)")
+    cp.add_argument("--upsample", metavar="GROUP:NAME=F[,NAME=F...]",
+                    help="fractional epoch mixture, e.g. "
+                         "source:books=2.5,web=0.5,default=1 — emits an "
+                         "epoch copy-index column")
+    cp.add_argument("--pack", metavar="GROUP:COUNT:BLOCK",
+                    help="GPT-style concat-and-cut packing: per-GROUP "
+                         "token streams (COUNT column) cut into BLOCK-"
+                         "token blocks; output is per-(doc, block) spans")
     cp.add_argument("--chunk", metavar="SIZE:STRIDE",
                     help="sliding-window chunking of the text column")
     cp.add_argument("--split", metavar="LABEL:FRAC,...",

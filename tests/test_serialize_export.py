@@ -863,6 +863,49 @@ def test_cli_corpus_prep(tmp_path, ray_session, capsys):
     assert rep["rows_out"] == chunks.num_rows
 
 
+def test_cli_corpus_prep_session5_stages(tmp_path, ray_session, capsys):
+    """--url-dedup, --top-fraction, --upsample and --pack compose: URL
+    canonical dedup first, then per-source top-half selection, a 2x 'a'
+    mixture, and concat-and-cut packing into 10-token blocks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from malli_ray.cli import main
+
+    docs = pa.table({
+        "doc_id": list(range(10)),
+        "source": ["a"] * 6 + ["b"] * 4,
+        "n_tok": [7, 3, 9, 5, 11, 2, 8, 4, 6, 10],
+        "url": [f"HTTPS://WWW.X{i % 8}.COM/p/" for i in range(10)],
+        "text": [f"doc number {i}" for i in range(10)]})
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(docs, inp / "part-0.parquet")
+    out = tmp_path / "out"
+    rc = main(["corpus-prep", "--input", str(inp), "--out", str(out),
+               "--url-dedup", "url",
+               "--top-fraction", "source:n_tok:0.5",
+               "--upsample", "source:a=2",
+               "--pack", "source:n_tok:10", "--num-cpus", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stages"] == ["url_dedup(url)",
+                             "top_fraction(source:n_tok:0.5)",
+                             "upsample(source:a=2)",
+                             "pack(source:n_tok:10)"]
+    spans = pq.read_table(sorted((out / "data").glob("*.parquet")))
+    # urls collide mod 8 -> docs 8, 9 drop; per-source top half by n_tok:
+    # a keeps ceil(6*0.5)=3 of {0..5}, b keeps ceil(2*0.5)=1 of {6, 7};
+    # upsample duplicates every a row
+    assert set(spans.column("doc_id").to_pylist()) == {0, 2, 4, 6}
+    # doc 4 (n_tok=11) appears twice (epochs), each copy tiling 11 tokens
+    d4 = spans.filter(pa.compute.equal(spans.column("doc_id"), 4))
+    covered = sum((e - s) for s, e in zip(
+        d4.column("tok_start").to_pylist(),
+        d4.column("tok_end").to_pylist()))
+    assert covered == 22
+    assert rep["rows_out"] == spans.num_rows
+
+
 def test_cli_corpus_prep_normalize_bloom_temperature(tmp_path, ray_session,
                                                      capsys):
     """The late-r3 CLI flags: --normalize canonicalizes before dedup,
