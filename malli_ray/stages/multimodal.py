@@ -30,7 +30,8 @@ __all__ = ["ImageFeatureExtractor", "add_image_features",
            "synth_image_pixels", "decode_wav_pcm16", "audio_fp64",
            "AudioFingerprinter", "audio_fingerprint", "synth_audio_pcm",
            "make_jpeg_exif", "parse_jpeg_exif", "ExifProbe", "probe_exif",
-           "make_ogg_opus_header", "make_ogg_vorbis_header"]
+           "make_ogg_opus_header", "make_ogg_vorbis_header",
+           "ImagePatcher", "image_patch_features"]
 
 IMAGE_META_SCHEMA = pa.schema([
     ("payload", pa.large_binary()),
@@ -1277,5 +1278,83 @@ def probe_exif(ds: Dataset, payload_column: str = "payload",
     from . import cached_stage, concurrency_kwargs
     return ds.map_batches(
         cached_stage(ExifProbe, payload_column=payload_column),
+        batch_format="pyarrow", batch_size=batch_size,
+        **concurrency_kwargs(concurrency))
+
+
+class ImagePatcher:
+    """Actor stage: BMP payload -> ViT-style patch features over the REAL
+    raster codec.  Each decoded image's integer luma grid is split into
+    ``grid x grid`` cells with floor boundaries ``i*dim//grid`` (the
+    dhash64 segmentation) and every cell emits one row: ``(id, patch_row,
+    patch_col, luma_sum, n_px, luma_mean)`` — sums and counts are exact
+    int64 and the mean is the exact integer division, so the stage is
+    bit-identical under any vectorization (golden-fixture checkable).
+    Undecodable payloads emit no rows.  Flat-map row multiplication
+    (grid^2 rows per image) — the same shape a real patch-embedding
+    pipeline feeds to a vision tower."""
+
+    def __init__(self, payload_column: str = "payload",
+                 id_column: str = "id", grid: int = 4):
+        self.payload_column = payload_column
+        self.id_column = id_column
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        ids = batch.column(self.id_column).to_pylist()
+        payloads = batch.column(self.payload_column).to_pylist()
+        out_id, out_r, out_c, out_sum, out_n = [], [], [], [], []
+        for rid, p in zip(ids, payloads):
+            px = decode_bmp(p or b"")
+            if px is None:
+                continue
+            h, w = px.shape[:2]
+            if h < g or w < g:
+                continue
+            lx = px.astype(np.int64)
+            luma = (lx[:, :, 0] * 299 + lx[:, :, 1] * 587
+                    + lx[:, :, 2] * 114) // 1000
+            rb = (np.arange(g + 1) * h) // g
+            cb = (np.arange(g + 1) * w) // g
+            rowsum = np.add.reduceat(luma, rb[:-1], axis=0)
+            cells = np.add.reduceat(rowsum, cb[:-1], axis=1)
+            counts = np.outer(np.diff(rb), np.diff(cb))
+            rr, cc = np.meshgrid(np.arange(g), np.arange(g),
+                                 indexing="ij")
+            out_id.extend([rid] * (g * g))
+            out_r.append(rr.ravel())
+            out_c.append(cc.ravel())
+            out_sum.append(cells.ravel())
+            out_n.append(counts.ravel())
+        if not out_id:
+            return pa.table({
+                self.id_column: pa.array(
+                    [], type=batch.schema.field(self.id_column).type),
+                "patch_row": pa.array([], type=pa.int64()),
+                "patch_col": pa.array([], type=pa.int64()),
+                "luma_sum": pa.array([], type=pa.int64()),
+                "n_px": pa.array([], type=pa.int64()),
+                "luma_mean": pa.array([], type=pa.int64())})
+        sums = np.concatenate(out_sum)
+        ns = np.concatenate(out_n)
+        return pa.table({
+            self.id_column: out_id,
+            "patch_row": pa.array(np.concatenate(out_r).astype(np.int64)),
+            "patch_col": pa.array(np.concatenate(out_c).astype(np.int64)),
+            "luma_sum": pa.array(sums.astype(np.int64)),
+            "n_px": pa.array(ns.astype(np.int64)),
+            "luma_mean": pa.array((sums // ns).astype(np.int64))})
+
+
+def image_patch_features(ds: Dataset, payload_column: str = "payload",
+                         id_column: str = "id", grid: int = 4,
+                         batch_size: int = 64, concurrency=None) -> Dataset:
+    """Actor-pool patch-featurization stage over the dependency-free BMP
+    codec (see ImagePatcher)."""
+    from . import cached_stage, concurrency_kwargs
+    return ds.map_batches(
+        cached_stage(ImagePatcher, payload_column=payload_column,
+                     id_column=id_column, grid=grid),
         batch_format="pyarrow", batch_size=batch_size,
         **concurrency_kwargs(concurrency))

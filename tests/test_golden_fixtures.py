@@ -250,6 +250,16 @@ def test_ivfpq_topk_fixture_rederives():
     assert [tuple(r.values()) for r in got.to_pylist()] == want
 
 
+def test_image_patches_fixture_rederives():
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    ids = t.column("doc_id").to_pylist()[:20]
+    want = make_golden.image_patches_ref(ids)
+    got = pq.read_table(f"{GOLD}/image_patches_documents.parquet")
+    got = got.filter(pa.compute.is_in(got.column("doc_id"),
+                                      pa.array(sorted(ids))))
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+
+
 def test_ann_join_fixture_rederives():
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
                       columns=["vec_id", "embedding"])

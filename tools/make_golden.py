@@ -652,6 +652,31 @@ def dhash_ref(doc_id, grid=8):
     return out
 
 
+def image_patches_ref(ids, grid=4):
+    """Per-pixel reference for multimodal.ImagePatcher: floor-boundary
+    ``grid x grid`` cells over the integer luma, exact sums/counts and
+    integer means — never encodes/decodes BMP, so a match also certifies
+    the engine's codec round-trip."""
+    out = []
+    for doc_id in sorted(ids):
+        px = _synth_pixels_ref(doc_id)
+        h, w = px.shape[:2]
+        luma = [[(int(px[r][c][0]) * 299 + int(px[r][c][1]) * 587
+                  + int(px[r][c][2]) * 114) // 1000
+                 for c in range(w)] for r in range(h)]
+        rb = [(i * h) // grid for i in range(grid + 1)]
+        cb = [(j * w) // grid for j in range(grid + 1)]
+        for i in range(grid):
+            for j in range(grid):
+                tot = cnt = 0
+                for r in range(rb[i], rb[i + 1]):
+                    for c in range(cb[j], cb[j + 1]):
+                        tot += luma[r][c]
+                        cnt += 1
+                out.append((doc_id, i, j, tot, cnt, tot // cnt))
+    return out
+
+
 def image_near_dups_ref(ids, max_hamming=7):
     """Brute-force O(n^2) hamming pairs over the per-doc dHashes — the
     independent counterpart of the engine's chunk-pigeonhole banding."""
@@ -1053,6 +1078,21 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "entropy": pa.array([e[2] for e in ent],
                                           type=pa.float64())}),
             os.path.join(outdir, "entropy_documents.parquet"))
+        patches = image_patches_ref(ids)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([p[0] for p in patches],
+                                         type=pa.int64()),
+                      "patch_row": pa.array([p[1] for p in patches],
+                                            type=pa.int64()),
+                      "patch_col": pa.array([p[2] for p in patches],
+                                            type=pa.int64()),
+                      "luma_sum": pa.array([p[3] for p in patches],
+                                           type=pa.int64()),
+                      "n_px": pa.array([p[4] for p in patches],
+                                       type=pa.int64()),
+                      "luma_mean": pa.array([p[5] for p in patches],
+                                            type=pa.int64())}),
+            os.path.join(outdir, "image_patches_documents.parquet"))
         hs, ipairs = image_near_dups_ref(ids)
         pq.write_table(
             pa.table({"doc_id": pa.array([h[0] for h in hs],
