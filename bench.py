@@ -167,7 +167,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "dedup_keep_best_documents", "corpus_prep_v5_documents",
         "containment_pairs_documents", "q7_nation_volume",
         "q8_market_share", "q19_disjunctive_revenue",
-        "image_patches_documents",
+        "image_patches_documents", "ffill_events",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -34,7 +34,7 @@ from ray.data.aggregate import Count
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
            "range_join", "rolling_aggregate", "debounce", "funnel",
-           "retention", "gap_fill"]
+           "retention", "gap_fill", "ffill"]
 
 
 def tumbling_window(ds: Dataset, ts_col: str, minutes: int,
@@ -654,4 +654,64 @@ def gap_fill(ds: Dataset, key: str, bucket_column: str, value_column: str,
     return (ds.select_columns([key, bucket_column, value_column])
             .map_batches(bucketize, batch_format="pyarrow")
             .groupby(bcol, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def ffill(ds: Dataset, key: str, order_by, value_col: str,
+          out: str | None = None, num_buckets: int = 64,
+          num_partitions: int | None = None) -> Dataset:
+    """Last-observation-carried-forward per key: SQL ``LAST_VALUE(value
+    IGNORE NULLS) OVER (PARTITION BY key ORDER BY order_by ROWS UNBOUNDED
+    PRECEDING)`` — the sensor-gap / sparse-feature fill that turns
+    event-sourced nulls into dense series.  Values are MOVED verbatim
+    (``pc.take``), so types and float bit-patterns are preserved; leading
+    nulls (no prior observation in the key) stay null.
+
+    Scale shape (the lag_lead exchange): shuffle on ``hash(key) %
+    num_buckets`` for evenly-sized groups, then per bucket ONE Arrow
+    multi-column sort + a fully vectorized carry — the index of the most
+    recent non-null row via ``np.maximum.accumulate``, rebased per key
+    run so a carry never crosses keys.  No per-key Python at any scale."""
+    from ..state.sketches import hash64
+
+    if isinstance(order_by, str):
+        order_by = [order_by]
+    out_name = out or f"{value_col}_ffill"
+    spec = [(key, "ascending"), *[(c, "ascending") for c in order_by]]
+    bucket_col = "__ffbucket__"
+    if num_partitions is None:
+        num_partitions = min(num_buckets, 64)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key), seed=41) % np.uint64(num_buckets)
+        return batch.append_column(
+            bucket_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(spec)
+        vals = g.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        idx = np.arange(n, dtype=np.int64)
+        valid = np.asarray(pc.is_valid(vals))
+        # most recent valid index at-or-before each row, then rebased so a
+        # carry never crosses into the previous key's run
+        src = np.maximum.accumulate(np.where(valid, idx, -1))
+        new_key = np.ones(n, dtype=bool)
+        if n:
+            new_key[1:] = keys[1:] != keys[:-1]
+        run_start = idx[new_key][np.cumsum(new_key) - 1]
+        src = np.where(src >= run_start, src, -1)
+        mask = src < 0
+        filled = pc.take(vals, pa.array(np.where(mask, 0, src),
+                                        type=pa.int64()))
+        if mask.any():
+            filled = pc.if_else(pa.array(~mask), filled,
+                                pa.nulls(n, vals.type))
+        return g.drop_columns([bucket_col]).append_column(out_name, filled)
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
             .map_groups(per_bucket, batch_format="pyarrow"))

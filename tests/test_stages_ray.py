@@ -1225,6 +1225,22 @@ def test_ann_join_exact_when_all_cells_probed(ray_session):
     assert hits / tot >= 0.6
 
 
+def test_ffill(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.windows import ffill
+
+    tbl = pa.table({"k": ["a"] * 5 + ["b"] * 3,
+                    "o": [1, 2, 3, 4, 5, 1, 2, 3],
+                    "v": [None, 1.5, None, None, 7.0, None, None, 2.0]})
+    out = ffill(rd.from_arrow(tbl), "k", "o", "v",
+                num_buckets=4).take_all()
+    got = {(r["k"], r["o"]): r["v_ffill"] for r in out}
+    # leading nulls stay null; carries never cross keys
+    assert got == {("a", 1): None, ("a", 2): 1.5, ("a", 3): 1.5,
+                   ("a", 4): 1.5, ("a", 5): 7.0,
+                   ("b", 1): None, ("b", 2): None, ("b", 3): 2.0}
+
+
 def test_gap_fill(ray_session):
     import ray.data as rd
     from malli_ray.stages.windows import gap_fill
