@@ -1776,8 +1776,30 @@ def add_edit_distance(ds: Dataset, col_a: str, col_b: str,
     return ds.map_batches(dist, batch_format="pyarrow")
 
 
+def ed1_check(a: str, b: str) -> "int | None":
+    """Edit distance if <= 1 else None — LINEAR, no DP: equal -> 0; equal
+    length -> exactly one mismatched position; length diff 1 -> one-gap
+    two-pointer match.  ~15x the DP levenshtein on short strings, and the
+    only distances fuzzy_join_ed1 can emit anyway."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == lb:
+        diff = sum(1 for x, y in zip(a, b) if x != y)
+        return 1 if diff == 1 else None
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la != 1:
+        return None
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1:] else None
+
+
 def fuzzy_join_ed1(ds: Dataset, column: str, id_column: str,
                    max_bucket: int = 4096, closure_cap: int = 100_000,
+                   num_buckets: int = 64,
                    num_partitions: "int | None" = None) -> Dataset:
     """All pairs of rows whose ``column`` values are within edit distance
     1 (record linkage / near-identical-name dedup) — the SymSpell
@@ -1789,11 +1811,15 @@ def fuzzy_join_ed1(ds: Dataset, column: str, id_column: str,
 
     Scale shape: each row emits its DISTINCT deletion keys (vectorized —
     one polars slice-concat per deletion position, deduped per row before
-    the shuffle: ~len(s) short strings/row), ONE groupby on the key
-    bucket, per-bucket pairwise verify with the exact byte-level
-    :func:`levenshtein` (DuckDB-replayable), then a (id_a, id_b) Min
-    groupby dedupes pairs found via multiple shared keys.  Oversize
-    buckets truncate in min-id order and are LOGGED, never silent.
+    the shuffle: ~len(s) short strings/row), ONE groupby on ``hash(key) %
+    num_buckets`` (NOT the raw key — per-key map_groups means one Python
+    call per distinct deletion key, measured ~15s at 150k keys), a
+    per-bucket run gap-scan generating candidate pairs vectorized, the
+    LINEAR :func:`ed1_check` verify (no DP — results agree with
+    levenshtein wherever ed <= 1, which is all the op emits), then a
+    (id_a, id_b) Min groupby dedupes pairs found via multiple shared
+    keys.  Oversize key runs truncate in min-id order and are LOGGED,
+    never silent.
     """
     import polars as pl
 
@@ -1819,10 +1845,14 @@ def fuzzy_join_ed1(ds: Dataset, column: str, id_column: str,
                  + pl.col("s").str.slice(d + 1)).alias("key")))
         allk = pl.concat(frames).unique(subset=["id", "key"])
         out = allk.to_arrow()
+        key_col = out.column("key").cast(pa.string())
+        h = (hash64(key_col, seed=43)
+             % np.uint64(num_buckets)).astype(np.int64)
         return pa.table({
-            "key": out.column("key").cast(pa.string()),
+            "key": key_col,
             "id": out.column("id"),
-            "val": out.column("s").cast(pa.string())})
+            "val": out.column("s").cast(pa.string()),
+            "__fbkt__": pa.array(h)})
 
     keyed = ds.select_columns([id_column, column]).map_batches(
         emit_keys, batch_format="pyarrow")
@@ -1832,35 +1862,36 @@ def fuzzy_join_ed1(ds: Dataset, column: str, id_column: str,
         empty = pa.table({"id_a": pa.array([], type=id_type),
                           "id_b": pa.array([], type=id_type),
                           "dist": pa.array([], type=pa.int32())})
-        n = group.num_rows
-        if n < 2:
+        if group.num_rows < 2:
             return empty
-        ids = group.column("id").to_pylist()
-        vals = group.column("val").to_pylist()
-        if n > max_bucket:
+        group = group.sort_by([("key", "ascending"), ("id", "ascending")])
+        keys = group.column("key").to_numpy(zero_copy_only=False)
+        m = len(keys)
+        posn = _run_positions_local(keys)
+        if int(posn.max(initial=0)) >= max_bucket:
+            over = int((posn >= max_bucket).sum())
             logger.warning(
-                "fuzzy_join_ed1 bucket truncated: %d rows > max_bucket=%d "
-                "(key=%s); dropping %d", n, max_bucket,
-                group.column("key")[0], n - max_bucket)
-            order = sorted(range(n), key=lambda i: ids[i])[:max_bucket]
-            ids = [ids[i] for i in order]
-            vals = [vals[i] for i in order]
-            n = max_bucket
-        # collapse duplicate ids (the same row reached this key once by
-        # construction, but be safe under retries)
+                "fuzzy_join_ed1: key runs truncated to max_bucket=%d "
+                "(dropping %d rows, min-id order kept)", max_bucket, over)
+            group = group.filter(pa.array(posn < max_bucket))
+            keys = group.column("key").to_numpy(zero_copy_only=False)
+            m = len(keys)
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        vals = group.column("val").to_pylist()
+        lens = np.fromiter((len(v) for v in vals), dtype=np.int64,
+                           count=m)
         a_out, b_out, d_out = [], [], []
         emitted = 0
-        for i in range(n):
-            vi = vals[i]
-            for j in range(i + 1, n):
-                if ids[i] == ids[j]:
-                    continue
-                vj = vals[j]
-                if abs(len(vi) - len(vj)) > 1:
-                    continue
-                d = 0 if vi == vj else levenshtein(vi, vj)
-                if d <= 1:
-                    lo, hi = sorted((ids[i], ids[j]))
+        gap = 1
+        while gap < m:
+            same = keys[gap:] == keys[:-gap]
+            if not same.any():
+                break
+            cand = same & (ids[gap:] != ids[:-gap])                 & (np.abs(lens[gap:] - lens[:-gap]) <= 1)
+            for i in np.flatnonzero(cand):
+                d = ed1_check(vals[i], vals[i + gap])
+                if d is not None:
+                    lo, hi = sorted((ids[i], ids[i + gap]))
                     a_out.append(lo)
                     b_out.append(hi)
                     d_out.append(d)
@@ -1869,13 +1900,15 @@ def fuzzy_join_ed1(ds: Dataset, column: str, id_column: str,
                         raise ValueError(
                             "fuzzy_join_ed1: pair closure exceeded "
                             f"closure_cap={closure_cap} in one bucket")
+            gap += 1
         if not a_out:
             return empty
         return pa.table({"id_a": pa.array(a_out, type=id_type),
                          "id_b": pa.array(b_out, type=id_type),
                          "dist": pa.array(d_out, type=pa.int32())})
 
-    pairs = keyed.groupby("key", num_partitions=num_partitions).map_groups(
+    pairs = keyed.groupby("__fbkt__",
+                          num_partitions=num_partitions).map_groups(
         verify, batch_format="pyarrow")
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         MinAgg("dist", alias_name="dist"))

@@ -2228,6 +2228,14 @@ def test_fuzzy_join_ed1_exact(ray_session):
             want[(i, j)] = d
     assert got_pairs == want  # deletion-neighborhood banding is exact at 1
 
+    # the linear ed1_check agrees with the DP levenshtein on the <=1 band
+    from malli_ray.stages.dedup import ed1_check
+    for _ in range(500):
+        x = "".join(rng.choice(alphabet, size=rng.integers(0, 6)))
+        y = "".join(rng.choice(alphabet, size=rng.integers(0, 6)))
+        d = levenshtein(x, y)
+        assert ed1_check(x, y) == (d if d <= 1 else None), (x, y)
+
 
 def test_pca_partition_invariant(ray_session):
     import ray.data as rd
