@@ -94,35 +94,72 @@ def hopping_window(ds: Dataset, ts_col: str, size_minutes: int,
 
 
 def sessionize(ds: Dataset, key: str, ts_col: str, gap_minutes: int,
-               session_col: str = "session_id") -> Dataset:
+               session_col: str = "session_id",
+               num_buckets: int = 64,
+               num_partitions: int | None = None) -> Dataset:
     """Session windows: a new session starts when the gap to the previous
     event of the same ``key`` exceeds ``gap_minutes``.
 
     Returns per-session summaries: (key, session_id, n_events, session_start).
     Session ids are 1-based in time order per key (deterministic).
-    """
-    gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_key(g: pa.Table) -> pa.Table:
-        g = g.sort_by([(ts_col, "ascending")])
+    Scale shape (the lag_lead exchange): shuffle on ``hash(key) %
+    num_buckets`` — NOT the raw key, whose per-entity ``map_groups`` means
+    one Python call per user at corpus scale — then per bucket ONE Arrow
+    sort by (key, ts) and a fully vectorized boundary scan across ALL
+    keys at once (a key change or a gap > threshold starts a session;
+    ids rebase per key run).  Only (key, ts) shuffles.
+    """
+    from ..state.sketches import hash64
+
+    gap = np.timedelta64(gap_minutes * 60, "s")
+    bucket_col = "__sessbucket__"
+    if num_partitions is None:
+        num_partitions = min(num_buckets, 64)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key), seed=47) % np.uint64(num_buckets)
+        return batch.append_column(
+            bucket_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(key, "ascending"), (ts_col, "ascending")])
+        keys = g.column(key).to_numpy(zero_copy_only=False)
         ts = g.column(ts_col).to_numpy(zero_copy_only=False)
-        n = len(ts)
-        new_session = np.ones(n, dtype=bool)
+        n = len(keys)
+        if n == 0:
+            return pa.table({
+                key: pa.array([], type=g.schema.field(key).type),
+                session_col: pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "session_start": pa.array(
+                    [], type=g.schema.field(ts_col).type)})
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        new_session = new_key.copy()
         if n > 1:
-            new_session[1:] = np.diff(ts) > gap
+            new_session[1:] |= np.diff(ts) > gap
         starts = np.flatnonzero(new_session)
         counts = np.diff(np.append(starts, n)).astype(np.int64)
-        k = len(starts)
+        # 1-based session index, rebased at every key run start
+        sess_no = np.cumsum(new_session)[starts]
+        key_first_sess = sess_no[new_key[starts]]
+        rebase = np.repeat(key_first_sess,
+                           np.diff(np.append(
+                               np.flatnonzero(new_key[starts]),
+                               len(starts))))
         take_starts = pa.array(starts, type=pa.int64())
         return pa.table({
             key: pc.take(g.column(key), take_starts),
-            session_col: pa.array(np.arange(1, k + 1, dtype=np.int64)),
+            session_col: pa.array(sess_no - rebase + 1),
             "n_events": pa.array(counts),
             "session_start": pc.take(g.column(ts_col), take_starts),
         })
 
-    projected = ds.select_columns([key, ts_col])
-    return projected.groupby(key).map_groups(per_key, batch_format="pyarrow")
+    return (ds.select_columns([key, ts_col])
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))
 
 
 def asof_join(left: Dataset, right: Dataset, key: str,

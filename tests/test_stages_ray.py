@@ -1225,6 +1225,51 @@ def test_ann_join_exact_when_all_cells_probed(ray_session):
     assert hits / tot >= 0.6
 
 
+def test_sessionize_bucketed_rebase(ray_session):
+    """Many keys per bucket (num_buckets=1): session ids rebase per key
+    run — randomized cross-check vs a per-key python reference."""
+    import datetime as dt
+    import ray.data as rd
+    from malli_ray.stages.windows import sessionize
+
+    rng = np.random.default_rng(13)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(12):
+        t = 0
+        for _ in range(int(rng.integers(1, 15))):
+            t += int(rng.integers(1, 90))
+            rows.append({"user": u,
+                         "ts": base + dt.timedelta(minutes=t)})
+    tbl = pa.table({"user": [r["user"] for r in rows],
+                    "ts": pa.array([r["ts"] for r in rows],
+                                   type=pa.timestamp("us"))})
+    got = {(r["user"], r["session_id"]): (r["n_events"],
+                                          r["session_start"])
+           for r in sessionize(rd.from_arrow(tbl), "user", "ts",
+                               gap_minutes=30,
+                               num_buckets=1).take_all()}
+    # reference: python per key
+    want = {}
+    byu = {}
+    for r in rows:
+        byu.setdefault(r["user"], []).append(r["ts"])
+    for u, tss in byu.items():
+        tss.sort()
+        sid, cnt, start = 0, 0, None
+        prev = None
+        for ts in tss:
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                if sid:
+                    want[(u, sid)] = (cnt, start)
+                sid += 1
+                cnt, start = 0, ts
+            cnt += 1
+            prev = ts
+        want[(u, sid)] = (cnt, start)
+    assert got == want
+
+
 def test_ffill(ray_session):
     import ray.data as rd
     from malli_ray.stages.windows import ffill
