@@ -167,13 +167,25 @@ def exact_dedup_keep_best(ds: Dataset, column: str, id_column: str,
         first[1:] = ch[1:] != ch[:-1]
         return t.filter(pa.array(first))
 
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column("content_hash"), seed=53) % np.uint64(64)
+        return batch.append_column(
+            "__kbbkt__", pa.array(h.astype(np.int64)))
+
     def best(g: pa.Table) -> pa.Table:
-        g = g.sort_by([(score_column, "descending"),
+        # bucketed, NOT per-content map_groups (one Python call per
+        # distinct text at corpus scale): one sort + run-first mask
+        g = g.sort_by([("content_hash", "ascending"),
+                       (score_column, "descending"),
                        (id_column, "ascending")])
-        return g.slice(0, 1).select([id_column])
+        ch = g.column("content_hash").to_numpy(zero_copy_only=False)
+        first = np.ones(len(ch), dtype=bool)
+        first[1:] = ch[1:] != ch[:-1]
+        return g.filter(pa.array(first)).select([id_column])
 
     return (ds.map_batches(combine, batch_format="pyarrow")
-            .groupby("content_hash")
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby("__kbbkt__")
             .map_groups(best, batch_format="pyarrow"))
 
 
