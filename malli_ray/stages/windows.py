@@ -34,7 +34,7 @@ from ray.data.aggregate import Count
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
            "range_join", "rolling_aggregate", "debounce", "funnel",
-           "retention", "gap_fill", "ffill"]
+           "retention", "gap_fill", "ffill", "ohlc"]
 
 
 def tumbling_window(ds: Dataset, ts_col: str, minutes: int,
@@ -750,5 +750,85 @@ def ffill(ds: Dataset, key: str, order_by, value_col: str,
         return g.drop_columns([bucket_col]).append_column(out_name, filled)
 
     return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def ohlc(ds: Dataset, key: str, ts_col: str, value_col: str,
+         minutes: int, id_col: str | None = None,
+         window_col: str = "window", num_buckets: int = 64,
+         num_partitions: int | None = None) -> Dataset:
+    """Open/high/low/close/count bars per (key, tumbling window) — the
+    time-series candle aggregate (metrics rollups, market data, sensor
+    summaries).  Open/close are the first/last NON-NULL values in
+    (ts, id) order (``id_col`` breaks equal-timestamp ties
+    deterministically); high/low are max/min.  Values are MOVED verbatim
+    (``pc.take`` / reduceat over the raw column) — no arithmetic, so
+    floats are bit-exact vs a SQL replay.
+
+    Scale shape (the lag_lead exchange): shuffle on ``hash(key) %
+    num_buckets`` (never one group per (key, window) — that is one
+    Python call per bar), then per bucket ONE Arrow sort by (key,
+    window, ts, id) and vectorized run reductions (reduceat max/min +
+    run-boundary takes).  Null values drop before the scan (SQL
+    aggregate-ignores-null semantics)."""
+    from ..state.sketches import hash64
+
+    bucket_col = "__ohlcbkt__"
+    if num_partitions is None:
+        num_partitions = min(num_buckets, 64)
+    order_cols = [ts_col] + ([id_col] if id_col else [])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(value_col)))
+        w = pc.floor_temporal(batch.column(ts_col), multiple=minutes,
+                              unit="minute")
+        h = hash64(batch.column(key), seed=59) % np.uint64(num_buckets)
+        return (batch.append_column(window_col, w)
+                .append_column(bucket_col,
+                               pa.array(h.astype(np.int64))))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        spec = [(key, "ascending"), (window_col, "ascending"),
+                *[(c, "ascending") for c in order_cols]]
+        g = g.sort_by(spec)
+        n = g.num_rows
+        if n == 0:
+            return pa.table({
+                key: pa.array([], type=g.schema.field(key).type),
+                window_col: pa.array(
+                    [], type=g.schema.field(window_col).type),
+                "open": pa.array([], type=g.schema.field(value_col).type),
+                "high": pa.array([], type=g.schema.field(value_col).type),
+                "low": pa.array([], type=g.schema.field(value_col).type),
+                "close": pa.array(
+                    [], type=g.schema.field(value_col).type),
+                "n": pa.array([], type=pa.int64())})
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        wins = g.column(window_col).to_numpy(zero_copy_only=False)
+        new = np.ones(n, dtype=bool)
+        new[1:] = (keys[1:] != keys[:-1]) | (wins[1:] != wins[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n)).astype(np.int64)
+        vals = g.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        v = vals.to_numpy(zero_copy_only=False)
+        hi = np.maximum.reduceat(v, starts)
+        lo = np.minimum.reduceat(v, starts)
+        first = pa.array(starts, type=pa.int64())
+        last = pa.array(starts + lens - 1, type=pa.int64())
+        return pa.table({
+            key: pc.take(g.column(key), first),
+            window_col: pc.take(g.column(window_col), first),
+            "open": pc.take(vals, first),
+            "high": pa.array(hi, type=vals.type),
+            "low": pa.array(lo, type=vals.type),
+            "close": pc.take(vals, last),
+            "n": pa.array(lens)})
+
+    return (ds.select_columns(
+                [key, ts_col, value_col] + ([id_col] if id_col else []))
+            .map_batches(prep, batch_format="pyarrow")
             .groupby(bucket_col, num_partitions=num_partitions)
             .map_groups(per_bucket, batch_format="pyarrow"))

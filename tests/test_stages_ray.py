@@ -1225,6 +1225,38 @@ def test_ann_join_exact_when_all_cells_probed(ray_session):
     assert hits / tot >= 0.6
 
 
+def test_ohlc(ray_session):
+    import datetime as dt
+    import ray.data as rd
+    from malli_ray.stages.windows import ohlc
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # key a, hour 0: open 5 (tie at t0 broken by id), high 9, low 2
+        ("a", base, 1, 5.0), ("a", base, 2, 7.0),
+        ("a", base + dt.timedelta(minutes=30), 3, 2.0),
+        ("a", base + dt.timedelta(minutes=59), 4, 9.0),
+        # key a, hour 1: single value + a null (dropped)
+        ("a", base + dt.timedelta(minutes=61), 5, 4.0),
+        ("a", base + dt.timedelta(minutes=62), 6, None),
+        # key b, hour 0
+        ("b", base + dt.timedelta(minutes=10), 7, 1.0),
+    ]
+    t = pa.table({"k": [r[0] for r in rows],
+                  "ts": pa.array([r[1] for r in rows],
+                                 type=pa.timestamp("us")),
+                  "id": [r[2] for r in rows],
+                  "v": pa.array([r[3] for r in rows],
+                                type=pa.float64())})
+    out = {(r["k"], r["window"].minute + 60 * r["window"].hour):
+           (r["open"], r["high"], r["low"], r["close"], r["n"])
+           for r in ohlc(rd.from_arrow(t), "k", "ts", "v", minutes=60,
+                         id_col="id", num_buckets=4).take_all()}
+    assert out == {("a", 0): (5.0, 9.0, 2.0, 9.0, 4),
+                   ("a", 60): (4.0, 4.0, 4.0, 4.0, 1),
+                   ("b", 0): (1.0, 1.0, 1.0, 1.0, 1)}
+
+
 def test_sessionize_bucketed_rebase(ray_session):
     """Many keys per bucket (num_buckets=1): session ids rebase per key
     run — randomized cross-check vs a per-key python reference."""
