@@ -34,7 +34,8 @@ from ray.data.aggregate import Count
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
            "range_join", "rolling_aggregate", "debounce", "funnel",
-           "retention", "gap_fill", "ffill", "ohlc"]
+           "retention", "gap_fill", "ffill", "ohlc",
+           "interval_coverage"]
 
 
 def tumbling_window(ds: Dataset, ts_col: str, minutes: int,
@@ -829,6 +830,107 @@ def ohlc(ds: Dataset, key: str, ts_col: str, value_col: str,
 
     return (ds.select_columns(
                 [key, ts_col, value_col] + ([id_col] if id_col else []))
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def interval_coverage(ds: Dataset, key: str, start_col: str, end_col: str,
+                      num_buckets: int = 64,
+                      num_partitions: int | None = None) -> Dataset:
+    """Union-of-intervals per key: merge overlapping/touching ``[start,
+    end)`` intervals and emit ``(key, n_intervals, n_merged,
+    coverage)`` — total covered time (watch-time / uptime / on-call
+    coverage dedup), where naive SUM(end - start) double-counts
+    overlaps.  Inputs may be int64 or timestamps (measured in the
+    column's unit; coverage is int64 in that unit).  Intervals with
+    ``end <= start`` or null bounds are dropped.
+
+    Scale shape: ONE bucketed exchange of (key, start, end); per bucket
+    one sort + the segmented offset-shifted cummax island scan (the
+    dup-spans merge), all vectorized.  The offset trick needs
+    ``runs x span`` inside int64 — past that the bucket falls back to a
+    per-run scan (logged), never silent wraparound."""
+    from ..state.sketches import hash64
+
+    bucket_col = "__ivbkt__"
+    if num_partitions is None:
+        num_partitions = min(num_buckets, 64)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        s = batch.column(start_col)
+        e = batch.column(end_col)
+        if pa.types.is_timestamp(s.type):
+            s = s.cast(pa.int64())
+        if pa.types.is_timestamp(e.type):
+            e = e.cast(pa.int64())
+        t = pa.table({"k": batch.column(key),
+                      "s": s.cast(pa.int64()), "e": e.cast(pa.int64())})
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("s")),
+                          pc.is_valid(t.column("e"))),
+            pc.greater(t.column("e"), t.column("s")))
+        t = t.filter(pc.fill_null(keep, False))
+        h = hash64(t.column("k"), seed=61) % np.uint64(num_buckets)
+        return t.append_column(bucket_col,
+                               pa.array(h.astype(np.int64)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key: pa.array([], type=g.schema.field("k").type),
+            "n_intervals": pa.array([], type=pa.int64()),
+            "n_merged": pa.array([], type=pa.int64()),
+            "coverage": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([("k", "ascending"), ("s", "ascending"),
+                       ("e", "ascending")])
+        keys = g.column("k").to_numpy(zero_copy_only=False)
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        e = g.column("e").to_numpy(zero_copy_only=False)
+        n = len(s)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = keys[1:] != keys[:-1]
+        run_id = np.cumsum(new_run) - 1
+        # rebase per run so the offset trick stays inside int64
+        base = s[new_run][run_id]
+        s_rel = s - base
+        e_rel = e - base
+        big = np.int64(int(e_rel.max()) + 1)
+        n_runs = int(run_id[-1]) + 1
+        if n_runs * int(big) < (1 << 62):
+            cme = np.maximum.accumulate(e_rel + run_id * big) \
+                - run_id * big
+        else:
+            logger.warning("interval_coverage: offset trick would "
+                           "overflow (%d runs x %d span); per-run scan",
+                           n_runs, int(big))
+            cme = np.empty(n, dtype=np.int64)
+            for r0 in np.flatnonzero(new_run):
+                r1 = r0
+                while r1 + 1 < n and not new_run[r1 + 1]:
+                    r1 += 1
+                cme[r0:r1 + 1] = np.maximum.accumulate(e_rel[r0:r1 + 1])
+        new_island = new_run.copy()
+        new_island[1:] |= s_rel[1:] > cme[:-1]
+        isl_starts = np.flatnonzero(new_island)
+        isl_end = np.maximum.reduceat(e_rel, isl_starts)
+        isl_cov = isl_end - s_rel[isl_starts]
+        isl_run = run_id[isl_starts]
+        # per-key reductions over contiguous islands
+        key_starts = np.flatnonzero(np.concatenate((
+            [True], isl_run[1:] != isl_run[:-1])))
+        n_merged = np.diff(np.append(key_starts, len(isl_starts)))
+        coverage = np.add.reduceat(isl_cov, key_starts)
+        n_in = np.diff(np.append(np.flatnonzero(new_run), n))
+        take = pa.array(isl_starts[key_starts], type=pa.int64())
+        return pa.table({
+            key: pc.take(g.column("k"), take),
+            "n_intervals": pa.array(n_in.astype(np.int64)),
+            "n_merged": pa.array(n_merged.astype(np.int64)),
+            "coverage": pa.array(coverage.astype(np.int64))})
+
+    return (ds.select_columns([key, start_col, end_col])
             .map_batches(prep, batch_format="pyarrow")
             .groupby(bucket_col, num_partitions=num_partitions)
             .map_groups(per_bucket, batch_format="pyarrow"))

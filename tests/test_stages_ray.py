@@ -1225,6 +1225,27 @@ def test_ann_join_exact_when_all_cells_probed(ray_session):
     assert hits / tot >= 0.6
 
 
+def test_interval_coverage(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.windows import interval_coverage
+
+    tbl = pa.table({
+        "k": ["a"] * 4 + ["b"] * 2 + ["c"],
+        "s": [0, 5, 20, 30, 100, 100, 7],
+        "e": [10, 15, 25, 30, 110, 105, 3]})  # a: 30-30 empty; c: e<s
+    out = {r["k"]: (r["n_intervals"], r["n_merged"], r["coverage"])
+           for r in interval_coverage(rd.from_arrow(tbl), "k", "s", "e",
+                                      num_buckets=4).take_all()}
+    # a: [0,10)+[5,15) merge -> [0,15); [20,25) separate; [30,30) dropped
+    assert out == {"a": (3, 2, 20), "b": (2, 1, 10)}
+
+    # touching intervals merge (end == next start)
+    t2 = pa.table({"k": ["x", "x"], "s": [0, 10], "e": [10, 20]})
+    out2 = interval_coverage(rd.from_arrow(t2), "k", "s", "e",
+                             num_buckets=1).take_all()
+    assert (out2[0]["n_merged"], out2[0]["coverage"]) == (1, 20)
+
+
 def test_ohlc(ray_session):
     import datetime as dt
     import ray.data as rd
