@@ -889,3 +889,102 @@ def k_core(edges: Dataset, src: str, dst: str, k: int,
             out_degree: batch.column("deg")})
 
     return deg.map_batches(finish, batch_format="pyarrow"), converged
+
+
+def bfs_levels(edges: Dataset, src: str, dst: str,
+               sources: "list[int]", max_rounds: int = 30,
+               out_node: str = "node", out_dist: str = "dist",
+               num_buckets: int = 32,
+               num_partitions: int | None = None) -> "tuple[Dataset, bool]":
+    """Multi-source BFS over the undirected graph: ``(out_node,
+    out_dist)`` — the unweighted shortest hop count from the nearest
+    source, for every reachable node (influence radius, taint
+    propagation, "how far is every doc from the seed set" curation
+    checks).  Returns ``(dataset, converged)``; an unconverged exit
+    (frontier still live at ``max_rounds``) is reported, never silent.
+
+    Per round: the current frontier's neighbors via ONE bucketed
+    membership semi-join on the canonical edge list (both directions),
+    then an anti-join against the seen set assigns ``r+1`` to genuinely
+    new nodes; the seen table (O(nodes)) re-materializes per round — the
+    connected_components label contract (checkpoint to parquet at
+    100 TB).  All-integer; SQL replays the rounds verbatim."""
+    import ray
+
+    from .joins import anti_join, semi_join
+
+    if num_partitions is None:
+        num_partitions = num_buckets
+    if not sources:
+        raise ValueError("bfs_levels: sources must be non-empty")
+
+    E = canonical_edges(edges, src, dst, num_buckets,
+                        num_partitions).materialize()
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch.column("u")
+        v = batch.column("v")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        return pa.table({"a": pa.concat_arrays([u, v]),
+                         "b": pa.concat_arrays([v, u])})
+
+    E2 = E.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    seen = ray.data.from_arrow(pa.table({
+        out_node: pa.array(sorted(set(int(s) for s in sources)),
+                           type=pa.int64()),
+        out_dist: pa.array([0] * len(set(sources)), type=pa.int64())}))
+    frontier = seen
+    converged = False
+    for rnd in range(max_rounds):
+        # neighbors of the frontier: edges whose tail is a frontier node
+        hit = semi_join(E2, frontier.select_columns([out_node]),
+                        on="a", right_on=out_node,
+                        num_partitions=num_partitions)
+
+        def heads(batch: pa.Table) -> pa.Table:
+            b = batch.column("b")
+            if isinstance(b, pa.ChunkedArray):
+                b = b.combine_chunks()
+            return pa.table({out_node: pc.unique(b)})
+
+        cand = hit.map_batches(heads, batch_format="pyarrow")
+        new = anti_join(cand, seen, on=out_node,
+                        num_partitions=num_partitions)
+
+        def first_seen(g: pa.Table) -> pa.Table:
+            nodes = g.column(out_node)
+            if isinstance(nodes, pa.ChunkedArray):
+                nodes = nodes.combine_chunks()
+            uniq = pc.unique(nodes)
+            return pa.table({
+                out_node: uniq,
+                out_dist: pa.array(
+                    np.full(len(uniq), rnd + 1, dtype=np.int64))})
+
+        from ..state.sketches import hash64
+
+        def nb(batch: pa.Table) -> pa.Table:
+            h = (hash64(batch.column(out_node), seed=67)
+                 % np.uint64(num_buckets)).astype(np.int64)
+            return batch.append_column(_BUCKET, pa.array(h))
+
+        frontier = (new.map_batches(nb, batch_format="pyarrow")
+                    .groupby(_BUCKET, num_partitions=num_partitions)
+                    .map_groups(first_seen, batch_format="pyarrow")
+                    ).materialize()
+        if frontier.count() == 0:
+            converged = True
+            logger.info("bfs_levels: frontier empty after %d rounds", rnd)
+            break
+        seen = (seen.union(frontier)
+                .repartition(num_partitions, shuffle=False)).materialize()
+    else:
+        logger.warning("bfs_levels: max_rounds=%d reached with a live "
+                       "frontier — distances beyond are missing",
+                       max_rounds)
+
+    return seen, converged

@@ -1456,6 +1456,40 @@ def test_triangle_counts_random_graphs(ray_session):
     assert triangle_counts(ds, "s", "d", num_buckets=2).take_all() == []
 
 
+def test_bfs_levels_random_graphs(ray_session):
+    from collections import deque
+
+    import numpy as np
+    import ray.data as rd
+    from malli_ray.stages.graph import bfs_levels
+
+    rng = np.random.default_rng(31)
+    for trial in range(3):
+        n = int(rng.integers(6, 30))
+        m = int(rng.integers(n, 3 * n))
+        src = rng.integers(0, n, size=m)
+        dst = rng.integers(0, n, size=m)
+        sources = sorted(set(rng.integers(0, n,
+                                          size=rng.integers(1, 3)).tolist()))
+        adj = {}
+        for a, b in zip(src.tolist(), dst.tolist()):
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        expected = {s: 0 for s in sources}
+        dq = deque(sources)
+        while dq:
+            x = dq.popleft()
+            for y in adj.get(x, ()):
+                if y not in expected:
+                    expected[y] = expected[x] + 1
+                    dq.append(y)
+        ds = rd.from_arrow(pa.table({"s": src, "d": dst}))
+        out, conv = bfs_levels(ds, "s", "d", sources, num_buckets=4)
+        got = {r["node"]: r["dist"] for r in out.take_all()}
+        assert conv and got == expected, f"trial {trial}"
+
+
 def test_k_core_random_graphs(ray_session):
     import numpy as np
     import ray.data as rd
