@@ -356,6 +356,51 @@ def filter_outliers_by_group(ds: Dataset, group_column: str,
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 
+def poisson_bootstrap_thresholds(max_k: int = 8) -> "list[int]":
+    """Cumulative Poisson(1) CDF thresholds scaled to 2^32 ints: a row
+    whose Knuth-hash draw lands between thresholds k-1 and k gets
+    replicate count k.  Driver-side math.exp/factorial scalars (the
+    shared-libm contract); the tail past ``max_k`` (~1e-6 at 8) folds
+    into the last bucket — the SQL oracle embeds the SAME literals, so
+    the truncation is part of the pinned spec, not an approximation
+    gap."""
+    import math
+    acc, out, fact = 0.0, [], 1.0
+    for k in range(max_k):
+        if k:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        out.append(int(math.floor(acc * 4294967296.0)))
+    return out
+
+
+def poisson_bootstrap(ds: Dataset, id_column: str, replicate: int = 0,
+                      out: str = "n_boot", max_k: int = 8,
+                      concurrency=None) -> Dataset:
+    """Deterministic Poisson(1) bootstrap replicate weights — the
+    streaming bootstrap (Chamandy et al. / online bootstrap): each row's
+    weight in replicate ``r`` is an iid-ish Poisson(1) draw derived from
+    ``hash(id + r * PRIME)``, so any worker recomputes the same weights
+    with no stored RNG state, resamples never materialize (downstream
+    aggregates multiply by ``n_boot``), and a SQL oracle replays the
+    draw from the same integer thresholds.  Shuffle-free."""
+    from . import concurrency_kwargs
+    thresholds = np.asarray(poisson_bootstrap_thresholds(max_k),
+                            dtype=np.uint64)
+    salt = np.uint64(replicate) * np.uint64(0x9E3779B97F4A7C15)
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        h = (((ids + salt) % _MOD) * np.uint64(KNUTH_MULT)) % _MOD
+        k = np.searchsorted(thresholds, h, side="right")
+        return batch.append_column(out,
+                                   pa.array(k.astype(np.int64)))
+
+    return ds.map_batches(weigh, batch_format="pyarrow",
+                          **concurrency_kwargs(concurrency))
+
+
 def upsample_by_group_factor(ds: Dataset, group_column: str, id_column: str,
                              factors: "dict[str, float]",
                              default_factor: float = 1.0,

@@ -1394,6 +1394,25 @@ def test_upsample_by_group_factor(ray_session):
                                           factors={"a": -1.0})
 
 
+def test_poisson_bootstrap(ray_session):
+    import ray.data as rd
+    from malli_ray.stages import sampling
+
+    ds = rd.from_arrow(pa.table({"id": list(range(20000))}))
+    out = sampling.poisson_bootstrap(ds, "id", replicate=0).take_all()
+    ks = np.array([r["n_boot"] for r in out])
+    # Poisson(1): mean ~1, P(0) ~ 1/e, P(k>=5) tiny
+    assert abs(ks.mean() - 1.0) < 0.05
+    assert abs((ks == 0).mean() - 0.3679) < 0.02
+    assert (ks >= 5).mean() < 0.01
+    # replicates decorrelate; each is individually deterministic
+    out1 = sampling.poisson_bootstrap(ds, "id", replicate=1).take_all()
+    k1 = np.array([r["n_boot"] for r in out1])
+    assert abs(k1.mean() - 1.0) < 0.05 and not np.array_equal(ks, k1)
+    again = sampling.poisson_bootstrap(ds, "id", replicate=1).take_all()
+    assert np.array_equal(k1, np.array([r["n_boot"] for r in again]))
+
+
 def test_sample_by_weight(ray_session):
     import ray.data as rd
     from malli_ray.stages import sampling
