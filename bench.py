@@ -170,7 +170,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "image_patches_documents", "ffill_events",
         "q22_lapsed_customers", "ohlc_events",
         "interval_coverage_events", "bfs_orders",
-        "bootstrap_documents",
+        "bootstrap_documents", "bootstrap_means_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round
