@@ -12,17 +12,23 @@ SURVEY.md SS2.12) and Ray Data lacks natively — implemented as compositions of
     Partitioning assumption: one entity's events fit in one group (true when
     per-entity volume << node memory; salt by time-range for pathological
     entities).
-  - asof_join: both sides tagged and unioned to an explicit COMMON Arrow
-    schema (typed nulls on the absent side — no pandas upcast), ONE hash
-    shuffle on the join key, per-group np.searchsorted probe (sorted merge);
-    matched right values are attached with pc.take on null-masked indices so
+  - asof_join / range_join / rolling_aggregate: both sides tagged and
+    unioned to an explicit COMMON Arrow schema (typed nulls on the absent
+    side — no pandas upcast), ONE hash shuffle on ``hash(key) % num_buckets``
+    (never ``groupby(raw key)``, whose per-distinct-key ``map_groups`` is one
+    Python call per entity — the measured ~10-15s/1e5-key trap), then per
+    bucket ONE Arrow sort by (key, ts, ...) and a fully vectorized
+    run-boundary-masked pass across ALL keys at once (carry-forward indices
+    for asof, per-run-rebased offset-trick searchsorted for range/rolling).
+    Matched right values are attached with pc.take on null-masked indices so
     every output column keeps its exact input Arrow type.
-    Partitioning assumption: per-key group fits in memory; at 10^12 rows
-    pre-bucket by (key, coarse time bucket) and run per-bucket.
+    Partitioning assumption: one BUCKET (not one key) fits in memory; at
+    10^12 rows raise num_buckets, or pre-bucket by (key, coarse time bucket).
 """
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Optional
 
 import numpy as np
@@ -31,6 +37,43 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 from ray.data.aggregate import Count
+
+logger = logging.getLogger(__name__)
+
+
+def _key_runs(keys: np.ndarray) -> np.ndarray:
+    """Boolean run-start mask over a sorted key array (nulls group last)."""
+    n = len(keys)
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        new[1:] = keys[1:] != keys[:-1]
+    return new
+
+
+def _ts_to_i64(col: "pa.ChunkedArray | pa.Array") -> "pa.ChunkedArray | pa.Array":
+    """Lossless int64 view of an ordering column (timestamp or integer)."""
+    if pa.types.is_timestamp(col.type) or pa.types.is_integer(col.type):
+        return pc.cast(col, pa.int64())
+    raise TypeError(
+        f"ordering column must be timestamp or integer, got {col.type} "
+        "(float ordering columns are out of contract for the bucketed "
+        "exchange — quantize first)")
+
+
+def _delta_to_i64(delta, ts_type: pa.DataType, what: str) -> int:
+    """Convert a window bound (np.timedelta64 or plain number) to int64 in
+    the ordering column's unit."""
+    if isinstance(delta, np.timedelta64):
+        if not pa.types.is_timestamp(ts_type):
+            raise TypeError(f"{what}: timedelta bound on a non-timestamp "
+                            f"ordering column ({ts_type})")
+        return int(delta.astype(f"timedelta64[{ts_type.unit}]")
+                   .astype(np.int64))
+    as_int = int(delta)
+    if as_int != delta:
+        raise TypeError(f"{what}: numeric bounds must be integral for the "
+                        f"int64 bucketed exchange, got {delta!r}")
+    return as_int
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
            "range_join", "rolling_aggregate", "debounce", "funnel",
@@ -169,6 +212,7 @@ def asof_join(left: Dataset, right: Dataset, key: str,
               strict: bool = True,
               left_schema: "pa.Schema | None" = None,
               right_schema: "pa.Schema | None" = None,
+              num_buckets: int = 64,
               num_partitions: int | None = None) -> Dataset:
     """For each left row, attach the right row with the greatest
     ``right_ts`` <= left_ts (``<`` when strict) within the same ``key``.
@@ -181,6 +225,17 @@ def asof_join(left: Dataset, right: Dataset, key: str,
     applied EXECUTES a limit-1 pipeline just to learn dtypes — a whole extra
     Ray execution per call that the caller can usually provide for free
     (e.g. from ``pyarrow.parquet.read_schema`` file metadata).
+
+    Scale shape (the lag_lead exchange, NOT ``groupby(key)``): both tagged
+    sides shuffle ONCE on ``hash(key) % num_buckets``; per bucket one Arrow
+    sort by (key, coalesced ts, side order, right tiebreakers) followed by a
+    single vectorized carry-forward of right-row indices
+    (``np.maximum.accumulate`` rebased at key-run starts — the ffill kernel),
+    so the whole bucket is one Python call regardless of key count.  Side
+    order encodes strictness: at equal timestamps the right row sorts before
+    the left row iff it is eligible (non-strict).  Both ts columns must be
+    mutually comparable (right ts is cast to the left ts type for the
+    coalesced sort column).
     """
     right_renamed = {c: (c + suffix if c != key else c) for c in
                      [key, right_ts, *right_cols]}
@@ -197,13 +252,24 @@ def asof_join(left: Dataset, right: Dataset, key: str,
     left_names = list(l_schema.names)
     r_types = {right_renamed[c]: r_schema.field(c).type
                for c in [right_ts, *right_cols]}
+    from ..state.sketches import hash64
+
+    t_type = l_schema.field(left_ts).type
+    bucket_col = "__asofbkt__"
+    if num_partitions is None:
+        num_partitions = min(num_buckets, 64)
+    # at equal timestamps: right eligible (sorts first) iff non-strict
+    l_ord, r_ord = (0, 1) if strict else (1, 0)
 
     def prep_left(batch: pa.Table) -> pa.Table:
         cols = {c: batch.column(c) for c in left_names}
         for c in (rts, *rvals):
             cols[c] = pa.nulls(batch.num_rows, type=r_types[c])
-        cols["__side__"] = pa.array(
-            np.zeros(batch.num_rows, dtype=np.int8), type=pa.int8())
+        cols["__t__"] = batch.column(left_ts)
+        cols["__ord__"] = pa.array(
+            np.full(batch.num_rows, l_ord, dtype=np.int8), type=pa.int8())
+        h = hash64(batch.column(key), seed=53) % np.uint64(num_buckets)
+        cols[bucket_col] = pa.array(h.astype(np.int64), type=pa.int64())
         return pa.table(cols)
 
     def prep_right(batch: pa.Table) -> pa.Table:
@@ -216,42 +282,49 @@ def asof_join(left: Dataset, right: Dataset, key: str,
         cols[rts] = batch.column(right_ts)
         for c in right_cols:
             cols[right_renamed[c]] = batch.column(c)
-        cols["__side__"] = pa.array(
-            np.ones(batch.num_rows, dtype=np.int8), type=pa.int8())
+        cols["__t__"] = pc.cast(batch.column(right_ts), t_type)
+        cols["__ord__"] = pa.array(
+            np.full(batch.num_rows, r_ord, dtype=np.int8), type=pa.int8())
+        h = hash64(batch.column(key), seed=53) % np.uint64(num_buckets)
+        cols[bucket_col] = pa.array(h.astype(np.int64), type=pa.int64())
         return pa.table(cols)
 
     l_tagged = left.map_batches(prep_left, batch_format="pyarrow")
     r_tagged = right.map_batches(prep_right, batch_format="pyarrow")
     unioned = l_tagged.union(r_tagged)
     out_left = [c for c in left_names]
+    is_right_ord = r_ord  # __ord__ value marking right rows
 
-    def per_key(g: pa.Table) -> pa.Table:
-        side = g.column("__side__")
-        lrows = g.filter(pc.equal(side, 0))
-        rrows = g.filter(pc.equal(side, 1))
-        cols = {c: lrows.column(c) for c in out_left}
-        if rrows.num_rows == 0 or lrows.num_rows == 0:
-            cols[rts] = pa.nulls(lrows.num_rows, type=r_types[rts])
-            for c in rvals:
-                cols[c] = pa.nulls(lrows.num_rows, type=r_types[c])
-            return pa.table(cols)
-        rrows = rrows.sort_by([(rts, "ascending"),
-                               *[(c, "ascending") for c in rvals]])
-        r_times = rrows.column(rts).to_numpy(zero_copy_only=False)
-        l_times = lrows.column(left_ts).to_numpy(zero_copy_only=False)
-        probe_side = "left" if strict else "right"
-        idx = np.searchsorted(r_times, l_times, side=probe_side) - 1
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(key, "ascending"), ("__t__", "ascending"),
+                       ("__ord__", "ascending"),
+                       *[(c, "ascending") for c in rvals]])
+        n = g.num_rows
+        ordv = g.column("__ord__").to_numpy(zero_copy_only=False)
+        is_r = ordv == is_right_ord
+        idx = np.arange(n, dtype=np.int64)
+        # carry-forward: index of the most recent right row at-or-before
+        # this position, rebased so a carry never crosses a key run
+        src = np.maximum.accumulate(np.where(is_r, idx, -1))
+        keys_np = g.column(key).to_numpy(zero_copy_only=False)
+        new_key = _key_runs(keys_np)
+        run_start = idx[new_key][np.cumsum(new_key) - 1] if n else idx
+        src = np.where(src >= run_start, src, -1)
+        l_pos = np.flatnonzero(~is_r)
+        match = src[l_pos]
+        l_take = pa.array(l_pos, type=pa.int64())
+        cols = {c: pc.take(g.column(c), l_take) for c in out_left}
         # null-masked take: unmatched rows get typed nulls, matched rows the
         # right value with its original Arrow type (no float upcast)
-        take_idx = pa.array(np.clip(idx, 0, rrows.num_rows - 1),
-                            type=pa.int64(), mask=(idx < 0))
-        cols[rts] = pc.take(rrows.column(rts), take_idx)
+        take_idx = pa.array(np.where(match < 0, 0, match),
+                            type=pa.int64(), mask=(match < 0))
+        cols[rts] = pc.take(g.column(rts), take_idx)
         for c in rvals:
-            cols[c] = pc.take(rrows.column(c), take_idx)
+            cols[c] = pc.take(g.column(c), take_idx)
         return pa.table(cols)
 
-    return (unioned.groupby(key, num_partitions=num_partitions)
-            .map_groups(per_key, batch_format="pyarrow"))
+    return (unioned.groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))
 
 
 def range_join(left: Dataset, right: Dataset, key: str,
@@ -263,22 +336,26 @@ def range_join(left: Dataset, right: Dataset, key: str,
                upper_inclusive: bool = True,
                left_schema: "pa.Schema | None" = None,
                right_schema: "pa.Schema | None" = None,
+               num_buckets: int = 64,
                num_partitions: int | None = None) -> Dataset:
     """Interval (range) join: for each left row, ALL right rows of the same
     ``key`` with ``right_ts`` in ``[left_ts + lower, left_ts + upper]``
     (bounds open when the matching ``*_inclusive`` is False).  Inner-join
     semantics: left rows with no right match emit nothing.
 
-    ``lower``/``upper`` are added to the left timestamp with numpy
-    arithmetic — pass ``np.timedelta64`` for timestamp columns, plain
-    numbers for numeric ones.
+    ``lower``/``upper`` are ``np.timedelta64`` for timestamp columns, plain
+    integers for integer ones (the ordering column must be timestamp or
+    integer — the exchange works in an exact int64 domain).
 
-    Same single-shuffle shape as :func:`asof_join` (union tagged sides,
-    ONE groupby on the key): per group the right side is sorted once and
-    each left row's match window is two ``searchsorted`` probes plus a
-    vectorized flat expansion — no per-row Python.  The per-key-fits-memory
-    assumption and its mitigations match asof_join; output row count is
-    the true join cardinality (bound ``upper - lower`` to bound it)."""
+    Scale shape (same bucketed exchange as :func:`asof_join`, never
+    ``groupby(raw key)``): tagged sides shuffle ONCE on ``hash(key) %
+    num_buckets``; per bucket one Arrow sort by (key, ts), then BOTH probes
+    run vectorized across ALL keys at once via the per-run-rebased offset
+    trick (``combined = run_id * BIG + (ts - run_min)``, globally sorted, so
+    two ``np.searchsorted`` calls bound every left row's window) + one flat
+    expansion.  Falls back to a per-run scan (logged) iff ``runs x span``
+    would overflow int64.  Output row count is the true join cardinality
+    (bound ``upper - lower`` to bound it)."""
     right_renamed = {c: (c + suffix if c != key else c) for c in
                      [key, right_ts, *right_cols]}
     rts = right_renamed[right_ts]
@@ -291,13 +368,24 @@ def range_join(left: Dataset, right: Dataset, key: str,
     left_names = list(l_schema.names)
     r_types = {right_renamed[c]: r_schema.field(c).type
                for c in [right_ts, *right_cols]}
+    from ..state.sketches import hash64
+
+    t_type = l_schema.field(left_ts).type
+    lower_i = _delta_to_i64(lower, t_type, "range_join lower")
+    upper_i = _delta_to_i64(upper, t_type, "range_join upper")
+    bucket_col = "__rngbkt__"
+    if num_partitions is None:
+        num_partitions = min(num_buckets, 64)
 
     def prep_left(batch: pa.Table) -> pa.Table:
         cols = {c: batch.column(c) for c in left_names}
         for c in (rts, *rvals):
             cols[c] = pa.nulls(batch.num_rows, type=r_types[c])
+        cols["__t__"] = _ts_to_i64(batch.column(left_ts))
         cols["__side__"] = pa.array(
             np.zeros(batch.num_rows, dtype=np.int8), type=pa.int8())
+        h = hash64(batch.column(key), seed=53) % np.uint64(num_buckets)
+        cols[bucket_col] = pa.array(h.astype(np.int64), type=pa.int64())
         return pa.table(cols)
 
     def prep_right(batch: pa.Table) -> pa.Table:
@@ -311,8 +399,11 @@ def range_join(left: Dataset, right: Dataset, key: str,
         cols[rts] = batch.column(right_ts)
         for c in right_cols:
             cols[right_renamed[c]] = batch.column(c)
+        cols["__t__"] = _ts_to_i64(batch.column(right_ts))
         cols["__side__"] = pa.array(
             np.ones(batch.num_rows, dtype=np.int8), type=pa.int8())
+        h = hash64(batch.column(key), seed=53) % np.uint64(num_buckets)
+        cols[bucket_col] = pa.array(h.astype(np.int64), type=pa.int64())
         return pa.table(cols)
 
     unioned = (left.map_batches(prep_left, batch_format="pyarrow")
@@ -322,21 +413,51 @@ def range_join(left: Dataset, right: Dataset, key: str,
     lo_side = "left" if lower_inclusive else "right"
     hi_side = "right" if upper_inclusive else "left"
 
-    def per_key(g: pa.Table) -> pa.Table:
-        side = g.column("__side__")
-        lrows = g.filter(pc.equal(side, 0))
-        rrows = g.filter(pc.equal(side, 1))
-        empty = {**{c: lrows.column(c).slice(0, 0) for c in out_left},
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(key, "ascending"), ("__t__", "ascending")])
+        n = g.num_rows
+        empty = {**{c: g.column(c).slice(0, 0) for c in out_left},
                  rts: pa.nulls(0, type=r_types[rts]),
                  **{c: pa.nulls(0, type=r_types[c]) for c in rvals}}
-        if rrows.num_rows == 0 or lrows.num_rows == 0:
+        if n == 0:
             return pa.table(empty)
-        rrows = rrows.sort_by([(rts, "ascending"),
-                               *[(c, "ascending") for c in rvals]])
-        r_times = rrows.column(rts).to_numpy(zero_copy_only=False)
-        l_times = lrows.column(left_ts).to_numpy(zero_copy_only=False)
-        lo = np.searchsorted(r_times, l_times + lower, side=lo_side)
-        hi = np.searchsorted(r_times, l_times + upper, side=hi_side)
+        side = g.column("__side__").to_numpy(zero_copy_only=False)
+        tv = g.column("__t__").to_numpy(zero_copy_only=False)
+        keys_np = g.column(key).to_numpy(zero_copy_only=False)
+        new_key = _key_runs(keys_np)
+        run_id = np.cumsum(new_key) - 1
+        # rebase per key run so the offset trick stays inside int64
+        base = tv[new_key][run_id]
+        t_rel = tv - base
+        r_pos = np.flatnonzero(side == 1)
+        l_pos = np.flatnonzero(side == 0)
+        if len(r_pos) == 0 or len(l_pos) == 0:
+            return pa.table(empty)
+        span = int(t_rel.max())
+        big = span + 3
+        n_runs = int(run_id[-1]) + 1
+        l_run, r_run = run_id[l_pos], run_id[r_pos]
+        qlo = np.clip(t_rel[l_pos] + lower_i, -1, span + 1)
+        qhi = np.clip(t_rel[l_pos] + upper_i, -1, span + 1)
+        if n_runs * big < (1 << 62):
+            combined_r = r_run * big + t_rel[r_pos]
+            lo = np.searchsorted(combined_r, l_run * big + qlo,
+                                 side=lo_side)
+            hi = np.searchsorted(combined_r, l_run * big + qhi,
+                                 side=hi_side)
+        else:  # pragma: no cover - 2^62 span x run product
+            logger.warning("range_join: offset trick would overflow "
+                           "(%d runs x %d span); per-run scan",
+                           n_runs, span)
+            rv = t_rel[r_pos]
+            seg_lo = np.searchsorted(r_run, l_run, side="left")
+            seg_hi = np.searchsorted(r_run, l_run, side="right")
+            lo = np.empty(len(l_pos), dtype=np.int64)
+            hi = np.empty(len(l_pos), dtype=np.int64)
+            for i in range(len(l_pos)):
+                a, b = seg_lo[i], seg_hi[i]
+                lo[i] = a + np.searchsorted(rv[a:b], qlo[i], side=lo_side)
+                hi[i] = a + np.searchsorted(rv[a:b], qhi[i], side=hi_side)
         counts = np.maximum(hi - lo, 0)
         total = int(counts.sum())
         if total == 0:
@@ -345,21 +466,23 @@ def range_join(left: Dataset, right: Dataset, key: str,
         r_idx = (np.arange(total, dtype=np.int64)
                  - np.repeat(np.cumsum(counts) - counts, counts)
                  + np.repeat(lo, counts))
-        l_take, r_take = pa.array(l_idx), pa.array(r_idx)
-        cols = {c: pc.take(lrows.column(c), l_take) for c in out_left}
-        cols[rts] = pc.take(rrows.column(rts), r_take)
+        l_take = pa.array(l_pos[l_idx], type=pa.int64())
+        r_take = pa.array(r_pos[r_idx], type=pa.int64())
+        cols = {c: pc.take(g.column(c), l_take) for c in out_left}
+        cols[rts] = pc.take(g.column(rts), r_take)
         for c in rvals:
-            cols[c] = pc.take(rrows.column(c), r_take)
+            cols[c] = pc.take(g.column(c), r_take)
         return pa.table(cols)
 
-    return (unioned.groupby(key, num_partitions=num_partitions)
-            .map_groups(per_key, batch_format="pyarrow"))
+    return (unioned.groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))
 
 
 def rolling_aggregate(ds: Dataset, key: str, ts_col: str, value_col: str,
                       preceding,
                       sum_col: str = "rolling_sum",
                       count_col: str = "rolling_count",
+                      num_buckets: int = 64,
                       num_partitions: int | None = None) -> Dataset:
     """Per-key rolling RANGE-frame aggregate: every row gets the count and
     sum of ``value_col`` over rows of the SAME ``key`` whose ``ts_col`` lies
@@ -368,36 +491,95 @@ def rolling_aggregate(ds: Dataset, key: str, ts_col: str, value_col: str,
     RANGE BETWEEN <preceding> PRECEDING AND CURRENT ROW)`` including the
     peers-of-equal-ts rule (rows sharing a timestamp share a frame).
 
-    ``preceding`` is subtracted from the timestamp with numpy arithmetic —
-    pass ``np.timedelta64`` for timestamp columns, a plain number for
-    numeric ordering columns.
+    ``preceding`` is ``np.timedelta64`` for timestamp columns, a plain
+    integer for integer ordering columns (the exchange works in an exact
+    int64 domain).
 
-    Shape: project to the needed columns FIRST (every group column rides the
-    shuffle), then ONE hash shuffle on ``key``; per group a single sort +
-    two vectorized ``searchsorted`` probes + one cumulative sum — O(n log n)
-    per group, no per-row Python.  Frame sums are computed as prefix-sum
-    differences: exact for integer ``value_col`` (use an int-cents cast for
-    currency floats), last-ulp-approximate for floats.  Partitioning
-    assumption: one key's rows fit in one group (salt by coarse time bucket
-    for pathological keys), matching :func:`asof_join`.
+    Scale shape (the lag_lead exchange, NOT ``groupby(raw key)``): project
+    to the needed columns FIRST, ONE shuffle on ``hash(key) % num_buckets``,
+    then per bucket a single Arrow sort by (key, ts) + two vectorized
+    ``searchsorted`` probes over ALL keys at once (per-run-rebased offset
+    trick: ``combined = run_id * BIG + (ts - run_min)`` is globally sorted
+    and frame bounds never cross a key run) + one cumulative sum — one
+    Python call per BUCKET regardless of key count.  Frame sums are
+    prefix-sum differences: exact for integer ``value_col`` (use an
+    int-cents cast for currency floats), last-ulp-approximate for floats.
 
     Reference: no analogue (malli is per-value, SURVEY.md SS2.12); this is
     the brief's "windowed aggregate" custom-operator slot.
     """
+    from ..state.sketches import hash64
 
-    def per_key(g: pa.Table) -> pa.Table:
-        g = g.sort_by([(ts_col, "ascending")])
-        ts = g.column(ts_col).to_numpy(zero_copy_only=False)
+    bucket_col = "__rollbkt__"
+    if num_partitions is None:
+        num_partitions = min(num_buckets, 64)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key), seed=53) % np.uint64(num_buckets)
+        return (batch
+                .append_column("__t__", _ts_to_i64(batch.column(ts_col)))
+                .append_column(bucket_col,
+                               pa.array(h.astype(np.int64),
+                                        type=pa.int64())))
+
+    prec_holder: dict[str, int] = {}
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(key, "ascending"), ("__t__", "ascending")])
+        n = g.num_rows
+        if n == 0:
+            # typed empty result: csum over an empty numpy array would
+            # silently produce float64 and split the output schema
+            vt = g.schema.field(value_col).type
+            st = pa.int64() if pa.types.is_integer(vt) else pa.float64()
+            return (g.drop_columns(["__t__", bucket_col])
+                     .append_column(count_col, pa.array([], type=pa.int64()))
+                     .append_column(sum_col, pa.array([], type=st)))
+        if "prec" not in prec_holder:
+            prec_holder["prec"] = _delta_to_i64(
+                preceding, g.schema.field(ts_col).type,
+                "rolling_aggregate preceding")
+        prec = prec_holder["prec"]
+        tv = g.column("__t__").to_numpy(zero_copy_only=False)
+        keys_np = g.column(key).to_numpy(zero_copy_only=False)
+        new_key = _key_runs(keys_np)
+        run_id = np.cumsum(new_key) - 1
+        base = tv[new_key][run_id]
+        t_rel = tv - base
+        span = int(t_rel.max())
+        big = span + 2
+        n_runs = int(run_id[-1]) + 1
+        if n_runs * big < (1 << 62):
+            combined = run_id * big + t_rel
+            # frame start clamps at the run's own origin (t_rel >= 0), so
+            # a window reaching before the run never crosses into it
+            lo = np.searchsorted(combined,
+                                 run_id * big + np.maximum(t_rel - prec, 0),
+                                 side="left")
+            hi = np.searchsorted(combined, combined, side="right")
+        else:  # pragma: no cover - 2^62 span x run product
+            logger.warning("rolling_aggregate: offset trick would overflow "
+                           "(%d runs x %d span); per-run scan",
+                           n_runs, span)
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            starts = np.flatnonzero(new_key)
+            ends = np.append(starts[1:], n)
+            for a, b in zip(starts, ends):
+                lo[a:b] = a + np.searchsorted(t_rel[a:b], t_rel[a:b] - prec,
+                                              side="left")
+                hi[a:b] = a + np.searchsorted(t_rel[a:b], t_rel[a:b],
+                                              side="right")
         v = g.column(value_col).to_numpy(zero_copy_only=False)
-        lo = np.searchsorted(ts, ts - preceding, side="left")
-        hi = np.searchsorted(ts, ts, side="right")
         csum = np.concatenate(([0], np.cumsum(v)))
-        return (g.append_column(count_col,
+        return (g.drop_columns(["__t__", bucket_col])
+                 .append_column(count_col,
                                 pa.array(hi - lo, type=pa.int64()))
                  .append_column(sum_col, pa.array(csum[hi] - csum[lo])))
 
-    return (ds.groupby(key, num_partitions=num_partitions)
-            .map_groups(per_key, batch_format="pyarrow"))
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))
 
 
 def debounce(ds: Dataset, keys, ts_col: str, seconds: float,
@@ -781,7 +963,14 @@ def ohlc(ds: Dataset, key: str, ts_col: str, value_col: str,
     order_cols = [ts_col] + ([id_col] if id_col else [])
 
     def prep(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.is_valid(batch.column(value_col)))
+        v = batch.column(value_col)
+        keep = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            # NaN poisons reduceat max/min for the whole bar and SQL MAX/MIN
+            # ignore it — drop alongside nulls to keep the SQL-replay
+            # contract bit-exact for float inputs
+            keep = pc.and_(keep, pc.invert(pc.is_nan(v)))
+        batch = batch.filter(keep)
         w = pc.floor_temporal(batch.column(ts_col), multiple=minutes,
                               unit="minute")
         h = hash64(batch.column(key), seed=59) % np.uint64(num_buckets)

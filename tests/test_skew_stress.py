@@ -1,0 +1,214 @@
+"""Scale-shape stress tests: key-count independence + Zipf-skew safety.
+
+Two empirical pins the scale docstrings previously only claimed:
+
+1. **Key-count independence** (the de-trapped asof/range/rolling family):
+   the bucketed exchange does ONE vectorized Python call per bucket, so
+   wall time must not grow with the number of distinct keys.  The old
+   ``groupby(raw key).map_groups`` shape paid ~10-15s of pure Python call
+   overhead per 1e5 keys at sf0.1 (NOTES_r3, measured) — a >=10x blowup
+   that these tests would catch with a wide margin to spare.
+
+2. **Hot-key (Zipf) safety** for the bucketed exchanges the engine leans
+   on (uniqueness, lag_lead, top_k_per_group, exact_dedup_keep_best):
+   one key carrying 20% of all rows must neither change results nor blow
+   up wall time vs a uniform key mix (a hot key lands in ONE bucket —
+   bounded by bucket count, never by per-key group count; map-side
+   combines collapse it before the shuffle where applicable).
+
+Timing asserts are deliberately generous (4x ratio + absolute slack) —
+the box is shared and co-tenant CPU steal is real; the trap regressions
+these guard against are 10-100x, far outside the noise band.
+"""
+
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+N_ROWS = 120_000
+FEW_KEYS = 50
+MANY_KEYS = 100_000
+
+
+def _timed(make_ds):
+    t0 = time.perf_counter()
+    n = make_ds().count()
+    return time.perf_counter() - t0, n
+
+
+def _event_tables(rng, n_keys):
+    keys = rng.integers(0, n_keys, size=N_ROWS).astype(np.int64)
+    ts = rng.integers(0, 1_000_000, size=N_ROWS).astype(np.int64)
+    vals = rng.integers(-5, 6, size=N_ROWS).astype(np.int64)
+    ids = np.arange(N_ROWS, dtype=np.int64)
+    t = pa.table({"k": keys, "ts": ts, "v": vals, "rid": ids})
+    return t
+
+
+def _from_arrow(t, parallelism=16):
+    # from_arrow yields ONE block; repartition so the map side parallelizes
+    # the same way at both key counts
+    return rd.from_arrow(t).repartition(parallelism)
+
+
+@pytest.mark.parametrize("op", ["asof", "range", "rolling"])
+def test_window_family_key_count_independent(ray_session, op):
+    """asof_join / range_join / rolling_aggregate wall time must be flat in
+    the number of distinct keys (2000x more keys, same row count)."""
+    from malli_ray.stages.windows import asof_join, range_join, \
+        rolling_aggregate
+
+    rng = np.random.default_rng(7)
+    times = {}
+    counts = {}
+    for n_keys in (FEW_KEYS, MANY_KEYS):
+        t = _event_tables(rng, n_keys)
+        if op == "rolling":
+            def run(t=t):
+                return rolling_aggregate(_from_arrow(t), key="k",
+                                         ts_col="ts", value_col="v",
+                                         preceding=500)
+        elif op == "asof":
+            right = t.rename_columns(["k", "rts", "rv", "rrid"])
+
+            def run(t=t, right=right):
+                return asof_join(_from_arrow(t), _from_arrow(right),
+                                 key="k", left_ts="ts", right_ts="rts",
+                                 right_cols=["rrid"],
+                                 left_schema=t.schema,
+                                 right_schema=right.schema)
+        else:
+            right = t.rename_columns(["k", "rts", "rv", "rrid"])
+
+            def run(t=t, right=right):
+                return range_join(_from_arrow(t), _from_arrow(right),
+                                  key="k", left_ts="ts", right_ts="rts",
+                                  right_cols=["rrid"],
+                                  lower=-2, upper=0,
+                                  upper_inclusive=False,
+                                  left_schema=t.schema,
+                                  right_schema=right.schema)
+        # warm the stage cache once at the small key count only
+        if n_keys == FEW_KEYS:
+            run().count()
+        times[n_keys], counts[n_keys] = _timed(run)
+
+    if op in ("asof", "rolling"):          # row-preserving ops
+        assert counts[FEW_KEYS] == counts[MANY_KEYS] == N_ROWS
+    # the trap costs >=10x at 1e5 keys; flat-in-key-count means well under
+    assert times[MANY_KEYS] <= 4 * times[FEW_KEYS] + 5.0, times
+
+
+def _zipf_keys(rng, n, hot_fraction=0.2, n_cold=50_000):
+    hot = np.zeros(int(n * hot_fraction), dtype=np.int64)
+    cold = rng.integers(1, n_cold, size=n - len(hot)).astype(np.int64)
+    keys = np.concatenate([hot, cold])
+    rng.shuffle(keys)
+    return keys
+
+
+def test_skew_uniqueness_violations(ray_session):
+    from malli_ray.stages.constraints import uniqueness_violations
+
+    rng = np.random.default_rng(11)
+    n = 200_000
+    res = {}
+    for label, keys in (("uniform",
+                         rng.integers(0, 150_000, size=n).astype(np.int64)),
+                        ("skew", _zipf_keys(rng, n))):
+        t = pa.table({"doc_id": keys})
+        t0 = time.perf_counter()
+        rows = uniqueness_violations(_from_arrow(t), "doc_id").take_all()
+        res[label] = (time.perf_counter() - t0, rows)
+        # exact vs numpy
+        u, c = np.unique(keys, return_counts=True)
+        want = {int(k): int(v) for k, v in zip(u, c) if v > 1}
+        got = {int(r["doc_id"]): int(r["cnt"]) for r in rows}
+        assert got == want, label
+    assert res["skew"][0] <= 4 * res["uniform"][0] + 5.0, \
+        {k: v[0] for k, v in res.items()}
+
+
+def test_skew_lag_lead(ray_session):
+    from malli_ray.stages.analytics import lag_lead
+
+    rng = np.random.default_rng(13)
+    n = 200_000
+    times = {}
+    for label, keys in (("uniform",
+                         rng.integers(0, 150_000, size=n).astype(np.int64)),
+                        ("skew", _zipf_keys(rng, n))):
+        vals = rng.integers(0, 1_000, size=n).astype(np.int64)
+        rid = np.arange(n, dtype=np.int64)
+        t = pa.table({"k": keys, "rid": rid, "v": vals})
+        t0 = time.perf_counter()
+        out = lag_lead(_from_arrow(t), key="k", order_by="rid",
+                       value_col="v").take_all()
+        times[label] = time.perf_counter() - t0
+        df = pd.DataFrame({"k": keys, "rid": rid, "v": vals})
+        df = df.sort_values(["k", "rid"])
+        want_lag = df.groupby("k")["v"].shift(1)
+        want = dict(zip(df["rid"], want_lag))
+        got = {r["rid"]: r["v_lag1"] for r in out}
+        assert len(got) == n
+        for ridv, lag in got.items():
+            w = want[ridv]
+            assert (lag is None and pd.isna(w)) or lag == w
+    assert times["skew"] <= 4 * times["uniform"] + 5.0, times
+
+
+def test_skew_top_k_per_group(ray_session):
+    from malli_ray.stages.analytics import top_k_per_group
+
+    rng = np.random.default_rng(17)
+    n = 200_000
+    times = {}
+    for label, keys in (("uniform",
+                         rng.integers(0, 20_000, size=n).astype(np.int64)),
+                        ("skew", _zipf_keys(rng, n, n_cold=20_000))):
+        vals = rng.integers(0, 1_000_000, size=n).astype(np.int64)
+        rid = np.arange(n, dtype=np.int64)
+        t = pa.table({"g": keys, "score": vals, "rid": rid})
+        t0 = time.perf_counter()
+        out = top_k_per_group(_from_arrow(t), group="g",
+                              order_by=["score", "rid"], k=3).take_all()
+        times[label] = time.perf_counter() - t0
+        df = pd.DataFrame({"g": keys, "score": vals, "rid": rid})
+        df = df.sort_values(["score", "rid"],
+                            ascending=[False, True])
+        top = df.groupby("g", sort=False).head(3)
+        want = set(zip(top["g"].astype(int), top["rid"].astype(int)))
+        got = {(int(r["g"]), int(r["rid"])) for r in out}
+        assert got == want, label
+    assert times["skew"] <= 4 * times["uniform"] + 5.0, times
+
+
+def test_skew_exact_dedup_keep_best(ray_session):
+    from malli_ray.stages.dedup import exact_dedup_keep_best
+
+    rng = np.random.default_rng(19)
+    n = 200_000
+    times = {}
+    for label, keys in (("uniform",
+                         rng.integers(0, 150_000, size=n).astype(np.int64)),
+                        ("skew", _zipf_keys(rng, n))):
+        content = np.char.add("doc-", keys.astype(str))
+        score = rng.integers(0, 1_000_000, size=n).astype(np.int64)
+        rid = np.arange(n, dtype=np.int64)
+        t = pa.table({"text": content, "id": rid, "q": score})
+        t0 = time.perf_counter()
+        out = exact_dedup_keep_best(_from_arrow(t), column="text",
+                                    id_column="id",
+                                    score_column="q").take_all()
+        times[label] = time.perf_counter() - t0
+        df = pd.DataFrame({"text": content, "id": rid, "q": score})
+        df = df.sort_values(["q", "id"], ascending=[False, True])
+        want = set(df.groupby("text", sort=False).head(1)["id"]
+                   .astype(int))
+        got = {int(r["id"]) for r in out}
+        assert got == want, label
+    assert times["skew"] <= 4 * times["uniform"] + 5.0, times
