@@ -895,7 +895,9 @@ def bfs_levels(edges: Dataset, src: str, dst: str,
                sources: "list[int]", max_rounds: int = 30,
                out_node: str = "node", out_dist: str = "dist",
                num_buckets: int = 32,
-               num_partitions: int | None = None) -> "tuple[Dataset, bool]":
+               num_partitions: int | None = None,
+               max_broadcast_nodes: int = 4_000_000
+               ) -> "tuple[Dataset, bool]":
     """Multi-source BFS over the undirected graph: ``(out_node,
     out_dist)`` — the unweighted shortest hop count from the nearest
     source, for every reachable node (influence radius, taint
@@ -903,15 +905,32 @@ def bfs_levels(edges: Dataset, src: str, dst: str,
     checks).  Returns ``(dataset, converged)``; an unconverged exit
     (frontier still live at ``max_rounds``) is reported, never silent.
 
-    Per round: the current frontier's neighbors via ONE bucketed
-    membership semi-join on the canonical edge list (both directions),
-    then an anti-join against the seen set assigns ``r+1`` to genuinely
-    new nodes; the seen table (O(nodes)) re-materializes per round — the
+    Per round, ONE keyed exchange (the PageRank fusion discipline):
+
+    1. **Expansion is shuffle-free**: the frontier node set broadcasts
+       once (``ray.put`` of a sorted int64 array) and a map-only pass
+       over the materialized canonical edge list emits neighbors in both
+       directions via two ``searchsorted`` membership probes — the edge
+       table is never re-exchanged (the old per-round semi-join reshuffled
+       the doubled edge list every round).  Above ``max_broadcast_nodes``
+       the round falls back to bucketed semi-joins on the edge list
+       (logged) — the 100-TB guard for frontiers too big to broadcast.
+    2. **Dedup + anti-join + level assignment fuse into one exchange**:
+       candidates (tagged ``rnd+1``) union the seen table and ONE
+       ``hash(node) % num_buckets`` groupby keeps the min-dist row per
+       node (a seen node's dist is always < rnd+1, so first-of-run is
+       exactly the old anti-join + first_seen composition).
+    3. **No count round-trips**: emptiness falls out of the materialized
+       seen table's row-count delta (metadata on a materialized dataset);
+       the next frontier is a map-only filter ``dist == rnd+1``.
+
+    The seen table (O(nodes)) re-materializes per round — the
     connected_components label contract (checkpoint to parquet at
     100 TB).  All-integer; SQL replays the rounds verbatim."""
     import ray
 
-    from .joins import anti_join, semi_join
+    from ..state.sketches import hash64
+    from .joins import semi_join
 
     if num_partitions is None:
         num_partitions = num_buckets
@@ -921,67 +940,107 @@ def bfs_levels(edges: Dataset, src: str, dst: str,
     E = canonical_edges(edges, src, dst, num_buckets,
                         num_partitions).materialize()
 
-    def both_dirs(batch: pa.Table) -> pa.Table:
-        u = batch.column("u")
-        v = batch.column("v")
-        if isinstance(u, pa.ChunkedArray):
-            u = u.combine_chunks()
-        if isinstance(v, pa.ChunkedArray):
-            v = v.combine_chunks()
-        return pa.table({"a": pa.concat_arrays([u, v]),
-                         "b": pa.concat_arrays([v, u])})
-
-    E2 = E.map_batches(both_dirs, batch_format="pyarrow").materialize()
-
+    src_nodes = sorted(set(int(s) for s in sources))
     seen = ray.data.from_arrow(pa.table({
-        out_node: pa.array(sorted(set(int(s) for s in sources)),
-                           type=pa.int64()),
-        out_dist: pa.array([0] * len(set(sources)), type=pa.int64())}))
-    frontier = seen
+        out_node: pa.array(src_nodes, type=pa.int64()),
+        out_dist: pa.array([0] * len(src_nodes), type=pa.int64())}))
+    n_seen = len(src_nodes)
+    frontier_np: "np.ndarray | None" = np.asarray(src_nodes,
+                                                  dtype=np.int64)
+    frontier_ds: "Dataset | None" = None
     converged = False
+
+    def _member(col: pa.ChunkedArray, f: np.ndarray) -> np.ndarray:
+        a = col.to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(f, a)
+        pos_c = np.minimum(pos, len(f) - 1)
+        return f[pos_c] == a
+
     for rnd in range(max_rounds):
-        # neighbors of the frontier: edges whose tail is a frontier node
-        hit = semi_join(E2, frontier.select_columns([out_node]),
-                        on="a", right_on=out_node,
-                        num_partitions=num_partitions)
+        if frontier_np is not None:
+            ref = ray.put(frontier_np)
 
-        def heads(batch: pa.Table) -> pa.Table:
-            b = batch.column("b")
-            if isinstance(b, pa.ChunkedArray):
-                b = b.combine_chunks()
-            return pa.table({out_node: pc.unique(b)})
+            def expand(batch: pa.Table, ref=ref) -> pa.Table:
+                f = ray.get(ref)
+                u, v = batch.column("u"), batch.column("v")
+                in_u = _member(u, f)
+                in_v = _member(v, f)
+                out = []
+                if in_u.any():
+                    out.append(v.filter(pa.array(in_u)).combine_chunks())
+                if in_v.any():
+                    out.append(u.filter(pa.array(in_v)).combine_chunks())
+                nodes = (pc.unique(pa.concat_arrays(out)) if out
+                         else pa.array([], type=pa.int64()))
+                return pa.table({out_node: nodes})
 
-        cand = hit.map_batches(heads, batch_format="pyarrow")
-        new = anti_join(cand, seen, on=out_node,
-                        num_partitions=num_partitions)
+            cand = E.map_batches(expand, batch_format="pyarrow")
+        else:  # pragma: no cover - >max_broadcast_nodes frontiers
+            logger.warning("bfs_levels: frontier exceeds "
+                           "max_broadcast_nodes=%d; semi-join round",
+                           max_broadcast_nodes)
 
-        def first_seen(g: pa.Table) -> pa.Table:
-            nodes = g.column(out_node)
-            if isinstance(nodes, pa.ChunkedArray):
-                nodes = nodes.combine_chunks()
-            uniq = pc.unique(nodes)
-            return pa.table({
-                out_node: uniq,
-                out_dist: pa.array(
-                    np.full(len(uniq), rnd + 1, dtype=np.int64))})
+            def tail(other: str):
+                def fn(batch: pa.Table) -> pa.Table:
+                    col = batch.column(other)
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    return pa.table({out_node: pc.unique(col)})
+                return fn
 
-        from ..state.sketches import hash64
+            cand = (semi_join(E, frontier_ds, on="u", right_on=out_node,
+                              num_partitions=num_partitions)
+                    .map_batches(tail("v"), batch_format="pyarrow")
+                    .union(
+                        semi_join(E, frontier_ds, on="v",
+                                  right_on=out_node,
+                                  num_partitions=num_partitions)
+                        .map_batches(tail("u"), batch_format="pyarrow")))
+
+        def tag_cand(batch: pa.Table, rnd=rnd) -> pa.Table:
+            return batch.append_column(
+                out_dist, pa.array(np.full(batch.num_rows, rnd + 1,
+                                           dtype=np.int64)))
 
         def nb(batch: pa.Table) -> pa.Table:
             h = (hash64(batch.column(out_node), seed=67)
                  % np.uint64(num_buckets)).astype(np.int64)
             return batch.append_column(_BUCKET, pa.array(h))
 
-        frontier = (new.map_batches(nb, batch_format="pyarrow")
-                    .groupby(_BUCKET, num_partitions=num_partitions)
-                    .map_groups(first_seen, batch_format="pyarrow")
-                    ).materialize()
-        if frontier.count() == 0:
+        def bucket_min(g: pa.Table) -> pa.Table:
+            # min dist per node: seen rows always sort before this
+            # round's rnd+1 candidates, so first-of-run == anti-join +
+            # first-seen assignment in one pass
+            g = g.sort_by([(out_node, "ascending"),
+                           (out_dist, "ascending")])
+            nodes = g.column(out_node).to_numpy(zero_copy_only=False)
+            first = np.ones(len(nodes), dtype=bool)
+            first[1:] = nodes[1:] != nodes[:-1]
+            return g.filter(pa.array(first)).select([out_node, out_dist])
+
+        seen = (seen.union(cand.map_batches(tag_cand,
+                                            batch_format="pyarrow"))
+                .map_batches(nb, batch_format="pyarrow")
+                .groupby(_BUCKET, num_partitions=num_partitions)
+                .map_groups(bucket_min, batch_format="pyarrow")
+                ).materialize()
+        total = seen.count()          # metadata read on a materialized ds
+        n_new = total - n_seen
+        n_seen = total
+        if n_new == 0:
             converged = True
             logger.info("bfs_levels: frontier empty after %d rounds", rnd)
             break
-        seen = (seen.union(frontier)
-                .repartition(num_partitions, shuffle=False)).materialize()
+        frontier_filter = seen.filter(expr=f"{out_dist} == {rnd + 1}")
+        if n_new <= max_broadcast_nodes:
+            frontier_np = np.sort(
+                frontier_filter.select_columns([out_node]).to_pandas()
+                [out_node].to_numpy().astype(np.int64))
+            frontier_ds = None
+        else:  # pragma: no cover - >max_broadcast_nodes frontiers
+            frontier_np = None
+            frontier_ds = (frontier_filter.select_columns([out_node])
+                           .materialize())
     else:
         logger.warning("bfs_levels: max_rounds=%d reached with a live "
                        "frontier — distances beyond are missing",
