@@ -2056,25 +2056,51 @@ def _lm_q(x: float) -> int:
     return int(math.floor(math.log(x) * (1 << 40) + 0.5))
 
 
+#: hash seeds for the hashed-bucket LM tables (shared by table build and
+#: scorer lookups)
+_LM_UNI_SEED, _LM_BI_SEED = 71, 73
+
+
 class _BigramLMScorer:
     """Per-worker state: corpus unigram/bigram count tables from the
-    object store as polars frames (joined vectorized per batch) + a
-    count->quantized-log cache that persists across batches."""
+    object store — polars frames (joined vectorized per batch) in exact
+    mode, sorted int64 bucket arrays (searchsorted lookups) in hashed
+    mode — + a count->quantized-log cache that persists across batches."""
 
-    def __init__(self, ref, text_column: str, id_column: str):
+    def __init__(self, ref, text_column: str, id_column: str,
+                 hashed_buckets: "int | None" = None):
         import polars as pl
 
         import ray
-        uni_words, uni_counts, bi_pairs, bi_counts, total = (
-            ray.get(ref) if not isinstance(ref, tuple) else ref)
-        self.uni = pl.DataFrame({"w": uni_words, "cw": uni_counts})
-        self.bi = pl.DataFrame({"pair": bi_pairs, "cb": bi_counts})
+        uni_tbl, bi_tbl, total = (ray.get(ref)
+                                  if not isinstance(ref, tuple) else ref)
+        self.hashed = hashed_buckets is not None
+        if self.hashed:
+            self.H = int(hashed_buckets)
+            self.uni_h = uni_tbl.column("h").to_numpy(zero_copy_only=False)
+            self.uni_c = uni_tbl.column("cnt").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            self.bi_h = bi_tbl.column("h").to_numpy(zero_copy_only=False)
+            self.bi_c = bi_tbl.column("cnt").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        else:
+            self.uni = pl.from_arrow(uni_tbl)
+            self.bi = pl.from_arrow(bi_tbl)
         self.total = int(total)
         self.text_column = text_column
         self.id_column = id_column
         self.q_alpha = _lm_q(0.4)
         self.q_total = _lm_q(max(self.total, 1))
         self._qcache: dict = {0: 0}
+
+    @staticmethod
+    def _lookup(h: np.ndarray, keys: np.ndarray,
+                vals: np.ndarray) -> np.ndarray:
+        """Sorted-bucket count lookup: 0 where the bucket is absent."""
+        if len(keys) == 0 or len(h) == 0:
+            return np.zeros(len(h), dtype=np.int64)
+        pos = np.minimum(np.searchsorted(keys, h), len(keys) - 1)
+        return np.where(keys[pos] == h, vals[pos], 0)
 
     def _q(self, counts: np.ndarray) -> np.ndarray:
         """Vectorized count -> floor(ln(c) * 2^40 + 0.5) via a persistent
@@ -2103,17 +2129,34 @@ class _BigramLMScorer:
               .drop_nulls(["w", "w2"])
               .with_columns(pair=pl.concat_str(
                   [pl.col("w"), pl.col("w2")], separator=" ")))
-        df = (lf.join(self.bi.lazy(), on="pair", how="left")
-              .join(self.uni.lazy(), left_on="w", right_on="w",
-                    how="left")
-              .rename({"cw": "cv"})
-              .join(self.uni.lazy(), left_on="w2", right_on="w",
-                    how="left")
-              .select(["doc", "cb", "cv", "cw"]).collect())
-        doc = df.get_column("doc").cast(pl.Int64).to_numpy()
-        cb = df.get_column("cb").fill_null(0).cast(pl.Int64).to_numpy()
-        cv = df.get_column("cv").fill_null(0).cast(pl.Int64).to_numpy()
-        cw = df.get_column("cw").fill_null(0).cast(pl.Int64).to_numpy()
+        if self.hashed:
+            from ..state.sketches import hash64
+            df = lf.select(["doc", "w", "w2", "pair"]).collect()
+            doc = df.get_column("doc").cast(pl.Int64).to_numpy()
+            H = np.uint64(self.H)
+
+            def _h(col, seed):
+                arr = df.get_column(col).to_arrow().cast(pa.string())
+                return (hash64(arr, seed=seed) % H).astype(np.int64)
+
+            cb = self._lookup(_h("pair", _LM_BI_SEED),
+                              self.bi_h, self.bi_c)
+            cv = self._lookup(_h("w", _LM_UNI_SEED),
+                              self.uni_h, self.uni_c)
+            cw = self._lookup(_h("w2", _LM_UNI_SEED),
+                              self.uni_h, self.uni_c)
+        else:
+            df = (lf.join(self.bi.lazy(), on="pair", how="left")
+                  .join(self.uni.lazy(), left_on="w", right_on="w",
+                        how="left")
+                  .rename({"cw": "cv"})
+                  .join(self.uni.lazy(), left_on="w2", right_on="w",
+                        how="left")
+                  .select(["doc", "cb", "cv", "cw"]).collect())
+            doc = df.get_column("doc").cast(pl.Int64).to_numpy()
+            cb = df.get_column("cb").fill_null(0).cast(pl.Int64).to_numpy()
+            cv = df.get_column("cv").fill_null(0).cast(pl.Int64).to_numpy()
+            cw = df.get_column("cw").fill_null(0).cast(pl.Int64).to_numpy()
         qb, qv, qw = self._q(cb), self._q(cv), self._q(cw)
         lp = np.where(
             cb > 0, qb - qv,
@@ -2130,9 +2173,96 @@ class _BigramLMScorer:
         return batch.append_column("avg_logprob", pa.array(avg, pa.float64()))
 
 
+def _hashed_lm_tables(corpus: Dataset, text_column: str,
+                      hashed_buckets: int,
+                      num_partitions: "int | None" = None
+                      ) -> "tuple[pa.Table, pa.Table, int]":
+    """Bounded hashed-bucket LM count tables (the DSIR-bucket shape): one
+    corpus pass emits per-batch LOCAL (kind, bucket, cnt) partials where
+    bucket = ``hash64(word or pair) % hashed_buckets`` — hashing happens
+    MAP-SIDE, so the shuffle and both result tables are <= hashed_buckets
+    rows each regardless of vocabulary size.  Returns (uni, bi, total)
+    with each table sorted by bucket for searchsorted lookups."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    H = np.uint64(int(hashed_buckets))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from ..state.sketches import hash64
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        texts = pl.from_arrow(col).fill_null("")
+        words = texts.str.extract_all(r"[^\t\n\f\r ]+")
+        df = (pl.DataFrame({"w": words}).lazy()
+              .with_row_index("doc")
+              .explode("w", empty_as_null=True)
+              .with_columns(w2=pl.col("w").shift(-1).over("doc"))
+              .collect())
+        kinds, hs, cnts = [], [], []
+        uni = df.drop_nulls("w")
+        if uni.height:
+            h = (hash64(uni.get_column("w").to_arrow().cast(pa.string()),
+                        seed=_LM_UNI_SEED) % H).astype(np.int64)
+            hh, cc = np.unique(h, return_counts=True)
+            kinds.append(np.zeros(len(hh), dtype=np.int8))
+            hs.append(hh)
+            cnts.append(cc.astype(np.int64))
+        bi = df.drop_nulls(["w", "w2"])
+        if bi.height:
+            pair = bi.select(pl.concat_str(
+                [pl.col("w"), pl.col("w2")],
+                separator=" ").alias("p")).get_column("p")
+            h = (hash64(pair.to_arrow().cast(pa.string()),
+                        seed=_LM_BI_SEED) % H).astype(np.int64)
+            hh, cc = np.unique(h, return_counts=True)
+            kinds.append(np.ones(len(hh), dtype=np.int8))
+            hs.append(hh)
+            cnts.append(cc.astype(np.int64))
+        if not kinds:
+            return pa.table({"kind": pa.array([], type=pa.int8()),
+                             "h": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        return pa.table({"kind": pa.array(np.concatenate(kinds)),
+                         "h": pa.array(np.concatenate(hs)),
+                         "cnt": pa.array(np.concatenate(cnts))})
+
+    out = (corpus.select_columns([text_column])
+           .map_batches(partials, batch_format="pyarrow")
+           .groupby(["kind", "h"], num_partitions=num_partitions)
+           .aggregate(Sum("cnt", alias_name="cnt")))
+    parts = [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    t = (pa.concat_tables(parts) if parts
+         else pa.table({"kind": pa.array([], type=pa.int8()),
+                        "h": pa.array([], type=pa.int64()),
+                        "cnt": pa.array([], type=pa.int64())}))
+    kind = t.column("kind").to_numpy(zero_copy_only=False)
+    h = t.column("h").to_numpy(zero_copy_only=False)
+    cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def side(k: int) -> pa.Table:
+        m = kind == k
+        hh, cc = h[m], cnt[m]
+        o = np.argsort(hh)
+        return pa.table({"h": pa.array(hh[o], type=pa.int64()),
+                         "cnt": pa.array(cc[o], type=pa.int64())})
+
+    uni_tbl = side(0)
+    total = int(cnt[kind == 0].sum())
+    return uni_tbl, side(1), total
+
+
 def bigram_lm_score(ds: Dataset, text_column: str, id_column: str,
                     corpus: "Dataset | None" = None,
-                    concurrency=None) -> Dataset:
+                    concurrency=None,
+                    min_count: int = 1,
+                    max_vocab: int = 5_000_000,
+                    max_bigrams: int = 20_000_000,
+                    hashed_buckets: "int | None" = None) -> Dataset:
     """Per-doc bigram language-model log-probability with stupid backoff
     (Brants 2007) — the CCNet/KenLM-style perplexity quality signal:
     fluent prose scores near the corpus distribution, gibberish and
@@ -2151,24 +2281,63 @@ def bigram_lm_score(ds: Dataset, text_column: str, id_column: str,
 
     Scale shape: two corpus passes build the unigram (word_stats) and
     bigram (cooccurrence_counts window=1) tables — both Zipf-collapsed
-    map-side; the tables broadcast once via ray.put, and scoring is a
-    shuffle-free batch join.  At 100 TB swap the exact tables for the
-    DSIR-style hashed-bucket variant (documented trade: hash collisions
-    smooth the LM slightly)."""
+    map-side; the tables broadcast once via ray.put as ARROW tables
+    (never Python lists), and scoring is a shuffle-free batch join.
+
+    **Memory bound (exact mode)**: the exact tables are O(distinct
+    words/bigrams) on the driver — unbounded at corpus scale with
+    ``min_count=1``.  The build FAILS LOUD when the tables exceed
+    ``max_vocab`` / ``max_bigrams`` (the bigram table's size is checked
+    on the materialized dataset BEFORE any driver pull); raise
+    ``min_count`` to prune the Zipf tail, or pass ``hashed_buckets`` to
+    switch to the bounded DSIR-bucket variant: words and pairs hash to
+    ``hash64(x) % hashed_buckets`` MAP-SIDE, so the shuffle, the
+    broadcast tables and worker memory are all <= hashed_buckets rows
+    regardless of vocabulary (documented trade: hash collisions merge a
+    colliding pair's counts and smooth the LM slightly; with buckets >>
+    vocabulary the scores are bit-identical to exact mode)."""
     import ray
 
     from . import cached_stage, concurrency_kwargs
 
     corpus = corpus if corpus is not None else ds
+    if hashed_buckets is not None:
+        uni_tbl, bi_tbl, total = _hashed_lm_tables(
+            corpus, text_column, hashed_buckets)
+        ref = ray.put((uni_tbl, bi_tbl, total))
+        return ds.map_batches(
+            cached_stage(_BigramLMScorer, ref=ref,
+                         text_column=text_column, id_column=id_column,
+                         hashed_buckets=int(hashed_buckets)),
+            batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
     stats = word_stats(corpus, text_column)
+    if stats.num_rows > max_vocab:
+        raise ValueError(
+            f"bigram_lm_score: {stats.num_rows} distinct words > "
+            f"max_vocab={max_vocab} — raise min_count / max_vocab or "
+            f"pass hashed_buckets for the bounded variant")
     total = int(pc.sum(stats.column("cnt")).as_py() or 0)
-    bi = cooccurrence_counts(corpus, text_column, window=1, min_count=1)
-    import pandas as pd
-    bi_df = bi.to_pandas()
-    pairs = (bi_df.word_a + " " + bi_df.word_b).tolist()
-    ref = ray.put((stats.column("word").to_pylist(),
-                   stats.column("cnt").to_pylist(),
-                   pairs, bi_df.cnt.astype("int64").tolist(), total))
+    bi = cooccurrence_counts(corpus, text_column, window=1,
+                             min_count=min_count).materialize()
+    n_bigrams = bi.count()  # metadata on a materialized dataset
+    if n_bigrams > max_bigrams:
+        raise ValueError(
+            f"bigram_lm_score: {n_bigrams} distinct bigrams > "
+            f"max_bigrams={max_bigrams} — raise min_count / max_bigrams "
+            f"or pass hashed_buckets for the bounded variant")
+    parts = [pa.table(b) for b in bi.iter_batches(batch_format="pyarrow")]
+    bi_arrow = (pa.concat_tables(parts) if parts
+                else pa.table({"word_a": pa.array([], type=pa.string()),
+                               "word_b": pa.array([], type=pa.string()),
+                               "cnt": pa.array([], type=pa.int64())}))
+    pair = pc.binary_join_element_wise(
+        bi_arrow.column("word_a").combine_chunks(),
+        bi_arrow.column("word_b").combine_chunks(), " ")
+    uni_tbl = pa.table({"w": stats.column("word"),
+                        "cw": stats.column("cnt")})
+    bi_tbl = pa.table({"pair": pair, "cb": bi_arrow.column("cnt")})
+    ref = ray.put((uni_tbl, bi_tbl, total))
     return ds.map_batches(
         cached_stage(_BigramLMScorer, ref=ref, text_column=text_column,
                      id_column=id_column),

@@ -3720,3 +3720,55 @@ def test_bloom_semi_join_exact(ray_session):
     with pytest.raises(ValueError, match="dtypes differ"):
         bloom_semi_join(left, rd.from_arrow(pa.table(
             {"rk": pa.array([3], pa.int32())})), on="k", right_on="rk")
+
+
+def test_bigram_lm_hashed_bounded(ray_session):
+    """The hashed-bucket bigram LM (the bounded 100-TB path): (a) with
+    buckets >> vocabulary, scores are bit-identical to exact mode;
+    (b) with tiny bucket counts, BOTH broadcast tables are bounded by
+    the bucket count while total word mass is preserved; (c) the exact
+    mode's fail-loud caps raise before any unbounded driver pull."""
+    import ray.data as rd
+    from malli_ray.stages.text import _hashed_lm_tables, bigram_lm_score
+
+    docs = ["the cat sat on the mat",
+            "the dog sat on the log",
+            "a cat and a dog and a mat",
+            "完全 different 字符 here",
+            "", "single"]
+    t = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    ds = rd.from_arrow(t)
+
+    cols = ["doc_id", "n_bigrams", "lp_q", "avg_logprob"]
+    exact = (bigram_lm_score(ds, "text", "doc_id")
+             .select_columns(cols).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    hashed = (bigram_lm_score(ds, "text", "doc_id",
+                              hashed_buckets=1 << 40)
+              .select_columns(cols).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    assert exact.equals(hashed)
+
+    H = 8
+    uni, bi, total = _hashed_lm_tables(ds, "text", H)
+    assert uni.num_rows <= H and bi.num_rows <= H
+    n_words = sum(len(d.split()) for d in docs)
+    assert total == n_words                     # mass preserved
+    assert int(pa.compute.sum(bi.column("cnt")).as_py()) == \
+        sum(max(len(d.split()) - 1, 0) for d in docs)
+    # deterministic: same tables on a rebuild
+    uni2, bi2, total2 = _hashed_lm_tables(ds, "text", H)
+    assert uni.equals(uni2) and bi.equals(bi2) and total == total2
+    # tiny-H scoring still runs end to end and is deterministic
+    s1 = (bigram_lm_score(ds, "text", "doc_id", hashed_buckets=H)
+          .select_columns(["doc_id", "lp_q"]).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    s2 = (bigram_lm_score(ds, "text", "doc_id", hashed_buckets=H)
+          .select_columns(["doc_id", "lp_q"]).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert s1.equals(s2)
+
+    with pytest.raises(ValueError, match="max_bigrams"):
+        bigram_lm_score(ds, "text", "doc_id", max_bigrams=3).to_pandas()
+    with pytest.raises(ValueError, match="max_vocab"):
+        bigram_lm_score(ds, "text", "doc_id", max_vocab=3).to_pandas()
