@@ -191,10 +191,28 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
         ds = joins.semi_join(ds, kept, on=idc)
         stages.append("dedup_exact")
     if args.url_dedup:
+        import pyarrow.compute as _pc
+
         ds = T.canonicalize_urls(ds, args.url_dedup)
-        kept = dedup.exact_dedup_keep_first(ds, "canonical_url", idc)
-        ds = joins.semi_join(ds, kept, on=idc).drop_columns(
-            ["canonical_url"])
+        # SQL semantics: NULL keys never match each other — a relative or
+        # malformed URL canonicalizes to null, and hashing the null-keyed
+        # rows would collapse ALL of them into one dedup group (polars
+        # Series.hash maps every null to the same value).  Dedup only the
+        # non-null partition; null-URL rows always survive.
+
+        def _nn(b):
+            return b.filter(_pc.is_valid(b.column("canonical_url")))
+
+        def _nu(b):
+            return b.filter(_pc.is_null(b.column("canonical_url")))
+
+        kept = dedup.exact_dedup_keep_first(
+            ds.map_batches(_nn, batch_format="pyarrow"),
+            "canonical_url", idc)
+        null_ids = (ds.map_batches(_nu, batch_format="pyarrow")
+                    .select_columns([idc]))
+        ds = joins.semi_join(ds, kept.union(null_ids),
+                             on=idc).drop_columns(["canonical_url"])
         stages.append(f"url_dedup({args.url_dedup})")
     if args.decontaminate:
         probe_paths = sorted(_glob.glob(args.decontaminate))

@@ -317,7 +317,7 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
                            max_bucket: int = 1024,
                            intra_closure_cap: int = 256,
                            cross_closure_cap: int = 1024,
-                           hash_buckets: int | None = None,
+                           hash_buckets: int | None = 65_536,
                            fail_on_truncation: bool = False,
                            dedupe: bool = True,
                            concurrency=None) -> Dataset:
@@ -333,10 +333,12 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
     logged — never silently).  A pair can fire in several bands; the final
     groupby keeps it once.
 
-    ``hash_buckets``: when set, band hashes fold modulo this count so the
-    shuffle produces at most bands x hash_buckets GROUPS instead of one
+    ``hash_buckets``: band hashes fold modulo this count so the shuffle
+    produces at most bands x hash_buckets GROUPS instead of one
     micro-group per distinct band hash — per-group task overhead dominates
     wall time for high-band configs (e.g. the r=2/b=32 exactness setting).
+    Bounded BY DEFAULT (65_536) so naive callers never hit the
+    micro-group trap; pass ``None`` to shuffle on raw band hashes.
     The ORIGINAL band hash rides along as a payload column and signatures
     are compared only within original buckets, so folding changes neither
     the candidate set nor the per-bucket cost — only the group count.

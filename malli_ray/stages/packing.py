@@ -122,6 +122,10 @@ def concat_token_blocks(ds: Dataset, group_column: str, id_column: str,
         group = group.take(idx)
         n_all = group.column(count_column).to_numpy(zero_copy_only=False)
         n_all = np.nan_to_num(n_all.astype(np.float64), nan=0.0).astype(np.int64)
+        # clamp BEFORE the cumsum: a negative count must contribute zero to
+        # every later doc's offset (docstring: count <= 0 docs emit no
+        # spans), not shift the whole group's block ids
+        n_all = np.maximum(n_all, 0)
         before_all = np.cumsum(n_all) - n_all
         keep = n_all > 0
         n = n_all[keep]

@@ -1109,3 +1109,36 @@ def test_cli_corpus_prep_entropy_lm_filters(tmp_path, ray_session, capsys):
     kept = pq.read_table(sorted((out / "data").glob("*.parquet")))
     assert sorted(kept.column("doc_id").to_pylist()) == [0, 2]
     assert kept.column_names == ["doc_id", "text"]  # signals dropped
+
+
+def test_cli_url_dedup_null_canonical_survives(tmp_path, ray_session,
+                                               capsys):
+    """Rows whose URL fails to canonicalize (relative/malformed -> null
+    canonical_url) must ALL survive --url-dedup — SQL null-key semantics.
+    Regression: Series.hash maps every null to the same value, so hashing
+    the null-keyed rows used to collapse them into ONE dedup group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from malli_ray.cli import main
+
+    docs = pa.table({
+        "doc_id": list(range(7)),
+        "source": ["a"] * 7,
+        "n_tok": [5] * 7,
+        "url": ["https://x.com/p",        # dup pair -> keep doc 0
+                "HTTPS://WWW.X.COM/p/",
+                "not a url",               # null canonical
+                "/relative/path",          # null canonical
+                "",                        # null canonical
+                "mailto:someone",          # null canonical
+                "https://y.com/q"],        # unique -> survives
+        "text": [f"doc {i}" for i in range(7)]})
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(docs, inp / "part-0.parquet")
+    out = tmp_path / "out"
+    rc = main(["corpus-prep", "--input", str(inp), "--out", str(out),
+               "--url-dedup", "url", "--num-cpus", "4"])
+    assert rc == 0
+    got = pq.read_table(sorted((out / "data").glob("*.parquet")))
+    assert sorted(got.column("doc_id").to_pylist()) == [0, 2, 3, 4, 5, 6]
