@@ -1857,6 +1857,116 @@ def tfidf_keywords(ds: Dataset, text_column: str, id_column: str,
         batch_format="pyarrow", **_conc(concurrency))
 
 
+class _FusedFrequencyPass:
+    """ONE pass-2 stage for the composed frequency family: boilerplate
+    line scrub (_FrequentLineFilter) + corpus-frequency quality scoring
+    (_FreqScorer) + top-k keyword string (_TfIdfKeywords joined to one
+    rank-ordered string per doc), all against broadcast tables built by
+    the shared pass-1.  Delegates to the proven single-op stage classes,
+    so each signal's values are bit-identical to running the op alone."""
+
+    def __init__(self, text_column: str, id_column: str, freq_ref=None,
+                 vocab_ref=None, df_ref=None, min_count: int = 30,
+                 k: int = 3):
+        from .dedup import _FrequentLineFilter
+        self.line = (_FrequentLineFilter(text_column, "text_clean",
+                                         "n_lines_dropped", freq_ref)
+                     if freq_ref is not None else None)
+        self.freq = (_FreqScorer(text_column, id_column, vocab_ref,
+                                 min_count)
+                     if vocab_ref is not None else None)
+        self.tfidf = (_TfIdfKeywords(text_column, id_column, df_ref, k)
+                      if df_ref is not None else None)
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        out = batch
+        if self.line is not None:
+            out = self.line(out)
+        if self.freq is not None:
+            f = self.freq(batch)
+            for c in ("n_words", "total_freq", "avg_word_freq",
+                      "oov_words"):
+                out = out.append_column(c, f.column(c))
+        if self.tfidf is not None:
+            t = self.tfidf(batch)
+            ids = batch.column(self.id_column)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            tw = (pl.from_arrow(t)
+                  .sort([self.id_column, "rk"])
+                  .group_by(self.id_column, maintain_order=True)
+                  .agg(pl.col("word").str.join(" ").alias("top_words")))
+            joined = (pl.DataFrame({self.id_column: pl.from_arrow(ids)})
+                      .join(tw, on=self.id_column, how="left")
+                      .with_columns(pl.col("top_words").fill_null("")))
+            col = joined.get_column("top_words").to_arrow()
+            if col.type != pa.string():
+                col = col.cast(pa.string())
+            out = out.append_column("top_words", col)
+        return out
+
+
+def with_frequencies(ds: Dataset, text_column: str, id_column: str, *,
+                     corpus: "Dataset | None" = None,
+                     drop_lines_min_count: "int | None" = None,
+                     freq_min_count: "int | None" = None,
+                     tfidf_k: "int | None" = None,
+                     max_frequent: int = 5_000_000,
+                     concurrency=None) -> Dataset:
+    """Fused frequency-family annotation: compute any combination of the
+    three two-pass corpus-frequency signals — boilerplate line scrub
+    (``drop_lines_min_count``), corpus-frequency quality score
+    (``freq_min_count``) and top-k TF-IDF keywords (``tfidf_k``) — with
+    the MINIMUM number of corpus scans.  Chaining the three ops costs
+    three pass-1 scans + three pass-2 scans; this fuses them into at
+    most TWO pass-1 scans (ONE ``word_stats`` scan shared by freq +
+    tfidf, one line-hash scan) and exactly ONE pass-2 ``map_batches``
+    over the payload — at 100 TB the scan count is the cost.
+
+    Appends, per requested signal: ``text_clean`` + ``n_lines_dropped``;
+    ``n_words``/``total_freq``/``avg_word_freq``/``oov_words``;
+    ``top_words`` (the rank-ordered top-k keywords space-joined, ''
+    when the doc has no scorable words).  Each signal is computed by the
+    single-op stage class, so values are bit-identical to running
+    ``drop_frequent_lines`` / ``corpus_freq_score`` / ``tfidf_keywords``
+    separately — all signals score the ORIGINAL text against the
+    ORIGINAL corpus (annotate-then-filter composition; chain ops
+    explicitly when a signal must see scrubbed text).
+
+    ``corpus`` (default ``ds``): the dataset the frequency tables are
+    built from — pass a reference corpus to score against it."""
+    import ray
+
+    from . import cached_stage
+    from .dedup import frequent_line_hashes
+
+    if (drop_lines_min_count is None and freq_min_count is None
+            and tfidf_k is None):
+        raise ValueError("with_frequencies: request at least one signal")
+    corpus = corpus if corpus is not None else ds
+    freq_ref = vocab_ref = df_ref = None
+    if freq_min_count is not None or tfidf_k is not None:
+        stats = word_stats(corpus, text_column)
+        if freq_min_count is not None:
+            vocab_ref = ray.put(stats.select(["word", "cnt"]))
+        if tfidf_k is not None:
+            df_ref = ray.put(stats.select(["word", "df"]))
+    if drop_lines_min_count is not None:
+        freq_ref = ray.put(frequent_line_hashes(
+            corpus, text_column, drop_lines_min_count,
+            max_frequent=max_frequent))
+    return ds.map_batches(
+        cached_stage(_FusedFrequencyPass, text_column=text_column,
+                     id_column=id_column, freq_ref=freq_ref,
+                     vocab_ref=vocab_ref, df_ref=df_ref,
+                     min_count=(freq_min_count
+                                if freq_min_count is not None else 30),
+                     k=(tfidf_k if tfidf_k is not None else 3)),
+        batch_format="pyarrow", **_conc(concurrency))
+
+
 def cooccurrence_counts(ds: Dataset, text_column: str, window: int = 2,
                         min_count: int = 2,
                         num_partitions: int | None = None) -> Dataset:

@@ -3772,3 +3772,49 @@ def test_bigram_lm_hashed_bounded(ray_session):
         bigram_lm_score(ds, "text", "doc_id", max_bigrams=3).to_pandas()
     with pytest.raises(ValueError, match="max_vocab"):
         bigram_lm_score(ds, "text", "doc_id", max_vocab=3).to_pandas()
+
+
+def test_with_frequencies_matches_standalone_ops(ray_session):
+    """The fused frequency pass must be bit-identical to running
+    drop_frequent_lines, corpus_freq_score and tfidf_keywords alone."""
+    import pandas as pd
+    import ray.data as rd
+    from malli_ray.stages.dedup import drop_frequent_lines
+    from malli_ray.stages.text import (corpus_freq_score, tfidf_keywords,
+                                       with_frequencies)
+
+    docs = ["menu\nthe cat sat\nmenu",
+            "menu\nthe dog ran\nfooter",
+            "menu\nfooter\nunique words here",
+            "", "one"]
+    t = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    ds = rd.from_arrow(t)
+
+    fused = (with_frequencies(ds, "text", "doc_id",
+                              drop_lines_min_count=3, freq_min_count=2,
+                              tfidf_k=2)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    scrub = (drop_frequent_lines(ds, "text", min_count=3)
+             .select_columns(["doc_id", "text_clean", "n_lines_dropped"])
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    freq = (corpus_freq_score(ds, "text", "doc_id", min_count=2)
+            .select_columns(["doc_id", "n_words", "total_freq",
+                             "avg_word_freq", "oov_words"])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    kw_rows = (tfidf_keywords(ds, "text", "doc_id", k=2)
+               .to_pandas().sort_values(["doc_id", "rk"]))
+    want_kw = {d: " ".join(g["word"]) for d, g in kw_rows.groupby("doc_id")}
+
+    assert fused["n_lines_dropped"].tolist() == \
+        scrub["n_lines_dropped"].tolist()
+    assert fused["text_clean"].tolist() == scrub["text_clean"].tolist()
+    for c in ("n_words", "total_freq", "oov_words"):
+        assert fused[c].tolist() == freq[c].tolist(), c
+    assert [(a == b) or (pd.isna(a) and pd.isna(b)) for a, b in
+            zip(fused["avg_word_freq"], freq["avg_word_freq"])]
+    assert fused["top_words"].tolist() == \
+        [want_kw.get(i, "") for i in fused["doc_id"]]
+
+    with pytest.raises(ValueError, match="at least one signal"):
+        with_frequencies(ds, "text", "doc_id")
