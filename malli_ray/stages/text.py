@@ -1055,13 +1055,30 @@ def domain_filter(ds: Dataset, text_column: str, id_column: str,
     blocklist by exact domain OR dot-suffix (``ads.bad.example`` matches
     blocked ``bad.example``).  ``mode="flag"`` emits per-doc counts +
     ``blocked``; ``mode="drop"`` keeps only clean docs (input columns
-    pass through).  Vectorized polars list kernels, shuffle-free; the
-    blocklist is a per-actor constant (broadcast with the closure — at
-    1e5+ entries swap the per-entry loop for an Aho-Corasick automaton,
-    same boundary as contamination_pairs)."""
+    pass through).  Vectorized polars list kernels, shuffle-free.
+
+    The matcher scales to 1e6+-entry blocklists (the UT1 list is ~4M
+    domains): entries are label-reversed (``bad.example`` ->
+    ``example.bad.``), MINIMALIZED (an entry covered by a shorter
+    blocked suffix is dropped — the matched-host set is unchanged) and
+    sorted once per actor; each extracted host label-reverses and ONE
+    ``np.searchsorted`` + an elementwise ``startswith`` against its
+    single sorted predecessor decides membership — O(log n) per host,
+    never a per-entry pass.  Completeness of the single-predecessor
+    check: if minimal entry e is a '.'-terminated prefix of query q,
+    every sorted entry in (e, q] starts with e and is therefore
+    redundant, so e IS the predecessor.  ``n_blocked_urls`` counts each
+    blocked HOST once, however many entries cover it — the SQL
+    ``list_filter``-count semantics."""
     if mode not in ("flag", "drop"):
         raise ValueError(f"domain_filter: unknown mode {mode!r}")
     bl = tuple(b.lower() for b in blocklist)
+    rev = sorted({".".join(reversed(b.split("."))) + "." for b in bl})
+    minimal: "list[str]" = []
+    for e in rev:
+        if not minimal or not e.startswith(minimal[-1]):
+            minimal.append(e)
+    keys = np.array(minimal, dtype=np.str_)
 
     def hosts_of(s):
         import polars as pl
@@ -1081,11 +1098,23 @@ def domain_filter(ds: Dataset, text_column: str, id_column: str,
         h = hosts_of(pl.from_arrow(col).fill_null(""))
         n_urls = h.list.len().cast(pl.Int64).to_numpy()
         n_blocked = np.zeros(batch.num_rows, dtype=np.int64)
-        for b in bl:
-            n_blocked += (h.list.eval(
-                ((pl.element() == b)
-                 | pl.element().str.ends_with("." + b)).cast(pl.Int64))
-                .list.sum().fill_null(0).cast(pl.Int64).to_numpy())
+        if len(keys):
+            ex = (pl.DataFrame({"row": np.arange(batch.num_rows,
+                                                 dtype=np.int64),
+                                "h": h})
+                  .explode("h").drop_nulls("h")
+                  .with_columns(q=pl.col("h").str.split(".")
+                                .list.reverse().list.join(".") + "."))
+            rows = ex.get_column("row").to_numpy()
+            q = ex.get_column("q").to_numpy().astype(np.str_)
+            if len(q):
+                idx = np.searchsorted(keys, q, side="right") - 1
+                ok = idx >= 0
+                match = np.zeros(len(q), dtype=bool)
+                match[ok] = np.char.startswith(q[ok], keys[idx[ok]])
+                n_blocked = np.bincount(
+                    rows[match],
+                    minlength=batch.num_rows).astype(np.int64)
         if mode == "drop":
             return batch.filter(pa.array(n_blocked == 0))
         return pa.table({
