@@ -3883,3 +3883,46 @@ def test_domain_filter_large_blocklist(ray_session):
     assert all(r["n_urls"] == 2 for r in out)
     # a per-entry pass would be ~1e5 vector scans; generous wall bound
     assert el < 30.0, el
+
+
+def test_mp4_sample_probe(ray_session):
+    """MP4 sample-table parsing: stts run-length entries, both stsz
+    branches (fixed size vs per-sample table), mdhd timescale, fps as
+    one IEEE division; malformed/truncated/sample-less payloads null."""
+    import ray.data as rd
+    from malli_ray.stages.multimodal import (MP4SampleProbe,
+                                             make_mp4_header,
+                                             make_mp4_sampled,
+                                             probe_mp4_samples)
+
+    # fixed-size branch + run-length-collapsed deltas (2,2,2,5 -> 2 entries)
+    p1 = make_mp4_sampled(640, 480, 600, [2, 2, 2, 5], 100)
+    # table branch
+    p2 = make_mp4_sampled(320, 240, 1000, [1, 2, 3], [10, 20, 30])
+    p3 = make_mp4_header(640, 480, 5000, 1000)    # header only, no stbl
+    p4 = b"\x00\x00\x00\x08ftyp"                  # truncated
+    p5 = b"not media at all"
+    t = pa.table({"id": [1, 2, 3, 4, 5],
+                  "payload": pa.array([p1, p2, p3, p4, p5],
+                                      type=pa.large_binary())})
+    rows = {r["id"]: r for r in
+            probe_mp4_samples(rd.from_arrow(t)).take_all()}
+    r1 = rows[1]
+    assert (r1["mp4_n_tracks"], r1["mp4_n_samples"],
+            r1["mp4_sample_bytes"]) == (1, 4, 400)
+    assert (r1["mp4_media_timescale"],
+            r1["mp4_media_duration_units"]) == (600, 11)
+    assert r1["mp4_fps"] == (4 * 600) / 11
+    r2 = rows[2]
+    assert (r2["mp4_n_samples"], r2["mp4_sample_bytes"],
+            r2["mp4_media_duration_units"]) == (3, 60, 6)
+    assert r2["mp4_fps"] == (3 * 1000) / 6
+    r3 = rows[3]                                  # track but no stbl
+    assert r3["mp4_n_tracks"] == 1 and r3["mp4_n_samples"] is None
+    for k in (4, 5):
+        assert rows[k]["mp4_n_tracks"] is None
+        assert rows[k]["mp4_fps"] is None
+    # stts run-length collapse produced 2 entries, not 4
+    import struct
+    i = p1.find(b"stts")
+    assert struct.unpack(">I", p1[i + 8:i + 12])[0] == 2
