@@ -39,6 +39,54 @@ __all__ = ["top_k_per_group", "distinct_count_by_group", "pivot_counts",
            "regression_by_group", "list_value_counts"]
 
 
+def _key_runs(keys: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """(starts, lens) of runs of equal consecutive keys.  None groups with
+    None (object arrays: ``None != None`` is False elementwise), matching
+    SQL GROUP BY null semantics; float NaN keys are out of contract (same
+    caveat as every run-masked op in this package)."""
+    n = len(keys)
+    if n == 0:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+    new = np.ones(n, dtype=bool)
+    new[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(new)
+    return starts, np.diff(np.append(starts, n))
+
+
+def bucketed_groups(ds: Dataset, key, per_bucket,
+                    num_buckets: int = 64, seed: int = 17,
+                    num_partitions: int | None = None,
+                    bucket_col: str = "__gbkt__") -> Dataset:
+    """The de-trapped replacement for ``groupby(raw key).map_groups(fn)``:
+    exchange on ``hash(key) % num_buckets`` (evenly-sized groups, ~one
+    Python call per bucket instead of one per DISTINCT KEY — at 100 TB a
+    raw entity key means billions of Python ``map_groups`` calls), then
+    ``per_bucket`` handles ALL keys of its bucket in one vectorized pass
+    (sort + ``_key_runs``).  ``per_bucket`` receives the bucket table with
+    ``bucket_col`` already dropped; every row of a key lands in exactly one
+    bucket, so per-key semantics are unchanged.  ``key`` may be a column
+    name or list (multi-column keys combine hashes FNV-style)."""
+    from ..state.sketches import hash64
+
+    key_cols = [key] if isinstance(key, str) else list(key)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key_cols[0]), seed=seed)
+        for c in key_cols[1:]:
+            h = h * np.uint64(1099511628211) + hash64(batch.column(c),
+                                                      seed=seed)
+        h = h % np.uint64(num_buckets)
+        return batch.append_column(
+            bucket_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+    def run(g: pa.Table) -> pa.Table:
+        return per_bucket(g.drop_columns([bucket_col]))
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(run, batch_format="pyarrow"))
+
+
 def _sort_spec(group: str, order_by, descending: bool):
     if isinstance(order_by, str):
         order_by = [order_by]
@@ -76,8 +124,11 @@ def top_k_per_group(ds: Dataset, group: str, order_by, k: int,
     Scale shape: each batch is cut to its own per-group top-k first (one
     Arrow sort + a vectorized run-position scan — no Python loop), so the
     shuffle moves at most ``k x groups`` rows per batch; the finisher
-    groupby re-sorts the k-sized survivors per group.  Skew-safe: a hot
-    group contributes k rows per batch, not its full volume.
+    exchange keys on ``hash(group) % num_buckets`` (NOT the raw group —
+    one vectorized pass per bucket, never one Python call per distinct
+    group) and re-ranks all of a bucket's groups with one sort + run scan.
+    Skew-safe: a hot group contributes k rows per batch, not its full
+    volume.
     """
     spec = _sort_spec(group, order_by, descending)
 
@@ -88,15 +139,16 @@ def top_k_per_group(ds: Dataset, group: str, order_by, k: int,
         gvals = batch.column(group).to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(_run_positions(gvals) < k))
 
-    def finish(g: pa.Table) -> pa.Table:
+    def per_bucket(g: pa.Table) -> pa.Table:
         g = g.sort_by(spec)
-        n = min(k, g.num_rows)
-        return g.slice(0, n).append_column(
-            rank_col, pa.array(np.arange(1, n + 1, dtype=np.int64)))
+        pos = _run_positions(g.column(group).to_numpy(zero_copy_only=False))
+        keep = pos < k
+        g = g.append_column(rank_col, pa.array(pos + 1, type=pa.int64()))
+        return g.filter(pa.array(keep))
 
-    return (ds.map_batches(partial_topk, batch_format="pyarrow")
-            .groupby(group, num_partitions=num_partitions)
-            .map_groups(finish, batch_format="pyarrow"))
+    return bucketed_groups(
+        ds.map_batches(partial_topk, batch_format="pyarrow"),
+        group, per_bucket, seed=17, num_partitions=num_partitions)
 
 
 def distinct_count_by_group(ds: Dataset, group: str, value: str,
@@ -108,28 +160,43 @@ def distinct_count_by_group(ds: Dataset, group: str, value: str,
     ``(group, value)`` pairs via Arrow's hash ``group_by`` (vectorized), so
     the shuffle carries distinct-per-batch pairs — bounded by the true
     (group x value) cardinality per batch, never the row count.  The
-    finisher counts unique values per group with ``np.unique``.  Null
-    values are NOT counted (SQL COUNT(DISTINCT) semantics); null groups
-    form their own group (SQL GROUP BY semantics).
+    finisher exchange keys on ``hash(group) % num_buckets`` (never one
+    Python call per distinct group); per bucket ONE (group, value) sort +
+    null-safe adjacent-change masks dedup pairs across batches and count
+    per group run.  Null values are NOT counted (SQL COUNT(DISTINCT)
+    semantics); null groups form their own group (SQL GROUP BY semantics)
+    and groups whose values are all null report 0.
     """
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
         pairs = batch.select([group, value])
         return pairs.group_by([group, value], use_threads=False).aggregate([])
 
-    def finish(g: pa.Table) -> pa.Table:
-        v = g.column(value)
-        if v.null_count:
-            v = v.drop_null()
-        vals = v.to_numpy(zero_copy_only=False)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(group, "ascending"), (value, "ascending")])
+        pair_first = _adjacent_change_mask(t, [group, value])
+        grp_first = _adjacent_change_mask(t, [group])
+        starts = np.flatnonzero(grp_first)
+        if len(starts) == 0:
+            return pa.table({group: t.column(group),
+                             out_col: pa.array([], type=pa.int64())})
+        vcol = t.column(value)
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        contrib = (pair_first
+                   & np.asarray(pc.is_valid(vcol))).astype(np.int64)
+        counts = np.add.reduceat(contrib, starts)
+        gcol = t.column(group)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
         return pa.table({
-            group: g.column(group).slice(0, 1),
-            out_col: pa.array([len(np.unique(vals))], type=pa.int64())})
+            group: gcol.take(pa.array(starts, pa.int64())),
+            out_col: pa.array(counts, type=pa.int64())})
 
-    return (ds.select_columns([group, value])
-            .map_batches(distinct_pairs, batch_format="pyarrow")
-            .groupby(group, num_partitions=num_partitions)
-            .map_groups(finish, batch_format="pyarrow"))
+    return bucketed_groups(
+        ds.select_columns([group, value])
+        .map_batches(distinct_pairs, batch_format="pyarrow"),
+        group, per_bucket, seed=17, num_partitions=num_partitions)
 
 
 def quantiles_by_group(ds: Dataset, group: str, value: str,
@@ -166,21 +233,35 @@ def quantiles_by_group(ds: Dataset, group: str, value: str,
 
     q_cols = [f"q{str(q).replace('.', '_')}" for q in qs]
 
-    def finish(g: pa.Table) -> pa.Table:
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # bucketed finisher: one sort, then a per-RUN digest merge (the
+        # merge is Python-object work either way; the win is ~one Ray
+        # map_groups call per bucket instead of one per distinct group)
         from ..state.sketches import TDigest as TD
-        merged = None
-        for d in g.column("_digest").to_pylist():
-            t = TD.from_digest(d)
-            merged = t if merged is None else merged.merge(t)
-        out = {group: g.column(group).slice(0, 1)}
-        for q, name in zip(qs, q_cols):
-            out[name] = pa.array([merged.quantile(q)], pa.float64())
+        t = g.sort_by([(group, "ascending")])
+        starts = np.flatnonzero(_adjacent_change_mask(t, [group]))
+        bounds = np.append(starts, t.num_rows)
+        digests = t.column("_digest").to_pylist()
+        out_vals: dict = {name: [] for name in q_cols}
+        for i in range(len(starts)):
+            merged = None
+            for d in digests[bounds[i]:bounds[i + 1]]:
+                td = TD.from_digest(d)
+                merged = td if merged is None else merged.merge(td)
+            for q, name in zip(qs, q_cols):
+                out_vals[name].append(merged.quantile(q))
+        gcol = t.column(group)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        out = {group: gcol.take(pa.array(starts, pa.int64()))}
+        for name in q_cols:
+            out[name] = pa.array(out_vals[name], pa.float64())
         return pa.table(out)
 
-    return (ds.select_columns([group, value])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby(group, num_partitions=num_partitions)
-            .map_groups(finish, batch_format="pyarrow"))
+    return bucketed_groups(
+        ds.select_columns([group, value])
+        .map_batches(partial, batch_format="pyarrow"),
+        group, per_bucket, seed=17, num_partitions=num_partitions)
 
 
 def approx_distinct_by_group(ds: Dataset, group: str, value: str,
@@ -224,20 +305,33 @@ def approx_distinct_by_group(ds: Dataset, group: str, value: str,
         return pa.table({group: uniq,
                          "_regs": pa.array(regs_out, pa.large_binary())})
 
-    def finish(g: pa.Table) -> pa.Table:
-        merged = np.zeros(1 << p, dtype=np.uint8)
-        for buf in g.column("_regs").to_pylist():
-            np.maximum(merged, np.frombuffer(buf, dtype=np.uint8),
-                       out=merged)
-        est = HyperLogLog(p=p, registers=merged).cardinality()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # bucketed finisher: register merge is ONE np.maximum.reduceat
+        # over the stacked (rows x 2^p) register matrix — vectorized
+        # across every group in the bucket at once
+        t = g.sort_by([(group, "ascending")])
+        starts = np.flatnonzero(_adjacent_change_mask(t, [group]))
+        if len(starts) == 0:
+            return pa.table({group: t.column(group),
+                             out_col: pa.array([], type=pa.int64())})
+        mat = np.frombuffer(
+            b"".join(t.column("_regs").to_pylist()),
+            dtype=np.uint8).reshape(t.num_rows, 1 << p)
+        merged = np.maximum.reduceat(mat, starts, axis=0)
+        ests = [int(round(HyperLogLog(p=p, registers=merged[i])
+                          .cardinality()))
+                for i in range(len(starts))]
+        gcol = t.column(group)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
         return pa.table({
-            group: g.column(group).slice(0, 1),
-            out_col: pa.array([int(round(est))], type=pa.int64())})
+            group: gcol.take(pa.array(starts, pa.int64())),
+            out_col: pa.array(ests, type=pa.int64())})
 
-    return (ds.select_columns([group, value])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby(group, num_partitions=num_partitions)
-            .map_groups(finish, batch_format="pyarrow"))
+    return bucketed_groups(
+        ds.select_columns([group, value])
+        .map_batches(partial, batch_format="pyarrow"),
+        group, per_bucket, seed=17, num_partitions=num_partitions)
 
 
 def collect_by_group(ds: Dataset, group: str, value: str, order_by,
@@ -260,23 +354,36 @@ def collect_by_group(ds: Dataset, group: str, value: str, order_by,
         order_by = [order_by]
     proj = [group, value, *[c for c in order_by if c not in (group, value)]]
 
-    def finish(g: pa.Table) -> pa.Table:
-        if g.num_rows > max_group_rows:
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(group, "ascending"),
+                       *[(c, "ascending") for c in order_by]])
+        starts = np.flatnonzero(_adjacent_change_mask(t, [group]))
+        bounds = np.append(starts, t.num_rows)
+        lens = np.diff(bounds)
+        if len(lens) and lens.max() > max_group_rows:
+            big = int(np.argmax(lens))
             raise ValueError(
-                f"collect_by_group: group {g.column(group)[0]} has "
-                f"{g.num_rows} rows > max_group_rows={max_group_rows}; "
-                "re-bucket upstream")
-        g = g.sort_by([(c, "ascending") for c in order_by])
-        vals = [v for v in g.column(value).to_pylist() if v is not None]
+                f"collect_by_group: group "
+                f"{t.column(group)[int(starts[big])]} has {lens.max()} "
+                f"rows > max_group_rows={max_group_rows}; re-bucket "
+                "upstream")
+        vals = t.column(value).to_pylist()
+        joined, n_items = [], []
+        for i in range(len(starts)):
+            vs = [v for v in vals[bounds[i]:bounds[i + 1]]
+                  if v is not None]
+            joined.append(sep.join(map(str, vs)))
+            n_items.append(len(vs))
+        gcol = t.column(group)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
         return pa.table({
-            group: g.column(group).slice(0, 1),
-            out_col: pa.array([sep.join(map(str, vals))],
-                              type=pa.string()),
-            "n_items": pa.array([len(vals)], type=pa.int64())})
+            group: gcol.take(pa.array(starts, pa.int64())),
+            out_col: pa.array(joined, type=pa.string()),
+            "n_items": pa.array(n_items, type=pa.int64())})
 
-    return (ds.select_columns(proj)
-            .groupby(group, num_partitions=num_partitions)
-            .map_groups(finish, batch_format="pyarrow"))
+    return bucketed_groups(ds.select_columns(proj), group, per_bucket,
+                           seed=17, num_partitions=num_partitions)
 
 
 def lag_lead(ds: Dataset, key: str, order_by, value_col: str, n: int = 1,
@@ -482,19 +589,27 @@ def pivot_counts(ds: Dataset, group: str, pivot: str,
             [([], "count_all")])
         return out.rename_columns([group, pivot, "__cnt__"])
 
-    def finish(g: pa.Table) -> pa.Table:
-        piv = g.column(pivot).to_numpy(zero_copy_only=False)
-        cnt = g.column("__cnt__").to_numpy(zero_copy_only=False)
-        cols = {group: g.column(group).slice(0, 1)}
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(group, "ascending")])
+        starts = np.flatnonzero(_adjacent_change_mask(t, [group]))
+        piv = t.column(pivot).to_numpy(zero_copy_only=False)
+        cnt = t.column("__cnt__").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        gcol = t.column(group)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        cols = {group: gcol.take(pa.array(starts, pa.int64()))}
         for cat in categories:
+            contrib = np.where(piv == cat, cnt, 0)
             cols[prefix + cat] = pa.array(
-                [int(cnt[piv == cat].sum())], type=pa.int64())
+                np.add.reduceat(contrib, starts) if len(starts)
+                else np.zeros(0, dtype=np.int64), type=pa.int64())
         return pa.table(cols)
 
-    return (ds.select_columns([group, pivot])
-            .map_batches(partial_counts, batch_format="pyarrow")
-            .groupby(group, num_partitions=num_partitions)
-            .map_groups(finish, batch_format="pyarrow"))
+    return bucketed_groups(
+        ds.select_columns([group, pivot])
+        .map_batches(partial_counts, batch_format="pyarrow"),
+        group, per_bucket, seed=17, num_partitions=num_partitions)
 
 
 def _adjacent_change_mask(table: pa.Table, cols: "list[str]") -> np.ndarray:
@@ -707,36 +822,67 @@ def covariance_by_group(ds: Dataset, group: str, x: str, y: str,
             .aggregate(aggs + [([], "count_all")])
         return out.rename_columns(names + ["__n"])
 
-    def finish(g: pa.Table) -> pa.Table:
-        n = sum(v.as_py() for v in g.column("__n"))
-        sx = sum(v.as_py() for v in g.column("__sx"))
-        sy = sum(v.as_py() for v in g.column("__sy"))
-        sxy = sum(v.as_py() for v in g.column("__sxy"))
-        cov = (sxy / n) - (sx / n) * (sy / n)
-        cols = {
-            group: g.column(group).slice(0, 1),
-            "n": pa.array([n], type=pa.int64()),
-            "sum_x": pa.array([sx], type=pa.int64()),
-            "sum_y": pa.array([sy], type=pa.int64()),
-            "sum_xy": pa.array([sxy], type=pa.int64()),
-            "cov_pop": pa.array([cov], type=pa.float64())}
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # bucketed finisher; the per-RUN merge stays Python-int (the
+        # arbitrary-precision totals the bit-exactness contract needs —
+        # np.add.reduceat could overflow int64 where HUGEINT doesn't),
+        # looping over partial rows in-process, never one Ray call/group
+        import math
+        t = g.sort_by([(group, "ascending")])
+        starts = np.flatnonzero(_adjacent_change_mask(t, [group]))
+        bounds = np.append(starts, t.num_rows)
+        pn = t.column("__n").to_pylist()
+        psx = t.column("__sx").to_pylist()
+        psy = t.column("__sy").to_pylist()
+        psxy = t.column("__sxy").to_pylist()
         if corr:
-            import math
-            sxx = sum(v.as_py() for v in g.column("__sxx"))
-            syy = sum(v.as_py() for v in g.column("__syy"))
-            vx = (sxx / n) - (sx / n) * (sx / n)
-            vy = (syy / n) - (sy / n) * (sy / n)
-            r = (cov / (math.sqrt(vx) * math.sqrt(vy))
-                 if vx > 0 and vy > 0 else None)
-            cols["sum_xx"] = pa.array([sxx], type=pa.int64())
-            cols["sum_yy"] = pa.array([syy], type=pa.int64())
-            cols["corr_pop"] = pa.array([r], type=pa.float64())
+            psxx = t.column("__sxx").to_pylist()
+            psyy = t.column("__syy").to_pylist()
+        rows: dict = {"n": [], "sum_x": [], "sum_y": [], "sum_xy": [],
+                      "cov_pop": [], "sum_xx": [], "sum_yy": [],
+                      "corr_pop": []}
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            n = sum(pn[lo:hi])
+            sx = sum(psx[lo:hi])
+            sy = sum(psy[lo:hi])
+            sxy = sum(psxy[lo:hi])
+            cov = (sxy / n) - (sx / n) * (sy / n)
+            rows["n"].append(n)
+            rows["sum_x"].append(sx)
+            rows["sum_y"].append(sy)
+            rows["sum_xy"].append(sxy)
+            rows["cov_pop"].append(cov)
+            if corr:
+                sxx = sum(psxx[lo:hi])
+                syy = sum(psyy[lo:hi])
+                vx = (sxx / n) - (sx / n) * (sx / n)
+                vy = (syy / n) - (sy / n) * (sy / n)
+                r = (cov / (math.sqrt(vx) * math.sqrt(vy))
+                     if vx > 0 and vy > 0 else None)
+                rows["sum_xx"].append(sxx)
+                rows["sum_yy"].append(syy)
+                rows["corr_pop"].append(r)
+        gcol = t.column(group)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        cols = {group: gcol.take(pa.array(starts, pa.int64())),
+                "n": pa.array(rows["n"], type=pa.int64()),
+                "sum_x": pa.array(rows["sum_x"], type=pa.int64()),
+                "sum_y": pa.array(rows["sum_y"], type=pa.int64()),
+                "sum_xy": pa.array(rows["sum_xy"], type=pa.int64()),
+                "cov_pop": pa.array(rows["cov_pop"], type=pa.float64())}
+        if corr:
+            cols["sum_xx"] = pa.array(rows["sum_xx"], type=pa.int64())
+            cols["sum_yy"] = pa.array(rows["sum_yy"], type=pa.int64())
+            cols["corr_pop"] = pa.array(rows["corr_pop"],
+                                        type=pa.float64())
         return pa.table(cols)
 
-    return (ds.select_columns([group, x, y])
-            .map_batches(partials, batch_format="pyarrow")
-            .groupby(group, num_partitions=num_partitions)
-            .map_groups(finish, batch_format="pyarrow"))
+    return bucketed_groups(
+        ds.select_columns([group, x, y])
+        .map_batches(partials, batch_format="pyarrow"),
+        group, per_bucket, seed=17, num_partitions=num_partitions)
 
 
 def regression_by_group(ds: Dataset, group: str, x: str, y: str,
@@ -780,34 +926,55 @@ def regression_by_group(ds: Dataset, group: str, x: str, y: str,
         return out.rename_columns(
             [group, "__sx", "__sy", "__sxy", "__sxx", "__syy", "__n"])
 
-    def finish(g: pa.Table) -> pa.Table:
-        n = sum(v.as_py() for v in g.column("__n"))
-        sx = sum(v.as_py() for v in g.column("__sx"))
-        sy = sum(v.as_py() for v in g.column("__sy"))
-        sxy = sum(v.as_py() for v in g.column("__sxy"))
-        sxx = sum(v.as_py() for v in g.column("__sxx"))
-        syy = sum(v.as_py() for v in g.column("__syy"))
-        num = n * sxy - sx * sy
-        den_x = n * sxx - sx * sx
-        den_y = n * syy - sy * sy
-        slope = intercept = r2 = None
-        if den_x > 0:
-            slope = float(num) / float(den_x)
-            intercept = (float(sy) - slope * float(sx)) / float(n)
-            if den_y > 0:
-                r2 = (float(num) / float(den_x)) \
-                    * (float(num) / float(den_y))
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # bucketed finisher, per-run Python-int merge (exactness contract
+        # — see covariance_by_group.per_bucket)
+        t = g.sort_by([(group, "ascending")])
+        starts = np.flatnonzero(_adjacent_change_mask(t, [group]))
+        bounds = np.append(starts, t.num_rows)
+        pn = t.column("__n").to_pylist()
+        psx = t.column("__sx").to_pylist()
+        psy = t.column("__sy").to_pylist()
+        psxy = t.column("__sxy").to_pylist()
+        psxx = t.column("__sxx").to_pylist()
+        psyy = t.column("__syy").to_pylist()
+        ns, slopes, intercepts, r2s = [], [], [], []
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            n = sum(pn[lo:hi])
+            sx = sum(psx[lo:hi])
+            sy = sum(psy[lo:hi])
+            sxy = sum(psxy[lo:hi])
+            sxx = sum(psxx[lo:hi])
+            syy = sum(psyy[lo:hi])
+            num = n * sxy - sx * sy
+            den_x = n * sxx - sx * sx
+            den_y = n * syy - sy * sy
+            slope = intercept = r2 = None
+            if den_x > 0:
+                slope = float(num) / float(den_x)
+                intercept = (float(sy) - slope * float(sx)) / float(n)
+                if den_y > 0:
+                    r2 = (float(num) / float(den_x)) \
+                        * (float(num) / float(den_y))
+            ns.append(n)
+            slopes.append(slope)
+            intercepts.append(intercept)
+            r2s.append(r2)
+        gcol = t.column(group)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
         return pa.table({
-            group: g.column(group).slice(0, 1),
-            "n": pa.array([n], type=pa.int64()),
-            "slope": pa.array([slope], type=pa.float64()),
-            "intercept": pa.array([intercept], type=pa.float64()),
-            "r2": pa.array([r2], type=pa.float64())})
+            group: gcol.take(pa.array(starts, pa.int64())),
+            "n": pa.array(ns, type=pa.int64()),
+            "slope": pa.array(slopes, type=pa.float64()),
+            "intercept": pa.array(intercepts, type=pa.float64()),
+            "r2": pa.array(r2s, type=pa.float64())})
 
-    return (ds.select_columns([group, x, y])
-            .map_batches(partials, batch_format="pyarrow")
-            .groupby(group, num_partitions=num_partitions)
-            .map_groups(finish, batch_format="pyarrow"))
+    return bucketed_groups(
+        ds.select_columns([group, x, y])
+        .map_batches(partials, batch_format="pyarrow"),
+        group, per_bucket, seed=17, num_partitions=num_partitions)
 
 
 def _grouping_sets_counts(ds: Dataset, columns: "list[str]",
@@ -956,20 +1123,36 @@ def transition_counts(ds: Dataset, key: str, order_by, state_col: str,
             [([], "count_all")])
         return agg.rename_columns(["prev_state", "next_state", "__cnt"])
 
-    def finish(g: pa.Table) -> pa.Table:
-        total = int(pc.sum(g.column("__cnt")).as_py() or 0)
-        return pa.table({
-            "prev_state": g.column("prev_state").slice(0, 1),
-            "next_state": g.column("next_state").slice(0, 1),
-            "n": pa.array([total], pa.int64())})
+    def sum_pairs(g: pa.Table) -> pa.Table:
+        # bucketed pair-sum finisher (hash((prev, next)) % buckets, one
+        # reduceat per bucket — also null-state safe, unlike a raw
+        # string-pair sort groupby)
+        t = g.sort_by([("prev_state", "ascending"),
+                       ("next_state", "ascending")])
+        starts = np.flatnonzero(
+            _adjacent_change_mask(t, ["prev_state", "next_state"]))
+        cnt = t.column("__cnt").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sums = (np.add.reduceat(cnt, starts) if len(starts)
+                else np.zeros(0, dtype=np.int64))
+        idx = pa.array(starts, pa.int64())
+        prev = t.column("prev_state")
+        nxt = t.column("next_state")
+        if isinstance(prev, pa.ChunkedArray):
+            prev = prev.combine_chunks()
+        if isinstance(nxt, pa.ChunkedArray):
+            nxt = nxt.combine_chunks()
+        return pa.table({"prev_state": prev.take(idx),
+                         "next_state": nxt.take(idx),
+                         "n": pa.array(sums, pa.int64())})
 
-    return (ds.select_columns([key, *order_by, state_col])
-            .map_batches(bucketize, batch_format="pyarrow")
-            .groupby(bucket_col, num_partitions=num_partitions)
-            .map_groups(per_bucket, batch_format="pyarrow")
-            .groupby(["prev_state", "next_state"],
-                     num_partitions=num_partitions)
-            .map_groups(finish, batch_format="pyarrow"))
+    partial_pairs = (ds.select_columns([key, *order_by, state_col])
+                     .map_batches(bucketize, batch_format="pyarrow")
+                     .groupby(bucket_col, num_partitions=num_partitions)
+                     .map_groups(per_bucket, batch_format="pyarrow"))
+    return bucketed_groups(partial_pairs, ["prev_state", "next_state"],
+                           sum_pairs, seed=23,
+                           num_partitions=num_partitions)
 
 
 def standardize_by_group(ds: Dataset, group: str, value: str,
@@ -1006,23 +1189,40 @@ def standardize_by_group(ds: Dataset, group: str, value: str,
         return agg.rename_columns([group, "__sx", "__sxx", "__mn",
                                    "__mx", "__n"])
 
-    def combine(g: pa.Table) -> pa.Table:
-        n = sum(v.as_py() for v in g.column("__n"))
-        sx = sum(v.as_py() for v in g.column("__sx"))
-        sxx = sum(v.as_py() for v in g.column("__sxx"))
-        mn = min(v.as_py() for v in g.column("__mn"))
-        mx = max(v.as_py() for v in g.column("__mx"))
-        return pa.table({group: g.column(group).slice(0, 1),
-                         "__n": pa.array([n], pa.int64()),
-                         "__sx": pa.array([sx], pa.int64()),
-                         "__sxx": pa.array([sxx], pa.int64()),
-                         "__mn": pa.array([mn], pa.int64()),
-                         "__mx": pa.array([mx], pa.int64())})
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # bucketed stats merge, per-run Python-int sums (exactness
+        # contract — see covariance_by_group.per_bucket)
+        t = g.sort_by([(group, "ascending")])
+        starts = np.flatnonzero(_adjacent_change_mask(t, [group]))
+        bounds = np.append(starts, t.num_rows)
+        pn = t.column("__n").to_pylist()
+        psx = t.column("__sx").to_pylist()
+        psxx = t.column("__sxx").to_pylist()
+        pmn = t.column("__mn").to_pylist()
+        pmx = t.column("__mx").to_pylist()
+        ns, sxs, sxxs, mns, mxs = [], [], [], [], []
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            ns.append(sum(pn[lo:hi]))
+            sxs.append(sum(psx[lo:hi]))
+            sxxs.append(sum(psxx[lo:hi]))
+            mns.append(min(pmn[lo:hi]))
+            mxs.append(max(pmx[lo:hi]))
+        gcol = t.column(group)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        return pa.table({group: gcol.take(pa.array(starts, pa.int64())),
+                         "__n": pa.array(ns, pa.int64()),
+                         "__sx": pa.array(sxs, pa.int64()),
+                         "__sxx": pa.array(sxxs, pa.int64()),
+                         "__mn": pa.array(mns, pa.int64()),
+                         "__mx": pa.array(mxs, pa.int64())})
 
-    stats = (ds.select_columns([group, value])
-             .map_batches(partials, batch_format="pyarrow")
-             .groupby(group, num_partitions=num_partitions)
-             .map_groups(combine, batch_format="pyarrow")).take_all()
+    stats = bucketed_groups(
+        ds.select_columns([group, value])
+        .map_batches(partials, batch_format="pyarrow"),
+        group, per_bucket, seed=17,
+        num_partitions=num_partitions).take_all()
 
     lookup = {}
     for r in stats:

@@ -269,6 +269,49 @@ def global_shuffle(ds: Dataset, id_column: str, seed: int = 0,
     return out.drop_columns([key_col])
 
 
+def _group_bounds_bucketed(ds: Dataset, group_column: str,
+                           value_column: str, per_run) -> dict:
+    """Shared driver-dict finisher for the per-group exact-quantile bounds
+    family: a ``hash(group) % num_buckets`` exchange (never one Python
+    ``map_groups`` call per distinct group), per bucket ONE (group, value)
+    sort, then ``per_run(values)`` on each group's non-null value slice —
+    the literal original per-group computation, so results are bit
+    identical.  Output is driver-collected: one (lo, hi) per group (bounded
+    by group cardinality, same caveat as group_thresholds)."""
+    from .analytics import _adjacent_change_mask, bucketed_groups
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.filter(pc.is_valid(g.column(value_column)))
+        if t.num_rows == 0:
+            return pa.table({
+                group_column: t.column(group_column),
+                "lo": pa.array([], type=pa.float64()),
+                "hi": pa.array([], type=pa.float64())})
+        t = t.sort_by([(group_column, "ascending"),
+                       (value_column, "ascending")])
+        starts = np.flatnonzero(_adjacent_change_mask(t, [group_column]))
+        bounds_ix = np.append(starts, t.num_rows)
+        v = t.column(value_column).to_numpy(zero_copy_only=False)
+        los, his = [], []
+        for i in range(len(starts)):
+            lo, hi = per_run(v[bounds_ix[i]:bounds_ix[i + 1]])
+            los.append(lo)
+            his.append(hi)
+        gcol = t.column(group_column)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        return pa.table({
+            group_column: gcol.take(pa.array(starts, pa.int64())),
+            "lo": pa.array(los, type=pa.float64()),
+            "hi": pa.array(his, type=pa.float64())})
+
+    rows = bucketed_groups(
+        ds.select_columns([group_column, value_column]),
+        group_column, per_bucket, seed=17).take_all()
+    return {r[group_column]: (r["lo"], r["hi"]) for r in rows
+            if r["lo"] is not None}
+
+
 def group_iqr_bounds(ds: Dataset, group_column: str, value_column: str,
                      k: float = 1.5) -> dict:
     """Per-group Tukey fences: ``[q1 - k*IQR, q3 + k*IQR]`` from EXACT
@@ -280,24 +323,11 @@ def group_iqr_bounds(ds: Dataset, group_column: str, value_column: str,
     result is one row per group, driver-collected (bounded by group
     cardinality, same caveat as group_thresholds)."""
 
-    def bounds(group: pa.Table) -> pa.Table:
-        v = (group.column(value_column).drop_null()
-             .to_numpy(zero_copy_only=False))
-        if len(v):
-            q1, q3 = np.quantile(np.sort(v), [0.25, 0.75], method="linear")
-            lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
-        else:
-            lo = hi = None
-        return pa.table({group_column: [group.column(group_column)[0]],
-                         "lo": pa.array([lo], type=pa.float64()),
-                         "hi": pa.array([hi], type=pa.float64())})
+    def per_run(v: np.ndarray) -> "tuple[float, float]":
+        q1, q3 = np.quantile(np.sort(v), [0.25, 0.75], method="linear")
+        return q1 - k * (q3 - q1), q3 + k * (q3 - q1)
 
-    rows = (ds.select_columns([group_column, value_column])
-            .groupby(group_column)
-            .map_groups(bounds, batch_format="pyarrow")
-            .take_all())
-    return {r[group_column]: (r["lo"], r["hi"]) for r in rows
-            if r["lo"] is not None}
+    return _group_bounds_bucketed(ds, group_column, value_column, per_run)
 
 
 class _OutlierFilter:
@@ -573,15 +603,29 @@ def top_fraction_by_group(ds: Dataset, group_column: str, score_column: str,
         gv = g.to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(_run_positions(gv) < k_row))
 
-    def finish(g: pa.Table) -> pa.Table:
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # bucketed finisher (hash(group) % buckets — never one Python
+        # call per distinct group): one sort, per-row k lookup via
+        # dictionary encoding, run-position cut + rank in one pass
         g = g.sort_by(spec)
-        k = min(ks.get(g.column(group_column)[0].as_py(), 0), g.num_rows)
-        return g.slice(0, k).append_column(
-            rank_col, pa.array(np.arange(1, k + 1, dtype=np.int64)))
+        gc = g.column(group_column)
+        if isinstance(gc, pa.ChunkedArray):
+            gc = gc.combine_chunks()
+        enc = gc.dictionary_encode()
+        per_value = np.array([ks.get(v, 0)
+                              for v in enc.dictionary.to_pylist()],
+                             dtype=np.int64)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k_row = per_value[idx]
+        pos = _run_positions(gc.to_numpy(zero_copy_only=False))
+        g = g.append_column(rank_col, pa.array(pos + 1, type=pa.int64()))
+        return g.filter(pa.array(pos < k_row))
 
-    return (ds.map_batches(partial_prune, batch_format="pyarrow")
-            .groupby(group_column, num_partitions=num_partitions)
-            .map_groups(finish, batch_format="pyarrow"))
+    from .analytics import bucketed_groups
+    return bucketed_groups(
+        ds.map_batches(partial_prune, batch_format="pyarrow"),
+        group_column, per_bucket, seed=17,
+        num_partitions=num_partitions)
 
 
 def group_quantile_bounds(ds: Dataset, group_column: str, value_column: str,
@@ -592,23 +636,11 @@ def group_quantile_bounds(ds: Dataset, group_column: str, value_column: str,
     the driver; np.quantile 'linear' == SQL quantile_cont, so the bounds
     are value-reproducible by an oracle)."""
 
-    def bounds(group: pa.Table) -> pa.Table:
-        v = (group.column(value_column).drop_null()
-             .to_numpy(zero_copy_only=False))
-        if len(v):
-            lo, hi = np.quantile(np.sort(v), [p_lo, p_hi], method="linear")
-        else:
-            lo = hi = None
-        return pa.table({group_column: [group.column(group_column)[0]],
-                         "lo": pa.array([lo], type=pa.float64()),
-                         "hi": pa.array([hi], type=pa.float64())})
+    def per_run(v: np.ndarray) -> "tuple[float, float]":
+        lo, hi = np.quantile(np.sort(v), [p_lo, p_hi], method="linear")
+        return lo, hi
 
-    rows = (ds.select_columns([group_column, value_column])
-            .groupby(group_column)
-            .map_groups(bounds, batch_format="pyarrow")
-            .take_all())
-    return {r[group_column]: (r["lo"], r["hi"]) for r in rows
-            if r["lo"] is not None}
+    return _group_bounds_bucketed(ds, group_column, value_column, per_run)
 
 
 class _WinsorizeClip:
@@ -746,18 +778,34 @@ def impute_by_group(ds: Dataset, group_column: str, value_column: str,
                 [("__v", "sum"), ("__v", "count")])
             return out_t.rename_columns([group_column, "__s", "__n"])
 
-        def finish(g: pa.Table) -> pa.Table:
-            s = sum(x.as_py() or 0 for x in g.column("__s"))
-            n = sum(x.as_py() or 0 for x in g.column("__n"))
-            mean = float(s) / float(n) if n else None
-            return pa.table({group_column: g.column(group_column).slice(0, 1),
-                             "mean": pa.array([mean], type=pa.float64())})
+        def per_bucket(g: pa.Table) -> pa.Table:
+            # bucketed merge, per-run Python-int sums (the exact-mean
+            # contract: arbitrary-precision totals, one IEEE division)
+            from .analytics import _adjacent_change_mask
+            t = g.sort_by([(group_column, "ascending")])
+            starts = np.flatnonzero(
+                _adjacent_change_mask(t, [group_column]))
+            bounds_ix = np.append(starts, t.num_rows)
+            ps = t.column("__s").to_pylist()
+            pn = t.column("__n").to_pylist()
+            means = []
+            for i in range(len(starts)):
+                lo, hi = bounds_ix[i], bounds_ix[i + 1]
+                s = sum(x or 0 for x in ps[lo:hi])
+                n = sum(x or 0 for x in pn[lo:hi])
+                means.append(float(s) / float(n) if n else None)
+            gcol = t.column(group_column)
+            if isinstance(gcol, pa.ChunkedArray):
+                gcol = gcol.combine_chunks()
+            return pa.table({
+                group_column: gcol.take(pa.array(starts, pa.int64())),
+                "mean": pa.array(means, type=pa.float64())})
 
-        rows = (ds.select_columns([group_column, value_column])
-                .map_batches(partials, batch_format="pyarrow")
-                .groupby(group_column)
-                .map_groups(finish, batch_format="pyarrow")
-                .take_all())
+        from .analytics import bucketed_groups
+        rows = bucketed_groups(
+            ds.select_columns([group_column, value_column])
+            .map_batches(partials, batch_format="pyarrow"),
+            group_column, per_bucket, seed=17).take_all()
         fills = {r[group_column]: r["mean"] for r in rows
                  if r["mean"] is not None}
     else:
