@@ -39,18 +39,25 @@ def chunk_blocks(ds: Dataset, group_column: str, id_column: str,
     """(group, id, count, block_id) with block_id = cum_before // cap per
     group in id order."""
 
-    def per_group(group: pa.Table) -> pa.Table:
-        idx = pa.compute.sort_indices(group, sort_keys=[(id_column, "ascending")])
-        group = group.take(idx)
-        n = group.column(count_column).to_numpy(zero_copy_only=False).astype(np.int64)
-        before = np.cumsum(n) - n
-        return group.append_column("block_id", pa.array(before // cap,
-                                                        type=pa.int64()))
+    from .analytics import _adjacent_change_mask, bucketed_groups
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # hash(group) % buckets exchange (never one Python call per
+        # distinct group); per bucket ONE sort + a run-rebased cumsum
+        t = g.sort_by([(group_column, "ascending"),
+                       (id_column, "ascending")])
+        n = t.column(count_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cum_before = np.cumsum(n) - n
+        starts = np.flatnonzero(_adjacent_change_mask(t, [group_column]))
+        lens = np.diff(np.append(starts, t.num_rows))
+        before = cum_before - np.repeat(cum_before[starts], lens)
+        return t.append_column("block_id", pa.array(before // cap,
+                                                    type=pa.int64()))
 
     cols = [group_column, id_column, count_column]
-    return (ds.select_columns(cols)
-            .groupby(group_column)
-            .map_groups(per_group, batch_format="pyarrow"))
+    return bucketed_groups(ds.select_columns(cols), group_column,
+                           per_bucket, seed=17)
 
 
 def greedy_block_ids(counts: np.ndarray, cap: int) -> np.ndarray:
@@ -73,18 +80,27 @@ def pack_greedy(ds: Dataset, group_column: str, id_column: str,
                 count_column: str, cap: int) -> Dataset:
     """(group, id, count, block_id) with greedy resetting packing per group."""
 
-    def per_group(group: pa.Table) -> pa.Table:
-        idx = pa.compute.sort_indices(group, sort_keys=[(id_column, "ascending")])
-        group = group.take(idx)
-        n = group.column(count_column).to_numpy(zero_copy_only=False).astype(np.int64)
-        return group.append_column("block_id",
-                                   pa.array(greedy_block_ids(n, cap),
-                                            type=pa.int64()))
+    from .analytics import _adjacent_change_mask, bucketed_groups
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # bucketed exchange; greedy packing is inherently sequential per
+        # group, so the per-RUN loop stays — but in-process per bucket,
+        # never one Ray map_groups call per distinct group
+        t = g.sort_by([(group_column, "ascending"),
+                       (id_column, "ascending")])
+        n = t.column(count_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(_adjacent_change_mask(t, [group_column]))
+        bounds = np.append(starts, t.num_rows)
+        out = np.empty(t.num_rows, dtype=np.int64)
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            out[lo:hi] = greedy_block_ids(n[lo:hi], cap)
+        return t.append_column("block_id", pa.array(out, type=pa.int64()))
 
     cols = [group_column, id_column, count_column]
-    return (ds.select_columns(cols)
-            .groupby(group_column)
-            .map_groups(per_group, batch_format="pyarrow"))
+    return bucketed_groups(ds.select_columns(cols), group_column,
+                           per_bucket, seed=17)
 
 
 def concat_token_blocks(ds: Dataset, group_column: str, id_column: str,
@@ -117,21 +133,37 @@ def concat_token_blocks(ds: Dataset, group_column: str, id_column: str,
         raise ValueError("block_size must be positive")
     B = int(block_size)
 
-    def per_group(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(id_column, "ascending")])
-        group = group.take(idx)
-        n_all = group.column(count_column).to_numpy(zero_copy_only=False)
-        n_all = np.nan_to_num(n_all.astype(np.float64), nan=0.0).astype(np.int64)
-        # clamp BEFORE the cumsum: a negative count must contribute zero to
-        # every later doc's offset (docstring: count <= 0 docs emit no
+    from .analytics import _adjacent_change_mask, bucketed_groups
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # bucketed exchange + run-rebased cumsum: `before` restarts at
+        # each group's first row, everything downstream is per-row math
+        # vectorized across ALL groups in the bucket at once
+        t = g.sort_by([(group_column, "ascending"),
+                       (id_column, "ascending")])
+        n_all = t.column(count_column).to_numpy(zero_copy_only=False)
+        n_all = np.nan_to_num(n_all.astype(np.float64),
+                              nan=0.0).astype(np.int64)
+        # clamp BEFORE the cumsum: a negative count must contribute zero
+        # to every later doc's offset (docstring: count <= 0 docs emit no
         # spans), not shift the whole group's block ids
         n_all = np.maximum(n_all, 0)
-        before_all = np.cumsum(n_all) - n_all
+        cum_before = np.cumsum(n_all) - n_all
+        starts = np.flatnonzero(_adjacent_change_mask(t, [group_column]))
+        lens = np.diff(np.append(starts, t.num_rows))
+        before_all = cum_before - np.repeat(cum_before[starts], lens)
         keep = n_all > 0
+        keep_idx = pa.array(np.flatnonzero(keep), type=pa.int64())
         n = n_all[keep]
         before = before_all[keep]
-        ids = group.column(id_column).to_numpy(zero_copy_only=False)[keep]
-        gval = group.column(group_column)[0]
+        gcol = t.column(group_column)
+        idcol = t.column(id_column)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        if isinstance(idcol, pa.ChunkedArray):
+            idcol = idcol.combine_chunks()
+        gcol = gcol.take(keep_idx)
+        idcol = idcol.take(keep_idx)
         first = before // B
         last = (before + n - 1) // B
         k = last - first + 1
@@ -141,10 +173,10 @@ def concat_token_blocks(ds: Dataset, group_column: str, id_column: str,
         blk = first[rows] + offs
         span_lo = np.maximum(before[rows], blk * B)
         span_hi = np.minimum(before[rows] + n[rows], (blk + 1) * B)
+        row_idx = pa.array(rows, type=pa.int64())
         return pa.table({
-            group_column: pa.array([gval.as_py()] * len(rows),
-                                   type=group.schema.field(group_column).type),
-            id_column: pa.array(ids[rows]),
+            group_column: gcol.take(row_idx),
+            id_column: idcol.take(row_idx),
             "block_id": pa.array(blk, type=pa.int64()),
             "tok_start": pa.array(span_lo - before[rows], type=pa.int64()),
             "tok_end": pa.array(span_hi - before[rows], type=pa.int64()),
@@ -152,9 +184,8 @@ def concat_token_blocks(ds: Dataset, group_column: str, id_column: str,
         })
 
     cols = [group_column, id_column, count_column]
-    return (ds.select_columns(cols)
-            .groupby(group_column)
-            .map_groups(per_group, batch_format="pyarrow"))
+    return bucketed_groups(ds.select_columns(cols), group_column,
+                           per_bucket, seed=17)
 
 
 # ---------------------------------------------------------------------------

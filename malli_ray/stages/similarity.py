@@ -81,14 +81,24 @@ class TopKScorer:
                          "score": pa.array(out_s, type=pa.float64())})
 
 
-def _global_topk(local: Dataset, id_column: str, k: int) -> Dataset:
-    def reduce_topk(group: pa.Table) -> pa.Table:
-        order = np.lexsort((
-            np.asarray(group.column(id_column).to_pylist(), dtype=object),
-            -group.column("score").to_numpy(zero_copy_only=False)))
-        return group.take(pa.array(order[:k]))
+def _global_topk(local: Dataset, id_column: str, k: int,
+                 score_col: str = "score",
+                 descending: bool = True) -> Dataset:
+    """Merge per-batch local top-k rows into the global top-k per query:
+    bucketed exchange on hash(query_id) (one vectorized pass per bucket,
+    not one Python call per query), ONE Arrow sort (query, score, id),
+    run-position cut."""
+    from .analytics import _run_positions, bucketed_groups
+    direction = "descending" if descending else "ascending"
 
-    return local.groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("query_id", "ascending"), (score_col, direction),
+                       (id_column, "ascending")])
+        pos = _run_positions(
+            g.column("query_id").to_numpy(zero_copy_only=False))
+        return g.filter(pa.array(pos < k))
+
+    return bucketed_groups(local, "query_id", per_bucket, seed=17)
 
 
 def topk_cosine(ds: Dataset, queries: np.ndarray, emb_column: str,
@@ -529,14 +539,8 @@ def pq_topk(ds: Dataset, queries: np.ndarray, codebooks: np.ndarray,
                      emb_column=emb_column, id_column=id_column, k=k),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
-    def reduce_topk(group: pa.Table) -> pa.Table:
-        order = np.lexsort((
-            np.asarray(group.column(id_column).to_pylist(), dtype=object),
-            group.column("pq_dist").to_numpy(zero_copy_only=False)))
-        return group.take(pa.array(order[:k]))
-
-    return local.groupby("query_id").map_groups(reduce_topk,
-                                                batch_format="pyarrow")
+    return _global_topk(local, id_column, k, score_col="pq_dist",
+                        descending=False)
 
 
 class _IVFPQScorer(_PQEncoder):
@@ -634,14 +638,8 @@ def ivfpq_topk(ds: Dataset, queries: np.ndarray, centroids: np.ndarray,
                      id_column=id_column, k=k, n_probe=n_probe),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
-    def reduce_topk(group: pa.Table) -> pa.Table:
-        order = np.lexsort((
-            np.asarray(group.column(id_column).to_pylist(), dtype=object),
-            group.column("pq_dist").to_numpy(zero_copy_only=False)))
-        return group.take(pa.array(order[:k]))
-
-    return local.groupby("query_id").map_groups(reduce_topk,
-                                                batch_format="pyarrow")
+    return _global_topk(local, id_column, k, score_col="pq_dist",
+                        descending=False)
 
 
 # --------------------------------------------------------------------------

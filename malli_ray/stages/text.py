@@ -1742,28 +1742,43 @@ def build_inverted_index(ds: Dataset, text_column: str, id_column: str,
                          .cast(pa.string()),
                          "_id": df.get_column("_id").to_arrow()})
 
-    def finish(g: pa.Table) -> pa.Table:
-        empty = pa.table({"word": pa.array([], pa.string()),
-                          "df": pa.array([], pa.int64()),
-                          "postings": pa.array([], pa.string())})
-        ids = np.unique(g.column("_id").to_numpy(zero_copy_only=False))
-        df = len(ids)
-        if df < min_df or (max_df is not None and df > max_df):
-            return empty
-        if df > max_postings:
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # bucketed finisher: hash(word) % buckets — NEVER one Python
+        # map_groups call per word (a vocabulary-sized number of Ray
+        # calls); per bucket ONE (word, id) sort dedups pairs across
+        # batches and yields df + sorted postings per word run
+        from .analytics import _adjacent_change_mask
+        t = g.sort_by([("word", "ascending"), ("_id", "ascending")])
+        t = t.filter(pa.array(_adjacent_change_mask(t, ["word", "_id"])))
+        starts = np.flatnonzero(_adjacent_change_mask(t, ["word"]))
+        bounds = np.append(starts, t.num_rows)
+        dfs = np.diff(bounds)
+        sel = dfs >= min_df
+        if max_df is not None:
+            sel &= dfs <= max_df
+        if len(dfs) and (dfs[sel] > max_postings).any():
+            bad = int(dfs[sel].max())
             raise RuntimeError(
-                f"build_inverted_index: posting list of {df} ids exceeds "
+                f"build_inverted_index: posting list of {bad} ids exceeds "
                 f"max_postings={max_postings}; lower max_df")
+        sel_idx = np.flatnonzero(sel)
+        ids = t.column("_id").to_pylist()
+        postings = [",".join(str(i) for i in
+                             ids[bounds[j]:bounds[j + 1]])
+                    for j in sel_idx]
+        wcol = t.column("word")
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
         return pa.table({
-            "word": g.column("word").slice(0, 1),
-            "df": pa.array([df], pa.int64()),
-            "postings": pa.array([",".join(str(i) for i in ids.tolist())],
-                                 pa.string())})
+            "word": wcol.take(pa.array(starts[sel_idx], pa.int64())),
+            "df": pa.array(dfs[sel_idx], pa.int64()),
+            "postings": pa.array(postings, pa.string())})
 
-    return (ds.select_columns([id_column, text_column])
-            .map_batches(pairs, batch_format="pyarrow")
-            .groupby("word", num_partitions=num_partitions)
-            .map_groups(finish, batch_format="pyarrow"))
+    from .analytics import bucketed_groups
+    return bucketed_groups(
+        ds.select_columns([id_column, text_column])
+        .map_batches(pairs, batch_format="pyarrow"),
+        "word", per_bucket, seed=17, num_partitions=num_partitions)
 
 
 def document_frequencies(ds: Dataset, text_column: str) -> "pa.Table":
