@@ -212,3 +212,111 @@ def test_skew_exact_dedup_keep_best(ray_session):
         got = {int(r["id"]) for r in out}
         assert got == want, label
     assert times["skew"] <= 4 * times["uniform"] + 5.0, times
+
+
+# --- round-4 sweep: key-count independence for the converted finishers ---
+#
+# Every op below used groupby(raw key).map_groups(per_key) before the
+# round-4 de-trap sweep (one Ray Python call per distinct key).  2000x
+# more keys at the same row count must not change wall time.
+
+def _kv_table(rng, n_keys, n=N_ROWS):
+    return pa.table({
+        "g": rng.integers(0, n_keys, size=n).astype(np.int64),
+        "v": rng.integers(0, 1_000, size=n).astype(np.int64),
+        "rid": np.arange(n, dtype=np.int64)})
+
+
+@pytest.mark.parametrize("op", [
+    "top_k", "distinct_count", "collect", "top_fraction", "chunk_blocks",
+    "group_quantile_bounds"])
+def test_converted_finishers_key_count_independent(ray_session, op):
+    from malli_ray.stages.analytics import (collect_by_group,
+                                            distinct_count_by_group,
+                                            top_k_per_group)
+    from malli_ray.stages.packing import chunk_blocks
+    from malli_ray.stages.sampling import (group_quantile_bounds,
+                                           top_fraction_by_group)
+
+    rng = np.random.default_rng(23)
+    times = {}
+    for n_keys in (FEW_KEYS, MANY_KEYS):
+        t = _kv_table(rng, n_keys)
+        df = pd.DataFrame({"g": t.column("g").to_numpy(),
+                           "v": t.column("v").to_numpy(),
+                           "rid": t.column("rid").to_numpy()})
+        t0 = time.perf_counter()
+        if op == "top_k":
+            out = top_k_per_group(_from_arrow(t), group="g",
+                                  order_by=["v", "rid"], k=2).take_all()
+            sdf = df.sort_values(["v", "rid"], ascending=[False, True])
+            want = set(zip(sdf.groupby("g", sort=False).head(2)["g"],
+                           sdf.groupby("g", sort=False).head(2)["rid"]))
+            got = {(r["g"], r["rid"]) for r in out}
+            assert got == want
+        elif op == "distinct_count":
+            out = distinct_count_by_group(_from_arrow(t), group="g",
+                                          value="v").take_all()
+            want = df.groupby("g")["v"].nunique().to_dict()
+            got = {r["g"]: r["n_distinct"] for r in out}
+            assert got == want
+        elif op == "collect":
+            out = collect_by_group(_from_arrow(t), group="g", value="v",
+                                   order_by=["rid"]).take_all()
+            assert len(out) == df["g"].nunique()
+            assert sum(r["n_items"] for r in out) == len(df)
+        elif op == "top_fraction":
+            out = top_fraction_by_group(_from_arrow(t), group_column="g",
+                                        score_column="v", id_column="rid",
+                                        fraction=0.5).take_all()
+            import math
+            want_n = int(sum(math.ceil(0.5 * c)
+                             for c in df.groupby("g").size()))
+            assert len(out) == want_n
+        elif op == "chunk_blocks":
+            out = chunk_blocks(_from_arrow(t), group_column="g",
+                               id_column="rid", count_column="v",
+                               cap=1000).take_all()
+            assert len(out) == len(df)
+        else:
+            bounds = group_quantile_bounds(_from_arrow(t), "g", "v",
+                                           0.25, 0.75)
+            assert len(bounds) == df["g"].nunique()
+            lo, hi = bounds[int(df["g"].iloc[0])]
+            grp = df[df["g"] == df["g"].iloc[0]]["v"].to_numpy()
+            assert lo == np.quantile(np.sort(grp), 0.25, method="linear")
+            assert hi == np.quantile(np.sort(grp), 0.75, method="linear")
+        times[n_keys] = time.perf_counter() - t0
+    assert times[MANY_KEYS] <= 4 * times[FEW_KEYS] + 5.0, times
+
+
+def test_inverted_index_vocab_count_independent(ray_session):
+    """build_inverted_index's old finisher made one Ray call per WORD;
+    the bucketed rewrite must be flat in vocabulary size."""
+    from malli_ray.stages.text import build_inverted_index
+
+    rng = np.random.default_rng(29)
+    n_docs = 20_000
+    times = {}
+    for label, vocab in (("small", 50), ("large", 60_000)):
+        words = rng.integers(0, vocab, size=(n_docs, 6))
+        texts = [" ".join(f"w{w}" for w in row) for row in words]
+        t = pa.table({"doc_id": np.arange(n_docs, dtype=np.int64),
+                      "body": texts})
+        t0 = time.perf_counter()
+        out = build_inverted_index(_from_arrow(t), text_column="body",
+                                   id_column="doc_id",
+                                   min_df=2).take_all()
+        times[label] = time.perf_counter() - t0
+        # cross-check df counts against pandas
+        pairs = {(f"w{w}", i) for i, row in enumerate(words)
+                 for w in row}
+        dfc = pd.Series([w for w, _ in pairs]).value_counts()
+        want = {w: int(c) for w, c in dfc.items() if c >= 2}
+        got = {r["word"]: r["df"] for r in out}
+        assert got == want, label
+        # postings are the sorted distinct doc ids
+        some = out[0]
+        ids = [int(x) for x in some["postings"].split(",")]
+        assert ids == sorted(set(ids)) and len(ids) == some["df"]
+    assert times["large"] <= 4 * times["small"] + 5.0, times
