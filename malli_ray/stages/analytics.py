@@ -344,12 +344,14 @@ def collect_by_group(ds: Dataset, group: str, value: str, order_by,
     transcript per session.)
 
     This op genuinely must move the payload (it concatenates it), so it is
-    ONE key shuffle of the projected (group, value, order) columns — select
-    only what you join.  Per group: one Arrow sort + a single Python join.
-    Assumption: one group's rows fit in a worker (``max_group_rows`` guards
-    it loudly — re-bucket by (group, coarse order window) upstream for
-    pathological groups).  Null values are skipped (SQL string_agg
-    semantics); groups with only nulls emit an empty string."""
+    ONE bucketed shuffle (hash(group) % num_buckets) of the projected
+    (group, value, order) columns — select only what you join.  Per
+    bucket: one Arrow sort + an in-process join per group run (never one
+    Ray call per distinct group).  Assumption: one group's rows fit in a
+    worker (``max_group_rows`` guards it loudly — re-bucket by (group,
+    coarse order window) upstream for pathological groups).  Null values
+    are skipped (SQL string_agg semantics); groups with only nulls emit
+    an empty string."""
     if isinstance(order_by, str):
         order_by = [order_by]
     proj = [group, value, *[c for c in order_by if c not in (group, value)]]

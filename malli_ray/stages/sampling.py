@@ -560,9 +560,11 @@ def top_fraction_by_group(ds: Dataset, group_column: str, score_column: str,
     prunes each batch to its own per-group top-k_g first (one Arrow sort +
     vectorized run-position scan, k looked up per DISTINCT group via
     dictionary encoding), so at most ``k_g x groups-per-batch`` rows reach
-    the single groupby exchange; the finisher re-sorts the survivors and
-    slices exactly ``k_g``.  Skew-safe like ``analytics.top_k_per_group``:
-    a hot group contributes k_g rows per batch, never its full volume."""
+    the single bucketed exchange (hash(group) % num_buckets — never one
+    Python call per distinct group); the per-bucket finisher re-sorts the
+    survivors and cuts exactly ``k_g`` per run.  Skew-safe like
+    ``analytics.top_k_per_group``: a hot group contributes k_g rows per
+    batch, never its full volume."""
     import math
 
     from .analytics import _run_positions, _sort_spec
