@@ -65,6 +65,39 @@ def _build_spec(args) -> "ValidationSpec":
         max_violations_per_batch=args.max_violations)
 
 
+def _stage_checkpoint(ds, args, paths, stages, tag):
+    """Re-execution guard before a multi-pass stage.
+
+    Default: ``materialize()`` into the object store (the measured
+    corpus_prep_v2 lesson — without it every extra pass re-executes the
+    upstream chain).  With ``--checkpoint-dir``: a partitioned-parquet
+    checkpoint keyed by a digest of (input paths, stage chain so far) —
+    the 100 TB shape: a failed run restarts from the last FINISHED
+    checkpoint (``<name>._SUCCESS`` marker) instead of recomputing hours
+    of upstream work, and a changed flag set changes the key, so stale
+    checkpoints can never be silently reused.  A partial directory from
+    a killed run (no marker) is cleared and rewritten."""
+    if not getattr(args, "checkpoint_dir", None):
+        return ds.materialize()
+    import hashlib
+    import shutil
+
+    import ray.data as rdata
+
+    key = hashlib.sha256(json.dumps([sorted(paths), stages, tag])
+                         .encode()).hexdigest()[:12]
+    path = os.path.join(args.checkpoint_dir, f"{tag}-{key}")
+    marker = path + "._SUCCESS"
+    if os.path.exists(marker):
+        return rdata.read_parquet(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ds.write_parquet(path)
+    with open(marker, "w"):
+        pass
+    return rdata.read_parquet(path)
+
+
 def _run_corpus_prep(args, paths: list[str]) -> int:
     """Assemble the requested operator chain (fixed order: normalize ->
     gopher/compression quality filters -> bloom -> line scrub -> dedup ->
@@ -156,10 +189,10 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
     if args.lm_logprob:
         lo, hi = (float(x) for x in args.lm_logprob.split(":", 1))
         # the LM needs two table-building passes over the stream + the
-        # scoring pass: materialize once so upstream filters don't
-        # re-execute 3x (the corpus_prep_v2 lesson; at 100 TB this is a
-        # parquet checkpoint)
-        ds = ds.materialize()
+        # scoring pass: checkpoint once so upstream filters don't
+        # re-execute 3x (--checkpoint-dir makes this a resumable parquet
+        # checkpoint; default is an in-memory materialize)
+        ds = _stage_checkpoint(ds, args, paths, stages, "pre-lm")
         ds = T.bigram_lm_score(ds, tc, idc)
         ds = ds.filter(
             expr=f"avg_logprob >= {lo} and avg_logprob <= {hi}")
@@ -228,7 +261,7 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
         # the filter), and each pass would re-execute the upstream chain
         # lazily — checkpoint ONCE before the first of them; everything
         # between is a shuffle-free filter that is cheap to re-run
-        ds = ds.materialize()
+        ds = _stage_checkpoint(ds, args, paths, stages, "pre-stats")
     if args.outliers:
         g, v = args.outliers.split(":", 1)
         ds = sampling.filter_outliers_by_group(ds, g, v)
@@ -409,6 +442,13 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--shards", type=int, metavar="N",
                     help="deterministic hash-shard assignment; output "
                          "partitioned into shard=k/ directories")
+    cp.add_argument("--checkpoint-dir", metavar="DIR",
+                    help="write the multi-pass stage guards as resumable "
+                         "parquet checkpoints under DIR instead of "
+                         "in-memory materialize: a re-run after a crash "
+                         "resumes from the last FINISHED checkpoint; "
+                         "keys digest the input paths + stage chain, so "
+                         "changed flags invalidate automatically")
     cp.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
 

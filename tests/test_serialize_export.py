@@ -1142,3 +1142,55 @@ def test_cli_url_dedup_null_canonical_survives(tmp_path, ray_session,
     assert rc == 0
     got = pq.read_table(sorted((out / "data").glob("*.parquet")))
     assert sorted(got.column("doc_id").to_pylist()) == [0, 2, 3, 4, 5, 6]
+
+
+def test_cli_corpus_prep_checkpoint_dir(tmp_path, ray_session, capsys):
+    """--checkpoint-dir swaps the pre-stats materialize for a resumable
+    parquet checkpoint: the first run writes <tag>-<digest>/ + _SUCCESS,
+    a re-run REUSES it (marker mtime unchanged) with identical output,
+    and a changed flag set changes the digest (no stale reuse)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from malli_ray.cli import main
+
+    docs = pa.table({
+        "doc_id": list(range(12)),
+        "source": ["a"] * 8 + ["b"] * 4,
+        "text": [f"doc number {i} words here" for i in range(12)]})
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(docs, inp / "part-0.parquet")
+    ckpt = tmp_path / "ckpt"
+
+    def run(out_name):
+        out = tmp_path / out_name
+        rc = main(["corpus-prep", "--input", str(inp), "--out", str(out),
+                   "--normalize", "--rebalance", "source",
+                   "--checkpoint-dir", str(ckpt), "--num-cpus", "4"])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        t = pq.read_table(sorted((out / "data").glob("*.parquet")))
+        return rep, t
+
+    rep1, t1 = run("out1")
+    markers = sorted(ckpt.glob("pre-stats-*._SUCCESS"))
+    assert len(markers) == 1
+    mtime = markers[0].stat().st_mtime_ns
+    ckpt_rows = pq.read_table(
+        sorted(ckpt.glob("pre-stats-*/**/*.parquet"))).num_rows
+    assert ckpt_rows == 12                      # pre-rebalance snapshot
+
+    rep2, t2 = run("out2")                      # resumes from checkpoint
+    assert markers[0].stat().st_mtime_ns == mtime
+    assert rep2["rows_out"] == rep1["rows_out"]
+    assert sorted(t2.column("doc_id").to_pylist()) \
+        == sorted(t1.column("doc_id").to_pylist())
+
+    # a different stage chain must key a DIFFERENT checkpoint
+    out3 = tmp_path / "out3"
+    rc = main(["corpus-prep", "--input", str(inp), "--out", str(out3),
+               "--rebalance", "source",
+               "--checkpoint-dir", str(ckpt), "--num-cpus", "4"])
+    assert rc == 0
+    capsys.readouterr()
+    assert len(sorted(ckpt.glob("pre-stats-*._SUCCESS"))) == 2
