@@ -348,3 +348,20 @@ def test_nb_classify_fixture_rederives(docs):
     want = make_golden.nb_classify_ref(ids, texts, srcs)
     got = pq.read_table(f"{GOLD}/nb_classify_documents.parquet")
     assert [tuple(r.values()) for r in got.to_pylist()] == want
+
+
+def test_approx_distinct_fixture_rederives():
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["event_type", "event_id"])
+    want = make_golden.approx_distinct_ref(
+        ev.column("event_type").to_pylist(),
+        ev.column("event_id").to_pylist())
+    got = pq.read_table(f"{GOLD}/approx_distinct_events.parquet")
+    assert sorted(zip(got.column("event_type").to_pylist(),
+                      got.column("approx_distinct").to_pylist())) == want
+    # sanity: estimates are near the true distinct counts (HLL p=12
+    # relative error ~1.6%; allow 5%)
+    import collections
+    true = collections.Counter(ev.column("event_type").to_pylist())
+    for et, est in want:
+        assert abs(est - true[et]) <= max(5, 0.05 * true[et]), (et, est)

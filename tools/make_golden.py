@@ -979,6 +979,38 @@ def nb_classify_ref(ids, texts, sources):
     return rows
 
 
+def approx_distinct_ref(groups, values, p=12):
+    """Independent per-group HyperLogLog (Flajolet et al. 2007): the
+    standard alpha_m bias-corrected harmonic estimator with the
+    linear-counting small-range branch, exact integer register arithmetic
+    (bit_length rank — the engine's float frexp rank agrees except on
+    astronomically unlikely 2^52-rounding edges, which this drift guard
+    would surface).  Hashes are polars Series.hash seed 0 (the engine's
+    hash64 contract).  Null values are skipped (COUNT DISTINCT
+    semantics); a group whose values are all null reports 0."""
+    m = 1 << p
+    hashes = pl.Series(values).hash(seed=0).to_list()
+    regs: dict = {}
+    for g, v, h in zip(groups, values, hashes):
+        r = regs.setdefault(g, [0] * m)
+        if v is None:
+            continue
+        idx = h >> (64 - p)
+        rest = ((h << p) & ((1 << 64) - 1)) | ((1 << p) - 1)
+        rank = 64 - rest.bit_length() + 1
+        if rank > r[idx]:
+            r[idx] = rank
+    out = []
+    for g, r in regs.items():
+        s = float(np.sum(np.exp2(-np.asarray(r, dtype=np.float64))))
+        est = (0.7213 / (1 + 1.079 / m)) * m * m / s
+        zeros = r.count(0)
+        if est <= 2.5 * m and zeros > 0:
+            est = m * math.log(m / zeros)
+        out.append((g, int(round(est))))
+    return sorted(out)
+
+
 def main(sfs=("sf0.001", "sf0.01")):
     for sf in sfs:
         src = f"/root/testdata/{sf}/documents.parquet"
@@ -1214,6 +1246,21 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "rank": pa.array([r[3] for r in bm],
                                        type=pa.int64())}),
             os.path.join(outdir, "bm25_topk_documents.parquet"))
+        # value = event_id: distinct-per-type is ~N/5, which exercises the
+        # bias-corrected harmonic branch at sf0.01 AND the linear-counting
+        # small-range branch at sf0.001 (user_id saturates: every type
+        # sees every user, a degenerate all-equal fixture)
+        ev = pq.read_table(f"/root/testdata/{sf}/events.parquet",
+                           columns=["event_type", "event_id"])
+        ad = approx_distinct_ref(ev.column("event_type").to_pylist(),
+                                 ev.column("event_id").to_pylist())
+        pq.write_table(
+            pa.table({"event_type": pa.array([r[0] for r in ad],
+                                             type=pa.string()),
+                      "approx_distinct": pa.array([r[1] for r in ad],
+                                                  type=pa.int64())}),
+            os.path.join(outdir, "approx_distinct_events.parquet"))
+
         print(f"{sf}: {len(fp)} fingerprints, {len(sh)} simhashes, "
               f"{len(pairs)} minhash pairs, {len(spairs)} simhash pairs, "
               f"{len(epairs)} embedding pairs, {len(sempairs)} semantic "
