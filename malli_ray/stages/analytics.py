@@ -141,7 +141,13 @@ def top_k_per_group(ds: Dataset, group: str, order_by, k: int,
 
     def per_bucket(g: pa.Table) -> pa.Table:
         g = g.sort_by(spec)
-        pos = _run_positions(g.column(group).to_numpy(zero_copy_only=False))
+        # null-safe run positions (change mask, not numpy equality: a
+        # nullable NUMERIC group column reads as NaN, and NaN != NaN
+        # would split the null group into per-row runs)
+        starts = np.flatnonzero(_adjacent_change_mask(g, [group]))
+        lens = np.diff(np.append(starts, g.num_rows))
+        pos = (np.arange(g.num_rows, dtype=np.int64)
+               - np.repeat(starts, lens))
         keep = pos < k
         g = g.append_column(rank_col, pa.array(pos + 1, type=pa.int64()))
         return g.filter(pa.array(keep))

@@ -619,7 +619,12 @@ def top_fraction_by_group(ds: Dataset, group_column: str, score_column: str,
                              dtype=np.int64)
         idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         k_row = per_value[idx]
-        pos = _run_positions(gc.to_numpy(zero_copy_only=False))
+        # null-safe run positions (change mask — see top_k_per_group)
+        from .analytics import _adjacent_change_mask
+        starts = np.flatnonzero(_adjacent_change_mask(g, [group_column]))
+        lens = np.diff(np.append(starts, g.num_rows))
+        pos = (np.arange(g.num_rows, dtype=np.int64)
+               - np.repeat(starts, lens))
         g = g.append_column(rank_col, pa.array(pos + 1, type=pa.int64()))
         return g.filter(pa.array(pos < k_row))
 

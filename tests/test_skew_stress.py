@@ -320,3 +320,20 @@ def test_inverted_index_vocab_count_independent(ray_session):
         ids = [int(x) for x in some["postings"].split(",")]
         assert ids == sorted(set(ids)) and len(ids) == some["df"]
     assert times["large"] <= 4 * times["small"] + 5.0, times
+
+
+def test_top_k_null_numeric_group(ray_session):
+    """A nullable NUMERIC group column: nulls must form ONE group (SQL
+    GROUP BY), not per-row NaN runs (the numpy-equality pitfall)."""
+    from malli_ray.stages.analytics import top_k_per_group
+
+    t = pa.table({
+        "g": pa.array([1, 1, None, None, None, 2], type=pa.int64()),
+        "v": pa.array([5, 7, 9, 8, 6, 3], type=pa.int64()),
+        "rid": pa.array(list(range(6)), type=pa.int64())})
+    out = top_k_per_group(rd.from_arrow(t), group="g",
+                          order_by=["v", "rid"], k=2).take_all()
+    got = {(r["g"], r["rid"], r["rk"]) for r in out}
+    assert got == {(1, 1, 1), (1, 0, 2),        # g=1: v=7 then v=5
+                   (None, 2, 1), (None, 3, 2),  # null group: v=9, v=8
+                   (2, 5, 1)}
