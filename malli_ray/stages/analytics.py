@@ -36,19 +36,31 @@ __all__ = ["top_k_per_group", "distinct_count_by_group", "pivot_counts",
            "lag_lead", "running_aggregate", "collect_by_group",
            "rank_per_group", "mode_by_group", "covariance_by_group",
            "approx_distinct_by_group", "quantiles_by_group",
-           "regression_by_group", "list_value_counts"]
+           "regression_by_group", "list_value_counts", "bucketed_groups"]
+
+
+def _neq_adjacent(keys: np.ndarray) -> np.ndarray:
+    """Elementwise ``keys[i] != keys[i-1]`` (length n-1), NULL-SAFE: a
+    nullable NUMERIC key column reads as float NaN via to_numpy, and raw
+    ``!=`` would split the null group into per-row runs (NaN != NaN);
+    adjacent NaNs count as EQUAL so nulls form one group — matching SQL
+    GROUP BY and the object-array (None) behavior of string keys."""
+    neq = keys[1:] != keys[:-1]
+    if keys.dtype.kind == "f":
+        nn = np.isnan(keys)
+        neq &= ~(nn[1:] & nn[:-1])
+    return neq
 
 
 def _key_runs(keys: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
-    """(starts, lens) of runs of equal consecutive keys.  None groups with
-    None (object arrays: ``None != None`` is False elementwise), matching
-    SQL GROUP BY null semantics; float NaN keys are out of contract (same
-    caveat as every run-masked op in this package)."""
+    """(starts, lens) of runs of equal consecutive keys.  Null-safe via
+    ``_neq_adjacent`` (None and NaN keys each form ONE group, SQL GROUP BY
+    semantics)."""
     n = len(keys)
     if n == 0:
         return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
     new = np.ones(n, dtype=bool)
-    new[1:] = keys[1:] != keys[:-1]
+    new[1:] = _neq_adjacent(keys)
     starts = np.flatnonzero(new)
     return starts, np.diff(np.append(starts, n))
 
@@ -104,7 +116,7 @@ def _run_positions(keys: np.ndarray) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     new = np.ones(n, dtype=bool)
-    new[1:] = keys[1:] != keys[:-1]
+    new[1:] = _neq_adjacent(keys)
     starts = np.flatnonzero(new)
     lens = np.diff(np.append(starts, n))
     return np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
@@ -439,7 +451,7 @@ def lag_lead(ds: Dataset, key: str, order_by, value_col: str, n: int = 1,
         nrows = len(keys)
         # run lengths broadcast back to rows: runlen[i] = len of i's run
         new = np.ones(nrows, dtype=bool)
-        new[1:] = keys[1:] != keys[:-1]
+        new[1:] = _neq_adjacent(keys)
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, nrows))
         runlen = np.repeat(lens, lens)
@@ -497,7 +509,7 @@ def first_last_per_key(ds: Dataset, key: str, order_by, value_col: str,
         keys = g.column(key).to_numpy(zero_copy_only=False)
         nrows = len(keys)
         new = np.ones(nrows, dtype=bool)
-        new[1:] = keys[1:] != keys[:-1]
+        new[1:] = _neq_adjacent(keys)
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, nrows))
         first_idx = np.repeat(starts, lens)
@@ -559,7 +571,7 @@ def running_aggregate(ds: Dataset, key: str, order_by, value_col: str,
         # subtract the cumulative total just before each run's start
         nrows = len(keys)
         new = np.ones(nrows, dtype=bool)
-        new[1:] = keys[1:] != keys[:-1]
+        new[1:] = _neq_adjacent(keys)
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, nrows))
         base = np.where(starts > 0, csum[starts - 1], 0)
@@ -701,7 +713,7 @@ def rank_per_group(ds: Dataset, key: str, order_by,
         nrows = len(keys)
         pos = _run_positions(keys)
         new_key = np.ones(nrows, dtype=bool)
-        new_key[1:] = keys[1:] != keys[:-1]
+        new_key[1:] = _neq_adjacent(keys)
         key_starts = np.flatnonzero(new_key)
         key_lens = np.diff(np.append(key_starts, nrows))
         # peer runs: change in any peer column OR a new key
@@ -772,7 +784,7 @@ def mode_by_group(ds: Dataset, group: str, value: str,
                        (value, "ascending")])
         keys = t.column(group).to_numpy(zero_copy_only=False)
         first = np.ones(len(keys), dtype=bool)
-        first[1:] = keys[1:] != keys[:-1]
+        first[1:] = _neq_adjacent(keys)
         t = t.filter(pa.array(first))
         return pa.table({
             group: t.column(group),
@@ -1120,7 +1132,7 @@ def transition_counts(ds: Dataset, key: str, order_by, state_col: str,
         keys = g.column(key).to_numpy(zero_copy_only=False)
         n = len(keys)
         same_run = np.zeros(n, dtype=bool)
-        same_run[1:] = keys[1:] == keys[:-1]
+        same_run[1:] = ~_neq_adjacent(keys)
         idx = np.flatnonzero(same_run)
         state = g.column(state_col)
         pairs = pa.table({

@@ -41,12 +41,25 @@ from ray.data.aggregate import Count
 logger = logging.getLogger(__name__)
 
 
+def _neq_adjacent(keys: np.ndarray) -> np.ndarray:
+    """Elementwise ``keys[i] != keys[i-1]`` (length n-1), NULL-SAFE: a
+    nullable NUMERIC key column reads as float NaN via to_numpy, and raw
+    ``!=`` would split the null group into per-row runs (NaN != NaN);
+    adjacent NaNs count as EQUAL so nulls form one group, matching SQL
+    GROUP BY and the object-array (None) behavior of string keys."""
+    neq = keys[1:] != keys[:-1]
+    if keys.dtype.kind == "f":
+        nn = np.isnan(keys)
+        neq &= ~(nn[1:] & nn[:-1])
+    return neq
+
+
 def _key_runs(keys: np.ndarray) -> np.ndarray:
     """Boolean run-start mask over a sorted key array (nulls group last)."""
     n = len(keys)
     new = np.ones(n, dtype=bool)
     if n > 1:
-        new[1:] = keys[1:] != keys[:-1]
+        new[1:] = _neq_adjacent(keys)
     return new
 
 
@@ -178,8 +191,7 @@ def sessionize(ds: Dataset, key: str, ts_col: str, gap_minutes: int,
                 "n_events": pa.array([], type=pa.int64()),
                 "session_start": pa.array(
                     [], type=g.schema.field(ts_col).type)})
-        new_key = np.ones(n, dtype=bool)
-        new_key[1:] = keys[1:] != keys[:-1]
+        new_key = _key_runs(keys)
         new_session = new_key.copy()
         if n > 1:
             new_session[1:] |= np.diff(ts) > gap
@@ -684,8 +696,7 @@ def funnel(ds: Dataset, user_col: str, ts_col: str, type_col: str,
         g = g.sort_by(spec)
         users = g.column(user_col).to_numpy(zero_copy_only=False)
         n = len(users)
-        new = np.ones(n, dtype=bool)
-        new[1:] = users[1:] != users[:-1]
+        new = _key_runs(users)
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, n))
         nruns = len(starts)
@@ -768,8 +779,7 @@ def retention(ds: Dataset, user_col: str, ts_col: str,
         g = g.sort_by([(user_col, "ascending"), (ts_col, "ascending")])
         users = g.column(user_col).to_numpy(zero_copy_only=False)
         n = len(users)
-        new_run = np.ones(n, dtype=bool)
-        new_run[1:] = users[1:] != users[:-1]
+        new_run = _key_runs(users)
         starts = np.flatnonzero(new_run)
         lens = np.diff(np.append(starts, n))
         pw = pc.floor_temporal(g.column(ts_col), unit=period)
@@ -840,8 +850,7 @@ def gap_fill(ds: Dataset, key: str, bucket_column: str, value_column: str,
         b = g.column(bucket_column).to_numpy(
             zero_copy_only=False).astype(np.int64)
         n = len(keys)
-        new = np.ones(n, dtype=bool)
-        new[1:] = keys[1:] != keys[:-1]
+        new = _key_runs(keys)
         if not np.all(new | np.concatenate(([True], b[1:] != b[:-1]))):
             raise ValueError(
                 "gap_fill: duplicate (key, bucket) rows — aggregate first")
@@ -919,9 +928,8 @@ def ffill(ds: Dataset, key: str, order_by, value_col: str,
         # most recent valid index at-or-before each row, then rebased so a
         # carry never crosses into the previous key's run
         src = np.maximum.accumulate(np.where(valid, idx, -1))
-        new_key = np.ones(n, dtype=bool)
-        if n:
-            new_key[1:] = keys[1:] != keys[:-1]
+        new_key = (_key_runs(keys) if n
+                   else np.ones(0, dtype=bool))
         run_start = idx[new_key][np.cumsum(new_key) - 1]
         src = np.where(src >= run_start, src, -1)
         mask = src < 0
@@ -997,7 +1005,7 @@ def ohlc(ds: Dataset, key: str, ts_col: str, value_col: str,
         keys = g.column(key).to_numpy(zero_copy_only=False)
         wins = g.column(window_col).to_numpy(zero_copy_only=False)
         new = np.ones(n, dtype=bool)
-        new[1:] = (keys[1:] != keys[:-1]) | (wins[1:] != wins[:-1])
+        new[1:] = _neq_adjacent(keys) | _neq_adjacent(wins)
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, n)).astype(np.int64)
         vals = g.column(value_col)
@@ -1078,8 +1086,7 @@ def interval_coverage(ds: Dataset, key: str, start_col: str, end_col: str,
         s = g.column("s").to_numpy(zero_copy_only=False)
         e = g.column("e").to_numpy(zero_copy_only=False)
         n = len(s)
-        new_run = np.ones(n, dtype=bool)
-        new_run[1:] = keys[1:] != keys[:-1]
+        new_run = _key_runs(keys)
         run_id = np.cumsum(new_run) - 1
         # rebase per run so the offset trick stays inside int64
         base = s[new_run][run_id]

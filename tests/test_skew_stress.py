@@ -337,3 +337,35 @@ def test_top_k_null_numeric_group(ray_session):
     assert got == {(1, 1, 1), (1, 0, 2),        # g=1: v=7 then v=5
                    (None, 2, 1), (None, 3, 2),  # null group: v=9, v=8
                    (2, 5, 1)}
+
+
+def test_null_numeric_key_groups_once(ray_session):
+    """Nullable NUMERIC keys across the run-masked family: nulls must form
+    ONE group (SQL GROUP BY/PARTITION BY), not per-row NaN runs."""
+    from malli_ray.stages.analytics import lag_lead
+    from malli_ray.stages.windows import sessionize
+
+    t = pa.table({
+        "k": pa.array([1, 1, None, None, 2], type=pa.int64()),
+        "ts": pa.array([0, 10, 0, 5, 0], type=pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50], type=pa.int64()),
+        "rid": pa.array(list(range(5)), type=pa.int64())})
+    out = lag_lead(rd.from_arrow(t), key="k", order_by="rid",
+                   value_col="v").take_all()
+    lags = {r["rid"]: r["v_lag1"] for r in out}
+    # rid=3 (null key) must see rid=2's value — one null group
+    assert lags[3] == 30 and lags[2] is None
+    assert lags[1] == 10 and lags[0] is None and lags[4] is None
+
+    t2 = pa.table({
+        "user": pa.array([None, None, 7], type=pa.int64()),
+        "ts": pa.array([0, 600_000_000, 0], type=pa.timestamp("us"))})
+    sess = sessionize(rd.from_arrow(t2), key="user", ts_col="ts",
+                      gap_minutes=30).take_all()
+    by_user = {}
+    for r in sess:
+        by_user.setdefault(r["user"], []).append(r["n_events"])
+    # the two null-key events are 10min apart (< gap) -> ONE session of 2
+    # in ONE null group; per-row NaN runs would yield two 1-event sessions
+    assert by_user[None] == [2]
+    assert by_user[7] == [1]
