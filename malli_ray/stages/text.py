@@ -2199,6 +2199,186 @@ def nb_classify(ds: Dataset, text_column: str, id_column: str,
 
 
 # ---------------------------------------------------------------------------
+# Hashed logistic regression (distributed full-batch gradient descent —
+# the trainable fastText-linear sibling of the one-pass Naive Bayes above)
+# ---------------------------------------------------------------------------
+
+#: fixed-point denominator for quantized logistic-regression residuals and
+#: per-doc losses — small enough that sum(|rq| * features) over ~1e10 docs
+#: stays inside int64 (2^20 * 1e3 features * 1e10 docs ~ 1e19 worst case;
+#: real residuals shrink as training converges)
+LOGREG_RESID_SCALE = 1 << 20
+
+
+def _logreg_doc_logits(texts, w: np.ndarray, bias: float,
+                       seed: int) -> "tuple[np.ndarray, np.ndarray, list]":
+    """Per-doc raw logits ``z = bias + mean over features of w[bucket]``
+    (fastText-style feature AVERAGING — bounded logits however long the
+    doc, so full-batch GD is well-conditioned) over hashed unigram+bigram
+    features, plus feature counts and the per-k (rows, buckets) occurrence
+    lists (reused by the gradient scatter).  Zero-feature docs score
+    ``bias`` exactly.
+
+    DETERMINISM CONTRACT: the weight-sum accumulator starts at 0 and
+    ``np.add.at`` (unbuffered ufunc.at) adds each occurrence's weight
+    sequentially in document order — all unigrams, then all bigrams — so a
+    doc's float64 addition order depends only on its own text, never on
+    batch boundaries or co-resident docs; the mean is then ONE division +
+    ONE add per doc.  The golden-fixture reference replays the identical
+    per-doc scalar op sequence."""
+    n = len(texts)
+    s = np.zeros(n, dtype=np.float64)
+    nf = np.zeros(n, dtype=np.int64)
+    occ = []
+    nb = np.uint64(len(w))
+    for k in (1, 2):
+        rows, _, (h,) = _gram_rows(texts, k, (seed,))
+        b = (h % nb).astype(np.int64)
+        occ.append((rows, b))
+        if len(rows):
+            np.add.at(s, rows, w[b])
+            np.add.at(nf, rows, 1)
+    z = bias + s / np.maximum(nf, 1)
+    return z, nf, occ
+
+
+def train_logreg_classifier(ds: Dataset, text_column: str,
+                            label_column: str, n_buckets: int = 4096,
+                            epochs: int = 8, lr: float = 0.5,
+                            l2: float = 0.0, seed: int = 11) -> dict:
+    """Train a hashed-feature logistic-regression text classifier by
+    distributed FULL-BATCH gradient descent — the trainable linear-model
+    shape of the fastText/CCNet quality filter (:func:`train_nb_classifier`
+    is its one-pass count-based sibling; logistic regression optimizes
+    log-loss directly and tolerates correlated features).
+
+    Each epoch is ONE streaming ``map_batches`` pass emitting a fixed-size
+    partial per batch (int64 gradient vector + bias gradient + quantized
+    loss — the ``dsir_bucket_counts`` driver-traffic shape, O(batches)
+    rows of ``8 * n_buckets`` bytes); the input re-executes per epoch, so
+    pass a MATERIALIZED (or parquet-backed) training set — at corpus
+    scale the training set is a bounded labeled sample anyway (CCNet
+    trains its filter on ~1e5-1e6 docs, not the corpus).
+
+    DETERMINISM: weights start at zero (no RNG); per-doc logits follow the
+    :func:`_logreg_doc_logits` addition-order contract; per-doc residuals
+    ``sigmoid(z) - y`` and losses quantize to int64 at
+    ``LOGREG_RESID_SCALE`` BEFORE the cross-doc reduction, so gradient
+    sums are associative — independent of batch split, partitioning, and
+    reduction tree (the PageRank/DSIR fixed-point discipline).  The driver
+    update ``w -= lr * (g / n_docs + l2 * w)`` is elementwise float64.
+    Pinned float primitives shared with the golden fixture: elementwise
+    ``np.exp``/``np.log`` (sigmoid + log-loss) and banker's ``np.round``.
+
+    Returns ``{"w", "bias", "n_buckets", "seed", "n_docs",
+    "loss_history"}`` — ``loss_history`` is the mean log-loss per epoch
+    measured BEFORE that epoch's update (dequantized driver floats)."""
+    import polars as pl
+
+    if epochs < 1:
+        raise ValueError("train_logreg_classifier: epochs must be >= 1")
+    w = np.zeros(n_buckets, dtype=np.float64)
+    bias = 0.0
+    n_docs = None
+    loss_history = []
+    scale = float(LOGREG_RESID_SCALE)
+    proj = ds.select_columns([text_column, label_column])
+
+    for _ in range(epochs):
+        w_now, bias_now = w, bias
+
+        def partials(batch: pa.Table, _w=w_now, _b=bias_now) -> pa.Table:
+            col = batch.column(text_column)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_null(col.type):
+                col = col.cast(pa.string())
+            texts = pl.from_arrow(col).fill_null("")
+            y = np.asarray(
+                batch.column(label_column).to_numpy(zero_copy_only=False),
+                dtype=bool)
+            z, nf, occ = _logreg_doc_logits(texts, _w, _b, seed)
+            sig = 1.0 / (1.0 + np.exp(-z))
+            resid = sig - y.astype(np.float64)
+            # mean features: dz/dw[bucket] = count/nf, so each OCCURRENCE
+            # contributes resid/nf — quantized per doc pre-reduction
+            rq = np.round(resid / np.maximum(nf, 1) * scale).astype(
+                np.int64)
+            rq_bias = np.round(resid * scale).astype(np.int64)
+            # per-doc log-loss, quantized pre-reduction (same contract)
+            eps = 1e-12
+            loss = np.where(y, -np.log(sig + eps), -np.log(1.0 - sig + eps))
+            lq = np.round(loss * scale).astype(np.int64)
+            g = np.zeros(n_buckets, dtype=np.int64)
+            for rows, b in occ:
+                if len(rows):
+                    np.add.at(g, b, rq[rows])
+            return pa.table({
+                "g": pa.FixedSizeListArray.from_arrays(
+                    pa.array(g, pa.int64()), n_buckets),
+                "gb": pa.array([int(rq_bias.sum())], pa.int64()),
+                "loss_q": pa.array([int(lq.sum())], pa.int64()),
+                "n": pa.array([batch.num_rows], pa.int64())})
+
+        rows = proj.map_batches(partials, batch_format="pyarrow").take_all()
+        g = np.zeros(n_buckets, dtype=np.int64)
+        gb = loss_q = n = 0
+        for r in rows:
+            g += np.asarray(r["g"], dtype=np.int64)
+            gb += r["gb"]
+            loss_q += r["loss_q"]
+            n += r["n"]
+        if n == 0:
+            raise ValueError("train_logreg_classifier: empty training set")
+        if n_docs is None:
+            n_docs = n
+        loss_history.append(float(loss_q) / scale / n)
+        gf = g.astype(np.float64) / scale
+        w = w - lr * (gf / n + l2 * w)
+        bias = bias - lr * (float(gb) / scale / n)
+    return {"w": w, "bias": float(bias), "n_buckets": n_buckets,
+            "seed": seed, "n_docs": int(n_docs),
+            "loss_history": loss_history}
+
+
+def logreg_classify(ds: Dataset, text_column: str, id_column: str,
+                    model: dict) -> Dataset:
+    """Score every document with a :func:`train_logreg_classifier` model.
+    Shuffle-free map-only pass; the float64 weight table rides the task
+    closure (``ray.put`` it for 1e6+ buckets).  Output per doc:
+    ``n_features``, ``logit_q = round(z * 2^40)`` (int64), ``prob``
+    (sigmoid of the DEQUANTIZED logit — a pure function of ``logit_q``,
+    so the float column is exactly fixture-replayable), and ``pred``
+    (``logit_q > 0`` — the quantized decision boundary, documented: a
+    true logit in (0, 2^-41) rounds to 0 and predicts negative)."""
+    import polars as pl
+
+    w = np.ascontiguousarray(model["w"], dtype=np.float64)
+    bias = float(model["bias"])
+    seed = int(model["seed"])
+    q = float(1 << 40)
+
+    def score(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        texts = pl.from_arrow(col).fill_null("")
+        z, nf, _ = _logreg_doc_logits(texts, w, bias, seed)
+        zq = np.round(z * q).astype(np.int64)
+        prob = 1.0 / (1.0 + np.exp(-(zq.astype(np.float64) / q)))
+        return pa.table({
+            id_column: batch.column(id_column),
+            "n_features": pa.array(nf, pa.int64()),
+            "logit_q": pa.array(zq, pa.int64()),
+            "prob": pa.array(prob, pa.float64()),
+            "pred": pa.array((zq > 0).astype(np.int64), pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Bigram LM scoring with stupid backoff (the CCNet/KenLM perplexity-filter
 # shape, exact-integer fixed-point contract)
 # ---------------------------------------------------------------------------

@@ -350,6 +350,15 @@ def test_nb_classify_fixture_rederives(docs):
     assert [tuple(r.values()) for r in got.to_pylist()] == want
 
 
+def test_logreg_classify_fixture_rederives(docs):
+    ids, texts = docs
+    srcs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["source"]).column("source").to_pylist()
+    want = make_golden.logreg_classify_ref(ids, texts, srcs)
+    got = pq.read_table(f"{GOLD}/logreg_classify_documents.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+
+
 def test_approx_distinct_fixture_rederives():
     ev = pq.read_table(f"{SF_DIR}/events.parquet",
                        columns=["event_type", "event_id"])

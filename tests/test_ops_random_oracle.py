@@ -784,6 +784,89 @@ def test_shard_manifest_detects_loss(ray_session):
 
 
 @pytest.mark.parametrize("seed", [41, 42])
+def test_logreg_classifier_random(ray_session, seed):
+    """Engine logreg train+classify (distributed full-batch GD) equals a
+    naive per-doc reference bit-for-bit (incl. the float prob) on random
+    corpora, regardless of batch split / partitioning of the training
+    pass."""
+    import polars as pl
+    from malli_ray.stages.text import logreg_classify, train_logreg_classifier
+
+    rng = random.Random(seed)
+    docs = _random_docs(rng, 120)
+    labels = [rng.random() < 0.4 for _ in docs]
+    labels[0], labels[1] = True, False
+    B, T, lr, s = 256, 4, 1.0, 7
+    t = pa.table({"doc_id": list(range(len(docs))), "text": docs,
+                  "label": labels})
+    model = train_logreg_classifier(rd.from_arrow(t).repartition(7),
+                                    "text", "label", n_buckets=B,
+                                    epochs=T, lr=lr, seed=s)
+    m2 = train_logreg_classifier(rd.from_arrow(t).repartition(3),
+                                 "text", "label", n_buckets=B,
+                                 epochs=T, lr=lr, seed=s)
+    assert np.array_equal(model["w"], m2["w"])           # partitioning-free
+    assert model["bias"] == m2["bias"]
+    assert model["loss_history"] == m2["loss_history"]
+    got = {r["doc_id"]: (r["n_features"], r["logit_q"], r["prob"],
+                         r["pred"])
+           for r in logreg_classify(rd.from_arrow(t).repartition(5), "text",
+                                    "doc_id", model).take_all()}
+
+    # naive per-doc reference (the make_golden.logreg_classify_ref shape)
+    def buckets(fs):
+        if not fs:
+            return []
+        h = pl.Series(fs, dtype=pl.Utf8).hash(seed=s).to_numpy()
+        return [int(x) % B for x in h.astype(np.uint64)]
+
+    feats = []
+    for d in docs:
+        ws = d.split()
+        feats.append(buckets(ws)
+                     + buckets([f"{a} {b}" for a, b in zip(ws, ws[1:])]))
+    nf = np.array([len(fs) for fs in feats], dtype=np.int64)
+    y = np.array(labels, dtype=np.float64)
+    n = len(docs)
+    scale = float(1 << 20)
+
+    def doc_logits(w, bias):
+        zs = []
+        for fs in feats:
+            acc = 0.0
+            for b in fs:
+                acc += w[b]
+            zs.append(acc)
+        return bias + np.array(zs, dtype=np.float64) / np.maximum(nf, 1)
+
+    w, bias = np.zeros(B, dtype=np.float64), 0.0
+    for _ in range(T):
+        z = doc_logits(w, bias)
+        sig = 1.0 / (1.0 + np.exp(-z))
+        resid = sig - y
+        rq = np.round(resid / np.maximum(nf, 1) * scale).astype(np.int64)
+        rqb = np.round(resid * scale).astype(np.int64)
+        g, gb = [0] * B, 0
+        for d, fs in enumerate(feats):
+            for b in fs:
+                g[b] += int(rq[d])
+            gb += int(rqb[d])
+        w = w - lr * (np.array(g, dtype=np.float64) / scale / n)
+        bias = bias - lr * (float(gb) / scale / n)
+    assert np.array_equal(model["w"], w) and model["bias"] == bias
+    z = doc_logits(w, bias)
+    q = float(1 << 40)
+    zq = np.round(z * q).astype(np.int64)
+    prob = 1.0 / (1.0 + np.exp(-(zq.astype(np.float64) / q)))
+    for i in range(n):
+        assert got[i] == (int(nf[i]), int(zq[i]), float(prob[i]),
+                          1 if zq[i] > 0 else 0)
+    # full-batch GD on log-loss with a sane lr: monotone decreasing loss
+    lh = model["loss_history"]
+    assert all(lh[i + 1] < lh[i] for i in range(len(lh) - 1))
+
+
+@pytest.mark.parametrize("seed", [41, 42])
 def test_nb_classifier_random(ray_session, seed):
     """Engine NB train+classify equals a naive per-doc reference
     bit-for-bit (incl. the float logit) on random corpora, regardless of

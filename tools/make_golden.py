@@ -979,6 +979,80 @@ def nb_classify_ref(ids, texts, sources):
     return rows
 
 
+#: logistic-regression fixture hyperparameters — mirrored by
+#: __ray_entry__._q_logreg_classify_documents.
+LR_BUCKETS = 4096
+LR_SEED = 11
+LR_EPOCHS = 8
+LR_RATE = 2.0
+LR_L2 = 0.0
+LR_RESID_SCALE = float(1 << 20)
+
+
+def logreg_classify_ref(ids, texts, sources):
+    """Independent hashed logistic-regression reference (full-batch GD,
+    the trainable fastText/CCNet filter shape): per-doc Python loops for
+    feature extraction, scalar float accumulation in document order for
+    logits, and Python-int gradient counters — the engine's np.add.at
+    scatter kernels are not used.  Shares the pinned primitives of
+    text.train_logreg_classifier's documented contract: polars hash,
+    elementwise np.exp/np.log/np.round, and the driver-side float64
+    vector update; per-doc residual/loss quantization to int64 at 2^20
+    makes the gradient reduction order-free on both sides."""
+    B, T, lr, l2 = LR_BUCKETS, LR_EPOCHS, LR_RATE, LR_L2
+    scale = LR_RESID_SCALE
+
+    def buckets(fs):
+        if not fs:
+            return []
+        h = pl.Series(fs, dtype=pl.Utf8).hash(seed=LR_SEED).to_numpy()
+        return [int(x) % B for x in h.astype(np.uint64)]
+
+    # engine addition order: ALL unigrams (text order), then ALL bigrams
+    doc_feats = []
+    for t in texts:
+        ws = WORD_RE.findall(t or "")
+        doc_feats.append(buckets(ws)
+                         + buckets([f"{a} {b}" for a, b in zip(ws, ws[1:])]))
+    nf = np.array([len(fs) for fs in doc_feats], dtype=np.int64)
+    y = np.array([s in NB_POS_SOURCES for s in sources], dtype=np.float64)
+    n = len(ids)
+
+    def doc_logits(w, bias):
+        zs = []
+        for fs in doc_feats:
+            s = 0.0
+            for b in fs:
+                s += w[b]
+            zs.append(s)
+        return bias + np.array(zs, dtype=np.float64) / np.maximum(nf, 1)
+
+    w = np.zeros(B, dtype=np.float64)
+    bias = 0.0
+    for _ in range(T):
+        z = doc_logits(w, bias)
+        sig = 1.0 / (1.0 + np.exp(-z))
+        resid = sig - y
+        rq = np.round(resid / np.maximum(nf, 1) * scale).astype(np.int64)
+        rq_bias = np.round(resid * scale).astype(np.int64)
+        g = [0] * B
+        gb = 0
+        for d, fs in enumerate(doc_feats):
+            for b in fs:
+                g[b] += int(rq[d])
+            gb += int(rq_bias[d])
+        gf = np.array(g, dtype=np.float64) / scale
+        w = w - lr * (gf / n + l2 * w)
+        bias = bias - lr * (float(gb) / scale / n)
+
+    z = doc_logits(w, bias)
+    q = float(1 << 40)
+    zq = np.round(z * q).astype(np.int64)
+    prob = 1.0 / (1.0 + np.exp(-(zq.astype(np.float64) / q)))
+    return [(did, int(nf[i]), int(zq[i]), float(prob[i]),
+             1 if zq[i] > 0 else 0) for i, did in enumerate(ids)]
+
+
 def approx_distinct_ref(groups, values, p=12):
     """Independent per-group HyperLogLog (Flajolet et al. 2007): the
     standard alpha_m bias-corrected harmonic estimator with the
@@ -1234,6 +1308,20 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "pred": pa.array([r[4] for r in nbr],
                                        type=pa.int64())}),
             os.path.join(outdir, "nb_classify_documents.parquet"))
+
+        lrr = logreg_classify_ref(ids, texts, srcs)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([r[0] for r in lrr],
+                                         type=pa.int64()),
+                      "n_features": pa.array([r[1] for r in lrr],
+                                             type=pa.int64()),
+                      "logit_q": pa.array([r[2] for r in lrr],
+                                          type=pa.int64()),
+                      "prob": pa.array([r[3] for r in lrr],
+                                       type=pa.float64()),
+                      "pred": pa.array([r[4] for r in lrr],
+                                       type=pa.int64())}),
+            os.path.join(outdir, "logreg_classify_documents.parquet"))
 
         bm = bm25_topk_ref(ids, texts)
         pq.write_table(
