@@ -171,6 +171,16 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "q22_lapsed_customers", "ohlc_events",
         "interval_coverage_events", "bfs_orders",
         "bootstrap_documents", "bootstrap_means_documents",
+        # r4: bounded hashed-bucket bigram LM, fused frequency-family
+        # pass-2, per-group HLL, distributed full-batch-GD logreg
+        "bigram_lm_hashed_documents", "with_frequencies_documents",
+        "approx_distinct_events", "logreg_classify_documents",
+        # r4: TPC-H family completion (adapted shapes where the corpus
+        # lacks partsupp / commit dates)
+        "q6_forecast_revenue", "q13_customer_distribution",
+        "q17_small_quantity_revenue", "q20_promotion_suppliers",
+        "q9_profit_by_nation_year", "q16_supplier_part_count",
+        "q21_waiting_suppliers",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round
