@@ -181,6 +181,8 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "q17_small_quantity_revenue", "q20_promotion_suppliers",
         "q9_profit_by_nation_year", "q16_supplier_part_count",
         "q21_waiting_suppliers", "q15_top_supplier",
+        # r4: skew-aware hybrid join (hot keys bypass the shuffle)
+        "skew_join_events",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

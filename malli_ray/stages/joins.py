@@ -35,7 +35,8 @@ from ray.data import Dataset
 __all__ = ["broadcast_join", "hash_join", "semi_join", "anti_join",
            "bloom_semi_join", "interval_lookup", "partitions_for",
            "except_keys", "intersect_keys", "except_all_keys",
-           "intersect_all_keys", "snapshot_diff", "estimate_join_size"]
+           "intersect_all_keys", "snapshot_diff", "estimate_join_size",
+           "hot_keys", "skew_join"]
 
 
 class _BroadcastProbe:
@@ -634,3 +635,222 @@ def estimate_join_size(left: Dataset, right: Dataset, on: str,
     a = _cms_of_column(left, on, width, depth)
     b = _cms_of_column(right, right_on or on, width, depth)
     return a.inner_product(b)
+
+
+# -- skew-aware hybrid join ---------------------------------------------------
+
+
+def hot_keys(ds: Dataset, column: str, min_share: float = 0.05,
+             width: int = 8192, depth: int = 4) -> np.ndarray:
+    """Join keys whose global frequency share is >= ``min_share``, found
+    in ONE streaming pass (the pre-shuffle skew probe).
+
+    Per batch: the batch-local top-``ceil(1/min_share)`` values become
+    candidates (pigeonhole-COMPLETE: a key with global share >= t has
+    share >= t in at least one batch, where it ranks in the top 1/t) and
+    one Count-Min digest row is emitted; the driver merges the O(batches)
+    fixed-size partials and keeps candidates whose CM estimate >=
+    ``min_share * total``.  CM never under-counts, so false POSITIVES are
+    possible (a cold key promoted hot — harmless: it just rides the
+    broadcast path in :func:`skew_join`) but a truly hot key is never
+    missed.  Nulls never count (they never match an equi-join).
+
+    Returns the hot keys as a SORTED numpy array of the column's type."""
+    import polars as pl
+
+    from ..state.sketches import CountMinSketch
+
+    if not (0.0 < min_share <= 1.0):
+        raise ValueError("hot_keys: min_share must be in (0, 1]")
+    k = int(np.ceil(1.0 / min_share))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            col = col.drop_null()
+        sk = CountMinSketch(width=width, depth=depth)
+        sk.add(col)
+        top = (pl.DataFrame({"v": pl.from_arrow(col)})
+               .group_by("v").len().top_k(k, by="len")
+               .get_column("v").to_arrow().cast(col.type))
+        n = len(top)
+        return pa.table({
+            "cand": pa.concat_arrays(
+                [top.combine_chunks() if isinstance(top, pa.ChunkedArray)
+                 else top, pa.nulls(1, col.type)]),
+            "digest": pa.array([None] * n + [sk.digest()],
+                               pa.large_string())})
+
+    rows = (ds.select_columns([column])
+            .map_batches(partial, batch_format="pyarrow")
+            .take_all())
+    merged = CountMinSketch(width=width, depth=depth)
+    cands = []
+    for r in rows:
+        if r["digest"] is not None:
+            merged.merge(CountMinSketch.from_digest(
+                r["digest"], width=width, depth=depth))
+        elif r["cand"] is not None:
+            cands.append(r["cand"])
+    if not cands:
+        return np.array([], dtype=np.int64)
+    uniq = np.unique(np.array(cands))
+    est = merged.estimate(pa.array(uniq.tolist()))
+    hot = uniq[est >= min_share * merged.total()]
+    return np.sort(hot)
+
+
+class _BroadcastMultiProbe:
+    """Multi-match broadcast probe (the hot branch of :func:`skew_join`):
+    the build side is sorted by key; each probe row fans out to ALL
+    matching build rows via two searchsorted bounds + one vectorized
+    range expansion — full inner-join semantics, never one row per key."""
+
+    def __init__(self, ref, probe_key: str, out_cols: "list[str]"):
+        import ray
+        keys, values = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.keys = keys                # sorted numpy key array
+        self.values = values            # {col: Arrow array, build order}
+        self.probe_key = probe_key
+        self.out_cols = out_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.probe_key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        null_mask = np.zeros(len(col), dtype=bool)
+        if col.null_count:
+            null_mask = np.asarray(col.is_null())
+            if len(self.keys):
+                fill = (self.keys[0].item() if hasattr(self.keys[0], "item")
+                        else self.keys[0])
+                col = pc.fill_null(col, fill)
+        probe = col.to_numpy(zero_copy_only=False)
+        if len(self.keys) and len(probe):
+            lo = np.searchsorted(self.keys, probe, side="left")
+            hi = np.searchsorted(self.keys, probe, side="right")
+            counts = (hi - lo).astype(np.int64)
+            counts[null_mask] = 0
+        else:
+            lo = np.zeros(len(probe), dtype=np.int64)
+            counts = np.zeros(len(probe), dtype=np.int64)
+        total = int(counts.sum())
+        left_idx = np.repeat(np.arange(len(probe), dtype=np.int64), counts)
+        start = np.repeat(lo, counts)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1])) \
+            if len(counts) else np.zeros(0, dtype=np.int64)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(offs, counts))
+        right_idx = pa.array(start + within, pa.int64())
+        out = batch.take(pa.array(left_idx, pa.int64()))
+        for c in self.out_cols:
+            out = out.append_column(c, pc.take(self.values[c], right_idx))
+        return out
+
+
+def skew_join(left: Dataset, right: Dataset, on: str,
+              right_value_cols: "list[str]",
+              right_on: Optional[str] = None, *,
+              min_share: float = 0.05,
+              num_partitions: Optional[int] = None,
+              max_hot_build_rows: int = 2_000_000,
+              width: int = 8192, depth: int = 4,
+              concurrency=None) -> Dataset:
+    """Skew-aware hybrid INNER equi-join: hot keys never enter the
+    shuffle.
+
+    A plain hash join under Zipf skew sends every row of the hottest key
+    to ONE aggregator partition — that partition's memory and wall time
+    bound the whole job.  Here a one-pass probe (:func:`hot_keys`) finds
+    keys with global left-side share >= ``min_share``; the right side's
+    rows for those keys are pulled and BROADCAST (fail-loud
+    ``max_hot_build_rows`` cap — hot keys are few by definition and the
+    right side is the lookup side), and the hot branch fans out map-side
+    with full multi-match semantics (:class:`_BroadcastMultiProbe`).
+    The cold branch is the ordinary hash-shuffle join against the
+    hot-EXCLUDED right side.  Each left row lands in exactly one branch
+    (the right side is partitioned by key), so ``union`` of the two
+    branches IS the inner join — bit-identical rows to ``hash_join``,
+    any order.
+
+    ``right_value_cols``: the right-side columns to carry (the key
+    column excluded) — also the output column-order contract: left
+    columns first (original order), then ``right_value_cols``.  Left
+    scans twice (once per branch) — the price of removing the skewed
+    partition; at scale the stalled-straggler cost dominates a scan.
+
+    Caveat: the cold branch is Ray's native hash join, which misbehaves
+    when its right side ends up with near-empty hash partitions (the
+    documented schema-less-finalize bug) — i.e. when nearly EVERY right
+    key is hot.  That regime means the right side was broadcastable
+    outright: use :func:`broadcast_join` (1:1) or raise ``min_share``."""
+    import ray
+
+    from . import cached_stage, concurrency_kwargs
+
+    right_on = right_on or on
+    hot = hot_keys(left, on, min_share=min_share, width=width, depth=depth)
+
+    def _align(batch: pa.Table) -> pa.Table:
+        keep = [c for c in batch.column_names
+                if c not in right_value_cols] + list(right_value_cols)
+        return batch.select(keep)
+
+    if len(hot) == 0:
+        return hash_join(left, right, on=on, right_on=right_on,
+                         num_partitions=num_partitions).map_batches(
+                             _align, batch_format="pyarrow")
+    hot_ref = ray.put(hot)
+
+    def _split(want_hot: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            h = ray.get(hot_ref)
+            col = batch.column(right_on)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            null_mask = np.zeros(len(col), dtype=bool)
+            if col.null_count:
+                null_mask = np.asarray(col.is_null())
+                col = pc.fill_null(col, h[0].item()
+                                   if hasattr(h[0], "item") else h[0])
+            v = col.to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(h, v)
+            idx[idx >= len(h)] = 0
+            is_hot = (h[idx] == v) & ~null_mask
+            return batch.filter(pa.array(is_hot if want_hot else ~is_hot))
+        return f
+
+    # hot build side: pulled once, capped fail-loud, broadcast sorted
+    hot_right = (right.select_columns([right_on] + list(right_value_cols))
+                 .map_batches(_split(True), batch_format="pyarrow")
+                 .materialize())
+    n_hot = hot_right.count()
+    if n_hot > max_hot_build_rows:
+        raise ValueError(
+            f"skew_join: hot-key build side has {n_hot} rows > "
+            f"max_hot_build_rows={max_hot_build_rows} — the 'small' side "
+            "of the hot keys is not small; raise the cap, raise "
+            "min_share, or pre-aggregate the right side")
+    batches = list(hot_right.iter_batches(batch_format="pyarrow"))
+    build = (pa.concat_tables(batches) if batches
+             else pa.Table.from_pylist(
+                 [], schema=hot_right.schema().base_schema))
+    bkeys = build.column(right_on).to_numpy(zero_copy_only=False)
+    order = np.argsort(bkeys, kind="stable")
+    values = {c: build.column(c).take(pa.array(order, pa.int64()))
+              .combine_chunks()
+              for c in right_value_cols}
+    build_ref = ray.put((bkeys[order], values))
+
+    hot_branch = left.map_batches(
+        cached_stage(_BroadcastMultiProbe, ref=build_ref, probe_key=on,
+                     out_cols=list(right_value_cols)),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+    cold_right = right.map_batches(_split(False), batch_format="pyarrow")
+    cold_branch = hash_join(left, cold_right, on=on, right_on=right_on,
+                            num_partitions=num_partitions).map_batches(
+                                _align, batch_format="pyarrow")
+    return hot_branch.map_batches(
+        _align, batch_format="pyarrow").union(cold_branch)

@@ -369,3 +369,77 @@ def test_null_numeric_key_groups_once(ray_session):
     # in ONE null group; per-row NaN runs would yield two 1-event sessions
     assert by_user[None] == [2]
     assert by_user[7] == [1]
+
+
+def _skewed_join_inputs(n=60_000, hot_share=0.3, n_cold=500, seed=7):
+    rng = np.random.default_rng(seed)
+    keys = np.where(rng.random(n) < hot_share, 0,
+                    rng.integers(1, n_cold, n)).astype(np.int64)
+    karr = [None if i % 5000 == 0 else int(keys[i]) for i in range(n)]
+    lt = pa.table({"k": pa.array(karr, pa.int64()),
+                   "lv": pa.array(np.arange(n, dtype=np.int64))})
+    rk, rv = [], []
+    for key in range(n_cold):
+        for j in range(3 if key == 0 else int(rng.integers(0, 3))):
+            rk.append(key)
+            rv.append(key * 10 + j)
+    rt = pa.table({"rk": pa.array(rk, pa.int64()),
+                   "rv": pa.array(rv, pa.int64())})
+    return lt, rt
+
+
+def test_skew_join_matches_reference(ray_session):
+    """Hybrid hot/cold join == plain SQL inner join bit-for-bit: one
+    planet-sized hot key (30%, 3 build rows -> multi-match fan-out),
+    ~500 cold keys, null left keys dropped (equi-join semantics)."""
+    import polars as pl
+    from malli_ray.stages.joins import hot_keys, skew_join
+
+    lt, rt = _skewed_join_inputs()
+    left = rd.from_arrow(lt).repartition(8)
+    right = rd.from_arrow(rt).repartition(4)
+    assert list(hot_keys(left, "k", min_share=0.05)) == [0]
+    out = skew_join(left, right, on="k", right_on="rk",
+                    right_value_cols=["rv"], min_share=0.05)
+    got = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    assert got.column_names == ["k", "lv", "rv"]
+    want = (pl.from_arrow(lt).join(
+        pl.from_arrow(rt), left_on="k", right_on="rk", how="inner")
+        .select(["k", "lv", "rv"]).sort(["k", "lv", "rv"]))
+    got_pl = pl.from_arrow(got).sort(["k", "lv", "rv"])
+    assert got_pl.equals(want)
+
+
+def test_skew_join_no_hot_fallback(ray_session):
+    """Uniform keys at a high min_share: no hot keys detected -> the
+    plain hash-join fallback, same rows, same column contract."""
+    import polars as pl
+    from malli_ray.stages.joins import hot_keys, skew_join
+
+    n = 20_000
+    rng = np.random.default_rng(3)
+    lt = pa.table({"k": pa.array(rng.integers(0, 200, n), pa.int64()),
+                   "lv": pa.array(np.arange(n, dtype=np.int64))})
+    rt = pa.table({"rk": pa.array(np.arange(200, dtype=np.int64)),
+                   "rv": pa.array(np.arange(200, dtype=np.int64) * 2)})
+    left = rd.from_arrow(lt).repartition(4)
+    assert len(hot_keys(left, "k", min_share=0.5)) == 0
+    out = skew_join(left, rd.from_arrow(rt), on="k", right_on="rk",
+                    right_value_cols=["rv"], min_share=0.5)
+    got = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    assert got.column_names == ["k", "lv", "rv"]
+    assert got.num_rows == n
+    want = (pl.from_arrow(lt).join(pl.from_arrow(rt), left_on="k",
+                                   right_on="rk", how="inner")
+            .select(["k", "lv", "rv"]).sort(["k", "lv", "rv"]))
+    assert pl.from_arrow(got).sort(["k", "lv", "rv"]).equals(want)
+
+
+def test_skew_join_hot_build_cap_raises(ray_session):
+    from malli_ray.stages.joins import skew_join
+
+    lt, rt = _skewed_join_inputs(n=20_000)
+    with pytest.raises(ValueError, match="max_hot_build_rows"):
+        skew_join(rd.from_arrow(lt).repartition(4), rd.from_arrow(rt),
+                  on="k", right_on="rk", right_value_cols=["rv"],
+                  min_share=0.05, max_hot_build_rows=2)
