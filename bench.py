@@ -182,7 +182,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "q9_profit_by_nation_year", "q16_supplier_part_count",
         "q21_waiting_suppliers", "q15_top_supplier",
         # r4: skew-aware hybrid join (hot keys bypass the shuffle)
-        "skew_join_events",
+        "skew_join_events", "bfill_events",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

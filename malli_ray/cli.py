@@ -452,7 +452,43 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
 
+    ex = sub.add_parser(
+        "explain",
+        help="pretty-print a validation report for one JSON value "
+             "(driver-side, no Ray session)")
+    ex.add_argument("--schema", required=True,
+                    help="schema JSON file (DSL form)")
+    ex.add_argument("--value", required=True,
+                    help="value JSON file, or an inline JSON literal")
+    ex.add_argument("--width", type=int, default=80)
+    ex.add_argument("--colors", action="store_true",
+                    help="ANSI-256 dark theme (the malli.dev.pretty look)")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "explain":
+        from . import pretty
+        from .core import SchemaError, schema as make_schema
+        try:
+            form = json.load(open(args.schema))
+        except OSError as e:
+            raise SystemExit(f"cannot read schema file: {e}")
+        if os.path.exists(args.value):
+            value = json.load(open(args.value))
+        else:
+            try:
+                value = json.loads(args.value)
+            except json.JSONDecodeError as e:
+                raise SystemExit(f"--value is neither a file nor valid "
+                                 f"JSON: {e}")
+        p_opts = pretty.printer(width=args.width,
+                                colors="dark" if args.colors else None)
+        try:
+            sc = make_schema(form)
+        except SchemaError as e:
+            print(pretty.format_exception(e, p_opts), end="")
+            return 2
+        return 1 if pretty.explain(sc, value, p_opts) is not None else 0
 
     if os.path.isdir(args.input):
         paths = sorted(glob.glob(os.path.join(args.input, "*.parquet")))

@@ -90,7 +90,7 @@ def _delta_to_i64(delta, ts_type: pa.DataType, what: str) -> int:
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize", "asof_join",
            "range_join", "rolling_aggregate", "debounce", "funnel",
-           "retention", "gap_fill", "ffill", "ohlc",
+           "retention", "gap_fill", "ffill", "bfill", "ohlc",
            "interval_coverage"]
 
 
@@ -933,6 +933,71 @@ def ffill(ds: Dataset, key: str, order_by, value_col: str,
         run_start = idx[new_key][np.cumsum(new_key) - 1]
         src = np.where(src >= run_start, src, -1)
         mask = src < 0
+        filled = pc.take(vals, pa.array(np.where(mask, 0, src),
+                                        type=pa.int64()))
+        if mask.any():
+            filled = pc.if_else(pa.array(~mask), filled,
+                                pa.nulls(n, vals.type))
+        return g.drop_columns([bucket_col]).append_column(out_name, filled)
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def bfill(ds: Dataset, key: str, order_by, value_col: str,
+          out: str | None = None, num_buckets: int = 64,
+          num_partitions: int | None = None) -> Dataset:
+    """Next-observation-carried-BACKWARD per key — :func:`ffill`'s
+    mirror: SQL ``FIRST_VALUE(value IGNORE NULLS) OVER (PARTITION BY key
+    ORDER BY order_by ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+    FOLLOWING)``.  Values MOVE verbatim (``pc.take``) so types and float
+    bit-patterns are preserved; trailing nulls (no later observation in
+    the key) stay null.
+
+    Scale shape identical to ffill: ``hash(key) % num_buckets`` exchange,
+    per bucket ONE Arrow sort + a vectorized backward carry — the
+    forward ``np.maximum.accumulate`` kernel run over the REVERSED
+    index, then clamped so a carry never crosses into the next key's
+    run."""
+    from ..state.sketches import hash64
+
+    if isinstance(order_by, str):
+        order_by = [order_by]
+    out_name = out or f"{value_col}_bfill"
+    spec = [(key, "ascending"), *[(c, "ascending") for c in order_by]]
+    bucket_col = "__bfbucket__"
+    if num_partitions is None:
+        num_partitions = min(num_buckets, 64)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key), seed=43) % np.uint64(num_buckets)
+        return batch.append_column(
+            bucket_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(spec)
+        vals = g.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        idx = np.arange(n, dtype=np.int64)
+        valid = np.asarray(pc.is_valid(vals))
+        # nearest valid index at-or-AFTER each row: run the forward-carry
+        # kernel over the reversed order, then map indices back
+        rev_src = np.maximum.accumulate(
+            np.where(valid[::-1], idx, -1))       # idx here = reversed pos
+        src = np.where(rev_src[::-1] >= 0,
+                       (n - 1) - rev_src[::-1], n)  # n = no later valid
+        # clamp: a carry never crosses into the NEXT key's run
+        new_key = (_key_runs(keys) if n
+                   else np.ones(0, dtype=bool))
+        starts = np.flatnonzero(new_key)
+        lens = np.diff(np.append(starts, n))
+        run_end = np.repeat(starts + lens - 1, lens)
+        src = np.where(src <= run_end, src, n)
+        mask = src >= n
         filled = pc.take(vals, pa.array(np.where(mask, 0, src),
                                         type=pa.int64()))
         if mask.any():
