@@ -81,6 +81,7 @@ __all__ = [
     "semantic_codebook", "semantic_dedup_pairs", "semantic_dedup",
     "build_bloom", "filter_seen_bloom",
     "cluster_pairs", "dedup_by_clusters",
+    "BandDigest", "build_band_digest", "probe_band_digest",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -202,6 +203,36 @@ def _word_shingles(text: str, k: int) -> list[str]:
     return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
 
 
+_FNV_PRIME = np.uint64(0x100000001B3)
+_FNV_BASIS = np.uint64(0xCBF29CE484222325)
+
+
+def _band_fnv(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) uint64 FNV combine of each band's signature segment —
+    band b occupies ``sigs[:, b*r:(b+1)*r]``.  The documented band-bucket
+    identity shared by the LSH flat-map, the cross-run band digest, and
+    the golden-fixture references."""
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    bh = np.empty((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        seg = sigs[:, b * r:(b + 1) * r]
+        h = np.full(n, _FNV_BASIS, dtype=np.uint64)
+        for c in range(seg.shape[1]):
+            h = (h * _FNV_PRIME) ^ seg[:, c]
+        bh[:, b] = h
+    return bh
+
+
+def _band_digest_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) uint64 digest keys: the band FNV mixed with the band
+    INDEX (``fnv * prime ^ band``) so equal segment hashes in different
+    bands never collide in the flat key set."""
+    bh = _band_fnv(sigs, bands)
+    return ((bh * _FNV_PRIME)
+            ^ np.arange(bands, dtype=np.uint64)[None, :])
+
+
 class MinHasher:
     """Vectorized minhash signatures (stateful stage: permutation parameters
     generated once per actor from a fixed seed)."""
@@ -288,18 +319,9 @@ class MinHasher:
         ids = batch.column(self.id_column)
         sigs = self.signatures(texts)
         n = len(texts)
-        r = self.rows_per_band
         sig_small = (sigs & np.uint64(0xFF)).astype(np.uint8)
         sig_bytes = [sig_small[i].tobytes() for i in range(n)]
-        # per-band FNV combine (band b occupies sigs[:, b*r:(b+1)*r])
-        prime = np.uint64(0x100000001B3)
-        bh = np.empty((n, self.bands), dtype=np.uint64)
-        for b in range(self.bands):
-            seg = sigs[:, b * r:(b + 1) * r]
-            h = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
-            for c in range(seg.shape[1]):
-                h = (h * prime) ^ seg[:, c]
-            bh[:, b] = h
+        bh = _band_fnv(sigs, self.bands)
         band_col = np.repeat(np.arange(self.bands, dtype=np.int32), n)
         hash_col = (bh.T.reshape(-1) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         id_col = pa.concat_arrays(
@@ -572,6 +594,136 @@ def cross_near_dup_candidates(train: Dataset, probe: Dataset,
     if return_union:
         return out, uni
     return out
+
+
+class BandDigest:
+    """Persistable cross-run NEAR-dup state: the distinct MinHash band
+    keys of a previously-processed corpus (``state/bloom.BloomFilter``'s
+    near-dup sibling — that one answers "seen this EXACT content?", this
+    one answers "shares an LSH band with anything seen?").
+
+    ``keys`` is a sorted uint64 array of :func:`_band_digest_keys`
+    values.  Union-mergeable (``merge``), so shards/runs combine in any
+    order; probe is one ``np.searchsorted`` per batch.  At 8 bytes/key
+    x bands/doc, 1e9 docs x 16 bands = 128 GB — beyond worker memory,
+    shard the digest by ``key % n_shards`` into per-shard files and
+    probe each shard's partition (the BloomFilter sharding note applies
+    verbatim)."""
+
+    def __init__(self, keys: np.ndarray, num_perm: int, shingle_k: int,
+                 seed: int, bands: int):
+        self.keys = np.sort(np.asarray(keys, dtype=np.uint64))
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+        self.seed = seed
+        self.bands = bands
+
+    def params(self) -> dict:
+        return {"num_perm": self.num_perm, "shingle_k": self.shingle_k,
+                "seed": self.seed, "bands": self.bands}
+
+    def merge(self, other: "BandDigest") -> "BandDigest":
+        if self.params() != other.params():
+            raise ValueError("BandDigest.merge: parameter mismatch "
+                             f"{self.params()} != {other.params()}")
+        self.keys = np.unique(np.concatenate([self.keys, other.keys]))
+        return self
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path, keys=self.keys,
+            params=np.array([self.num_perm, self.shingle_k, self.seed,
+                             self.bands], dtype=np.int64))
+
+    @classmethod
+    def load(cls, path: str) -> "BandDigest":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        p = z["params"]
+        return cls(z["keys"], num_perm=int(p[0]), shingle_k=int(p[1]),
+                   seed=int(p[2]), bands=int(p[3]))
+
+
+def build_band_digest(ds: Dataset, text_column: str,
+                      num_perm: int = 128, shingle_k: int = 3,
+                      seed: int = 42, bands: int = 16,
+                      max_keys: int = 100_000_000) -> BandDigest:
+    """Build a :class:`BandDigest` in ONE streaming pass: each batch
+    emits its DISTINCT band keys as one binary blob (uint64 tobytes —
+    O(batches) driver rows), the driver unions them.  Fail-loud
+    ``max_keys`` cap; beyond it, build per-shard digests (see
+    :class:`BandDigest`)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mh = MinHasher(text_column, text_column, num_perm=num_perm,
+                       shingle_k=shingle_k, seed=seed, bands=bands)
+        sigs = mh.signatures(batch.column(text_column).to_pylist())
+        keys = np.unique(_band_digest_keys(sigs, bands).reshape(-1))
+        return pa.table({"k": pa.array([keys.tobytes()],
+                                       pa.large_binary())})
+
+    rows = (ds.select_columns([text_column])
+            .map_batches(partial, batch_format="pyarrow").take_all())
+    parts = [np.frombuffer(r["k"], dtype=np.uint64) for r in rows]
+    keys = (np.unique(np.concatenate(parts)) if parts
+            else np.empty(0, dtype=np.uint64))
+    if len(keys) > max_keys:
+        raise ValueError(
+            f"build_band_digest: {len(keys)} distinct band keys > "
+            f"max_keys={max_keys} — shard the digest (key % n_shards) "
+            "and build per shard")
+    return BandDigest(keys, num_perm=num_perm, shingle_k=shingle_k,
+                      seed=seed, bands=bands)
+
+
+class _BandDigestProbe:
+    """Per-worker state: the sorted digest keys + minhash params; per
+    batch one signature pass + one searchsorted membership test."""
+
+    def __init__(self, ref, text_column: str, id_column: str):
+        import ray
+        keys, params = ray.get(ref) if isinstance(ref, ray.ObjectRef) \
+            else ref
+        self.keys = keys
+        self.mh = MinHasher(text_column, id_column, **params)
+        self.text_column = text_column
+        self.id_column = id_column
+        self.bands = params["bands"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = self.mh.signatures(
+            batch.column(self.text_column).to_pylist())
+        dk = _band_digest_keys(sigs, self.bands)
+        if len(self.keys):
+            idx = np.searchsorted(self.keys, dk.reshape(-1))
+            idx[idx >= len(self.keys)] = 0
+            hits = (self.keys[idx] == dk.reshape(-1)).reshape(dk.shape)
+        else:
+            hits = np.zeros(dk.shape, dtype=bool)
+        n_hits = hits.sum(axis=1).astype(np.int64)
+        return pa.table({
+            self.id_column: batch.column(self.id_column),
+            "n_band_hits": pa.array(n_hits, pa.int64()),
+            "candidate": pa.array(n_hits > 0)})
+
+
+def probe_band_digest(ds: Dataset, text_column: str, id_column: str,
+                      digest: BandDigest, concurrency=None) -> Dataset:
+    """Flag documents sharing at least one MinHash LSH band with a
+    previously-digested corpus — incremental cross-run NEAR-dup
+    candidates (continuous-ingestion dedup: digest yesterday's corpus
+    once, probe today's shuffle-free; verify candidates exactly against
+    the stored corpus downstream).  Emits per doc ``n_band_hits`` (of
+    ``bands``) and ``candidate``; the digest rides the object store via
+    ``ray.put``, read once per worker."""
+    import ray
+
+    from . import cached_stage, concurrency_kwargs
+
+    ref = ray.put((digest.keys, digest.params()))
+    return ds.map_batches(
+        cached_stage(_BandDigestProbe, ref=ref, text_column=text_column,
+                     id_column=id_column),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 
 class SimHasher:

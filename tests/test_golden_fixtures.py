@@ -359,6 +359,13 @@ def test_logreg_classify_fixture_rederives(docs):
     assert [tuple(r.values()) for r in got.to_pylist()] == want
 
 
+def test_incremental_near_dup_fixture_rederives(docs):
+    ids, texts = docs
+    want = make_golden.incremental_near_dup_ref(ids, texts)
+    got = pq.read_table(f"{GOLD}/incremental_near_dup_documents.parquet")
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+
+
 def test_approx_distinct_fixture_rederives():
     ev = pq.read_table(f"{SF_DIR}/events.parquet",
                        columns=["event_type", "event_id"])

@@ -1871,6 +1871,48 @@ def test_incremental_dedup_bloom(ray_session):
         assert (again.bits == bloom.bits).all()
 
 
+def test_band_digest_incremental_near_dup(ray_session):
+    """build_band_digest over one corpus, probe_band_digest over the next:
+    exact re-occurrences hit ALL bands, near-dups (one word changed in a
+    long doc) hit >= 1 band, disjoint-vocabulary docs hit none; the
+    digest merges across shards and survives save/load."""
+    import ray.data as rd
+    from malli_ray.stages.dedup import (BandDigest, build_band_digest,
+                                        probe_band_digest)
+
+    base = " ".join(f"w{i % 37} tok{i % 11} x{i}" for i in range(60))
+    old = pa.table({"doc_id": list(range(40)),
+                    "text": [f"{base} doc {i}" for i in range(40)]})
+    near = base + " doc 0 CHANGED"
+    new = pa.table({
+        "doc_id": [100, 101, 102],
+        "text": [f"{base} doc 0",                      # exact re-occurrence
+                 near,                                 # near-dup
+                 "совершенно unrelated vocabulary entirely different"]})
+    dig = build_band_digest(rd.from_arrow(old).repartition(5), "text")
+    got = {r["doc_id"]: (r["n_band_hits"], r["candidate"])
+           for r in probe_band_digest(rd.from_arrow(new), "text",
+                                      "doc_id", dig).take_all()}
+    assert got[100] == (dig.bands, True)
+    assert got[101][1] and 1 <= got[101][0] < dig.bands
+    assert got[102] == (0, False)
+
+    # shard-merge: two half-digests union to the full key set
+    d1 = build_band_digest(
+        rd.from_arrow(old.slice(0, 20)), "text")
+    d2 = build_band_digest(rd.from_arrow(old.slice(20)), "text")
+    assert (d1.merge(d2).keys == dig.keys).all()
+
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "bands.npz")
+        dig.save(p)
+        again = BandDigest.load(p)
+        assert (again.keys == dig.keys).all()
+        assert again.params() == dig.params()
+
+
 def test_global_shuffle(ray_session):
     """Deterministic global shuffle: output order == sorted-by-(hash, id),
     rerun-identical, a different seed yields a different permutation, and

@@ -1053,6 +1053,44 @@ def logreg_classify_ref(ids, texts, sources):
              1 if zq[i] > 0 else 0) for i, did in enumerate(ids)]
 
 
+def incremental_near_dup_ref(ids, texts, num_perm=128, bands=16,
+                             shingle_k=3, seed=42):
+    """Independent cross-run band-digest reference: per-doc Python-int
+    FNV band combining over minhash_signature_doc signatures (the
+    engine's vectorized _band_digest_keys is not imported).  Old corpus
+    = even doc ids; probe = odd; a probe doc is a candidate iff any of
+    its band keys is in the old key set."""
+    MASK = (1 << 64) - 1
+    PRIME = 0x100000001B3
+    BASIS = 0xCBF29CE484222325
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE, num_perm, dtype=np.uint64)
+    r = num_perm // bands
+
+    def doc_keys(text):
+        sig = minhash_signature_doc(text, a, b, shingle_k)
+        keys = []
+        for bb in range(bands):
+            h = BASIS
+            for v in sig[bb * r:(bb + 1) * r]:
+                h = ((h * PRIME) & MASK) ^ int(v)
+            keys.append(((h * PRIME) & MASK) ^ bb)
+        return keys
+
+    old = set()
+    for did, t in zip(ids, texts):
+        if did % 2 == 0:
+            old.update(doc_keys(t))
+    rows = []
+    for did, t in zip(ids, texts):
+        if did % 2 == 0:
+            continue
+        hits = sum(1 for k in doc_keys(t) if k in old)
+        rows.append((did, hits, hits > 0))
+    return rows
+
+
 def approx_distinct_ref(groups, values, p=12):
     """Independent per-group HyperLogLog (Flajolet et al. 2007): the
     standard alpha_m bias-corrected harmonic estimator with the
@@ -1308,6 +1346,16 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "pred": pa.array([r[4] for r in nbr],
                                        type=pa.int64())}),
             os.path.join(outdir, "nb_classify_documents.parquet"))
+
+        inr = incremental_near_dup_ref(ids, texts)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([r[0] for r in inr],
+                                         type=pa.int64()),
+                      "n_band_hits": pa.array([r[1] for r in inr],
+                                              type=pa.int64()),
+                      "candidate": pa.array([r[2] for r in inr],
+                                            type=pa.bool_())}),
+            os.path.join(outdir, "incremental_near_dup_documents.parquet"))
 
         lrr = logreg_classify_ref(ids, texts, srcs)
         pq.write_table(
