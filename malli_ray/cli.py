@@ -206,6 +206,15 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
         bloom = BloomFilter.load(args.seen_bloom)
         ds = dedup.filter_seen_bloom(ds, tc, bloom)
         stages.append(f"seen_bloom({args.seen_bloom})")
+    if args.seen_bands:
+        import pyarrow.compute as _pcc
+        digest = dedup.BandDigest.load(args.seen_bands)
+        ds = dedup.probe_band_digest(ds, tc, idc, digest, append=True)
+        ds = ds.map_batches(
+            lambda b: b.filter(_pcc.invert(b.column("candidate")))
+                       .drop_columns(["n_band_hits", "candidate"]),
+            batch_format="pyarrow")
+        stages.append(f"seen_bands({args.seen_bands})")
     if args.drop_frequent_lines:
         ds = dedup.drop_frequent_lines(
             ds, tc, min_count=args.drop_frequent_lines,
@@ -397,6 +406,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="keep docs whose bigram-LM avg log-prob (stupid "
                          "backoff, self-scored) is inside [LO, HI] — the "
                          "CCNet-style perplexity band filter")
+    cp.add_argument("--seen-bands", metavar="PATH",
+                    help="drop NEAR-dup candidates vs a previous run: "
+                         "docs sharing any MinHash LSH band with a "
+                         "dedup.build_band_digest().save(PATH) digest "
+                         "(shuffle-free probe; exact-verify survivors "
+                         "downstream if precision matters)")
     cp.add_argument("--seen-bloom", metavar="PATH",
                     help="drop rows whose text is in a previously-built "
                          "Bloom digest (incremental cross-run dedup; build "

@@ -679,7 +679,8 @@ class _BandDigestProbe:
     """Per-worker state: the sorted digest keys + minhash params; per
     batch one signature pass + one searchsorted membership test."""
 
-    def __init__(self, ref, text_column: str, id_column: str):
+    def __init__(self, ref, text_column: str, id_column: str,
+                 append: bool = False):
         import ray
         keys, params = ray.get(ref) if isinstance(ref, ray.ObjectRef) \
             else ref
@@ -688,6 +689,7 @@ class _BandDigestProbe:
         self.text_column = text_column
         self.id_column = id_column
         self.bands = params["bands"]
+        self.append = append
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = self.mh.signatures(
@@ -700,6 +702,11 @@ class _BandDigestProbe:
         else:
             hits = np.zeros(dk.shape, dtype=bool)
         n_hits = hits.sum(axis=1).astype(np.int64)
+        if self.append:
+            return (batch
+                    .append_column("n_band_hits",
+                                   pa.array(n_hits, pa.int64()))
+                    .append_column("candidate", pa.array(n_hits > 0)))
         return pa.table({
             self.id_column: batch.column(self.id_column),
             "n_band_hits": pa.array(n_hits, pa.int64()),
@@ -707,14 +714,18 @@ class _BandDigestProbe:
 
 
 def probe_band_digest(ds: Dataset, text_column: str, id_column: str,
-                      digest: BandDigest, concurrency=None) -> Dataset:
+                      digest: BandDigest, append: bool = False,
+                      concurrency=None) -> Dataset:
     """Flag documents sharing at least one MinHash LSH band with a
     previously-digested corpus — incremental cross-run NEAR-dup
     candidates (continuous-ingestion dedup: digest yesterday's corpus
     once, probe today's shuffle-free; verify candidates exactly against
     the stored corpus downstream).  Emits per doc ``n_band_hits`` (of
-    ``bands``) and ``candidate``; the digest rides the object store via
-    ``ray.put``, read once per worker."""
+    ``bands``) and ``candidate`` — projected to ``(id, ...)`` rows by
+    default, or APPENDED to the input batch with ``append=True`` (the
+    filter-in-place shape: no join needed to drop candidates).  The
+    digest rides the object store via ``ray.put``, read once per
+    worker."""
     import ray
 
     from . import cached_stage, concurrency_kwargs
@@ -722,7 +733,7 @@ def probe_band_digest(ds: Dataset, text_column: str, id_column: str,
     ref = ray.put((digest.keys, digest.params()))
     return ds.map_batches(
         cached_stage(_BandDigestProbe, ref=ref, text_column=text_column,
-                     id_column=id_column),
+                     id_column=id_column, append=append),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 

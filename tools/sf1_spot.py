@@ -17,7 +17,10 @@ import time
 
 QUERIES = ["near_dup_pairs_prefix", "containment_pairs_documents",
            "corpus_prep_v5_documents", "dup_spans_documents",
-           "bfs_orders"]
+           "bfs_orders",
+           # r4 session-3 additions (documents-table heavies)
+           "with_frequencies_documents", "logreg_classify_documents",
+           "incremental_near_dup_documents", "bigram_lm_hashed_documents"]
 
 
 def main() -> None:
