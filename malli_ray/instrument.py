@@ -45,6 +45,10 @@ def instrument(fn_schema: Any, f: Callable | None = None, *,
     in_schema, out_schema = sc.input, sc.output
     in_valid = in_schema.validator()
     out_valid = out_schema.validator()
+    # optional third :=> child: the guard relates [args, return-value]
+    # (reference ::m/invalid-guard, core.cljc:2217-2236)
+    guard_schema = sc.children[2] if len(sc.children) > 2 else None
+    guard_valid = guard_schema.validator() if guard_schema else None
     try:
         info = sc.function_info()
         min_arity, max_arity = info["min"], info.get("max")
@@ -98,6 +102,12 @@ def instrument(fn_schema: Any, f: Callable | None = None, *,
                 rep("output", {"value": out,
                                "explain": explain(out_schema, out),
                                "humanized": humanize(explain(out_schema, out))})
+            if guard_valid is not None and not guard_valid([all_args, out]):
+                from .core import explain
+                g_expl = explain(guard_schema, [all_args, out])
+                rep("guard", {"args": all_args, "value": out,
+                              "explain": g_expl,
+                              "humanized": humanize(g_expl)})
             return out
 
         wrapped.__malli_schema__ = sc

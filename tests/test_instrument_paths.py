@@ -145,3 +145,31 @@ def test_instrument_seqex_arity_bounds():
     # invalid sub-sequence inside the [:schema ...] item
     fun(1, [2, 3], 4, 5)
     assert events == ["input"]
+
+
+def test_instrument_guard():
+    """Optional third :=> child — the guard relates [args, return-value]
+    (reference ::m/invalid-guard, core.cljc:2217-2236): reported with
+    kind 'guard' after output validation; silent when it holds."""
+    import pytest
+
+    from malli_ray.core import SchemaError
+    from malli_ray.instrument import instrument
+
+    reports = []
+    f = instrument(["=>", ["cat", "int", "int"], "int",
+                    ["fn", "x[1] >= x[0][0]"]],
+                   lambda a, b: a - b,
+                   report=lambda kind, data: reports.append((kind, data)))
+    assert f(2, 1) == 1            # 1 >= 2 fails the guard
+    assert reports and reports[0][0] == "guard"
+    assert reports[0][1]["args"] == [2, 1] and reports[0][1]["value"] == 1
+
+    ok = instrument(["=>", ["cat", "int", "int"], "int",
+                     ["fn", "x[1] >= x[0][0]"]], lambda a, b: a + b)
+    assert ok(2, 1) == 3           # holds -> no raise
+
+    bad = instrument(["=>", ["cat", "int"], "int", ["fn", "x[1] > 10"]],
+                     lambda a: a)
+    with pytest.raises(SchemaError, match="guard"):
+        bad(1)
