@@ -183,7 +183,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "q21_waiting_suppliers", "q15_top_supplier",
         # r4: skew-aware hybrid join (hot keys bypass the shuffle)
         "skew_join_events", "bfill_events",
-        "incremental_near_dup_documents",
+        "incremental_near_dup_documents", "corpus_prep_v6_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round
