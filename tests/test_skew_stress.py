@@ -443,3 +443,29 @@ def test_skew_join_hot_build_cap_raises(ray_session):
         skew_join(rd.from_arrow(lt).repartition(4), rd.from_arrow(rt),
                   on="k", right_on="rk", right_value_cols=["rv"],
                   min_share=0.05, max_hot_build_rows=2)
+
+
+def test_skew_join_string_keys(ray_session):
+    """skew_join over STRING keys: the hot-key probe, broadcast build
+    sort, and membership splits all run on object arrays."""
+    import polars as pl
+    from malli_ray.stages.joins import hot_keys, skew_join
+
+    n = 30_000
+    rng = np.random.default_rng(11)
+    keys = np.where(rng.random(n) < 0.4, "hot",
+                    np.char.add("k", rng.integers(0, 300, n).astype(str)))
+    lt = pa.table({"k": pa.array(keys.tolist(), pa.string()),
+                   "lv": pa.array(np.arange(n, dtype=np.int64))})
+    rk = ["hot", "hot"] + [f"k{i}" for i in range(300)]
+    rt = pa.table({"rk": pa.array(rk, pa.string()),
+                   "rv": pa.array(np.arange(len(rk), dtype=np.int64))})
+    left = rd.from_arrow(lt).repartition(6)
+    assert list(hot_keys(left, "k", min_share=0.1)) == ["hot"]
+    out = skew_join(left, rd.from_arrow(rt), on="k", right_on="rk",
+                    right_value_cols=["rv"], min_share=0.1)
+    got = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    want = (pl.from_arrow(lt).join(pl.from_arrow(rt), left_on="k",
+                                   right_on="rk", how="inner")
+            .select(["k", "lv", "rv"]).sort(["k", "lv", "rv"]))
+    assert pl.from_arrow(got).sort(["k", "lv", "rv"]).equals(want)
