@@ -804,10 +804,10 @@ def skew_join(left: Dataset, right: Dataset, on: str,
                              _align, batch_format="pyarrow")
     hot_ref = ray.put(hot)
 
-    def _split(want_hot: bool):
+    def _split(key_col: str, want_hot: bool):
         def f(batch: pa.Table) -> pa.Table:
             h = ray.get(hot_ref)
-            col = batch.column(right_on)
+            col = batch.column(key_col)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             null_mask = np.zeros(len(col), dtype=bool)
@@ -819,12 +819,16 @@ def skew_join(left: Dataset, right: Dataset, on: str,
             idx = np.searchsorted(h, v)
             idx[idx >= len(h)] = 0
             is_hot = (h[idx] == v) & ~null_mask
-            return batch.filter(pa.array(is_hot if want_hot else ~is_hot))
+            # null keys never match an inner join: keep them OUT of the
+            # cold shuffle too (they'd ship and drop at the join)
+            keep = is_hot if want_hot else ~(is_hot | null_mask)
+            return batch.filter(pa.array(keep))
         return f
 
     # hot build side: pulled once, capped fail-loud, broadcast sorted
     hot_right = (right.select_columns([right_on] + list(right_value_cols))
-                 .map_batches(_split(True), batch_format="pyarrow")
+                 .map_batches(_split(right_on, True),
+                              batch_format="pyarrow")
                  .materialize())
     n_hot = hot_right.count()
     if n_hot > max_hot_build_rows:
@@ -848,8 +852,15 @@ def skew_join(left: Dataset, right: Dataset, on: str,
         cached_stage(_BroadcastMultiProbe, ref=build_ref, probe_key=on,
                      out_cols=list(right_value_cols)),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
-    cold_right = right.map_batches(_split(False), batch_format="pyarrow")
-    cold_branch = hash_join(left, cold_right, on=on, right_on=right_on,
+    # BOTH sides exclude hot keys before the exchange — a hot left row
+    # entering the cold shuffle would recreate the straggler partition
+    # this operator exists to remove (it would produce no output, but
+    # its bytes still pin one aggregator)
+    cold_left = left.map_batches(_split(on, False), batch_format="pyarrow")
+    cold_right = right.map_batches(_split(right_on, False),
+                                   batch_format="pyarrow")
+    cold_branch = hash_join(cold_left, cold_right, on=on,
+                            right_on=right_on,
                             num_partitions=num_partitions).map_batches(
                                 _align, batch_format="pyarrow")
     return hot_branch.map_batches(
