@@ -184,7 +184,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         # r4: skew-aware hybrid join (hot keys bypass the shuffle)
         "skew_join_events", "bfill_events",
         "incremental_near_dup_documents", "corpus_prep_v6_documents",
-        "q11_important_parts",
+        "q11_important_parts", "mp4_multitrack_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -25,7 +25,8 @@ from ray.data import Dataset
 __all__ = ["ImageFeatureExtractor", "add_image_features",
            "FrameSampler", "AudioFrameFeatures", "audio_frame_features",
            "MediaHeaderProbe", "probe_media_headers", "wrap_pcm_wav",
-           "make_mp4_header", "make_mp4_sampled", "probe_mp4_samples",
+           "make_mp4_header", "make_mp4_sampled", "make_mp4_multitrack",
+           "probe_mp4_samples",
            "MP4SampleProbe", "make_mkv_header", "suggested_batch_size",
            "make_bmp", "decode_bmp", "dhash64", "DHasher", "image_dhash",
            "synth_image_pixels", "decode_wav_pcm16", "audio_fp64",
@@ -335,6 +336,75 @@ def make_mp4_sampled(width: int, height: int, timescale: int,
     return ftyp + box(b"moov", mvhd + box(b"trak", tkhd + mdia))
 
 
+def make_mp4_multitrack(tracks, width: int = 640,
+                        height: int = 480) -> bytes:
+    """Multi-track sibling of :func:`make_mp4_sampled`: one ``trak``
+    per ``(timescale, sample_deltas, sample_sizes)`` tuple under a
+    single ``moov`` — dependency-free, deterministic, for exercising the
+    per-track aggregation of :class:`MP4SampleProbe`."""
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def trak(timescale, sample_deltas, sample_sizes) -> bytes:
+        n = len(sample_deltas)
+        duration = sum(sample_deltas)
+        entries = []
+        for d in sample_deltas:
+            if entries and entries[-1][1] == d:
+                entries[-1][0] += 1
+            else:
+                entries.append([1, d])
+        stts = box(b"stts", b"\x00\x00\x00\x00"
+                   + struct.pack(">I", len(entries))
+                   + b"".join(struct.pack(">II", c, d)
+                              for c, d in entries))
+        if isinstance(sample_sizes, int):
+            stsz = box(b"stsz", b"\x00\x00\x00\x00"
+                       + struct.pack(">II", sample_sizes, n))
+        else:
+            if len(sample_sizes) != n:
+                raise ValueError("sample_sizes length != sample count")
+            stsz = box(b"stsz", b"\x00\x00\x00\x00"
+                       + struct.pack(">II", 0, n)
+                       + b"".join(struct.pack(">I", s)
+                                  for s in sample_sizes))
+        mdhd = box(b"mdhd", b"\x00\x00\x00\x00"
+                   + struct.pack(">II", 0, 0)
+                   + struct.pack(">II", timescale, duration)
+                   + struct.pack(">HH", 0x55C4, 0))
+        mdia = box(b"mdia", mdhd + box(b"minf", box(b"stbl", stts + stsz)))
+        tkhd = box(b"tkhd",
+                   b"\x00\x00\x00\x07"
+                   + struct.pack(">IIII", 0, 0, 1, 0)
+                   + struct.pack(">I", duration)
+                   + b"\x00" * 8
+                   + struct.pack(">HHHH", 0, 0, 0, 0)
+                   + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0,
+                                 0, 0x40000000)
+                   + struct.pack(">II", width << 16, height << 16))
+        return box(b"trak", tkhd + mdia)
+
+    if not tracks:
+        raise ValueError("make_mp4_multitrack: at least one track")
+    ts0, deltas0, _ = tracks[0]
+    mvhd = box(b"mvhd",
+               b"\x00\x00\x00\x00"
+               + struct.pack(">II", 0, 0)
+               + struct.pack(">II", ts0, sum(deltas0))
+               + struct.pack(">I", 0x00010000)
+               + struct.pack(">H", 0x0100)
+               + b"\x00" * 10
+               + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                             0x40000000)
+               + b"\x00" * 24
+               + struct.pack(">I", len(tracks) + 1))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    body = mvhd + b"".join(trak(*t) for t in tracks)
+    return ftyp + box(b"moov", body)
+
+
 class MP4SampleProbe:
     """ISO-BMFF sample-table parser: per-track frame counts and byte
     totals from the ``stbl`` boxes — the per-frame metadata a video
@@ -353,10 +423,13 @@ class MP4SampleProbe:
 
     Appends ``mp4_n_tracks``, ``mp4_n_samples``, ``mp4_sample_bytes``,
     ``mp4_media_timescale``, ``mp4_media_duration_units`` (int64 | null)
-    and ``mp4_fps`` (float64 | null); all null for non-MP4 payloads,
-    truncated boxes, or tracks without a sample table.  Per-payload work
-    is a few dozen byte reads — O(rows), not O(bytes), same boundary as
-    MediaHeaderProbe."""
+    and ``mp4_fps`` (float64 | null) for the FIRST sample-table track,
+    plus the PER-TRACK aggregation over every sample-table track in file
+    order: ``mp4_total_samples`` (int64) and ``mp4_track_samples`` (the
+    per-track frame counts as a comma-joined string — SQL-replayable);
+    all null for non-MP4 payloads, truncated boxes, or tracks without a
+    sample table.  Per-payload work is a few dozen byte reads — O(rows),
+    not O(bytes), same boundary as MediaHeaderProbe."""
 
     def __init__(self, payload_column: str = "payload"):
         self.payload_column = payload_column
@@ -432,9 +505,10 @@ class MP4SampleProbe:
                                     for t4, s4, e4 in boxes(s3, e3):
                                         if t4 == b"stbl":
                                             parse_stbl(s4, e4, track)
-                    if ("n_samples" in track and "sample_bytes" in track
-                            and "track" not in out):
-                        out["track"] = track
+                    if "n_samples" in track and "sample_bytes" in track:
+                        out.setdefault("tracks", []).append(track)
+                        if "track" not in out:
+                            out["track"] = track
 
         walk(0, len(p))
         return out if out["n_tracks"] else None
@@ -444,14 +518,22 @@ class MP4SampleProbe:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         n_tracks, ns, sb, ts, du, fps = [], [], [], [], [], []
+        tot, per = [], []
         for v in col:
             info = self._parse(v.as_py() if v.is_valid else None)
             if info is None:
                 n_tracks.append(None)
                 ns.append(None), sb.append(None)
                 ts.append(None), du.append(None), fps.append(None)
+                tot.append(None), per.append(None)
                 continue
             n_tracks.append(info["n_tracks"])
+            trs = info.get("tracks", [])
+            if trs:
+                tot.append(sum(t["n_samples"] for t in trs))
+                per.append(",".join(str(t["n_samples"]) for t in trs))
+            else:
+                tot.append(None), per.append(None)
             tr = info.get("track")
             if tr is None:
                 ns.append(None), sb.append(None)
@@ -474,7 +556,11 @@ class MP4SampleProbe:
                                pa.array(ts, pa.int64()))
                 .append_column("mp4_media_duration_units",
                                pa.array(du, pa.int64()))
-                .append_column("mp4_fps", pa.array(fps, pa.float64())))
+                .append_column("mp4_fps", pa.array(fps, pa.float64()))
+                .append_column("mp4_total_samples",
+                               pa.array(tot, pa.int64()))
+                .append_column("mp4_track_samples",
+                               pa.array(per, pa.string())))
 
 
 def probe_mp4_samples(ds: Dataset, payload_column: str = "payload",
