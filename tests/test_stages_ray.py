@@ -1339,6 +1339,48 @@ def test_ffill(ray_session):
                    ("b", 1): None, ("b", 2): None, ("b", 3): 2.0}
 
 
+def test_bfill(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.windows import bfill
+
+    tbl = pa.table({"k": ["a"] * 5 + ["b"] * 3,
+                    "o": [1, 2, 3, 4, 5, 1, 2, 3],
+                    "v": [None, 1.5, None, None, 7.0, 2.0, None, None]})
+    out = bfill(rd.from_arrow(tbl), "k", "o", "v",
+                num_buckets=4).take_all()
+    got = {(r["k"], r["o"]): r["v_bfill"] for r in out}
+    # trailing nulls stay null; carries never cross keys
+    assert got == {("a", 1): 1.5, ("a", 2): 1.5, ("a", 3): 7.0,
+                   ("a", 4): 7.0, ("a", 5): 7.0,
+                   ("b", 1): 2.0, ("b", 2): None, ("b", 3): None}
+
+
+def test_bfill_random_matches_pandas(ray_session):
+    """bfill == pandas groupby-bfill on random sparse series (values
+    moved verbatim, bit-exact)."""
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+    from malli_ray.stages.windows import bfill
+
+    rng = random.Random(5)
+    n = 4000
+    df = pd.DataFrame({
+        "k": [rng.randrange(40) for _ in range(n)],
+        "o": range(n),
+        "v": [None if rng.random() < 0.6 else rng.random()
+              for _ in range(n)]})
+    out = bfill(rd.from_arrow(pa.Table.from_pandas(df)), "k", "o", "v",
+                num_buckets=8).take_all()
+    got = {r["o"]: r["v_bfill"] for r in out}
+    want = df.sort_values(["k", "o"]).groupby("k")["v"].bfill()
+    want.index = df.sort_values(["k", "o"])["o"]
+    for o, w in want.items():
+        g = got[o]
+        assert (g is None and pd.isna(w)) or g == w
+
+
 def test_gap_fill(ray_session):
     import ray.data as rd
     from malli_ray.stages.windows import gap_fill
