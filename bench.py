@@ -185,6 +185,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "skew_join_events", "bfill_events",
         "incremental_near_dup_documents", "corpus_prep_v6_documents",
         "q11_important_parts", "mp4_multitrack_documents",
+        "token_budget_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -1261,3 +1261,93 @@ def zorder_sort(ds: Dataset, columns: "list[str]", bits: int = 16,
                      bits=bits, out=out),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
     return coded.sort(out)
+
+
+def budget_sample(ds: Dataset, group_column: str, weight_column: str,
+                  id_column: str, fraction: float, seed: int = 0,
+                  num_buckets: int = 64,
+                  num_partitions: int | None = None) -> Dataset:
+    """Per-group WEIGHT-budget prefix selection — the token-budget
+    data-mixture builder: keep each group's rows in deterministic seeded
+    Knuth-hash order until the group's cumulative weight would exceed
+    ``floor(fraction x group_total)`` (keep iff the INCLUSIVE running
+    sum fits the budget).  Unlike count-based rebalancing
+    (:func:`rebalance_to_uniform`), the budget is in WEIGHT units (token
+    counts), which is what a training-mixture spec actually allocates.
+
+    Deterministic and SQL-replayable: selection is a pure function of
+    (id, weight) sets — rerun/resume-stable, order-independent; the
+    oracle spells ``SUM(w) OVER (PARTITION BY g ORDER BY knuth(id), id
+    ROWS UNBOUNDED PRECEDING) <= CAST(FLOOR(fraction * total) AS
+    BIGINT)``.  The budget is ONE float multiply + floor per group
+    (exact below 2^53 total weight).
+
+    Scale shape: pass 1 is a count-only groupby of int64 weight totals
+    (O(groups) rows, broadcast back as the budget table); pass 2 is ONE
+    ``hash(group) % num_buckets`` exchange carrying only (group, id,
+    weight), with a per-bucket Arrow sort + run-rebased cumsum — never
+    one Python call per group.  Weights must be non-negative int64
+    (token counts); null weights count 0."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..state.sketches import hash64
+
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError("budget_sample: fraction must be in [0, 1]")
+
+    def wprep(batch: pa.Table) -> pa.Table:
+        w = pc.fill_null(pc.cast(batch.column(weight_column),
+                                 pa.int64()), 0)
+        return pa.table({group_column: batch.column(group_column),
+                         "__w": w})
+
+    totals = (ds.map_batches(wprep, batch_format="pyarrow")
+              .groupby(group_column)
+              .aggregate(Sum("__w", alias_name="t")).take_all())
+    budgets = {r[group_column]: int(np.floor(fraction * float(r["t"])))
+               for r in totals}
+    bref = ray.put(budgets)
+    bucket_col = "__bsbkt__"
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        h = (((ids.astype(np.uint64) + np.uint64(seed)) % _MOD)
+             * np.uint64(KNUTH_MULT)) % _MOD
+        gb = hash64(batch.column(group_column), seed=31) \
+            % np.uint64(num_buckets)
+        return (batch
+                .append_column("__h", pa.array(h.astype(np.int64),
+                                               pa.int64()))
+                .append_column(bucket_col,
+                               pa.array(gb.astype(np.int64), pa.int64())))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import ray as _ray
+        b = _ray.get(bref)
+        g = g.sort_by([(group_column, "ascending"),
+                       ("__h", "ascending"), (id_column, "ascending")])
+        keys = g.column(group_column).to_numpy(zero_copy_only=False)
+        w = pc.fill_null(pc.cast(g.column(weight_column), pa.int64()),
+                         0).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            return g.drop_columns(["__h", bucket_col])
+        new = np.ones(n, dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        csum = np.cumsum(w)
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        base = np.where(starts > 0, csum[starts - 1], 0)
+        cum = csum - np.repeat(base, lens)          # inclusive per-run
+        budget = np.array([b.get(keys[s], 0) for s in starts],
+                          dtype=np.int64)
+        keep = cum <= np.repeat(budget, lens)
+        return (g.filter(pa.array(keep))
+                .drop_columns(["__h", bucket_col]))
+
+    if num_partitions is None:
+        num_partitions = min(num_buckets, 64)
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow"))

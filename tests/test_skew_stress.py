@@ -469,3 +469,40 @@ def test_skew_join_string_keys(ray_session):
                                    right_on="rk", how="inner")
             .select(["k", "lv", "rv"]).sort(["k", "lv", "rv"]))
     assert pl.from_arrow(got).sort(["k", "lv", "rv"]).equals(want)
+
+
+def test_budget_sample_semantics(ray_session):
+    """budget_sample: inclusive hash-order prefix per group, budget =
+    floor(fraction x group total), groups independent, rerun-identical
+    under repartition."""
+    from malli_ray.stages.sampling import KNUTH_MULT, budget_sample
+
+    rng = np.random.default_rng(13)
+    n = 6000
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "g": pa.array((np.arange(n) % 3).astype(np.int64)),
+        "w": pa.array(rng.integers(1, 100, n).astype(np.int64))})
+    out = budget_sample(rd.from_arrow(t).repartition(7), "g", "w", "id",
+                        fraction=0.5, num_buckets=8).take_all()
+    kept = {r["id"] for r in out}
+    # independent reference
+    h = ((np.arange(n).astype(np.uint64) % (1 << 32))
+         * np.uint64(KNUTH_MULT)) % np.uint64(1 << 32)
+    df = pd.DataFrame({"id": np.arange(n), "g": np.arange(n) % 3,
+                       "w": t.column("w").to_numpy(), "h": h})
+    want = set()
+    for g, grp in df.groupby("g"):
+        grp = grp.sort_values(["h", "id"])
+        budget = int(np.floor(0.5 * float(grp["w"].sum())))
+        cum = grp["w"].cumsum()
+        want |= set(grp.loc[cum <= budget, "id"])
+    assert kept == want
+    # share of weight is close to (and never exceeds) the fraction
+    for g, grp in df.groupby("g"):
+        share = df[(df.g == g) & (df.id.isin(kept))]["w"].sum() \
+            / grp["w"].sum()
+        assert share <= 0.5 and share > 0.45
+    out2 = budget_sample(rd.from_arrow(t).repartition(3), "g", "w", "id",
+                         fraction=0.5, num_buckets=8).take_all()
+    assert {r["id"] for r in out2} == kept
