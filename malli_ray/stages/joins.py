@@ -36,7 +36,7 @@ __all__ = ["broadcast_join", "hash_join", "semi_join", "anti_join",
            "bloom_semi_join", "interval_lookup", "partitions_for",
            "except_keys", "intersect_keys", "except_all_keys",
            "intersect_all_keys", "snapshot_diff", "estimate_join_size",
-           "hot_keys", "skew_join"]
+           "hot_keys", "skew_join", "union_by_name"]
 
 
 class _BroadcastProbe:
@@ -865,3 +865,58 @@ def skew_join(left: Dataset, right: Dataset, on: str,
                                 _align, batch_format="pyarrow")
     return hot_branch.map_batches(
         _align, batch_format="pyarrow").union(cold_branch)
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution union (multi-snapshot ingestion)
+# ---------------------------------------------------------------------------
+
+
+def union_by_name(datasets, schemas=None, promote: bool = True):
+    """Union datasets whose schemas drifted across snapshots — column
+    order differs, columns were added/dropped, numeric widths grew (the
+    standard multi-year corpus ingestion problem; SQL's ``UNION ALL BY
+    NAME``).
+
+    Target schema = the name-union of all fields in first-seen order,
+    types unified by ``pa.unify_schemas`` (``promote=True`` allows lossless
+    widening like int32→int64; ``False`` requires identical types).  Each
+    input gets ONE map-only pass that adds missing columns as typed
+    nulls, casts, and reorders — then chained ``Dataset.union`` (zero
+    movement: union in Ray Data concatenates block lists lazily).
+
+    ``schemas``: pass explicit pyarrow schemas for transformed inputs —
+    ``ds.schema()`` on a transformed dataset EXECUTES a probe pipeline
+    (the asof_join/pagerank contract); for fresh ``read_parquet``
+    datasets it is metadata-only and the default is fine."""
+    datasets = list(datasets)
+    if not datasets:
+        raise ValueError("union_by_name: need at least one dataset")
+    if schemas is None:
+        schemas = [d.schema().base_schema for d in datasets]
+    target = pa.unify_schemas(
+        list(schemas),
+        promote_options="permissive" if promote else "default")
+
+    def aligner(sch):
+        def align(batch: pa.Table) -> pa.Table:
+            cols = []
+            for f in sch:
+                i = batch.schema.get_field_index(f.name)
+                if i < 0:
+                    cols.append(pa.nulls(batch.num_rows, f.type))
+                else:
+                    c = batch.column(i)
+                    if isinstance(c, pa.ChunkedArray):
+                        c = c.combine_chunks()
+                    cols.append(c if c.type.equals(f.type)
+                                else c.cast(f.type))
+            return pa.Table.from_arrays(cols, schema=sch)
+        return align
+
+    aligned = [d.map_batches(aligner(target), batch_format="pyarrow")
+               for d in datasets]
+    out = aligned[0]
+    for a in aligned[1:]:
+        out = out.union(a)
+    return out

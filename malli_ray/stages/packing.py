@@ -31,7 +31,8 @@ from ray.data import Dataset
 from . import concurrency_kwargs as _conc
 
 __all__ = ["chunk_blocks", "pack_greedy", "greedy_block_ids",
-           "concat_token_blocks"]
+           "concat_token_blocks", "padding_waste_report",
+           "truncate_sequences"]
 
 
 def chunk_blocks(ds: Dataset, group_column: str, id_column: str,
@@ -250,3 +251,112 @@ def chunk_text(ds: Dataset, text_column: str, id_column: str,
         })
 
     return ds.map_batches(chunk, batch_format="pyarrow", **_conc(concurrency))
+
+
+# ---------------------------------------------------------------------------
+# packing-efficiency report + context-length enforcement (sequences table)
+# ---------------------------------------------------------------------------
+
+
+def padding_waste_report(ds: Dataset, tokens_column: str = "tokens",
+                         group_column: str = "source",
+                         block_len: int = 2048,
+                         null_group: str = "") -> Dataset:
+    """Per-group packing-efficiency report for pad-to-``block_len``
+    training: how many tokens of padding would each corpus slice cost if
+    every sequence were padded up to a multiple of ``block_len`` (the
+    no-packing baseline a packer is judged against).
+
+    Emits ``(group, n_seqs, total_tokens, n_blocks, padded_tokens,
+    waste_tokens, waste_pct)`` — all integer-exact except ``waste_pct``,
+    which is ONE IEEE division of two exactly-computed int64 sums (the
+    bit-safe float contract).  Token counts come from the list lengths
+    (never a declared-count column — the n_tok!=len anomaly must not skew
+    the report).
+
+    Scale shape: each batch collapses to O(groups) partial rows map-side
+    (one polars group_by over the batch), so the ONE groupby exchange
+    carries ``batches x groups`` tiny rows; null group keys fold to
+    ``null_group`` map-side (SQL ``COALESCE(g,'')`` parity — and Ray's
+    sort-based groupby cannot sort null string keys)."""
+    if block_len <= 0:
+        raise ValueError("block_len must be positive")
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        lens = pc.cast(pc.list_value_length(batch.column(tokens_column)),
+                       pa.int64())
+        grp = pc.fill_null(batch.column(group_column),
+                           pa.scalar(null_group, pa.string()))
+        n = pl.from_arrow(lens.combine_chunks()
+                          if isinstance(lens, pa.ChunkedArray) else lens)
+        blocks = (n + (block_len - 1)) // block_len
+        df = pl.DataFrame({group_column: pl.from_arrow(
+                               grp.combine_chunks()
+                               if isinstance(grp, pa.ChunkedArray) else grp),
+                           "__n": n, "__b": blocks})
+        out = (df.group_by(group_column)
+               .agg(n_seqs=pl.len().cast(pl.Int64),
+                    total_tokens=pl.col("__n").sum(),
+                    n_blocks=pl.col("__b").sum()))
+        return out.to_arrow()
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(group_column)
+           .aggregate(Sum("n_seqs", alias_name="n_seqs"),
+                      Sum("total_tokens", alias_name="total_tokens"),
+                      Sum("n_blocks", alias_name="n_blocks")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        total = pc.cast(batch.column("total_tokens"), pa.int64())
+        blocks = pc.cast(batch.column("n_blocks"), pa.int64())
+        padded = pc.multiply_checked(blocks,
+                                     pa.scalar(block_len, pa.int64()))
+        waste = pc.subtract(padded, total)
+        return pa.table({
+            group_column: batch.column(group_column),
+            "n_seqs": pc.cast(batch.column("n_seqs"), pa.int64()),
+            "total_tokens": total,
+            "n_blocks": blocks,
+            "padded_tokens": padded,
+            "waste_tokens": waste,
+            "waste_pct": pc.divide(pc.cast(waste, pa.float64()),
+                                   pc.cast(padded, pa.float64()))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def truncate_sequences(ds: Dataset, tokens_column: str = "tokens",
+                       max_len: int = 2048,
+                       count_column: str | None = "n_tok",
+                       flag_column: str = "was_truncated") -> Dataset:
+    """Context-length enforcement: clip every token list to its first
+    ``max_len`` elements, refresh ``count_column`` to the ACTUAL kept
+    length, and flag clipped rows.  The standard pre-packing step for a
+    model context window.
+
+    Map-only (``pc.list_slice`` is a zero-copy offset rewrite — the
+    values buffer is shared), shuffle-free, payload-preserving; all other
+    columns pass through untouched."""
+    if max_len <= 0:
+        raise ValueError("max_len must be positive")
+
+    def clip(batch: pa.Table) -> pa.Table:
+        toks = batch.column(tokens_column)
+        lens = pc.list_value_length(toks)
+        clipped = pc.list_slice(toks, 0, max_len)
+        new_len = pc.cast(pc.list_value_length(clipped), pa.int64())
+        batch = batch.set_column(
+            batch.schema.get_field_index(tokens_column),
+            tokens_column, clipped)
+        if count_column is not None:
+            idx = batch.schema.get_field_index(count_column)
+            cnt = pc.cast(new_len, batch.schema.field(idx).type)
+            batch = batch.set_column(idx, count_column, cnt)
+        return batch.append_column(
+            flag_column, pc.fill_null(pc.greater(
+                pc.cast(lens, pa.int64()), pa.scalar(max_len, pa.int64())),
+                False))
+
+    return ds.map_batches(clip, batch_format="pyarrow")

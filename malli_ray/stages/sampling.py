@@ -1351,3 +1351,48 @@ def budget_sample(ds: Dataset, group_column: str, weight_column: str,
     return (ds.map_batches(bucketize, batch_format="pyarrow")
             .groupby(bucket_col, num_partitions=num_partitions)
             .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+class _GroupSplit:
+    """Per-batch leakage-safe split label: cumulative thresholds over
+    hash64(group) folded to 32 bits (any column type, nulls = one
+    deterministic group)."""
+
+    def __init__(self, group_column, thresholds, split_col, seed):
+        self.group_column = group_column
+        self.split_col = split_col
+        self.seed = seed
+        self.labels = pa.array([l for l, _ in thresholds])
+        self.bounds = np.array([t for _, t in thresholds],
+                               dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..state.sketches import hash64
+        h = hash64(batch.column(self.group_column), seed=self.seed) \
+            % np.uint64(4294967296)
+        idx = np.searchsorted(self.bounds, h, side="right")
+        lab = pc.take(self.labels, pa.array(idx, type=pa.int64()))
+        return batch.append_column(self.split_col, lab)
+
+
+def split_by_group(ds: Dataset, group_column: str,
+                   fractions: "dict[str, float]",
+                   split_col: str = "split", seed: int = 3343,
+                   concurrency=None) -> Dataset:
+    """Leakage-safe train/valid/test split: EVERY row sharing
+    ``group_column`` (URL domain, repo, author) lands in the same split —
+    the dedup-aware split that keeps near-copies of a training document
+    out of eval.  :func:`split_by_hash` requires integer ids; this keys
+    the same cumulative thresholds on ``hash64(group) mod 2^32`` so any
+    column type works.  Shuffle-free map-only pass; rerun/resume-stable;
+    null groups hash to one deterministic group (they travel together —
+    SQL null-key semantics).  Not SQL-replayable (xxhash) — the oracle is
+    a golden fixture."""
+    from . import cached_stage, concurrency_kwargs
+
+    thresholds = split_thresholds(fractions)
+    return ds.map_batches(
+        cached_stage(_GroupSplit, group_column=group_column,
+                     thresholds=tuple(thresholds), split_col=split_col,
+                     seed=seed),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))

@@ -23,7 +23,8 @@ __all__ = ["add_token_count", "add_quality", "LangID", "add_lang_id",
            "Fingerprinter", "add_fingerprint", "word_counts", "top_words",
            "VocabTokenizer", "tokenize_with_vocab",
            "PII_PATTERNS", "Redactor", "redact", "contamination_pairs",
-           "add_repetition", "canonicalize_urls"]
+           "add_repetition", "canonicalize_urls",
+           "token_ngram_contamination"]
 
 
 def add_token_count(ds: Dataset, text_column: str,
@@ -2676,3 +2677,97 @@ def bigram_lm_score(ds: Dataset, text_column: str, id_column: str,
         cached_stage(_BigramLMScorer, ref=ref, text_column=text_column,
                      id_column=id_column),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
+# ---------------------------------------------------------------------------
+# token-id n-gram decontamination (the sequences-table sibling of
+# ngram_contamination: benchmark probes are TOKEN windows, not strings)
+# ---------------------------------------------------------------------------
+
+
+def token_ngram_contamination(ds: Dataset, probes,
+                              tokens_column: str = "tokens",
+                              id_column: str = "doc_id") -> Dataset:
+    """Per-document hit counts of benchmark probe n-grams over a
+    pre-tokenized sequence column — decontamination AFTER tokenization,
+    when the raw text is gone (the north-rule table's shape).
+
+    ``probes``: list of equal-length int sequences (mixed lengths = one
+    call per length).  Exact — every rolling-hash candidate window is
+    verified element-wise — and emits ONLY contaminated docs
+    ``(id, n_hits)``, so the per-doc-id combine exchange carries O(hits)
+    rows, never the corpus.
+
+    Per batch: ONE Horner rolling-hash pass over the flattened values
+    buffer (n vector ops for width n, zero-copy from Arrow), windows
+    crossing a row boundary masked via the offsets, candidate membership
+    by searchsorted against the sorted probe-hash array.  Wraparound
+    uint64 arithmetic matches ``state.sketches.hash64``'s FNV base."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    probes = [np.asarray(p, dtype=np.int64) for p in probes]
+    if not probes:
+        raise ValueError("need at least one probe")
+    n = len(probes[0])
+    if n < 1 or any(len(p) != n for p in probes):
+        raise ValueError("probes must be non-empty and equal-length")
+    B = np.uint64(1099511628211)
+
+    def horner(mat: np.ndarray) -> np.ndarray:
+        h = np.zeros(mat.shape[0], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k in range(n):
+                h = h * B + mat[:, k].astype(np.uint64)
+        return h
+
+    probe_mat = np.stack(probes)
+    probe_hash = horner(probe_mat)
+    order = np.argsort(probe_hash)
+    probes_ref = ray.put((probe_hash[order], probe_mat[order]))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ph, pm = ray.get(probes_ref)
+        toks = batch.column(tokens_column)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        out_ids = batch.column(id_column).slice(0, 0)
+        empty = pa.table({id_column: out_ids,
+                          "n_hits": pa.array([], pa.int64())})
+        if len(flat) < n:
+            return empty
+        starts = np.arange(len(flat) - n + 1, dtype=np.int64)
+        h = np.zeros(len(starts), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k in range(n):
+                h = h * B + flat[k:k + len(starts)].astype(np.uint64)
+        lens = np.diff(offs)
+        pos_end = np.repeat(offs[1:], lens)      # row end per position
+        fits = pos_end[starts] - starts >= n
+        idx = np.searchsorted(ph, h)
+        idx[idx >= len(ph)] = 0
+        cand = np.flatnonzero((ph[idx] == h) & fits)
+        if not len(cand):
+            return empty
+        # exact verify: candidate windows vs EVERY probe (collision-safe)
+        win = flat[cand[:, None] + np.arange(n)]
+        ok = (win[:, None, :] == pm[None, :, :]).all(axis=2).any(axis=1)
+        hits = cand[ok]
+        if not len(hits):
+            return empty
+        rows = np.searchsorted(offs, hits, side="right") - 1
+        counts = np.bincount(rows, minlength=batch.num_rows)
+        rowsel = np.flatnonzero(counts)
+        return pa.table({
+            id_column: batch.column(id_column).take(pa.array(rowsel)),
+            "n_hits": pa.array(counts[rowsel], pa.int64())})
+
+    flagged = ds.map_batches(scan, batch_format="pyarrow")
+    # duplicate doc_ids are legal in the table — combine per id (tiny:
+    # only contaminated rows reach the exchange)
+    return (flagged.groupby(id_column)
+            .aggregate(Sum("n_hits", alias_name="n_hits")))

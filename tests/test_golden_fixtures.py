@@ -381,3 +381,17 @@ def test_approx_distinct_fixture_rederives():
     true = collections.Counter(ev.column("event_type").to_pylist())
     for et, est in want:
         assert abs(est - true[et]) <= max(5, 0.05 * true[et]), (et, est)
+
+
+def test_split_by_domain_fixture_rederives(docs):
+    ids, texts = docs
+    want = make_golden.split_by_domain_ref(ids, texts)
+    got = pq.read_table(f"{GOLD}/split_by_domain_documents.parquet")
+    assert got.column("doc_id").to_pylist() == [r[0] for r in want]
+    assert got.column("domain").to_pylist() == [r[1] for r in want]
+    assert got.column("split").to_pylist() == [r[2] for r in want]
+    # leakage-safety invariant: one split label per domain
+    by_dom = {}
+    for _, d, s in want:
+        by_dom.setdefault(d, set()).add(s)
+    assert all(len(v) == 1 for v in by_dom.values())

@@ -4010,3 +4010,118 @@ def test_mp4_sample_probe(ray_session):
     import struct
     i = p1.find(b"stts")
     assert struct.unpack(">I", p1[i + 8:i + 12])[0] == 2
+
+
+# ---------------------------------------------------------------------------
+# session-4 ops: padding waste, truncate, token decon, union_by_name,
+# split_by_group
+# ---------------------------------------------------------------------------
+
+
+def test_padding_waste_report(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.packing import padding_waste_report
+    t = pa.table({
+        "tokens": pa.array([[1, 2, 3], [4] * 5, [7] * 4, [8]],
+                           type=pa.list_(pa.int32())),
+        "source": pa.array(["a", "a", None, "b"])})
+    got = {r["source"]: r for r in padding_waste_report(
+        rd.from_arrow(t), "tokens", "source", block_len=4).take_all()}
+    # a: lens 3,5 -> blocks 1,2 -> padded 12, waste 4
+    assert got["a"]["n_seqs"] == 2 and got["a"]["total_tokens"] == 8
+    assert got["a"]["n_blocks"] == 3 and got["a"]["padded_tokens"] == 12
+    assert got["a"]["waste_tokens"] == 4
+    assert got["a"]["waste_pct"] == 4.0 / 12.0
+    # null source folds to ""
+    assert got[""]["n_seqs"] == 1 and got[""]["waste_tokens"] == 0
+    assert got["b"]["n_blocks"] == 1 and got["b"]["waste_tokens"] == 3
+    with pytest.raises(ValueError):
+        padding_waste_report(rd.from_arrow(t), block_len=0)
+
+
+def test_truncate_sequences(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.packing import truncate_sequences
+    t = pa.table({
+        "doc_id": pa.array(["a", "b"]),
+        "tokens": pa.array([[1, 2, 3, 4, 5], [9]],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([99, 1], pa.int32())})
+    rows = sorted(truncate_sequences(
+        rd.from_arrow(t), "tokens", max_len=3).take_all(),
+        key=lambda r: r["doc_id"])
+    assert rows[0]["tokens"] == [1, 2, 3] and rows[0]["n_tok"] == 3
+    assert rows[0]["was_truncated"] is True or rows[0]["was_truncated"] == True  # noqa: E712
+    assert rows[1]["tokens"] == [9] and rows[1]["n_tok"] == 1
+    assert not rows[1]["was_truncated"]
+
+
+def test_token_ngram_contamination(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.text import token_ngram_contamination
+    probe = [5, 6, 7]
+    t = pa.table({
+        "doc_id": pa.array(["hit_start", "hit_mid", "hit_twice",
+                            "straddle_a", "straddle_b", "clean", "dup",
+                            "dup"]),
+        "tokens": pa.array([
+            [5, 6, 7, 1],          # at start
+            [1, 5, 6, 7, 2],       # middle
+            [5, 6, 7, 5, 6, 7],    # two hits
+            [1, 2, 5, 6],          # ends with prefix of probe...
+            [7, 3, 4],             # ...next row completes it: must NOT hit
+            [9, 9, 9],
+            [5, 6, 7],             # same doc_id twice -> hits combine
+            [2, 5, 6, 7]],
+            type=pa.list_(pa.int32()))})
+    got = {r["doc_id"]: r["n_hits"] for r in token_ngram_contamination(
+        rd.from_arrow(t), [probe], "tokens", "doc_id").take_all()}
+    assert got == {"hit_start": 1, "hit_mid": 1, "hit_twice": 2, "dup": 2}
+    with pytest.raises(ValueError):
+        token_ngram_contamination(rd.from_arrow(t), [[1, 2], [3]])
+    with pytest.raises(ValueError):
+        token_ngram_contamination(rd.from_arrow(t), [])
+
+
+def test_union_by_name(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.joins import union_by_name
+    a = pa.table({"id": pa.array([1, 2], pa.int32()),
+                  "x": pa.array(["p", "q"])})
+    b = pa.table({"y": pa.array([1.5]),
+                  "id": pa.array([3], pa.int64())})
+    out = union_by_name([rd.from_arrow(a), rd.from_arrow(b)])
+    rows = sorted(out.take_all(), key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == [1, 2, 3]          # int32 -> int64
+    assert [r["x"] for r in rows] == ["p", "q", None]    # null fill
+    assert [r["y"] for r in rows] == [None, None, 1.5]
+    sch = out.schema().base_schema
+    assert sch.field("id").type == pa.int64()
+    with pytest.raises(ValueError):
+        union_by_name([])
+
+
+def test_split_by_group(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.sampling import split_by_group
+    n = 2000
+    t = pa.table({"id": pa.array(range(n), pa.int64()),
+                  "grp": pa.array(
+                      [None if i % 13 == 0 else f"g{i % 211}"
+                       for i in range(n)])})
+    rows = split_by_group(rd.from_arrow(t), "grp",
+                          {"train": 0.8, "valid": 0.1, "test": 0.1}
+                          ).take_all()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], set()).add(r["split"])
+    # leakage safety: every group (incl. the null group) gets ONE label
+    assert all(len(v) == 1 for v in by_grp.values())
+    labels = {next(iter(v)) for v in by_grp.values()}
+    assert "train" in labels and len(labels) >= 2
+    # deterministic across executions
+    rows2 = split_by_group(rd.from_arrow(t), "grp",
+                           {"train": 0.8, "valid": 0.1, "test": 0.1}
+                           ).take_all()
+    assert sorted((r["id"], r["split"]) for r in rows) == \
+           sorted((r["id"], r["split"]) for r in rows2)

@@ -1123,6 +1123,45 @@ def approx_distinct_ref(groups, values, p=12):
     return sorted(out)
 
 
+def split_by_domain_ref(ids, texts, seed=3343):
+    """Leakage-safe domain split reference: FIRST URL's host per doc via
+    python-re (independent of the engine's polars str.extract), hash64 =
+    polars Series.hash (the pinned primitive), cumulative thresholds
+    recomputed independently of sampling.split_thresholds."""
+    url_re = re.compile(r"https?://[^\t\n\f\r ]+")
+    host_re = re.compile(r"^https?://([^/?#]+)")
+    fractions = [("train", 0.9), ("valid", 0.05), ("test", 0.05)]
+    cum, th = 0.0, []
+    for label, f in fractions:
+        cum = cum + float(f)
+        th.append((label, math.floor(cum * 4294967296.0)))
+    th[-1] = (th[-1][0], 4294967296)
+    domains = []
+    for i, t in zip(ids, texts):
+        # the deterministic URL injection mirrored from the engine query
+        # (plain python f-strings vs the engine's arrow binary_join)
+        t = t or ""
+        if i % 5 == 0:
+            t = f"http://Host-{i % 7}.Example.ORG/a " + t
+        elif i % 3 == 0:
+            t = t + f" https://site-{i % 97}.example.com/p"
+        m = url_re.search(t)
+        if not m:
+            domains.append(None)
+            continue
+        h = host_re.match(m.group(0))
+        domains.append(h.group(1).lower() if h else None)
+    hs = (pl.Series(domains, dtype=pl.String).hash(seed=seed)
+          .to_numpy().astype(np.uint64) % np.uint64(4294967296))
+    out = []
+    for i, d, h in zip(ids, domains, hs):
+        for label, bound in th:
+            if int(h) < bound:
+                out.append((i, d, label))
+                break
+    return out
+
+
 def main(sfs=("sf0.001", "sf0.01")):
     for sf in sfs:
         src = f"/root/testdata/{sf}/documents.parquet"
@@ -1396,6 +1435,16 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "approx_distinct": pa.array([r[1] for r in ad],
                                                   type=pa.int64())}),
             os.path.join(outdir, "approx_distinct_events.parquet"))
+
+        sbd = split_by_domain_ref(ids, texts)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([r[0] for r in sbd],
+                                         type=pa.int64()),
+                      "domain": pa.array([r[1] for r in sbd],
+                                         type=pa.string()),
+                      "split": pa.array([r[2] for r in sbd],
+                                        type=pa.string())}),
+            os.path.join(outdir, "split_by_domain_documents.parquet"))
 
         print(f"{sf}: {len(fp)} fingerprints, {len(sh)} simhashes, "
               f"{len(pairs)} minhash pairs, {len(spairs)} simhash pairs, "
