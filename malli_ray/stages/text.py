@@ -24,7 +24,7 @@ __all__ = ["add_token_count", "add_quality", "LangID", "add_lang_id",
            "VocabTokenizer", "tokenize_with_vocab",
            "PII_PATTERNS", "Redactor", "redact", "contamination_pairs",
            "add_repetition", "canonicalize_urls",
-           "token_ngram_contamination"]
+           "token_ngram_contamination", "token_dup_ngram_stats"]
 
 
 def add_token_count(ds: Dataset, text_column: str,
@@ -2771,3 +2771,79 @@ def token_ngram_contamination(ds: Dataset, probes,
     # only contaminated rows reach the exchange)
     return (flagged.groupby(id_column)
             .aggregate(Sum("n_hits", alias_name="n_hits")))
+
+
+def token_dup_ngram_stats(ds: Dataset, tokens_column: str = "tokens",
+                          id_column: str = "doc_id", n: int = 2,
+                          vocab: int = 50257) -> Dataset:
+    """Within-sequence duplicate-n-gram fraction over a pre-tokenized
+    column — the Gopher repetition signal (Rae 2021 §A1.1) computed on
+    token ids when the raw text is gone.  High duplicate fraction =
+    degenerate/boilerplate sequence.
+
+    Exactness contract: each n-gram packs into ONE int64 in base
+    ``vocab`` (requires ``vocab**n < 2**63`` — n<=3 at GPT-2 vocab;
+    raises beyond), so "distinct" is EXACT integer equality — the SQL
+    oracle's COUNT(DISTINCT slice) replays it with no hash-collision
+    caveat.  Shuffle-free map-only pass: one flatten, one packed-gram
+    vector, one lexsort per batch; per-row distincts via run-boundary
+    masks (never a Python loop over rows).  Rows with fewer than n
+    tokens emit nothing (they have no n-grams — SQL parity).
+
+    Emits ``(id, dup_ngrams, total_ngrams, dup_frac)``; ``dup_frac`` is
+    one IEEE division of two exact int64s."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if float(vocab) ** n >= float(2 ** 63):
+        raise ValueError(
+            f"vocab**n = {vocab}**{n} overflows the exact int64 gram "
+            f"packing; use n <= {int(np.log(2.0 ** 63) / np.log(vocab))}")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = batch.column(tokens_column)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ids = batch.column(id_column)
+        empty = pa.table({
+            id_column: ids.slice(0, 0),
+            "dup_ngrams": pa.array([], pa.int64()),
+            "total_ngrams": pa.array([], pa.int64()),
+            "dup_frac": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if len(flat) < n:
+            return empty
+        grams = np.zeros(len(flat) - n + 1, dtype=np.int64)
+        for k in range(n):
+            grams = grams * vocab + flat[k:k + len(grams)]
+        lens = np.diff(offs)
+        pos_end = np.repeat(offs[1:], lens)
+        starts = np.arange(len(grams), dtype=np.int64)
+        fits = pos_end[starts] - starts >= n
+        g = grams[fits]
+        row = (np.searchsorted(offs, starts[fits], side="right") - 1)
+        total = np.bincount(row, minlength=batch.num_rows).astype(np.int64)
+        # per-row distinct grams: ONE lexsort, adjacent-equal run mask
+        order = np.lexsort((g, row))
+        rs, gs = row[order], g[order]
+        new = np.ones(len(gs), dtype=bool)
+        if len(gs) > 1:
+            new[1:] = (rs[1:] != rs[:-1]) | (gs[1:] != gs[:-1])
+        uniq = np.bincount(rs[new], minlength=batch.num_rows).astype(
+            np.int64)
+        keep = total > 0
+        sel = np.flatnonzero(keep)
+        dup = total[sel] - uniq[sel]
+        return pa.table({
+            id_column: ids.take(pa.array(sel)),
+            "dup_ngrams": pa.array(dup, pa.int64()),
+            "total_ngrams": pa.array(total[sel], pa.int64()),
+            "dup_frac": pa.array(
+                dup.astype(np.float64) / total[sel].astype(np.float64),
+                pa.float64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow")

@@ -4125,3 +4125,27 @@ def test_split_by_group(ray_session):
                            ).take_all()
     assert sorted((r["id"], r["split"]) for r in rows) == \
            sorted((r["id"], r["split"]) for r in rows2)
+
+
+def test_token_dup_ngram_stats(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.text import token_dup_ngram_stats
+    t = pa.table({
+        "doc_id": pa.array(["all_dup", "no_dup", "mixed", "tiny"]),
+        "tokens": pa.array([
+            [7, 7, 7, 7],       # grams (7,7)x3 -> total 3, uniq 1, dup 2
+            [1, 2, 3, 4],       # 3 distinct grams
+            [1, 2, 1, 2, 1],    # grams: (1,2),(2,1),(1,2),(2,1) -> dup 2
+            [5]],               # no bigrams -> emits nothing
+            type=pa.list_(pa.int32()))})
+    got = {r["doc_id"]: r for r in token_dup_ngram_stats(
+        rd.from_arrow(t), "tokens", "doc_id", n=2).take_all()}
+    assert set(got) == {"all_dup", "no_dup", "mixed"}
+    assert (got["all_dup"]["dup_ngrams"], got["all_dup"]["total_ngrams"]) \
+        == (2, 3)
+    assert got["all_dup"]["dup_frac"] == 2.0 / 3.0
+    assert got["no_dup"]["dup_ngrams"] == 0
+    assert (got["mixed"]["dup_ngrams"], got["mixed"]["total_ngrams"]) \
+        == (2, 4)
+    with pytest.raises(ValueError):
+        token_dup_ngram_stats(rd.from_arrow(t), n=5)   # vocab**5 > 2**63
