@@ -1361,3 +1361,86 @@ def list_value_counts(ds: Dataset, list_column: str,
             .map_batches(partials, batch_format="pyarrow")
             .groupby(out_value, num_partitions=num_partitions)
             .aggregate(Sum(out_count, alias_name=out_count)))
+
+
+def list_value_counts_by_group(ds: Dataset, list_column: str,
+                               group_column: str,
+                               bounded_range: "tuple[int, int]",
+                               out_value: str = "value",
+                               out_count: str = "cnt",
+                               null_group: str = "") -> Dataset:
+    """Per-group element frequency over a bounded list column — the
+    per-source token-distribution diagnostic behind data-mixture
+    decisions (which slice over/under-represents which vocabulary).
+    SQL: ``SELECT g, t, COUNT(*) FROM tbl, UNNEST(col) u(t) GROUP BY
+    g, t``.
+
+    Scale shape: each batch collapses to ONE fixed-width bincount
+    vector PER GROUP PRESENT (a single ``np.bincount`` over ``code *
+    width + value`` — value-cardinality-independent, group count
+    bounded by design: sources/langs, like DSIR buckets), then one
+    groupby(group) merges O(batches) vectors per group with a matrix
+    sum.  The exchange carries ``batches x groups`` vector rows, never
+    element rows.  Null group keys fold to ``null_group`` map-side
+    (SQL ``COALESCE`` parity — and Ray's sort groupby cannot order
+    null strings); null LISTS or null elements raise (silent drops
+    would corrupt per-group counts)."""
+    lo, hi = int(bounded_range[0]), int(bounded_range[1])
+    width = hi - lo
+    if width <= 0:
+        raise ValueError("list_value_counts_by_group: empty bounded_range")
+
+    def vec_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(list_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            raise ValueError(
+                "list_value_counts_by_group: null lists unsupported "
+                "(filter or fill upstream)")
+        flat = col.flatten()
+        if flat.null_count:
+            raise ValueError(
+                "list_value_counts_by_group: null elements unsupported")
+        grp = pc.fill_null(batch.column(group_column),
+                           pa.scalar(null_group, pa.string()))
+        gvals = grp.to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(gvals, return_inverse=True)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs - offs[0])
+        v = flat.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) and (v.min() < lo or v.max() >= hi):
+            raise ValueError(
+                f"list_value_counts_by_group: element outside "
+                f"bounded_range [{lo}, {hi})")
+        gpos = np.repeat(codes.astype(np.int64), lens)
+        counts = np.bincount(gpos * width + (v - lo),
+                             minlength=len(uniq) * width)
+        return pa.table({
+            "__g": pa.array(uniq, pa.string()),
+            "__vec": pa.array(
+                counts.astype(np.int64).reshape(len(uniq), width).tolist(),
+                type=pa.list_(pa.int64()))})
+
+    def vec_sum(g: pa.Table) -> pa.Table:
+        col = g.column("__vec")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = np.asarray(col.values, dtype=np.int64).reshape(
+            g.num_rows, width)
+        total = mat.sum(axis=0)
+        nz = np.flatnonzero(total)
+        n = len(nz)
+        return pa.table({
+            group_column: pa.array([g.column("__g")[0].as_py()] * n,
+                                   pa.string()),
+            out_value: pa.array(nz + lo, type=pa.int64()),
+            out_count: pa.array(total[nz], type=pa.int64())})
+
+    # groupby(raw group).map_groups = one Python call per GROUP — bounded
+    # by design here (sources/langs), the sanctioned exception to the
+    # bucketed-exchange rule
+    return (ds.select_columns([list_column, group_column])
+            .map_batches(vec_partial, batch_format="pyarrow")
+            .groupby("__g")
+            .map_groups(vec_sum, batch_format="pyarrow"))

@@ -4149,3 +4149,23 @@ def test_token_dup_ngram_stats(ray_session):
         == (2, 4)
     with pytest.raises(ValueError):
         token_dup_ngram_stats(rd.from_arrow(t), n=5)   # vocab**5 > 2**63
+
+
+def test_list_value_counts_by_group(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.analytics import list_value_counts_by_group
+    t = pa.table({
+        "tokens": pa.array([[0, 1, 1], [2], [1, 2], []],
+                           type=pa.list_(pa.int32())),
+        "src": pa.array(["a", "a", None, "b"])})
+    rows = sorted(
+        ((r["src"], r["value"], r["cnt"]) for r in
+         list_value_counts_by_group(rd.from_arrow(t), "tokens", "src",
+                                    bounded_range=(0, 4)).take_all()))
+    assert rows == [("", 1, 1), ("", 2, 1),
+                    ("a", 0, 1), ("a", 1, 2), ("a", 2, 1)]
+    bad = pa.table({"tokens": pa.array([[9]], type=pa.list_(pa.int32())),
+                    "src": pa.array(["a"])})
+    with pytest.raises(Exception):
+        list_value_counts_by_group(rd.from_arrow(bad), "tokens", "src",
+                                   bounded_range=(0, 4)).take_all()
