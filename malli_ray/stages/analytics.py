@@ -36,7 +36,8 @@ __all__ = ["top_k_per_group", "distinct_count_by_group", "pivot_counts",
            "lag_lead", "running_aggregate", "collect_by_group",
            "rank_per_group", "mode_by_group", "covariance_by_group",
            "approx_distinct_by_group", "quantiles_by_group",
-           "regression_by_group", "list_value_counts", "bucketed_groups"]
+           "regression_by_group", "list_value_counts", "bucketed_groups",
+           "list_value_counts_by_group", "confusion_report"]
 
 
 def _neq_adjacent(keys: np.ndarray) -> np.ndarray:
@@ -1444,3 +1445,86 @@ def list_value_counts_by_group(ds: Dataset, list_column: str,
             .map_batches(vec_partial, batch_format="pyarrow")
             .groupby("__g")
             .map_groups(vec_sum, batch_format="pyarrow"))
+
+
+def confusion_report(ds: Dataset, prob_column: str, label_column: str,
+                     thresholds) -> Dataset:
+    """Threshold-sweep classifier evaluation (the quality-filter
+    calibration report: does a prob cutoff of 0.8 keep the precision the
+    mixture plan assumes?).  For every threshold t: counts of
+    ``prob >= t`` vs the boolean label (tp/fp/fn/tn) plus
+    precision/recall/f1/accuracy.  SQL: one ``CASE`` aggregate per cell
+    over ``probs JOIN labels``, thresholds from a literal list.
+
+    Scale shape: ONE map pass — each batch bucketizes probs against the
+    sorted threshold grid with a single ``np.searchsorted`` + two
+    ``np.bincount`` histograms (per-label), so a batch collapses to
+    ``len(thresholds)`` partial rows regardless of row count; one tiny
+    groupby(thr) sums partials; rates are single IEEE divisions of
+    exactly-summed int64 cells (the bit-exact float contract) computed
+    in a final map over O(thresholds) rows.  Null labels count as False
+    (SQL ``COALESCE`` parity); null probs raise (a silently dropped row
+    would corrupt the counts)."""
+    from ray.data.aggregate import Sum
+
+    thr = np.asarray(sorted(float(t) for t in thresholds), np.float64)
+    if len(thr) == 0 or len(np.unique(thr)) != len(thr):
+        raise ValueError("confusion_report: thresholds must be non-empty "
+                         "and distinct")
+    T = len(thr)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p_arr = batch.column(prob_column)
+        if p_arr.null_count:
+            raise ValueError("confusion_report: null probabilities "
+                             "unsupported (filter or fill upstream)")
+        p = p_arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        y = (pc.fill_null(batch.column(label_column).cast(pa.bool_()),
+                          False).to_numpy(zero_copy_only=False)
+             .astype(bool))
+        # idx = #thresholds <= p; pred-positive at thr[i] <=> idx >= i+1
+        idx = np.searchsorted(thr, p, side="right")
+        pos = np.bincount(idx[y], minlength=T + 1)
+        neg = np.bincount(idx[~y], minlength=T + 1)
+        tp = pos[::-1].cumsum()[::-1][1:]
+        fp = neg[::-1].cumsum()[::-1][1:]
+        n_pos = int(pos.sum())
+        n_neg = int(neg.sum())
+        return pa.table({
+            "thr": pa.array(thr, pa.float64()),
+            "tp": pa.array(tp, pa.int64()),
+            "fp": pa.array(fp, pa.int64()),
+            "fn": pa.array(n_pos - tp, pa.int64()),
+            "tn": pa.array(n_neg - fp, pa.int64())})
+
+    def rates(batch: pa.Table) -> pa.Table:
+        tp = batch.column("tp").to_numpy(zero_copy_only=False)
+        fp = batch.column("fp").to_numpy(zero_copy_only=False)
+        fn = batch.column("fn").to_numpy(zero_copy_only=False)
+        tn = batch.column("tn").to_numpy(zero_copy_only=False)
+
+        def div(num, den):
+            out = num.astype(np.float64)
+            ok = den != 0
+            out[ok] = num[ok].astype(np.float64) / den[ok]
+            return pa.array(out, pa.float64(), mask=~ok)
+
+        return pa.table({
+            "thr": batch.column("thr"),
+            "tp": pa.array(tp, pa.int64()),
+            "fp": pa.array(fp, pa.int64()),
+            "fn": pa.array(fn, pa.int64()),
+            "tn": pa.array(tn, pa.int64()),
+            "precision": div(tp, tp + fp),
+            "recall": div(tp, tp + fn),
+            "f1": div(2 * tp, 2 * tp + fp + fn),
+            "accuracy": div(tp + tn, tp + fp + fn + tn)})
+
+    return (ds.select_columns([prob_column, label_column])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("thr")
+            .aggregate(Sum("tp", alias_name="tp"),
+                       Sum("fp", alias_name="fp"),
+                       Sum("fn", alias_name="fn"),
+                       Sum("tn", alias_name="tn"))
+            .map_batches(rates, batch_format="pyarrow"))

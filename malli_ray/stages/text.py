@@ -2343,7 +2343,7 @@ def train_logreg_classifier(ds: Dataset, text_column: str,
 
 
 def logreg_classify(ds: Dataset, text_column: str, id_column: str,
-                    model: dict) -> Dataset:
+                    model: dict, keep_columns: tuple = ()) -> Dataset:
     """Score every document with a :func:`train_logreg_classifier` model.
     Shuffle-free map-only pass; the float64 weight table rides the task
     closure (``ray.put`` it for 1e6+ buckets).  Output per doc:
@@ -2351,7 +2351,9 @@ def logreg_classify(ds: Dataset, text_column: str, id_column: str,
     (sigmoid of the DEQUANTIZED logit — a pure function of ``logit_q``,
     so the float column is exactly fixture-replayable), and ``pred``
     (``logit_q > 0`` — the quantized decision boundary, documented: a
-    true logit in (0, 2^-41) rounds to 0 and predicts negative)."""
+    true logit in (0, 2^-41) rounds to 0 and predicts negative).
+    ``keep_columns`` pass extra input columns through verbatim (e.g. the
+    label, for a downstream :func:`~malli_ray.stages.analytics.confusion_report`)."""
     import polars as pl
 
     w = np.ascontiguousarray(model["w"], dtype=np.float64)
@@ -2369,12 +2371,15 @@ def logreg_classify(ds: Dataset, text_column: str, id_column: str,
         z, nf, _ = _logreg_doc_logits(texts, w, bias, seed)
         zq = np.round(z * q).astype(np.int64)
         prob = 1.0 / (1.0 + np.exp(-(zq.astype(np.float64) / q)))
-        return pa.table({
+        out = pa.table({
             id_column: batch.column(id_column),
             "n_features": pa.array(nf, pa.int64()),
             "logit_q": pa.array(zq, pa.int64()),
             "prob": pa.array(prob, pa.float64()),
             "pred": pa.array((zq > 0).astype(np.int64), pa.int64())})
+        for extra in keep_columns:
+            out = out.append_column(extra, batch.column(extra))
+        return out
 
     return ds.map_batches(score, batch_format="pyarrow")
 

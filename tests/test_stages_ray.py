@@ -4169,3 +4169,33 @@ def test_list_value_counts_by_group(ray_session):
     with pytest.raises(Exception):
         list_value_counts_by_group(rd.from_arrow(bad), "tokens", "src",
                                    bounded_range=(0, 4)).take_all()
+
+
+def test_confusion_report(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.analytics import confusion_report
+    t = pa.table({
+        "prob": pa.array([0.1, 0.5, 0.5, 0.9, 0.3, 0.7]),
+        "label": pa.array([False, True, False, True, None, True])})
+    rows = {r["thr"]: r for r in confusion_report(
+        rd.from_arrow(t).repartition(3), "prob", "label",
+        [0.5, 0.8]).take_all()}
+    # thr 0.5: pred+ = {0.5,0.5,0.9,0.7} -> tp=3 fp=1; pred- = {0.1,0.3}
+    r = rows[0.5]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (3, 1, 0, 2)
+    assert r["precision"] == 3 / 4 and r["recall"] == 1.0
+    assert r["f1"] == 6 / 7 and r["accuracy"] == 5 / 6
+    # thr 0.8: pred+ = {0.9} -> tp=1 fp=0 fn=2 tn=3
+    r = rows[0.8]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 0, 2, 3)
+    assert r["precision"] == 1.0 and r["recall"] == 1 / 3
+    # all-negative predictions: precision is NULL, not 0/0
+    empty = {r["thr"]: r for r in confusion_report(
+        rd.from_arrow(pa.table({"p": pa.array([0.2]),
+                                "y": pa.array([True])})),
+        "p", "y", [0.9]).take_all()}
+    assert empty[0.9]["precision"] is None
+    with pytest.raises(Exception):
+        confusion_report(rd.from_arrow(pa.table(
+            {"p": pa.array([None], pa.float64()),
+             "y": pa.array([True])})), "p", "y", [0.5]).take_all()
