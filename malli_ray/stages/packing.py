@@ -32,7 +32,7 @@ from . import concurrency_kwargs as _conc
 
 __all__ = ["chunk_blocks", "pack_greedy", "greedy_block_ids",
            "concat_token_blocks", "padding_waste_report",
-           "truncate_sequences"]
+           "truncate_sequences", "spfhp_plan", "pack_histogram"]
 
 
 def chunk_blocks(ds: Dataset, group_column: str, id_column: str,
@@ -360,3 +360,195 @@ def truncate_sequences(ds: Dataset, tokens_column: str = "tokens",
                 False))
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def spfhp_plan(hist: np.ndarray, max_len: int,
+               max_events: int = 10_000_000):
+    """Driver-side Shortest-Pack-First Histogram-Packing plan (Krell et
+    al. 2021, "Efficient Sequence Packing without Cross-contamination",
+    arXiv:2107.02027): decide a near-optimal assignment of sequences to
+    fixed-capacity training packs FROM THE LENGTH HISTOGRAM ALONE — the
+    driver state is O(max_len), independent of corpus size, which is what
+    makes histogram packing the scale-correct alternative to per-doc
+    first-fit (whose driver would have to see every document).
+
+    Deterministic batched spec (what both this planner and the naive
+    per-doc reference in tools/make_golden.py implement):
+
+    - lengths are processed from ``max_len`` down to 1;
+    - each step places ``k = min(remaining docs, packs in the chosen
+      group)`` docs one-per-pack into the OPEN PACK GROUP with the
+      smallest remaining capacity ``>= L`` (ties: earliest-created group;
+      within a group, lowest pack ids first);
+    - if no group fits, all remaining docs of that length open new packs
+      (ids assigned contiguously in rank order);
+    - the ``k`` just-filled packs split off as a NEW group (appended in
+      creation order), so they are immediately eligible again — the
+      shortest-pack-first greed that stuffs repeats of one length into
+      the same pack across iterations;
+    - docs of equal length consume ranks in ``(length, id)`` sort order.
+
+    Returns ``(plan, n_packs, n_events)`` where ``plan[L] =
+    (rank_starts, id_starts)``: doc with per-length rank ``r`` maps to
+    ``id_starts[j] + (r - rank_starts[j])`` for ``j = searchsorted(
+    rank_starts, r, 'right') - 1``.  ``max_events`` bounds the planning
+    loop fail-loud (adversarial histograms could fragment groups; real
+    length distributions plan in O(10^3-10^5) events)."""
+    from collections import deque
+
+    hist = np.asarray(hist, dtype=np.int64)
+    if len(hist) != max_len + 1:
+        raise ValueError("spfhp_plan: hist must have max_len+1 bins")
+    if hist[0] != 0:
+        raise ValueError("spfhp_plan: zero-length sequences unsupported")
+    groups: dict[int, list] = {}      # gid -> [ranges [(start, n)], m]
+    buckets: dict[int, deque] = {}    # rem -> FIFO of gids
+    live = np.zeros(max_len + 1, dtype=np.int64)
+    plan_runs: dict[int, list] = {}
+    next_gid = 0
+    next_pack = 0
+    events = 0
+
+    def _take(ranges: list, k: int) -> list:
+        taken = []
+        while k:
+            s, n = ranges[0]
+            t = min(k, n)
+            taken.append((s, t))
+            if t == n:
+                ranges.pop(0)
+            else:
+                ranges[0] = (s + t, n - t)
+            k -= t
+        return taken
+
+    for L in range(max_len, 0, -1):
+        c = int(hist[L])
+        if c <= 0:
+            continue
+        runs = plan_runs.setdefault(L, [])
+        while c > 0:
+            events += 1
+            if events > max_events:
+                raise ValueError(
+                    f"spfhp_plan: exceeded max_events={max_events} "
+                    f"(pathologically fragmented histogram); raise the "
+                    f"cap or coarsen lengths")
+            nz = np.flatnonzero(live[L:])
+            if len(nz) == 0:
+                runs.append((next_pack, c))
+                rem = max_len - L
+                if rem >= 1:
+                    groups[next_gid] = [[(next_pack, c)], c]
+                    buckets.setdefault(rem, deque()).append(next_gid)
+                    live[rem] += 1
+                    next_gid += 1
+                next_pack += c
+                c = 0
+            else:
+                rem = L + int(nz[0])
+                gid = buckets[rem][0]
+                ranges, m = groups[gid]
+                k = min(c, m)
+                taken = _take(ranges, k)
+                runs.extend(taken)
+                if m == k:
+                    buckets[rem].popleft()
+                    live[rem] -= 1
+                    del groups[gid]
+                else:
+                    groups[gid][1] = m - k
+                new_rem = rem - L
+                if new_rem >= 1:
+                    groups[next_gid] = [list(taken), k]
+                    buckets.setdefault(new_rem, deque()).append(next_gid)
+                    live[new_rem] += 1
+                    next_gid += 1
+                c -= k
+
+    plan = {}
+    for L, runs in plan_runs.items():
+        n = np.array([r[1] for r in runs], dtype=np.int64)
+        rank_starts = np.zeros(len(n), dtype=np.int64)
+        np.cumsum(n[:-1], out=rank_starts[1:])
+        plan[L] = (rank_starts,
+                   np.array([r[0] for r in runs], dtype=np.int64))
+    return plan, next_pack, events
+
+
+def pack_histogram(ds: Dataset, id_column: str, count_column: str,
+                   max_len: int, num_buckets: int = 32,
+                   max_events: int = 10_000_000) -> Dataset:
+    """Distributed SPFHP sequence packing: assign every document a
+    ``pack_id`` such that each pack's total length fits ``max_len``,
+    using :func:`spfhp_plan`'s histogram-level plan.  Output rows:
+    ``(id, length, pack_id)``.
+
+    Scale shape: pass 1 collapses each batch to its length histogram
+    (O(distinct lengths) partial rows; the driver folds O(batches) such
+    partials — at extreme block counts insert one combining groupby
+    first), the plan is computed driver-side from O(max_len) ints, and
+    pass 2 is ONE ``hash(length) % num_buckets`` exchange: every doc of
+    a length lands in one bucket, a per-bucket ``(length, id)`` Arrow
+    sort + run-rebased ``arange`` yields the GLOBAL per-length rank, and
+    the broadcast plan maps ``(length, rank) -> pack_id`` with two
+    ``searchsorted`` lookups per run.  The input executes twice, so it
+    is materialized once up front (the documented re-execution guard; a
+    parquet checkpoint at 100 TB).  Length skew bounds: the largest
+    bucket carries the most frequent lengths' rows — lengths are
+    bounded by ``max_len``, so hot lengths are the histogram's max bin,
+    not an unbounded entity key.  Counts outside ``[1, max_len]`` or
+    null raise (clip upstream with :func:`truncate_sequences`); ids
+    must sort bytewise (ASCII) for the fixture-parity rank order."""
+    import ray
+
+    from .analytics import bucketed_groups
+
+    if max_len <= 0:
+        raise ValueError("pack_histogram: max_len must be positive")
+    ds = ds.select_columns([id_column, count_column]).materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(count_column)
+        if v.null_count:
+            raise ValueError("pack_histogram: null counts unsupported")
+        a = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and (a.min() < 1 or a.max() > max_len):
+            raise ValueError(
+                f"pack_histogram: counts outside [1, {max_len}] — clip "
+                f"upstream (truncate_sequences) or drop empties")
+        h = np.bincount(a, minlength=max_len + 1)
+        nz = np.flatnonzero(h)
+        return pa.table({"L": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(h[nz], pa.int64())})
+
+    hist = np.zeros(max_len + 1, dtype=np.int64)
+    for part in ds.map_batches(hist_partial,
+                               batch_format="pyarrow").take_all():
+        hist[part["L"]] += part["cnt"]
+
+    plan, n_packs, _ = spfhp_plan(hist, max_len, max_events=max_events)
+    plan_ref = ray.put(plan)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        plan = ray.get(plan_ref)
+        idx = pc.sort_indices(t, sort_keys=[(count_column, "ascending"),
+                                            (id_column, "ascending")])
+        t = t.take(idx)
+        L = t.column(count_column).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        pack = np.empty(len(L), dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], L[1:] != L[:-1]))) if len(L) else np.array([], np.int64)
+        ends = np.append(starts[1:], len(L))
+        for s, e in zip(starts, ends):
+            rank_starts, id_starts = plan[int(L[s])]
+            r = np.arange(e - s, dtype=np.int64)
+            j = np.searchsorted(rank_starts, r, side="right") - 1
+            pack[s:e] = id_starts[j] + (r - rank_starts[j])
+        return pa.table({id_column: t.column(id_column),
+                         "length": pa.array(L, pa.int64()),
+                         "pack_id": pa.array(pack, pa.int64())})
+
+    return bucketed_groups(ds, count_column, per_bucket,
+                           num_buckets=num_buckets)

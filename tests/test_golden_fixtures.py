@@ -395,3 +395,58 @@ def test_split_by_domain_fixture_rederives(docs):
     for _, d, s in want:
         by_dom.setdefault(d, set()).add(s)
     assert all(len(v) == 1 for v in by_dom.values())
+
+
+def test_pack_sequences_fixture_rederives():
+    from malli_ray.sources.sequences import ensure_sequences, sequences_dir_for
+    import glob
+    seq_dir, seq_n = sequences_dir_for(0.001)
+    ensure_sequences(seq_dir, seq_n)
+    seq = pa.concat_tables([
+        pq.read_table(p, columns=["doc_id", "tokens"])
+        for p in sorted(glob.glob(os.path.join(seq_dir, "*.parquet")))])
+    ids = seq.column("doc_id").to_pylist()
+    lens = [min(len(t), 2048) for t in seq.column("tokens").to_pylist()]
+    want = make_golden.spfhp_pack_ref(ids, lens, 2048)
+    got = pq.read_table(f"{GOLD}/pack_sequences.parquet")
+    assert got.column("doc_id").to_pylist() == [r[0] for r in want]
+    assert got.column("length").to_pylist() == [r[1] for r in want]
+    assert got.column("pack_id").to_pylist() == [r[2] for r in want]
+    # invariants: no pack over capacity, contiguous pack ids, every doc
+    fills = {}
+    for _, L, p in want:
+        fills[p] = fills.get(p, 0) + L
+    assert max(fills.values()) <= 2048
+    assert set(fills) == set(range(len(fills)))
+    assert len(want) == len(ids)
+
+
+def test_spfhp_plan_matches_naive_reference():
+    """Randomized differential: the histogram-level planner (engine) must
+    assign bit-identically to the naive per-doc linear-scan reference."""
+    import numpy as np
+    from malli_ray.stages.packing import spfhp_plan
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        max_len = int(rng.integers(4, 64))
+        n = int(rng.integers(1, 300))
+        lengths = rng.integers(1, max_len + 1, n).tolist()
+        ids = [f"d{int(x):06d}" for x in rng.integers(0, n, n)]
+        want = sorted((i, L, p)
+                      for i, L, p in make_golden.spfhp_pack_ref(
+                          ids, lengths, max_len))
+        hist = np.bincount(lengths, minlength=max_len + 1)
+        plan, n_packs, _ = spfhp_plan(hist, max_len)
+        order = sorted(range(n), key=lambda p: (lengths[p], ids[p]))
+        got, cur, r = [], None, 0
+        for p in order:
+            L = lengths[p]
+            if L != cur:
+                cur, r = L, 0
+            rs, istarts = plan[L]
+            j = int(np.searchsorted(rs, r, side="right")) - 1
+            got.append((ids[p], L, int(istarts[j] + (r - rs[j]))))
+            r += 1
+        assert sorted(got) == want
+        assert len({pk for _, _, pk in got}) == n_packs

@@ -4199,3 +4199,38 @@ def test_confusion_report(ray_session):
         confusion_report(rd.from_arrow(pa.table(
             {"p": pa.array([None], pa.float64()),
              "y": pa.array([True])})), "p", "y", [0.5]).take_all()
+
+
+def test_pack_histogram(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.packing import pack_histogram
+
+    rng = np.random.default_rng(31)
+    n, max_len = 5000, 64
+    lengths = np.clip(np.round(rng.lognormal(2.5, 0.9, n)), 1,
+                      max_len).astype(np.int64)
+    ids = np.array([f"s{i:06d}" for i in range(n)], dtype=object)
+    t = pa.table({"sid": pa.array(ids, pa.string()),
+                  "n": pa.array(lengths, pa.int64())})
+    out = pack_histogram(rd.from_arrow(t).repartition(7), "sid", "n",
+                         max_len=max_len).take_all()
+    assert len(out) == n
+    fills, docs = {}, set()
+    for r in out:
+        fills[r["pack_id"]] = fills.get(r["pack_id"], 0) + r["length"]
+        docs.add(r["sid"])
+    assert len(docs) == n
+    assert max(fills.values()) <= max_len
+    assert set(fills) == set(range(len(fills)))
+    # near-optimal on lognormal lengths: >= 95% fill (pad-to-max ~20%)
+    assert lengths.sum() / (len(fills) * max_len) > 0.95
+    # deterministic under different partitioning
+    out2 = pack_histogram(rd.from_arrow(t).repartition(2), "sid", "n",
+                          max_len=max_len).take_all()
+    assert (sorted((r["sid"], r["length"], r["pack_id"]) for r in out)
+            == sorted((r["sid"], r["length"], r["pack_id"]) for r in out2))
+    # out-of-range counts fail loud
+    bad = pa.table({"sid": pa.array(["a"]), "n": pa.array([0])})
+    with pytest.raises(Exception):
+        pack_histogram(rd.from_arrow(bad), "sid", "n",
+                       max_len=max_len).take_all()

@@ -1162,6 +1162,57 @@ def split_by_domain_ref(ids, texts, seed=3343):
     return out
 
 
+def spfhp_pack_ref(ids, lengths, max_len):
+    """Independent per-doc SPFHP reference (same deterministic batched
+    spec as stages/packing.spfhp_plan, naive machinery: explicit pack-id
+    LISTS per group, linear scans for the smallest-remaining eligible
+    group, direct per-row assignment — no histogram, no numpy, no range
+    arithmetic, no event plan).  Spec: lengths descend from max_len;
+    each step fills min(c, len(group)) packs of the chosen group
+    one-per-pack (smallest remaining >= L, ties earliest-created,
+    lowest pack ids first); no fit -> open new packs; the filled packs
+    split off as a new group appended in creation order; docs of equal
+    length consume ranks in (length, id, input-position) order."""
+    by_len = {}
+    for pos, (i, L) in enumerate(zip(ids, lengths)):
+        if L < 1 or L > max_len:
+            raise ValueError("spfhp_pack_ref: length out of range")
+        by_len.setdefault(L, []).append((i, pos))
+    for L in by_len:
+        by_len[L].sort()
+    groups = []  # [{"rem": int, "packs": [pack ids]}], creation order
+    assign = {}  # input position -> pack id
+    next_pack = 0
+    for L in range(max_len, 0, -1):
+        docs = by_len.get(L, [])
+        pos = 0
+        while pos < len(docs):
+            best = None
+            for g in groups:
+                if g["rem"] >= L and (best is None
+                                      or g["rem"] < best["rem"]):
+                    best = g
+            c = len(docs) - pos
+            if best is None:
+                taken = list(range(next_pack, next_pack + c))
+                next_pack += c
+                k = c
+            else:
+                k = min(c, len(best["packs"]))
+                taken = best["packs"][:k]
+                best["packs"] = best["packs"][k:]
+                if not best["packs"]:
+                    groups.remove(best)
+            for (_, p), pk in zip(docs[pos:pos + k], taken):
+                assign[p] = pk
+            rem = (max_len if best is None else best["rem"]) - L
+            if rem >= 1:
+                groups.append({"rem": rem, "packs": taken})
+            pos += k
+    return [(i, L, assign[pos])
+            for pos, (i, L) in enumerate(zip(ids, lengths))]
+
+
 def main(sfs=("sf0.001", "sf0.01")):
     for sf in sfs:
         src = f"/root/testdata/{sf}/documents.parquet"
@@ -1435,6 +1486,28 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "approx_distinct": pa.array([r[1] for r in ad],
                                                   type=pa.int64())}),
             os.path.join(outdir, "approx_distinct_events.parquet"))
+
+        if REPO not in sys.path:
+            sys.path.insert(0, REPO)
+        from malli_ray.sources.sequences import (ensure_sequences,
+                                                 sequences_dir_for)
+        seq_dir, seq_n = sequences_dir_for(float(sf[2:]))
+        ensure_sequences(seq_dir, seq_n)
+        import glob as _glob
+        seq = pa.concat_tables([
+            pq.read_table(p, columns=["doc_id", "tokens"])
+            for p in sorted(_glob.glob(os.path.join(seq_dir, "*.parquet")))])
+        seq_ids = seq.column("doc_id").to_pylist()
+        seq_lens = [min(len(t), 2048) for t in seq.column("tokens").to_pylist()]
+        packed = spfhp_pack_ref(seq_ids, seq_lens, 2048)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([r[0] for r in packed],
+                                         type=pa.string()),
+                      "length": pa.array([r[1] for r in packed],
+                                         type=pa.int64()),
+                      "pack_id": pa.array([r[2] for r in packed],
+                                          type=pa.int64())}),
+            os.path.join(outdir, "pack_sequences.parquet"))
 
         sbd = split_by_domain_ref(ids, texts)
         pq.write_table(
