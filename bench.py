@@ -186,6 +186,14 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "incremental_near_dup_documents", "corpus_prep_v6_documents",
         "q11_important_parts", "mp4_multitrack_documents",
         "token_budget_documents",
+        # r4 session 4-5: north-rule sequences suite, TPC-H q2 (family
+        # complete), schema union, leakage-safe split, per-source token
+        # histogram, classifier eval, SPFHP packing
+        "pad_waste_sequences", "truncate_sequences",
+        "token_decon_sequences", "dup_ngram_sequences",
+        "q2_min_cost_supplier", "union_snapshots_documents",
+        "split_by_domain_documents", "token_freq_by_source_sequences",
+        "logreg_eval_documents", "pack_sequences",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round
