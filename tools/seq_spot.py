@@ -52,7 +52,23 @@ def main():
             "freq_by_source": lambda: list_value_counts_by_group(
                 read(["tokens", "source"]), "tokens", "source",
                 bounded_range=(0, 50257), out_value="token"),
+            "pack_spfhp": lambda: _pack(read(["doc_id", "tokens"])),
         }
+
+    def _pack(ds):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from malli_ray.stages.packing import pack_histogram
+
+        def lens(batch):
+            n = pc.cast(pc.list_value_length(batch.column("tokens")),
+                        pa.int64())
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "length": pc.min_element_wise(n, pa.scalar(2048, pa.int64()))})
+
+        return pack_histogram(ds.map_batches(lens, batch_format="pyarrow"),
+                              "doc_id", "length", max_len=2048)
 
     out = {}
     for label, d in (("sf0.1", base), ("x10", big)):
