@@ -194,6 +194,10 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "q2_min_cost_supplier", "union_snapshots_documents",
         "split_by_domain_documents", "token_freq_by_source_sequences",
         "logreg_eval_documents", "pack_sequences",
+        # r4 session 5: trainer-ready block assembly, sliding context
+        # windows, broadcast vocab remap
+        "assemble_blocks_sequences", "window_tokens_sequences",
+        "remap_tokens_sequences",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -32,7 +32,8 @@ from . import concurrency_kwargs as _conc
 
 __all__ = ["chunk_blocks", "pack_greedy", "greedy_block_ids",
            "concat_token_blocks", "padding_waste_report",
-           "truncate_sequences", "spfhp_plan", "pack_histogram"]
+           "truncate_sequences", "spfhp_plan", "pack_histogram",
+           "assemble_packed_blocks", "window_tokens"]
 
 
 def chunk_blocks(ds: Dataset, group_column: str, id_column: str,
@@ -360,6 +361,330 @@ def truncate_sequences(ds: Dataset, tokens_column: str = "tokens",
                 False))
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def assemble_packed_blocks(ds: Dataset, tokens_column: str = "tokens",
+                           id_column: str = "doc_id",
+                           group_column: str = "source",
+                           block_size: int = 2048,
+                           null_group: str = "",
+                           num_buckets: int = 64,
+                           tokens_type: "pa.DataType | None" = None
+                           ) -> Dataset:
+    """Materialize trainer-ready packed blocks from the sequences table —
+    the terminal step the span/assignment ops (:func:`concat_token_blocks`,
+    :func:`pack_histogram`) prepare for.  Documents within a group form one
+    contiguous token stream in ``id`` order (GPT-style concat-and-cut); the
+    stream is cut every ``block_size`` tokens and each block row carries
+    the three columns a training loader consumes:
+
+      - ``input_ids``   : the block's tokens (``list`` of the input type);
+      - ``position_ids``: each token's WITHIN-DOCUMENT index (int32) — a
+        document split across blocks continues its positions, fresh
+        documents restart at 0 (the cross-contamination-free convention of
+        Krell 2021 §3.2);
+      - ``segment_ids`` : 1-based index of the token's document within the
+        block (int32) — the block-diagonal attention-mask key.
+
+    plus ``(group, block_id, n_tokens, n_docs)``.  Every block except a
+    group's last holds exactly ``block_size`` tokens.  Empty/null token
+    lists contribute nothing (and never count as a segment); null group
+    keys fold to ``null_group`` map-side.  ``id`` must be unique per
+    group (assembly runs post-dedup; a duplicated id makes the concat
+    order ill-defined).
+
+    Scale shape (three phases, NO group-fits-worker assumption — the
+    unit of state is one BLOCK, parallelism is block-level, a hot group
+    spreads over every bucket):
+
+      1. stream-offset assignment: ONE counts-only bucketed exchange
+         (``(group, id, n)`` rows — never the payload) computes each
+         doc's global offset ``before`` in its group's stream via a
+         run-rebased cumsum (materialized once: O(docs) scalar rows);
+      2. an id-keyed tag+union bucketed join (Ray's native join rejects
+         list payload columns AND has the documented empty-tiny-side
+         bug) attaches ``(group, before)`` to the payload, and the same
+         per-bucket pass slices each doc into per-block fragments (a
+         fragment = doc x block intersection — at most
+         ``1 + n/block_size`` per doc) with one vectorized gather;
+      3. fragments exchange ONCE on ``hash((group, block_id))`` —
+         evenly sized buckets regardless of group skew — and each
+         bucket rebuilds its blocks with run-masked vector passes
+         (values buffer concatenated in sorted fragment order, reused
+         zero-copy for ``input_ids``).
+
+    Payload crosses the wire twice (join + fragment exchange) — the
+    price of unbounded groups; the single-exchange alternative keys on
+    the raw group and serializes each group into one worker, which a
+    47%-hot source makes a straggler (measured 55 s vs ~4 s at sf0.1)."""
+    if block_size <= 0:
+        raise ValueError("block_size must be positive")
+    B = int(block_size)
+
+    from ..state.sketches import hash64
+    from .analytics import _adjacent_change_mask, bucketed_groups
+
+    def prep_counts(batch: pa.Table) -> pa.Table:
+        grp = batch.column(group_column)
+        if pa.types.is_null(grp.type):
+            grp = grp.cast(pa.string())
+        n = pc.fill_null(pc.cast(pc.list_value_length(
+            batch.column(tokens_column)), pa.int64()), 0)
+        out = pa.table({
+            group_column: pc.fill_null(grp, pa.scalar(null_group,
+                                                      pa.string())),
+            id_column: batch.column(id_column),
+            "__n__": n})
+        return out.filter(pc.greater(n, 0))
+
+    def assign_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(group_column, "ascending"),
+                       (id_column, "ascending")])
+        n = t.column("__n__").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(n) - n
+        starts = np.flatnonzero(_adjacent_change_mask(t, [group_column]))
+        lens = np.diff(np.append(starts, t.num_rows))
+        before = cum - np.repeat(cum[starts], lens)
+        return pa.table({
+            group_column: t.column(group_column),
+            id_column: t.column(id_column),
+            "__before__": pa.array(before, type=pa.int64())})
+
+    assign = bucketed_groups(
+        ds.select_columns([group_column, id_column, tokens_column])
+        .map_batches(prep_counts, batch_format="pyarrow"),
+        group_column, assign_bucket, num_buckets=num_buckets, seed=17)
+
+    # --- id-keyed tag+union join fused with fragment emission -----------
+    tok_t = tokens_type
+    if tok_t is None:
+        sch = ds.schema(fetch_if_missing=False)
+        if sch is not None and tokens_column in sch.base_schema.names:
+            tok_t = sch.base_schema.field(tokens_column).type
+    if tok_t is None:
+        raise ValueError(
+            "assemble_packed_blocks: tokens list type unknown on a lazy "
+            "transformed dataset — pass tokens_type=pa.list_(...) "
+            "explicitly (probing would execute the upstream pipeline)")
+    if not (pa.types.is_list(tok_t) or pa.types.is_large_list(tok_t)):
+        raise ValueError(
+            f"assemble_packed_blocks: {tokens_column!r} must be a list "
+            f"column, got {tok_t}")
+    val_t = tok_t.value_type
+
+    def tag_payload(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(id_column), seed=23)
+        return pa.table({
+            id_column: batch.column(id_column),
+            tokens_column: batch.column(tokens_column).cast(tok_t),
+            group_column: pa.nulls(batch.num_rows, pa.string()),
+            "__before__": pa.nulls(batch.num_rows, pa.int64()),
+            "__side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            "__b": pa.array((h % np.uint64(num_buckets)).astype(np.int64))})
+
+    def tag_assign(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(id_column), seed=23)
+        return pa.table({
+            id_column: batch.column(id_column),
+            tokens_column: pa.nulls(batch.num_rows, tok_t),
+            group_column: batch.column(group_column),
+            "__before__": batch.column("__before__"),
+            "__side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            "__b": pa.array((h % np.uint64(num_buckets)).astype(np.int64))})
+
+    uni = (ds.select_columns([id_column, tokens_column])
+           .map_batches(tag_payload, batch_format="pyarrow")
+           .union(assign.map_batches(tag_assign, batch_format="pyarrow")))
+
+    def join_fragments(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        pay = g.filter(pa.array(side == 0))
+        asg = g.filter(pa.array(side == 1))
+        # inner match: empty-token payload rows have no assign row
+        idx = pc.index_in(pay.column(id_column),
+                          value_set=asg.column(id_column).combine_chunks())
+        ok = pc.is_valid(idx)
+        pay = pay.filter(ok)
+        idx = idx.filter(ok)
+        toks = pay.column(tokens_column)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.fill_null(pc.cast(pc.list_value_length(toks), pa.int64()),
+                         0).to_numpy(zero_copy_only=False)
+        values = toks.flatten()
+        doc_off = np.cumsum(n) - n
+        take_idx = idx.cast(pa.int64())
+        before = pc.take(asg.column("__before__"), take_idx).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        grp = pc.take(asg.column(group_column), take_idx)
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        first = before // B
+        last = (before + np.maximum(n, 1) - 1) // B
+        k = last - first + 1
+        frag_doc = np.repeat(np.arange(len(n), dtype=np.int64), k)
+        j = np.arange(int(k.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(k) - k, k)
+        blk = first[frag_doc] + j
+        span_lo = np.maximum(before[frag_doc], blk * B)
+        span_hi = np.minimum(before[frag_doc] + n[frag_doc], (blk + 1) * B)
+        flen = span_hi - span_lo
+        tok_start = span_lo - before[frag_doc]
+        tot = int(flen.sum())
+        flat = np.repeat(doc_off[frag_doc] + tok_start, flen) \
+            + (np.arange(tot, dtype=np.int64)
+               - np.repeat(np.cumsum(flen) - flen, flen))
+        frag_off = np.zeros(len(flen) + 1, dtype=np.int64)
+        np.cumsum(flen, out=frag_off[1:])
+        vals = pc.take(values, pa.array(flat, type=pa.int64()))
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        return pa.table({
+            group_column: grp.take(pa.array(frag_doc, type=pa.int64())),
+            "block_id": pa.array(blk, type=pa.int64()),
+            "__boff__": pa.array(span_lo - blk * B, type=pa.int64()),
+            "__tstart__": pa.array(tok_start, type=pa.int64()),
+            "__frag__": pa.ListArray.from_arrays(
+                pa.array(frag_off.astype(np.int32), type=pa.int32()),
+                vals)})
+
+    frag_ds = uni.groupby("__b").map_groups(join_fragments,
+                                            batch_format="pyarrow")
+
+    def assemble_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(group_column, "ascending"),
+                       ("block_id", "ascending"),
+                       ("__boff__", "ascending")])
+        frags = t.column("__frag__")
+        if isinstance(frags, pa.ChunkedArray):
+            frags = frags.combine_chunks()
+        val_type = frags.type.value_type
+        flen = pc.cast(pc.list_value_length(frags),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        values = frags.flatten()
+        total = int(flen.sum())
+        if total >= 2 ** 31:
+            raise ValueError(
+                f"assemble_packed_blocks: bucket holds {total} tokens "
+                f"(>= 2^31, int32 list offsets) — raise num_buckets")
+        nfrag = t.num_rows
+        if nfrag == 0:
+            gtype = g.schema.field(group_column).type
+            return pa.table({
+                group_column: pa.array([], type=gtype),
+                "block_id": pa.array([], type=pa.int64()),
+                "input_ids": pa.array([], type=pa.list_(val_type)),
+                "position_ids": pa.array([], type=pa.list_(pa.int32())),
+                "segment_ids": pa.array([], type=pa.list_(pa.int32())),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "n_docs": pa.array([], type=pa.int64())})
+        starts = np.flatnonzero(
+            _adjacent_change_mask(t, [group_column, "block_id"]))
+        run_lens = np.diff(np.append(starts, nfrag))
+        frag_off = np.cumsum(flen) - flen
+        tok_start = t.column("__tstart__").to_numpy(zero_copy_only=False)
+        # per-token: within-doc position = fragment's tok_start + intra
+        pos = np.repeat(tok_start, flen) \
+            + (np.arange(total, dtype=np.int64) - np.repeat(frag_off, flen))
+        # per-token: 1-based fragment rank within its block (== doc rank:
+        # a doc contributes at most one fragment per block)
+        frank = np.arange(nfrag, dtype=np.int64) \
+            - np.repeat(starts, run_lens) + 1
+        seg = np.repeat(frank, flen)
+        blk_tok = np.add.reduceat(flen, starts)
+        out_off = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(blk_tok, out=out_off[1:])
+        off = pa.array(out_off.astype(np.int32), type=pa.int32())
+        take_starts = pa.array(starts, type=pa.int64())
+        gcol = t.column(group_column)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        bcol = t.column("block_id")
+        if isinstance(bcol, pa.ChunkedArray):
+            bcol = bcol.combine_chunks()
+        return pa.table({
+            group_column: gcol.take(take_starts),
+            "block_id": bcol.take(take_starts),
+            "input_ids": pa.ListArray.from_arrays(off, values),
+            "position_ids": pa.ListArray.from_arrays(
+                off, pa.array(pos.astype(np.int32), type=pa.int32())),
+            "segment_ids": pa.ListArray.from_arrays(
+                off, pa.array(seg.astype(np.int32), type=pa.int32())),
+            "n_tokens": pa.array(blk_tok, type=pa.int64()),
+            "n_docs": pa.array(run_lens, type=pa.int64())})
+
+    return bucketed_groups(frag_ds, [group_column, "block_id"],
+                           assemble_bucket, num_buckets=num_buckets,
+                           seed=17)
+
+
+def window_tokens(ds: Dataset, tokens_column: str = "tokens",
+                  id_column: str = "doc_id",
+                  size: int = 256, stride: int = 128,
+                  concurrency=None) -> Dataset:
+    """Token-level sliding-window splitting (the LM counterpart of
+    :func:`chunk_text`): window ``i`` of a document covers tokens
+    ``[i*stride, i*stride + size)``; a document of ``n <= size`` tokens
+    emits exactly one window, longer documents emit
+    ``ceil((n - size) / stride) + 1`` so every token lands in >= 1 window
+    and no window starts at or past the end.  Empty/null docs emit
+    nothing.  Emits ``(id, win_id, win_start, win_len, input_ids)``.
+
+    Shuffle-free flat expansion per batch (streaming): one gather over
+    the flattened values buffer per batch (``pc.take`` — a C kernel),
+    offsets rebuilt by cumsum.  Overlap duplication is inherent to the
+    semantics (output tokens = ~``n * size/stride``); size the batch so
+    ``batch_tokens * size/stride`` fits the worker heap."""
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    if stride > size:
+        raise ValueError(
+            f"stride={stride} > size={size} would skip tokens")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        toks = batch.column(tokens_column)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        val_type = toks.type.value_type
+        n = pc.fill_null(pc.cast(pc.list_value_length(toks), pa.int64()),
+                         0).to_numpy(zero_copy_only=False)
+        values = toks.flatten()
+        doc_start = np.cumsum(n) - n
+        k = np.where(n == 0, 0,
+                     np.where(n <= size, 1,
+                              (n - size + stride - 1) // stride + 1))
+        win_doc = np.repeat(np.arange(batch.num_rows, dtype=np.int64), k)
+        wid = np.arange(len(win_doc), dtype=np.int64) \
+            - np.repeat(np.cumsum(k) - k, k)
+        ws = wid * stride
+        wl = np.minimum(size, n[win_doc] - ws)
+        tot = int(wl.sum())
+        if tot >= 2 ** 31:
+            raise ValueError(
+                f"window_tokens: batch expands to {tot} tokens (>= 2^31 "
+                f"int32 offsets) — lower the batch size")
+        flat = np.repeat(doc_start[win_doc] + ws, wl) \
+            + (np.arange(tot, dtype=np.int64)
+               - np.repeat(np.cumsum(wl) - wl, wl))
+        out_off = np.zeros(len(wl) + 1, dtype=np.int64)
+        np.cumsum(wl, out=out_off[1:])
+        vals = pc.take(values, pa.array(flat, type=pa.int64()))
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        return pa.table({
+            id_column: pc.take(ids, pa.array(win_doc, type=pa.int64())),
+            "win_id": pa.array(wid, type=pa.int64()),
+            "win_start": pa.array(ws, type=pa.int64()),
+            "win_len": pa.array(wl, type=pa.int64()),
+            "input_ids": pa.ListArray.from_arrays(
+                pa.array(out_off.astype(np.int32), type=pa.int32()),
+                vals)})
+
+    return ds.map_batches(expand, batch_format="pyarrow",
+                          **_conc(concurrency))
 
 
 def spfhp_plan(hist: np.ndarray, max_len: int,

@@ -24,7 +24,8 @@ __all__ = ["add_token_count", "add_quality", "LangID", "add_lang_id",
            "VocabTokenizer", "tokenize_with_vocab",
            "PII_PATTERNS", "Redactor", "redact", "contamination_pairs",
            "add_repetition", "canonicalize_urls",
-           "token_ngram_contamination", "token_dup_ngram_stats"]
+           "token_ngram_contamination", "token_dup_ngram_stats",
+           "remap_token_ids"]
 
 
 def add_token_count(ds: Dataset, text_column: str,
@@ -2865,3 +2866,73 @@ def token_dup_ngram_stats(ds: Dataset, tokens_column: str = "tokens",
                 pa.float64())})
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+class _TokenRemapper:
+    """Per-actor broadcast vocabulary remap table: fetch the mapping array
+    ONCE per worker (``ray.get`` on the broadcast ref in ``__init__``),
+    then each batch is one ``np.take`` over the flattened values buffer."""
+
+    def __init__(self, tokens_column: str, mapping_ref, unk_id: int,
+                 out: str | None):
+        import ray
+        m = (ray.get(mapping_ref)
+             if isinstance(mapping_ref, ray.ObjectRef) else mapping_ref)
+        self.mapping = np.ascontiguousarray(np.asarray(m, dtype=np.int64))
+        self.tokens_column = tokens_column
+        self.unk_id = int(unk_id)
+        self.out = out or tokens_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = batch.column(self.tokens_column)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        val_type = toks.type.value_type
+        n = pc.fill_null(pc.cast(pc.list_value_length(toks), pa.int64()),
+                         0).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        if flat.null_count:  # null elements are out-of-vocab -> unk_id
+            flat = pc.fill_null(flat, -1)
+        v = flat.to_numpy(zero_copy_only=False).astype(np.int64)
+        in_vocab = (v >= 0) & (v < len(self.mapping))
+        new = np.full(len(v), self.unk_id, dtype=np.int64)
+        new[in_vocab] = self.mapping[v[in_vocab]]
+        off = np.zeros(len(n) + 1, dtype=np.int64)
+        np.cumsum(n, out=off[1:])
+        col = pa.ListArray.from_arrays(
+            pa.array(off.astype(np.int32), type=pa.int32()),
+            pa.array(new, type=pa.int64()).cast(val_type))
+        idx = batch.schema.get_field_index(self.out)
+        if idx >= 0:
+            return batch.set_column(idx, self.out, col)
+        return batch.append_column(self.out, col)
+
+
+def remap_token_ids(ds: Dataset, mapping, tokens_column: str = "tokens",
+                    unk_id: int = 0, out: str | None = None,
+                    concurrency=None) -> Dataset:
+    """Vocabulary surgery / tokenizer-migration remap: rewrite every token
+    id through a broadcast old->new lookup table (``mapping[old] = new``);
+    ids outside ``[0, len(mapping))`` map to ``unk_id``.  The re-tokenize-
+    by-table step of a vocab swap (merge two vocabs, drop ids, renumber
+    after pruning) — cheap enough to run over the full corpus because it
+    never re-tokenizes text.
+
+    Scale shape: the table broadcasts ONCE (``ray.put``; a 100k-entry
+    vocab is ~800 KB) and is fetched once per worker (actor-style
+    ``__init__`` via the stage cache, zero-copy from the local object
+    store); each batch is one vectorized gather over the flattened values
+    buffer — map-only, shuffle-free, list offsets preserved.  Output list
+    values keep the input value type (overflowing ids fail loud in the
+    cast)."""
+    import ray
+    from . import cached_stage
+
+    m = np.asarray(mapping, dtype=np.int64)
+    if m.ndim != 1:
+        raise ValueError("remap_token_ids: mapping must be 1-D")
+    mapping_ref = ray.put(m)
+    return ds.map_batches(
+        cached_stage(_TokenRemapper, tokens_column=tokens_column,
+                     mapping_ref=mapping_ref, unk_id=unk_id, out=out),
+        batch_format="pyarrow", **_conc(concurrency))

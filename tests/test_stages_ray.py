@@ -4234,3 +4234,117 @@ def test_pack_histogram(ray_session):
     with pytest.raises(Exception):
         pack_histogram(rd.from_arrow(bad), "sid", "n",
                        max_len=max_len).take_all()
+
+
+def test_assemble_packed_blocks_random(ray_session):
+    """assemble_packed_blocks vs a naive per-token Python reference on
+    randomized data with null groups, null/empty token lists, and docs
+    spanning multiple blocks."""
+    import collections
+
+    import ray.data as rd
+
+    from malli_ray.stages.packing import assemble_packed_blocks
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(400):
+        n = int(rng.integers(0, 30))
+        src = (["a", "b", "c"][int(rng.integers(0, 3))]
+               if rng.random() < 0.9 else None)
+        toks = (None if rng.random() < 0.03
+                else rng.integers(0, 100, n).astype(np.int32).tolist())
+        rows.append({"doc_id": f"d{i:05d}", "tokens": toks, "source": src})
+    tbl = pa.table({
+        "doc_id": [r["doc_id"] for r in rows],
+        "tokens": pa.array([r["tokens"] for r in rows], pa.list_(pa.int32())),
+        "source": [r["source"] for r in rows]})
+    ds = rd.from_arrow(tbl).repartition(4)
+
+    B = 16
+    out = assemble_packed_blocks(ds, block_size=B, num_buckets=8).to_pandas()
+    streams = collections.defaultdict(list)
+    for r in rows:
+        if r["tokens"]:
+            streams[r["source"] or ""].append((r["doc_id"], r["tokens"]))
+    ref = {}
+    for g, docs in streams.items():
+        docs.sort()
+        stream = [(t, p, d) for d, tk in docs for p, t in enumerate(tk)]
+        for bi in range(0, len(stream), B):
+            blk = stream[bi:bi + B]
+            docset = []
+            for t, p, d in blk:
+                if d not in docset:
+                    docset.append(d)
+            ref[(g, bi // B)] = (
+                [t for t, p, d in blk], [p for t, p, d in blk],
+                [docset.index(d) + 1 for t, p, d in blk], len(docset))
+    assert len(out) == len(ref)
+    for _, r in out.iterrows():
+        e_in, e_pos, e_seg, e_nd = ref[(r["source"], r["block_id"])]
+        assert list(r["input_ids"]) == e_in
+        assert list(r["position_ids"]) == e_pos
+        assert list(r["segment_ids"]) == e_seg
+        assert r["n_docs"] == e_nd and r["n_tokens"] == len(e_in)
+    # every block but a group's last is exactly full
+    full = out.sort_values(["source", "block_id"]).groupby("source")[
+        "n_tokens"].apply(lambda s: (s.iloc[:-1] == B).all())
+    assert full.all()
+
+
+def test_window_tokens_random(ray_session):
+    import ray.data as rd
+
+    from malli_ray.stages.packing import window_tokens
+
+    rng = np.random.default_rng(11)
+    docs = {f"d{i}": rng.integers(0, 1000, int(rng.integers(0, 40)))
+            .astype(np.int32).tolist() for i in range(300)}
+    tbl = pa.table({"doc_id": list(docs),
+                    "tokens": pa.array(list(docs.values()),
+                                       pa.list_(pa.int32()))})
+    ds = rd.from_arrow(tbl).repartition(3)
+    size, stride = 8, 3
+    w = window_tokens(ds, size=size, stride=stride).to_pandas()
+    ref = {}
+    for d, tk in docs.items():
+        n = len(tk)
+        if n == 0:
+            continue
+        k = 1 if n <= size else -(-(n - size) // stride) + 1
+        for i in range(k):
+            ref[(d, i)] = tk[i * stride:i * stride + size]
+    assert len(w) == len(ref)
+    for _, r in w.iterrows():
+        e = ref[(r["doc_id"], r["win_id"])]
+        assert list(r["input_ids"]) == e
+        assert r["win_len"] == len(e)
+        assert r["win_start"] == r["win_id"] * stride
+    # stride > size is rejected
+    with pytest.raises(ValueError):
+        window_tokens(ds, size=4, stride=5)
+
+
+def test_remap_token_ids(ray_session):
+    import ray.data as rd
+
+    from malli_ray.stages.text import remap_token_ids
+
+    rng = np.random.default_rng(13)
+    docs = {f"d{i}": rng.integers(-5, 120, int(rng.integers(0, 20)))
+            .astype(np.int64).tolist() for i in range(200)}
+    tbl = pa.table({"doc_id": list(docs),
+                    "tokens": pa.array(list(docs.values()),
+                                       pa.list_(pa.int64()))})
+    ds = rd.from_arrow(tbl).repartition(3)
+    mp = ((np.arange(100, dtype=np.int64) * 7 + 3) % 100)
+    got = remap_token_ids(ds, mp, unk_id=99).to_pandas().set_index("doc_id")
+    for d, tk in docs.items():
+        exp = [int(mp[t]) if 0 <= t < 100 else 99 for t in tk]
+        assert list(got.loc[d, "tokens"]) == exp
+    # out= writes a separate column, input preserved
+    got2 = remap_token_ids(ds, mp, unk_id=99,
+                           out="remapped").to_pandas().set_index("doc_id")
+    for d, tk in list(docs.items())[:20]:
+        assert list(got2.loc[d, "tokens"]) == tk
