@@ -335,6 +335,81 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
     return 0
 
 
+def _run_pack(args, paths: list[str]) -> int:
+    """Trainer-data terminal job: (optional truncate) -> assemble packed
+    blocks (input_ids / position_ids / segment_ids) -> parquet
+    partitioned by group, so a consumer reads one corpus slice without
+    touching the rest and a failed downstream job re-reads per-partition."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rdata
+
+    from .stages import packing
+
+    ds = rdata.read_parquet(paths)
+    rows_in = ds.count()  # metadata-only on a fresh parquet read
+    sch = ds.schema(fetch_if_missing=False)
+    if args.tokens_column not in sch.base_schema.names:
+        raise SystemExit(f"--tokens-column {args.tokens_column!r} not in "
+                         f"input schema {sch.base_schema.names}")
+    tok_t = sch.base_schema.field(args.tokens_column).type
+    # duplicated ids make the concat order ill-defined (assembly RAISES
+    # on them): drop every row of a duplicated id up front — one
+    # key-only uniqueness scan, the dup set broadcasts into a map-side
+    # filter — and report the count honestly
+    import numpy as _np
+    import pyarrow as _pa
+    import ray as _ray
+
+    from .stages.constraints import uniqueness_violations
+
+    dup_rows = uniqueness_violations(
+        ds.select_columns([args.id_column]), args.id_column).take_all()
+    if len(dup_rows) > 1_000_000:
+        raise SystemExit(
+            f"{len(dup_rows)} duplicated {args.id_column!r} values — run "
+            f"corpus-prep --dedup first instead of packing raw duplicates")
+    dropped_dup_rows = 0
+    if dup_rows:
+        idc = args.id_column
+        dup_ref = _ray.put(_np.sort(_np.array(
+            [r[idc] for r in dup_rows],
+            dtype=_np.str_ if isinstance(dup_rows[0][idc], str)
+            else None)))
+
+        def drop_dups(batch):
+            dups = _ray.get(dup_ref)
+            ids = batch.column(idc).to_numpy(zero_copy_only=False)
+            ids = ids.astype(dups.dtype)
+            i = _np.searchsorted(dups, ids)
+            hit = ((i < len(dups))
+                   & (dups[_np.minimum(i, len(dups) - 1)] == ids))
+            return batch.filter(_pa.array(~hit))
+
+        ds = ds.map_batches(drop_dups, batch_format="pyarrow")
+        dropped_dup_rows = sum(int(r["cnt"]) for r in dup_rows)
+    if args.truncate:
+        ds = packing.truncate_sequences(ds, args.tokens_column,
+                                        max_len=args.truncate,
+                                        count_column=None)
+    blocks = packing.assemble_packed_blocks(
+        ds, tokens_column=args.tokens_column, id_column=args.id_column,
+        group_column=args.group_column, block_size=args.block_size,
+        null_group="__null__", num_buckets=args.num_buckets,
+        tokens_type=tok_t)
+    out_dir = os.path.join(args.out, "blocks")
+    blocks.write_parquet(out_dir, partition_cols=[args.group_column])
+    n_blocks = sum(pq.read_metadata(f).num_rows
+                   for f in sorted(_glob.glob(
+                       os.path.join(out_dir, "**", "*.parquet"),
+                       recursive=True)))
+    print(json.dumps({"rows_in": rows_in, "blocks": n_blocks,
+                      "dropped_dup_rows": dropped_dup_rows,
+                      "block_size": args.block_size, "out": out_dir}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="malli_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -467,6 +542,24 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
 
+    pk = sub.add_parser(
+        "pack",
+        help="assemble trainer-ready packed token blocks (concat-and-cut "
+             "input_ids/position_ids/segment_ids, parquet partitioned by "
+             "group)")
+    pk.add_argument("--input", required=True,
+                    help="parquet glob or directory of tokenized sequences")
+    pk.add_argument("--out", required=True, help="output directory")
+    pk.add_argument("--tokens-column", default="tokens")
+    pk.add_argument("--id-column", default="doc_id")
+    pk.add_argument("--group-column", default="source")
+    pk.add_argument("--block-size", type=int, default=2048)
+    pk.add_argument("--truncate", type=int, metavar="MAX_LEN",
+                    help="clip every sequence to MAX_LEN tokens first")
+    pk.add_argument("--num-buckets", type=int, default=64)
+    pk.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+
     ex = sub.add_parser(
         "explain",
         help="pretty-print a validation report for one JSON value "
@@ -523,6 +616,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd == "corpus-prep":
             return _run_corpus_prep(args, paths)
+        if args.cmd == "pack":
+            return _run_pack(args, paths)
         from .pipelines.validation_job import SchemaLayoutError, run_job
         spec = _build_spec(args)
         try:

@@ -391,7 +391,7 @@ def assemble_packed_blocks(ds: Dataset, tokens_column: str = "tokens",
     lists contribute nothing (and never count as a segment); null group
     keys fold to ``null_group`` map-side.  ``id`` must be unique per
     group (assembly runs post-dedup; a duplicated id makes the concat
-    order ill-defined).
+    order ill-defined) — duplicates RAISE in the assignment pass.
 
     Scale shape (three phases, NO group-fits-worker assumption — the
     unit of state is one BLOCK, parallelism is block-level, a hot group
@@ -440,6 +440,17 @@ def assemble_packed_blocks(ds: Dataset, tokens_column: str = "tokens",
     def assign_bucket(g: pa.Table) -> pa.Table:
         t = g.sort_by([(group_column, "ascending"),
                        (id_column, "ascending")])
+        if t.num_rows:
+            same = ~_adjacent_change_mask(t, [group_column, id_column])
+            same[0] = False
+            if same.any():
+                i = int(np.flatnonzero(same)[0])
+                raise ValueError(
+                    f"assemble_packed_blocks: duplicate id "
+                    f"{t.column(id_column)[i].as_py()!r} in group "
+                    f"{t.column(group_column)[i].as_py()!r} — the concat "
+                    f"order is ill-defined; dedup upstream "
+                    f"(exact_dedup_keep_first / uniqueness_violations)")
         n = t.column("__n__").to_numpy(zero_copy_only=False)
         cum = np.cumsum(n) - n
         starts = np.flatnonzero(_adjacent_change_mask(t, [group_column]))

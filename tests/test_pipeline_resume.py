@@ -192,3 +192,39 @@ def test_row_group_partitions(ray_session, tmp_path):
     assert rb2["resumed_partitions"] == 3
     assert rb2["n_rows"] == rb["n_rows"]
     assert rb2["n_violations"] == rb["n_violations"]
+
+
+def test_cli_pack_blocks(ray_session, seq_dir, tmp_path):
+    """The `pack` CLI: truncate -> assemble -> parquet partitioned by
+    group; block token totals and the exact-full-block invariant hold,
+    and every input token (post-truncate, unique ids) is preserved."""
+    from malli_ray import cli
+
+    out = str(tmp_path / "packrun")
+    rc = cli.main(["pack", "--input", seq_dir, "--out", out,
+                   "--block-size", "512", "--truncate", "1024",
+                   "--num-cpus", "4"])
+    assert rc == 0
+    files = sorted(glob.glob(os.path.join(out, "blocks", "**", "*.parquet"),
+                             recursive=True))
+    assert files and any("source=" in f for f in files)
+    t = pa.concat_tables([
+        pq.read_table(f, columns=["block_id", "n_tokens", "n_docs"])
+        for f in files])
+    n_tok = t.column("n_tokens").to_numpy()
+    assert (n_tok <= 512).all() and (n_tok > 0).all()
+    # totals: sum of block tokens == sum of clipped lengths over the
+    # surviving docs (rows of duplicated ids are dropped up front — a
+    # duplicated id makes the concat order ill-defined and RAISES in the
+    # op itself)
+    import collections
+
+    import pyarrow.compute as pc2
+    src = pq.read_table(seq_dir)
+    ids = src.column("doc_id").to_pylist()
+    counts = collections.Counter(ids)
+    keep = pa.array([counts[i] == 1 for i in ids])
+    lens = pc2.list_value_length(src.filter(keep).column("tokens"))
+    clipped = pc2.min_element_wise(pc2.cast(lens, pa.int64()),
+                                   pa.scalar(1024, pa.int64()))
+    assert int(np.sum(n_tok)) == int(pc2.sum(clipped).as_py())

@@ -4348,3 +4348,17 @@ def test_remap_token_ids(ray_session):
                            out="remapped").to_pandas().set_index("doc_id")
     for d, tk in list(docs.items())[:20]:
         assert list(got2.loc[d, "tokens"]) == tk
+
+
+def test_assemble_packed_blocks_dup_id_raises(ray_session):
+    import ray.data as rd
+
+    from malli_ray.stages.packing import assemble_packed_blocks
+
+    tbl = pa.table({
+        "doc_id": ["a", "a", "b"],
+        "tokens": pa.array([[1, 2], [3], [4]], pa.list_(pa.int32())),
+        "source": ["x", "x", "x"]})
+    with pytest.raises(Exception, match="duplicate id"):
+        assemble_packed_blocks(rd.from_arrow(tbl), block_size=4,
+                               num_buckets=2).take_all()
