@@ -197,7 +197,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         # r4 session 5: trainer-ready block assembly, sliding context
         # windows, broadcast vocab remap
         "assemble_blocks_sequences", "window_tokens_sequences",
-        "remap_tokens_sequences",
+        "remap_tokens_sequences", "sentinel_tokens_sequences",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -25,7 +25,7 @@ __all__ = ["add_token_count", "add_quality", "LangID", "add_lang_id",
            "PII_PATTERNS", "Redactor", "redact", "contamination_pairs",
            "add_repetition", "canonicalize_urls",
            "token_ngram_contamination", "token_dup_ngram_stats",
-           "remap_token_ids"]
+           "remap_token_ids", "add_sentinel_tokens"]
 
 
 def add_token_count(ds: Dataset, text_column: str,
@@ -2936,3 +2936,66 @@ def remap_token_ids(ds: Dataset, mapping, tokens_column: str = "tokens",
         cached_stage(_TokenRemapper, tokens_column=tokens_column,
                      mapping_ref=mapping_ref, unk_id=unk_id, out=out),
         batch_format="pyarrow", **_conc(concurrency))
+
+
+def add_sentinel_tokens(ds: Dataset, tokens_column: str = "tokens",
+                        bos_id: int | None = None,
+                        eos_id: int | None = None,
+                        out: str | None = None,
+                        count_column: str | None = None) -> Dataset:
+    """Sentinel-token insertion (the tokenize -> pack seam of a GPT-style
+    pipeline): prepend ``bos_id`` and/or append ``eos_id`` to every token
+    list, so document boundaries survive concat-and-cut packing
+    (:func:`malli_ray.stages.packing.assemble_packed_blocks` then needs no
+    separator logic of its own).  Null lists count as empty — they still
+    mark a document, so they get sentinels too (SQL parity:
+    ``[bos] || COALESCE(tokens, []) || [eos]``).  ``count_column`` (when
+    given) is refreshed to the new length.
+
+    Map-only, shuffle-free: one output values allocation + one vectorized
+    scatter per batch; list offsets rebuilt by cumsum."""
+    if bos_id is None and eos_id is None:
+        raise ValueError("add_sentinel_tokens: pass bos_id and/or eos_id")
+    nb = 1 if bos_id is not None else 0
+    ne = 1 if eos_id is not None else 0
+    target = out or tokens_column
+
+    def add(batch: pa.Table) -> pa.Table:
+        toks = batch.column(tokens_column)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        val_type = toks.type.value_type
+        n = pc.fill_null(pc.cast(pc.list_value_length(toks), pa.int64()),
+                         0).to_numpy(zero_copy_only=False)
+        v = toks.flatten().to_numpy(zero_copy_only=False)
+        rows = batch.num_rows
+        new_n = n + nb + ne
+        new_off = np.zeros(rows + 1, dtype=np.int64)
+        np.cumsum(new_n, out=new_off[1:])
+        out_v = np.empty(int(new_off[-1]), dtype=np.int64)
+        if nb:
+            out_v[new_off[:-1]] = bos_id
+        if ne:
+            out_v[new_off[1:] - 1] = eos_id
+        # scatter the original values into their shifted positions
+        idx = np.repeat(new_off[:-1] + nb, n) \
+            + (np.arange(len(v), dtype=np.int64)
+               - np.repeat(np.cumsum(n) - n, n))
+        out_v[idx] = v
+        col = pa.ListArray.from_arrays(
+            pa.array(new_off.astype(np.int32), type=pa.int32()),
+            pa.array(out_v, type=pa.int64()).cast(val_type))
+        i = batch.schema.get_field_index(target)
+        batch = (batch.set_column(i, target, col) if i >= 0
+                 else batch.append_column(target, col))
+        if count_column is not None:
+            ci = batch.schema.get_field_index(count_column)
+            cnt = pa.array(new_n, type=pa.int64())
+            if ci >= 0:
+                cnt = cnt.cast(batch.schema.field(ci).type)
+                batch = batch.set_column(ci, count_column, cnt)
+            else:
+                batch = batch.append_column(count_column, cnt)
+        return batch
+
+    return ds.map_batches(add, batch_format="pyarrow")

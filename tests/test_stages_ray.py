@@ -4362,3 +4362,30 @@ def test_assemble_packed_blocks_dup_id_raises(ray_session):
     with pytest.raises(Exception, match="duplicate id"):
         assemble_packed_blocks(rd.from_arrow(tbl), block_size=4,
                                num_buckets=2).take_all()
+
+
+def test_add_sentinel_tokens(ray_session):
+    import ray.data as rd
+
+    from malli_ray.stages.text import add_sentinel_tokens
+
+    tbl = pa.table({
+        "doc_id": ["a", "b", "c", "d"],
+        "tokens": pa.array([[1, 2, 3], [], None, [7]], pa.list_(pa.int32())),
+        "n_tok": pa.array([3, 0, 0, 1], pa.int32())})
+    ds = rd.from_arrow(tbl)
+    got = {r["doc_id"]: r for r in add_sentinel_tokens(
+        ds, "tokens", bos_id=100, eos_id=101,
+        count_column="n_tok").take_all()}
+    assert list(got["a"]["tokens"]) == [100, 1, 2, 3, 101]
+    assert list(got["b"]["tokens"]) == [100, 101]
+    assert list(got["c"]["tokens"]) == [100, 101]
+    assert list(got["d"]["tokens"]) == [100, 7, 101]
+    assert [got[k]["n_tok"] for k in "abcd"] == [5, 2, 2, 3]
+    # eos-only, separate output column, input preserved
+    got2 = {r["doc_id"]: r for r in add_sentinel_tokens(
+        ds, "tokens", eos_id=9, out="with_eos").take_all()}
+    assert list(got2["a"]["tokens"]) == [1, 2, 3]
+    assert list(got2["a"]["with_eos"]) == [1, 2, 3, 9]
+    with pytest.raises(ValueError):
+        add_sentinel_tokens(ds, "tokens")
