@@ -481,7 +481,6 @@ def assemble_packed_blocks(ds: Dataset, tokens_column: str = "tokens",
         raise ValueError(
             f"assemble_packed_blocks: {tokens_column!r} must be a list "
             f"column, got {tok_t}")
-    val_t = tok_t.value_type
 
     def tag_payload(batch: pa.Table) -> pa.Table:
         h = hash64(batch.column(id_column), seed=23)
@@ -511,9 +510,23 @@ def assemble_packed_blocks(ds: Dataset, tokens_column: str = "tokens",
         side = g.column("__side").to_numpy(zero_copy_only=False)
         pay = g.filter(pa.array(side == 0))
         asg = g.filter(pa.array(side == 1))
+        # the id must be GLOBALLY unique, not just unique per group: the
+        # payload row carries no group, so an id present in two groups is
+        # ambiguous at this join (same-group dups already raised in the
+        # assignment pass; this catches the cross-group case — every row
+        # of an id hashes to this bucket, so the check is complete)
+        asg_ids = asg.column(id_column).combine_chunks()
+        if len(asg_ids):
+            vc = pc.value_counts(asg_ids)
+            dup = vc.filter(pc.greater(vc.field("counts"), pa.scalar(1)))
+            if len(dup):
+                raise ValueError(
+                    f"assemble_packed_blocks: id "
+                    f"{dup.field('values')[0].as_py()!r} appears in "
+                    f"multiple groups — ids must be globally unique "
+                    f"(dedup upstream)")
         # inner match: empty-token payload rows have no assign row
-        idx = pc.index_in(pay.column(id_column),
-                          value_set=asg.column(id_column).combine_chunks())
+        idx = pc.index_in(pay.column(id_column), value_set=asg_ids)
         ok = pc.is_valid(idx)
         pay = pay.filter(ok)
         idx = idx.filter(ok)

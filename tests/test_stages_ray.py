@@ -4389,3 +4389,17 @@ def test_add_sentinel_tokens(ray_session):
     assert list(got2["a"]["with_eos"]) == [1, 2, 3, 9]
     with pytest.raises(ValueError):
         add_sentinel_tokens(ds, "tokens")
+
+
+def test_assemble_packed_blocks_cross_group_dup_raises(ray_session):
+    import ray.data as rd
+
+    from malli_ray.stages.packing import assemble_packed_blocks
+
+    tbl = pa.table({
+        "doc_id": ["a", "a", "b"],
+        "tokens": pa.array([[1, 2], [3], [4]], pa.list_(pa.int32())),
+        "source": ["x", "y", "x"]})
+    with pytest.raises(Exception, match="multiple groups|globally unique"):
+        assemble_packed_blocks(rd.from_arrow(tbl), block_size=4,
+                               num_buckets=2).take_all()
