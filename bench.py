@@ -198,7 +198,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         # windows, broadcast vocab remap
         "assemble_blocks_sequences", "window_tokens_sequences",
         "remap_tokens_sequences", "sentinel_tokens_sequences",
-        "pack_prep_sequences",
+        "pack_prep_sequences", "interleave_sequences",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -1396,3 +1396,74 @@ def split_by_group(ds: Dataset, group_column: str,
                      thresholds=tuple(thresholds), split_col=split_col,
                      seed=seed),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
+def interleave_by_ratio(ds: Dataset, group_column: str, id_column: str,
+                        weights: "dict[str, int]",
+                        default_weight: int = 1,
+                        quant: int = 1 << 20,
+                        null_group: str = "",
+                        num_buckets: int = 64) -> Dataset:
+    """Deterministic mixture-stream scheduling: assign every row a
+    ``mix_key`` such that reading the corpus in ``mix_key`` order
+    interleaves the groups at the requested integer ``weights`` ratio
+    (stride scheduling — the r-th row of group g, 0-based in ``id``
+    order, gets ``((2r + 1) * quant) // w_g``, the Bresenham key of the
+    rational deadline ``(r + 1/2) / w_g``).  The pre-mixed-shard step of
+    a streaming training pipeline: at 100 TB the trainer cannot shuffle
+    at read time, so the mixture is baked into the on-disk order — write
+    sorted by ``mix_key`` and a sequential reader sees web:books:... at
+    the target rate from the first batch onward.
+
+    Unlike :func:`rebalance` / ``upsample_by_group_factor`` (which decide
+    WHICH rows are in the epoch), this decides the ORDER; compose them.
+    All arithmetic is int64-exact and SQL-replayable (ROW_NUMBER +
+    integer div); groups not in ``weights`` get ``default_weight``;
+    null groups fold to ``null_group``.
+
+    Scale shape: one ``hash(group) % num_buckets`` exchange of the
+    PROJECTED (group, id) columns only — the payload never moves; per
+    bucket ONE sort + run-rebased arange; ranks to ~2^42 stay exact
+    (``2 * r * quant < 2^63``).  Join ``mix_key`` back by id (broadcast
+    or hash join) or run on the projected table and gather payload at
+    write time."""
+    if any(int(w) <= 0 for w in weights.values()) or default_weight <= 0:
+        raise ValueError("interleave_by_ratio: weights must be positive")
+    from .analytics import _adjacent_change_mask, bucketed_groups
+
+    wmap = {str(k): int(v) for k, v in weights.items()}
+
+    def prep(batch: pa.Table) -> pa.Table:
+        grp = batch.column(group_column)
+        if pa.types.is_null(grp.type):
+            grp = grp.cast(pa.string())
+        return pa.table({
+            group_column: pc.fill_null(grp, pa.scalar(null_group,
+                                                      pa.string())),
+            id_column: batch.column(id_column)})
+
+    Q = int(quant)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(group_column, "ascending"),
+                       (id_column, "ascending")])
+        n = t.num_rows
+        starts = np.flatnonzero(_adjacent_change_mask(t, [group_column]))
+        lens = np.diff(np.append(starts, n))
+        rn = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        gcol = t.column(group_column)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        run_w = np.array([wmap.get(gcol[int(s)].as_py(), default_weight)
+                          for s in starts], dtype=np.int64)
+        w = np.repeat(run_w, lens)
+        key = ((2 * rn + 1) * Q) // w
+        return pa.table({
+            id_column: t.column(id_column),
+            group_column: gcol,
+            "mix_key": pa.array(key, type=pa.int64())})
+
+    return bucketed_groups(
+        ds.select_columns([group_column, id_column])
+        .map_batches(prep, batch_format="pyarrow"),
+        group_column, per_bucket, num_buckets=num_buckets, seed=17)

@@ -4403,3 +4403,39 @@ def test_assemble_packed_blocks_cross_group_dup_raises(ray_session):
     with pytest.raises(Exception, match="multiple groups|globally unique"):
         assemble_packed_blocks(rd.from_arrow(tbl), block_size=4,
                                num_buckets=2).take_all()
+
+
+def test_interleave_by_ratio(ray_session):
+    """Stride-scheduling keys: exact per-group keys vs a per-row Python
+    reference, and the mixture property — any prefix of the mix_key
+    order carries the groups near their weight shares."""
+    import ray.data as rd
+
+    from malli_ray.stages.sampling import interleave_by_ratio
+
+    rng = np.random.default_rng(3)
+    groups = rng.choice(["a", "b", "c"], p=[0.6, 0.3, 0.1], size=3000)
+    tbl = pa.table({"doc_id": [f"d{i:05d}" for i in range(3000)],
+                    "source": groups})
+    w = {"a": 6, "b": 3, "c": 1}
+    out = interleave_by_ratio(rd.from_arrow(tbl).repartition(4), "source",
+                              "doc_id", weights=w).to_pandas()
+    # exact key check vs a naive reference
+    ref = {}
+    rank = {}
+    for i in np.argsort([f"d{i:05d}" for i in range(3000)]):
+        g = groups[i]
+        r = rank.get(g, 0)
+        rank[g] = r + 1
+        ref[f"d{i:05d}"] = ((2 * r + 1) * (1 << 20)) // w[g]
+    got = dict(zip(out["doc_id"], out["mix_key"]))
+    assert got == ref
+    # mixture property: the first 1000 rows in key order ~ 6:3:1
+    head = out.sort_values(["mix_key", "doc_id"]).head(1000)
+    shares = head["source"].value_counts(normalize=True)
+    assert abs(shares["a"] - 0.6) < 0.02
+    assert abs(shares["b"] - 0.3) < 0.02
+    assert abs(shares["c"] - 0.1) < 0.02
+    with pytest.raises(ValueError):
+        interleave_by_ratio(rd.from_arrow(tbl), "source", "doc_id",
+                            weights={"a": 0})
