@@ -22,6 +22,8 @@ through the shuffle, never the payload.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -29,6 +31,8 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from . import concurrency_kwargs as _conc
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["chunk_blocks", "pack_greedy", "greedy_block_ids",
            "concat_token_blocks", "padding_waste_report",
@@ -363,13 +367,55 @@ def truncate_sequences(ds: Dataset, tokens_column: str = "tokens",
     return ds.map_batches(clip, batch_format="pyarrow")
 
 
+def _emit_fragments(toks: pa.Array, before: np.ndarray, grp: pa.Array,
+                    B: int, group_column: str) -> pa.Table:
+    """Slice each doc's token list into per-block fragments (a fragment =
+    doc x block intersection — at most ``1 + n/block_size`` per doc) with
+    one vectorized gather.  ``toks`` is the (combined) list array of the
+    matched docs, ``before`` their global stream offsets, ``grp`` their
+    group keys, all row-aligned."""
+    n = pc.fill_null(pc.cast(pc.list_value_length(toks), pa.int64()),
+                     0).to_numpy(zero_copy_only=False)
+    values = toks.flatten()
+    doc_off = np.cumsum(n) - n
+    first = before // B
+    last = (before + np.maximum(n, 1) - 1) // B
+    k = last - first + 1
+    frag_doc = np.repeat(np.arange(len(n), dtype=np.int64), k)
+    j = np.arange(int(k.sum()), dtype=np.int64) \
+        - np.repeat(np.cumsum(k) - k, k)
+    blk = first[frag_doc] + j
+    span_lo = np.maximum(before[frag_doc], blk * B)
+    span_hi = np.minimum(before[frag_doc] + n[frag_doc], (blk + 1) * B)
+    flen = span_hi - span_lo
+    tok_start = span_lo - before[frag_doc]
+    tot = int(flen.sum())
+    flat = np.repeat(doc_off[frag_doc] + tok_start, flen) \
+        + (np.arange(tot, dtype=np.int64)
+           - np.repeat(np.cumsum(flen) - flen, flen))
+    frag_off = np.zeros(len(flen) + 1, dtype=np.int64)
+    np.cumsum(flen, out=frag_off[1:])
+    vals = pc.take(values, pa.array(flat, type=pa.int64()))
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    return pa.table({
+        group_column: grp.take(pa.array(frag_doc, type=pa.int64())),
+        "block_id": pa.array(blk, type=pa.int64()),
+        "__boff__": pa.array(span_lo - blk * B, type=pa.int64()),
+        "__tstart__": pa.array(tok_start, type=pa.int64()),
+        "__frag__": pa.ListArray.from_arrays(
+            pa.array(frag_off.astype(np.int32), type=pa.int32()),
+            vals)})
+
+
 def assemble_packed_blocks(ds: Dataset, tokens_column: str = "tokens",
                            id_column: str = "doc_id",
                            group_column: str = "source",
                            block_size: int = 2048,
                            null_group: str = "",
                            num_buckets: int = 64,
-                           tokens_type: "pa.DataType | None" = None
+                           tokens_type: "pa.DataType | None" = None,
+                           max_broadcast_docs: int = 8_000_000
                            ) -> Dataset:
     """Materialize trainer-ready packed blocks from the sequences table —
     the terminal step the span/assignment ops (:func:`concat_token_blocks`,
@@ -401,22 +447,35 @@ def assemble_packed_blocks(ds: Dataset, tokens_column: str = "tokens",
          (``(group, id, n)`` rows — never the payload) computes each
          doc's global offset ``before`` in its group's stream via a
          run-rebased cumsum (materialized once: O(docs) scalar rows);
-      2. an id-keyed tag+union bucketed join (Ray's native join rejects
-         list payload columns AND has the documented empty-tiny-side
-         bug) attaches ``(group, before)`` to the payload, and the same
-         per-bucket pass slices each doc into per-block fragments (a
-         fragment = doc x block intersection — at most
-         ``1 + n/block_size`` per doc) with one vectorized gather;
+      2. ``(group, before)`` attaches to the payload and each doc slices
+         into per-block fragments (a fragment = doc x block intersection
+         — at most ``1 + n/block_size`` per doc) with one vectorized
+         gather.  Two strategies, picked by the assignment table's size:
+         when it holds ≤ ``max_broadcast_docs`` rows it broadcasts ONCE
+         (``ray.put`` of hash-sorted lookup arrays, ~32 B/doc,
+         object-store resident and shared per node) and the attach is a
+         map-only ``searchsorted`` pass — the payload never shuffles
+         here; above the cap (10^12 docs ≈ terabytes — never
+         broadcastable) it falls back (logged) to an id-keyed tag+union
+         bucketed join (Ray's native join rejects list payload columns
+         AND has the documented empty-tiny-side bug);
       3. fragments exchange ONCE on ``hash((group, block_id))`` —
          evenly sized buckets regardless of group skew — and each
          bucket rebuilds its blocks with run-masked vector passes
          (values buffer concatenated in sorted fragment order, reused
          zero-copy for ``input_ids``).
 
-    Payload crosses the wire twice (join + fragment exchange) — the
-    price of unbounded groups; the single-exchange alternative keys on
-    the raw group and serializes each group into one worker, which a
-    47%-hot source makes a straggler (measured 55 s vs ~4 s at sf0.1)."""
+    On the broadcast path the payload crosses the wire exactly once
+    (the fragment exchange — measured 25.2 s → 7.7 s at sf0.1,
+    num_buckets=64, vs the join path); on the fallback it crosses twice
+    — the price of unbounded groups.  Ray's HASH_SHUFFLE strategy was
+    measured 3.5× SLOWER than sort-shuffle on this exchange (aggregator
+    actors serialize the large list payload through Python) — the
+    sort-based exchange is deliberate.  The single-exchange alternative (key on the raw
+    group) serializes each group into one worker, which a 47%-hot
+    source makes a straggler (measured 55 s vs ~4 s at sf0.1).  A
+    64-bit id-hash collision in the broadcast lookup (p ≈ n²/2⁶⁵) is
+    detected after the sort and falls back to the join path."""
     if block_size <= 0:
         raise ValueError("block_size must be positive")
     B = int(block_size)
@@ -464,9 +523,10 @@ def assemble_packed_blocks(ds: Dataset, tokens_column: str = "tokens",
     assign = bucketed_groups(
         ds.select_columns([group_column, id_column, tokens_column])
         .map_batches(prep_counts, batch_format="pyarrow"),
-        group_column, assign_bucket, num_buckets=num_buckets, seed=17)
+        group_column, assign_bucket, num_buckets=num_buckets,
+        seed=17).materialize()
+    n_docs_total = assign.count()
 
-    # --- id-keyed tag+union join fused with fragment emission -----------
     tok_t = tokens_type
     if tok_t is None:
         sch = ds.schema(fetch_if_missing=False)
@@ -482,98 +542,139 @@ def assemble_packed_blocks(ds: Dataset, tokens_column: str = "tokens",
             f"assemble_packed_blocks: {tokens_column!r} must be a list "
             f"column, got {tok_t}")
 
-    def tag_payload(batch: pa.Table) -> pa.Table:
-        h = hash64(batch.column(id_column), seed=23)
-        return pa.table({
-            id_column: batch.column(id_column),
-            tokens_column: batch.column(tokens_column).cast(tok_t),
-            group_column: pa.nulls(batch.num_rows, pa.string()),
-            "__before__": pa.nulls(batch.num_rows, pa.int64()),
-            "__side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
-            "__b": pa.array((h % np.uint64(num_buckets)).astype(np.int64))})
+    # --- phase 2a: broadcast attach (map-only, payload never shuffles) --
+    frag_ds = None
+    if n_docs_total <= max_broadcast_docs:
+        import ray
 
-    def tag_assign(batch: pa.Table) -> pa.Table:
-        h = hash64(batch.column(id_column), seed=23)
-        return pa.table({
-            id_column: batch.column(id_column),
-            tokens_column: pa.nulls(batch.num_rows, tok_t),
-            group_column: batch.column(group_column),
-            "__before__": batch.column("__before__"),
-            "__side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
-            "__b": pa.array((h % np.uint64(num_buckets)).astype(np.int64))})
+        atbl = pa.concat_tables(
+            assign.iter_batches(batch_format="pyarrow", batch_size=None))
+        h = hash64(atbl.column(id_column), seed=23)
+        order = np.argsort(h, kind="stable")
+        hs = np.ascontiguousarray(h[order])
+        collision = False
+        if len(hs) > 1:
+            eq = np.flatnonzero(hs[1:] == hs[:-1])
+            if len(eq):
+                ids_s = atbl.column(id_column).combine_chunks().take(
+                    pa.array(order, type=pa.int64()))
+                for i in eq:
+                    if ids_s[int(i)].as_py() == ids_s[int(i) + 1].as_py():
+                        raise ValueError(
+                            f"assemble_packed_blocks: id "
+                            f"{ids_s[int(i)].as_py()!r} appears in "
+                            f"multiple groups — ids must be globally "
+                            f"unique (dedup upstream)")
+                logger.warning(
+                    "assemble_packed_blocks: 64-bit id-hash collision in "
+                    "the broadcast lookup — falling back to the "
+                    "tag+union join path")
+                collision = True
+        if not collision:
+            take_o = pa.array(order, type=pa.int64())
+            before_s = atbl.column("__before__").to_numpy(
+                zero_copy_only=False).astype(np.int64)[order]
+            grp_s = atbl.column(group_column).combine_chunks().take(take_o)
+            lookup_ref = ray.put((hs, before_s, grp_s))
 
-    uni = (ds.select_columns([id_column, tokens_column])
-           .map_batches(tag_payload, batch_format="pyarrow")
-           .union(assign.map_batches(tag_assign, batch_format="pyarrow")))
+            def attach_fragments(batch: pa.Table) -> pa.Table:
+                hs_, before_, grp_ = ray.get(lookup_ref)
+                hb = hash64(batch.column(id_column), seed=23)
+                if len(hs_) == 0 or len(hb) == 0:
+                    found = np.zeros(len(hb), dtype=bool)
+                    idx = np.zeros(len(hb), dtype=np.int64)
+                else:
+                    idx = np.searchsorted(hs_, hb)
+                    idx = np.minimum(idx, len(hs_) - 1)
+                    found = hs_[idx] == hb
+                toks = batch.column(tokens_column)
+                if isinstance(toks, pa.ChunkedArray):
+                    toks = toks.combine_chunks()
+                toks = toks.cast(tok_t).filter(pa.array(found))
+                idx_f = idx[found]
+                return _emit_fragments(toks, before_[idx_f],
+                                       grp_.take(pa.array(
+                                           idx_f, type=pa.int64())),
+                                       B, group_column)
 
-    def join_fragments(g: pa.Table) -> pa.Table:
-        side = g.column("__side").to_numpy(zero_copy_only=False)
-        pay = g.filter(pa.array(side == 0))
-        asg = g.filter(pa.array(side == 1))
-        # the id must be GLOBALLY unique, not just unique per group: the
-        # payload row carries no group, so an id present in two groups is
-        # ambiguous at this join (same-group dups already raised in the
-        # assignment pass; this catches the cross-group case — every row
-        # of an id hashes to this bucket, so the check is complete)
-        asg_ids = asg.column(id_column).combine_chunks()
-        if len(asg_ids):
-            vc = pc.value_counts(asg_ids)
-            dup = vc.filter(pc.greater(vc.field("counts"), pa.scalar(1)))
-            if len(dup):
-                raise ValueError(
-                    f"assemble_packed_blocks: id "
-                    f"{dup.field('values')[0].as_py()!r} appears in "
-                    f"multiple groups — ids must be globally unique "
-                    f"(dedup upstream)")
-        # inner match: empty-token payload rows have no assign row
-        idx = pc.index_in(pay.column(id_column), value_set=asg_ids)
-        ok = pc.is_valid(idx)
-        pay = pay.filter(ok)
-        idx = idx.filter(ok)
-        toks = pay.column(tokens_column)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        n = pc.fill_null(pc.cast(pc.list_value_length(toks), pa.int64()),
-                         0).to_numpy(zero_copy_only=False)
-        values = toks.flatten()
-        doc_off = np.cumsum(n) - n
-        take_idx = idx.cast(pa.int64())
-        before = pc.take(asg.column("__before__"), take_idx).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        grp = pc.take(asg.column(group_column), take_idx)
-        if isinstance(grp, pa.ChunkedArray):
-            grp = grp.combine_chunks()
-        first = before // B
-        last = (before + np.maximum(n, 1) - 1) // B
-        k = last - first + 1
-        frag_doc = np.repeat(np.arange(len(n), dtype=np.int64), k)
-        j = np.arange(int(k.sum()), dtype=np.int64) \
-            - np.repeat(np.cumsum(k) - k, k)
-        blk = first[frag_doc] + j
-        span_lo = np.maximum(before[frag_doc], blk * B)
-        span_hi = np.minimum(before[frag_doc] + n[frag_doc], (blk + 1) * B)
-        flen = span_hi - span_lo
-        tok_start = span_lo - before[frag_doc]
-        tot = int(flen.sum())
-        flat = np.repeat(doc_off[frag_doc] + tok_start, flen) \
-            + (np.arange(tot, dtype=np.int64)
-               - np.repeat(np.cumsum(flen) - flen, flen))
-        frag_off = np.zeros(len(flen) + 1, dtype=np.int64)
-        np.cumsum(flen, out=frag_off[1:])
-        vals = pc.take(values, pa.array(flat, type=pa.int64()))
-        if isinstance(vals, pa.ChunkedArray):
-            vals = vals.combine_chunks()
-        return pa.table({
-            group_column: grp.take(pa.array(frag_doc, type=pa.int64())),
-            "block_id": pa.array(blk, type=pa.int64()),
-            "__boff__": pa.array(span_lo - blk * B, type=pa.int64()),
-            "__tstart__": pa.array(tok_start, type=pa.int64()),
-            "__frag__": pa.ListArray.from_arrays(
-                pa.array(frag_off.astype(np.int32), type=pa.int32()),
-                vals)})
+            frag_ds = (ds.select_columns([id_column, tokens_column])
+                       .map_batches(attach_fragments,
+                                    batch_format="pyarrow"))
+    else:
+        logger.warning(
+            "assemble_packed_blocks: %d docs exceed max_broadcast_docs=%d "
+            "— using the id-keyed tag+union join path (payload crosses "
+            "the wire twice)", n_docs_total, max_broadcast_docs)
 
-    frag_ds = uni.groupby("__b").map_groups(join_fragments,
-                                            batch_format="pyarrow")
+    if frag_ds is None:
+        def tag_payload(batch: pa.Table) -> pa.Table:
+            h = hash64(batch.column(id_column), seed=23)
+            return pa.table({
+                id_column: batch.column(id_column),
+                tokens_column: batch.column(tokens_column).cast(tok_t),
+                group_column: pa.nulls(batch.num_rows, pa.string()),
+                "__before__": pa.nulls(batch.num_rows, pa.int64()),
+                "__side": pa.array(np.zeros(batch.num_rows,
+                                            dtype=np.int8)),
+                "__b": pa.array((h % np.uint64(num_buckets))
+                                .astype(np.int64))})
+
+        def tag_assign(batch: pa.Table) -> pa.Table:
+            h = hash64(batch.column(id_column), seed=23)
+            return pa.table({
+                id_column: batch.column(id_column),
+                tokens_column: pa.nulls(batch.num_rows, tok_t),
+                group_column: batch.column(group_column),
+                "__before__": batch.column("__before__"),
+                "__side": pa.array(np.ones(batch.num_rows,
+                                           dtype=np.int8)),
+                "__b": pa.array((h % np.uint64(num_buckets))
+                                .astype(np.int64))})
+
+        uni = (ds.select_columns([id_column, tokens_column])
+               .map_batches(tag_payload, batch_format="pyarrow")
+               .union(assign.map_batches(tag_assign,
+                                         batch_format="pyarrow")))
+
+        def join_fragments(g: pa.Table) -> pa.Table:
+            side = g.column("__side").to_numpy(zero_copy_only=False)
+            pay = g.filter(pa.array(side == 0))
+            asg = g.filter(pa.array(side == 1))
+            # the id must be GLOBALLY unique, not just unique per group:
+            # the payload row carries no group, so an id present in two
+            # groups is ambiguous at this join (same-group dups already
+            # raised in the assignment pass; this catches the cross-group
+            # case — every row of an id hashes to this bucket, so the
+            # check is complete)
+            asg_ids = asg.column(id_column).combine_chunks()
+            if len(asg_ids):
+                vc = pc.value_counts(asg_ids)
+                dup = vc.filter(pc.greater(vc.field("counts"),
+                                           pa.scalar(1)))
+                if len(dup):
+                    raise ValueError(
+                        f"assemble_packed_blocks: id "
+                        f"{dup.field('values')[0].as_py()!r} appears in "
+                        f"multiple groups — ids must be globally unique "
+                        f"(dedup upstream)")
+            # inner match: empty-token payload rows have no assign row
+            idx = pc.index_in(pay.column(id_column), value_set=asg_ids)
+            ok = pc.is_valid(idx)
+            pay = pay.filter(ok)
+            idx = idx.filter(ok)
+            toks = pay.column(tokens_column)
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            take_idx = idx.cast(pa.int64())
+            before = pc.take(asg.column("__before__"), take_idx).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            grp = pc.take(asg.column(group_column), take_idx)
+            if isinstance(grp, pa.ChunkedArray):
+                grp = grp.combine_chunks()
+            return _emit_fragments(toks, before, grp, B, group_column)
+
+        frag_ds = uni.groupby("__b").map_groups(join_fragments,
+                                                batch_format="pyarrow")
 
     def assemble_bucket(g: pa.Table) -> pa.Table:
         t = g.sort_by([(group_column, "ascending"),

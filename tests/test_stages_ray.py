@@ -4263,6 +4263,19 @@ def test_assemble_packed_blocks_random(ray_session):
 
     B = 16
     out = assemble_packed_blocks(ds, block_size=B, num_buckets=8).to_pandas()
+    # the guarded join fallback (payload crosses the wire twice) must be
+    # bit-identical to the broadcast fast path
+    out_join = assemble_packed_blocks(
+        ds, block_size=B, num_buckets=8,
+        max_broadcast_docs=0).to_pandas()
+    key = ["source", "block_id"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = out_join.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in ["source", "block_id", "n_tokens", "n_docs"]:
+        assert (a[col] == b[col]).all()
+    for col in ["input_ids", "position_ids", "segment_ids"]:
+        assert all(list(x) == list(y) for x, y in zip(a[col], b[col]))
     streams = collections.defaultdict(list)
     for r in rows:
         if r["tokens"]:
@@ -4403,6 +4416,11 @@ def test_assemble_packed_blocks_cross_group_dup_raises(ray_session):
     with pytest.raises(Exception, match="multiple groups|globally unique"):
         assemble_packed_blocks(rd.from_arrow(tbl), block_size=4,
                                num_buckets=2).take_all()
+    # the join fallback carries the same guard (checked per id-bucket)
+    with pytest.raises(Exception, match="multiple groups|globally unique"):
+        assemble_packed_blocks(rd.from_arrow(tbl), block_size=4,
+                               num_buckets=2,
+                               max_broadcast_docs=0).take_all()
 
 
 def test_interleave_by_ratio(ray_session):
