@@ -25,7 +25,8 @@ __all__ = ["add_token_count", "add_quality", "LangID", "add_lang_id",
            "PII_PATTERNS", "Redactor", "redact", "contamination_pairs",
            "add_repetition", "canonicalize_urls",
            "token_ngram_contamination", "token_dup_ngram_stats",
-           "remap_token_ids", "add_sentinel_tokens"]
+           "remap_token_ids", "add_sentinel_tokens", "fim_transform",
+           "shift_labels"]
 
 
 def add_token_count(ds: Dataset, text_column: str,
@@ -2999,3 +3000,144 @@ def add_sentinel_tokens(ds: Dataset, tokens_column: str = "tokens",
         return batch
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+def fim_transform(ds: Dataset, tokens_column: str = "tokens",
+                  cut1_column: str = "fim_c1", cut2_column: str = "fim_c2",
+                  pre_id: int = 50281, suf_id: int = 50283,
+                  mid_id: int = 50282, mode: str = "psm",
+                  out: str | None = None,
+                  count_column: str | None = None,
+                  drop_cut_columns: bool = True) -> Dataset:
+    """Fill-in-the-middle reordering of token sequences (Bavarian 2022,
+    "Efficient Training of Language Models to Fill in the Middle"): each
+    document splits at two cut points into (prefix, middle, suffix) and is
+    re-emitted with sentinel tokens so an autoregressive model learns to
+    infill:
+
+      - ``psm``: ``[pre] prefix [suf] suffix [mid] middle``
+      - ``spm``: ``[pre] [suf] suffix [mid] prefix middle`` (the paper's
+        joined suffix-prefix-middle variant — no sentinel between prefix
+        and middle)
+
+    Cut points come from COLUMNS (``cut1_column``/``cut2_column``) so the
+    caller controls the randomness source deterministically (a seeded RNG,
+    a hash of the id, a fixed fraction); they are clamped to
+    ``0 <= c1 <= c2 <= n`` and nulls read as 0.  Null token lists count as
+    empty (output = the three sentinels).  Output length is always
+    ``n + 3``; ``count_column`` (when given) is refreshed.
+
+    Map-only, shuffle-free: per batch one output values allocation, one
+    vectorized gather for the token pieces, and one scatter for the
+    sentinels — the same kernel shape as :func:`add_sentinel_tokens`."""
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"fim_transform: mode must be psm|spm, got {mode!r}")
+    target = out or tokens_column
+
+    def fim(batch: pa.Table) -> pa.Table:
+        toks = batch.column(tokens_column)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        val_type = toks.type.value_type
+        rows = batch.num_rows
+        n = pc.fill_null(pc.cast(pc.list_value_length(toks), pa.int64()),
+                         0).to_numpy(zero_copy_only=False)
+        v = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = pc.fill_null(pc.cast(batch.column(cut1_column), pa.int64()),
+                          0).to_numpy(zero_copy_only=False)
+        c2 = pc.fill_null(pc.cast(batch.column(cut2_column), pa.int64()),
+                          0).to_numpy(zero_copy_only=False)
+        c1 = np.clip(c1, 0, n)
+        c2 = np.clip(c2, c1, n)
+        doc_off = np.cumsum(n) - n
+        one = np.ones(rows, dtype=np.int64)
+        zero = np.zeros(rows, dtype=np.int64)
+        if mode == "psm":
+            # [pre] prefix [suf] suffix [mid] middle
+            L = np.column_stack([one, c1, one, n - c2, one, c2 - c1])
+            srel = np.column_stack([zero, zero, zero, c2, zero, c1])
+            sent_piece = np.array([True, False, True, False, True, False])
+            sent_vals = np.array([pre_id, 0, suf_id, 0, mid_id, 0],
+                                 dtype=np.int64)
+        else:
+            # [pre] [suf] suffix [mid] prefix middle
+            L = np.column_stack([one, one, n - c2, one, c1, c2 - c1])
+            srel = np.column_stack([zero, zero, c2, zero, zero, c1])
+            sent_piece = np.array([True, True, False, True, False, False])
+            sent_vals = np.array([pre_id, suf_id, 0, mid_id, 0, 0],
+                                 dtype=np.int64)
+        Lf = L.ravel()
+        src = (doc_off[:, None] + srel).ravel()
+        tot = int(Lf.sum())
+        pstart = np.cumsum(Lf) - Lf
+        intra = np.arange(tot, dtype=np.int64) - np.repeat(pstart, Lf)
+        sent_f = np.tile(sent_piece, rows)
+        tok_pos = np.repeat(~sent_f, Lf)
+        out_v = np.empty(tot, dtype=np.int64)
+        src_flat = np.repeat(src, Lf) + intra
+        out_v[tok_pos] = v[src_flat[tok_pos]]
+        out_v[pstart[sent_f]] = np.tile(sent_vals[sent_piece], rows)
+        new_n = n + 3
+        new_off = np.zeros(rows + 1, dtype=np.int64)
+        np.cumsum(new_n, out=new_off[1:])
+        col = pa.ListArray.from_arrays(
+            pa.array(new_off.astype(np.int32), type=pa.int32()),
+            pa.array(out_v, type=pa.int64()).cast(val_type))
+        i = batch.schema.get_field_index(target)
+        batch = (batch.set_column(i, target, col) if i >= 0
+                 else batch.append_column(target, col))
+        if count_column is not None:
+            ci = batch.schema.get_field_index(count_column)
+            cnt = pa.array(new_n, type=pa.int64())
+            if ci >= 0:
+                cnt = cnt.cast(batch.schema.field(ci).type)
+                batch = batch.set_column(ci, count_column, cnt)
+            else:
+                batch = batch.append_column(count_column, cnt)
+        if drop_cut_columns:
+            keep = [c for c in batch.column_names
+                    if c not in (cut1_column, cut2_column)]
+            batch = batch.select(keep)
+        return batch
+
+    return ds.map_batches(fim, batch_format="pyarrow")
+
+
+def shift_labels(ds: Dataset, tokens_column: str = "tokens",
+                 out: str = "labels", pad_id: int = -100) -> Dataset:
+    """Next-token prediction labels: ``labels[i] = tokens[i+1]`` with the
+    final position set to ``pad_id`` (the loss-ignore convention) — the
+    last map-only step before a training loader consumes the table.  Null
+    lists count as empty (empty labels).  Keeps the input column; the
+    label list has the same length and value type as the input
+    (``pad_id`` must fit the value type — the cast raises otherwise).
+
+    Map-only, shuffle-free: one shifted copy of the values buffer per
+    batch; row boundaries fixed by a vectorized scatter of ``pad_id`` at
+    each row's last slot."""
+
+    def shift(batch: pa.Table) -> pa.Table:
+        toks = batch.column(tokens_column)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        val_type = toks.type.value_type
+        rows = batch.num_rows
+        n = pc.fill_null(pc.cast(pc.list_value_length(toks), pa.int64()),
+                         0).to_numpy(zero_copy_only=False)
+        v = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        off = np.zeros(rows + 1, dtype=np.int64)
+        np.cumsum(n, out=off[1:])
+        tot = int(off[-1])
+        out_v = np.empty(tot, dtype=np.int64)
+        if tot:
+            out_v[:-1] = v[1:]
+        lasts = off[1:][n > 0] - 1
+        out_v[lasts] = pad_id
+        col = pa.ListArray.from_arrays(
+            pa.array(off.astype(np.int32), type=pa.int32()),
+            pa.array(out_v, type=pa.int64()).cast(val_type))
+        i = batch.schema.get_field_index(out)
+        return (batch.set_column(i, out, col) if i >= 0
+                else batch.append_column(out, col))
+
+    return ds.map_batches(shift, batch_format="pyarrow")

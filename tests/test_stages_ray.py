@@ -4404,6 +4404,78 @@ def test_add_sentinel_tokens(ray_session):
         add_sentinel_tokens(ds, "tokens")
 
 
+def test_fim_transform_random(ray_session):
+    """fim_transform (psm + spm) vs a per-row Python reference, with null
+    lists, out-of-range cut points (clamped), and null cuts (read as 0)."""
+    import ray.data as rd
+
+    from malli_ray.stages.text import fim_transform
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(300):
+        n = int(rng.integers(0, 25))
+        toks = (None if rng.random() < 0.05
+                else rng.integers(0, 1000, n).astype(np.int32).tolist())
+        c1 = (None if rng.random() < 0.05
+              else int(rng.integers(-3, 30)))
+        c2 = (None if rng.random() < 0.05
+              else int(rng.integers(-3, 30)))
+        rows.append((f"d{i}", toks, c1, c2))
+    tbl = pa.table({
+        "doc_id": [r[0] for r in rows],
+        "tokens": pa.array([r[1] for r in rows], pa.list_(pa.int32())),
+        "fim_c1": pa.array([r[2] for r in rows], pa.int64()),
+        "fim_c2": pa.array([r[3] for r in rows], pa.int64())})
+    PRE, SUF, MID = 9001, 9003, 9002
+
+    def ref(toks, c1, c2, mode):
+        t = toks or []
+        n = len(t)
+        c1 = min(max(c1 or 0, 0), n)
+        c2 = min(max(c2 or 0, c1), n)
+        pre, mid, suf = t[:c1], t[c1:c2], t[c2:]
+        if mode == "psm":
+            return [PRE] + pre + [SUF] + suf + [MID] + mid
+        return [PRE, SUF] + suf + [MID] + pre + mid
+
+    for mode in ("psm", "spm"):
+        ds = rd.from_arrow(tbl).repartition(3)
+        got = fim_transform(ds, "tokens", pre_id=PRE, suf_id=SUF,
+                            mid_id=MID, mode=mode,
+                            count_column="n_fim").to_pandas()
+        got = got.set_index("doc_id")
+        for d, toks, c1, c2 in rows:
+            e = ref(toks, c1, c2, mode)
+            assert list(got.loc[d, "tokens"]) == e, (mode, d)
+            assert got.loc[d, "n_fim"] == len(e)
+        assert "fim_c1" not in got.columns  # dropped by default
+    with pytest.raises(ValueError):
+        fim_transform(rd.from_arrow(tbl), mode="nope")
+
+
+def test_shift_labels_random(ray_session):
+    import ray.data as rd
+
+    from malli_ray.stages.text import shift_labels
+
+    rng = np.random.default_rng(19)
+    docs = [(f"d{i}", None if rng.random() < 0.05 else
+             rng.integers(0, 1000, int(rng.integers(0, 20)))
+             .astype(np.int32).tolist()) for i in range(300)]
+    tbl = pa.table({
+        "doc_id": [d for d, _ in docs],
+        "tokens": pa.array([t for _, t in docs], pa.list_(pa.int32()))})
+    got = {r["doc_id"]: r for r in shift_labels(
+        rd.from_arrow(tbl).repartition(3), "tokens",
+        out="labels", pad_id=-100).take_all()}
+    for d, t in docs:
+        t = t or []
+        exp = t[1:] + [-100] if t else []
+        assert list(got[d]["labels"] or []) == exp
+        assert list(got[d]["tokens"] or []) == t  # input preserved
+
+
 def test_assemble_packed_blocks_cross_group_dup_raises(ray_session):
     import ray.data as rd
 
