@@ -199,8 +199,9 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "assemble_blocks_sequences", "window_tokens_sequences",
         "remap_tokens_sequences", "sentinel_tokens_sequences",
         "pack_prep_sequences", "interleave_sequences",
-        # r4 session 6: fill-in-the-middle + next-token labels
+        # r4 session 6: fill-in-the-middle + next-token labels + rarity
         "fim_sequences", "shift_labels_sequences",
+        "token_rarity_sequences",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

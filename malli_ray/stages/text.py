@@ -26,7 +26,7 @@ __all__ = ["add_token_count", "add_quality", "LangID", "add_lang_id",
            "add_repetition", "canonicalize_urls",
            "token_ngram_contamination", "token_dup_ngram_stats",
            "remap_token_ids", "add_sentinel_tokens", "fim_transform",
-           "shift_labels"]
+           "shift_labels", "token_rarity"]
 
 
 def add_token_count(ds: Dataset, text_column: str,
@@ -3141,3 +3141,82 @@ def shift_labels(ds: Dataset, tokens_column: str = "tokens",
                 else batch.append_column(out, col))
 
     return ds.map_batches(shift, batch_format="pyarrow")
+
+
+def token_rarity(ds: Dataset, tokens_column: str = "tokens",
+                 id_column: str = "doc_id",
+                 vocab_range: tuple = (0, 50257)) -> Dataset:
+    """Corpus-frequency rarity scoring on token ids (the CCNet-style
+    quality signal of Wenzek 2019, kept exactly integer so SQL can replay
+    it bit-for-bit): pass 1 counts every token's corpus frequency, pass 2
+    scores each document with
+
+      - ``rarity_sum``: sum over its tokens of the corpus count (int64),
+      - ``rarity_min``: the rarest token's corpus count (int64; 0 for
+        empty/null lists),
+      - ``n_tok``: token count.
+
+    Low ``rarity_min`` flags corrupt/garbage sequences (tokens almost
+    nobody uses); ``rarity_sum / n_tok`` is the mean-frequency filter.
+
+    Scale shape: pass 1 is a map-side ``np.bincount`` over the BOUNDED
+    ``vocab_range`` (out-of-range tokens RAISE — this table's contract is
+    validated ids) collapsed to ``(token, cnt)`` rows, then ONE O(vocab)
+    native groupby-sum; the count vector (8 B x vocab, ~400 KB at 50k)
+    broadcasts via ``ray.put`` and pass 2 is one map-only gather + two
+    segment reductions per batch.  No unbounded driver state — the driver
+    holds exactly one vocab-length vector."""
+    import ray
+
+    lo, hi = int(vocab_range[0]), int(vocab_range[1])
+    if hi <= lo:
+        raise ValueError("token_rarity: empty vocab_range")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = batch.column(tokens_column)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        v = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) and (v.min() < lo or v.max() >= hi):
+            bad = v[(v < lo) | (v >= hi)][0]
+            raise ValueError(
+                f"token_rarity: token id {bad} outside vocab_range "
+                f"[{lo}, {hi}) — widen vocab_range or validate upstream")
+        cnt = np.bincount(v - lo, minlength=hi - lo)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"token": pa.array(nz + lo, pa.int64()),
+                         "cnt": pa.array(cnt[nz], pa.int64())})
+
+    rows = (ds.select_columns([tokens_column])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("token").sum("cnt").take_all())  # O(vocab) rows
+    vec = np.zeros(hi - lo, dtype=np.int64)
+    for r in rows:
+        vec[int(r["token"]) - lo] = int(r["sum(cnt)"])
+    vec_ref = ray.put(vec)
+
+    def score(batch: pa.Table) -> pa.Table:
+        counts = ray.get(vec_ref)
+        toks = batch.column(tokens_column)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.fill_null(pc.cast(pc.list_value_length(toks), pa.int64()),
+                         0).to_numpy(zero_copy_only=False)
+        v = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        g = counts[v - lo]
+        off = np.zeros(len(n) + 1, dtype=np.int64)
+        np.cumsum(n, out=off[1:])
+        c = np.zeros(len(g) + 1, dtype=np.int64)
+        np.cumsum(g, out=c[1:])
+        rsum = c[off[1:]] - c[off[:-1]]
+        rmin = np.zeros(len(n), dtype=np.int64)
+        nz = n > 0
+        if nz.any():
+            rmin[nz] = np.minimum.reduceat(g, off[:-1][nz])
+        return pa.table({
+            id_column: batch.column(id_column),
+            "n_tok": pa.array(n, pa.int64()),
+            "rarity_sum": pa.array(rsum, pa.int64()),
+            "rarity_min": pa.array(rmin, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

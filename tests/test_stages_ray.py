@@ -4476,6 +4476,38 @@ def test_shift_labels_random(ray_session):
         assert list(got[d]["tokens"] or []) == t  # input preserved
 
 
+def test_token_rarity_random(ray_session):
+    """token_rarity vs a per-row Python reference (corpus counts, per-doc
+    sum/min), with null/empty lists and the out-of-range raise."""
+    import collections
+
+    import ray.data as rd
+
+    from malli_ray.stages.text import token_rarity
+
+    rng = np.random.default_rng(23)
+    docs = [(f"d{i}", None if rng.random() < 0.05 else
+             rng.integers(0, 50, int(rng.integers(0, 15)))
+             .astype(np.int32).tolist()) for i in range(300)]
+    tbl = pa.table({
+        "doc_id": [d for d, _ in docs],
+        "tokens": pa.array([t for _, t in docs], pa.list_(pa.int32()))})
+    got = {r["doc_id"]: r for r in token_rarity(
+        rd.from_arrow(tbl).repartition(3), "tokens", "doc_id",
+        vocab_range=(0, 50)).take_all()}
+    cnt = collections.Counter(t for _, ts in docs for t in (ts or []))
+    for d, ts in docs:
+        ts = ts or []
+        assert got[d]["n_tok"] == len(ts)
+        assert got[d]["rarity_sum"] == sum(cnt[t] for t in ts)
+        assert got[d]["rarity_min"] == (min(cnt[t] for t in ts) if ts
+                                        else 0)
+    bad = pa.table({"doc_id": ["x"],
+                    "tokens": pa.array([[99]], pa.list_(pa.int32()))})
+    with pytest.raises(Exception, match="vocab_range"):
+        token_rarity(rd.from_arrow(bad), vocab_range=(0, 50)).take_all()
+
+
 def test_assemble_packed_blocks_cross_group_dup_raises(ray_session):
     import ray.data as rd
 
