@@ -151,3 +151,59 @@ def numeric_histogram(ds: Dataset, column: str, edges: list[float]) -> dict[str,
     for row in totals.iter_rows():
         out[f"bin_{int(row['bin']):04d}"] = int(row["cnt"])
     return out
+
+
+def monotonic_violations(ds: Dataset, key: str, order_by, value_column: str,
+                         strict: bool = False,
+                         num_buckets: int = 64) -> Dataset:
+    """Ordering constraint: within each ``key``'s run ordered by
+    ``order_by``, ``value_column`` must be non-decreasing (``strict=True``:
+    strictly increasing).  Emits the violating rows with the previous
+    value attached (``<value>_prev``) — the event-time-sanity check a
+    validation engine runs on append-ordered streams (SQL replay:
+    ``LAG(value) OVER (PARTITION BY key ORDER BY order_by)`` + a filter).
+
+    Values move verbatim (``pc.take``), so timestamps, floats and
+    decimals compare with their own Arrow semantics (nulls never violate:
+    a null value or a null predecessor is skipped, SQL comparison-with-
+    NULL parity).
+
+    Scale shape: the `lag_lead` discipline — ONE ``hash(key) %
+    num_buckets`` exchange (evenly-sized groups regardless of key count
+    or skew), one Arrow multi-column sort per bucket, then a fully
+    vectorized previous-index shift with run-boundary masking across all
+    keys at once."""
+    from .analytics import _adjacent_change_mask, bucketed_groups
+
+    if isinstance(order_by, str):
+        order_by = [order_by]
+    prev_name = f"{value_column}_prev"
+    spec = [(key, "ascending"), *[(c, "ascending") for c in order_by]]
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by(spec)
+        n = t.num_rows
+        empty = pa.table({
+            **{c: pa.array([], type=t.schema.field(c).type)
+               for c in t.column_names},
+            prev_name: pa.array([], type=t.schema.field(value_column).type)})
+        if n == 0:
+            return empty
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first |= _adjacent_change_mask(t, [key])
+        idx = np.arange(n, dtype=np.int64) - 1
+        # run starts take a dummy index 0 and are masked to null next
+        prev = pc.take(t.column(value_column),
+                       pa.array(np.where(first, 0, idx), type=pa.int64()))
+        prev = pc.if_else(pa.array(first), pa.nulls(
+            n, t.schema.field(value_column).type), prev)
+        cur = t.column(value_column)
+        bad = (pc.less(cur, prev) if not strict
+               else pc.less_equal(cur, prev))
+        bad = pc.fill_null(bad, False)
+        out = t.append_column(prev_name, prev)
+        return out.filter(bad)
+
+    return bucketed_groups(ds, key, per_bucket, num_buckets=num_buckets,
+                           seed=17)

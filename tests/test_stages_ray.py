@@ -4476,6 +4476,40 @@ def test_shift_labels_random(ray_session):
         assert list(got[d]["tokens"] or []) == t  # input preserved
 
 
+def test_monotonic_violations_random(ray_session):
+    """monotonic_violations vs a pandas LAG reference: random keys/orders/
+    values with nulls, both strict modes."""
+    import pandas as pd
+    import ray.data as rd
+
+    from malli_ray.stages.constraints import monotonic_violations
+
+    rng = np.random.default_rng(29)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "o": rng.permutation(n),
+        "v": np.where(rng.random(n) < 0.05, np.nan,
+                      rng.integers(0, 50, n).astype(float))})
+    tbl = pa.table({"k": pa.array(df.k, pa.int64()),
+                    "o": pa.array(df.o, pa.int64()),
+                    "v": pa.array(df.v, pa.float64(), from_pandas=True)})
+    for strict in (False, True):
+        got = monotonic_violations(
+            rd.from_arrow(tbl).repartition(4), "k", "o", "v",
+            strict=strict, num_buckets=8).to_pandas()
+        s = df.sort_values(["k", "o"]).copy()
+        s["p"] = s.groupby("k")["v"].shift(1)
+        bad = s[(s.v < s.p) if not strict else (s.v <= s.p)]
+        assert len(got) == len(bad)
+        g = got.sort_values(["k", "o"]).reset_index(drop=True)
+        b = bad.sort_values(["k", "o"]).reset_index(drop=True)
+        assert (g["k"].values == b["k"].values).all()
+        assert (g["o"].values == b["o"].values).all()
+        assert (g["v"].values == b["v"].values).all()
+        assert (g["v_prev"].values == b["p"].values).all()
+
+
 def test_token_rarity_random(ray_session):
     """token_rarity vs a per-row Python reference (corpus counts, per-doc
     sum/min), with null/empty lists and the out-of-range raise."""
