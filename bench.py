@@ -202,6 +202,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         # r4 session 6: fill-in-the-middle + next-token labels + rarity
         "fim_sequences", "shift_labels_sequences",
         "token_rarity_sequences", "monotonic_events",
+        "expectations_sequences",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

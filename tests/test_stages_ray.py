@@ -4476,6 +4476,50 @@ def test_shift_labels_random(ray_session):
         assert list(got[d]["tokens"] or []) == t  # input preserved
 
 
+def test_expectations_report(ray_session):
+    """expectations_report verdicts vs hand-computed truth: passing and
+    failing rules, float-column quantized means, null-excluded distinct."""
+    import ray.data as rd
+
+    from malli_ray.stages.constraints import expectations_report
+
+    tbl = pa.table({
+        "id": pa.array(list(range(10)), pa.int64()),
+        "x": pa.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 10], pa.int64()),
+        "f": pa.array([0.5, 1.5, None, 2.5, 0.5, 1.0, 1.0, 2.0, 3.0, 0.0],
+                      pa.float64()),
+        "g": pa.array(["a", "b", "a", None, "c", "a", "b", None, "c", "a"],
+                      pa.string())})
+    ds = rd.from_arrow(tbl).repartition(3)
+    rep = expectations_report(ds, [
+        {"kind": "row_count_between", "lo": 5, "hi": 20, "name": "rc_ok"},
+        {"kind": "row_count_between", "lo": 11, "hi": 20, "name": "rc_bad"},
+        {"kind": "null_rate_lt", "column": "g", "max_rate": 0.3,
+         "name": "nulls_ok"},          # 2/10 = 0.2 < 0.3
+        {"kind": "null_rate_lt", "column": "g", "max_rate": 0.2,
+         "name": "nulls_bad"},         # 0.2 < 0.2 is false
+        {"kind": "mean_between", "column": "x", "lo": 5, "hi": 6,
+         "name": "mean_ok"},           # mean 5.5
+        {"kind": "mean_between", "column": "f", "lo": 1.3, "hi": 1.4,
+         "name": "fmean_ok"},          # mean 12/9 = 1.333...
+        {"kind": "min_ge", "column": "x", "value": 1, "name": "min_ok"},
+        {"kind": "max_le", "column": "x", "value": 9, "name": "max_bad"},
+        {"kind": "distinct_count_between", "column": "g", "lo": 3, "hi": 3,
+         "name": "card_ok"},           # a,b,c — nulls excluded
+    ]).to_pydict()
+    ok = dict(zip(rep["rule"], rep["ok"]))
+    assert ok == {"rc_ok": True, "rc_bad": False, "nulls_ok": True,
+                  "nulls_bad": False, "mean_ok": True, "fmean_ok": True,
+                  "min_ok": True, "max_bad": False, "card_ok": True}
+    obs = dict(zip(rep["rule"], rep["observed_i"]))
+    assert obs["rc_ok"] == 10 and obs["nulls_ok"] == 2
+    assert obs["mean_ok"] == 55 and obs["card_ok"] == 3
+    # float sums quantize at 2^20 BEFORE summation (exact, associative)
+    assert obs["fmean_ok"] == sum(round(v * (1 << 20)) for v in
+                                  [0.5, 1.5, 2.5, 0.5, 1.0, 1.0, 2.0,
+                                   3.0, 0.0])
+
+
 def test_monotonic_violations_random(ray_session):
     """monotonic_violations vs a pandas LAG reference: random keys/orders/
     values with nulls, both strict modes."""
