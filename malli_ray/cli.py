@@ -410,6 +410,37 @@ def _run_pack(args, paths: list[str]) -> int:
     return 0
 
 
+def _parse_expect_rules(specs: list[str]) -> list[dict]:
+    """--expect RULE parser → constraints.expectations_report rule dicts.
+    Malformed specs exit with a one-line message (the CLI contract)."""
+    rules = []
+    for s in specs:
+        kind, *rest = s.split(":")
+        try:
+            if kind == "row_count_between":
+                rules.append({"kind": kind, "lo": int(float(rest[0])),
+                              "hi": int(float(rest[1])), "name": s})
+            elif kind == "null_rate_lt":
+                rules.append({"kind": kind, "column": rest[0],
+                              "max_rate": float(rest[1]), "name": s})
+            elif kind == "mean_between":
+                rules.append({"kind": kind, "column": rest[0],
+                              "lo": float(rest[1]), "hi": float(rest[2]),
+                              "name": s})
+            elif kind in ("min_ge", "max_le"):
+                rules.append({"kind": kind, "column": rest[0],
+                              "value": float(rest[1]), "name": s})
+            elif kind == "distinct_count_between":
+                rules.append({"kind": kind, "column": rest[0],
+                              "lo": int(float(rest[1])),
+                              "hi": int(float(rest[2])), "name": s})
+            else:
+                raise SystemExit(f"unknown --expect kind: {kind}")
+        except (IndexError, ValueError):
+            raise SystemExit(f"malformed --expect rule: {s!r}")
+    return rules
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="malli_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -429,6 +460,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="cross-column check, e.g. list_len_eq:tokens:n_tok")
     v.add_argument("--allowed", action="append",
                    help="referential small side, e.g. source:web,books")
+    v.add_argument("--expect", action="append", metavar="RULE",
+                   help="assertion rule, repeatable: row_count_between:LO:HI"
+                        " | null_rate_lt:COL:RATE | mean_between:COL:LO:HI"
+                        " | min_ge:COL:V | max_le:COL:V"
+                        " | distinct_count_between:COL:LO:HI — verdicts "
+                        "land in the report under 'expectations' and gate "
+                        "the exit code")
     v.add_argument("--max-violations", type=int, default=10_000)
     v.add_argument("--write-valid", action="store_true",
                    help="also route valid rows to <out>/valid/ (coerce sink)")
@@ -630,6 +668,16 @@ def main(argv: list[str] | None = None) -> int:
         except SchemaLayoutError as e:
             print(json.dumps({"pass": False, "layout_error": e.problems}))
             return 2
+        if args.expect:
+            import ray.data as rd
+
+            from .stages.constraints import expectations_report
+            rows = expectations_report(
+                rd.read_parquet(paths),
+                _parse_expect_rules(args.expect)).to_pylist()
+            report["expectations"] = rows
+            report["pass"] = bool(report["pass"]
+                                  and all(r["ok"] for r in rows))
         print(json.dumps(report, default=str))
         return 0 if report["pass"] else 1
     finally:

@@ -228,3 +228,40 @@ def test_cli_pack_blocks(ray_session, seq_dir, tmp_path):
     clipped = pc2.min_element_wise(pc2.cast(lens, pa.int64()),
                                    pa.scalar(1024, pa.int64()))
     assert int(np.sum(n_tok)) == int(pc2.sum(clipped).as_py())
+
+
+def test_cli_validate_expectations(ray_session, seq_dir, tmp_path, capsys):
+    """--expect rules land in the report and gate the exit code: a passing
+    suite keeps the job's own verdict; a failing cardinality rule flips
+    pass to False (exit 1); malformed rules exit with a one-line message."""
+    import json
+
+    from malli_ray import cli
+
+    schema = tmp_path / "schema.json"
+    schema.write_text(json.dumps(
+        ["map", ["doc_id", ["string", {"min": 1}]]]))
+
+    def run(expect, out):
+        rc = cli.main([
+            "validate", "--input", seq_dir, "--schema", str(schema),
+            "--out", str(tmp_path / out), "--num-cpus", "4",
+            *[x for e in expect for x in ("--expect", e)]])
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        return rc, rep
+
+    rc, rep = run(["row_count_between:1:1e9", "null_rate_lt:source:0.01",
+                   "mean_between:n_tok:200:600", "min_ge:n_tok:1"], "e1")
+    assert all(r["ok"] for r in rep["expectations"])
+    assert rep["expectations"][0]["observed_i"] == 3000
+    assert rc == (0 if rep["pass"] else 1)
+
+    # 'bogus' + null source -> 6 distinct (nulls excluded) > 4 -> fail
+    rc, rep = run(["distinct_count_between:source:1:4"], "e2")
+    assert rc == 1 and rep["pass"] is False
+    assert rep["expectations"][0]["observed_i"] == 6
+
+    with pytest.raises(SystemExit, match="unknown --expect kind"):
+        cli.main(["validate", "--input", seq_dir, "--schema", str(schema),
+                  "--out", str(tmp_path / "e3"), "--num-cpus", "4",
+                  "--expect", "nope:1"])
