@@ -506,3 +506,46 @@ def test_budget_sample_semantics(ray_session):
     out2 = budget_sample(rd.from_arrow(t).repartition(3), "g", "w", "id",
                          fraction=0.5, num_buckets=8).take_all()
     assert {r["id"] for r in out2} == kept
+
+
+def test_skew_assemble_packed_blocks(ray_session):
+    """The fragment design's skew claim, empirically pinned: a 90%-hot
+    group assembles in comparable wall time to a uniform mix (block-keyed
+    fragment buckets are hash-balanced regardless of group skew), and the
+    per-group token totals are conserved exactly."""
+    from malli_ray.stages.packing import assemble_packed_blocks
+
+    rng = np.random.default_rng(31)
+    n = 60_000
+    B = 256
+    res = {}
+    for label, grp in (
+            ("uniform", rng.integers(0, 10, size=n)),
+            ("skew", np.where(rng.random(n) < 0.9, 0,
+                              rng.integers(1, 10, size=n)))):
+        lens = rng.integers(1, 200, size=n)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        vals = rng.integers(0, 50_000, int(off[-1])).astype(np.int32)
+        t = pa.table({
+            "doc_id": pa.array([f"d{i:07d}" for i in range(n)]),
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(off.astype(np.int32), pa.int32()),
+                pa.array(vals)),
+            "source": pa.array([f"s{g}" for g in grp])})
+        ds = _from_arrow(t)
+        t0 = time.perf_counter()
+        out = assemble_packed_blocks(ds, block_size=B,
+                                     num_buckets=16).materialize()
+        dt = time.perf_counter() - t0
+        agg = {}
+        for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+            for s, ntok in zip(b.column("source").to_pylist(),
+                               b.column("n_tokens").to_pylist()):
+                agg[s] = agg.get(s, 0) + int(ntok)
+        want = {}
+        for g, ln in zip(grp, lens):
+            want[f"s{g}"] = want.get(f"s{g}", 0) + int(ln)
+        assert agg == want, label
+        res[label] = dt
+    assert res["skew"] <= 2.5 * res["uniform"] + 5.0, res
