@@ -547,11 +547,19 @@ def assemble_packed_blocks(ds: Dataset, tokens_column: str = "tokens",
     if n_docs_total <= max_broadcast_docs:
         import ray
 
-        atbl = pa.concat_tables(
-            assign.iter_batches(batch_format="pyarrow", batch_size=None))
-        h = hash64(atbl.column(id_column), seed=23)
-        order = np.argsort(h, kind="stable")
-        hs = np.ascontiguousarray(h[order])
+        # transient driver pull of the O(docs) scalar table — bounded by
+        # max_broadcast_docs (~32 B/doc, ≤ ~256 MB at the default cap)
+        batches = list(assign.iter_batches(batch_format="pyarrow",
+                                           batch_size=None))
+        if batches:
+            atbl = pa.concat_tables(batches)
+            h = hash64(atbl.column(id_column), seed=23)
+            order = np.argsort(h, kind="stable")
+            hs = np.ascontiguousarray(h[order])
+        else:  # no non-empty docs at all — empty lookup, nothing attaches
+            atbl = None
+            order = np.zeros(0, dtype=np.int64)
+            hs = np.zeros(0, dtype=np.uint64)
         collision = False
         if len(hs) > 1:
             eq = np.flatnonzero(hs[1:] == hs[:-1])
@@ -571,10 +579,15 @@ def assemble_packed_blocks(ds: Dataset, tokens_column: str = "tokens",
                     "tag+union join path")
                 collision = True
         if not collision:
-            take_o = pa.array(order, type=pa.int64())
-            before_s = atbl.column("__before__").to_numpy(
-                zero_copy_only=False).astype(np.int64)[order]
-            grp_s = atbl.column(group_column).combine_chunks().take(take_o)
+            if atbl is not None:
+                take_o = pa.array(order, type=pa.int64())
+                before_s = atbl.column("__before__").to_numpy(
+                    zero_copy_only=False).astype(np.int64)[order]
+                grp_s = atbl.column(group_column).combine_chunks().take(
+                    take_o)
+            else:
+                before_s = np.zeros(0, dtype=np.int64)
+                grp_s = pa.array([], pa.string())
             lookup_ref = ray.put((hs, before_s, grp_s))
 
             def attach_fragments(batch: pa.Table) -> pa.Table:

@@ -4363,6 +4363,30 @@ def test_remap_token_ids(ray_session):
         assert list(got2.loc[d, "tokens"]) == tk
 
 
+def test_assemble_packed_blocks_empty_inputs(ray_session):
+    """Zero-row and all-empty-token-list inputs assemble to zero blocks on
+    BOTH the broadcast and join paths (regression: the empty assignment
+    table used to break the driver pull)."""
+    import ray.data as rd
+
+    from malli_ray.stages.packing import assemble_packed_blocks
+
+    cases = [
+        pa.table({"doc_id": pa.array([], pa.string()),
+                  "tokens": pa.array([], pa.list_(pa.int32())),
+                  "source": pa.array([], pa.string())}),
+        pa.table({"doc_id": ["a", "b"],
+                  "tokens": pa.array([[], None], pa.list_(pa.int32())),
+                  "source": ["x", "y"]})]
+    for tbl in cases:
+        for cap in (8_000_000, 0):
+            out = assemble_packed_blocks(
+                rd.from_arrow(tbl), block_size=4, num_buckets=2,
+                tokens_type=pa.list_(pa.int32()),
+                max_broadcast_docs=cap).take_all()
+            assert out == []
+
+
 def test_assemble_packed_blocks_dup_id_raises(ray_session):
     import ray.data as rd
 
