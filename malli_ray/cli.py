@@ -669,12 +669,18 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"pass": False, "layout_error": e.problems}))
             return 2
         if args.expect:
-            import ray.data as rd
-
-            from .stages.constraints import expectations_report
-            rows = expectations_report(
-                rd.read_parquet(paths),
-                _parse_expect_rules(args.expect)).to_pylist()
+            # scan rules evaluate for FREE from the fused pass's stats
+            # (exact sum_i/sum_scale ride in ColumnStats); only
+            # distinct-count rules need their own tiny exchange
+            from .stages.constraints import (expectations_from_stats,
+                                             expectations_report)
+            rows, leftover = expectations_from_stats(
+                report["stats"], report["n_rows"],
+                _parse_expect_rules(args.expect))
+            if leftover:
+                import ray.data as rd
+                rows += expectations_report(rd.read_parquet(paths),
+                                            leftover).to_pylist()
             report["expectations"] = rows
             report["pass"] = bool(report["pass"]
                                   and all(r["ok"] for r in rows))

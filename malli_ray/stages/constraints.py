@@ -31,7 +31,7 @@ from ray.data.aggregate import Count, Sum
 
 __all__ = ["uniqueness_violations", "check_referential", "histogram",
            "drift_score", "ReferentialCheck", "monotonic_violations",
-           "expectations_report"]
+           "expectations_report", "expectations_from_stats"]
 
 
 def _local_value_counts(key: str):
@@ -313,30 +313,14 @@ def expectations_report(ds: Dataset, rules: list[dict]) -> pa.Table:
                                 batch_format="pyarrow"))
             obs_i = int(sub.groupby(c).count().count())
             ok = int(r["lo"]) <= obs_i <= int(r["hi"])
-        elif kind == "row_count_between":
-            obs_i = agg[i]["n"]
-            ok = int(r["lo"]) <= obs_i <= int(r["hi"])
-        elif kind == "null_rate_lt":
-            obs_i = agg[i]["nulls"]
-            ppb = int(round(float(r["max_rate"]) * 1_000_000_000))
-            ok = obs_i * 1_000_000_000 < ppb * agg[i]["n"]
-        elif kind == "mean_between":
-            obs_i = agg[i]["sum_i"]
-            valid = agg[i]["n"] - agg[i]["nulls"]
-            scale = (_EXPECT_SCALE if _rule_col_is_float(ds, c) else 1)
-            lo = int(round(float(r["lo"]) * 1_000_000_000))
-            hi = int(round(float(r["hi"]) * 1_000_000_000))
-            ok = (valid > 0
-                  and lo * valid * scale <= obs_i * 1_000_000_000
-                  <= hi * valid * scale)
-        elif kind == "min_ge":
-            obs_f = agg[i]["min_f"]
-            ok = obs_f is not None and obs_f >= float(r["value"])
-        elif kind == "max_le":
-            obs_f = agg[i]["max_f"]
-            ok = obs_f is not None and obs_f <= float(r["value"])
         else:
-            raise ValueError(f"expectations_report: unknown kind {kind!r}")
+            scale = (_EXPECT_SCALE
+                     if kind == "mean_between" and _rule_col_is_float(ds, c)
+                     else 1)
+            obs_i, obs_f, ok = _decide_scan_rule(
+                r, n=agg[i]["n"], nulls=agg[i]["nulls"],
+                sum_i=agg[i]["sum_i"], scale=scale,
+                mn=agg[i]["min_f"], mx=agg[i]["max_f"])
         rows.append((r.get("name", kind), c or "", obs_i, obs_f, bool(ok)))
 
     return pa.table({
@@ -350,3 +334,60 @@ def expectations_report(ds: Dataset, rules: list[dict]) -> pa.Table:
 def _rule_col_is_float(ds: Dataset, c: str) -> bool:
     sch = ds.schema(fetch_if_missing=True)
     return pa.types.is_floating(sch.base_schema.field(c).type)
+
+
+def _decide_scan_rule(r: dict, *, n: int, nulls: int, sum_i: int,
+                      scale: int, mn, mx):
+    """(observed_i, observed_f, ok) for one scan rule from exact
+    aggregates — the comparison math shared by `expectations_report` and
+    `expectations_from_stats` (integer cross-multiplication, no float
+    division)."""
+    kind = r["kind"]
+    if kind == "row_count_between":
+        return n, None, int(r["lo"]) <= n <= int(r["hi"])
+    if kind == "null_rate_lt":
+        ppb = int(round(float(r["max_rate"]) * 1_000_000_000))
+        return nulls, None, nulls * 1_000_000_000 < ppb * n
+    if kind == "mean_between":
+        valid = n - nulls
+        lo = int(round(float(r["lo"]) * 1_000_000_000))
+        hi = int(round(float(r["hi"]) * 1_000_000_000))
+        ok = (valid > 0
+              and lo * valid * scale <= sum_i * 1_000_000_000
+              <= hi * valid * scale)
+        return sum_i, None, ok
+    if kind == "min_ge":
+        return None, mn, mn is not None and mn >= float(r["value"])
+    if kind == "max_le":
+        return None, mx, mx is not None and mx <= float(r["value"])
+    raise ValueError(f"expectations: unknown kind {kind!r}")
+
+
+def expectations_from_stats(stats: dict, n_rows: int,
+                            rules: list[dict]) -> tuple[list[dict],
+                                                        list[dict]]:
+    """Evaluate scan rules for FREE from a fused validation report's
+    column stats (`ColumnStats` now carries exact `sum_i`/`sum_scale`):
+    returns ``(verdict_rows, leftover_rules)`` where leftovers (the
+    distinct-count rules, which need their own tiny exchange) still go
+    through :func:`expectations_report`.  Identical verdict math — the
+    CLI's ``--expect`` pays zero extra passes for scan rules."""
+    rows, leftover = [], []
+    for r in rules:
+        if r["kind"] == "distinct_count_between":
+            leftover.append(r)
+            continue
+        c = r.get("column")
+        s = stats.get(c, {}) if c else {}
+        mn = mx = None
+        if r["kind"] in ("min_ge", "max_le"):  # numeric rules only
+            mn = float(s["min"]) if s.get("min") is not None else None
+            mx = float(s["max"]) if s.get("max") is not None else None
+        obs_i, obs_f, ok = _decide_scan_rule(
+            r, n=n_rows, nulls=int(s.get("null_count", 0)),
+            sum_i=int(s.get("sum_i", 0)),
+            scale=int(s.get("sum_scale", 1)), mn=mn, mx=mx)
+        rows.append({"rule": r.get("name", r["kind"]), "column": c or "",
+                     "observed_i": obs_i, "observed_f": obs_f,
+                     "ok": bool(ok)})
+    return rows, leftover

@@ -286,6 +286,24 @@ class ColumnStats:
                     mn, mx = mm["min"].as_py(), mm["max"].as_py()
                     s["min"] = mn if s["min"] is None else min(s["min"], mn)
                     s["max"] = mx if s["max"] is None else max(s["max"], mx)
+            # exact sums for mean-style assertions, fused with the scan:
+            # int columns sum exactly (python-int accumulation, unbounded);
+            # float columns quantize each value at 2^20 BEFORE summation so
+            # partial sums are associative and partitioning-independent.
+            # sum_scale makes the record self-describing for consumers.
+            if pa.types.is_integer(dt):
+                if len(col) > col.null_count:
+                    s["sum_i"] = (s.get("sum_i", 0)
+                                  + int(pc.sum(col).as_py() or 0))
+                s["sum_scale"] = 1
+            elif pa.types.is_floating(dt):
+                if len(col) > col.null_count:
+                    import numpy as _np
+                    v = pc.drop_null(col).to_numpy(zero_copy_only=False)
+                    s["sum_i"] = (s.get("sum_i", 0)
+                                  + int(_np.round(v * (1 << 20))
+                                        .astype(_np.int64).sum()))
+                s["sum_scale"] = 1 << 20
             if name in hist_columns:
                 vc = col.value_counts()
                 if isinstance(vc, pa.ChunkedArray):
@@ -304,6 +322,10 @@ class ColumnStats:
             for key, pick in (("min", min), ("max", max)):
                 if o[key] is not None:
                     s[key] = o[key] if s[key] is None else pick(s[key], o[key])
+            if "sum_i" in o or "sum_i" in s:
+                s["sum_i"] = s.get("sum_i", 0) + o.get("sum_i", 0)
+            if "sum_scale" in o:
+                s["sum_scale"] = o["sum_scale"]
             for k, v in o.get("hist", {}).items():
                 s["hist"][k] = s["hist"].get(k, 0) + v
         return self
