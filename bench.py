@@ -203,6 +203,9 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "fim_sequences", "shift_labels_sequences",
         "token_rarity_sequences", "monotonic_events",
         "expectations_sequences",
+        # r4 session 7: tokenized exact/near dedup + type-token stats
+        "dedup_tokens_sequences", "near_dup_tokens_sequences",
+        "token_type_stats_sequences",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -130,6 +130,22 @@ def exact_dup_groups(ds: Dataset, column: str, id_column: str) -> Dataset:
     return g.filter(expr="n > 1")
 
 
+def exact_dup_counts(ds: Dataset, column: str, id_column: str) -> Dataset:
+    """(id_column = min id, n_copies) for EVERY distinct content of
+    ``column`` — the group-multiplicity view of ``exact_dedup_keep_first``
+    (``exact_dup_groups`` filtered to n > 1 loses the singletons).  Works
+    on any column polars can hash, including list<int> token arrays
+    (sequence-level exact dedup keys the whole token array).  Same scale
+    shape: map-side (hash -> min id, count) combine, ONE groupby on the
+    128-bit content hash, key-only shuffle."""
+    partial = ds.map_batches(_hash_combine(column, id_column),
+                             batch_format="pyarrow")
+    return (partial.groupby("content_hash")
+            .aggregate(Sum("cnt", alias_name="n_copies"),
+                       Min(id_column, alias_name=id_column))
+            .select_columns([id_column, "n_copies"]))
+
+
 def exact_dedup_keep_first(ds: Dataset, column: str, id_column: str) -> Dataset:
     """One id per distinct content (the minimum id — deterministic keep rule)."""
     partial = ds.map_batches(_hash_combine(column, id_column),
@@ -318,7 +334,12 @@ class MinHasher:
         texts = batch.column(self.text_column).to_pylist()
         ids = batch.column(self.id_column)
         sigs = self.signatures(texts)
-        n = len(texts)
+        return self._emit_bands(ids, sigs)
+
+    def _emit_bands(self, ids, sigs: np.ndarray) -> pa.Table:
+        """(band, band_hash, id, sig) rows from a signature matrix — the
+        shared LSH flat-map tail for every signature source."""
+        n = sigs.shape[0]
         sig_small = (sigs & np.uint64(0xFF)).astype(np.uint8)
         sig_bytes = [sig_small[i].tobytes() for i in range(n)]
         bh = _band_fnv(sigs, self.bands)
@@ -333,6 +354,119 @@ class MinHasher:
                          "sig": pa.array(sig_bytes * self.bands, type=pa.binary())})
 
 
+def _list_values_offsets(col) -> "tuple[np.ndarray, np.ndarray]":
+    """(values int64, offsets int64) of a list<int> column, null rows
+    reading as empty.  Rebased so row i's tokens are
+    values[offsets[i]:offsets[i+1]]."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):
+        n = len(col)
+        return (np.empty(0, dtype=np.int64),
+                np.zeros(n + 1, dtype=np.int64))
+    # fill nulls with empty lists so offsets stay monotone and complete
+    if col.null_count:
+        col = col.fill_null([])
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = offsets[0]
+    if lo or offsets[-1] != len(values):
+        values = values[lo:offsets[-1]]
+        offsets = offsets - lo
+    return values, offsets
+
+
+def token_grams(col, k: int, vocab: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-row Horner-packed token k-grams of a list<int> column.
+
+    Returns ``(grams, starts)``: a flat int64 gram array and the per-row
+    start offsets (length n_rows; row i's grams are
+    ``grams[starts[i]:starts[i+1]]``, last row runs to the end).  Grams
+    are EXACT integer packs ``((t0*V + t1)*V + t2)...`` — requires
+    ``vocab**k < 2**63`` (raises otherwise) so the identical gram domain
+    is expressible in the SQL oracle (no hash collisions, ever).  Rows
+    shorter than k emit ONE gram packing the whole row (empty/null rows
+    pack to 0) — the ``_word_shingles`` short-doc contract transplanted
+    to token ids.  Fully vectorized from the Arrow buffers: k gathers
+    for the long rows, <=k-1 masked passes for the short ones.
+    """
+    if vocab ** k >= 2 ** 63:
+        raise ValueError(
+            f"vocab**k = {vocab}**{k} overflows int64 gram packing — "
+            "lower k or hash the grams instead")
+    values, offsets = _list_values_offsets(col)
+    if np.any(values < 0) or np.any(values >= vocab):
+        raise ValueError("token id outside [0, vocab) — exact gram "
+                         "packing needs the declared vocab bound")
+    lengths = np.diff(offsets)
+    n = len(lengths)
+    long_mask = lengths >= k
+    counts = np.where(long_mask, lengths - k + 1, 1)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    grams = np.zeros(int(counts.sum()), dtype=np.int64)
+    V = np.int64(vocab)
+    if long_mask.any():
+        lc = counts[long_mask]
+        rep_off = np.repeat(offsets[:-1][long_mask], lc)
+        within = (np.arange(len(rep_off), dtype=np.int64)
+                  - np.repeat(np.cumsum(lc) - lc, lc))
+        pos = rep_off + within
+        g = values[pos]
+        for t in range(1, k):
+            g = g * V + values[pos + t]
+        out_pos = np.repeat(starts[long_mask], lc) + within
+        grams[out_pos] = g
+    short_mask = ~long_mask
+    if short_mask.any():
+        off_s = offsets[:-1][short_mask]
+        len_s = lengths[short_mask]
+        pack = np.zeros(len(off_s), dtype=np.int64)
+        for t in range(k - 1):
+            m = len_s > t
+            pack[m] = pack[m] * V + values[off_s[m] + t]
+        grams[starts[short_mask]] = pack
+    return grams, starts
+
+
+class TokenMinHasher(MinHasher):
+    """MinHash signatures over token-id k-grams of a ``list<int>`` column
+    (``text_column`` names the token-list column).
+
+    Same banding/signature contract as :class:`MinHasher`; the shingle
+    domain is :func:`token_grams`' exact Horner packs, hashed once per
+    batch (polars xxhash) and fed through the identical universal-hash
+    permutation family.  Stateful stage: permutation parameters generated
+    once per actor."""
+
+    def __init__(self, text_column: str, id_column: str, num_perm: int = 128,
+                 shingle_k: int = 3, seed: int = 42, bands: int = 16,
+                 vocab: int = 50257):
+        super().__init__(text_column, id_column, num_perm=num_perm,
+                         shingle_k=shingle_k, seed=seed, bands=bands)
+        if vocab ** shingle_k >= 2 ** 63:
+            raise ValueError("vocab**shingle_k must fit int64 — see "
+                             "token_grams")
+        self.vocab = vocab
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        ids = batch.column(self.id_column)
+        n = batch.num_rows
+        if n == 0:
+            return self._emit_bands(
+                ids, np.empty((0, self.num_perm), dtype=np.uint64))
+        grams, starts = token_grams(batch.column(self.text_column),
+                                    self.shingle_k, self.vocab)
+        base = (pl.Series(grams).hash(seed=7).to_numpy()
+                .astype(np.uint64, copy=False))
+        M = np.uint64(_MERSENNE)
+        out = np.empty((n, self.num_perm), dtype=np.uint64)
+        for j in range(self.num_perm):
+            v = (base * self.a[j] + self.b[j]) % M
+            out[:, j] = np.minimum.reduceat(v, starts)
+        return self._emit_bands(ids, out)
+
+
 def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
                            num_perm: int = 128, bands: int = 16,
                            shingle_k: int = 3, threshold: float = 0.5,
@@ -342,6 +476,7 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
                            hash_buckets: int | None = 65_536,
                            fail_on_truncation: bool = False,
                            dedupe: bool = True,
+                           token_mode: bool = False, vocab: int = 50257,
                            concurrency=None) -> Dataset:
     """Near-duplicate pairs (id_a, id_b, est_jaccard >= threshold) over
     DISTINCT contents.
@@ -378,9 +513,13 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
     dedupe there and save one shuffle.
     """
     from . import cached_stage, concurrency_kwargs
+    signer_kwargs = dict(text_column=text_column, id_column=id_column,
+                         num_perm=num_perm, shingle_k=shingle_k, bands=bands)
+    if token_mode:
+        signer_kwargs["vocab"] = vocab
     band_ds = ds.map_batches(
-        cached_stage(MinHasher, text_column=text_column, id_column=id_column,
-                     num_perm=num_perm, shingle_k=shingle_k, bands=bands),
+        cached_stage(TokenMinHasher if token_mode else MinHasher,
+                     **signer_kwargs),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
     if hash_buckets:
         # fold the shuffle KEY modulo hash_buckets (bounds the number of
@@ -534,6 +673,120 @@ def minhash_lsh_candidates(ds: Dataset, text_column: str, id_column: str,
     from ray.data.aggregate import Max
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Max("est_jaccard", alias_name="est_jaccard"))
+
+
+def token_jaccard_verify(cands: Dataset, ds: Dataset, tokens_column: str,
+                         id_column: str, k: int = 3, vocab: int = 50257,
+                         threshold: float = 0.5,
+                         max_pairs: int = 5_000_000) -> Dataset:
+    """EXACT token-k-gram Jaccard verify over candidate pairs.
+
+    Grams are :func:`token_grams`' exact Horner packs (``vocab**k <
+    2**63``), so unlike the text verifiers there is no hash layer at
+    all — the score is ONE exact integer division over true distinct-gram
+    set sizes, bit-equal to a SQL oracle computing the same packs.
+
+    Scale shape (the ``_gram_hash_verify`` contract): the pairs table
+    pulls to the driver and dedupes (pairs << corpus by the LSH
+    contract; ``max_pairs`` fail-louds the assumption), participants'
+    distinct-gram sets build DISTRIBUTED (one token_grams pass over the
+    id-filtered docs — never once per pair instance), broadcast as one
+    flat (ids, offsets, grams) arena via ray.put, and pairs score in
+    map_batches with a searchsorted membership count per pair.  Driver
+    memory is O(pairs + participants' grams)."""
+    import ray
+    import ray.data as rd
+
+    from . import cached_stage
+    from .constraints import ReferentialCheck
+
+    batches = list(cands.iter_batches(batch_format="pyarrow"))
+    if batches:
+        pairs_tbl = (pa.concat_tables(batches)
+                     .select(["id_a", "id_b"])
+                     .group_by(["id_a", "id_b"]).aggregate([]))
+    else:
+        pairs_tbl = None
+    empty = pa.table({"id_a": pa.array([], type=pa.string()),
+                      "id_b": pa.array([], type=pa.string()),
+                      "jaccard": pa.array([], type=pa.float64())})
+    if pairs_tbl is None or pairs_tbl.num_rows == 0:
+        return rd.from_arrow(empty)
+    if pairs_tbl.num_rows > max_pairs:
+        raise ValueError(
+            f"{pairs_tbl.num_rows} candidate pairs exceed max_pairs="
+            f"{max_pairs} — tighten the LSH threshold/banding or verify "
+            "with a bucketed join instead of the broadcast arena")
+    ids: set = set(pairs_tbl.column("id_a").to_pylist())
+    ids.update(pairs_tbl.column("id_b").to_pylist())
+
+    participant = ds.map_batches(
+        cached_stage(ReferentialCheck, column=id_column,
+                     allowed=sorted(ids), invert=False),
+        batch_format="pyarrow")
+
+    def gramify(batch: pa.Table) -> pa.Table:
+        grams, starts = token_grams(batch.column(tokens_column), k, vocab)
+        n = batch.num_rows
+        counts = np.diff(np.concatenate((starts, [len(grams)])))
+        row = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((grams, row))
+        g, r = grams[order], row[order]
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = (g[1:] != g[:-1]) | (r[1:] != r[:-1])
+        g, r = g[keep], r[keep]
+        d_counts = np.bincount(r, minlength=n).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(d_counts)))
+        lists = pa.ListArray.from_arrays(pa.array(offs, type=pa.int64()).cast(pa.int32()),
+                                         pa.array(g, type=pa.int64()))
+        return pa.table({id_column: batch.column(id_column),
+                         "grams": lists})
+
+    gtabs = list(participant.map_batches(gramify, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow"))
+    if not gtabs:
+        return rd.from_arrow(empty)
+    gtab = pa.concat_tables(gtabs).combine_chunks()
+    part_ids = np.array(gtab.column(id_column).to_pylist(), dtype=np.str_)
+    order = np.argsort(part_ids)
+    part_ids = part_ids[order]
+    gl = gtab.column("grams")
+    if isinstance(gl, pa.ChunkedArray):
+        gl = gl.combine_chunks()
+    flat = gl.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    goffs = gl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    sizes = np.diff(goffs)[order]
+    arena_offs = np.concatenate(([0], np.cumsum(sizes)))
+    arena = np.empty(int(sizes.sum()), dtype=np.int64)
+    for new_i, old_i in enumerate(order):
+        arena[arena_offs[new_i]:arena_offs[new_i + 1]] = \
+            flat[goffs[old_i]:goffs[old_i + 1]]
+    arena_ref = ray.put((part_ids, arena_offs, arena))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        pids, offs, flat_g = ray.get(arena_ref)
+        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.str_)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.str_)
+        ia = np.searchsorted(pids, a)
+        ib = np.searchsorted(pids, b)
+        j = np.empty(len(a), dtype=np.float64)
+        for row in range(len(a)):
+            ga = flat_g[offs[ia[row]]:offs[ia[row] + 1]]
+            gb = flat_g[offs[ib[row]]:offs[ib[row] + 1]]
+            if len(ga) > len(gb):
+                ga, gb = gb, ga
+            pos = np.searchsorted(gb, ga)
+            pos_c = np.minimum(pos, len(gb) - 1)
+            inter = int(np.count_nonzero(gb[pos_c] == ga)) if len(gb) else 0
+            union = len(ga) + len(gb) - inter
+            j[row] = inter / union if union else 1.0
+        t = pa.table({"id_a": batch.column("id_a"),
+                      "id_b": batch.column("id_b"),
+                      "jaccard": pa.array(j, type=pa.float64())})
+        return t.filter(pc.greater_equal(t.column("jaccard"), threshold))
+
+    return rd.from_arrow(pairs_tbl).map_batches(verify,
+                                                batch_format="pyarrow")
 
 
 def cross_near_dup_candidates(train: Dataset, probe: Dataset,

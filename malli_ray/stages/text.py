@@ -3143,6 +3143,45 @@ def shift_labels(ds: Dataset, tokens_column: str = "tokens",
     return ds.map_batches(shift, batch_format="pyarrow")
 
 
+def token_type_stats(ds: Dataset, tokens_column: str = "tokens",
+                     id_column: str = "doc_id") -> Dataset:
+    """Per-sequence type/token statistics on the token-id lists: ``n_tok``
+    (list length), ``n_distinct`` (distinct token ids), ``n_repeated``
+    (n_tok - n_distinct), and ``ttr`` (type-token ratio, one exact
+    int/int double division) — the tokenized analogue of the
+    text-quality repetition signals (a near-zero TTR flags degenerate
+    looping sequences; Rae 2021's repetition filters, applied to ids).
+
+    Map-only, one pass, fully vectorized: rows pack as ``row << 32 |
+    token`` (ids validated non-negative int32) and ONE sort + run mask
+    per batch counts distinct ids per row.  SQL replay:
+    ``len(list_distinct(tokens))``."""
+    from .dedup import _list_values_offsets
+
+    def stats(batch: pa.Table) -> pa.Table:
+        values, offsets = _list_values_offsets(batch.column(tokens_column))
+        n = batch.num_rows
+        lengths = np.diff(offsets)
+        if len(values) and values.min() < 0:
+            raise ValueError("token_type_stats: negative token id — the "
+                             "row<<32|token pack needs non-negative ids")
+        row = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        key = np.sort((row << np.int64(32)) | values)
+        uniq = np.ones(len(key), dtype=bool)
+        uniq[1:] = key[1:] != key[:-1]
+        n_distinct = np.bincount(key[uniq] >> np.int64(32),
+                                 minlength=n).astype(np.int64)
+        ttr = n_distinct / np.maximum(lengths, 1)
+        return pa.table({
+            id_column: batch.column(id_column),
+            "n_tok": pa.array(lengths, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "n_repeated": pa.array(lengths - n_distinct, pa.int64()),
+            "ttr": pa.array(ttr, pa.float64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def token_rarity(ds: Dataset, tokens_column: str = "tokens",
                  id_column: str = "doc_id",
                  vocab_range: tuple = (0, 50257)) -> Dataset:

@@ -1,0 +1,158 @@
+"""Tokenized (sequence-table) dedup family: exact Horner-packed token
+k-grams, TokenMinHasher LSH, exact token-Jaccard verify, sequence-level
+exact dedup, and per-row type/token stats — each pinned against an
+independent per-row Python/pandas rederivation."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from malli_ray.stages.dedup import (TokenMinHasher, exact_dup_counts,
+                                    minhash_lsh_candidates, token_grams,
+                                    token_jaccard_verify)
+
+VOCAB = 50257
+
+
+def _ref_grams(row, k=3, vocab=VOCAB):
+    if len(row) >= k:
+        out = []
+        for i in range(len(row) - k + 1):
+            g = 0
+            for t in row[i:i + k]:
+                g = g * vocab + t
+            out.append(g)
+        return out
+    g = 0
+    for t in row:
+        g = g * vocab + t
+    return [g]
+
+
+def test_token_grams_matches_reference():
+    rng = np.random.default_rng(7)
+    rows = [rng.integers(0, VOCAB, rng.integers(0, 30)).tolist()
+            for _ in range(200)]
+    rows[3] = []          # empty
+    rows[10] = [5]        # len 1
+    rows[11] = [5, 9]     # len 2
+    col = pa.array(rows, type=pa.list_(pa.int32()))
+    grams, starts = token_grams(col, 3, VOCAB)
+    bounds = list(starts) + [len(grams)]
+    for i, row in enumerate(rows):
+        got = grams[bounds[i]:bounds[i + 1]].tolist()
+        assert got == _ref_grams(row), f"row {i}"
+
+
+def test_token_grams_null_rows_read_as_empty():
+    col = pa.array([[1, 2, 3, 4], None, [9]], type=pa.list_(pa.int32()))
+    grams, starts = token_grams(col, 3, VOCAB)
+    bounds = list(starts) + [len(grams)]
+    assert grams[bounds[1]:bounds[2]].tolist() == [0]
+
+
+def test_token_grams_overflow_and_range_raise():
+    col = pa.array([[1, 2, 3]], type=pa.list_(pa.int32()))
+    with pytest.raises(ValueError, match="overflows"):
+        token_grams(col, 5, VOCAB)
+    bad = pa.array([[1, 2, VOCAB]], type=pa.list_(pa.int32()))
+    with pytest.raises(ValueError, match="vocab"):
+        token_grams(bad, 3, VOCAB)
+
+
+def _jaccard(a, b, k=3):
+    sa, sb = set(_ref_grams(a, k)), set(_ref_grams(b, k))
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_token_minhash_near_dup_end_to_end(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(11)
+    rows, ids = [], []
+    for i in range(40):
+        rows.append(rng.integers(0, VOCAB, 120).tolist())
+        ids.append(f"s{i:03d}")
+    # three near-dup prefix copies + one exact copy
+    for i in (2, 17, 33):
+        rows.append(rows[i][:100])
+        ids.append(f"s{i:03d}~t")
+    rows.append(list(rows[5]))
+    ids.append("s005~c")
+    t = pa.table({"doc_id": pa.array(ids),
+                  "tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    cands = minhash_lsh_candidates(ds, "tokens", "doc_id", threshold=0.2,
+                                   num_perm=64, bands=32, hash_buckets=512,
+                                   fail_on_truncation=True, dedupe=False,
+                                   token_mode=True, vocab=VOCAB)
+    got = token_jaccard_verify(cands, ds, "tokens", "doc_id",
+                               threshold=0.5).to_pandas()
+    got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    # brute-force reference over all pairs
+    exp = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            jac = _jaccard(rows[i], rows[j])
+            if jac >= 0.5:
+                lo, hi = sorted((ids[i], ids[j]))
+                exp.append((lo, hi, jac))
+    exp.sort()
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+    assert len(exp) == 4
+
+
+def test_exact_dup_counts_on_token_lists(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    base = [rng.integers(0, VOCAB, 8).tolist() for _ in range(30)]
+    rows = base + [base[4], base[4], base[9]]
+    ids = [f"d{i:03d}" for i in range(len(rows))]
+    t = pa.table({"doc_id": pa.array(ids),
+                  "tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+    got = (exact_dup_counts(rd.from_arrow(t).repartition(3),
+                            "tokens", "doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    import pandas as pd
+    ref = (pd.DataFrame({"doc_id": ids,
+                         "key": [tuple(r) for r in rows]})
+           .groupby("key")["doc_id"].agg(["min", "count"])
+           .rename(columns={"min": "doc_id", "count": "n_copies"})
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert got["n_copies"].tolist() == ref["n_copies"].tolist()
+    assert got["n_copies"].sum() == len(rows)
+
+
+def test_token_type_stats_matches_reference(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.text import token_type_stats
+    rng = np.random.default_rng(5)
+    rows = [rng.integers(0, 50, rng.integers(1, 40)).tolist()
+            for _ in range(100)]
+    rows[7] = [3] * 20          # degenerate repetition
+    ids = [f"d{i:03d}" for i in range(len(rows))]
+    t = pa.table({"doc_id": pa.array(ids),
+                  "tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+    got = (token_type_stats(rd.from_arrow(t).repartition(4),
+                            "tokens", "doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, row in enumerate(rows):
+        assert got.loc[i, "n_tok"] == len(row)
+        assert got.loc[i, "n_distinct"] == len(set(row))
+        assert got.loc[i, "n_repeated"] == len(row) - len(set(row))
+        assert got.loc[i, "ttr"] == len(set(row)) / len(row)
+    assert got.loc[7, "ttr"] == 0.05
+
+
+def test_token_minhasher_short_and_empty_rows(ray_session):
+    """Short rows sign on their whole-row pack; identical short rows get
+    identical signatures (exact-dup candidates), distinct ones don't."""
+    h = TokenMinHasher("tokens", "doc_id", num_perm=16, bands=8)
+    t = pa.table({"doc_id": pa.array(["a", "b", "c", "d"]),
+                  "tokens": pa.array([[7, 8], [7, 8], [9], []],
+                                     type=pa.list_(pa.int32()))})
+    out = h(t)
+    assert out.num_rows == 4 * 8  # bands x rows
+    sig = {r["id"]: r["sig"] for r in out.to_pylist() if r["band"] == 0}
+    assert sig["a"] == sig["b"]
+    assert sig["a"] != sig["c"]
