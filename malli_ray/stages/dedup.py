@@ -384,10 +384,14 @@ def token_grams(col, k: int, vocab: int) -> "tuple[np.ndarray, np.ndarray]":
     ``grams[starts[i]:starts[i+1]]``, last row runs to the end).  Grams
     are EXACT integer packs ``((t0*V + t1)*V + t2)...`` — requires
     ``vocab**k < 2**63`` (raises otherwise) so the identical gram domain
-    is expressible in the SQL oracle (no hash collisions, ever).  Rows
-    shorter than k emit ONE gram packing the whole row (empty/null rows
-    pack to 0) — the ``_word_shingles`` short-doc contract transplanted
-    to token ids.  Fully vectorized from the Arrow buffers: k gathers
+    is expressible in the SQL oracle (no HASH collisions in the k-gram
+    domain).  Rows shorter than k emit ONE gram packing the whole row
+    (empty/null rows pack to 0) — the ``_word_shingles`` short-doc
+    contract transplanted to token ids.  Caveat (shared bit-for-bit by
+    the SQL oracle, so results stay consistent): the short-row pack is
+    length-AMBIGUOUS — ``[5]`` and ``[0, 5]`` both pack to 5, and a
+    short-row pack can coincide with a long row's k-gram — so exactness
+    holds for the k-gram domain, not across mixed-length short rows.  Fully vectorized from the Arrow buffers: k gathers
     for the long rows, <=k-1 masked passes for the short ones.
     """
     if vocab ** k >= 2 ** 63:
@@ -750,6 +754,12 @@ def token_jaccard_verify(cands: Dataset, ds: Dataset, tokens_column: str,
     part_ids = np.array(gtab.column(id_column).to_pylist(), dtype=np.str_)
     order = np.argsort(part_ids)
     part_ids = part_ids[order]
+    if len(part_ids) > 1 and np.any(part_ids[1:] == part_ids[:-1]):
+        dup = part_ids[1:][part_ids[1:] == part_ids[:-1]][0]
+        raise ValueError(
+            f"token_jaccard_verify: duplicated {id_column} {dup!r} among "
+            f"participants — which row a candidate pair scores against "
+            f"would be ambiguous; dedup ids upstream")
     gl = gtab.column("grams")
     if isinstance(gl, pa.ChunkedArray):
         gl = gl.combine_chunks()
@@ -769,6 +779,19 @@ def token_jaccard_verify(cands: Dataset, ds: Dataset, tokens_column: str,
         b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.str_)
         ia = np.searchsorted(pids, a)
         ib = np.searchsorted(pids, b)
+        # fail-loud id contract: every candidate id must resolve to its
+        # OWN participant row — a missing or duplicated id would silently
+        # score the pair against a neighbour's gram set otherwise
+        ia_c = np.minimum(ia, len(pids) - 1)
+        ib_c = np.minimum(ib, len(pids) - 1)
+        if len(pids) == 0 or np.any(pids[ia_c] != a) or \
+                np.any(pids[ib_c] != b):
+            bad = np.concatenate([a[pids[ia_c] != a], b[pids[ib_c] != b]]) \
+                if len(pids) else a
+            raise ValueError(
+                f"token_jaccard_verify: candidate ids not found among "
+                f"participants (e.g. {bad[:3].tolist()}) — the candidates "
+                f"and the dataset must share exactly one row per id")
         j = np.empty(len(a), dtype=np.float64)
         for row in range(len(a)):
             ga = flat_g[offs[ia[row]]:offs[ia[row] + 1]]

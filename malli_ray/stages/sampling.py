@@ -828,19 +828,35 @@ def impute_by_group(ds: Dataset, group_column: str, value_column: str,
 
 def global_quantile_thresholds(ds: Dataset, value_column: str,
                                n_bins: int = 10,
-                               method: str = "exact") -> np.ndarray:
+                               method: str = "exact",
+                               max_exact_rows: int = 100_000_000
+                               ) -> np.ndarray:
     """The ``n_bins - 1`` interior quantile thresholds of a column.
 
     ``method="exact"``: one worker sorts the projected value column
     (groupby on a constant key — the values never visit the driver);
     np.quantile 'linear' == SQL ``quantile_cont``, so the thresholds are
-    oracle-reproducible.  Right for <= ~1e8 values; beyond that use
-    ``method="tdigest"`` — mergeable sketch partials per batch (fixed
-    size, any scale), ~<1% rank error, not SQL-reproducible.
+    oracle-reproducible.  Right for <= ~1e8 values; the path is
+    FAIL-LOUD-bounded — a counts-only pre-pass raises above
+    ``max_exact_rows`` (default 1e8, ~800 MB of float64 on the single
+    receiving worker) with a pointer to ``method="tdigest"`` — mergeable
+    sketch partials per batch (fixed size, any scale), ~<1% rank error,
+    not SQL-reproducible.  Set ``max_exact_rows=0`` to skip the guard
+    pass when the caller has already bounded the input.
     """
     ps = [(i + 1) / n_bins for i in range(n_bins - 1)]
     proj = ds.select_columns([value_column])
     if method == "exact":
+        if max_exact_rows:
+            n = proj.count()
+            if n > max_exact_rows:
+                raise ValueError(
+                    f"global_quantile_thresholds(method='exact'): "
+                    f"{n} rows > max_exact_rows={max_exact_rows} — the "
+                    f"exact path ships EVERY value to one worker for a "
+                    f"whole-column sort. Use method='tdigest' (mergeable "
+                    f"sketch, any scale, ~<1% rank error) or raise "
+                    f"max_exact_rows if the worker can hold the column.")
         def quantiles(group: pa.Table) -> pa.Table:
             v = (group.column(value_column).drop_null()
                  .to_numpy(zero_copy_only=False))
@@ -1233,8 +1249,16 @@ def zorder_sort(ds: Dataset, columns: "list[str]", bits: int = 16,
     bit-for-bit even though row ORDER itself is not part of the hash
     compare; the locality property is pinned by test."""
     n_bins = 1 << bits
+    if method == "exact" and ds.count() > 100_000_000:
+        # one guard count for ALL columns (instead of one per column
+        # inside global_quantile_thresholds)
+        raise ValueError(
+            "zorder_sort(method='exact'): input exceeds the exact "
+            "quantile path's single-worker bound (1e8 rows) — use "
+            "method='tdigest'")
     ths = {c: global_quantile_thresholds(ds, c, n_bins=n_bins,
-                                         method=method)
+                                         method=method,
+                                         max_exact_rows=0)
            for c in columns}
     from . import cached_stage, concurrency_kwargs
 

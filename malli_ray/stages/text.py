@@ -3153,8 +3153,10 @@ def token_type_stats(ds: Dataset, tokens_column: str = "tokens",
     looping sequences; Rae 2021's repetition filters, applied to ids).
 
     Map-only, one pass, fully vectorized: rows pack as ``row << 32 |
-    token`` (ids validated non-negative int32) and ONE sort + run mask
-    per batch counts distinct ids per row.  SQL replay:
+    token`` (ids validated to [0, 2**32) — both bounds raise) and ONE
+    sort + run mask per batch counts distinct ids per row.  Empty/null
+    token rows emit NULL ``ttr`` (0/0), exactly as the SQL replay's
+    ``n_distinct / n_tok`` evaluates in DuckDB.  SQL replay:
     ``len(list_distinct(tokens))``."""
     from .dedup import _list_values_offsets
 
@@ -3162,22 +3164,28 @@ def token_type_stats(ds: Dataset, tokens_column: str = "tokens",
         values, offsets = _list_values_offsets(batch.column(tokens_column))
         n = batch.num_rows
         lengths = np.diff(offsets)
-        if len(values) and values.min() < 0:
-            raise ValueError("token_type_stats: negative token id — the "
-                             "row<<32|token pack needs non-negative ids")
+        if len(values) and (values.min() < 0 or
+                            values.max() >= np.int64(1) << np.int64(32)):
+            raise ValueError("token_type_stats: token id outside "
+                             "[0, 2**32) — the row<<32|token pack needs "
+                             "ids that fit 32 bits")
         row = np.repeat(np.arange(n, dtype=np.int64), lengths)
         key = np.sort((row << np.int64(32)) | values)
         uniq = np.ones(len(key), dtype=bool)
         uniq[1:] = key[1:] != key[:-1]
         n_distinct = np.bincount(key[uniq] >> np.int64(32),
                                  minlength=n).astype(np.int64)
+        # empty/null rows get NULL ttr (0/0), matching SQL's
+        # n_distinct/n_tok which DuckDB evaluates to NULL for n_tok = 0
         ttr = n_distinct / np.maximum(lengths, 1)
+        empty = lengths == 0
         return pa.table({
             id_column: batch.column(id_column),
             "n_tok": pa.array(lengths, pa.int64()),
             "n_distinct": pa.array(n_distinct, pa.int64()),
             "n_repeated": pa.array(lengths - n_distinct, pa.int64()),
-            "ttr": pa.array(ttr, pa.float64())})
+            "ttr": pa.array(ttr, pa.float64(),
+                            mask=empty if empty.any() else None)})
 
     return ds.map_batches(stats, batch_format="pyarrow")
 

@@ -2440,6 +2440,29 @@ def test_discretize_global_paths(ray_session):
     ranks = np.searchsorted(np.sort(vals), approx) / len(vals)
     assert np.abs(ranks - np.arange(0.1, 1.0, 0.1)).max() < 0.02
     assert np.abs((approx - exact) / exact).max() < 0.05
+    # the exact path is fail-loud-bounded: above max_exact_rows it must
+    # raise (pointing at tdigest) instead of shipping every value to one
+    # worker for the whole-column sort
+    with pytest.raises(ValueError, match="tdigest"):
+        global_quantile_thresholds(ds, "v", 10, method="exact",
+                                   max_exact_rows=1_000)
+    # max_exact_rows=0 skips the guard pass entirely
+    th0 = global_quantile_thresholds(ds, "v", 10, method="exact",
+                                     max_exact_rows=0)
+    assert np.allclose(th0, exact)
+
+
+def test_zorder_exact_guard(ray_session):
+    import ray.data as rd
+    from malli_ray.stages.sampling import zorder_sort
+
+    ds = rd.from_arrow(pa.table({"x": np.arange(100.0),
+                                 "y": np.arange(100.0)[::-1].copy()}))
+    # small input passes; the guard path itself is pinned via the
+    # underlying global_quantile_thresholds raise above (zorder hoists
+    # ONE count for all columns and forwards max_exact_rows=0)
+    out = zorder_sort(ds, ["x", "y"], bits=2).to_pandas()
+    assert len(out) == 100 and "zvalue" in out.columns
 
 
 def test_fuzzy_join_ed1_exact(ray_session):

@@ -144,6 +144,29 @@ def test_token_type_stats_matches_reference(ray_session):
     assert got.loc[7, "ttr"] == 0.05
 
 
+def test_token_type_stats_empty_row_and_id_bounds(ray_session):
+    """Empty/null token rows emit NULL ttr (matching SQL's 0/0 -> NULL);
+    ids >= 2**32 raise instead of silently corrupting the row<<32 pack."""
+    import pytest
+    import ray.data as rd
+    from malli_ray.stages.text import token_type_stats
+
+    t = pa.table({"doc_id": pa.array(["a", "b", "c"]),
+                  "tokens": pa.array([[1, 1, 2], [], None],
+                                     type=pa.list_(pa.int32()))})
+    got = (token_type_stats(rd.from_arrow(t), "tokens", "doc_id")
+           .to_pandas().set_index("doc_id"))
+    assert got.loc["a", "ttr"] == 2 / 3
+    assert np.isnan(got.loc["b", "ttr"]) and got.loc["b", "n_tok"] == 0
+    assert np.isnan(got.loc["c", "ttr"]) and got.loc["c", "n_distinct"] == 0
+    big = pa.table({"doc_id": pa.array(["x"]),
+                    "tokens": pa.array([[2 ** 32]],
+                                       type=pa.list_(pa.int64()))})
+    with pytest.raises(Exception, match="2\\*\\*32"):
+        token_type_stats(rd.from_arrow(big), "tokens",
+                         "doc_id").to_pandas()
+
+
 def test_token_minhasher_short_and_empty_rows(ray_session):
     """Short rows sign on their whole-row pack; identical short rows get
     identical signatures (exact-dup candidates), distinct ones don't."""
