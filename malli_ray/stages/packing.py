@@ -367,6 +367,58 @@ def truncate_sequences(ds: Dataset, tokens_column: str = "tokens",
     return ds.map_batches(clip, batch_format="pyarrow")
 
 
+def clip_sentinel_tokens(ds: Dataset, tokens_column: str = "tokens",
+                         max_len: int = 2048,
+                         bos_id: "int | None" = None,
+                         eos_id: "int | None" = None) -> Dataset:
+    """FUSED context-clip + sentinel insertion — the composition of
+    :func:`truncate_sequences` (count/flag columns elided) and
+    :func:`malli_ray.stages.text.add_sentinel_tokens` in ONE kernel:
+    a single output values allocation and a single vectorized gather per
+    batch, instead of building the intermediate clipped list array and
+    then re-scattering it.  Null lists count as empty and still get
+    sentinels (SQL parity: ``[bos] || COALESCE(tokens[:max_len], []) ||
+    [eos]``).  Map-only, shuffle-free; all other columns pass through."""
+    if max_len <= 0:
+        raise ValueError("max_len must be positive")
+    if bos_id is None and eos_id is None:
+        raise ValueError("clip_sentinel_tokens: pass bos_id and/or eos_id"
+                         " (use truncate_sequences for clip alone)")
+    nb = 1 if bos_id is not None else 0
+    ne = 1 if eos_id is not None else 0
+
+    def fused(batch: pa.Table) -> pa.Table:
+        toks = batch.column(tokens_column)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        val_type = toks.type.value_type
+        rows = batch.num_rows
+        n0 = pc.fill_null(pc.cast(pc.list_value_length(toks), pa.int64()),
+                          0).to_numpy(zero_copy_only=False)
+        v = toks.flatten().to_numpy(zero_copy_only=False)
+        doc_off = np.cumsum(n0) - n0
+        n = np.minimum(n0, max_len)
+        new_n = n + nb + ne
+        new_off = np.zeros(rows + 1, dtype=np.int64)
+        np.cumsum(new_n, out=new_off[1:])
+        out_v = np.empty(int(new_off[-1]), dtype=np.int64)
+        if nb:
+            out_v[new_off[:-1]] = bos_id
+        if ne:
+            out_v[new_off[1:] - 1] = eos_id
+        within = (np.arange(int(n.sum()), dtype=np.int64)
+                  - np.repeat(np.cumsum(n) - n, n))
+        out_v[np.repeat(new_off[:-1] + nb, n) + within] = \
+            v[np.repeat(doc_off, n) + within]
+        col = pa.ListArray.from_arrays(
+            pa.array(new_off.astype(np.int32), type=pa.int32()),
+            pa.array(out_v, type=pa.int64()).cast(val_type))
+        i = batch.schema.get_field_index(tokens_column)
+        return batch.set_column(i, tokens_column, col)
+
+    return ds.map_batches(fused, batch_format="pyarrow")
+
+
 def _emit_fragments(toks: pa.Array, before: np.ndarray, grp: pa.Array,
                     B: int, group_column: str) -> pa.Table:
     """Slice each doc's token list into per-block fragments (a fragment =

@@ -549,3 +549,72 @@ def test_skew_assemble_packed_blocks(ray_session):
         assert agg == want, label
         res[label] = dt
     assert res["skew"] <= 2.5 * res["uniform"] + 5.0, res
+
+
+_WALL_RE = None
+
+
+def _task_wall_spread(stats_str):
+    """Parse ds.stats() 'Remote wall time' lines into (max, mean, total)
+    tuples per operator, so straggler pins can assert on the actual task
+    distribution instead of end-to-end wall time."""
+    import re
+    global _WALL_RE
+    if _WALL_RE is None:
+        num = r"([0-9.]+)(us|ms|s|m)\b"
+        _WALL_RE = re.compile(
+            r"Remote wall time: " + num + r" min, " + num + r" max, "
+            + num + r" mean, " + num + r" total")
+    scale = {"us": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0}
+
+    out = []
+    for m in _WALL_RE.finditer(stats_str):
+        mx = float(m.group(3)) * scale[m.group(4)]
+        mean = float(m.group(5)) * scale[m.group(6)]
+        tot = float(m.group(7)) * scale[m.group(8)]
+        out.append((mx, mean, tot))
+    return out
+
+
+def test_skew_assemble_straggler_pin_1m(ray_session):
+    """Straggler-resilience regression pin for the trainer repack at 1M
+    rows: with ONE group holding 90% of all tokens, no assembly stage may
+    concentrate work in a straggler task — every operator whose total
+    remote wall time exceeds 1s must keep max-task <= 4x mean-task
+    (the block-level fragment design's core claim; the rejected
+    one-exchange-per-group design measured a 55s hot-group task)."""
+    from malli_ray.stages.packing import assemble_packed_blocks
+
+    rng = np.random.default_rng(47)
+    n = 1_000_000
+    grp = np.where(rng.random(n) < 0.9, 0, rng.integers(1, 10, size=n))
+    lens = rng.integers(1, 60, size=n)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    vals = rng.integers(0, 50_000, int(off[-1])).astype(np.int32)
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:07d}" for i in range(n)]),
+        "tokens": pa.ListArray.from_arrays(
+            pa.array(off.astype(np.int32), pa.int32()),
+            pa.array(vals)),
+        "source": pa.array([f"s{g}" for g in grp])})
+    ds = _from_arrow(t)
+    out = assemble_packed_blocks(ds, block_size=512,
+                                 num_buckets=32).materialize()
+    # exact global token conservation + the hot group dominates as seeded
+    import pyarrow.compute as pc
+    tot = hot = 0
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+        ntok = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        is_hot = np.asarray(pc.equal(b.column("source"), "s0"))
+        tot += int(ntok.sum())
+        hot += int(ntok[is_hot].sum())
+    assert tot == int(lens.sum())
+    assert hot / tot > 0.85
+    spreads = _task_wall_spread(out.stats())
+    heavy = [(mx, mean) for mx, mean, total in spreads if total > 1.0]
+    assert heavy, "expected at least one >1s-total stage at 1M rows"
+    for mx, mean in heavy:
+        assert mx <= 4.0 * mean + 0.5, (
+            f"straggler task: max {mx:.2f}s vs mean {mean:.2f}s\n"
+            + out.stats())

@@ -4451,6 +4451,44 @@ def test_add_sentinel_tokens(ray_session):
         add_sentinel_tokens(ds, "tokens")
 
 
+def test_clip_sentinel_fused_matches_composition(ray_session):
+    """The fused clip+sentinel kernel is row-identical to the
+    truncate_sequences -> add_sentinel_tokens composition it replaces
+    (pack_prep's prep chain), across nulls, empties, short and clipped
+    rows."""
+    import ray.data as rd
+
+    from malli_ray.stages.packing import (clip_sentinel_tokens,
+                                          truncate_sequences)
+    from malli_ray.stages.text import add_sentinel_tokens
+
+    rng = np.random.default_rng(23)
+    rows = [None if rng.random() < 0.05
+            else rng.integers(0, 50257, int(rng.integers(0, 40))
+                              ).astype(np.int32).tolist()
+            for _ in range(400)]
+    tbl = pa.table({
+        "doc_id": [f"d{i:04d}" for i in range(len(rows))],
+        "tokens": pa.array(rows, pa.list_(pa.int32())),
+        "source": ["web"] * len(rows)})
+    ds = rd.from_arrow(tbl).repartition(4)
+    for bos, eos in [(100, 101), (None, 101), (100, None)]:
+        fused = clip_sentinel_tokens(ds, "tokens", max_len=17,
+                                     bos_id=bos, eos_id=eos).to_pandas()
+        comp = add_sentinel_tokens(
+            truncate_sequences(ds, "tokens", max_len=17,
+                               count_column=None),
+            "tokens", bos_id=bos, eos_id=eos).to_pandas()
+        fused = fused.sort_values("doc_id").reset_index(drop=True)
+        comp = comp.sort_values("doc_id").reset_index(drop=True)
+        assert (fused.doc_id == comp.doc_id).all()
+        assert all(list(a) == list(b)
+                   for a, b in zip(fused.tokens, comp.tokens))
+        assert (fused.source == comp.source).all()
+    with pytest.raises(ValueError):
+        clip_sentinel_tokens(ds, "tokens", max_len=17)
+
+
 def test_fim_transform_random(ray_session):
     """fim_transform (psm + spm) vs a per-row Python reference, with null
     lists, out-of-range cut points (clamped), and null cuts (read as 0)."""
