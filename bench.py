@@ -206,6 +206,31 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         # r4 session 7: tokenized exact/near dedup + type-token stats
         "dedup_tokens_sequences", "near_dup_tokens_sequences",
         "token_type_stats_sequences",
+        # r5: the 40 previously bench-invisible queries (VERDICT r4
+        # "What's missing" #3) — every queries() entry is now
+        # regression-tracked by the driver bench
+        "audio_fp_documents", "contamination_documents",
+        "cooccurrence_documents", "corpus_prep_documents",
+        "customers_without_orders", "decode_events_props",
+        "edit_distance_near_dups", "embedding_near_dups",
+        "events_hopping_30m_15m", "events_window_30m",
+        "filter_lineitem", "fingerprint_documents",
+        "flac_headers_documents", "hist_nchars_documents",
+        "image_dhash_documents", "infer_schema_documents",
+        "ivf_topk_embeddings", "join_priority_qty",
+        "lang_id_documents", "median_value_by_type",
+        "mp4_samples_documents", "nb_classify_documents",
+        "near_dup_pairs_simhash", "pack_blocks_documents",
+        "priority_intersect_all", "quality_documents",
+        "quantize_embeddings", "redact_documents",
+        "referential_events", "repetition_documents",
+        "sessions_events", "shard_manifest_documents",
+        "shards_documents", "split_documents",
+        "stratified_sample_documents", "text_counts_documents",
+        "tokenize_documents", "validate_sequences",
+        "vocab_top_words", "zorder_events",
+        # r5: sharded band-digest layout exercised end-to-end
+        "incremental_near_dup_sharded_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -463,10 +463,15 @@ class TokenMinHasher(MinHasher):
                                     self.shingle_k, self.vocab)
         base = (pl.Series(grams).hash(seed=7).to_numpy()
                 .astype(np.uint64, copy=False))
-        M = np.uint64(_MERSENNE)
         out = np.empty((n, self.num_perm), dtype=np.uint64)
+        # odd-multiplier multiply-add: a BIJECTION of Z_2^64 (a|1 is
+        # invertible mod 2^64), i.e. a true permutation of the already
+        # xxhash-mixed gram space — and ~2x faster than the uint64
+        # Mersenne mod (which, applied after the wrapping multiply, was
+        # not even injective).  Family change is candidate-recall-
+        # neutral: banding math holds for any uniform permutation.
         for j in range(self.num_perm):
-            v = (base * self.a[j] + self.b[j]) % M
+            v = base * (self.a[j] | np.uint64(1)) + self.b[j]
             out[:, j] = np.minimum.reduceat(v, starts)
         return self._emit_bands(ids, out)
 
@@ -1013,6 +1018,149 @@ def probe_band_digest(ds: Dataset, text_column: str, id_column: str,
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 
+def build_band_digest_sharded(ds: Dataset, text_column: str, out_dir: str,
+                              n_shards: int = 16, num_perm: int = 128,
+                              shingle_k: int = 3, seed: int = 42,
+                              bands: int = 16) -> "list[dict]":
+    """The >``max_keys`` layout of :func:`build_band_digest`, end-to-end:
+    ONE streaming signature pass (each batch emits its distinct band keys
+    split by ``key % n_shards`` as per-shard binary blobs) + ONE
+    shard-keyed exchange; each shard task unions its blobs and writes
+    ``shard-{i:05d}.npz`` (a :class:`BandDigest` save) to ``out_dir``
+    (shared storage at scale — S3/NFS; the digest never assembles in one
+    place).  Returns the manifest ``[{shard, n_keys, path}, ...]``.
+
+    Scale shape: the exchange moves KEY BLOBS only (8 B/distinct key);
+    the group key is the shard index — at most ``n_shards`` groups,
+    balanced by construction because band keys are already uniform
+    hashes, so the bucketed-finisher discipline's hot-group concern
+    cannot arise.  Driver holds the O(n_shards) manifest, never keys."""
+    import os
+
+    import ray.data as rd
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    os.makedirs(out_dir, exist_ok=True)
+    params = {"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed,
+              "bands": bands}
+    nsh = np.uint64(n_shards)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mh = MinHasher(text_column, text_column, **params)
+        sigs = mh.signatures(batch.column(text_column).to_pylist())
+        keys = np.unique(_band_digest_keys(sigs, bands).reshape(-1))
+        sh = (keys % nsh).astype(np.int64)
+        order = np.argsort(sh, kind="mergesort")
+        keys, sh = keys[order], sh[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(sh)) + 1, [len(sh)]))
+        shards, blobs = [], []
+        for i in range(len(starts) - 1):
+            shards.append(int(sh[starts[i]]))
+            blobs.append(keys[starts[i]:starts[i + 1]].tobytes())
+        return pa.table({"shard": pa.array(shards, pa.int64()),
+                         "blob": pa.array(blobs, pa.large_binary())})
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        shard = int(group.column("shard")[0].as_py())
+        parts = [np.frombuffer(b.as_py(), dtype=np.uint64)
+                 for b in group.column("blob")]
+        keys = np.unique(np.concatenate(parts)) if parts else \
+            np.empty(0, dtype=np.uint64)
+        path = os.path.join(out_dir, f"shard-{shard:05d}")
+        BandDigest(keys, **params).save(path)
+        return pa.table({"shard": pa.array([shard], pa.int64()),
+                         "n_keys": pa.array([len(keys)], pa.int64()),
+                         "path": pa.array([path + ".npz"])})
+
+    manifest = (ds.select_columns([text_column])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby("shard")
+                .map_groups(write_shard, batch_format="pyarrow")
+                .take_all())  # O(n_shards) rows
+    seen = {r["shard"] for r in manifest}
+    for i in range(n_shards):
+        if i not in seen:  # empty shard: write an empty digest so probe
+            path = os.path.join(out_dir, f"shard-{i:05d}")  # never 404s
+            BandDigest(np.empty(0, dtype=np.uint64), **params).save(path)
+            manifest.append({"shard": i, "n_keys": 0,
+                             "path": path + ".npz"})
+    return sorted(manifest, key=lambda r: r["shard"])
+
+
+def probe_band_digest_sharded(ds: Dataset, text_column: str,
+                              id_column: str, manifest: "list[dict]",
+                              num_perm: int = 128, shingle_k: int = 3,
+                              seed: int = 42, bands: int = 16,
+                              num_buckets: int = 64) -> Dataset:
+    """Probe a SHARDED band digest (:func:`build_band_digest_sharded`)
+    without ever loading the full key set anywhere: one signature pass
+    explodes each doc into ``bands`` scalar ``(id, key, shard)`` rows;
+    ONE shard-keyed exchange sends each row to the task holding its
+    shard file (loaded once per group task); per-id hit counts combine
+    in ONE final id-keyed groupby-sum.  Output matches
+    :func:`probe_band_digest` exactly: ``(id, n_band_hits, candidate)``.
+
+    Scale shape: both exchanges move 16-byte scalar rows only (never
+    text payload); each group task holds ONE shard (total_keys/n_shards
+    x 8 B).  ``n_band_hits`` counts hit BANDS, identical to the
+    unsharded probe, because every band contributes exactly one key."""
+    import ray
+
+    params = {"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed,
+              "bands": bands}
+    paths = {int(r["shard"]): r["path"] for r in manifest}
+    n_shards = len(paths)
+    if sorted(paths) != list(range(n_shards)):
+        raise ValueError("probe_band_digest_sharded: manifest must cover "
+                         "shards 0..n-1 exactly")
+    paths_ref = ray.put(paths)
+    nsh = np.uint64(n_shards)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mh = MinHasher(text_column, id_column, **params)
+        sigs = mh.signatures(batch.column(text_column).to_pylist())
+        keys = _band_digest_keys(sigs, bands).reshape(-1)
+        ids = batch.column(id_column)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        rep = ids.take(pa.array(
+            np.repeat(np.arange(batch.num_rows, dtype=np.int64), bands)))
+        return pa.table({
+            id_column: rep,
+            "key": pa.array(keys.view(np.int64), pa.int64()),
+            "shard": pa.array((keys % nsh).astype(np.int64), pa.int64())})
+
+    def probe_shard(group: pa.Table) -> pa.Table:
+        shard = int(group.column("shard")[0].as_py())
+        digest = BandDigest.load(ray.get(paths_ref)[shard])
+        k = group.column("key").to_numpy(
+            zero_copy_only=False).view(np.uint64)
+        if len(digest.keys):
+            idx = np.searchsorted(digest.keys, k)
+            idx[idx >= len(digest.keys)] = 0
+            hit = (digest.keys[idx] == k).astype(np.int64)
+        else:
+            hit = np.zeros(len(k), dtype=np.int64)
+        return pa.table({id_column: group.column(id_column),
+                         "hit": pa.array(hit, pa.int64())})
+
+    hits = (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(probe_shard, batch_format="pyarrow")
+            .groupby(id_column).sum("hit"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("sum(hit)"), pa.int64())
+        return pa.table({
+            id_column: batch.column(id_column),
+            "n_band_hits": n,
+            "candidate": pc.greater(n, pa.scalar(0, pa.int64()))})
+
+    return hits.map_batches(finish, batch_format="pyarrow")
+
+
 class SimHasher:
     """64-bit SimHash fingerprints, vectorized via unpacked bit votes."""
 
@@ -1082,6 +1230,15 @@ def hamming_near_dups(ds: Dataset, hash_column: str, id_column: str,
     computes all pairwise hamming distances with one XOR outer product + a
     byte popcount table — no per-pair Python.  Oversize buckets are
     truncated in min-id order and LOGGED, never silently.
+
+    SCALE: a chunk has only ``2^(64/n_chunks)`` possible values, so the
+    AVERAGE bucket holds ``n / 2^(64/n_chunks)`` fingerprints and the
+    total pairwise verify is O(n^2 / 2^(64/n_chunks)) — pick n_chunks so
+    that divisor dwarfs the corpus (n_chunks=16 means 4-bit chunks = 16
+    values: quadratic in practice, measured 398 s at 50k docs; n_chunks=8
+    = 256 values; n_chunks=4 = 65,536 values — the Manku 2007 radius<=3
+    production setting).  Larger radii fundamentally trade selectivity
+    away; beyond max_bucket the truncation triggers (logged).
     """
     if max_hamming > n_chunks - 1:
         raise ValueError(

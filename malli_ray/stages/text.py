@@ -3206,40 +3206,32 @@ def token_rarity(ds: Dataset, tokens_column: str = "tokens",
     Low ``rarity_min`` flags corrupt/garbage sequences (tokens almost
     nobody uses); ``rarity_sum / n_tok`` is the mean-frequency filter.
 
-    Scale shape: pass 1 is a map-side ``np.bincount`` over the BOUNDED
-    ``vocab_range`` (out-of-range tokens RAISE — this table's contract is
-    validated ids) collapsed to ``(token, cnt)`` rows, then ONE O(vocab)
-    native groupby-sum; the count vector (8 B x vocab, ~400 KB at 50k)
-    broadcasts via ``ray.put`` and pass 2 is one map-only gather + two
-    segment reductions per batch.  No unbounded driver state — the driver
-    holds exactly one vocab-length vector."""
+    Scale shape: pass 1 is :func:`malli_ray.stages.analytics
+    .list_value_counts` in its bounded mode — each batch emits ONE
+    fixed-size np.bincount vector (out-of-range tokens RAISE — this
+    table's contract is validated ids) and a single constant-key reduce
+    sums the vectors, with NO per-key shuffle at all (the original
+    ``(token, cnt)``-row groupby shipped ~vocab rows PER BATCH into the
+    hash exchange — ~24M rows at sf0.1 under the default 1024-row batch
+    size, 28 s of the measured 33 s; this path runs in ~2 s).  The count
+    vector (8 B x vocab, ~400 KB at 50k) broadcasts via ``ray.put`` and
+    pass 2 is one map-only gather + two segment reductions per batch.
+    No unbounded driver state — the driver holds exactly one
+    vocab-length vector."""
     import ray
+
+    from .analytics import list_value_counts
 
     lo, hi = int(vocab_range[0]), int(vocab_range[1])
     if hi <= lo:
         raise ValueError("token_rarity: empty vocab_range")
 
-    def partial(batch: pa.Table) -> pa.Table:
-        toks = batch.column(tokens_column)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        v = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(v) and (v.min() < lo or v.max() >= hi):
-            bad = v[(v < lo) | (v >= hi)][0]
-            raise ValueError(
-                f"token_rarity: token id {bad} outside vocab_range "
-                f"[{lo}, {hi}) — widen vocab_range or validate upstream")
-        cnt = np.bincount(v - lo, minlength=hi - lo)
-        nz = np.flatnonzero(cnt)
-        return pa.table({"token": pa.array(nz + lo, pa.int64()),
-                         "cnt": pa.array(cnt[nz], pa.int64())})
-
-    rows = (ds.select_columns([tokens_column])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("token").sum("cnt").take_all())  # O(vocab) rows
+    rows = list_value_counts(ds, tokens_column, out_value="token",
+                             out_count="cnt",
+                             bounded_range=(lo, hi)).take_all()  # O(vocab)
     vec = np.zeros(hi - lo, dtype=np.int64)
     for r in rows:
-        vec[int(r["token"]) - lo] = int(r["sum(cnt)"])
+        vec[int(r["token"]) - lo] = int(r["cnt"])
     vec_ref = ray.put(vec)
 
     def score(batch: pa.Table) -> pa.Table:

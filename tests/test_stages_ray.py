@@ -1955,6 +1955,60 @@ def test_band_digest_incremental_near_dup(ray_session):
         assert again.params() == dig.params()
 
 
+def test_band_digest_sharded_end_to_end(ray_session):
+    """The >max_keys sharded layout, end-to-end: build_band_digest_sharded
+    writes key % n_shards digest files (union of per-shard keys == the
+    unsharded key set), and probe_band_digest_sharded returns EXACTLY the
+    unsharded probe's (id, n_band_hits, candidate) rows — including
+    zero-hit docs — without any task loading more than one shard."""
+    import os
+    import tempfile
+
+    import ray.data as rd
+    from malli_ray.stages.dedup import (BandDigest, build_band_digest,
+                                        build_band_digest_sharded,
+                                        probe_band_digest,
+                                        probe_band_digest_sharded)
+
+    base = " ".join(f"w{i % 37} tok{i % 11} x{i}" for i in range(60))
+    old = pa.table({"doc_id": list(range(40)),
+                    "text": [f"{base} doc {i}" for i in range(40)]})
+    new = pa.table({
+        "doc_id": [100, 101, 102],
+        "text": [f"{base} doc 0", base + " doc 0 CHANGED",
+                 "совершенно unrelated vocabulary entirely different"]})
+    dig = build_band_digest(rd.from_arrow(old).repartition(5), "text")
+    with tempfile.TemporaryDirectory() as d:
+        man = build_band_digest_sharded(
+            rd.from_arrow(old).repartition(5), "text",
+            os.path.join(d, "sh"), n_shards=7)
+        assert [r["shard"] for r in man] == list(range(7))
+        # union of shard keys == the unsharded digest's key set, and
+        # every key landed in its key % n_shards shard
+        allk = []
+        for r in man:
+            sk = BandDigest.load(r["path"]).keys
+            assert (sk % np.uint64(7) == r["shard"]).all()
+            assert len(sk) == r["n_keys"]
+            allk.append(sk)
+        assert (np.sort(np.concatenate(allk)) == dig.keys).all()
+
+        want = sorted(probe_band_digest(
+            rd.from_arrow(new), "text", "doc_id", dig).take_all(),
+            key=lambda r: r["doc_id"])
+        got = sorted(probe_band_digest_sharded(
+            rd.from_arrow(new), "text", "doc_id", man,
+            num_perm=dig.num_perm, shingle_k=dig.shingle_k,
+            seed=dig.seed, bands=dig.bands).take_all(),
+            key=lambda r: r["doc_id"])
+        assert got == want
+        assert got[2]["n_band_hits"] == 0     # zero-hit doc still reported
+        # malformed manifest fails loudly
+        with pytest.raises(ValueError):
+            probe_band_digest_sharded(rd.from_arrow(new), "text",
+                                      "doc_id", man[1:])
+
+
 def test_global_shuffle(ray_session):
     """Deterministic global shuffle: output order == sorted-by-(hash, id),
     rerun-identical, a different seed yields a different permutation, and

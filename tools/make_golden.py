@@ -132,7 +132,7 @@ def word_jaccard(text_a, text_b, k=3):
     return len(sa & sb) / len(sa | sb)
 
 
-def simhash_verified_pairs(ids, texts, max_hamming=15, n_chunks=16,
+def simhash_verified_pairs(ids, texts, max_hamming=7, n_chunks=8,
                            threshold=0.5):
     """Brute-force reconstruction of the simhash near-dup query: every pair
     sharing at least one exact fingerprint chunk (bucket membership) with
