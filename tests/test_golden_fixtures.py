@@ -450,3 +450,62 @@ def test_spfhp_plan_matches_naive_reference():
             r += 1
         assert sorted(got) == want
         assert len({pk for _, _, pk in got}) == n_packs
+
+
+def test_validate_sequences_fixture_rederives():
+    """The validate_sequences fixture rederives from the independent
+    DuckDB + pure-Python-HLL reconstruction, and its HLL estimate is
+    within the p=12 error envelope of the true distinct count."""
+    from malli_ray.sources.sequences import ensure_sequences, \
+        sequences_dir_for
+
+    seq_dir, seq_n = sequences_dir_for(0.001)
+    ensure_sequences(seq_dir, seq_n)
+    want = make_golden.validate_sequences_ref(seq_dir)
+    got = pq.read_table(f"{GOLD}/validate_sequences.parquet").to_pydict()
+    assert {k: v[0] for k, v in got.items()} == want
+    # invariants: every invalid row yields >= 1 violation entry; the HLL
+    # estimate is within 5% of the true distinct count (p=12 ~ 1.6% rse)
+    assert want["n_violations"] >= want["n_rows"] - want["n_valid"]
+    import glob
+    import duckdb
+    true_distinct = duckdb.connect().execute(
+        f"SELECT COUNT(DISTINCT doc_id) FROM "
+        f"read_parquet('{os.path.join(seq_dir, '*.parquet')}')"
+    ).fetchone()[0]
+    assert abs(want["distinct_doc_id"] - true_distinct) <= \
+        max(5, 0.05 * true_distinct)
+
+
+def test_validate_sequences_tdigest_bound(ray_session):
+    """The t-digest n_tok p50 the fused report computes (the column
+    deliberately EXCLUDED from the hash-compared query): within 1% of
+    the exact median on every run.  Exact run-to-run determinism does
+    NOT hold — Ray's dynamic block splitting shifts batch boundaries
+    between runs of the same session (observed 243.34 vs 243.18), which
+    is precisely why the query exposes only count/HLL columns; this pin
+    asserts the sketch's accuracy contract instead."""
+    import duckdb
+    import ray.data as rd
+
+    from malli_ray.pipelines import validation_job as vj
+    from malli_ray.sources.sequences import (SEQUENCES_DSL,
+                                             ensure_sequences,
+                                             sequences_dir_for)
+    from malli_ray.stages.validator import ValidationSpec
+
+    seq_dir, seq_n = sequences_dir_for(0.001)
+    paths = ensure_sequences(seq_dir, seq_n)
+    spec = ValidationSpec(schema=SEQUENCES_DSL, id_column="doc_id",
+                          tdigest_columns=["n_tok"])
+    p50s = [vj.summarize(rd.read_parquet(paths),
+                         spec)["quantiles"]["n_tok"][0.5]
+            for _ in range(2)]
+    exact = duckdb.connect().execute(
+        f"SELECT quantile_cont(n_tok, 0.5) FROM "
+        f"read_parquet('{os.path.join(seq_dir, '*.parquet')}')"
+    ).fetchone()[0]
+    for p in p50s:
+        assert abs(p - exact) <= 0.01 * exact
+    # runs agree with each other to well under the accuracy envelope
+    assert abs(p50s[0] - p50s[1]) <= 0.005 * exact

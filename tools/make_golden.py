@@ -1123,6 +1123,67 @@ def approx_distinct_ref(groups, values, p=12):
     return sorted(out)
 
 
+def validate_sequences_ref(seq_dir):
+    """Independent reconstruction of the validate_sequences report's
+    deterministic columns over the north-rule sequences table:
+
+    - n_rows / n_valid / n_violations via DuckDB, spelling out the
+      schema paths (doc_id string min-1, tokens vector min-1 of
+      int [0, 50256] with one explain entry PER bad element, n_tok int
+      min-1, source enum) plus the two job checks (n_tok consistency,
+      referential source) — one violation entry per failing path, the
+      engine's explain_table contract;
+    - distinct_doc_id via :func:`approx_distinct_ref` (pure-Python
+      integer HLL over the pinned polars hash) — bit-equal to the
+      engine's register-max-merged estimate because HLL registers are
+      order- and partition-insensitive.
+
+    The t-digest quantile is NOT reproduced here: its compression is
+    batch-layout-dependent (rounded p50 measured 243 vs 244 across
+    num_cpus on the same table), which is exactly why the query exposes
+    only the deterministic columns."""
+    import glob
+
+    import duckdb
+
+    pat = os.path.join(seq_dir, "*.parquet")
+    allowed = "('web', 'books', 'code', 'wiki', 'news')"
+    row = duckdb.connect().execute(f"""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN
+                     doc_id IS NOT NULL AND length(doc_id) >= 1
+                     AND tokens IS NOT NULL AND len(tokens) >= 1
+                     AND len(list_filter(tokens,
+                         t -> t IS NULL OR t < 0 OR t > 50256)) = 0
+                     AND n_tok IS NOT NULL AND n_tok >= 1
+                     AND source IN {allowed}
+                     AND COALESCE(len(tokens) = n_tok, FALSE)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+               CAST(SUM(
+                   CASE WHEN doc_id IS NULL OR length(doc_id) < 1
+                        THEN 1 ELSE 0 END
+                 + CASE WHEN tokens IS NULL OR len(tokens) < 1
+                        THEN 1 ELSE 0 END
+                 + COALESCE(len(list_filter(tokens,
+                       t -> t IS NULL OR t < 0 OR t > 50256)), 0)
+                 + CASE WHEN n_tok IS NULL OR n_tok < 1
+                        THEN 1 ELSE 0 END
+                 + CASE WHEN source IS NULL OR source NOT IN {allowed}
+                        THEN 1 ELSE 0 END
+                 + CASE WHEN COALESCE(len(tokens) = n_tok, FALSE)
+                        THEN 0 ELSE 1 END
+                 + CASE WHEN source IS NULL OR source NOT IN {allowed}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+          FROM read_parquet('{pat}')""").fetchone()
+    doc_ids = []
+    for p in sorted(glob.glob(pat)):
+        doc_ids.extend(pq.read_table(p, columns=["doc_id"])
+                       .column("doc_id").to_pylist())
+    (_, distinct), = approx_distinct_ref(["all"] * len(doc_ids), doc_ids)
+    return {"n_rows": int(row[0]), "n_valid": int(row[1]),
+            "n_violations": int(row[2]), "distinct_doc_id": int(distinct)}
+
+
 def split_by_domain_ref(ids, texts, seed=3343):
     """Leakage-safe domain split reference: FIRST URL's host per doc via
     python-re (independent of the engine's polars str.extract), hash64 =
@@ -1508,6 +1569,12 @@ def main(sfs=("sf0.001", "sf0.01")):
                       "pack_id": pa.array([r[2] for r in packed],
                                           type=pa.int64())}),
             os.path.join(outdir, "pack_sequences.parquet"))
+
+        vs = validate_sequences_ref(seq_dir)
+        pq.write_table(
+            pa.table({k: pa.array([v], type=pa.int64())
+                      for k, v in vs.items()}),
+            os.path.join(outdir, "validate_sequences.parquet"))
 
         sbd = split_by_domain_ref(ids, texts)
         pq.write_table(
