@@ -231,6 +231,8 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "vocab_top_words", "zorder_events",
         # r5: sharded band-digest layout exercised end-to-end
         "incremental_near_dup_sharded_documents",
+        # r5: token-granularity exact substring dedup (Lee 2021 native)
+        "dup_spans_sequences", "remove_dup_spans_sequences",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

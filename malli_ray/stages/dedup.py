@@ -2065,19 +2065,84 @@ def _merged_span_lists(g: pa.Table, k: int, id_out: str) -> pa.Table:
                      "ends": ends_col})
 
 
+_SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (Steele et al. 2014) — avalanches the Horner
+    accumulator so bucket assignment (h % num_buckets) is uniform."""
+    z = z ^ (z >> np.uint64(30))
+    z = z * _SPLITMIX_C1
+    z = z ^ (z >> np.uint64(27))
+    z = z * _SPLITMIX_C2
+    return z ^ (z >> np.uint64(31))
+
+
+class _TokenGramOccurrenceEmitter:
+    """Token-granularity sibling of :class:`_GramOccurrenceEmitter`:
+    one row ``(h1, h2, id, pos)`` per token-k-gram occurrence of a
+    ``list<int>`` column.  Each hash is an independent odd-multiplier
+    Horner accumulation over the window (k gathers, fully vectorized)
+    finished with a splitmix64 avalanche — two independent 64-bit
+    values = 128 bits, the same collision budget as the word emitter's
+    dual polars hashes.  ``pos`` is the 0-based TOKEN index of the
+    gram's first element."""
+
+    _A1 = np.uint64(0x9E3779B97F4A7C15 | 1)
+    _A2 = np.uint64(0xC2B2AE3D27D4EB4F | 1)
+
+    def __init__(self, text_column: str, id_column: str, k: int):
+        self.text_column = text_column   # the list<int> tokens column
+        self.id_column = id_column
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        values, offsets = _list_values_offsets(batch.column(self.text_column))
+        lens = np.diff(offsets)
+        ng = np.maximum(lens - self.k + 1, 0)
+        total = int(ng.sum())
+        if total == 0:
+            return pa.table({
+                "h1": pa.array([], pa.int64()),
+                "h2": pa.array([], pa.int64()),
+                "id": batch.column(self.id_column).slice(0, 0),
+                "pos": pa.array([], pa.int64())})
+        rows = np.repeat(np.arange(len(lens), dtype=np.int64), ng)
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(np.cumsum(ng) - ng, ng))
+        start = offsets[:-1][rows] + pos
+        v = values.astype(np.uint64, copy=False) + np.uint64(1)
+        h1 = np.zeros(total, dtype=np.uint64)
+        h2 = np.zeros(total, dtype=np.uint64)
+        for j in range(self.k):
+            x = v[start + j]
+            h1 = h1 * self._A1 + x
+            h2 = h2 * self._A2 + x
+        h1, h2 = _splitmix(h1), _splitmix(h2)
+        ids = batch.column(self.id_column).take(pa.array(rows))
+        return pa.table({"h1": pa.array(h1.view(np.int64)),
+                         "h2": pa.array(h2.view(np.int64)),
+                         "id": ids,
+                         "pos": pa.array(pos, type=pa.int64())})
+
+
 def _duplicate_occurrences(ds: Dataset, text_column: str, id_column: str,
                            k: int, num_buckets: int,
                            num_partitions: int | None,
-                           concurrency) -> Dataset:
+                           concurrency, token_mode: bool = False) -> Dataset:
     """Shared phase of exact substring dedup: one row ``(id, pos)`` per
-    NON-FIRST occurrence of each word-k-gram, global first defined by
+    NON-FIRST occurrence of each word-k-gram (``token_mode=True``:
+    token-k-gram of a list<int> column), global first defined by
     (id, pos) order.  ONE gram-keyed exchange: grams bucket on
     ``h1 % num_buckets`` and each bucket runs a single vectorized sort +
     run-boundary mask."""
     from . import cached_stage, concurrency_kwargs
 
+    emitter = _TokenGramOccurrenceEmitter if token_mode \
+        else _GramOccurrenceEmitter
     occ = ds.map_batches(
-        cached_stage(_GramOccurrenceEmitter, text_column=text_column,
+        cached_stage(emitter, text_column=text_column,
                      id_column=id_column, k=k),
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
@@ -2314,6 +2379,148 @@ def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
         return pa.table({id_column: docs.column(id_column),
                          out_column: text_out,
                          drop_count_column: dropped})
+
+    return (both.groupby(bucket_col, num_partitions=num_partitions)
+            .map_groups(merge_mask, batch_format="pyarrow"))
+
+
+def duplicate_token_spans(ds: Dataset, tokens_column: str, id_column: str,
+                          k: int = 10, num_buckets: int = 64,
+                          num_partitions: int | None = None,
+                          concurrency=None) -> Dataset:
+    """Exact substring dedup at TOKEN granularity (Lee et al. 2021's
+    native setting — the paper deduplicates tokenized corpora): one row
+    per maximal span of tokens covered by duplicated token-k-grams,
+    keeping each gram's globally FIRST occurrence (ordered by (id, pos)).
+    Output ``(id, span_start, span_end)`` — token indices, end exclusive.
+
+    Same two-exchange scale shape as the word-level
+    :func:`duplicate_spans` (the exchange is ~28 B per token occurrence,
+    the honest price of exactness; the same mitigations apply), with the
+    gram hashes computed by two independent Horner+splitmix64
+    accumulations over the token windows instead of string hashing —
+    k gathers per batch, no string materialization at all."""
+    from ..state.sketches import hash64
+
+    dup_occ = _duplicate_occurrences(ds, tokens_column, id_column, k,
+                                     num_buckets, num_partitions,
+                                     concurrency, token_mode=True)
+    id_type = ds.schema().base_schema.field(id_column).type
+
+    def bucketize_doc(batch: pa.Table) -> pa.Table:
+        batch = batch.select(["id", "pos"])
+        h = hash64(batch.column("id"), seed=17) % np.uint64(num_buckets)
+        return batch.append_column("__dbucket__",
+                                   pa.array(h.astype(np.int64)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        span_ids, s, e = _merged_flat_spans(
+            g.drop_columns(["__dbucket__"]), k)
+        return pa.table({
+            id_column: pa.array(span_ids.tolist(), type=id_type),
+            "span_start": pa.array(s, type=pa.int64()),
+            "span_end": pa.array(e, type=pa.int64())})
+
+    spans = (dup_occ.map_batches(bucketize_doc, batch_format="pyarrow")
+             .groupby("__dbucket__", num_partitions=num_partitions)
+             .map_groups(merge, batch_format="pyarrow"))
+    import ray
+    empty = ray.data.from_arrow(pa.table({
+        id_column: pa.array([], type=id_type),
+        "span_start": pa.array([], type=pa.int64()),
+        "span_end": pa.array([], type=pa.int64())}))
+    return spans.union(empty)
+
+
+def remove_duplicate_token_spans(ds: Dataset, tokens_column: str,
+                                 id_column: str, k: int = 10,
+                                 out_column: str = "tokens_dedup",
+                                 drop_count_column: str = "n_tokens_dropped",
+                                 num_buckets: int = 64,
+                                 num_partitions: int | None = None,
+                                 concurrency=None) -> Dataset:
+    """Exact substring dedup at token granularity, phase 2: drop every
+    token covered by a duplicate span (each gram's globally first
+    occurrence survives) and rebuild the list column.  Output:
+    ``(id, out_column: list<same value type>, drop_count_column)`` for
+    EVERY input document.
+
+    Same fused tag+union shape as the word-level
+    :func:`remove_duplicate_spans` — two exchanges total, both on
+    ``hash % num_buckets`` buckets; the mask is one coverage-difference
+    cumsum over each bucket's flattened values buffer (no per-doc
+    Python), simpler than the word path because there is no text to
+    re-join."""
+    from ..state.sketches import hash64
+
+    dup_occ = _duplicate_occurrences(ds, tokens_column, id_column, k,
+                                     num_buckets, num_partitions,
+                                     concurrency, token_mode=True)
+    schema = ds.schema().base_schema
+    id_type = schema.field(id_column).type
+    toks_type = schema.field(tokens_column).type
+    val_type = toks_type.value_type
+
+    side_col, bucket_col = "__jside__", "__jbucket__"
+
+    def _tagged(batch: pa.Table, side: int) -> pa.Table:
+        ids = batch.column("id" if side == 1 else id_column)
+        n = batch.num_rows
+        toks = (batch.column(tokens_column) if side == 0
+                else pa.nulls(n, toks_type))
+        pos = (batch.column("pos") if side == 1
+               else pa.nulls(n, pa.int64()))
+        bucket = (hash64(ids, seed=23)
+                  % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({id_column: ids, tokens_column: toks, "pos": pos,
+                         side_col: pa.array(np.full(n, side, dtype=np.int8)),
+                         bucket_col: pa.array(bucket)})
+
+    both = (ds.select_columns([id_column, tokens_column])
+            .map_batches(lambda b: _tagged(b, 0), batch_format="pyarrow")
+            .union(dup_occ.map_batches(lambda b: _tagged(b, 1),
+                                       batch_format="pyarrow")))
+
+    def merge_mask(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_column: pa.array([], type=id_type),
+            out_column: pa.array([], type=pa.list_(val_type)),
+            drop_count_column: pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or side_col not in g.column_names:
+            return empty
+        side = g.column(side_col).to_numpy(zero_copy_only=False)
+        docs = (g.filter(pa.array(side == 0))
+                .select([id_column, tokens_column])
+                .sort_by([(id_column, "ascending")]))
+        if docs.num_rows == 0:
+            return empty
+        occ_part = (g.filter(pa.array(side == 1))
+                    .select([id_column, "pos"])
+                    .rename_columns(["id", "pos"]))
+        span_ids, span_start, span_end = _merged_flat_spans(occ_part, k)
+        doc_ids = docs.column(id_column).to_numpy(zero_copy_only=False)
+        row_idx = (np.searchsorted(doc_ids, span_ids)
+                   if len(span_ids) else np.empty(0, dtype=np.int64))
+        values, offsets = _list_values_offsets(docs.column(tokens_column))
+        lens = np.diff(offsets)
+        total = int(offsets[-1])
+        cover = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(cover, np.clip(offsets[:-1][row_idx] + span_start,
+                                 0, total), 1)
+        np.add.at(cover, np.clip(offsets[:-1][row_idx] + span_end,
+                                 0, total), -1)
+        keep = np.cumsum(cover[:-1]) <= 0
+        cs = np.concatenate(([0], np.cumsum(keep))).astype(np.int64)
+        kept_counts = cs[offsets[1:]] - cs[offsets[:-1]]
+        out_off = np.concatenate(([0], np.cumsum(kept_counts)))
+        lists = pa.ListArray.from_arrays(
+            pa.array(out_off.astype(np.int32), type=pa.int32()),
+            pa.array(values[keep], type=pa.int64()).cast(val_type))
+        return pa.table({
+            id_column: docs.column(id_column),
+            out_column: lists,
+            drop_count_column: pa.array(lens - kept_counts,
+                                        type=pa.int64())})
 
     return (both.groupby(bucket_col, num_partitions=num_partitions)
             .map_groups(merge_mask, batch_format="pyarrow"))

@@ -4721,7 +4721,7 @@ def test_token_rarity_random(ray_session):
                                         else 0)
     bad = pa.table({"doc_id": ["x"],
                     "tokens": pa.array([[99]], pa.list_(pa.int32()))})
-    with pytest.raises(Exception, match="vocab_range"):
+    with pytest.raises(Exception, match="vocab_range|bounded_range"):
         token_rarity(rd.from_arrow(bad), vocab_range=(0, 50)).take_all()
 
 

@@ -179,3 +179,73 @@ def test_token_minhasher_short_and_empty_rows(ray_session):
     sig = {r["id"]: r["sig"] for r in out.to_pylist() if r["band"] == 0}
     assert sig["a"] == sig["b"]
     assert sig["a"] != sig["c"]
+
+
+def test_token_span_dedup_matches_bruteforce(ray_session):
+    """duplicate_token_spans / remove_duplicate_token_spans vs a per-row
+    Python reconstruction of the Lee-2021 semantics (first occurrence of
+    each token k-gram by (id, pos) survives; covered tokens drop), over a
+    corpus with planted cross-doc and within-doc duplicate runs."""
+    import ray.data as rd
+    from malli_ray.stages.dedup import (duplicate_token_spans,
+                                        remove_duplicate_token_spans)
+
+    rng = np.random.default_rng(11)
+    k = 5
+    motif = rng.integers(0, 1000, 12).tolist()      # 12 > k: spans merge
+    rows, ids = [], []
+    for i in range(120):
+        body = rng.integers(0, 50_000, int(rng.integers(0, 30))).tolist()
+        if i % 4 == 0:       # plant the motif at a random position
+            p = int(rng.integers(0, max(len(body) - 1, 1)))
+            body = body[:p] + motif + body[p:]
+        if i == 7:           # within-doc repetition
+            body = body + body[:8]
+        if i == 9:           # null row
+            body = None
+        ids.append(f"d{i:04d}")
+        rows.append(body)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "tokens": pa.array(rows, pa.list_(pa.int32()))})
+
+    # brute-force reference
+    first = {}
+    for i in sorted(range(len(ids)), key=lambda j: ids[j]):
+        toks = rows[i] or []
+        for p in range(max(len(toks) - k + 1, 0)):
+            first.setdefault(tuple(toks[p:p + k]), (ids[i], p))
+    covered = {di: set() for di in ids}
+    for i, di in enumerate(ids):
+        toks = rows[i] or []
+        for p in range(max(len(toks) - k + 1, 0)):
+            if first[tuple(toks[p:p + k])] != (di, p):
+                covered[di].update(range(p, p + k))
+
+    def ref_spans(di):
+        c = sorted(covered[di])
+        out, s = [], None
+        for a, b in zip(c, c[1:] + [None]):
+            if s is None:
+                s = a
+            if b != a + 1:
+                out.append((s, a + 1))
+                s = None
+        return out
+
+    ds = rd.from_arrow(t).repartition(5)
+    got_spans = {}
+    for r in duplicate_token_spans(ds, "tokens", "doc_id",
+                                   k=k, num_buckets=8).take_all():
+        got_spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"]))
+    for di in ids:
+        assert sorted(got_spans.get(di, [])) == ref_spans(di), di
+
+    got = {r["doc_id"]: r for r in remove_duplicate_token_spans(
+        ds, "tokens", "doc_id", k=k, num_buckets=8).take_all()}
+    assert set(got) == set(ids)
+    for i, di in enumerate(ids):
+        toks = rows[i] or []
+        want = [tk for p, tk in enumerate(toks) if p not in covered[di]]
+        assert list(got[di]["tokens_dedup"]) == want, di
+        assert got[di]["n_tokens_dropped"] == len(toks) - len(want)
