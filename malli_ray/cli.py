@@ -404,10 +404,23 @@ def _run_pack(args, paths: list[str]) -> int:
                    for f in sorted(_glob.glob(
                        os.path.join(out_dir, "**", "*.parquet"),
                        recursive=True)))
-    print(json.dumps({"rows_in": rows_in, "blocks": n_blocks,
-                      "dropped_dup_rows": dropped_dup_rows,
-                      "block_size": args.block_size, "out": out_dir}))
-    return 0
+    report = {"rows_in": rows_in, "blocks": n_blocks,
+              "dropped_dup_rows": dropped_dup_rows,
+              "block_size": args.block_size, "out": out_dir}
+    rc = 0
+    if getattr(args, "expect", None):
+        # assert over the WRITTEN blocks (the artifact a trainer reads),
+        # not the lazy pipeline — one projected re-read, no re-assembly
+        from .stages.constraints import expectations_report
+        rules = _parse_expect_rules(args.expect)
+        need = sorted({r["column"] for r in rules if "column" in r})
+        scan = rdata.read_parquet(out_dir, columns=need or None)
+        verdicts = expectations_report(scan, rules).to_pylist()
+        report["expectations"] = verdicts
+        if any(not v["ok"] for v in verdicts):
+            rc = 1
+    print(json.dumps(report))
+    return rc
 
 
 def _parse_expect_rules(specs: list[str]) -> list[dict]:
@@ -595,6 +608,15 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--truncate", type=int, metavar="MAX_LEN",
                     help="clip every sequence to MAX_LEN tokens first")
     pk.add_argument("--num-buckets", type=int, default=64)
+    pk.add_argument("--expect", action="append", metavar="RULE",
+                    help="assertion rule over the WRITTEN blocks table "
+                         "(columns: block_id, n_tokens, n_docs, "
+                         "input/position/segment ids, the group column), "
+                         "repeatable — same kinds as validate --expect; "
+                         "e.g. row_count_between:100:100000 "
+                         "mean_between:n_tokens:1800:2048 min_ge:n_docs:1; "
+                         "verdicts land under 'expectations' and gate the "
+                         "exit code")
     pk.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
 

@@ -230,6 +230,32 @@ def test_cli_pack_blocks(ray_session, seq_dir, tmp_path):
     assert int(np.sum(n_tok)) == int(pc2.sum(clipped).as_py())
 
 
+def test_cli_pack_expectations(ray_session, seq_dir, tmp_path, capsys):
+    """pack --expect: rules assert over the WRITTEN blocks table and gate
+    the exit code — a passing pack keeps exit 0 with verdicts in the
+    report; an impossible bound exits 1."""
+    import json
+
+    from malli_ray import cli
+
+    def run(expect, out):
+        rc = cli.main(["pack", "--input", seq_dir, "--out",
+                       str(tmp_path / out), "--block-size", "512",
+                       "--num-cpus", "4",
+                       *[x for e in expect for x in ("--expect", e)]])
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        return rc, rep
+
+    rc, rep = run(["row_count_between:1:1e9", "min_ge:n_docs:1",
+                   "max_le:n_tokens:512"], "pk_ok")
+    assert rc == 0 and all(v["ok"] for v in rep["expectations"])
+    assert rep["expectations"][0]["observed_i"] == rep["blocks"]
+
+    rc, rep = run(["max_le:n_tokens:10"], "pk_bad")
+    assert rc == 1
+    assert [v["ok"] for v in rep["expectations"]] == [False]
+
+
 def test_cli_validate_expectations(ray_session, seq_dir, tmp_path, capsys):
     """--expect rules land in the report and gate the exit code: a passing
     suite keeps the job's own verdict; a failing cardinality rule flips
