@@ -618,3 +618,54 @@ def test_skew_assemble_straggler_pin_1m(ray_session):
         assert mx <= 4.0 * mean + 0.5, (
             f"straggler task: max {mx:.2f}s vs mean {mean:.2f}s\n"
             + out.stats())
+
+
+def test_skew_token_span_dedup_hot_gram(ray_session):
+    """Pathological dup-heavy corpus for token span dedup: ONE 12-token
+    motif appears in EVERY doc (100k docs), so a handful of gram buckets
+    hold ~300k occurrences while most hold the unique boundary grams.
+    Correctness: every doc except the global-first id gets exactly one
+    12-token span over the motif; no stage concentrates into a straggler
+    (max-task <= 4x mean for every >1s stage)."""
+    from malli_ray.stages.dedup import duplicate_token_spans
+
+    rng = np.random.default_rng(53)
+    n = 100_000
+    k = 10
+    motif = rng.integers(0, 50_000, 12).astype(np.int32)
+    bodies = [rng.integers(0, 50_000, 24).astype(np.int32) for _ in range(8)]
+    rows, starts = [], []
+    for i in range(n):
+        body = bodies[i % 8].copy()
+        body[:4] = rng.integers(0, 50_000, 4)     # unique-ish prefix
+        p = 4 + int(rng.integers(0, 8))
+        rows.append(np.concatenate([body[:p], motif, body[p:]]))
+        starts.append(p)
+    ids = [f"d{i:06d}" for i in range(n)]
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in rows], out=off[1:])
+    t = pa.table({
+        "doc_id": pa.array(ids),
+        "tokens": pa.ListArray.from_arrays(
+            pa.array(off.astype(np.int32), pa.int32()),
+            pa.array(np.concatenate(rows)))})
+    out = duplicate_token_spans(_from_arrow(t), "tokens", "doc_id",
+                                k=k, num_buckets=32).materialize()
+    got = {}
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+        for d, s, e in zip(b.column("doc_id").to_pylist(),
+                           b.column("span_start").to_pylist(),
+                           b.column("span_end").to_pylist()):
+            got.setdefault(d, []).append((s, e))
+    # shared bodies mean spans can extend beyond the motif; the motif
+    # interval itself must be covered in every doc but the global first
+    covered = 0
+    for i in range(1, n):
+        spans = got.get(ids[i], [])
+        if any(s <= starts[i] and e >= starts[i] + 12 for s, e in spans):
+            covered += 1
+    assert covered == n - 1, covered
+    spreads = _task_wall_spread(out.stats())
+    heavy = [(mx, mean) for mx, mean, total in spreads if total > 1.0]
+    for mx, mean in heavy:
+        assert mx <= 4.0 * mean + 0.5, (mx, mean)
