@@ -100,7 +100,7 @@ def _stage_checkpoint(ds, args, paths, stages, tag):
 
 def _run_corpus_prep(args, paths: list[str]) -> int:
     """Assemble the requested operator chain (fixed order: normalize ->
-    gopher/compression quality filters -> bloom -> line scrub -> dedup ->
+    gopher/compression quality filters -> bloom -> line scrub -> span scrub -> dedup ->
     decontaminate -> outliers -> rebalance -> chunk), write partitioned
     parquet to <out>/data/, print a one-line JSON report."""
     import glob as _glob
@@ -228,6 +228,22 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
         ds = ds.map_batches(_swap_clean, batch_format="pyarrow")
         stages.append(f"drop_frequent_lines(min_count="
                       f"{args.drop_frequent_lines})")
+    if args.remove_dup_spans:
+        # Lee-2021 exact substring scrub: covered words drop, every
+        # other column rides the doc-keyed exchange (keep_columns)
+        others = [c for c in ds.schema(fetch_if_missing=True)
+                  .base_schema.names if c not in (tc, idc)]
+        ds = dedup.remove_duplicate_spans(
+            ds, tc, idc, k=args.remove_dup_spans,
+            out_column=tc + "_sd", keep_columns=others)
+
+        def _swap_sd(b):
+            names = [tc if c == tc + "_sd" else c for c in b.column_names]
+            return b.rename_columns(names).drop_columns(
+                ["n_words_dropped"])
+
+        ds = ds.map_batches(_swap_sd, batch_format="pyarrow")
+        stages.append(f"remove_dup_spans(k={args.remove_dup_spans})")
     if args.dedup == "exact":
         kept = dedup.exact_dedup_keep_first(ds, tc, idc)
         ds = joins.semi_join(ds, kept, on=idc)
@@ -548,6 +564,11 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--drop-frequent-lines", type=int, metavar="MIN_COUNT",
                     help="C4-style line scrub: drop lines occurring >= "
                          "MIN_COUNT times corpus-wide")
+    cp.add_argument("--remove-dup-spans", type=int, metavar="K",
+                    help="exact substring scrub (Lee 2021): drop every "
+                         "word covered by a corpus-duplicated K-word "
+                         "gram span (first occurrence survives); other "
+                         "columns pass through")
     cp.add_argument("--dedup", choices=["exact"],
                     help="exact dedup keeping the min id per content")
     cp.add_argument("--decontaminate", metavar="GLOB",

@@ -2297,12 +2297,15 @@ def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
                            drop_count_column: str = "n_words_dropped",
                            num_buckets: int = 64,
                            num_partitions: int | None = None,
+                           keep_columns: "list[str] | None" = None,
                            concurrency=None) -> Dataset:
     """Exact substring dedup, phase 2: drop every word covered by a
     duplicate span (keeping each gram's globally first occurrence) and
     rebuild the text from the surviving words joined by single spaces —
     i.e. ALL documents come back whitespace-normalized, duplicated spans
-    removed.  Output: (id, out_column, drop_count_column).
+    removed.  Output: (id, out_column, drop_count_column [, keep_columns
+    — payload columns carried through the doc-keyed exchange verbatim,
+    so a pipeline keeps source/metadata without a re-join]).
 
     TWO exchanges total: the gram-keyed keep-first shuffle
     (:func:`_duplicate_occurrences`), then ONE doc-keyed shuffle that
@@ -2326,6 +2329,9 @@ def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
     text_type = schema.field(text_column).type
     if pa.types.is_null(text_type):
         text_type = pa.string()
+    keep = [c for c in (keep_columns or ())
+            if c not in (id_column, text_column)]
+    keep_types = {c: schema.field(c).type for c in keep}
 
     side_col, bucket_col = "__jside__", "__jbucket__"
 
@@ -2342,11 +2348,15 @@ def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
                else pa.nulls(n, pa.int64()))
         bucket = (hash64(ids, seed=23)
                   % np.uint64(num_buckets)).astype(np.int64)
-        return pa.table({id_column: ids, text_column: text, "pos": pos,
-                         side_col: pa.array(np.full(n, side, dtype=np.int8)),
-                         bucket_col: pa.array(bucket)})
+        cols = {id_column: ids, text_column: text, "pos": pos,
+                side_col: pa.array(np.full(n, side, dtype=np.int8)),
+                bucket_col: pa.array(bucket)}
+        for c in keep:
+            cols[c] = (batch.column(c) if side == 0
+                       else pa.nulls(n, keep_types[c]))
+        return pa.table(cols)
 
-    both = (ds.select_columns([id_column, text_column])
+    both = (ds.select_columns([id_column, text_column, *keep])
             .map_batches(lambda b: _tagged(b, 0), batch_format="pyarrow")
             .union(dup_occ.map_batches(lambda b: _tagged(b, 1),
                                        batch_format="pyarrow")))
@@ -2355,12 +2365,13 @@ def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
         empty = pa.table({
             id_column: pa.array([], type=id_type),
             out_column: pa.array([], type=pa.string()),
-            drop_count_column: pa.array([], type=pa.int64())})
+            drop_count_column: pa.array([], type=pa.int64()),
+            **{c: pa.array([], type=keep_types[c]) for c in keep}})
         if g.num_rows == 0 or side_col not in g.column_names:
             return empty
         side = g.column(side_col).to_numpy(zero_copy_only=False)
         docs = (g.filter(pa.array(side == 0))
-                .select([id_column, text_column])
+                .select([id_column, text_column, *keep])
                 .sort_by([(id_column, "ascending")]))
         if docs.num_rows == 0:
             return empty
@@ -2378,7 +2389,8 @@ def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
                                         row_idx, span_start, span_end)
         return pa.table({id_column: docs.column(id_column),
                          out_column: text_out,
-                         drop_count_column: dropped})
+                         drop_count_column: dropped,
+                         **{c: docs.column(c) for c in keep}})
 
     return (both.groupby(bucket_col, num_partitions=num_partitions)
             .map_groups(merge_mask, batch_format="pyarrow"))

@@ -1194,3 +1194,43 @@ def test_cli_corpus_prep_checkpoint_dir(tmp_path, ray_session, capsys):
     assert rc == 0
     capsys.readouterr()
     assert len(sorted(ckpt.glob("pre-stats-*._SUCCESS"))) == 2
+
+
+def test_cli_corpus_prep_remove_dup_spans(tmp_path, ray_session, capsys):
+    """--remove-dup-spans K: the Lee-2021 substring scrub inside the
+    corpus-prep chain — a 6-word phrase repeated across docs survives
+    only in its first (id, pos) occurrence, every other column
+    (source, n_chars) passes through the doc-keyed exchange."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from malli_ray.cli import main
+
+    phrase = "alpha beta gamma delta epsilon zeta"
+    docs = pa.table({
+        "doc_id": list(range(4)),
+        "source": ["a", "b", "a", "b"],
+        "n_chars": [50, 60, 70, 80],
+        "text": [f"{phrase} first doc tail words one",
+                 f"second doc head words {phrase}",
+                 f"third {phrase} middle doc words",
+                 "totally unrelated content with no phrase at all ok"]})
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(docs, inp / "part-0.parquet")
+    out = tmp_path / "out"
+    rc = main(["corpus-prep", "--input", str(inp), "--out", str(out),
+               "--remove-dup-spans", "6", "--num-cpus", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stages"] == ["remove_dup_spans(k=6)"]
+    got = pq.read_table(sorted((out / "data").glob("*.parquet")))
+    rows = {r["doc_id"]: r for r in got.to_pylist()}
+    assert len(rows) == 4
+    assert phrase in rows[0]["text"]            # first occurrence kept
+    assert phrase not in rows[1]["text"]
+    assert phrase not in rows[2]["text"]
+    assert rows[1]["text"] == "second doc head words"
+    assert rows[3]["text"].startswith("totally unrelated")
+    # payload columns rode through the exchange
+    assert {r["source"] for r in rows.values()} == {"a", "b"}
+    assert rows[2]["n_chars"] == 70
