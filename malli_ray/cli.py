@@ -405,6 +405,33 @@ def _run_pack(args, paths: list[str]) -> int:
 
         ds = ds.map_batches(drop_dups, batch_format="pyarrow")
         dropped_dup_rows = sum(int(r["cnt"]) for r in dup_rows)
+    scrubbed_tokens = 0
+    if args.scrub_dup_spans:
+        # Lee-2021 exact substring scrub at token granularity BEFORE
+        # packing (train on each span once); other columns (the group
+        # column) ride the doc-keyed exchange
+        from .stages import dedup as _dedup
+
+        others = [c for c in sch.base_schema.names
+                  if c not in (args.tokens_column, args.id_column)]
+        ds = _dedup.remove_duplicate_token_spans(
+            ds, args.tokens_column, args.id_column,
+            k=args.scrub_dup_spans, out_column=args.tokens_column + "_sd",
+            keep_columns=others)
+
+        def _swap_sd(b):
+            names = [args.tokens_column if c == args.tokens_column + "_sd"
+                     else c for c in b.column_names]
+            return b.rename_columns(names)
+
+        ds = ds.map_batches(_swap_sd, batch_format="pyarrow")
+        # assemble consumes its input twice (counts + payload) and the
+        # scrub chain is expensive — materialize once (the q21 guard)
+        ds = ds.materialize()
+        scrubbed_tokens = int(ds.sum("n_tokens_dropped") or 0)
+        ds = ds.map_batches(
+            lambda b: b.drop_columns(["n_tokens_dropped"]),
+            batch_format="pyarrow")
     if args.truncate:
         ds = packing.truncate_sequences(ds, args.tokens_column,
                                         max_len=args.truncate,
@@ -422,6 +449,7 @@ def _run_pack(args, paths: list[str]) -> int:
                        recursive=True)))
     report = {"rows_in": rows_in, "blocks": n_blocks,
               "dropped_dup_rows": dropped_dup_rows,
+              "scrubbed_tokens": scrubbed_tokens,
               "block_size": args.block_size, "out": out_dir}
     rc = 0
     if getattr(args, "expect", None):
@@ -628,6 +656,11 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--block-size", type=int, default=2048)
     pk.add_argument("--truncate", type=int, metavar="MAX_LEN",
                     help="clip every sequence to MAX_LEN tokens first")
+    pk.add_argument("--scrub-dup-spans", type=int, metavar="K",
+                    help="Lee-2021 exact substring scrub BEFORE packing: "
+                         "drop every token covered by a corpus-duplicated "
+                         "K-token-gram span (first occurrence survives); "
+                         "scrubbed token count lands in the report")
     pk.add_argument("--num-buckets", type=int, default=64)
     pk.add_argument("--expect", action="append", metavar="RULE",
                     help="assertion rule over the WRITTEN blocks table "

@@ -2450,6 +2450,7 @@ def remove_duplicate_token_spans(ds: Dataset, tokens_column: str,
                                  drop_count_column: str = "n_tokens_dropped",
                                  num_buckets: int = 64,
                                  num_partitions: int | None = None,
+                                 keep_columns: "list[str] | None" = None,
                                  concurrency=None) -> Dataset:
     """Exact substring dedup at token granularity, phase 2: drop every
     token covered by a duplicate span (each gram's globally first
@@ -2472,6 +2473,9 @@ def remove_duplicate_token_spans(ds: Dataset, tokens_column: str,
     id_type = schema.field(id_column).type
     toks_type = schema.field(tokens_column).type
     val_type = toks_type.value_type
+    keep_cols = [c for c in (keep_columns or ())
+            if c not in (id_column, tokens_column)]
+    keep_types = {c: schema.field(c).type for c in keep_cols}
 
     side_col, bucket_col = "__jside__", "__jbucket__"
 
@@ -2484,11 +2488,15 @@ def remove_duplicate_token_spans(ds: Dataset, tokens_column: str,
                else pa.nulls(n, pa.int64()))
         bucket = (hash64(ids, seed=23)
                   % np.uint64(num_buckets)).astype(np.int64)
-        return pa.table({id_column: ids, tokens_column: toks, "pos": pos,
-                         side_col: pa.array(np.full(n, side, dtype=np.int8)),
-                         bucket_col: pa.array(bucket)})
+        cols = {id_column: ids, tokens_column: toks, "pos": pos,
+                side_col: pa.array(np.full(n, side, dtype=np.int8)),
+                bucket_col: pa.array(bucket)}
+        for c in keep_cols:
+            cols[c] = (batch.column(c) if side == 0
+                       else pa.nulls(n, keep_types[c]))
+        return pa.table(cols)
 
-    both = (ds.select_columns([id_column, tokens_column])
+    both = (ds.select_columns([id_column, tokens_column, *keep_cols])
             .map_batches(lambda b: _tagged(b, 0), batch_format="pyarrow")
             .union(dup_occ.map_batches(lambda b: _tagged(b, 1),
                                        batch_format="pyarrow")))
@@ -2497,12 +2505,13 @@ def remove_duplicate_token_spans(ds: Dataset, tokens_column: str,
         empty = pa.table({
             id_column: pa.array([], type=id_type),
             out_column: pa.array([], type=pa.list_(val_type)),
-            drop_count_column: pa.array([], type=pa.int64())})
+            drop_count_column: pa.array([], type=pa.int64()),
+            **{c: pa.array([], type=keep_types[c]) for c in keep_cols}})
         if g.num_rows == 0 or side_col not in g.column_names:
             return empty
         side = g.column(side_col).to_numpy(zero_copy_only=False)
         docs = (g.filter(pa.array(side == 0))
-                .select([id_column, tokens_column])
+                .select([id_column, tokens_column, *keep_cols])
                 .sort_by([(id_column, "ascending")]))
         if docs.num_rows == 0:
             return empty
@@ -2532,7 +2541,8 @@ def remove_duplicate_token_spans(ds: Dataset, tokens_column: str,
             id_column: docs.column(id_column),
             out_column: lists,
             drop_count_column: pa.array(lens - kept_counts,
-                                        type=pa.int64())})
+                                        type=pa.int64()),
+            **{c: docs.column(c) for c in keep_cols}})
 
     return (both.groupby(bucket_col, num_partitions=num_partitions)
             .map_groups(merge_mask, batch_format="pyarrow"))

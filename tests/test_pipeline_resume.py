@@ -291,3 +291,47 @@ def test_cli_validate_expectations(ray_session, seq_dir, tmp_path, capsys):
         cli.main(["validate", "--input", seq_dir, "--schema", str(schema),
                   "--out", str(tmp_path / "e3"), "--num-cpus", "4",
                   "--expect", "nope:1"])
+
+
+def test_cli_pack_scrub_dup_spans(ray_session, tmp_path, capsys):
+    """pack --scrub-dup-spans K: Lee-2021 token-span scrub before
+    assembly — a motif shared by half the docs survives only in its
+    first occurrence; token conservation holds net of the scrub."""
+    import json
+
+    import numpy as np
+    import pyarrow.compute as pc2
+
+    from malli_ray import cli
+
+    rng = np.random.default_rng(21)
+    motif = rng.integers(0, 50_000, 20).tolist()
+    rows, ids = [], []
+    for i in range(600):
+        body = rng.integers(0, 50_000, 40).tolist()
+        if i % 2 == 0:
+            body = body[:10] + motif + body[10:]
+        rows.append(body)
+        ids.append(f"d{i:05d}")
+    inp = tmp_path / "scrub_in"
+    inp.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids),
+                  "tokens": pa.array(rows, pa.list_(pa.int32())),
+                  "source": pa.array(["web"] * len(ids))}),
+        inp / "part-0.parquet")
+    out = tmp_path / "pk"
+    rc = cli.main(["pack", "--input", str(inp), "--out", str(out),
+                   "--block-size", "256", "--scrub-dup-spans", "10",
+                   "--num-cpus", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # every copy beyond the first loses (at least) the 20-token motif
+    assert rep["scrubbed_tokens"] >= 299 * 20
+    files = sorted(glob.glob(os.path.join(str(out), "blocks", "**",
+                                          "*.parquet"), recursive=True))
+    t = pa.concat_tables([pq.read_table(f, columns=["n_tokens"])
+                          for f in files])
+    total_in = sum(len(r) for r in rows)
+    assert int(pc2.sum(t.column("n_tokens")).as_py()) == \
+        total_in - rep["scrubbed_tokens"]
