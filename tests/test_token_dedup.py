@@ -249,3 +249,31 @@ def test_token_span_dedup_matches_bruteforce(ray_session):
         want = [tk for p, tk in enumerate(toks) if p not in covered[di]]
         assert list(got[di]["tokens_dedup"]) == want, di
         assert got[di]["n_tokens_dropped"] == len(toks) - len(want)
+
+
+def test_token_jaccard_verify_id_contract_raises(ray_session):
+    """Candidate ids missing from the participant set, and duplicated ids
+    among participants, both fail loudly instead of scoring a pair
+    against a neighbour row's gram set (ADVICE r4)."""
+    import ray.data as rd
+
+    rows = [[1, 2, 3, 4, 5], [1, 2, 3, 4, 6], [9, 9, 9, 9, 9]]
+    ids = ["a", "b", "c"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids),
+        "tokens": pa.array(rows, pa.list_(pa.int32()))}))
+    ghost = rd.from_arrow(pa.table({
+        "id_a": pa.array(["a"]), "id_b": pa.array(["zz"]),
+        "est_jaccard": pa.array([0.9])}))
+    with pytest.raises(Exception, match="not found among"):
+        token_jaccard_verify(ghost, ds, "tokens", "doc_id",
+                             threshold=0.0).to_pandas()
+    dup_ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "a", "b"]),
+        "tokens": pa.array(rows, pa.list_(pa.int32()))}))
+    pair = rd.from_arrow(pa.table({
+        "id_a": pa.array(["a"]), "id_b": pa.array(["b"]),
+        "est_jaccard": pa.array([0.9])}))
+    with pytest.raises(Exception, match="duplicated"):
+        token_jaccard_verify(pair, dup_ds, "tokens", "doc_id",
+                             threshold=0.0).to_pandas()
