@@ -2127,24 +2127,134 @@ class _TokenGramOccurrenceEmitter:
                          "pos": pa.array(pos, type=pa.int64())})
 
 
+def _dup_gram_h1_ref(ds: Dataset, text_column: str, id_column: str,
+                     k: int, num_buckets: int,
+                     num_partitions: "int | None", concurrency,
+                     token_mode: bool, max_dup_grams: int):
+    """EXACT dup-gram pre-filter build: the sorted array of h1 values of
+    grams occurring >= 2 times corpus-wide, broadcast via ``ray.put``.
+
+    One h1-only exchange (16 B/distinct-gram-per-batch rows — ints only,
+    no ids/positions) instead of the full ~45 B occurrence rows: each
+    batch collapses to DISTINCT (h1, count capped at 2), buckets on
+    ``h1 % num_buckets``, and each bucket emits its dup h1s as ONE
+    binary blob.  Driver holds O(dup grams) — fail-loud ``max_dup_grams``
+    cap (8 B/gram; the cap bounds the broadcast, not correctness: run
+    without the prefilter when a corpus is mostly duplicate)."""
+    import ray
+
+    from . import cached_stage, concurrency_kwargs
+
+    emitter = _TokenGramOccurrenceEmitter if token_mode \
+        else _GramOccurrenceEmitter
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        h = batch.column("h1").to_numpy(zero_copy_only=False)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h1": pa.array(u, pa.int64()),
+                         "cnt": pa.array(np.minimum(c, 2), pa.int8()),
+                         "__b__": pa.array(
+                             (u.view(np.uint64) % np.uint64(num_buckets))
+                             .astype(np.int64))})
+
+    def bucket_dups(g: pa.Table) -> pa.Table:
+        h = g.column("h1").to_numpy(zero_copy_only=False)
+        c = g.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(h, kind="mergesort")
+        h, c = h[order], c[order]
+        starts = np.concatenate(([0], np.flatnonzero(h[1:] != h[:-1]) + 1))
+        sums = np.add.reduceat(c, starts)
+        dup = h[starts[sums >= 2]]
+        return pa.table({"blob": pa.array([dup.tobytes()],
+                                          pa.large_binary())})
+
+    rows = (ds.map_batches(
+                cached_stage(emitter, text_column=text_column,
+                             id_column=id_column, k=k),
+                batch_format="pyarrow", **concurrency_kwargs(concurrency))
+            .map_batches(local_counts, batch_format="pyarrow")
+            .groupby("__b__", num_partitions=num_partitions)
+            .map_groups(bucket_dups, batch_format="pyarrow")
+            .take_all())  # O(num_buckets) blob rows
+    parts = [np.frombuffer(r["blob"], dtype=np.int64) for r in rows
+             if len(r["blob"])]
+    dup = np.sort(np.concatenate(parts)) if parts \
+        else np.empty(0, dtype=np.int64)
+    if len(dup) > max_dup_grams:
+        raise ValueError(
+            f"dup-gram prefilter: {len(dup)} duplicated grams > "
+            f"max_dup_grams={max_dup_grams} — the corpus is too "
+            f"duplicate-heavy for a broadcast filter; raise the cap or "
+            f"run with prefilter=False")
+    logger.info("dup-gram prefilter: %d duplicated grams (%.0f MB "
+                "broadcast)", len(dup), len(dup) * 8 / 1e6)
+    return ray.put(dup)
+
+
+class _PrefilteredEmitter:
+    """Occurrence emitter + broadcast dup-h1 filter: only occurrences of
+    corpus-duplicated grams leave the map side (searchsorted per batch)."""
+
+    def __init__(self, emitter_cls, dup_ref, **kwargs):
+        import ray
+        self.inner = emitter_cls(**kwargs)
+        self.dup = ray.get(dup_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.inner(batch)
+        if t.num_rows == 0 or len(self.dup) == 0:
+            return t.slice(0, 0)
+        h = t.column("h1").to_numpy(zero_copy_only=False)
+        i = np.searchsorted(self.dup, h)
+        i_c = np.minimum(i, len(self.dup) - 1)
+        return t.filter(pa.array(self.dup[i_c] == h))
+
+
 def _duplicate_occurrences(ds: Dataset, text_column: str, id_column: str,
                            k: int, num_buckets: int,
                            num_partitions: int | None,
-                           concurrency, token_mode: bool = False) -> Dataset:
+                           concurrency, token_mode: bool = False,
+                           prefilter: bool = False,
+                           max_dup_grams: int = 50_000_000) -> Dataset:
     """Shared phase of exact substring dedup: one row ``(id, pos)`` per
     NON-FIRST occurrence of each word-k-gram (``token_mode=True``:
     token-k-gram of a list<int> column), global first defined by
     (id, pos) order.  ONE gram-keyed exchange: grams bucket on
     ``h1 % num_buckets`` and each bucket runs a single vectorized sort +
-    run-boundary mask."""
+    run-boundary mask.
+
+    ``prefilter=True`` (the documented singleton-cut mitigation, EXACT):
+    an extra h1-only counting pass finds the corpus-duplicated grams
+    first, and the wide ``(h1, h2, id, pos)`` exchange then ships ONLY
+    their occurrences — singleton grams (the vast majority of a mostly
+    unique corpus) never leave the map side.  Output is identical:
+    singleton grams cannot produce non-first occurrences.
+
+    MEASURED honesty note (sf0.1, 170M token occurrences, 32 cores):
+    the prefilter is ~1.5x SLOWER there — duplication is cross-batch, so
+    the counting pass's per-batch-distinct rows number ~the full
+    occurrence count and the exchange saving is bytes-per-row only
+    (17 B vs ~45 B), while gram hashing runs twice.  Use it when
+    exchange BYTES dominate (disk-spilling shuffles, wide id columns),
+    not to cut wall time on an in-memory shuffle."""
     from . import cached_stage, concurrency_kwargs
 
     emitter = _TokenGramOccurrenceEmitter if token_mode \
         else _GramOccurrenceEmitter
-    occ = ds.map_batches(
-        cached_stage(emitter, text_column=text_column,
-                     id_column=id_column, k=k),
-        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+    if prefilter:
+        dup_ref = _dup_gram_h1_ref(ds, text_column, id_column, k,
+                                   num_buckets, num_partitions,
+                                   concurrency, token_mode, max_dup_grams)
+        occ = ds.map_batches(
+            cached_stage(_PrefilteredEmitter, emitter_cls=emitter,
+                         dup_ref=dup_ref, text_column=text_column,
+                         id_column=id_column, k=k),
+            batch_format="pyarrow", **concurrency_kwargs(concurrency))
+    else:
+        occ = ds.map_batches(
+            cached_stage(emitter, text_column=text_column,
+                         id_column=id_column, k=k),
+            batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
     def bucketize_gram(batch: pa.Table) -> pa.Table:
         h = batch.column("h1").to_numpy(zero_copy_only=False)
@@ -2170,6 +2280,7 @@ def _duplicate_occurrences(ds: Dataset, text_column: str, id_column: str,
 def duplicate_span_lists(ds: Dataset, text_column: str, id_column: str,
                          k: int = 10, num_buckets: int = 64,
                          num_partitions: int | None = None,
+                         prefilter: bool = False,
                          concurrency=None) -> Dataset:
     """Exact substring dedup, phase 1 (Lee et al. 2021 semantics at word
     granularity): find every maximal span of words that is covered by
@@ -2193,7 +2304,7 @@ def duplicate_span_lists(ds: Dataset, text_column: str, id_column: str,
 
     dup_occ = _duplicate_occurrences(ds, text_column, id_column, k,
                                      num_buckets, num_partitions,
-                                     concurrency)
+                                     concurrency, prefilter=prefilter)
 
     def bucketize_doc(batch: pa.Table) -> pa.Table:
         # empty shuffle partitions re-emit zero-row blocks with the FULL
@@ -2223,6 +2334,7 @@ def duplicate_span_lists(ds: Dataset, text_column: str, id_column: str,
 def duplicate_spans(ds: Dataset, text_column: str, id_column: str,
                     k: int = 10, num_buckets: int = 64,
                     num_partitions: int | None = None,
+                    prefilter: bool = False,
                     concurrency=None) -> Dataset:
     """Exact substring dedup, exploded view: one row per maximal duplicate
     span — ``(id, span_start, span_end)`` word indices, end exclusive.
@@ -2230,6 +2342,7 @@ def duplicate_spans(ds: Dataset, text_column: str, id_column: str,
     lists = duplicate_span_lists(ds, text_column, id_column, k=k,
                                  num_buckets=num_buckets,
                                  num_partitions=num_partitions,
+                                 prefilter=prefilter,
                                  concurrency=concurrency)
     id_type = ds.schema().base_schema.field(id_column).type
 
@@ -2298,6 +2411,7 @@ def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
                            num_buckets: int = 64,
                            num_partitions: int | None = None,
                            keep_columns: "list[str] | None" = None,
+                           prefilter: bool = False,
                            concurrency=None) -> Dataset:
     """Exact substring dedup, phase 2: drop every word covered by a
     duplicate span (keeping each gram's globally first occurrence) and
@@ -2323,7 +2437,7 @@ def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
 
     dup_occ = _duplicate_occurrences(ds, text_column, id_column, k,
                                      num_buckets, num_partitions,
-                                     concurrency)
+                                     concurrency, prefilter=prefilter)
     schema = ds.schema().base_schema
     id_type = schema.field(id_column).type
     text_type = schema.field(text_column).type
@@ -2399,6 +2513,7 @@ def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
 def duplicate_token_spans(ds: Dataset, tokens_column: str, id_column: str,
                           k: int = 10, num_buckets: int = 64,
                           num_partitions: int | None = None,
+                          prefilter: bool = False,
                           concurrency=None) -> Dataset:
     """Exact substring dedup at TOKEN granularity (Lee et al. 2021's
     native setting — the paper deduplicates tokenized corpora): one row
@@ -2416,7 +2531,8 @@ def duplicate_token_spans(ds: Dataset, tokens_column: str, id_column: str,
 
     dup_occ = _duplicate_occurrences(ds, tokens_column, id_column, k,
                                      num_buckets, num_partitions,
-                                     concurrency, token_mode=True)
+                                     concurrency, token_mode=True,
+                                     prefilter=prefilter)
     id_type = ds.schema().base_schema.field(id_column).type
 
     def bucketize_doc(batch: pa.Table) -> pa.Table:
@@ -2451,6 +2567,7 @@ def remove_duplicate_token_spans(ds: Dataset, tokens_column: str,
                                  num_buckets: int = 64,
                                  num_partitions: int | None = None,
                                  keep_columns: "list[str] | None" = None,
+                                 prefilter: bool = False,
                                  concurrency=None) -> Dataset:
     """Exact substring dedup at token granularity, phase 2: drop every
     token covered by a duplicate span (each gram's globally first
@@ -2468,7 +2585,8 @@ def remove_duplicate_token_spans(ds: Dataset, tokens_column: str,
 
     dup_occ = _duplicate_occurrences(ds, tokens_column, id_column, k,
                                      num_buckets, num_partitions,
-                                     concurrency, token_mode=True)
+                                     concurrency, token_mode=True,
+                                     prefilter=prefilter)
     schema = ds.schema().base_schema
     id_type = schema.field(id_column).type
     toks_type = schema.field(tokens_column).type

@@ -277,3 +277,48 @@ def test_token_jaccard_verify_id_contract_raises(ray_session):
     with pytest.raises(Exception, match="duplicated"):
         token_jaccard_verify(pair, dup_ds, "tokens", "doc_id",
                              threshold=0.0).to_pandas()
+
+
+def test_token_span_prefilter_equivalence(ray_session):
+    """prefilter=True (the exact dup-gram pre-pass) produces IDENTICAL
+    spans and scrubbed tokens to the default path, and the fail-loud
+    max_dup_grams cap raises."""
+    import ray.data as rd
+    from malli_ray.stages.dedup import (duplicate_token_spans,
+                                        remove_duplicate_token_spans)
+
+    rng = np.random.default_rng(31)
+    motif = rng.integers(0, 1000, 14).tolist()
+    rows, ids = [], []
+    for i in range(300):
+        body = rng.integers(0, 50_000, int(rng.integers(5, 40))).tolist()
+        if i % 3 == 0:
+            p = int(rng.integers(0, len(body)))
+            body = body[:p] + motif + body[p:]
+        rows.append(body)
+        ids.append(f"d{i:04d}")
+    t = pa.table({"doc_id": pa.array(ids),
+                  "tokens": pa.array(rows, pa.list_(pa.int32()))})
+    ds = rd.from_arrow(t).repartition(5)
+
+    def spans(prefilter):
+        return sorted(tuple(r.values()) for r in duplicate_token_spans(
+            ds, "tokens", "doc_id", k=5, num_buckets=8,
+            prefilter=prefilter).take_all())
+
+    assert spans(True) == spans(False)
+    assert len(spans(True)) > 0
+
+    def scrub(prefilter):
+        return sorted((r["doc_id"], list(r["tokens_dedup"]),
+                       r["n_tokens_dropped"])
+                      for r in remove_duplicate_token_spans(
+                          ds, "tokens", "doc_id", k=5, num_buckets=8,
+                          prefilter=prefilter).take_all())
+
+    assert scrub(True) == scrub(False)
+
+    from malli_ray.stages.dedup import _dup_gram_h1_ref
+    with pytest.raises(ValueError, match="max_dup_grams"):
+        _dup_gram_h1_ref(ds, "tokens", "doc_id", 5, 8, None, None,
+                         True, max_dup_grams=1)
