@@ -32,6 +32,34 @@ KNUTH_MULT = 2654435761
 _MOD = np.uint64(1) << np.uint64(32)
 
 
+def quantile_cont(v_sorted: np.ndarray, ps) -> np.ndarray:
+    """SQL ``quantile_cont`` with DuckDB's EXACT interpolation arithmetic:
+    ``RN = q*(n-1); x[floor(RN)]*(ceil(RN)-RN) + x[ceil(RN)]*(RN-floor(RN))``
+    (duckdb quantile interpolator).  ``np.quantile(method='linear')`` is
+    the same mathematical definition but a DIFFERENT floating evaluation
+    (numpy's lerp switches to ``b - (1-t)*(b-a)`` for t > 0.5 for
+    accuracy), which diverges in the last bit — observed as a
+    value-hash mismatch on 16/500 winsorize rows (497.1999999999999 vs
+    ...93).  All quantile_cont-parity sites go through here so engine
+    bounds are BIT-equal to the oracle's."""
+    v = np.asarray(v_sorted, dtype=np.float64)
+    ps = np.atleast_1d(np.asarray(ps, dtype=np.float64))
+    n = len(v)
+    if n == 0:
+        return np.full(len(ps), np.nan)
+    rn = ps * (n - 1)
+    frn = np.floor(rn).astype(np.int64)
+    crn = np.ceil(rn).astype(np.int64)
+    out = np.empty(len(ps), dtype=np.float64)
+    for i in range(len(ps)):
+        if crn[i] == frn[i]:
+            out[i] = v[frn[i]]
+        else:
+            out[i] = (v[frn[i]] * (crn[i] - rn[i])
+                      + v[crn[i]] * (rn[i] - frn[i]))
+    return out
+
+
 def keep_mask(ids: np.ndarray, threshold) -> np.ndarray:
     """Deterministic per-row keep decision.
 
@@ -324,7 +352,7 @@ def group_iqr_bounds(ds: Dataset, group_column: str, value_column: str,
     cardinality, same caveat as group_thresholds)."""
 
     def per_run(v: np.ndarray) -> "tuple[float, float]":
-        q1, q3 = np.quantile(np.sort(v), [0.25, 0.75], method="linear")
+        q1, q3 = quantile_cont(np.sort(v), [0.25, 0.75])
         return q1 - k * (q3 - q1), q3 + k * (q3 - q1)
 
     return _group_bounds_bucketed(ds, group_column, value_column, per_run)
@@ -640,11 +668,11 @@ def group_quantile_bounds(ds: Dataset, group_column: str, value_column: str,
     """Per-group exact ``(quantile_cont(p_lo), quantile_cont(p_hi))`` —
     the arbitrary-percentile sibling of :func:`group_iqr_bounds` (same
     shape: (group, value) projection shuffles, one row per group back to
-    the driver; np.quantile 'linear' == SQL quantile_cont, so the bounds
-    are value-reproducible by an oracle)."""
+    the driver; quantile_cont() replicates DuckDB's interpolation arithmetic
+    BIT-exactly, so the bounds are value-reproducible by an oracle)."""
 
     def per_run(v: np.ndarray) -> "tuple[float, float]":
-        lo, hi = np.quantile(np.sort(v), [p_lo, p_hi], method="linear")
+        lo, hi = quantile_cont(np.sort(v), [p_lo, p_hi])
         return lo, hi
 
     return _group_bounds_bucketed(ds, group_column, value_column, per_run)
@@ -835,8 +863,8 @@ def global_quantile_thresholds(ds: Dataset, value_column: str,
 
     ``method="exact"``: one worker sorts the projected value column
     (groupby on a constant key — the values never visit the driver);
-    np.quantile 'linear' == SQL ``quantile_cont``, so the thresholds are
-    oracle-reproducible.  Right for <= ~1e8 values; the path is
+    quantile_cont() replicates DuckDB's interpolation arithmetic
+    bit-exactly, so the thresholds are oracle-reproducible.  Right for <= ~1e8 values; the path is
     FAIL-LOUD-bounded — a counts-only pre-pass raises above
     ``max_exact_rows`` (default 1e8, ~800 MB of float64 on the single
     receiving worker) with a pointer to ``method="tdigest"`` — mergeable
@@ -860,7 +888,7 @@ def global_quantile_thresholds(ds: Dataset, value_column: str,
         def quantiles(group: pa.Table) -> pa.Table:
             v = (group.column(value_column).drop_null()
                  .to_numpy(zero_copy_only=False))
-            th = np.quantile(np.sort(v), ps, method="linear")
+            th = quantile_cont(np.sort(v), ps)
             return pa.table({"th": pa.array(th.tolist(), pa.float64())})
 
         def tag(batch: pa.Table) -> pa.Table:
