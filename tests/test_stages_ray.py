@@ -4778,3 +4778,26 @@ def test_interleave_by_ratio(ray_session):
     with pytest.raises(ValueError):
         interleave_by_ratio(rd.from_arrow(tbl), "source", "doc_id",
                             weights={"a": 0})
+
+
+def test_quantile_cont_bit_exact_vs_duckdb():
+    """sampling.quantile_cont replicates DuckDB's quantile_cont
+    interpolation BIT-exactly (the driver's value-hash gate compares
+    exact float reprs, so one ulp is a failure): random data, awkward
+    fractions, exact-index hits, and n=1/n=2 edges."""
+    import duckdb
+
+    from malli_ray.stages.sampling import quantile_cont
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(3)
+    ps = [0.05, 0.1, 0.25, 1 / 3, 0.5, 0.75, 0.9, 0.95, 0.99]
+    for n in (1, 2, 7, 100, 999):
+        v = np.sort(rng.normal(100, 37, n))
+        lit = "[" + ", ".join(f"'{float(x)!r}'::DOUBLE" for x in v) + "]"
+        exprs = ", ".join(f"quantile_cont(u, {p!r})" for p in ps)
+        want = con.execute(
+            f"SELECT {exprs} FROM (SELECT UNNEST({lit}) AS u)"
+        ).fetchone()
+        got = quantile_cont(v, ps)
+        assert all(float(g) == float(w) for g, w in zip(got, want)), n
