@@ -61,16 +61,36 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 SQL_CHECKED = sorted(entrymod.oracle_sql().keys())
 ROWS_ONLY = sorted(set(entrymod.queries().keys()) - set(SQL_CHECKED))
 
+# strict value-hash canonicalization — the driver replica in
+# tools/check_correctness.py (EXACT float reprs, no rounding; r5 session
+# 1 found three latent ulp/dtype divergences the tolerant compare below
+# masked, all fixed — this keeps the gate as strict as the driver's)
+import importlib.util as _ilu
+
+_cc_spec = _ilu.spec_from_file_location(
+    "check_correctness",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tools", "check_correctness.py"))
+_cc = _ilu.module_from_spec(_cc_spec)
+_cc_spec.loader.exec_module(_cc)
+
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_query_matches_oracle(ray_session, duck, name):
-    got = _normalize(_to_pandas(entrymod.queries()[name](SF_DIR)))
-    want = _normalize(duck.execute(entrymod.oracle_sql()[name]).fetchdf())
+    got_raw = _to_pandas(entrymod.queries()[name](SF_DIR))
+    want_raw = duck.execute(entrymod.oracle_sql()[name]).fetchdf()
+    got = _normalize(got_raw)
+    want = _normalize(want_raw)
     assert list(got.columns) == list(want.columns), \
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    # tolerant compare first (readable diffs on gross mismatches)...
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=False, rtol=1e-5, atol=1e-8)
+    # ...then the driver's exact value hash (bit-level float parity)
+    assert _cc._hash(_cc._canon(got_raw)) == _cc._hash(_cc._canon(want_raw)), \
+        f"{name}: exact value-hash mismatch (ulp-level float or dtype " \
+        f"divergence the tolerant compare masked)"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
