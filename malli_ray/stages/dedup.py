@@ -2560,6 +2560,45 @@ def duplicate_token_spans(ds: Dataset, tokens_column: str, id_column: str,
     return spans.union(empty)
 
 
+def duplicate_token_span_lists(ds: Dataset, tokens_column: str,
+                               id_column: str, k: int = 10,
+                               num_buckets: int = 64,
+                               num_partitions: "int | None" = None,
+                               prefilter: bool = False,
+                               concurrency=None) -> Dataset:
+    """Per-document list view of :func:`duplicate_token_spans` (API
+    parity with the word-level :func:`duplicate_span_lists`): one row per
+    document containing duplicate token spans —
+    ``(id, starts: list<int64>, ends: list<int64>)``, sorted by start."""
+    from ..state.sketches import hash64
+
+    dup_occ = _duplicate_occurrences(ds, tokens_column, id_column, k,
+                                     num_buckets, num_partitions,
+                                     concurrency, token_mode=True,
+                                     prefilter=prefilter)
+    id_type = ds.schema().base_schema.field(id_column).type
+
+    def bucketize_doc(batch: pa.Table) -> pa.Table:
+        batch = batch.select(["id", "pos"])
+        h = hash64(batch.column("id"), seed=17) % np.uint64(num_buckets)
+        return batch.append_column("__dbucket__",
+                                   pa.array(h.astype(np.int64)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        return _merged_span_lists(g.drop_columns(["__dbucket__"]), k,
+                                  id_column)
+
+    spans = (dup_occ.map_batches(bucketize_doc, batch_format="pyarrow")
+             .groupby("__dbucket__", num_partitions=num_partitions)
+             .map_groups(merge, batch_format="pyarrow"))
+    import ray
+    empty = ray.data.from_arrow(pa.table({
+        id_column: pa.array([], type=id_type),
+        "starts": pa.array([], type=pa.list_(pa.int64())),
+        "ends": pa.array([], type=pa.list_(pa.int64()))}))
+    return spans.union(empty)
+
+
 def remove_duplicate_token_spans(ds: Dataset, tokens_column: str,
                                  id_column: str, k: int = 10,
                                  out_column: str = "tokens_dedup",

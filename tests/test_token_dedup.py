@@ -322,3 +322,35 @@ def test_token_span_prefilter_equivalence(ray_session):
     with pytest.raises(ValueError, match="max_dup_grams"):
         _dup_gram_h1_ref(ds, "tokens", "doc_id", 5, 8, None, None,
                          True, max_dup_grams=1)
+
+
+def test_token_span_lists_consistent_with_exploded(ray_session):
+    """duplicate_token_span_lists == the grouped view of
+    duplicate_token_spans (API parity with the word-level pair)."""
+    import ray.data as rd
+    from malli_ray.stages.dedup import (duplicate_token_span_lists,
+                                        duplicate_token_spans)
+
+    rng = np.random.default_rng(41)
+    motif = rng.integers(0, 1000, 12).tolist()
+    rows, ids = [], []
+    for i in range(150):
+        body = rng.integers(0, 50_000, int(rng.integers(4, 30))).tolist()
+        if i % 2 == 0:
+            body = body + motif
+        rows.append(body)
+        ids.append(f"d{i:04d}")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids),
+        "tokens": pa.array(rows, pa.list_(pa.int32()))})).repartition(4)
+    exploded = {}
+    for r in duplicate_token_spans(ds, "tokens", "doc_id", k=5,
+                                   num_buckets=8).take_all():
+        exploded.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"]))
+    lists = {r["doc_id"]: list(zip(r["starts"], r["ends"]))
+             for r in duplicate_token_span_lists(
+                 ds, "tokens", "doc_id", k=5, num_buckets=8).take_all()}
+    assert {k: sorted(v) for k, v in exploded.items()} == \
+        {k: sorted(v) for k, v in lists.items()}
+    assert len(lists) > 0
