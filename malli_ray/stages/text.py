@@ -3103,6 +3103,45 @@ def fim_transform(ds: Dataset, tokens_column: str = "tokens",
     return ds.map_batches(fim, batch_format="pyarrow")
 
 
+def add_loss_mask(ds: Dataset, tokens_column: str = "tokens",
+                  prompt_len_column: str = "prompt_len",
+                  out: str = "loss_mask") -> Dataset:
+    """SFT loss-mask generation: per sequence, a ``list<int8>`` aligned
+    with the tokens — 0 for the first ``prompt_len`` positions (the
+    prompt is context, not a training target), 1 for the completion.
+    ``prompt_len`` clamps to [0, len(tokens)]; null prompt lengths read
+    as 0 (everything trains); null token lists emit empty masks.
+
+    Map-only, shuffle-free, one comparison per token: positions rebuild
+    from the list offsets and the mask is a single vectorized
+    ``position >= prompt_len`` gather — SQL replays it with an indexed
+    ``list_transform``."""
+
+    def mask(batch: pa.Table) -> pa.Table:
+        toks = batch.column(tokens_column)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.fill_null(pc.cast(pc.list_value_length(toks), pa.int64()),
+                         0).to_numpy(zero_copy_only=False)
+        p = (pc.fill_null(pc.cast(batch.column(prompt_len_column),
+                                  pa.int64()), 0)
+             .to_numpy(zero_copy_only=False))
+        p = np.clip(p, 0, n)
+        off = np.zeros(len(n) + 1, dtype=np.int64)
+        np.cumsum(n, out=off[1:])
+        pos = (np.arange(int(off[-1]), dtype=np.int64)
+               - np.repeat(off[:-1], n))
+        m = (pos >= np.repeat(p, n)).astype(np.int8)
+        col = pa.ListArray.from_arrays(
+            pa.array(off.astype(np.int32), type=pa.int32()),
+            pa.array(m, type=pa.int8()))
+        i = batch.schema.get_field_index(out)
+        return (batch.set_column(i, out, col) if i >= 0
+                else batch.append_column(out, col))
+
+    return ds.map_batches(mask, batch_format="pyarrow")
+
+
 def shift_labels(ds: Dataset, tokens_column: str = "tokens",
                  out: str = "labels", pad_id: int = -100) -> Dataset:
     """Next-token prediction labels: ``labels[i] = tokens[i+1]`` with the

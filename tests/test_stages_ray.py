@@ -4801,3 +4801,25 @@ def test_quantile_cont_bit_exact_vs_duckdb():
         ).fetchone()
         got = quantile_cont(v, ps)
         assert all(float(g) == float(w) for g, w in zip(got, want)), n
+
+
+def test_add_loss_mask(ray_session):
+    """SFT loss-mask: 0 over the prompt, 1 over the completion; prompt
+    lengths clamp to [0, len]; null prompt -> all-train; null tokens ->
+    empty mask."""
+    import ray.data as rd
+
+    from malli_ray.stages.text import add_loss_mask
+
+    t = pa.table({
+        "doc_id": ["a", "b", "c", "d", "e"],
+        "tokens": pa.array([[1, 2, 3, 4], [5, 6], [7, 8, 9], None, [1]],
+                           pa.list_(pa.int32())),
+        "prompt_len": pa.array([2, 10, 0, 3, None], pa.int64())})
+    got = {r["doc_id"]: list(r["loss_mask"]) for r in add_loss_mask(
+        rd.from_arrow(t), "tokens", "prompt_len").take_all()}
+    assert got["a"] == [0, 0, 1, 1]
+    assert got["b"] == [0, 0]          # clamp to len
+    assert got["c"] == [1, 1, 1]
+    assert got["d"] == []              # null tokens
+    assert got["e"] == [1]             # null prompt reads as 0
