@@ -233,7 +233,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "incremental_near_dup_sharded_documents",
         # r5: token-granularity exact substring dedup (Lee 2021 native)
         "dup_spans_sequences", "remove_dup_spans_sequences",
-        "loss_mask_sequences",
+        "loss_mask_sequences", "length_batches_sequences",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -991,6 +991,83 @@ def spfhp_plan(hist: np.ndarray, max_len: int,
     return plan, next_pack, events
 
 
+def length_sorted_batches(ds: Dataset, id_column: str, count_column: str,
+                          budget_tokens: int, max_len: int,
+                          num_buckets: int = 32) -> Dataset:
+    """Length-sorted stream-cut batching (the fairseq/T5 'sorted
+    batching' dataloader prep): walk documents in global ``(length, id)``
+    order and cut a new batch every time the running token total crosses
+    a multiple of ``budget_tokens`` —
+    ``batch_id = (sum of lengths before this doc) // budget_tokens``.
+    Because neighbours in the order have near-equal lengths, per-batch
+    padding-to-max waste is minimal without any bin-packing.  Output
+    rows: ``(id, length, batch_id)``.
+
+    Scale shape (the :func:`pack_histogram` pattern): pass 1 collapses
+    each block to a bounded length histogram; the driver folds O(max_len)
+    ints into the per-length BASE offsets (``sum of L'*count(L')`` over
+    ``L' < L``); pass 2 is ONE ``hash(length) % num_buckets`` exchange
+    where each bucket sorts ``(length, id)``, run-rebases the per-length
+    rank, and computes ``(base[L] + rank*L) // budget`` vectorized.  SQL
+    replays it with a window cumsum over ``ORDER BY length, id``.  The
+    input executes twice — materialized once up front."""
+    import ray
+
+    from .analytics import bucketed_groups
+
+    if budget_tokens <= 0:
+        raise ValueError("length_sorted_batches: budget_tokens must be "
+                         "positive")
+    if max_len <= 0:
+        raise ValueError("length_sorted_batches: max_len must be positive")
+    ds = ds.select_columns([id_column, count_column]).materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(count_column)
+        if v.null_count:
+            raise ValueError("length_sorted_batches: null counts "
+                             "unsupported")
+        a = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and (a.min() < 1 or a.max() > max_len):
+            raise ValueError(
+                f"length_sorted_batches: counts outside [1, {max_len}] — "
+                f"clip upstream (truncate_sequences) or drop empties")
+        h = np.bincount(a, minlength=max_len + 1)
+        nz = np.flatnonzero(h)
+        return pa.table({"L": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(h[nz], pa.int64())})
+
+    hist = np.zeros(max_len + 1, dtype=np.int64)
+    for part in ds.map_batches(hist_partial,
+                               batch_format="pyarrow").take_all():
+        hist[part["L"]] += part["cnt"]
+    tok = hist * np.arange(max_len + 1, dtype=np.int64)
+    base = np.zeros(max_len + 1, dtype=np.int64)
+    np.cumsum(tok[:-1], out=base[1:])   # tokens strictly before length L
+    base_ref = ray.put(base)
+    B = int(budget_tokens)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        base = ray.get(base_ref)
+        idx = pc.sort_indices(t, sort_keys=[(count_column, "ascending"),
+                                            (id_column, "ascending")])
+        t = t.take(idx)
+        L = t.column(count_column).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(L)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], L[1:] != L[:-1]))) if n else np.array([], np.int64)
+        rank = (np.arange(n, dtype=np.int64)
+                - np.repeat(starts, np.diff(np.append(starts, n))))
+        before = base[L] + rank * L
+        return pa.table({id_column: t.column(id_column),
+                         "length": pa.array(L, pa.int64()),
+                         "batch_id": pa.array(before // B, pa.int64())})
+
+    return bucketed_groups(ds, count_column, per_bucket,
+                           num_buckets=num_buckets)
+
+
 def pack_histogram(ds: Dataset, id_column: str, count_column: str,
                    max_len: int, num_buckets: int = 32,
                    max_events: int = 10_000_000) -> Dataset:

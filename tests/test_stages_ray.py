@@ -4823,3 +4823,42 @@ def test_add_loss_mask(ray_session):
     assert got["c"] == [1, 1, 1]
     assert got["d"] == []              # null tokens
     assert got["e"] == [1]             # null prompt reads as 0
+
+
+def test_length_sorted_batches(ray_session):
+    """Stream-cut sorted batching vs a driver-side reference: batch_id =
+    tokens-before-in-(length,id)-order // budget; every batch except the
+    last spans < budget + max_len tokens; sortedness bounds padding."""
+    import ray.data as rd
+
+    from malli_ray.stages.packing import length_sorted_batches
+
+    rng = np.random.default_rng(19)
+    n = 5_000
+    lens = rng.integers(1, 512, n).astype(np.int64)
+    ids = [f"d{i:05d}" for i in range(n)]
+    t = pa.table({"doc_id": pa.array(ids),
+                  "length": pa.array(lens, pa.int64())})
+    budget = 4_000
+    got = {r["doc_id"]: (r["length"], r["batch_id"])
+           for r in length_sorted_batches(
+               rd.from_arrow(t).repartition(8), "doc_id", "length",
+               budget_tokens=budget, max_len=512).take_all()}
+    order = sorted(range(n), key=lambda i: (lens[i], ids[i]))
+    before = 0
+    for i in order:
+        assert got[ids[i]] == (lens[i], before // budget), ids[i]
+        before += int(lens[i])
+    # batches are length-contiguous: doc lengths within one batch span
+    # at most the sorted neighbourhood
+    by_batch = {}
+    for di, (L, b) in got.items():
+        by_batch.setdefault(b, []).append(L)
+    tot = {b: sum(v) for b, v in by_batch.items()}
+    for b, s in tot.items():
+        if b != max(tot):
+            assert s < budget + 512, (b, s)
+    import pytest as _p
+    with _p.raises(ValueError):
+        length_sorted_batches(rd.from_arrow(t), "doc_id", "length",
+                              budget_tokens=0, max_len=512)
