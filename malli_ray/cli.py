@@ -230,7 +230,13 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
                       f"{args.drop_frequent_lines})")
     if args.remove_dup_spans:
         # Lee-2021 exact substring scrub: covered words drop, every
-        # other column rides the doc-keyed exchange (keep_columns)
+        # other column rides the doc-keyed exchange (keep_columns).
+        # remove_duplicate_spans consumes its input TWICE (gram-occurrence
+        # exchange + the docs side of the tag+union join), and the
+        # schema() probe below can trigger a partial execution too —
+        # checkpoint once so the upstream filter chain doesn't re-run
+        # per consumer (the same q21 guard the lm_logprob stage uses)
+        ds = _stage_checkpoint(ds, args, paths, stages, "pre-spans")
         others = [c for c in ds.schema(fetch_if_missing=True)
                   .base_schema.names if c not in (tc, idc)]
         ds = dedup.remove_duplicate_spans(
@@ -458,7 +464,9 @@ def _run_pack(args, paths: list[str]) -> int:
         from .stages.constraints import expectations_report
         rules = _parse_expect_rules(args.expect)
         need = sorted({r["column"] for r in rules if "column" in r})
-        scan = rdata.read_parquet(out_dir, columns=need or None)
+        # column-less rules (row_count_between) still need rows to count,
+        # but never the token payload — project ONE cheap scalar column
+        scan = rdata.read_parquet(out_dir, columns=need or ["block_id"])
         verdicts = expectations_report(scan, rules).to_pylist()
         report["expectations"] = verdicts
         if any(not v["ok"] for v in verdicts):

@@ -1100,7 +1100,13 @@ def probe_band_digest_sharded(ds: Dataset, text_column: str,
     ONE shard-keyed exchange sends each row to the task holding its
     shard file (loaded once per group task); per-id hit counts combine
     in ONE final id-keyed groupby-sum.  Output matches
-    :func:`probe_band_digest` exactly: ``(id, n_band_hits, candidate)``.
+    :func:`probe_band_digest` exactly: ``(id, n_band_hits, candidate)``
+    — for UNIQUE probe ids; a duplicated id would silently sum hits
+    across its copies in the id-keyed combine, so it FAILS LOUDLY
+    instead (the unsharded probe is map-only and needs no such guard).
+    Each shard load also validates the stored build params against the
+    probe params — a mismatched ``seed``/``num_perm``/``shingle_k``/
+    ``bands`` would otherwise return zero hits for every doc.
 
     Scale shape: both exchanges move 16-byte scalar rows only (never
     text payload); each group task holds ONE shard (total_keys/n_shards
@@ -1135,6 +1141,11 @@ def probe_band_digest_sharded(ds: Dataset, text_column: str,
     def probe_shard(group: pa.Table) -> pa.Table:
         shard = int(group.column("shard")[0].as_py())
         digest = BandDigest.load(ray.get(paths_ref)[shard])
+        if digest.params() != params:
+            raise ValueError(
+                f"probe_band_digest_sharded: shard {shard} was built with "
+                f"{digest.params()} but probed with {params} — signatures "
+                f"would never match; pass the build's params")
         k = group.column("key").to_numpy(
             zero_copy_only=False).view(np.uint64)
         if len(digest.keys):
@@ -1146,12 +1157,25 @@ def probe_band_digest_sharded(ds: Dataset, text_column: str,
         return pa.table({id_column: group.column(id_column),
                          "hit": pa.array(hit, pa.int64())})
 
+    from ray.data.aggregate import Count, Sum
+
     hits = (ds.map_batches(explode, batch_format="pyarrow")
             .groupby("shard")
             .map_groups(probe_shard, batch_format="pyarrow")
-            .groupby(id_column).sum("hit"))
+            .groupby(id_column).aggregate(Sum("hit"), Count()))
 
     def finish(batch: pa.Table) -> pa.Table:
+        # each probe doc contributes exactly `bands` (id, key) rows, so a
+        # per-id row count != bands means the id appeared on >1 input row
+        # and the sum above silently merged them — fail loudly instead
+        cnt = pc.cast(batch.column("count()"), pa.int64())
+        bad = pc.filter(batch.column(id_column),
+                        pc.not_equal(cnt, pa.scalar(bands, pa.int64())))
+        if len(bad):
+            raise ValueError(
+                "probe_band_digest_sharded: duplicate probe ids "
+                f"(e.g. {bad[0].as_py()!r}) — per-id band hits would merge "
+                "across copies; dedup the id column first")
         n = pc.cast(batch.column("sum(hit)"), pa.int64())
         return pa.table({
             id_column: batch.column(id_column),
@@ -2277,6 +2301,35 @@ def _duplicate_occurrences(ds: Dataset, text_column: str, id_column: str,
             .map_groups(drop_first, batch_format="pyarrow"))
 
 
+def _doc_keyed_span_merge(dup_occ: Dataset, merge_fn, empty: pa.Table,
+                          num_buckets: int,
+                          num_partitions: "int | None") -> Dataset:
+    """Shared doc-keyed finisher of the span ops (word AND token paths):
+    bucket the duplicate occurrences ``(id, pos)`` on
+    ``hash(id) % num_buckets``, merge each bucket with ONE vectorized
+    ``merge_fn(table) -> table`` call, and union a typed empty table so a
+    zero-dup corpus keeps its output schema.  The ``select`` normalizes
+    empty shuffle partitions, which re-emit zero-row blocks with the
+    FULL pre-groupby schema (extra gram columns)."""
+    import ray
+
+    from ..state.sketches import hash64
+
+    def bucketize_doc(batch: pa.Table) -> pa.Table:
+        batch = batch.select(["id", "pos"])
+        h = hash64(batch.column("id"), seed=17) % np.uint64(num_buckets)
+        return batch.append_column("__dbucket__",
+                                   pa.array(h.astype(np.int64)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        return merge_fn(g.drop_columns(["__dbucket__"]))
+
+    spans = (dup_occ.map_batches(bucketize_doc, batch_format="pyarrow")
+             .groupby("__dbucket__", num_partitions=num_partitions)
+             .map_groups(merge, batch_format="pyarrow"))
+    return spans.union(ray.data.from_arrow(empty))
+
+
 def duplicate_span_lists(ds: Dataset, text_column: str, id_column: str,
                          k: int = 10, num_buckets: int = 64,
                          num_partitions: int | None = None,
@@ -2300,35 +2353,17 @@ def duplicate_span_lists(ds: Dataset, text_column: str, id_column: str,
     build_bloom provides the digest), or sample windows with a stride and
     widen matched spans by k (approximate).  Docs with < k words emit no
     grams and never appear in the output."""
-    from ..state.sketches import hash64
-
     dup_occ = _duplicate_occurrences(ds, text_column, id_column, k,
                                      num_buckets, num_partitions,
                                      concurrency, prefilter=prefilter)
-
-    def bucketize_doc(batch: pa.Table) -> pa.Table:
-        # empty shuffle partitions re-emit zero-row blocks with the FULL
-        # input schema (extra gram columns); normalize before bucketing
-        batch = batch.select(["id", "pos"])
-        h = hash64(batch.column("id"), seed=17) % np.uint64(num_buckets)
-        return batch.append_column("__dbucket__",
-                                   pa.array(h.astype(np.int64)))
-
-    def merge(g: pa.Table) -> pa.Table:
-        return _merged_span_lists(g.drop_columns(["__dbucket__"]), k,
-                                  id_column)
-
-    spans = (dup_occ.map_batches(bucketize_doc, batch_format="pyarrow")
-             .groupby("__dbucket__", num_partitions=num_partitions)
-             .map_groups(merge, batch_format="pyarrow"))
-    # typed empty union so a zero-dup corpus keeps its schema
-    import ray
     id_type = ds.schema().base_schema.field(id_column).type
-    empty = ray.data.from_arrow(pa.table({
+    empty = pa.table({
         id_column: pa.array([], type=id_type),
         "starts": pa.array([], type=pa.list_(pa.int64())),
-        "ends": pa.array([], type=pa.list_(pa.int64()))}))
-    return spans.union(empty)
+        "ends": pa.array([], type=pa.list_(pa.int64()))})
+    return _doc_keyed_span_merge(
+        dup_occ, lambda g: _merged_span_lists(g, k, id_column), empty,
+        num_buckets, num_partitions)
 
 
 def duplicate_spans(ds: Dataset, text_column: str, id_column: str,
@@ -2527,37 +2562,25 @@ def duplicate_token_spans(ds: Dataset, tokens_column: str, id_column: str,
     gram hashes computed by two independent Horner+splitmix64
     accumulations over the token windows instead of string hashing —
     k gathers per batch, no string materialization at all."""
-    from ..state.sketches import hash64
-
     dup_occ = _duplicate_occurrences(ds, tokens_column, id_column, k,
                                      num_buckets, num_partitions,
                                      concurrency, token_mode=True,
                                      prefilter=prefilter)
     id_type = ds.schema().base_schema.field(id_column).type
 
-    def bucketize_doc(batch: pa.Table) -> pa.Table:
-        batch = batch.select(["id", "pos"])
-        h = hash64(batch.column("id"), seed=17) % np.uint64(num_buckets)
-        return batch.append_column("__dbucket__",
-                                   pa.array(h.astype(np.int64)))
-
     def merge(g: pa.Table) -> pa.Table:
-        span_ids, s, e = _merged_flat_spans(
-            g.drop_columns(["__dbucket__"]), k)
+        span_ids, s, e = _merged_flat_spans(g, k)
         return pa.table({
             id_column: pa.array(span_ids.tolist(), type=id_type),
             "span_start": pa.array(s, type=pa.int64()),
             "span_end": pa.array(e, type=pa.int64())})
 
-    spans = (dup_occ.map_batches(bucketize_doc, batch_format="pyarrow")
-             .groupby("__dbucket__", num_partitions=num_partitions)
-             .map_groups(merge, batch_format="pyarrow"))
-    import ray
-    empty = ray.data.from_arrow(pa.table({
+    empty = pa.table({
         id_column: pa.array([], type=id_type),
         "span_start": pa.array([], type=pa.int64()),
-        "span_end": pa.array([], type=pa.int64())}))
-    return spans.union(empty)
+        "span_end": pa.array([], type=pa.int64())})
+    return _doc_keyed_span_merge(dup_occ, merge, empty,
+                                 num_buckets, num_partitions)
 
 
 def duplicate_token_span_lists(ds: Dataset, tokens_column: str,
@@ -2570,33 +2593,18 @@ def duplicate_token_span_lists(ds: Dataset, tokens_column: str,
     parity with the word-level :func:`duplicate_span_lists`): one row per
     document containing duplicate token spans —
     ``(id, starts: list<int64>, ends: list<int64>)``, sorted by start."""
-    from ..state.sketches import hash64
-
     dup_occ = _duplicate_occurrences(ds, tokens_column, id_column, k,
                                      num_buckets, num_partitions,
                                      concurrency, token_mode=True,
                                      prefilter=prefilter)
     id_type = ds.schema().base_schema.field(id_column).type
-
-    def bucketize_doc(batch: pa.Table) -> pa.Table:
-        batch = batch.select(["id", "pos"])
-        h = hash64(batch.column("id"), seed=17) % np.uint64(num_buckets)
-        return batch.append_column("__dbucket__",
-                                   pa.array(h.astype(np.int64)))
-
-    def merge(g: pa.Table) -> pa.Table:
-        return _merged_span_lists(g.drop_columns(["__dbucket__"]), k,
-                                  id_column)
-
-    spans = (dup_occ.map_batches(bucketize_doc, batch_format="pyarrow")
-             .groupby("__dbucket__", num_partitions=num_partitions)
-             .map_groups(merge, batch_format="pyarrow"))
-    import ray
-    empty = ray.data.from_arrow(pa.table({
+    empty = pa.table({
         id_column: pa.array([], type=id_type),
         "starts": pa.array([], type=pa.list_(pa.int64())),
-        "ends": pa.array([], type=pa.list_(pa.int64()))}))
-    return spans.union(empty)
+        "ends": pa.array([], type=pa.list_(pa.int64()))})
+    return _doc_keyed_span_merge(
+        dup_occ, lambda g: _merged_span_lists(g, k, id_column), empty,
+        num_buckets, num_partitions)
 
 
 def remove_duplicate_token_spans(ds: Dataset, tokens_column: str,

@@ -865,22 +865,28 @@ def global_quantile_thresholds(ds: Dataset, value_column: str,
     (groupby on a constant key — the values never visit the driver);
     quantile_cont() replicates DuckDB's interpolation arithmetic
     bit-exactly, so the thresholds are oracle-reproducible.  Right for <= ~1e8 values; the path is
-    FAIL-LOUD-bounded — a counts-only pre-pass raises above
-    ``max_exact_rows`` (default 1e8, ~800 MB of float64 on the single
-    receiving worker) with a pointer to ``method="tdigest"`` — mergeable
-    sketch partials per batch (fixed size, any scale), ~<1% rank error,
-    not SQL-reproducible.  Set ``max_exact_rows=0`` to skip the guard
-    pass when the caller has already bounded the input.
+    FAIL-LOUD-bounded WITHOUT an extra upstream execution: the guard is
+    ``limit(max_exact_rows + 1).materialize()`` on the projection — the
+    streaming executor early-stops past the cap (an over-cap input
+    raises after ~cap rows, never a full scan), and an under-cap input's
+    materialized blocks (complete, since limit dropped nothing) feed the
+    exchange directly, so the upstream chain runs ONCE total.  Raises
+    above ``max_exact_rows`` (default 1e8, ~800 MB of float64 on the
+    single receiving worker) with a pointer to ``method="tdigest"`` —
+    mergeable sketch partials per batch (fixed size, any scale), ~<1%
+    rank error, not SQL-reproducible.  Set ``max_exact_rows=0`` to skip
+    the guard when the caller has already bounded the input.
     """
     ps = [(i + 1) / n_bins for i in range(n_bins - 1)]
     proj = ds.select_columns([value_column])
     if method == "exact":
         if max_exact_rows:
-            n = proj.count()
+            proj = proj.limit(max_exact_rows + 1).materialize()
+            n = proj.count()  # metadata count on the materialized blocks
             if n > max_exact_rows:
                 raise ValueError(
                     f"global_quantile_thresholds(method='exact'): "
-                    f"{n} rows > max_exact_rows={max_exact_rows} — the "
+                    f"> max_exact_rows={max_exact_rows} rows — the "
                     f"exact path ships EVERY value to one worker for a "
                     f"whole-column sort. Use method='tdigest' (mergeable "
                     f"sketch, any scale, ~<1% rank error) or raise "

@@ -1964,6 +1964,7 @@ def test_band_digest_sharded_end_to_end(ray_session):
     import os
     import tempfile
 
+    import ray
     import ray.data as rd
     from malli_ray.stages.dedup import (BandDigest, build_band_digest,
                                         build_band_digest_sharded,
@@ -2007,6 +2008,24 @@ def test_band_digest_sharded_end_to_end(ray_session):
         with pytest.raises(ValueError):
             probe_band_digest_sharded(rd.from_arrow(new), "text",
                                       "doc_id", man[1:])
+        # build/probe param mismatch fails loudly (a silently different
+        # seed/num_perm would return n_band_hits=0 for every doc)
+        with pytest.raises(ray.exceptions.RayTaskError,
+                           match="built with"):
+            probe_band_digest_sharded(
+                rd.from_arrow(new), "text", "doc_id", man,
+                num_perm=dig.num_perm, shingle_k=dig.shingle_k,
+                seed=dig.seed + 1, bands=dig.bands).take_all()
+        # duplicate probe ids fail loudly (the id-keyed combine would
+        # silently sum band hits across the copies)
+        dup = pa.table({"doc_id": [100, 100],
+                        "text": [f"{base} doc 0", f"{base} doc 0"]})
+        with pytest.raises(ray.exceptions.RayTaskError,
+                           match="duplicate probe ids"):
+            probe_band_digest_sharded(
+                rd.from_arrow(dup), "text", "doc_id", man,
+                num_perm=dig.num_perm, shingle_k=dig.shingle_k,
+                seed=dig.seed, bands=dig.bands).take_all()
 
 
 def test_global_shuffle(ray_session):
