@@ -234,6 +234,9 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         # r5: token-granularity exact substring dedup (Lee 2021 native)
         "dup_spans_sequences", "remove_dup_spans_sequences",
         "loss_mask_sequences", "length_batches_sequences",
+        # r5: corpus diagnostics — who-copies-whom + tokenizer coverage
+        "cross_source_dups_documents", "vocab_coverage_sequences",
+        "vocab_overlap_sequences", "vocab_growth_sequences",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -1447,6 +1447,203 @@ def list_value_counts_by_group(ds: Dataset, list_column: str,
             .map_groups(vec_sum, batch_format="pyarrow"))
 
 
+def token_presence_by_group(ds: Dataset, list_column: str,
+                            group_column: str,
+                            bounded_range: "tuple[int, int]") -> pa.Table:
+    """Exact per-group token-TYPE presence bitmaps over a bounded list
+    column — the shared primitive of :func:`vocab_overlap_by_group` and
+    :func:`vocab_growth_curve`.  One row per group:
+    ``(group, bitmap: large_binary, n_tokens, n_types)``.
+
+    Scale shape: each batch collapses to ONE packed presence bitmap per
+    group present ((vocab+7)//8 bytes — 6.3 KB at a 50k vocab,
+    value-cardinality-independent like the bincount vectors), merged
+    with a bytewise OR in one bounded groupby(group) (group count
+    bounded by design: sources/shards — the sanctioned per-group
+    exception).  The driver holds O(groups) bitmaps.  Null lists/
+    elements and out-of-range ids raise (presence of a silently-dropped
+    id would corrupt the set algebra downstream)."""
+    lo, hi = int(bounded_range[0]), int(bounded_range[1])
+    width = hi - lo
+    if width <= 0:
+        raise ValueError("token_presence_by_group: empty bounded_range")
+    nbytes = (width + 7) // 8
+
+    def vec_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(list_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            raise ValueError("token_presence_by_group: null lists "
+                             "unsupported (filter or fill upstream)")
+        flat = col.flatten()
+        if flat.null_count:
+            raise ValueError(
+                "token_presence_by_group: null elements unsupported")
+        grp = batch.column(group_column)
+        if grp.null_count:
+            raise ValueError(
+                "token_presence_by_group: null group keys unsupported")
+        gvals = grp.to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(gvals, return_inverse=True)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs - offs[0])
+        v = flat.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) and (v.min() < lo or v.max() >= hi):
+            raise ValueError(
+                f"token_presence_by_group: element outside "
+                f"bounded_range [{lo}, {hi})")
+        gpos = np.repeat(codes.astype(np.int64), lens)
+        pres = np.zeros(len(uniq) * width, dtype=bool)
+        pres[gpos * width + (v - lo)] = True
+        packed = np.packbits(pres.reshape(len(uniq), width), axis=1,
+                             bitorder="little")
+        nt = np.bincount(gpos, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "__g": pa.array(uniq),
+            "__bm": pa.array([p.tobytes() for p in packed],
+                             pa.large_binary()),
+            "__nt": pa.array(nt, pa.int64())})
+
+    def or_merge(g: pa.Table) -> pa.Table:
+        bms = g.column("__bm")
+        mat = np.frombuffer(
+            b"".join(b.as_py() for b in bms), dtype=np.uint8
+        ).reshape(g.num_rows, nbytes)
+        merged = np.bitwise_or.reduce(mat, axis=0)
+        n_types = int(np.unpackbits(merged, bitorder="little").sum())
+        nt = int(pc.sum(g.column("__nt")).as_py())
+        return pa.table({
+            "group": g.column("__g").slice(0, 1),
+            "bitmap": pa.array([merged.tobytes()], pa.large_binary()),
+            "n_tokens": pa.array([nt], pa.int64()),
+            "n_types": pa.array([n_types], pa.int64())})
+
+    rows = (ds.select_columns([list_column, group_column])
+            .map_batches(vec_partial, batch_format="pyarrow")
+            .groupby("__g")
+            .map_groups(or_merge, batch_format="pyarrow")
+            .take_all())  # O(groups) rows
+    rows.sort(key=lambda r: r["group"])
+    return pa.table({
+        "group": pa.array([r["group"] for r in rows]),
+        "bitmap": pa.array([r["bitmap"] for r in rows], pa.large_binary()),
+        "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
+        "n_types": pa.array([r["n_types"] for r in rows], pa.int64())})
+
+
+def vocab_overlap_by_group(ds: Dataset, list_column: str,
+                           group_column: str,
+                           bounded_range: "tuple[int, int]") -> pa.Table:
+    """Per-group-pair vocabulary overlap — the mixture-design diagnostic
+    (does the code slice share a vocabulary with web, or fight it for id
+    space?): for every UNORDERED group pair ``a < b``,
+    ``(group_a, group_b, n_types_a, n_types_b, n_common, jaccard)``
+    where jaccard = \\|types_a ∩ types_b\\| / \\|types_a ∪ types_b\\|.
+
+    Exactness: all counts are exact int64 (bitmap AND/OR popcounts);
+    ``jaccard`` is ONE IEEE int/int division, so the SQL replay
+    (DISTINCT (group, token) self-join) is bit-exact.  Cost: ONE
+    presence-bitmap pass (:func:`token_presence_by_group`) + O(groups^2)
+    driver popcounts over (vocab/8)-byte bitmaps."""
+    t = token_presence_by_group(ds, list_column, group_column,
+                                bounded_range)
+    groups = t.column("group").to_pylist()
+    nt = t.column("n_types").to_pylist()
+    bms = [np.frombuffer(b, dtype=np.uint8)
+           for b in t.column("bitmap").to_pylist()]
+    ga, gb, na, nb, nc, jac = [], [], [], [], [], []
+    for i in range(len(groups)):
+        for j in range(i + 1, len(groups)):
+            common = int(np.unpackbits(bms[i] & bms[j],
+                                       bitorder="little").sum())
+            union = nt[i] + nt[j] - common
+            ga.append(groups[i]); gb.append(groups[j])
+            na.append(nt[i]); nb.append(nt[j]); nc.append(common)
+            jac.append(common / union if union else 0.0)
+    return pa.table({
+        "group_a": pa.array(ga), "group_b": pa.array(gb),
+        "n_types_a": pa.array(na, pa.int64()),
+        "n_types_b": pa.array(nb, pa.int64()),
+        "n_common": pa.array(nc, pa.int64()),
+        "jaccard": pa.array(jac, pa.float64())})
+
+
+def vocab_growth_curve(ds: Dataset, list_column: str, group_column: str,
+                       bounded_range: "tuple[int, int]") -> pa.Table:
+    """Heaps-law vocabulary growth curve: groups (shards) accumulate in
+    sorted group order and each prefix reports the CUMULATIVE token and
+    token-TYPE counts — how fast the vocabulary saturates as the corpus
+    grows.  One row per prefix:
+    ``(group, n_tokens_cum, n_types_cum)`` — all exact int64.
+
+    The SQL replay avoids per-prefix DISTINCT blowup with the min-shard
+    trick: a type's first-appearance shard m makes it count for every
+    prefix >= m, so ``n_types_cum(g) = COUNT(*) WHERE min_shard <= g``
+    — exactly the prefix-OR popcount the engine computes."""
+    t = token_presence_by_group(ds, list_column, group_column,
+                                bounded_range)
+    bms = [np.frombuffer(b, dtype=np.uint8)
+           for b in t.column("bitmap").to_pylist()]
+    nt = t.column("n_tokens").to_pylist()
+    acc = None
+    cum_types, cum_tokens, running = [], [], 0
+    for i, bm in enumerate(bms):
+        acc = bm.copy() if acc is None else (acc | bm)
+        running += nt[i]
+        cum_tokens.append(running)
+        cum_types.append(int(np.unpackbits(acc, bitorder="little").sum()))
+    return pa.table({
+        "group": t.column("group"),
+        "n_tokens_cum": pa.array(cum_tokens, pa.int64()),
+        "n_types_cum": pa.array(cum_types, pa.int64())})
+
+
+def vocab_coverage(ds: Dataset, list_column: str,
+                   bounded_range: "tuple[int, int]",
+                   ks=(100, 1_000, 10_000)) -> pa.Table:
+    """Tokenizer-audit coverage curve: for each ``k``, the fraction of
+    all token OCCURRENCES covered by the ``k`` most frequent token TYPES
+    (the classic head-heaviness diagnostic — a BPE vocab whose top-1k
+    types cover 95% of occurrences wastes most of its id space; a flat
+    curve means id pressure).  One row per k:
+    ``(k, covered, total, n_distinct, coverage)``.
+
+    Exactness: ``covered``/``total``/``n_distinct`` are exact int64;
+    ``coverage`` is ONE IEEE division of those ints, so an SQL oracle
+    (window ``ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC)`` +
+    filtered sum) replays every value bit-exactly.  Ties rank by
+    (count DESC, token ASC) — pinned to match the SQL ordering.
+
+    Scale shape: ONE bounded-bincount pass (:func:`list_value_counts`'s
+    fixed-size vector combine — the exchange carries O(batches) vectors,
+    never element rows); the driver holds O(vocab) ints, the same bound
+    the token_freq / DSIR ops already accept."""
+    rows = list_value_counts(ds, list_column, out_value="token",
+                             out_count="cnt",
+                             bounded_range=bounded_range).take_all()
+    tok = np.array([r["token"] for r in rows], dtype=np.int64)
+    cnt = np.array([r["cnt"] for r in rows], dtype=np.int64)
+    order = np.lexsort((tok, -cnt))           # cnt DESC, token ASC
+    cum = np.cumsum(cnt[order])
+    total = int(cum[-1]) if len(cum) else 0
+    nd = len(tok)
+    out_k, covered = [], []
+    for k in ks:
+        k = int(k)
+        if k < 1:
+            raise ValueError("vocab_coverage: k must be >= 1")
+        out_k.append(k)
+        covered.append(int(cum[min(k, nd) - 1]) if nd else 0)
+    return pa.table({
+        "k": pa.array(out_k, pa.int64()),
+        "covered": pa.array(covered, pa.int64()),
+        "total": pa.array([total] * len(out_k), pa.int64()),
+        "n_distinct": pa.array([nd] * len(out_k), pa.int64()),
+        "coverage": pa.array(
+            [c / total if total else 0.0 for c in covered], pa.float64())})
+
+
 def confusion_report(ds: Dataset, prob_column: str, label_column: str,
                      thresholds) -> Dataset:
     """Threshold-sweep classifier evaluation (the quality-filter

@@ -206,6 +206,105 @@ def exact_dedup_keep_best(ds: Dataset, column: str, id_column: str,
             .map_groups(best, batch_format="pyarrow"))
 
 
+def cross_source_dup_matrix(ds: Dataset, column: str, source_column: str,
+                            num_buckets: int = 64,
+                            num_partitions: "int | None" = None) -> Dataset:
+    """Cross-source exact-duplication matrix — the "who copies whom"
+    corpus diagnostic (CommonCrawl vs Wikipedia overlap, mirror-site
+    detection, snapshot drift between ingestion feeds): one row per
+    ORDERED source pair ``(source_a, source_b)`` with ``a != b``, where
+    ``n_docs`` counts the documents of ``source_a`` whose exact content
+    also occurs somewhere in ``source_b``.  SQL: a self-join of
+    per-(content, source) doc counts.
+
+    Scale shape: a map-side ``(h1, h2, source, cnt)`` combine per batch
+    (the 128-bit content-hash discipline of
+    :func:`exact_dedup_keep_first`; a hot content key arrives
+    pre-collapsed per block and the text payload never shuffles), ONE
+    ``h1 % num_buckets`` key exchange, and per bucket one vectorized
+    segmented cartesian product over each key's source set — keys held
+    by a single source (the vast majority of a real corpus) are
+    filtered out BEFORE expansion, so the pair blowup is bounded by
+    actual cross-source duplication, never corpus size.  The finisher is
+    an O(sources^2)-row groupby-sum.  Null sources fold to ``''``
+    map-side (SQL COALESCE parity)."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    nb = np.uint64(num_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        src = pc.fill_null(batch.column(source_column),
+                           pa.scalar("", pa.string()))
+        df = pl.DataFrame({
+            "h1": hash64(col, seed=1).view(np.int64),
+            "h2": hash64(col, seed=2).view(np.int64),
+            "s": pl.from_arrow(src)})
+        g = df.group_by(["h1", "h2", "s"]).len(name="cnt")
+        t = g.to_arrow()
+        b = (t.column("h1").to_numpy(zero_copy_only=False)
+             .view(np.uint64) % nb).astype(np.int64)
+        return pa.table({
+            "h1": t.column("h1"), "h2": t.column("h2"),
+            "s": t.column("s").cast(pa.string()),
+            "cnt": pc.cast(t.column("cnt"), pa.int64()),
+            "__b__": pa.array(b)})
+
+    def expand(g: pa.Table) -> pa.Table:
+        empty = pa.table({"source_a": pa.array([], pa.string()),
+                          "source_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0 or "h1" not in g.column_names:
+            return empty
+        g = g.sort_by([("h1", "ascending"), ("h2", "ascending"),
+                       ("s", "ascending")])
+        h1 = g.column("h1").to_numpy(zero_copy_only=False)
+        h2 = g.column("h2").to_numpy(zero_copy_only=False)
+        new = np.ones(len(h1), dtype=bool)
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        run_id = np.cumsum(new) - 1
+        l = np.bincount(run_id)                # sources per content key
+        multi = l[run_id] >= 2                 # drop single-source keys
+        if not multi.any():
+            return empty
+        g = g.filter(pa.array(multi))
+        run_id = run_id[multi]
+        _, run_id = np.unique(run_id, return_inverse=True)
+        l = np.bincount(run_id)
+        starts = np.concatenate(([0], np.cumsum(l)[:-1]))
+        n = g.num_rows
+        per_elem = l[run_id]                   # pair count per element
+        a_idx = np.repeat(np.arange(n, dtype=np.int64), per_elem)
+        block = np.repeat(np.cumsum(per_elem) - per_elem, per_elem)
+        within = np.arange(len(a_idx), dtype=np.int64) - block
+        b_idx = starts[run_id[a_idx]] + within
+        keep = a_idx != b_idx
+        a_idx, b_idx = a_idx[keep], b_idx[keep]
+        src = g.column("s")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
+        pairs = pa.table({
+            "source_a": src.take(pa.array(a_idx)),
+            "source_b": src.take(pa.array(b_idx)),
+            "n": pa.array(cnt[a_idx], type=pa.int64())})
+        # local combine: O(sources^2) rows leave the bucket, never pairs
+        out = (pl.from_arrow(pairs).group_by(["source_a", "source_b"])
+               .agg(pl.col("n").sum()).to_arrow())
+        return pa.table({"source_a": out.column("source_a").cast(pa.string()),
+                         "source_b": out.column("source_b").cast(pa.string()),
+                         "n": pc.cast(out.column("n"), pa.int64())})
+
+    return (ds.select_columns([column, source_column])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("__b__", num_partitions=num_partitions)
+            .map_groups(expand, batch_format="pyarrow")
+            .groupby(["source_a", "source_b"])
+            .aggregate(Sum("n", alias_name="n_docs")))
+
+
 # RE2-compatible "non-space": RE2 (pyarrow/DuckDB) \s is ASCII-only while
 # Python re / rust-regex \s is unicode — the explicit class keeps shingles
 # consistent with the SQL oracles on NBSP/EM-space text

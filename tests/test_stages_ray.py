@@ -1107,6 +1107,104 @@ def test_exact_dedup_keep_best(ray_session):
     assert kept == {1, 4, 5}
 
 
+def test_cross_source_dup_matrix(ray_session):
+    """The who-copies-whom matrix vs a brute-force reference: ordered
+    pairs only, within-source dups never pair with themselves, doc
+    MULTIPLICITY counts on the a-side, null sources fold to ''."""
+    import itertools
+
+    import ray.data as rd
+    from malli_ray.stages.dedup import cross_source_dup_matrix
+
+    rows = [("x", "A"), ("x", "A"),       # two A docs with content x
+            ("x", "B"),                   # ... also in B
+            ("y", "A"), ("y", "C"), ("y", "C"),
+            ("z", "B"),                   # unique to B: no pairs
+            ("w", None), ("w", "A")]      # null source folds to ''
+    t = pa.table({"text": [r[0] for r in rows],
+                  "source": pa.array([r[1] for r in rows], pa.string())})
+    got = {(r["source_a"], r["source_b"]): r["n_docs"]
+           for r in cross_source_dup_matrix(
+               rd.from_arrow(t).repartition(3), "text", "source")
+           .take_all()}
+    # brute-force reference
+    from collections import Counter
+    per = Counter(((txt, s or "") for txt, s in rows))
+    srcs_of = {}
+    for (txt, s), _n in per.items():
+        srcs_of.setdefault(txt, set()).add(s)
+    want = Counter()
+    for (txt, s), n in per.items():
+        for other in srcs_of[txt] - {s}:
+            want[(s, other)] += n
+    assert got == dict(want)
+    assert got[("A", "B")] == 2 and got[("B", "A")] == 1
+    assert got[("", "A")] == 1 and got[("A", "")] == 1
+    assert ("B", "C") not in got
+
+
+def test_vocab_coverage(ray_session):
+    """Coverage curve vs hand arithmetic, incl. the count-DESC/token-ASC
+    tie rule and k > n_distinct clamping."""
+    import ray.data as rd
+    from malli_ray.stages.analytics import vocab_coverage
+
+    # token 3 x5, token 1 x3, token 2 x3, token 0 x1  (1 and 2 tie)
+    t = pa.table({"tokens": [[3, 3, 3], [3, 3, 1, 1], [1, 2, 2], [2, 0]]})
+    out = vocab_coverage(rd.from_arrow(t).repartition(2), "tokens",
+                         bounded_range=(0, 10), ks=(1, 2, 3, 100))
+    rows = {r["k"]: r for r in out.to_pylist()}
+    assert rows[1]["covered"] == 5                 # top-1 = token 3
+    assert rows[2]["covered"] == 8                 # tie -> token 1 first
+    assert rows[3]["covered"] == 11
+    assert rows[100]["covered"] == 12              # clamped to n_distinct
+    assert rows[100]["n_distinct"] == 4
+    assert all(r["total"] == 12 for r in rows.values())
+    assert rows[2]["coverage"] == 8 / 12
+
+
+def test_vocab_overlap_and_growth(ray_session):
+    """Presence-bitmap set algebra vs brute-force sets: pairwise type
+    overlap (unordered pairs, exact jaccard) and the cumulative
+    growth curve (prefix-OR == union of prefix type sets)."""
+    import ray.data as rd
+    from malli_ray.stages.analytics import (vocab_growth_curve,
+                                            vocab_overlap_by_group)
+
+    rows = [("a", [1, 2, 3, 1]), ("a", [4]), ("b", [3, 4, 5]),
+            ("c", [9]), ("b", [5, 5])]
+    t = pa.table({"g": [r[0] for r in rows],
+                  "tokens": [r[1] for r in rows]})
+    ds = rd.from_arrow(t).repartition(3)
+
+    sets = {}
+    toks = {}
+    for g, ts in rows:
+        sets.setdefault(g, set()).update(ts)
+        toks[g] = toks.get(g, 0) + len(ts)
+    ov = {(r["group_a"], r["group_b"]): r
+          for r in vocab_overlap_by_group(
+              ds, "tokens", "g", bounded_range=(0, 10)).to_pylist()}
+    assert set(ov) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (ga, gb), r in ov.items():
+        inter = len(sets[ga] & sets[gb])
+        union = len(sets[ga] | sets[gb])
+        assert r["n_common"] == inter
+        assert r["n_types_a"] == len(sets[ga])
+        assert r["n_types_b"] == len(sets[gb])
+        assert r["jaccard"] == (inter / union if union else 0.0)
+
+    gr = vocab_growth_curve(ds, "tokens", "g",
+                            bounded_range=(0, 10)).to_pylist()
+    assert [r["group"] for r in gr] == ["a", "b", "c"]
+    seen, ntok = set(), 0
+    for r in gr:
+        seen |= sets[r["group"]]
+        ntok += toks[r["group"]]
+        assert r["n_types_cum"] == len(seen)
+        assert r["n_tokens_cum"] == ntok
+
+
 def test_prefix_jaccard_candidates_complete(ray_session):
     """Prefix-filter recall is EXACTLY 1: on random word soups, every
     pair with true word-3-gram Jaccard >= t appears in the candidates."""
