@@ -475,6 +475,68 @@ def _run_pack(args, paths: list[str]) -> int:
     return rc
 
 
+def _run_report(args, paths: list[str]) -> int:
+    """Corpus diagnostics JSON over a tokenized table: coverage curve
+    (top-k type coverage of occurrences), per-source vocabulary overlap
+    (type jaccard per pair) and the Heaps-law growth curve over hash(id)
+    shards.  One cleaned materialization feeds all three passes (the
+    q21 multi-consumer guard); null token lists are dropped and counted,
+    null sources fold to ''."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pcc
+    import ray.data as rdata
+
+    from .stages.analytics import (vocab_coverage, vocab_growth_curve,
+                                   vocab_overlap_by_group)
+    from .state.sketches import hash64
+
+    tc, idc, srcc = args.tokens_column, args.id_column, args.source_column
+    cols = [c for c in dict.fromkeys((tc, idc, srcc)) if c]
+    ds = rdata.read_parquet(paths, columns=cols)
+
+    def clean(b: pa.Table) -> pa.Table:
+        b = b.filter(pcc.is_valid(b.column(tc)))
+        if srcc:
+            i = b.schema.get_field_index(srcc)
+            b = b.set_column(i, srcc, pcc.fill_null(
+                b.column(srcc), pa.scalar("", pa.string())))
+        return b
+
+    n_input = ds.count()  # parquet metadata count
+    ds = ds.map_batches(clean, batch_format="pyarrow").materialize()
+    bounded = (0, args.vocab)
+    try:
+        ks = [int(x) for x in args.coverage_ks.split(",") if x]
+    except ValueError:
+        raise SystemExit(f"--coverage-ks must be comma-separated ints, "
+                         f"got {args.coverage_ks!r}")
+    if not ks:
+        raise SystemExit("--coverage-ks must name at least one cutoff")
+
+    report: dict = {"n_rows": ds.count()}
+    report["n_null_token_rows"] = n_input - report["n_rows"]
+    cov = vocab_coverage(ds, tc, bounded_range=bounded, ks=ks)
+    report["total_tokens"] = (int(cov.column("total")[0].as_py())
+                              if cov.num_rows else 0)
+    report["coverage"] = cov.to_pylist()
+    if srcc:
+        report["overlap"] = vocab_overlap_by_group(
+            ds, tc, srcc, bounded_range=bounded).to_pylist()
+    if args.growth_shards:
+        nsh = np.uint64(args.growth_shards)
+
+        def shard(b: pa.Table) -> pa.Table:
+            h = (hash64(b.column(idc), seed=31) % nsh).astype(np.int64)
+            return pa.table({tc: b.column(tc), "__shard__": pa.array(h)})
+
+        report["growth"] = vocab_growth_curve(
+            ds.map_batches(shard, batch_format="pyarrow"), tc,
+            "__shard__", bounded_range=bounded).to_pylist()
+    print(json.dumps(report))
+    return 0
+
+
 def _parse_expect_rules(specs: list[str]) -> list[dict]:
     """--expect RULE parser → constraints.expectations_report rule dicts.
     Malformed specs exit with a one-line message (the CLI contract)."""
@@ -682,6 +744,29 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
 
+    rp = sub.add_parser(
+        "report",
+        help="corpus diagnostics JSON over a tokenized sequences table: "
+             "vocab coverage curve, per-source vocabulary overlap, "
+             "Heaps-law growth curve")
+    rp.add_argument("--input", required=True,
+                    help="parquet glob or directory of tokenized sequences")
+    rp.add_argument("--tokens-column", default="tokens")
+    rp.add_argument("--id-column", default="doc_id")
+    rp.add_argument("--source-column", default="source",
+                    help="group column for the overlap matrix; pass '' "
+                         "to skip the overlap section")
+    rp.add_argument("--vocab", type=int, default=50257,
+                    help="token ids must lie in [0, vocab)")
+    rp.add_argument("--coverage-ks", default="100,1000,10000",
+                    help="comma-separated top-k cutoffs for the coverage "
+                         "curve")
+    rp.add_argument("--growth-shards", type=int, default=8,
+                    help="number of hash(id) shards for the growth "
+                         "curve; 0 skips the section")
+    rp.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+
     ex = sub.add_parser(
         "explain",
         help="pretty-print a validation report for one JSON value "
@@ -740,6 +825,8 @@ def main(argv: list[str] | None = None) -> int:
             return _run_corpus_prep(args, paths)
         if args.cmd == "pack":
             return _run_pack(args, paths)
+        if args.cmd == "report":
+            return _run_report(args, paths)
         from .pipelines.validation_job import SchemaLayoutError, run_job
         spec = _build_spec(args)
         try:

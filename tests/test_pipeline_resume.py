@@ -335,3 +335,37 @@ def test_cli_pack_scrub_dup_spans(ray_session, tmp_path, capsys):
     total_in = sum(len(r) for r in rows)
     assert int(pc2.sum(t.column("n_tokens")).as_py()) == \
         total_in - rep["scrubbed_tokens"]
+
+
+def test_cli_report(ray_session, seq_dir, capsys):
+    """The `report` CLI: coverage / overlap / growth sections over a
+    tokenized table, with set-exact invariants — coverage monotone in k,
+    growth monotone with the final prefix equal to the corpus type
+    count, overlap pairs unordered and complete over non-null sources."""
+    import json
+
+    from malli_ray import cli
+
+    rc = cli.main(["report", "--input", seq_dir, "--num-cpus", "4",
+                   "--coverage-ks", "10,1000,100000",
+                   "--growth-shards", "4"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    d = json.loads(out)
+    assert rc == 0
+    assert d["n_rows"] == 3000 and d["n_null_token_rows"] == 0
+    cov = d["coverage"]
+    assert [r["k"] for r in cov] == [10, 1000, 100000]
+    assert cov[0]["covered"] <= cov[1]["covered"] <= cov[2]["covered"]
+    assert cov[2]["covered"] == d["total_tokens"]     # k > vocab covers all
+    assert cov[2]["coverage"] == 1.0
+    gr = d["growth"]
+    assert [r["group"] for r in gr] == [0, 1, 2, 3]
+    assert all(a["n_types_cum"] <= b["n_types_cum"]
+               for a, b in zip(gr, gr[1:]))
+    assert gr[-1]["n_tokens_cum"] == d["total_tokens"]
+    assert gr[-1]["n_types_cum"] == cov[0]["n_distinct"]
+    srcs = {r["group_a"] for r in d["overlap"]} | \
+        {r["group_b"] for r in d["overlap"]}
+    n = len(srcs)
+    assert len(d["overlap"]) == n * (n - 1) // 2
+    assert all(r["group_a"] < r["group_b"] for r in d["overlap"])
