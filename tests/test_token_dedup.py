@@ -354,3 +354,84 @@ def test_token_span_lists_consistent_with_exploded(ray_session):
     assert {k: sorted(v) for k, v in exploded.items()} == \
         {k: sorted(v) for k, v in lists.items()}
     assert len(lists) > 0
+
+
+def test_remove_token_spans_strategies_identical(ray_session):
+    """strategy='broadcast' (payload never shuffles) and
+    strategy='exchange' (tag+union co-shuffle) produce IDENTICAL rows,
+    keep_columns ride both paths, explicit broadcast above the span cap
+    raises, and auto falls back to exchange quietly."""
+    import ray.data as rd
+    from malli_ray.stages.dedup import remove_duplicate_token_spans
+
+    rng = np.random.default_rng(23)
+    k = 4
+    motif = rng.integers(0, 500, 9).tolist()
+    rows, ids, src = [], [], []
+    for i in range(80):
+        body = rng.integers(0, 9000, int(rng.integers(0, 25))).tolist()
+        if i % 3 == 0:
+            p = int(rng.integers(0, max(len(body) - 1, 1)))
+            body = body[:p] + motif + body[p:]
+        ids.append(f"s{i:03d}")
+        rows.append(body if i != 5 else None)
+        src.append(f"src{i % 3}")
+    t = pa.table({"doc_id": pa.array(ids),
+                  "tokens": pa.array(rows, pa.list_(pa.int32())),
+                  "source": pa.array(src)})
+    ds = rd.from_arrow(t).repartition(4)
+
+    def run(**kw):
+        return sorted(remove_duplicate_token_spans(
+            ds, "tokens", "doc_id", k=k, num_buckets=8,
+            keep_columns=["source"], **kw).take_all(),
+            key=lambda r: r["doc_id"])
+
+    bc = run(strategy="broadcast")
+    ex = run(strategy="exchange")
+    assert len(bc) == len(ids)
+    for a, b in zip(bc, ex):
+        assert a["doc_id"] == b["doc_id"]
+        assert list(a["tokens_dedup"]) == list(b["tokens_dedup"])
+        assert a["n_tokens_dropped"] == b["n_tokens_dropped"]
+        assert a["source"] == b["source"] != None  # noqa: E711
+    # explicit broadcast above the cap fails loudly...
+    with pytest.raises(ValueError, match="max_broadcast_spans"):
+        run(strategy="broadcast", max_broadcast_spans=1)
+    # ...auto above the cap falls back to the exchange output
+    assert run(strategy="auto", max_broadcast_spans=1) == ex
+
+
+def test_remove_word_spans_strategies_identical(ray_session):
+    """Word-level sibling: broadcast vs exchange strategies produce
+    identical (id, text_dedup, n_words_dropped, keep) rows."""
+    import ray.data as rd
+    from malli_ray.stages.dedup import remove_duplicate_spans
+
+    rng = np.random.default_rng(31)
+    motif = " ".join(f"m{i}" for i in range(7))
+    texts, ids, src = [], [], []
+    for i in range(60):
+        words = [f"w{int(x)}" for x in rng.integers(0, 400, int(
+            rng.integers(0, 20)))]
+        t = " ".join(words)
+        if i % 3 == 0:
+            t = (t + " " + motif).strip()
+        ids.append(f"w{i:03d}")
+        texts.append(t if i != 4 else None)
+        src.append(f"s{i % 2}")
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "text": pa.array(texts, pa.string()),
+                    "source": pa.array(src)})
+    ds = rd.from_arrow(tbl).repartition(4)
+
+    def run(**kw):
+        return sorted(remove_duplicate_spans(
+            ds, "text", "doc_id", k=4, num_buckets=8,
+            keep_columns=["source"], **kw).take_all(),
+            key=lambda r: r["doc_id"])
+
+    bc = run(strategy="broadcast")
+    ex = run(strategy="exchange")
+    assert bc == ex and len(bc) == len(ids)
+    assert run(strategy="auto", max_broadcast_spans=1) == ex
