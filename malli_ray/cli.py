@@ -503,16 +503,17 @@ def _run_report(args, paths: list[str]) -> int:
                 b.column(srcc), pa.scalar("", pa.string())))
         return b
 
-    n_input = ds.count()  # parquet metadata count
-    ds = ds.map_batches(clean, batch_format="pyarrow").materialize()
     bounded = (0, args.vocab)
     try:
         ks = [int(x) for x in args.coverage_ks.split(",") if x]
     except ValueError:
         raise SystemExit(f"--coverage-ks must be comma-separated ints, "
                          f"got {args.coverage_ks!r}")
-    if not ks:
-        raise SystemExit("--coverage-ks must name at least one cutoff")
+    if not ks or any(k < 1 for k in ks):
+        raise SystemExit("--coverage-ks must name at least one cutoff "
+                         ">= 1")
+    n_input = ds.count()  # parquet metadata count
+    ds = ds.map_batches(clean, batch_format="pyarrow").materialize()
 
     report: dict = {"n_rows": ds.count()}
     report["n_null_token_rows"] = n_input - report["n_rows"]

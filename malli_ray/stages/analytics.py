@@ -1364,6 +1364,42 @@ def list_value_counts(ds: Dataset, list_column: str,
             .aggregate(Sum(out_count, alias_name=out_count)))
 
 
+def _grouped_flat_values(batch: pa.Table, list_column: str,
+                         group_column: str, lo: int, hi: int,
+                         op_name: str, null_group: "str | None" = None):
+    """Shared prologue of the grouped bounded-list kernels
+    (:func:`list_value_counts_by_group`, :func:`token_presence_by_group`):
+    validate null lists/elements and the [lo, hi) element range, code the
+    group column, and return ``(uniq_groups, values, gpos)`` where
+    ``values`` is the flattened int64 element buffer and ``gpos`` its
+    per-element group code.  ``null_group=None`` makes null group keys
+    RAISE; a string folds them map-side (SQL COALESCE parity)."""
+    col = batch.column(list_column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(f"{op_name}: null lists unsupported "
+                         f"(filter or fill upstream)")
+    flat = col.flatten()
+    if flat.null_count:
+        raise ValueError(f"{op_name}: null elements unsupported")
+    grp = batch.column(group_column)
+    if null_group is not None:
+        grp = pc.fill_null(grp, pa.scalar(null_group, pa.string()))
+    elif grp.null_count:
+        raise ValueError(f"{op_name}: null group keys unsupported")
+    gvals = grp.to_numpy(zero_copy_only=False)
+    uniq, codes = np.unique(gvals, return_inverse=True)
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs - offs[0])
+    v = flat.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(v) and (v.min() < lo or v.max() >= hi):
+        raise ValueError(f"{op_name}: element outside bounded_range "
+                         f"[{lo}, {hi})")
+    gpos = np.repeat(codes.astype(np.int64), lens)
+    return uniq, v, gpos
+
+
 def list_value_counts_by_group(ds: Dataset, list_column: str,
                                group_column: str,
                                bounded_range: "tuple[int, int]",
@@ -1392,29 +1428,9 @@ def list_value_counts_by_group(ds: Dataset, list_column: str,
         raise ValueError("list_value_counts_by_group: empty bounded_range")
 
     def vec_partial(batch: pa.Table) -> pa.Table:
-        col = batch.column(list_column)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if col.null_count:
-            raise ValueError(
-                "list_value_counts_by_group: null lists unsupported "
-                "(filter or fill upstream)")
-        flat = col.flatten()
-        if flat.null_count:
-            raise ValueError(
-                "list_value_counts_by_group: null elements unsupported")
-        grp = pc.fill_null(batch.column(group_column),
-                           pa.scalar(null_group, pa.string()))
-        gvals = grp.to_numpy(zero_copy_only=False)
-        uniq, codes = np.unique(gvals, return_inverse=True)
-        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        lens = np.diff(offs - offs[0])
-        v = flat.to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(v) and (v.min() < lo or v.max() >= hi):
-            raise ValueError(
-                f"list_value_counts_by_group: element outside "
-                f"bounded_range [{lo}, {hi})")
-        gpos = np.repeat(codes.astype(np.int64), lens)
+        uniq, v, gpos = _grouped_flat_values(
+            batch, list_column, group_column, lo, hi,
+            "list_value_counts_by_group", null_group=null_group)
         counts = np.bincount(gpos * width + (v - lo),
                              minlength=len(uniq) * width)
         return pa.table({
@@ -1470,30 +1486,9 @@ def token_presence_by_group(ds: Dataset, list_column: str,
     nbytes = (width + 7) // 8
 
     def vec_partial(batch: pa.Table) -> pa.Table:
-        col = batch.column(list_column)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if col.null_count:
-            raise ValueError("token_presence_by_group: null lists "
-                             "unsupported (filter or fill upstream)")
-        flat = col.flatten()
-        if flat.null_count:
-            raise ValueError(
-                "token_presence_by_group: null elements unsupported")
-        grp = batch.column(group_column)
-        if grp.null_count:
-            raise ValueError(
-                "token_presence_by_group: null group keys unsupported")
-        gvals = grp.to_numpy(zero_copy_only=False)
-        uniq, codes = np.unique(gvals, return_inverse=True)
-        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        lens = np.diff(offs - offs[0])
-        v = flat.to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(v) and (v.min() < lo or v.max() >= hi):
-            raise ValueError(
-                f"token_presence_by_group: element outside "
-                f"bounded_range [{lo}, {hi})")
-        gpos = np.repeat(codes.astype(np.int64), lens)
+        uniq, v, gpos = _grouped_flat_values(
+            batch, list_column, group_column, lo, hi,
+            "token_presence_by_group")
         pres = np.zeros(len(uniq) * width, dtype=bool)
         pres[gpos * width + (v - lo)] = True
         packed = np.packbits(pres.reshape(len(uniq), width), axis=1,

@@ -260,21 +260,43 @@ def cross_source_dup_matrix(ds: Dataset, column: str, source_column: str,
             return empty
         g = g.sort_by([("h1", "ascending"), ("h2", "ascending"),
                        ("s", "ascending")])
+        # collapse duplicate (h1, h2, s) rows FIRST (the same content in
+        # the same source spans map batches, one partial row per batch)
+        # — without this, repeated rows of one source would pair with
+        # each other (a self-pair the semantics forbid) and overcount
+        # the b-side
         h1 = g.column("h1").to_numpy(zero_copy_only=False)
         h2 = g.column("h2").to_numpy(zero_copy_only=False)
+        s_arr = g.column("s")
+        if isinstance(s_arr, pa.ChunkedArray):
+            s_arr = s_arr.combine_chunks()
+        s_np = s_arr.to_numpy(zero_copy_only=False)
+        cnt_np = g.column("cnt").to_numpy(zero_copy_only=False)
+        key_first = np.ones(len(h1), dtype=bool)
+        key_first[1:] = ((h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+                         | (s_np[1:] != s_np[:-1]))
+        kstarts = np.flatnonzero(key_first)
+        cnt_c = np.add.reduceat(cnt_np, kstarts) if len(kstarts) else \
+            np.empty(0, dtype=np.int64)
+        h1, h2, s_np = h1[kstarts], h2[kstarts], s_np[kstarts]
+        src = s_arr.take(pa.array(kstarts, pa.int64()))
         new = np.ones(len(h1), dtype=bool)
         new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
         run_id = np.cumsum(new) - 1
-        l = np.bincount(run_id)                # sources per content key
-        multi = l[run_id] >= 2                 # drop single-source keys
+        l = np.bincount(run_id) if len(run_id) else \
+            np.empty(0, dtype=np.int64)          # sources per content key
+        multi = l[run_id] >= 2 if len(run_id) else \
+            np.empty(0, dtype=bool)              # drop single-source keys
         if not multi.any():
             return empty
-        g = g.filter(pa.array(multi))
-        run_id = run_id[multi]
+        keep_i = np.flatnonzero(multi)
+        src = src.take(pa.array(keep_i, pa.int64()))
+        cnt = cnt_c[keep_i]
+        run_id = run_id[keep_i]
         _, run_id = np.unique(run_id, return_inverse=True)
         l = np.bincount(run_id)
         starts = np.concatenate(([0], np.cumsum(l)[:-1]))
-        n = g.num_rows
+        n = len(keep_i)
         per_elem = l[run_id]                   # pair count per element
         a_idx = np.repeat(np.arange(n, dtype=np.int64), per_elem)
         block = np.repeat(np.cumsum(per_elem) - per_elem, per_elem)
@@ -282,10 +304,6 @@ def cross_source_dup_matrix(ds: Dataset, column: str, source_column: str,
         b_idx = starts[run_id[a_idx]] + within
         keep = a_idx != b_idx
         a_idx, b_idx = a_idx[keep], b_idx[keep]
-        src = g.column("s")
-        if isinstance(src, pa.ChunkedArray):
-            src = src.combine_chunks()
-        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
         pairs = pa.table({
             "source_a": src.take(pa.array(a_idx)),
             "source_b": src.take(pa.array(b_idx)),
@@ -2544,10 +2562,13 @@ def _broadcast_span_ref(spans: Dataset, id_column: str,
                         op_name: str):
     """Materialize the merged (id, span_start, span_end) table, enforce
     the broadcast cap, and ship it as sorted flat arrays via ray.put:
-    ``(ids_sorted_unique, per_id_offsets, starts, ends)``.  Returns None
-    when ``strategy='auto'`` exceeds the cap (caller falls back to the
-    exchange path); an explicit ``strategy='broadcast'`` RAISES
-    instead."""
+    ``(ids_sorted_unique, per_id_offsets, starts, ends)``.  The driver
+    pull is Arrow blocks sliced to numpy (never row dicts — at the 20M
+    default cap dict rows would be GBs of Python overhead).  Returns
+    ``(ref, materialized_spans)``; ref is None when ``strategy='auto'``
+    exceeds the cap — the caller reuses the MATERIALIZED spans in the
+    exchange fallback, so phase 1 is never paid twice.  An explicit
+    ``strategy='broadcast'`` RAISES above the cap instead."""
     import ray
 
     spans = spans.materialize()
@@ -2560,18 +2581,33 @@ def _broadcast_span_ref(spans: Dataset, id_column: str,
                 f"is too duplicate-heavy for a broadcast mask; use "
                 f"strategy='exchange' (no driver-side span state)")
         logger.info("%s: %d spans > cap %d — falling back to the "
-                    "exchange strategy (re-derives the gram exchange)",
+                    "exchange strategy (reusing the materialized spans)",
                     op_name, n_spans, max_broadcast_spans)
-        return None
-    rows = spans.sort(id_column).take_all()
-    sids = np.array([r[id_column] for r in rows], dtype=object)
-    starts = np.array([r["span_start"] for r in rows], dtype=np.int64)
-    ends = np.array([r["span_end"] for r in rows], dtype=np.int64)
+        return None, spans
+    if n_spans == 0:
+        ref = ray.put((np.empty(0, dtype=object),
+                       np.zeros(1, dtype=np.int64),
+                       np.empty(0, dtype=np.int64),
+                       np.empty(0, dtype=np.int64)))
+        return ref, spans
+    tbl = pa.concat_tables(
+        [t for t in ray.get(spans.sort(id_column).to_arrow_refs())
+         if t.num_rows])
+    sids = tbl.column(id_column).to_numpy(zero_copy_only=False)
+    starts = (tbl.column("span_start").to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+    ends = (tbl.column("span_end").to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+    if len(sids) > 1 and not np.all(sids[:-1] <= sids[1:]):
+        # defensive: sort blocks should arrive range-ordered; re-sort
+        # driver-side if the runtime ever stops guaranteeing it
+        order = np.argsort(sids, kind="stable")
+        sids, starts, ends = sids[order], starts[order], ends[order]
     uniq, first = np.unique(sids, return_index=True)
     off = np.concatenate((np.sort(first), [len(sids)])).astype(np.int64)
     logger.info("%s: broadcast strategy (%d spans over %d docs)",
                 op_name, n_spans, len(uniq))
-    return ray.put((uniq, off, starts, ends))
+    return ray.put((uniq, off, starts, ends)), spans
 
 
 class _BroadcastWordSpanMask:
@@ -2658,14 +2694,16 @@ def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
     if strategy not in ("auto", "broadcast", "exchange"):
         raise ValueError(f"remove_duplicate_spans: unknown strategy "
                          f"{strategy!r}")
+    premerged = None
     if strategy in ("auto", "broadcast"):
         spans = duplicate_spans(ds, text_column, id_column, k=k,
                                 num_buckets=num_buckets,
                                 num_partitions=num_partitions,
                                 prefilter=prefilter,
                                 concurrency=concurrency)
-        ref = _broadcast_span_ref(spans, id_column, max_broadcast_spans,
-                                  strategy, "remove_duplicate_spans")
+        ref, premerged = _broadcast_span_ref(
+            spans, id_column, max_broadcast_spans, strategy,
+            "remove_duplicate_spans")
         if ref is not None:
             sel = [id_column, text_column,
                    *[c for c in (keep_columns or ())
@@ -2677,9 +2715,15 @@ def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
                              drop_count_column=drop_count_column),
                 batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
-    dup_occ = _duplicate_occurrences(ds, text_column, id_column, k,
-                                     num_buckets, num_partitions,
-                                     concurrency, prefilter=prefilter)
+    if premerged is not None:
+        # auto fallback: the spans are already merged and materialized —
+        # co-shuffle them with the docs instead of re-paying the gram
+        # exchange (side-1 carries (id, start, end) directly)
+        side1 = premerged
+    else:
+        side1 = _duplicate_occurrences(ds, text_column, id_column, k,
+                                       num_buckets, num_partitions,
+                                       concurrency, prefilter=prefilter)
     schema = ds.schema().base_schema
     id_type = schema.field(id_column).type
     text_type = schema.field(text_column).type
@@ -2691,20 +2735,29 @@ def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
 
     side_col, bucket_col = "__jside__", "__jbucket__"
 
+    is_premerged = premerged is not None
+
     def _tagged(batch: pa.Table, side: int) -> pa.Table:
         # occ blocks from empty shuffle partitions re-emit the pre-groupby
         # schema (extra gram columns); select normalizes either way
-        ids = batch.column("id" if side == 1 else id_column)
+        ids = batch.column(id_column if (side == 0 or is_premerged)
+                           else "id")
         n = batch.num_rows
         text = (batch.column(text_column) if side == 0
                 else pa.nulls(n, text_type))
         if side == 0 and pa.types.is_null(text.type):
             text = text.cast(text_type)
-        pos = (batch.column("pos") if side == 1
-               else pa.nulls(n, pa.int64()))
+        if side == 1:
+            pos = batch.column("span_start" if is_premerged else "pos")
+            pos2 = (batch.column("span_end") if is_premerged
+                    else pa.nulls(n, pa.int64()))
+        else:
+            pos = pa.nulls(n, pa.int64())
+            pos2 = pa.nulls(n, pa.int64())
         bucket = (hash64(ids, seed=23)
                   % np.uint64(num_buckets)).astype(np.int64)
         cols = {id_column: ids, text_column: text, "pos": pos,
+                "pos2": pos2,
                 side_col: pa.array(np.full(n, side, dtype=np.int8)),
                 bucket_col: pa.array(bucket)}
         for c in keep:
@@ -2714,8 +2767,8 @@ def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
 
     both = (ds.select_columns([id_column, text_column, *keep])
             .map_batches(lambda b: _tagged(b, 0), batch_format="pyarrow")
-            .union(dup_occ.map_batches(lambda b: _tagged(b, 1),
-                                       batch_format="pyarrow")))
+            .union(side1.map_batches(lambda b: _tagged(b, 1),
+                                     batch_format="pyarrow")))
 
     def merge_mask(g: pa.Table) -> pa.Table:
         empty = pa.table({
@@ -2732,9 +2785,20 @@ def remove_duplicate_spans(ds: Dataset, text_column: str, id_column: str,
         if docs.num_rows == 0:
             return empty
         occ_part = (g.filter(pa.array(side == 1))
-                    .select([id_column, "pos"])
-                    .rename_columns(["id", "pos"]))
-        span_ids, span_start, span_end = _merged_flat_spans(occ_part, k)
+                    .select([id_column, "pos", "pos2"])
+                    .rename_columns(["id", "pos", "pos2"]))
+        if is_premerged:
+            span_ids = (occ_part.column("id")
+                        .to_numpy(zero_copy_only=False))
+            span_start = (occ_part.column("pos")
+                          .to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+            span_end = (occ_part.column("pos2")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        else:
+            span_ids, span_start, span_end = _merged_flat_spans(
+                occ_part.drop_columns(["pos2"]), k)
         doc_ids = docs.column(id_column).to_numpy(zero_copy_only=False)
         # both sides Arrow-sorted ascending: spans align to their doc row
         # with one searchsorted (UTF-8 byte order == code-point order, so
@@ -2926,15 +2990,16 @@ def remove_duplicate_token_spans(ds: Dataset, tokens_column: str,
         raise ValueError(f"remove_duplicate_token_spans: unknown "
                          f"strategy {strategy!r}")
     schema = ds.schema().base_schema
+    premerged = None
     if strategy in ("auto", "broadcast"):
         val_type = schema.field(tokens_column).type.value_type
         spans = duplicate_token_spans(
             ds, tokens_column, id_column, k=k, num_buckets=num_buckets,
             num_partitions=num_partitions, prefilter=prefilter,
             concurrency=concurrency)
-        ref = _broadcast_span_ref(spans, id_column, max_broadcast_spans,
-                                  strategy,
-                                  "remove_duplicate_token_spans")
+        ref, premerged = _broadcast_span_ref(
+            spans, id_column, max_broadcast_spans, strategy,
+            "remove_duplicate_token_spans")
         if ref is not None:
             sel = [id_column, tokens_column,
                    *[c for c in (keep_columns or ())
@@ -2947,10 +3012,15 @@ def remove_duplicate_token_spans(ds: Dataset, tokens_column: str,
                              val_type=val_type),
                 batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
-    dup_occ = _duplicate_occurrences(ds, tokens_column, id_column, k,
-                                     num_buckets, num_partitions,
-                                     concurrency, token_mode=True,
-                                     prefilter=prefilter)
+    if premerged is not None:
+        # auto fallback: spans already merged + materialized — co-shuffle
+        # them with the docs; the gram exchange is never paid twice
+        side1 = premerged
+    else:
+        side1 = _duplicate_occurrences(ds, tokens_column, id_column, k,
+                                       num_buckets, num_partitions,
+                                       concurrency, token_mode=True,
+                                       prefilter=prefilter)
     id_type = schema.field(id_column).type
     toks_type = schema.field(tokens_column).type
     val_type = toks_type.value_type
@@ -2959,17 +3029,25 @@ def remove_duplicate_token_spans(ds: Dataset, tokens_column: str,
     keep_types = {c: schema.field(c).type for c in keep_cols}
 
     side_col, bucket_col = "__jside__", "__jbucket__"
+    is_premerged = premerged is not None
 
     def _tagged(batch: pa.Table, side: int) -> pa.Table:
-        ids = batch.column("id" if side == 1 else id_column)
+        ids = batch.column(id_column if (side == 0 or is_premerged)
+                           else "id")
         n = batch.num_rows
         toks = (batch.column(tokens_column) if side == 0
                 else pa.nulls(n, toks_type))
-        pos = (batch.column("pos") if side == 1
-               else pa.nulls(n, pa.int64()))
+        if side == 1:
+            pos = batch.column("span_start" if is_premerged else "pos")
+            pos2 = (batch.column("span_end") if is_premerged
+                    else pa.nulls(n, pa.int64()))
+        else:
+            pos = pa.nulls(n, pa.int64())
+            pos2 = pa.nulls(n, pa.int64())
         bucket = (hash64(ids, seed=23)
                   % np.uint64(num_buckets)).astype(np.int64)
         cols = {id_column: ids, tokens_column: toks, "pos": pos,
+                "pos2": pos2,
                 side_col: pa.array(np.full(n, side, dtype=np.int8)),
                 bucket_col: pa.array(bucket)}
         for c in keep_cols:
@@ -2979,8 +3057,8 @@ def remove_duplicate_token_spans(ds: Dataset, tokens_column: str,
 
     both = (ds.select_columns([id_column, tokens_column, *keep_cols])
             .map_batches(lambda b: _tagged(b, 0), batch_format="pyarrow")
-            .union(dup_occ.map_batches(lambda b: _tagged(b, 1),
-                                       batch_format="pyarrow")))
+            .union(side1.map_batches(lambda b: _tagged(b, 1),
+                                     batch_format="pyarrow")))
 
     def merge_mask(g: pa.Table) -> pa.Table:
         empty = pa.table({
@@ -2997,9 +3075,20 @@ def remove_duplicate_token_spans(ds: Dataset, tokens_column: str,
         if docs.num_rows == 0:
             return empty
         occ_part = (g.filter(pa.array(side == 1))
-                    .select([id_column, "pos"])
-                    .rename_columns(["id", "pos"]))
-        span_ids, span_start, span_end = _merged_flat_spans(occ_part, k)
+                    .select([id_column, "pos", "pos2"])
+                    .rename_columns(["id", "pos", "pos2"]))
+        if is_premerged:
+            span_ids = (occ_part.column("id")
+                        .to_numpy(zero_copy_only=False))
+            span_start = (occ_part.column("pos")
+                          .to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+            span_end = (occ_part.column("pos2")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        else:
+            span_ids, span_start, span_end = _merged_flat_spans(
+                occ_part.drop_columns(["pos2"]), k)
         doc_ids = docs.column(id_column).to_numpy(zero_copy_only=False)
         row_idx = (np.searchsorted(doc_ids, span_ids)
                    if len(span_ids) else np.empty(0, dtype=np.int64))

@@ -1121,12 +1121,17 @@ def test_cross_source_dup_matrix(ray_session):
             ("y", "A"), ("y", "C"), ("y", "C"),
             ("z", "B"),                   # unique to B: no pairs
             ("w", None), ("w", "A")]      # null source folds to ''
+    # ONE ROW PER BLOCK: every (text, source) partial row reaches the
+    # bucket un-collapsed, so duplicate (content, source) pairs MUST be
+    # re-collapsed there — the regression that produced self-pairs
+    # (A, A) and overcounted b-sides when copies spanned map batches
     t = pa.table({"text": [r[0] for r in rows],
                   "source": pa.array([r[1] for r in rows], pa.string())})
     got = {(r["source_a"], r["source_b"]): r["n_docs"]
            for r in cross_source_dup_matrix(
-               rd.from_arrow(t).repartition(3), "text", "source")
+               rd.from_arrow(t).repartition(len(rows)), "text", "source")
            .take_all()}
+    assert all(a != b for a, b in got)    # no self-pairs, ever
     # brute-force reference
     from collections import Counter
     per = Counter(((txt, s or "") for txt, s in rows))
