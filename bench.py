@@ -237,6 +237,8 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         # r5: corpus diagnostics — who-copies-whom + tokenizer coverage
         "cross_source_dups_documents", "vocab_coverage_sequences",
         "vocab_overlap_sequences", "vocab_growth_sequences",
+        # r5: decontamination by removal (map-only probe-span scrub)
+        "scrub_decon_sequences",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -2692,6 +2692,126 @@ def bigram_lm_score(ds: Dataset, text_column: str, id_column: str,
 # ---------------------------------------------------------------------------
 
 
+def _prep_probes(probes):
+    """Validate equal-length int probes and build the sorted rolling-hash
+    index: returns ``(n, probe_hash_sorted, probe_mat_sorted)``."""
+    probes = [np.asarray(p, dtype=np.int64) for p in probes]
+    if not probes:
+        raise ValueError("need at least one probe")
+    n = len(probes[0])
+    if n < 1 or any(len(p) != n for p in probes):
+        raise ValueError("probes must be non-empty and equal-length")
+    B = np.uint64(1099511628211)
+    probe_mat = np.stack(probes)
+    h = np.zeros(probe_mat.shape[0], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(n):
+            h = h * B + probe_mat[:, k].astype(np.uint64)
+    order = np.argsort(h)
+    return n, h[order], probe_mat[order]
+
+
+def _probe_hit_starts(flat: np.ndarray, offs: np.ndarray, n: int,
+                      ph: np.ndarray, pm: np.ndarray) -> np.ndarray:
+    """Flat start indices of every EXACT probe match: one Horner
+    rolling-hash pass over the flattened values buffer, row-boundary
+    windows masked via the offsets, hash candidates verified
+    element-wise against every probe (collision-safe)."""
+    if len(flat) < n:
+        return np.empty(0, dtype=np.int64)
+    B = np.uint64(1099511628211)
+    starts = np.arange(len(flat) - n + 1, dtype=np.int64)
+    h = np.zeros(len(starts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(n):
+            h = h * B + flat[k:k + len(starts)].astype(np.uint64)
+    lens = np.diff(offs)
+    pos_end = np.repeat(offs[1:], lens)          # row end per position
+    fits = pos_end[starts] - starts >= n
+    idx = np.searchsorted(ph, h)
+    idx[idx >= len(ph)] = 0
+    cand = np.flatnonzero((ph[idx] == h) & fits)
+    if not len(cand):
+        return cand.astype(np.int64)
+    win = flat[cand[:, None] + np.arange(n)]
+    ok = (win[:, None, :] == pm[None, :, :]).all(axis=2).any(axis=1)
+    return cand[ok].astype(np.int64)
+
+
+def scrub_probe_token_spans(ds: Dataset, probes,
+                            tokens_column: str = "tokens",
+                            id_column: str = "doc_id",
+                            out_column: str = "tokens_clean",
+                            drop_count_column: str = "n_tokens_scrubbed",
+                            concurrency=None) -> Dataset:
+    """Benchmark decontamination by REMOVAL: drop every token covered by
+    an exact benchmark probe n-gram match (overlapping matches merge)
+    and rebuild the list column — the scrub sibling of
+    :func:`token_ngram_contamination`, which only FLAGS.  The GPT-3
+    appendix-C discipline applied surgically: the sequence survives,
+    the benchmark substring does not.  Output: one row per input row —
+    ``(id, out_column, drop_count_column)`` plus every other projected
+    column verbatim.
+
+    Scale shape: ENTIRELY map-only — the sorted probe-hash index rides
+    the object store (read once per worker), each batch runs ONE Horner
+    rolling-hash pass over the flattened values buffer, verifies
+    candidates element-wise, and masks covered positions with the
+    shared coverage-difference kernel (dedup._mask_token_lists).  No
+    exchange at any corpus size."""
+    import ray
+
+    from . import cached_stage, concurrency_kwargs
+
+    n, ph, pm = _prep_probes(probes)
+    probes_ref = ray.put((ph, pm))
+    val_type = (ds.schema().base_schema.field(tokens_column)
+                .type.value_type)
+    return ds.map_batches(
+        cached_stage(_TokenSpanScrubber, ref=probes_ref, n=n,
+                     tokens_column=tokens_column, id_column=id_column,
+                     out_column=out_column,
+                     drop_count_column=drop_count_column,
+                     val_type=val_type),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
+class _TokenSpanScrubber:
+    """Actor-pool stage of :func:`scrub_probe_token_spans`: probe-hash
+    index fetched once per worker, one rolling-hash scan + coverage mask
+    per batch."""
+
+    def __init__(self, ref, n, tokens_column, id_column, out_column,
+                 drop_count_column, val_type):
+        import ray
+        self.ph, self.pm = ray.get(ref)
+        self.n = n
+        self.tokens_column = tokens_column
+        self.id_column = id_column
+        self.out_column = out_column
+        self.drop_count_column = drop_count_column
+        self.val_type = val_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import _list_values_offsets, _mask_token_lists
+
+        flat, offs = _list_values_offsets(batch.column(self.tokens_column))
+        hits = _probe_hit_starts(flat.astype(np.int64, copy=False),
+                                 offs, self.n, self.ph, self.pm)
+        rows = np.searchsorted(offs, hits, side="right") - 1
+        rel_start = hits - offs[rows]
+        lists, dropped = _mask_token_lists(
+            batch, self.tokens_column, rows, rel_start,
+            rel_start + self.n, self.val_type)
+        keep_cols = [c for c in batch.column_names
+                     if c not in (self.id_column, self.tokens_column)]
+        return pa.table({
+            self.id_column: batch.column(self.id_column),
+            self.out_column: lists,
+            self.drop_count_column: dropped,
+            **{c: batch.column(c) for c in keep_cols}})
+
+
 def token_ngram_contamination(ds: Dataset, probes,
                               tokens_column: str = "tokens",
                               id_column: str = "doc_id") -> Dataset:
@@ -2713,25 +2833,8 @@ def token_ngram_contamination(ds: Dataset, probes,
     import ray
     from ray.data.aggregate import Sum
 
-    probes = [np.asarray(p, dtype=np.int64) for p in probes]
-    if not probes:
-        raise ValueError("need at least one probe")
-    n = len(probes[0])
-    if n < 1 or any(len(p) != n for p in probes):
-        raise ValueError("probes must be non-empty and equal-length")
-    B = np.uint64(1099511628211)
-
-    def horner(mat: np.ndarray) -> np.ndarray:
-        h = np.zeros(mat.shape[0], dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for k in range(n):
-                h = h * B + mat[:, k].astype(np.uint64)
-        return h
-
-    probe_mat = np.stack(probes)
-    probe_hash = horner(probe_mat)
-    order = np.argsort(probe_hash)
-    probes_ref = ray.put((probe_hash[order], probe_mat[order]))
+    n, ph_sorted, pm_sorted = _prep_probes(probes)
+    probes_ref = ray.put((ph_sorted, pm_sorted))
 
     def scan(batch: pa.Table) -> pa.Table:
         ph, pm = ray.get(probes_ref)
@@ -2745,25 +2848,7 @@ def token_ngram_contamination(ds: Dataset, probes,
         out_ids = batch.column(id_column).slice(0, 0)
         empty = pa.table({id_column: out_ids,
                           "n_hits": pa.array([], pa.int64())})
-        if len(flat) < n:
-            return empty
-        starts = np.arange(len(flat) - n + 1, dtype=np.int64)
-        h = np.zeros(len(starts), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for k in range(n):
-                h = h * B + flat[k:k + len(starts)].astype(np.uint64)
-        lens = np.diff(offs)
-        pos_end = np.repeat(offs[1:], lens)      # row end per position
-        fits = pos_end[starts] - starts >= n
-        idx = np.searchsorted(ph, h)
-        idx[idx >= len(ph)] = 0
-        cand = np.flatnonzero((ph[idx] == h) & fits)
-        if not len(cand):
-            return empty
-        # exact verify: candidate windows vs EVERY probe (collision-safe)
-        win = flat[cand[:, None] + np.arange(n)]
-        ok = (win[:, None, :] == pm[None, :, :]).all(axis=2).any(axis=1)
-        hits = cand[ok]
+        hits = _probe_hit_starts(flat, offs, n, ph, pm)
         if not len(hits):
             return empty
         rows = np.searchsorted(offs, hits, side="right") - 1

@@ -435,3 +435,52 @@ def test_remove_word_spans_strategies_identical(ray_session):
     ex = run(strategy="exchange")
     assert bc == ex and len(bc) == len(ids)
     assert run(strategy="auto", max_broadcast_spans=1) == ex
+
+
+def test_scrub_probe_token_spans_matches_bruteforce(ray_session):
+    """scrub_probe_token_spans vs a per-row Python reconstruction:
+    every exact probe window's positions drop (overlaps merge), nothing
+    else moves, other columns pass through, and the flag sibling
+    (token_ngram_contamination) agrees on which rows were touched."""
+    import ray.data as rd
+    from malli_ray.stages.text import (scrub_probe_token_spans,
+                                       token_ngram_contamination)
+
+    rng = np.random.default_rng(41)
+    k = 4
+    probes = [rng.integers(0, 300, k).tolist() for _ in range(3)]
+    rows, ids, src = [], [], []
+    for i in range(100):
+        body = rng.integers(0, 5000, int(rng.integers(0, 24))).tolist()
+        if i % 3 == 0 and body:
+            p = int(rng.integers(0, len(body)))
+            body = body[:p] + probes[i % len(probes)] + body[p:]
+        if i == 6:                     # overlapping plants merge
+            body = probes[0][:-1] + probes[0] + probes[1]
+        ids.append(f"p{i:03d}")
+        rows.append(body)
+        src.append(f"s{i % 4}")
+    t = pa.table({"doc_id": pa.array(ids),
+                  "tokens": pa.array(rows, pa.list_(pa.int32())),
+                  "source": pa.array(src)})
+    ds = rd.from_arrow(t).repartition(5)
+
+    got = {r["doc_id"]: r for r in scrub_probe_token_spans(
+        ds, probes, "tokens", "doc_id").take_all()}
+    pset = {tuple(p) for p in probes}
+    touched = set()
+    for i, di in enumerate(ids):
+        toks = rows[i]
+        cov = set()
+        for p in range(max(len(toks) - k + 1, 0)):
+            if tuple(toks[p:p + k]) in pset:
+                cov.update(range(p, p + k))
+        want = [tk for p, tk in enumerate(toks) if p not in cov]
+        assert list(got[di]["tokens_clean"]) == want, di
+        assert got[di]["n_tokens_scrubbed"] == len(cov)
+        assert got[di]["source"] == src[i]
+        if cov:
+            touched.add(di)
+    flagged = {r["doc_id"] for r in token_ngram_contamination(
+        ds, probes, "tokens", "doc_id").take_all()}
+    assert flagged == touched
