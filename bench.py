@@ -238,7 +238,7 @@ def run_full_bench(sf_dir: str, num_cpus: int, quick: bool = False) -> dict:
         "cross_source_dups_documents", "vocab_coverage_sequences",
         "vocab_overlap_sequences", "vocab_growth_sequences",
         # r5: decontamination by removal (map-only probe-span scrub)
-        "scrub_decon_sequences",
+        "scrub_decon_sequences", "scrub_decon_documents",
     ]
     if quick:
         # composition-stable subset (the r1 headline set) so per-round

@@ -228,6 +228,28 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
         ds = ds.map_batches(_swap_clean, batch_format="pyarrow")
         stages.append(f"drop_frequent_lines(min_count="
                       f"{args.drop_frequent_lines})")
+    if args.scrub_decon:
+        # decontamination by REMOVAL: probe-corpus word k-grams drop
+        # from the text (map-only — probe gram pairs broadcast once)
+        import ray.data as rdata
+        p = args.scrub_decon
+        pfiles = sorted(glob.glob(os.path.join(p, "*.parquet")
+                                  if os.path.isdir(p) else p))
+        if not pfiles:
+            raise SystemExit(f"no parquet files match --scrub-decon "
+                             f"{p!r}")
+        probe_ds = rdata.read_parquet(pfiles, columns=[tc])
+        ds = T.scrub_probe_word_spans(ds, probe_ds, tc, idc,
+                                      k=args.scrub_decon_k,
+                                      out_column=tc + "_dc")
+
+        def _swap_dc(b):
+            names = [tc if c == tc + "_dc" else c for c in b.column_names]
+            return (b.rename_columns(names)
+                    .drop_columns(["n_words_scrubbed"]))
+
+        ds = ds.map_batches(_swap_dc, batch_format="pyarrow")
+        stages.append(f"scrub_decon(k={args.scrub_decon_k})")
     if args.remove_dup_spans:
         # Lee-2021 exact substring scrub: covered words drop, every
         # other column rides the doc-keyed exchange (keep_columns).
@@ -411,6 +433,37 @@ def _run_pack(args, paths: list[str]) -> int:
 
         ds = ds.map_batches(drop_dups, batch_format="pyarrow")
         dropped_dup_rows = sum(int(r["cnt"]) for r in dup_rows)
+    decon_scrubbed_tokens = 0
+    if args.scrub_decon:
+        # decontamination by REMOVAL before packing: exact benchmark
+        # probe n-gram windows drop from the token stream (map-only)
+        from .stages import text as _text
+
+        try:
+            with open(args.scrub_decon) as f:
+                probes = json.load(f)
+        except (OSError, json.JSONDecodeError) as e:
+            raise SystemExit(f"cannot read --scrub-decon probes: {e}")
+        try:
+            ds = _text.scrub_probe_token_spans(
+                ds, probes, args.tokens_column, args.id_column,
+                out_column=args.tokens_column + "_dc",
+                drop_count_column="__n_decon__")
+        except ValueError as e:
+            raise SystemExit(f"--scrub-decon: {e}")
+
+        def _swap_dc(b):
+            names = [args.tokens_column if c == args.tokens_column + "_dc"
+                     else c for c in b.column_names]
+            return b.rename_columns(names)
+
+        # materialize once: the decon sum + the assembly's two consumers
+        # would otherwise re-run the scan chain per consumer (q21 guard)
+        ds = ds.map_batches(_swap_dc, batch_format="pyarrow").materialize()
+        decon_scrubbed_tokens = int(ds.sum("__n_decon__") or 0)
+        ds = ds.map_batches(
+            lambda b: b.drop_columns(["__n_decon__"]),
+            batch_format="pyarrow")
     scrubbed_tokens = 0
     if args.scrub_dup_spans:
         # Lee-2021 exact substring scrub at token granularity BEFORE
@@ -456,6 +509,7 @@ def _run_pack(args, paths: list[str]) -> int:
     report = {"rows_in": rows_in, "blocks": n_blocks,
               "dropped_dup_rows": dropped_dup_rows,
               "scrubbed_tokens": scrubbed_tokens,
+              "decon_scrubbed_tokens": decon_scrubbed_tokens,
               "block_size": args.block_size, "out": out_dir}
     rc = 0
     if getattr(args, "expect", None):
@@ -668,6 +722,14 @@ def main(argv: list[str] | None = None) -> int:
                          "word covered by a corpus-duplicated K-word "
                          "gram span (first occurrence survives); other "
                          "columns pass through")
+    cp.add_argument("--scrub-decon", metavar="PROBES",
+                    help="decontamination by REMOVAL: parquet file/dir of "
+                         "probe docs (same text column name); every word "
+                         "covered by a probe K-gram match drops, the doc "
+                         "survives (contrast --decontaminate, which drops "
+                         "whole docs)")
+    cp.add_argument("--scrub-decon-k", type=int, default=5, metavar="K",
+                    help="probe word-gram width for --scrub-decon")
     cp.add_argument("--dedup", choices=["exact"],
                     help="exact dedup keeping the min id per content")
     cp.add_argument("--decontaminate", metavar="GLOB",
@@ -727,6 +789,12 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--block-size", type=int, default=2048)
     pk.add_argument("--truncate", type=int, metavar="MAX_LEN",
                     help="clip every sequence to MAX_LEN tokens first")
+    pk.add_argument("--scrub-decon", metavar="PROBES_JSON",
+                    help="decontamination by REMOVAL before packing: JSON "
+                         "file of equal-length token-id lists; every "
+                         "exact probe window's tokens drop (overlaps "
+                         "merge); scrubbed count lands in the report as "
+                         "decon_scrubbed_tokens")
     pk.add_argument("--scrub-dup-spans", type=int, metavar="K",
                     help="Lee-2021 exact substring scrub BEFORE packing: "
                          "drop every token covered by a corpus-duplicated "

@@ -1712,6 +1712,87 @@ def bigram_coverage(ds: Dataset, text_column: str, id_column: str,
         batch_format="pyarrow", **concurrency_kwargs(concurrency))
 
 
+class _WordSpanScrubber:
+    """Actor-pool stage of :func:`scrub_probe_word_spans`: broadcast
+    probe gram-pair set + one vectorized gram pass + the shared word
+    mask per batch."""
+
+    def __init__(self, ref, k, text_column, id_column, out_column,
+                 drop_count_column):
+        import ray
+        tbl = ray.get(ref)
+        self.pairs = _HashPairSet(
+            tbl.column("h1").to_numpy(zero_copy_only=False),
+            tbl.column("h2").to_numpy(zero_copy_only=False))
+        self.k = k
+        self.text_column = text_column
+        self.id_column = id_column
+        self.out_column = out_column
+        self.drop_count_column = drop_count_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from .dedup import _mask_words
+
+        col = batch.column(self.text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        rows, pos, (a, b) = _gram_rows(pl.from_arrow(col), self.k,
+                                       seeds=(21, 22))
+        hit = (self.pairs.contains(a.view(np.int64), b.view(np.int64))
+               if len(rows) else np.zeros(0, dtype=bool))
+        hi = np.flatnonzero(hit)
+        text_out, dropped = _mask_words(col, rows[hi], pos[hi],
+                                        pos[hi] + self.k)
+        keep_cols = [c for c in batch.column_names
+                     if c not in (self.id_column, self.text_column)]
+        return pa.table({
+            self.id_column: batch.column(self.id_column),
+            self.out_column: text_out,
+            self.drop_count_column: dropped,
+            **{c: batch.column(c) for c in keep_cols}})
+
+
+def scrub_probe_word_spans(ds: Dataset, probe_ds: Dataset,
+                           text_column: str = "text",
+                           id_column: str = "doc_id", k: int = 5,
+                           out_column: str = "text_clean",
+                           drop_count_column: str = "n_words_scrubbed",
+                           max_probe_grams: int = 5_000_000,
+                           concurrency=None) -> Dataset:
+    """Benchmark decontamination by REMOVAL at word granularity: every
+    word covered by a probe-corpus k-gram match drops, the text rebuilds
+    from the survivors joined by single spaces (whitespace-normalized —
+    the :func:`dedup.remove_duplicate_spans` contract).  The scrub
+    sibling of :func:`ngram_contamination`, which only FLAGS; the token
+    sibling is :func:`scrub_probe_token_spans`.  Output: one row per
+    input row — ``(id, out_column, drop_count_column)`` plus every other
+    projected column verbatim.
+
+    Scale shape: the probe grams collapse to a 128-bit (h1, h2) pair
+    table (:func:`frequent_gram_hashes` at min_count=1 — fail-loud
+    ``max_probe_grams`` cap) broadcast ONCE via ray.put; scoring is
+    ENTIRELY map-only — one vectorized gram pass + the shared coverage
+    mask per batch, no exchange at any corpus size.  Gram identity is
+    the house 128-bit hash discipline (collision odds ~n^2/2^128)."""
+    import ray
+
+    from . import cached_stage, concurrency_kwargs
+
+    probe = frequent_gram_hashes(probe_ds, text_column, min_count=1,
+                                 k=k, max_frequent=max_probe_grams)
+    ref = ray.put(probe.select(["h1", "h2"]))
+    return ds.map_batches(
+        cached_stage(_WordSpanScrubber, ref=ref, k=k,
+                     text_column=text_column, id_column=id_column,
+                     out_column=out_column,
+                     drop_count_column=drop_count_column),
+        batch_format="pyarrow", **concurrency_kwargs(concurrency))
+
+
 def build_inverted_index(ds: Dataset, text_column: str, id_column: str,
                          min_df: int = 2, max_df: int | None = None,
                          max_postings: int = 100_000,

@@ -369,3 +369,66 @@ def test_cli_report(ray_session, seq_dir, capsys):
     n = len(srcs)
     assert len(d["overlap"]) == n * (n - 1) // 2
     assert all(r["group_a"] < r["group_b"] for r in d["overlap"])
+
+
+def test_cli_scrub_decon_paths(ray_session, tmp_path, capsys):
+    """The decontamination-by-removal CLI stages: corpus-prep
+    --scrub-decon (word probes parquet) scrubs probe phrases in place;
+    pack --scrub-decon (token probes JSON) reports the scrubbed count
+    and packs the cleaned stream."""
+    import json
+
+    from malli_ray import cli
+
+    # --- corpus-prep: word-level ---
+    inp = tmp_path / "cin"; inp.mkdir()
+    prb = tmp_path / "cprobes"; prb.mkdir()
+    docs = pa.table({
+        "doc_id": ["d0", "d1", "d2"],
+        "text": ["alpha beta gamma delta", "no match here",
+                 "x alpha beta gamma y"],
+        "source": ["a", "b", "a"]})
+    pq.write_table(docs, str(inp / "p.parquet"))
+    pq.write_table(pa.table({"doc_id": ["p"],
+                             "text": ["alpha beta gamma"]}),
+                   str(prb / "p.parquet"))
+    rc = cli.main(["corpus-prep", "--input", str(inp), "--out",
+                   str(tmp_path / "cout"), "--scrub-decon", str(prb),
+                   "--scrub-decon-k", "3", "--num-cpus", "4"])
+    capsys.readouterr()
+    assert rc == 0
+    got = {r["doc_id"]: r["text"] for r in pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(
+            str(tmp_path / "cout") + "/**/*.parquet", recursive=True)]
+        ).to_pylist()}
+    assert got == {"d0": "delta", "d1": "no match here", "d2": "x y"}
+
+    # --- pack: token-level ---
+    sin = tmp_path / "sin"; sin.mkdir()
+    rows = [list(range(20)), [7, 7, 7, 7, 7], list(range(100, 130))]
+    pq.write_table(pa.table({
+        "doc_id": ["s0", "s1", "s2"],
+        "tokens": pa.array(rows, pa.list_(pa.int32())),
+        "source": ["w", "w", "w"]}), str(sin / "p.parquet"))
+    probes = [list(range(4, 8)), [7, 7, 7, 7]]
+    pf = tmp_path / "probes.json"
+    pf.write_text(json.dumps(probes))
+    rc = cli.main(["pack", "--input", str(sin), "--out",
+                   str(tmp_path / "pout"), "--block-size", "16",
+                   "--scrub-decon", str(pf), "--num-cpus", "4"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rep = json.loads(out)
+    assert rc == 0
+    # s0 loses positions 4..7 (4 tokens); s1 loses all 5 (windows
+    # overlap-merge); s2 untouched
+    assert rep["decon_scrubbed_tokens"] == 9
+    total = sum(r["n_tokens"] for f in glob.glob(
+        str(tmp_path / "pout") + "/blocks/**/*.parquet", recursive=True)
+        for r in pq.read_table(f, columns=["n_tokens"]).to_pylist())
+    assert total == (20 - 4) + 0 + 30
+    # malformed probes file exits with a one-line message
+    bad = tmp_path / "bad.json"; bad.write_text("[[1,2],[3]]")
+    with pytest.raises(SystemExit):
+        cli.main(["pack", "--input", str(sin), "--out",
+                  str(tmp_path / "pout2"), "--scrub-decon", str(bad),
+                  "--num-cpus", "4"])

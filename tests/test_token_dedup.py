@@ -484,3 +484,52 @@ def test_scrub_probe_token_spans_matches_bruteforce(ray_session):
     flagged = {r["doc_id"] for r in token_ngram_contamination(
         ds, probes, "tokens", "doc_id").take_all()}
     assert flagged == touched
+
+
+def test_scrub_probe_word_spans_matches_bruteforce(ray_session):
+    """Word-level scrub vs a per-row Python reference: probe k-gram
+    matches drop (overlaps merge), everything comes back
+    whitespace-normalized, payload columns pass through."""
+    import ray.data as rd
+    from malli_ray.stages.text import scrub_probe_word_spans
+
+    rng = np.random.default_rng(53)
+    k = 3
+    probe_texts = [" ".join(f"p{i}w{j}" for j in range(6))
+                   for i in range(3)]
+    probe_grams = set()
+    for t in probe_texts:
+        ws = t.split()
+        for p in range(len(ws) - k + 1):
+            probe_grams.add(tuple(ws[p:p + k]))
+    texts, ids, src = [], [], []
+    for i in range(80):
+        ws = [f"w{int(x)}" for x in rng.integers(0, 200, int(
+            rng.integers(0, 18)))]
+        if i % 3 == 0:
+            plant = probe_texts[i % 3].split()[0:k + 1]
+            p = int(rng.integers(0, len(ws) + 1))
+            ws = ws[:p] + plant + ws[p:]
+        ids.append(f"d{i:03d}")
+        texts.append("  ".join(ws) if i % 7 else " ".join(ws))
+        src.append(f"s{i % 2}")
+    t = pa.table({"doc_id": pa.array(ids),
+                  "text": pa.array(texts, pa.string()),
+                  "source": pa.array(src)})
+    ds = rd.from_arrow(t).repartition(4)
+    probes = rd.from_arrow(pa.table({
+        "doc_id": [f"probe{i}" for i in range(len(probe_texts))],
+        "text": probe_texts}))
+
+    got = {r["doc_id"]: r for r in scrub_probe_word_spans(
+        ds, probes, "text", "doc_id", k=k).take_all()}
+    for i, di in enumerate(ids):
+        ws = texts[i].split()
+        cov = set()
+        for p in range(max(len(ws) - k + 1, 0)):
+            if tuple(ws[p:p + k]) in probe_grams:
+                cov.update(range(p, p + k))
+        want = " ".join(w for p, w in enumerate(ws) if p not in cov)
+        assert got[di]["text_clean"] == want, di
+        assert got[di]["n_words_scrubbed"] == len(cov)
+        assert got[di]["source"] == src[i]
