@@ -231,7 +231,6 @@ def _run_corpus_prep(args, paths: list[str]) -> int:
     if args.scrub_decon:
         # decontamination by REMOVAL: probe-corpus word k-grams drop
         # from the text (map-only — probe gram pairs broadcast once)
-        import ray.data as rdata
         p = args.scrub_decon
         pfiles = sorted(glob.glob(os.path.join(p, "*.parquet")
                                   if os.path.isdir(p) else p))
@@ -449,7 +448,9 @@ def _run_pack(args, paths: list[str]) -> int:
                 ds, probes, args.tokens_column, args.id_column,
                 out_column=args.tokens_column + "_dc",
                 drop_count_column="__n_decon__")
-        except ValueError as e:
+        except (ValueError, TypeError) as e:
+            # TypeError: probes JSON parsed but isn't a list of int
+            # lists (e.g. a bare int) — same one-line contract
             raise SystemExit(f"--scrub-decon: {e}")
 
         def _swap_dc(b):
@@ -727,7 +728,10 @@ def main(argv: list[str] | None = None) -> int:
                          "probe docs (same text column name); every word "
                          "covered by a probe K-gram match drops, the doc "
                          "survives (contrast --decontaminate, which drops "
-                         "whole docs)")
+                         "whole docs). NOTE: ALL docs come back "
+                         "whitespace-normalized (runs of spaces/newlines "
+                         "collapse to single spaces), matched or not — "
+                         "the remove-dup-spans rebuild contract")
     cp.add_argument("--scrub-decon-k", type=int, default=5, metavar="K",
                     help="probe word-gram width for --scrub-decon")
     cp.add_argument("--dedup", choices=["exact"],

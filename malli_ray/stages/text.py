@@ -2797,7 +2797,11 @@ def _probe_hit_starts(flat: np.ndarray, offs: np.ndarray, n: int,
     """Flat start indices of every EXACT probe match: one Horner
     rolling-hash pass over the flattened values buffer, row-boundary
     windows masked via the offsets, hash candidates verified
-    element-wise against every probe (collision-safe)."""
+    element-wise ONLY against the probes sharing their hash (one
+    aligned compare per candidate — O(cand x n), never the
+    cand x probes x n tensor a 50k-probe decon suite would blow up
+    on; probes sharing a 64-bit hash fall to a rare per-candidate
+    loop, collision-safe either way)."""
     if len(flat) < n:
         return np.empty(0, dtype=np.int64)
     B = np.uint64(1099511628211)
@@ -2814,8 +2818,17 @@ def _probe_hit_starts(flat: np.ndarray, offs: np.ndarray, n: int,
     cand = np.flatnonzero((ph[idx] == h) & fits)
     if not len(cand):
         return cand.astype(np.int64)
+    hc = h[cand]
+    left = np.searchsorted(ph, hc, side="left")
+    right = np.searchsorted(ph, hc, side="right")
     win = flat[cand[:, None] + np.arange(n)]
-    ok = (win[:, None, :] == pm[None, :, :]).all(axis=2).any(axis=1)
+    ok = np.zeros(len(cand), dtype=bool)
+    single = (right - left) == 1
+    if single.any():
+        s = np.flatnonzero(single)
+        ok[s] = (win[s] == pm[left[s]]).all(axis=1)
+    for j in np.flatnonzero(~single).tolist():   # shared probe hash: rare
+        ok[j] = (pm[left[j]:right[j]] == win[j]).all(axis=1).any()
     return cand[ok].astype(np.int64)
 
 
@@ -2918,14 +2931,13 @@ def token_ngram_contamination(ds: Dataset, probes,
     probes_ref = ray.put((ph_sorted, pm_sorted))
 
     def scan(batch: pa.Table) -> pa.Table:
+        from .dedup import _list_values_offsets
+
         ph, pm = ray.get(probes_ref)
-        toks = batch.column(tokens_column)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offs = offs - offs[0]
-        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(
-            np.int64)
+        # null-safe offsets (null list rows read as empty) — raw
+        # .offsets + .flatten() misalign window-to-row attribution when
+        # null slots span non-zero-width offsets
+        flat, offs = _list_values_offsets(batch.column(tokens_column))
         out_ids = batch.column(id_column).slice(0, 0)
         empty = pa.table({id_column: out_ids,
                           "n_hits": pa.array([], pa.int64())})

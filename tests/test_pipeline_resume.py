@@ -426,9 +426,11 @@ def test_cli_scrub_decon_paths(ray_session, tmp_path, capsys):
         str(tmp_path / "pout") + "/blocks/**/*.parquet", recursive=True)
         for r in pq.read_table(f, columns=["n_tokens"]).to_pylist())
     assert total == (20 - 4) + 0 + 30
-    # malformed probes file exits with a one-line message
-    bad = tmp_path / "bad.json"; bad.write_text("[[1,2],[3]]")
-    with pytest.raises(SystemExit):
-        cli.main(["pack", "--input", str(sin), "--out",
-                  str(tmp_path / "pout2"), "--scrub-decon", str(bad),
-                  "--num-cpus", "4"])
+    # malformed probes files exit with a one-line message, whatever the
+    # malformation raises internally (ValueError AND TypeError shapes)
+    for payload in ("[[1,2],[3]]", "42", "[5, [1,2]]"):
+        bad = tmp_path / "bad.json"; bad.write_text(payload)
+        with pytest.raises(SystemExit):
+            cli.main(["pack", "--input", str(sin), "--out",
+                      str(tmp_path / "pout2"), "--scrub-decon",
+                      str(bad), "--num-cpus", "4"])
